@@ -1,0 +1,90 @@
+"""Versioned parquet snapshot store with an atomic commit pointer.
+
+The reference's retention rewrite relies on Cassandra compaction's atomic
+SSTable replacement (write new files, swap, delete old) and a backup sink with
+a begin/close/abort protocol (``IDeletedRecordsSink.java:26-58``,
+``BackupSinkForDeletingCompaction.java:43-137``).  On files, the same safety
+comes from: write the full new version directory (Spark's job-commit protocol
+makes it all-or-nothing), then atomically repoint ``_CURRENT``.  A failed
+write never touches the pointer — the abort path is "do nothing".
+
+Old versions remain until vacuumed, giving snapshot-read isolation to
+concurrent readers (they hold the old pointer's path).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cassandra_util_spark.core.table import KeyedTable, TableMeta
+
+
+class SnapshotStore:
+    def __init__(self, root: str) -> None:
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    @property
+    def _pointer(self) -> str:
+        return os.path.join(self.root, "_CURRENT")
+
+    def current_version(self) -> Optional[str]:
+        try:
+            with open(self._pointer) as f:
+                return f.read().strip() or None
+        except FileNotFoundError:
+            return None
+
+    def current_path(self) -> Optional[str]:
+        v = self.current_version()
+        return os.path.join(self.root, v) if v else None
+
+    def versions(self) -> list[str]:
+        return sorted(
+            d for d in os.listdir(self.root) if d.startswith("v") and d[1:].isdigit()
+        )
+
+    def _next_version(self) -> str:
+        vs = self.versions()
+        n = int(vs[-1][1:]) + 1 if vs else 1
+        return f"v{n:05d}"
+
+    def commit(self, df: DataFrame, meta: Optional[TableMeta] = None) -> str:
+        """Write ``df`` as the next version and swap the pointer atomically.
+
+        With ``meta``, data lands clustered: repartitioned by partition key
+        and sorted by (pk, ck, writetime) within partitions — the sorted-run
+        layout the reference guarantees, which gives parquet row-group pruning
+        on key predicates at read time.
+        """
+        version = self._next_version()
+        path = os.path.join(self.root, version)
+        if meta is not None:
+            df = KeyedTable(df, meta).clustered()
+        df.write.mode("errorifexists").parquet(path)
+        # POSIX rename is atomic: readers see either the old or the new pointer
+        fd, tmp = tempfile.mkstemp(dir=self.root, prefix="._CURRENT.")
+        with os.fdopen(fd, "w") as f:
+            f.write(version)
+        os.replace(tmp, self._pointer)
+        return version
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        path = self.current_path()
+        if path is None:
+            raise FileNotFoundError(f"snapshot store {self.root} has no committed version")
+        return spark.read.parquet(path)
+
+    def vacuum(self, keep_last: int = 1) -> list[str]:
+        """Drop all but the newest ``keep_last`` versions (never the current)."""
+        import shutil
+
+        current = self.current_version()
+        victims = [v for v in self.versions()[:-keep_last] if v != current]
+        for v in victims:
+            shutil.rmtree(os.path.join(self.root, v))
+        return victims

@@ -1,0 +1,207 @@
+"""Golden-count scenarios ported row-for-row from the reference's
+RuleBasedDeletionConvictorSpec.scala — exact, deterministic oracles for the
+rule→expression compiler and the retention job."""
+
+import pytest
+
+from cassandra_util_spark.operators.convictors import RuleBasedDeletionConvictor
+from cassandra_util_spark.operators.retention import RetentionJob
+
+
+def surviving_count(table, rules_frame):
+    convictor = RuleBasedDeletionConvictor(table, rules=rules_frame)
+    job = RetentionJob(table, convictor)
+    stats = job.run()
+    assert not stats.spooked, stats.warnings
+    return stats.kept
+
+
+def test_rule_with_multiple_tenants(tenanted, rules_df):
+    # RuleBasedDeletionConvictorSpec.scala:48-85 — expect 17 -> 5
+    table = tenanted(
+        [
+            (1726, "00000151e518481a3b3e6939bc9493da"),
+            (1726, "00000151f43248180be67107251b6167"),
+            (1726, "00000151f84bd381fc78aca5e26567c0"),
+            (1726, "00000151fc18df688b31da3f0215d55f"),
+            (1742, "00000151cb75b17f7f53f2187da68102"),
+            (1742, "00000151cbb68f50d0833f75269cef4d"),
+            (1742, "00000151ce5d691144119389cabb2b6f"),
+            (1742, "00000151db1fdba2a888063457159d3e"),
+            (1742, "00000151dd6975e92eba7cdd4e4ecc12"),
+            (1742, "00000151f1470429cdf31d0485bb99e8"),
+            (1742, "00000151f4f221b20df147d1c14691b0"),
+            (1742, "00000151f7dabc8c37a47b98d3533552"),
+            (1753, "00000151d2b65a18a3aa7058aa6a2116"),
+            (1753, "00000151f4da90041129071c9c9da7eb"),
+            (1768, "00000151e1f2e6c5eb875453555c4e2e"),
+            (1768, "00000151ffe7cc5df88bb70614edbbf0"),
+            (1771, "000001520af1e48e75c67e3c82791880"),
+        ]
+    )
+    rules = rules_df(
+        [
+            ("cid_1", "tenant", ("1726", "1726")),
+            ("cid_2", "tenant", ("1742", "1742")),
+            ("cid_3", "tenant", ("1771", "1771")),
+            ("cid_3", "id", (None, "00000152000000000000000000000000")),
+        ]
+    )
+    assert surviving_count(table, rules) == 5
+
+
+def test_id_range_deletes_correctly(tenanted, rules_df):
+    # :87-116 — AND of tenant + id upper bound; expect 11 -> 8
+    table = tenanted(
+        [
+            (1782, "00000151d54828e1775e4d044a7b5766"),
+            (1782, "00000151d587110b4d1a728565d72e30"),
+            (1782, "00000151d776e879a4ada06c8c839ef3"),
+            (1782, "00000151d9b90a33317258fef4bc49ed"),
+            (1782, "00000151e25f060b49a8d79e897ab369"),
+            (1782, "00000151e35ae631557c517014f885e1"),
+            (1782, "00000151f08b0fc345cf5826903200cf"),
+            (1782, "00000151f44306fcb6cadc71aaa3f372"),
+            (1782, "00000151f9f0b9f98c5c9c616e4e3468"),
+            (1782, "0000015203cb65b5c4a181d4222f7577"),
+            (1782, "000001520a7fda1500bdf3318ef4ec95"),
+        ]
+    )
+    rules = rules_df(
+        [
+            ("cid_2", "tenant", ("1782", "1782")),
+            ("cid_2", "id", (None, "00000151d80000000000000000000000")),
+        ]
+    )
+    assert surviving_count(table, rules) == 8
+
+
+def test_tenant_numeric_range(tenanted, rules_df):
+    # :118-139 — "1783".."1786" on a bigint column is a NUMERIC range; 4 -> 2
+    table = tenanted(
+        [
+            (1785, "00000151ef35589ff90c54401aae08f5"),
+            (1785, "0000015201153acb407978edcb28b452"),
+            (1791, "00000151eb66fc0c2ffc298022a0e221"),
+            (1791, "00000151f82053a2846086bd220a3abb"),
+        ]
+    )
+    rules = rules_df([("cid_3", "tenant", ("1783", "1786"))])
+    assert surviving_count(table, rules) == 2
+
+
+def test_shortened_id_range(tenanted, rules_df):
+    # :141-164 — short text bounds compare lexicographically; 6 -> 3
+    table = tenanted(
+        [
+            (1808, "000001500d6e500520483cb290acf7c4"),
+            (1824, "00000150cbb694020320975300cc349c"),
+            (1824, "00000150d92640fbc244d1670884f022"),
+            (1824, "00000150e4d7b9bb0675764d10c0db0c"),
+            (1824, "00000150e5984a8b2444310df745223c"),
+            (1824, "00000150f89554064a02d4c7e86c58d3"),
+        ]
+    )
+    rules = rules_df([("cid_4", "id", ("", "00000150e0000000"))])
+    assert surviving_count(table, rules) == 3
+
+
+def test_full_miss_keeps_all(tenanted, rules_df):
+    # :166-185 — no rules, keep everything; 5 -> 5
+    table = tenanted(
+        [
+            (1879, "00000151ef32e8298ab774b3b950b97c"),
+            (1883, "000001520d86a1830e6c40b6308c8aac"),
+            (1884, "00000151df3e1efe7387e82c7c3d22a7"),
+            (1885, "00000151e82201a09bcd632a95ca8d2d"),
+            (1887, "00000151cb6c15d4cdceca118f9cbef1"),
+        ]
+    )
+    rules = rules_df([]).limit(0)
+    assert surviving_count(table, rules) == 5
+
+
+def test_internal_range(tenanted, rules_df):
+    # :187-209 — 5 -> 3
+    table = tenanted(
+        [
+            (1842, "00000151d923f0936f0f4b31e55a970d"),
+            (1842, "00000151f641b42540fe0258023693c8"),
+            (1842, "00000152095ac91e0809ce0a2419304c"),
+            (1842, "0000015209f75d0b86cb5717484ce0ea"),
+            (1842, "000001520a0a63fbb0582435ae3efa5d"),
+        ]
+    )
+    rules = rules_df([("cid_6", "id", ("00000151ff", "000001520a"))])
+    assert surviving_count(table, rules) == 3
+
+
+def test_sweep_for_oversized_values(tenanted, rules_df):
+    # :211-235 — unbounded upper on text; only the short malformed id falls
+    # in ["00001f", *); 7 -> 6
+    table = tenanted(
+        [
+            (1827, "000151d4e6fec2fde7240e6c5e1fce00"),
+            (1827, "00000151e992ed8adb38cfbc2e6c0c52"),
+            (1827, "00000151f6cde9e92ea68f051f6d96b5"),
+            (1838, "00000151fb731fff3aae3a1236a90551"),
+            (1866, "00000151e560cec31329cd7cdc4ad37e"),
+            (1866, "00000151f9cc533b6347f86571e34eda"),
+            (1866, "0000015203ddcf3d1598b05a8f5f1c2f"),
+        ]
+    )
+    rules = rules_df([("cid_7", "id", ("00001f", None))])
+    assert surviving_count(table, rules) == 6
+
+
+def test_dry_run_deletes_nothing(tenanted, rules_df):
+    # DeletingCompactionStrategySpec.scala:255-305 — dry run evaluates but
+    # reports only; both sides still counted
+    table = tenanted([(1726, "aa"), (1750, "bb")])
+    rules = rules_df([("r", "tenant", ("1726", "1726"))])
+    convictor = RuleBasedDeletionConvictor(table, rules=rules)
+    stats = RetentionJob(table, convictor, dry_run=True).run()
+    assert stats.dry_run
+    assert (stats.kept, stats.convicted) == (1, 1)
+
+
+def test_spooked_on_non_key_column(spark, rules_df):
+    from cassandra_util_spark.core.table import KeyedTable, TableMeta
+
+    df = spark.createDataFrame([(1, "x", 5)], "tenant bigint, id string, other int")
+    table = KeyedTable(df, TableMeta(("id", "tenant")))
+    rules = rules_df([("r", "other", ("1", "9"))])
+    convictor = RuleBasedDeletionConvictor(table, rules=rules)
+    assert convictor.spooked
+    stats = RetentionJob(table, convictor).run()
+    # dry run: nothing is written; invalid rules are excluded from compilation
+    # so the would-convict counters reflect only the parseable subset (here: 0)
+    assert stats.dry_run and stats.convicted == 0 and stats.committed_version is None
+
+
+def test_spooked_on_unparseable_bound(tenanted, rules_df):
+    table = tenanted([(1, "x")])
+    rules = rules_df([("r", "tenant", ("notanumber", None))])
+    convictor = RuleBasedDeletionConvictor(table, rules=rules)
+    assert convictor.spooked
+
+
+def test_spooked_on_pk_ck_mix(spark, rules_df):
+    from cassandra_util_spark.core.table import KeyedTable, TableMeta
+
+    df = spark.createDataFrame([(1, 2, 3, 4)], "a int, b int, c int, d int")
+    table = KeyedTable(df, TableMeta(("a",), ("b",)))
+    rules = rules_df([("r", "a", ("1", "1")), ("r", "b", ("2", "2"))])
+    convictor = RuleBasedDeletionConvictor(table, rules=rules)
+    assert convictor.spooked  # RuleBasedDeletionConvictor.java:319-323
+
+
+def test_empty_rule_convicts_nothing(tenanted, rules_df):
+    # an empty rule "would convict EVERYTHING; choosing to convict nothing"
+    from cassandra_util_spark.plans.rules import Rule
+
+    table = tenanted([(1, "x"), (2, "y")])
+    convictor = RuleBasedDeletionConvictor(table, rules=[Rule("empty", {})])
+    stats = RetentionJob(table, convictor).run()
+    assert not stats.spooked
+    assert stats.kept == 2 and stats.convicted == 0
