@@ -1,0 +1,401 @@
+"""Driver-contract query registry: every implemented operator exposed as a
+(spark_builder, duckdb_oracle_sql) pair over the driver's parquet tables.
+
+Each builder takes (spark, sf_dir) and returns a DataFrame; the oracle is the
+ANSI-SQL equivalent DuckDB runs on the same parquet (views pre-registered:
+region nation customer supplier part orders lineitem events documents
+embeddings).  Column names are aliased identically on both sides — the driver
+sorts columns by name and value-hashes order-insensitively.
+
+Determinism rules used throughout:
+- money/summed values computed in DECIMAL (float summation is order-dependent
+  across engines/partitionings);
+- timestamps exported as epoch integers (`unix_micros`/`epoch_us`), never raw
+  timestamp cells;
+- every top-k/window has a total tiebreak order.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassandra_util_spark.core.table import KeyedTable, TableMeta
+from cassandra_util_spark.functions import portable_token, writetime_micros
+from cassandra_util_spark.operators.convictors import (
+    ConfigurableDeleter,
+    RuleBasedDeletionConvictor,
+    RuleBasedLateTTLConvictor,
+    create_convictor,
+)
+from cassandra_util_spark.operators.merge import counter_merge, lww_merge, merge_snapshots
+from cassandra_util_spark.plans.rules import Range, Rule
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+# Pinned run clock for TTL queries: 2024-02-01T00:00:00Z (events span Jan 2024)
+TTL_NOW_MS = 1_706_745_600_000
+
+
+def query(name: str, oracle: Optional[str] = None):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) in the files, surfaced as int64 nanos via
+        # nanosAsLong; convert to Spark's µs timestamp (truncation, matching
+        # DuckDB's epoch_us on the same nanos)
+        for field in df.schema.fields:
+            if field.name == "ts" and field.dataType.simpleString() == "bigint":
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# Retention (the reference's core capability)
+# ---------------------------------------------------------------------------
+
+@query(
+    "retention_rules_delete",
+    oracle="""
+    SELECT l_orderkey, l_linenumber FROM lineitem
+    WHERE NOT (
+          (l_orderkey >= 100 AND l_orderkey <= 500)
+       OR ((l_suppkey >= 1 AND l_suppkey <= 3) AND l_partkey <= 50)
+    )
+    """,
+)
+def retention_rules_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based deletion (RuleBasedDeletionConvictor parity): OR over rules,
+    AND over a rule's columns, inclusive text bounds typed by the column."""
+    li = KeyedTable(
+        _t(spark, sf_dir, "lineitem"),
+        # composite partition key — rule columns must be key columns
+        TableMeta(("l_orderkey", "l_suppkey", "l_partkey"), ("l_linenumber",)),
+        "lineitem",
+    )
+    rules = [
+        Rule("purge_orders", {"l_orderkey": (Range("100", "500"),)}),
+        Rule(
+            "purge_supplier_lowparts",
+            {"l_suppkey": (Range("1", "3"),), "l_partkey": (Range(None, "50"),)},
+        ),
+    ]
+    conv = RuleBasedDeletionConvictor(li, rules=rules)
+    return li.df.filter(conv.keep_expr()).select("l_orderkey", "l_linenumber")
+
+
+@query(
+    "retention_ttl",
+    oracle=f"""
+    SELECT event_id FROM events
+    WHERE NOT (
+      (CASE WHEN user_id >= 1 AND user_id <= 50 THEN 1209600
+            WHEN user_id >= 51 AND user_id <= 100 THEN -1
+            ELSE 2419200 END) >= 0
+      AND (({TTL_NOW_MS} - epoch_us(ts) // 1000) // 1000) >
+          (CASE WHEN user_id >= 1 AND user_id <= 50 THEN 1209600
+                WHEN user_id >= 51 AND user_id <= 100 THEN -1
+                ELSE 2419200 END)
+    )
+    """,
+)
+def retention_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-TTL retention (RuleBasedLateTTLConvictor parity): min TTL among
+    matching rules, negative TTL = keep forever, default TTL fallback,
+    age vs microsecond writetime at a pinned run clock."""
+    ev = _t(spark, sf_dir, "events").withColumn("writetime", writetime_micros(F.col("ts")))
+    table = KeyedTable(ev, TableMeta(("user_id",), ("event_id",), "writetime"), "events")
+    rules = [
+        Rule("recent_users", {"user_id": (Range("1", "50"),)}, ttl=1_209_600),  # 14 d
+        Rule("vip_keep_forever", {"user_id": (Range("51", "100"),)}, ttl=-1),
+    ]
+    conv = RuleBasedLateTTLConvictor(
+        table, rules=rules, default_ttl=2_419_200, now_ms=TTL_NOW_MS  # 28 d default
+    )
+    return ev.filter(conv.keep_expr()).select("event_id")
+
+
+@query(
+    "configurable_delete_json",
+    oracle="""
+    SELECT l_orderkey, l_linenumber FROM lineitem
+    WHERE NOT (l_orderkey <= 1000 OR l_linenumber IN (1, 2, 7))
+    """,
+)
+def configurable_delete_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-configured deleter (ConfigurableDeleter parity): single value =
+    degenerate range, [null, x] = unbounded below, key columns only."""
+    li = KeyedTable(
+        _t(spark, sf_dir, "lineitem"),
+        TableMeta(("l_orderkey",), ("l_linenumber",)),
+        "lineitem",
+    )
+    conv = ConfigurableDeleter(
+        li, delete_keys='{"l_orderkey": [[null, 1000]], "l_linenumber": [7, [1, 2]]}'
+    )
+    return li.df.filter(conv.keep_expr()).select("l_orderkey", "l_linenumber")
+
+
+@query(
+    "odd_pk_filter",
+    oracle="SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_orderkey % 2 = 0",
+)
+def odd_pk_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Example-convictor parity (OddPartitionKeyDeleter): keep even pk."""
+    li = KeyedTable(
+        _t(spark, sf_dir, "lineitem"),
+        TableMeta(("l_orderkey",), ("l_linenumber",)),
+        "lineitem",
+    )
+    conv = create_convictor("odd_pk", li)
+    return li.df.filter(conv.keep_expr()).select("l_orderkey", "l_linenumber")
+
+
+@query(
+    "token_range_filter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber FROM lineitem
+    WHERE ((l_orderkey * 2654435761) % 4294967296) < 2147483648
+    """,
+)
+def token_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-aware routing surface (OddTokenDeleter / groupByFirstReplica
+    analog) with an engine-portable token hash so the oracle can agree."""
+    li = _t(spark, sf_dir, "lineitem")
+    # keep the lower half of the token ring; parity of a multiplicative hash
+    # would degenerate to key parity (low bits pass through), high bits mix
+    return li.filter(portable_token(F.col("l_orderkey")) < F.lit(2_147_483_648)).select(
+        "l_orderkey", "l_linenumber"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Merge semantics (compaction / counters / writetime)
+# ---------------------------------------------------------------------------
+
+@query(
+    "lww_merge",
+    oracle="""
+    SELECT user_id, event_type, event_id FROM (
+      SELECT user_id, event_type, event_id,
+             row_number() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      FROM (SELECT * FROM events UNION ALL
+            SELECT * FROM events WHERE user_id <= 75)
+    ) WHERE rn = 1
+    """,
+)
+def lww_merge_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-write-wins merge across overlapping runs (compaction merge;
+    'handle overlapping keys' spec): newest writetime per key, value tiebreak."""
+    ev = _t(spark, sf_dir, "events").withColumn("writetime", writetime_micros(F.col("ts")))
+    runs = [ev, ev.filter(F.col("user_id") <= 75)]  # simulated re-delivered run
+    meta = TableMeta(("user_id", "event_type"), (), "writetime")
+    merged = merge_snapshots(runs, meta, tiebreak=["event_id"])
+    return merged.select("user_id", "event_type", "event_id")
+
+
+@query(
+    "counter_merge",
+    oracle="""
+    SELECT user_id, event_type,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS value_total,
+           COUNT(*) AS merge_count
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def counter_merge_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counter-column merge (counter batches): increments sum per key, in
+    DECIMAL so a 1000-executor sum equals the single-node oracle."""
+    ev = _t(spark, sf_dir, "events")
+    merged = counter_merge(ev, ["user_id", "event_type"], ["value"])
+    # exact decimal sum internally, one deterministic final cast for export
+    return merged.select(
+        "user_id",
+        "event_type",
+        F.col("value_total").cast("double").alias("value_total"),
+        "merge_count",
+    )
+
+
+@query(
+    "writetime_projection",
+    oracle="SELECT event_id, epoch_us(ts) AS writetime FROM events",
+)
+def writetime_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """USING TIMESTAMP surface: writetime is a first-class microsecond column."""
+    return _t(spark, sf_dir, "events").select(
+        "event_id", writetime_micros(F.col("ts")).alias("writetime")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL/analytics surface (free via Catalyst; exercised for plan quality)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l_discount AS DECIMAL(18,2))) *
+                    (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+           COUNT(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    tax = F.col("l_tax").cast("decimal(18,2)")
+    one = F.lit(1).cast("decimal(18,2)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).cast("double").alias("sum_qty"),
+        F.sum(price).cast("double").alias("sum_base_price"),
+        F.sum(price * (one - disc)).cast("double").alias("sum_disc_price"),
+        F.sum(price * (one - disc) * (one + tax)).cast("double").alias("sum_charge"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey, o_orderpriority,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderpriority
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join; customer is the small side — Catalyst broadcast-joins it
+    (verified in the plan), lineitem⨝orders shuffles once on orderkey."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    one = F.lit(1).cast("decimal(18,2)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(F.sum(price * (one - disc)).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "q5_region_revenue",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way join; every dimension broadcast, fact shuffles only for the agg."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    one = F.lit(1).cast("decimal(18,2)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(price * (one - disc)).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "top_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, rnk FROM (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+      FROM orders
+    ) WHERE rnk <= 3
+    """,
+)
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed top-k per key with a total order (ties broken by key)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk")
+    )
+
+
+@query(
+    "events_hourly_rollup",
+    oracle="""
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS value_sum
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window (batch form of the streaming rollup)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("value_sum"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )

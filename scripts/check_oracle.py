@@ -1,0 +1,95 @@
+"""Local stand-in for the driver's t2 correctness gate: run every queries()
+entry on Spark and its oracle_sql() on DuckDB at sf0.01, compare row count,
+column names, and an order-insensitive value hash.
+
+Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pandas as pd
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    # canonical cell rendering, order-insensitive row hash
+    return df
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    rows = sorted(
+        ",".join(repr(v) for v in row) for row in df.itertuples(index=False, name=None)
+    )
+    return hashlib.sha256("\n".join(rows).encode()).hexdigest()[:16]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
+    only = [a for a in sys.argv[1:] if not os.path.isdir(a)]
+
+    from cassandra_util_spark.core.session import get_spark
+    import __spark_entry__ as e
+
+    spark = get_spark("oracle-check", master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.monotonic()
+        sdf = fn(spark, sf_dir).toPandas()
+        t_spark = time.monotonic() - t0
+        if name not in oracles:
+            print(f"  {name:32s} rows={len(sdf):7d}  (rows-only, no oracle) {t_spark:5.1f}s")
+            continue
+        odf = con.sql(oracles[name]).df()
+        s, o = normalize(sdf), normalize(odf)
+        problems = []
+        if len(s) != len(o):
+            problems.append(f"rowcount {len(s)} != {len(o)}")
+        if list(s.columns) != list(o.columns):
+            problems.append(f"columns {list(s.columns)} != {list(o.columns)}")
+        elif value_hash(s) != value_hash(o):
+            problems.append("value-hash mismatch")
+        if problems:
+            failures += 1
+            print(f"✗ {name:32s} {'; '.join(problems)}")
+            if len(s) == len(o) and list(s.columns) == list(o.columns):
+                try:
+                    merged = s.merge(o, how="outer", indicator=True)
+                    diff = merged[merged["_merge"] != "both"]
+                    print(diff.head(6).to_string())
+                except (ValueError, TypeError) as ex:
+                    print(f"  (diff unavailable: {ex})")
+                    print("  spark dtypes:", dict(s.dtypes.astype(str)))
+                    print("  duck  dtypes:", dict(o.dtypes.astype(str)))
+        else:
+            print(f"✓ {name:32s} rows={len(s):7d} hash={value_hash(s)} {t_spark:5.1f}s")
+    print("FAILURES:", failures)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
