@@ -1,0 +1,69 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value" (total sec), "unit", "queries": {name: sec},
+"sf"}.
+
+Each query is materialized with the noop writer — full pipeline execution
+(scan → compute → "write") without driver-side result transfer, the honest
+proxy for cluster throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# the headline set: retention core + merge + analytics (+ pipeline ops as added)
+BENCH_QUERIES = [
+    "retention_rules_delete",
+    "retention_ttl",
+    "configurable_delete_json",
+    "token_range_filter",
+    "lww_merge",
+    "counter_merge",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "top_orders_per_customer",
+    "events_hourly_rollup",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from cassandra_util_spark.core.session import get_spark
+    from cassandra_util_spark.entry_queries import QUERIES
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM/codegen paths so query timings measure the engine, not startup
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    names = [n for n in BENCH_QUERIES if n in QUERIES]
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.monotonic()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
