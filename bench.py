@@ -30,6 +30,16 @@ BENCH_QUERIES = [
     "q5_region_revenue",
     "top_orders_per_customer",
     "events_hourly_rollup",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "embedding_neardup",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "text_quality",
+    "lang_id",
+    "doc_fingerprint",
 ]
 
 

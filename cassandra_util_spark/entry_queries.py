@@ -399,3 +399,286 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_sum",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: text analysis
+# ---------------------------------------------------------------------------
+
+# DuckDB needs the 'g' flag for global regexp_replace (Spark is global by default)
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+_TOKS_SQL = "list_filter(string_split(text, ' '), x -> x <> '')"
+_STOPS_SQL = "['the','a','an','and','or','of','to','in','is','it','that','for']"
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len({_TOKS_SQL}) AS n_tokens,
+           CAST(ceil(length(text) / 4) AS BIGINT) AS bpe_tokens,
+           round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+                 / greatest(length(text), 1), 6) AS punct_ratio,
+           round(len(list_filter(list_transform({_TOKS_SQL}, x -> lower(x)),
+                                 x -> list_contains({_STOPS_SQL}, x)))
+                 / greatest(len({_TOKS_SQL}), 1), 6) AS stopword_ratio,
+           round(0.4 * least(len({_TOKS_SQL}) / 100.0, 1.0)
+               + 0.3 * least((len(list_filter(list_transform({_TOKS_SQL}, x -> lower(x)),
+                                              x -> list_contains({_STOPS_SQL}, x)))
+                              / greatest(len({_TOKS_SQL}), 1)) * 4.0, 1.0)
+               + 0.3 * (1.0 - least(((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+                                     / greatest(length(text), 1)) * 5.0, 1.0)), 6) AS quality
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring over documents: length/stopword/punctuation signals
+    combined into a C4/Gopher-style [0,1] score — all codegen expressions."""
+    from cassandra_util_spark.operators.text import (
+        bpe_token_estimate,
+        punct_ratio,
+        quality_score,
+        stopword_ratio,
+        whitespace_token_count,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.length(t).alias("n_chars"),
+        whitespace_token_count(t).alias("n_tokens"),
+        bpe_token_estimate(t).alias("bpe_tokens"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
+        quality_score(t).alias("quality"),
+    )
+
+
+@query(
+    "lang_id",
+    oracle=f"""
+    SELECT doc_id,
+      CASE
+        WHEN en + de + fr + es = 0 THEN 'und'
+        WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+        WHEN de >= fr AND de >= es THEN 'de'
+        WHEN fr >= es THEN 'fr'
+        ELSE 'es'
+      END AS lang_pred
+    FROM (
+      SELECT doc_id,
+        len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is'], x))) AS en,
+        len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht'], x))) AS de,
+        len(list_filter(toks, x -> list_contains(['le','la','les','et','est','une'], x))) AS fr,
+        len(list_filter(toks, x -> list_contains(['el','los','las','y','es','una'], x))) AS es
+      FROM (SELECT doc_id, list_transform({_TOKS_SQL}, x -> lower(x)) AS toks FROM documents)
+    )
+    """,
+)
+def lang_id_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword language ID (argmax with fixed precedence)."""
+    from cassandra_util_spark.operators.text import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+@query(
+    "doc_fingerprint",
+    oracle=f"SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content fingerprint (md5 of lowercased, de-punctuated,
+    space-collapsed text) — the formatting-insensitive dedup key."""
+    from cassandra_util_spark.operators.text import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: deduplication
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_exact",
+    oracle="""
+    WITH all_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    )
+    SELECT doc_id FROM (
+      SELECT doc_id, row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+      FROM all_docs
+    ) WHERE rn = 1
+    """,
+)
+def dedup_exact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on a sha256 digest, lowest id survives.
+    The corpus is unioned with an exact copy (shifted ids) to exercise the
+    collapse; survivors are precisely the original ids."""
+    from cassandra_util_spark.operators.dedup import exact_dedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    return exact_dedup(d.unionByName(dup), "doc_id", ["text"]).select("doc_id")
+
+
+@query(
+    "dedup_fingerprint",
+    oracle=f"""
+    WITH all_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, upper(text) || ' !!!' AS text FROM documents
+    )
+    SELECT doc_id FROM (
+      SELECT doc_id, row_number() OVER (PARTITION BY md5({_NORM_SQL}) ORDER BY doc_id) AS rn
+      FROM all_docs
+    ) WHERE rn = 1
+    """,
+)
+def dedup_fingerprint_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Formatting-insensitive dedup: the corpus unioned with shouting-case,
+    punctuated variants still collapses to the original ids via the
+    normalized fingerprint."""
+    from cassandra_util_spark.operators.text import fingerprint
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    variant = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.upper(F.col("text")), F.lit(" !!!")).alias("text"),
+    )
+    alld = d.unionByName(variant).withColumn("fp", fingerprint(F.col("text")))
+    w = Window.partitionBy("fp").orderBy(F.col("doc_id").asc())
+    return (
+        alld.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+    toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    sh AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        FROM toks WHERE len(w) >= 3)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs at threshold 0.5 (the planted
+    near-duplicates in the corpus sit at >= 0.8; unrelated pairs < 0.2)."""
+    from cassandra_util_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+
+
+@query("dedup_minhash_lsh")  # xxhash64 signatures are not oracle-portable: rows-only
+def dedup_minhash_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64)+LSH(16 bands) near-dup pairs at estimated-jaccard 0.5.
+    Verified in tests against the exact jaccard pairs (recall check)."""
+    from cassandra_util_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, "doc_id", "text", n=3, num_perm=64, bands=16, threshold=0.5)
+
+
+@query("dedup_simhash")  # xxhash64-based bits: rows-only
+def dedup_simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash64 near-dup pairs at Hamming distance <= 3 via 4x16-bit band
+    candidates (pigeonhole exact for d<=3)."""
+    from cassandra_util_spark.operators.dedup import simhash_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_pairs(d, "doc_id", "text", max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: embedding similarity
+# ---------------------------------------------------------------------------
+
+@query(
+    "embedding_neardup",
+    oracle="""
+    WITH all_vecs AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, list_transform(embedding, x -> CAST(x AS DOUBLE)) FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+    FROM all_vecs a JOIN all_vecs b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.99
+    """,
+)
+def embedding_neardup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine near-dup pairs at 0.99 over the corpus unioned with exact
+    copies (natural max cosine in the data is ~0.51, so survivors are exactly
+    the planted copy pairs).  Uses the sign-LSH candidate path — identical
+    vectors always share a bucket, so recall here is exact."""
+    from cassandra_util_spark.operators.similarity import embedding_neardup_pairs
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = e.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    both = e.unionByName(copies)
+    return embedding_neardup_pairs(both, "vec_id", "embedding", threshold=0.99, dim=64, planes=8)
+
+
+@query(
+    "ann_cosine_topk",
+    oracle="""
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(
+                          list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+                          list_transform(c.embedding, x -> CAST(x AS DOUBLE))) DESC,
+                        c.vec_id ASC) AS rank
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 5
+    ) WHERE rank <= 10
+    """,
+)
+def ann_cosine_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 5 query vectors — the exact ANN
+    baseline (queries broadcast; corpus streams map-side)."""
+    from cassandra_util_spark.operators.similarity import cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(e, e.filter(F.col("vec_id") < 5), "vec_id", "embedding", k=10)
+
+
+@query("ann_ivf_topk")  # approximate: verified against brute force in tests
+def ann_ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10: corpus bucketed to nearest centroid once,
+    queries probe the 4 nearest of ~N/16 cells — the 100 TB scan pattern."""
+    from cassandra_util_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(e, e.filter(F.col("vec_id") < 5), "vec_id", "embedding", k=10)

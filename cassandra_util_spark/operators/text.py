@@ -1,0 +1,117 @@
+"""Text-analysis operators for training-data pipelines.
+
+Everything here is built-in-function expressions (JVM/codegen, no Python in
+the hot path) — at 100 TB these run as map-only passes over the documents
+table with full column pruning: the scan reads only (id, text).
+
+Operators: normalization, tokenization, token counting (whitespace + BPE-ish
+estimate), document fingerprinting, quality scoring, and n-gram/stopword
+language ID.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# small marker-stopword sets per language; ordered precedence for ties
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "fr": ("le", "la", "les", "et", "est", "une"),
+    "es": ("el", "los", "las", "y", "es", "una"),
+}
+
+EN_STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that", "for")
+
+
+def normalize_text(col: Column) -> Column:
+    """lowercase, strip non-alphanumerics, collapse runs of spaces, trim —
+    the canonical form used for fingerprinting and shingling."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, "[^a-z0-9 ]", " ")
+    c = F.regexp_replace(c, " +", " ")
+    return F.trim(c)
+
+
+def tokens(col: Column) -> Column:
+    """non-empty whitespace tokens of the raw text."""
+    return F.filter(F.split(col, " "), lambda t: t != "")
+
+
+def whitespace_token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_token_estimate(col: Column) -> Column:
+    """BPE-ish token-count estimate: ~4 chars/token (the industry rule of
+    thumb); an upper bound mixing word and char signals."""
+    return F.ceil(F.length(col) / F.lit(4)).cast("bigint")
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+    Robust to case/punctuation/whitespace jitter — the 'same document,
+    different formatting' dedup key."""
+    return F.md5(normalize_text(col))
+
+
+def punct_ratio(col: Column) -> Column:
+    stripped = F.regexp_replace(col, "[^a-zA-Z0-9 ]", "")
+    # greatest(...,1): empty text is 0/1 = 0.0, not an ANSI divide-by-zero
+    return (F.length(col) - F.length(stripped)) / F.greatest(F.length(col), F.lit(1))
+
+
+def stopword_ratio(col: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    toks = tokens(F.lower(col))
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: enough tokens, natural stopword
+    density, low punctuation noise.  Mirrors the shape of C4/Gopher-style
+    filters; each term is a cheap expression."""
+    n_tok = whitespace_token_count(col).cast("double")
+    length_term = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    stop_term = F.least(stopword_ratio(col) * F.lit(4.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(col) * F.lit(5.0), F.lit(1.0))
+    return F.round(
+        F.lit(0.4) * length_term + F.lit(0.3) * stop_term + F.lit(0.3) * punct_term, 6
+    )
+
+
+def lang_marker_hits(col: Column, lang: str) -> Column:
+    toks = tokens(F.lower(col))
+    markers = LANG_MARKERS[lang]
+    return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+
+def lang_id(col: Column) -> Column:
+    """Marker-stopword language ID: argmax of per-language marker hits with
+    fixed precedence en>de>fr>es; no hits ⇒ 'und' (undetermined)."""
+    en, de = lang_marker_hits(col, "en"), lang_marker_hits(col, "de")
+    fr, es = lang_marker_hits(col, "fr"), lang_marker_hits(col, "es")
+    return (
+        F.when(en + de + fr + es == 0, F.lit("und"))
+        .when((en >= de) & (en >= fr) & (en >= es), F.lit("en"))
+        .when((de >= fr) & (de >= es), F.lit("de"))
+        .when(fr >= es, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+
+
+def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One-pass profile: counts, fingerprint, quality, language."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars"),
+        whitespace_token_count(t).alias("n_tokens"),
+        bpe_token_estimate(t).alias("bpe_tokens"),
+        fingerprint(t).alias("fingerprint"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
+        quality_score(t).alias("quality"),
+        lang_id(t).alias("lang_pred"),
+    )

@@ -1,0 +1,213 @@
+"""Training-data pipeline operators: dedup, similarity, text, multimodal."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+def test_exact_dedup_collapses_copies(spark, docs):
+    from cassandra_util_spark.operators.dedup import exact_dedup
+
+    d = docs.select("doc_id", "text")
+    dup = d.select((F.col("doc_id") + 10_000).alias("doc_id"), "text")
+    out = exact_dedup(d.unionByName(dup), "doc_id", ["text"])
+    assert out.count() == d.count()
+    assert out.agg(F.max("doc_id")).collect()[0][0] < 10_000  # lowest id survives
+
+
+def test_duplicate_clusters(spark, docs):
+    from cassandra_util_spark.operators.dedup import duplicate_clusters
+
+    d = docs.select("doc_id", "text").limit(10)
+    tripled = d.unionByName(
+        d.select((F.col("doc_id") + 100).alias("doc_id"), "text")
+    ).unionByName(d.select((F.col("doc_id") + 200).alias("doc_id"), "text"))
+    clusters = duplicate_clusters(tripled, "doc_id", ["text"]).collect()
+    assert len(clusters) == 10
+    assert all(r["n_copies"] == 3 for r in clusters)
+    assert all(r["keep_id"] < 100 for r in clusters)
+
+
+def test_minhash_recall_vs_exact(spark, docs):
+    """LSH candidates must recover the exact-jaccard near-dup pairs (the
+    planted dups sit at >=0.8 true jaccard — banded MinHash at this setting
+    has >99% detection probability there)."""
+    from cassandra_util_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.6).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", 3, 64, 16, 0.5).collect()
+    }
+    assert exact, "fixture should contain planted near-duplicates"
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.9, f"minhash recall {recall} over {len(exact)} true pairs"
+
+
+def test_simhash_finds_planted_dups(spark, docs):
+    from cassandra_util_spark.operators.dedup import simhash_pairs
+
+    pairs = simhash_pairs(docs, "doc_id", "text", max_hamming=3).collect()
+    assert len(pairs) > 0
+    assert all(r["hamming"] <= 3 for r in pairs)
+
+
+def test_shingles_small_doc(spark):
+    from cassandra_util_spark.operators.dedup import word_shingles
+
+    df = spark.createDataFrame([("a b",), ("",), ("one two three four",)], "t string")
+    out = df.select(F.size(word_shingles(F.col("t"), 3)).alias("n")).collect()
+    assert [r["n"] for r in out] == [0, 0, 2]
+
+
+# ---------------------------------------------------------------------------
+# similarity
+# ---------------------------------------------------------------------------
+
+def test_ivf_recall_vs_brute_force(spark, vecs):
+    from cassandra_util_spark.operators.similarity import cosine_topk, ivf_topk
+
+    queries = vecs.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(vecs, queries, k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(vecs, queries, k=10, centroid_stride=16, nprobe=8).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # nprobe 8 of ~31 cells scans ~25% of the corpus; measured ~0.6 on these
+    # 64-dim embeddings (IVF without re-ranking)
+    assert recall >= 0.5, f"IVF recall@10 = {recall}"
+
+
+def test_neardup_lsh_exact_copies(spark, vecs):
+    from cassandra_util_spark.operators.similarity import embedding_neardup_pairs
+
+    v = vecs.select("vec_id", "embedding").limit(50)
+    copies = v.select((F.col("vec_id") + 1000).alias("vec_id"), "embedding")
+    pairs = embedding_neardup_pairs(
+        v.unionByName(copies), threshold=0.99, dim=64, planes=8
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {
+        (r["vec_id"], r["vec_id"] + 1000) for r in v.collect()
+    }
+    assert all(abs(r["cos_sim"] - 1.0) < 1e-6 for r in pairs)
+
+
+def test_neardup_exact_mode_matches_lsh_on_copies(spark, vecs):
+    from cassandra_util_spark.operators.similarity import embedding_neardup_pairs
+
+    v = vecs.select("vec_id", "embedding").limit(30)
+    both = v.unionByName(v.select((F.col("vec_id") + 1000).alias("vec_id"), "embedding"))
+    lsh = embedding_neardup_pairs(both, threshold=0.99, planes=8).collect()
+    exact = embedding_neardup_pairs(both, threshold=0.99, exact=True).collect()
+    assert {(r["id_a"], r["id_b"]) for r in lsh} == {(r["id_a"], r["id_b"]) for r in exact}
+
+
+# ---------------------------------------------------------------------------
+# text
+# ---------------------------------------------------------------------------
+
+def test_quality_bounds(spark, docs):
+    from cassandra_util_spark.operators.text import quality_score
+
+    rows = docs.select(quality_score(F.col("text")).alias("q")).collect()
+    assert all(0.0 <= r["q"] <= 1.0 for r in rows)
+
+
+def test_lang_id_markers(spark):
+    from cassandra_util_spark.operators.text import lang_id
+
+    df = spark.createDataFrame(
+        [
+            ("the cat sat on the mat and looked to the door",),
+            ("der hund und die katze das ist nicht gut",),
+            ("le chat et la porte les fenetres est une maison",),
+            ("el perro y los gatos las casas es una puerta",),
+            ("zzz qqq xxx",),
+        ],
+        "text string",
+    )
+    out = [r[0] for r in df.select(lang_id(F.col("text"))).collect()]
+    assert out == ["en", "de", "fr", "es", "und"]
+
+
+def test_fingerprint_formatting_insensitive(spark):
+    from cassandra_util_spark.operators.text import fingerprint
+
+    df = spark.createDataFrame(
+        [("Hello,  World!",), ("hello world",), ("HELLO ... world",)], "text string"
+    )
+    fps = [r[0] for r in df.select(fingerprint(F.col("text"))).collect()]
+    assert len(set(fps)) == 1
+
+
+def test_token_counts(spark):
+    from cassandra_util_spark.operators.text import bpe_token_estimate, whitespace_token_count
+
+    df = spark.createDataFrame([("one  two   three",), ("",)], "text string")
+    out = df.select(
+        whitespace_token_count(F.col("text")).alias("w"),
+        bpe_token_estimate(F.col("text")).alias("b"),
+    ).collect()
+    assert (out[0]["w"], out[0]["b"]) == (3, 4)
+    assert out[1]["w"] == 0
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+def test_media_pipeline_fake_decoder(spark, docs):
+    from cassandra_util_spark.operators.multimodal import extract_features, media_from_documents
+
+    media = media_from_documents(docs.limit(20))
+    feats = extract_features(media, decoder="fake", dim=8)
+    rows = feats.collect()
+    assert len(rows) == 20
+    assert all(len(r["feature"]) == 8 for r in rows)
+    assert all(0.0 <= v < 1.0 for r in rows for v in r["feature"])
+    # deterministic: same payload -> same digest/feature on a second run
+    again = {r["media_id"]: r["digest"] for r in extract_features(media).collect()}
+    assert {r["media_id"]: r["digest"] for r in rows} == again
+
+
+def test_real_decoder_is_stubbed(spark, docs):
+    from cassandra_util_spark.operators.multimodal import extract_features, media_from_documents
+
+    with pytest.raises(NotImplementedError, match="codec libraries"):
+        extract_features(media_from_documents(docs.limit(1)), decoder="real")
+
+
+def test_frame_sample_plan(spark):
+    from cassandra_util_spark.operators.multimodal import frame_sample_plan
+
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(b"x"), {"duration_s": "35"}),
+         (2, "video", bytearray(b"y"), {})],
+        "media_id long, kind string, payload binary, meta map<string,string>",
+    )
+    out = frame_sample_plan(df, every_n_seconds=10).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r["frame_ts"])
+    assert sorted(by_id[1]) == [0, 10, 20, 30]
+    assert sorted(by_id[2]) == [0]
