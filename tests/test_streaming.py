@@ -1,0 +1,117 @@
+"""Structured Streaming: ingestion, windowed rollup, retention maintenance."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_util_spark.core.table import KeyedTable, TableMeta
+from cassandra_util_spark.operators.convictors import RuleBasedDeletionConvictor
+from cassandra_util_spark.plans.rules import Range, Rule
+from cassandra_util_spark.streaming import stream_events, streaming_retention, windowed_rollup
+
+
+@pytest.fixture
+def workdir():
+    d = tempfile.mkdtemp(prefix="stream-test-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture
+def events_src(spark, workdir):
+    """Events staged as parquet files (the stream source), with a plain
+    timestamp column (micros) so the stream schema is explicit."""
+    src = os.path.join(workdir, "src")
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    df.write.parquet(src)
+    return src, df
+
+
+def test_stream_drains_and_matches_batch_rollup(spark, workdir, events_src):
+    src, batch_df = events_src
+    schema = batch_df.schema
+    out = os.path.join(workdir, "rollup")
+    cp = os.path.join(workdir, "cp1")
+
+    events = stream_events(spark, src, schema, max_files_per_trigger=1)
+    assert events.isStreaming
+    rolled = windowed_rollup(events)
+    q = (
+        rolled.writeStream.outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    # append mode emits a window only once the watermark (max event time - 2h)
+    # passes its END; the trailing windows stay in state awaiting more data
+    max_ts = batch_df.agg(F.max("ts")).collect()[0][0]
+    emitted = (
+        batch_df.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("w.end") <= F.lit(max_ts) - F.expr("INTERVAL 2 HOURS"))
+    )
+    assert got.count() == emitted.count()
+    assert (
+        got.agg(F.sum("n_events")).collect()[0][0]
+        == emitted.agg(F.sum("n")).collect()[0][0]
+    )
+
+
+def test_streaming_retention_matches_batch(spark, workdir, events_src):
+    src, batch_df = events_src
+    schema = batch_df.schema
+    out = os.path.join(workdir, "kept")
+    backup = os.path.join(workdir, "backup")
+    cp = os.path.join(workdir, "cp2")
+
+    meta = TableMeta(("user_id",), ("event_id",), "writetime")
+    rules = [Rule("purge_low_users", {"user_id": (Range("0", "49"),)})]
+
+    def factory(table):
+        return RuleBasedDeletionConvictor(table, rules=rules)
+
+    events = stream_events(spark, src, schema)
+    q = streaming_retention(events, meta, factory, out, cp, backup_dir=backup)
+    q.awaitTermination(120)
+
+    kept = spark.read.parquet(out)
+    convicted = spark.read.parquet(backup)
+    assert kept.count() == batch_df.filter("user_id > 49").count()
+    assert convicted.count() == batch_df.filter("user_id <= 49").count()
+    assert kept.filter("user_id <= 49").count() == 0
+
+    # exactly-once: rerunning with the same checkpoint adds nothing
+    q2 = streaming_retention(
+        stream_events(spark, src, schema), meta, factory, out, cp, backup_dir=backup
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == kept.count()
+
+
+def test_streaming_retention_spooked_passes_through(spark, workdir, events_src):
+    src, batch_df = events_src
+    schema = batch_df.schema
+    out = os.path.join(workdir, "kept-spooked")
+    cp = os.path.join(workdir, "cp3")
+
+    meta = TableMeta(("user_id",), ("event_id",), "writetime")
+    bad_rules = [Rule("bad", {"nonexistent_col": (Range("1", "2"),)})]
+
+    def factory(table):
+        return RuleBasedDeletionConvictor(table, rules=bad_rules)
+
+    q = streaming_retention(stream_events(spark, src, schema), meta, factory, out, cp)
+    q.awaitTermination(120)
+    # spooked => dry run => everything passes through, nothing deleted
+    assert spark.read.parquet(out).count() == batch_df.count()
