@@ -40,6 +40,9 @@ BENCH_QUERIES = [
     "text_quality",
     "lang_id",
     "doc_fingerprint",
+    "retention_rules_antijoin",
+    "events_sessionize",
+    "orders_status_rollup",
 ]
 
 

@@ -682,3 +682,120 @@ def ann_ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     return ivf_topk(e, e.filter(F.col("vec_id") < 5), "vec_id", "embedding", k=10)
+
+
+# ---------------------------------------------------------------------------
+# Remaining SURVEY §2 surfaces: general joins, sessions, rollups, set ops
+# ---------------------------------------------------------------------------
+
+@query(
+    "retention_rules_antijoin",
+    oracle="""
+    SELECT o_orderkey FROM orders o
+    WHERE NOT EXISTS (
+      SELECT 1 FROM (VALUES (1, 30), (80, 95), (120, 121)) AS r(lo, hi)
+      WHERE o.o_custkey >= r.lo AND o.o_custkey <= r.hi
+    )
+    """,
+)
+def retention_rules_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GENERAL form of rules ⨝ data: a broadcast range-theta LEFT ANTI
+    join (match ⇒ delete).  Equivalent to the compiled-literal predicate the
+    convictors use, but rules stay a DataFrame — the shape to use when the
+    rule table is too large to inline as literals (SURVEY §2.3)."""
+    o = _t(spark, sf_dir, "orders")
+    rules = spark.createDataFrame([(1, 30), (80, 95), (120, 121)], "lo bigint, hi bigint")
+    cond = (F.col("o_custkey") >= F.col("lo")) & (F.col("o_custkey") <= F.col("hi"))
+    return o.join(F.broadcast(rules), cond, "left_anti").select("o_orderkey")
+
+
+@query(
+    "events_sessionize",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, ts, epoch_us(ts) AS tus,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events),
+    m AS (
+      SELECT user_id, event_id, ts, tus,
+             CASE WHEN prev IS NULL OR tus - prev >= 1800000000 THEN 1 ELSE 0 END AS new_s
+      FROM e),
+    s AS (
+      SELECT user_id, tus,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m)  -- total tie order (ts, event_id) keeps equal-ts rows in one session
+    SELECT user_id, CAST(min(tus) // 1000000 AS BIGINT) AS session_start,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) per user — the stateful
+    streaming concept in batch form; the oracle is the classic
+    gaps-and-islands formulation."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "orders_status_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def orders_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP aggregate (status → priority → grand total)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+    )
+
+
+@query(
+    "set_ops_except_intersect",
+    oracle="""
+    SELECT o_custkey, 'both_years' AS tag FROM (
+      SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01')
+    UNION ALL
+    SELECT o_custkey, 'early_only' AS tag FROM (
+      SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01')
+    """,
+)
+def set_ops_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION surface (the reference only ever unions
+    scanner streams; these arrive free with Spark — SURVEY §2.6)."""
+    o = _t(spark, sf_dir, "orders")
+    early = o.filter(F.col("o_orderdate") < "1997-01-01").select("o_custkey")
+    late = o.filter(F.col("o_orderdate") >= "1997-01-01").select("o_custkey")
+    both = early.intersect(late).withColumn("tag", F.lit("both_years"))
+    only_early = early.subtract(late).withColumn("tag", F.lit("early_only"))  # EXCEPT DISTINCT
+    return both.unionByName(only_early)
+
+
+@query(
+    "paged_fetch",
+    oracle="SELECT o_orderkey, o_custkey FROM orders ORDER BY o_orderkey LIMIT 100",
+)
+def paged_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paged-fetch analog (fetchSize / mapPrefetch): deterministic
+    keyset-ordered page; in Spark paging is a limit over a sorted scan, and
+    prefetch is the vectorized reader's pipelining (SURVEY §2.1)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.orderBy("o_orderkey").limit(100).select("o_orderkey", "o_custkey")

@@ -128,3 +128,37 @@ def test_index_maintenance_consistent(spark):
     index_keys = {(r["tenant"], r["id"]) for r in out["by_score"].collect()}
     assert base_keys == index_keys
     assert all(r["tenant"] != 2 for r in out["by_score"].collect())
+
+
+# ---------------------------------------------------------------------------
+# Typed row access (RichRow analog)
+# ---------------------------------------------------------------------------
+
+def test_typed_row_access(spark):
+    from cassandra_util_spark.functions.rows import (
+        RowDecodeError,
+        get,
+        get_list,
+        get_map,
+        get_opt,
+        get_or,
+        get_set,
+    )
+
+    row = spark.createDataFrame(
+        [(1, "x", None, [1, 2, 2], {"a": "1"})],
+        "i bigint, s string, n string, xs array<int>, m map<string,string>",
+    ).collect()[0]
+    assert get(row, "i", int) == 1
+    assert get(row, "s", str) == "x"
+    assert get_opt(row, "n", str) is None
+    assert get_or(row, "n", str, "dflt") == "dflt"
+    assert get_list(row, "xs", int) == [1, 2, 2]
+    assert get_set(row, "xs", int) == {1, 2}
+    assert get_map(row, "m") == {"a": "1"}
+    with pytest.raises(RowDecodeError, match="is null"):
+        get(row, "n", str)
+    with pytest.raises(RowDecodeError, match="requested int"):
+        get(row, "s", int)
+    with pytest.raises(RowDecodeError, match="no field"):
+        get(row, "zz", int)
