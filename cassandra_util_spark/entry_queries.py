@@ -681,7 +681,7 @@ def ann_ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_util_spark.operators.similarity import ivf_topk
 
     e = _t(spark, sf_dir, "embeddings")
-    return ivf_topk(e, e.filter(F.col("vec_id") < 5), "vec_id", "embedding", k=10)
+    return ivf_topk(e, e.filter(F.col("vec_id") < 5), "vec_id", "embedding", k=10, refine_iters=1)
 
 
 # ---------------------------------------------------------------------------
