@@ -85,12 +85,15 @@ def ivf_assign(
     scored = corpus.crossJoin(F.broadcast(cent)).withColumn(
         "cscore", cosine(F.col(vec_col), F.col("cent_vec"))
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("cscore").desc(), F.col("cell").asc())
-    return (
-        scored.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") == 1)
-        .drop("__r", "cent_vec", "cscore")
+    # argmax via max_by: one partial-aggregating shuffle instead of a window's
+    # sort+rank; ties break toward the smallest cell id (-cell in the ordering
+    # struct) for determinism
+    other_cols = [c for c in corpus.columns if c != id_col]
+    assigned = scored.groupBy(id_col).agg(
+        F.expr("max_by(cell, struct(cscore, -cell))").alias("cell"),
+        *[F.first(c).alias(c) for c in other_cols],
     )
+    return assigned
 
 
 def kmeans_refine(
