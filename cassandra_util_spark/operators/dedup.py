@@ -182,10 +182,17 @@ def minhash_lsh_pairs(
     fraction.  Output: (id_a, id_b, est_jaccard).
     """
     rows_per_band = num_perm // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_perm)
+    # materialize signatures once: three consumers follow (banding + both
+    # sides of the candidate verify join) and recomputing the explode+64-agg
+    # DAG per consumer costs more than the signature table's storage.  At
+    # warehouse scale this step is a persisted signature table on disk.
+    sig = minhash_signatures(df, id_col, text_col, n, num_perm).localCheckpoint(eager=False)
+    # band the ids WITHOUT carrying signatures: the candidate join shuffles
+    # only (id, band, bucket) — 24 bytes/row — instead of 8*num_perm-byte
+    # signature arrays; signatures rejoin onto the (few) surviving candidate
+    # pairs afterwards
     banded = sig.select(
         "id",
-        "sig",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -200,7 +207,7 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("bb"),
-    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -210,26 +217,27 @@ def minhash_lsh_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    est = cand.withColumn(
-        "est_jaccard",
-        F.round(
-            F.size(
-                F.filter(
-                    F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
-                    lambda v: v == 1,
+    sa = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.round(
+                F.size(
+                    F.filter(
+                        F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
+                        lambda v: v == 1,
+                    )
                 )
-            )
-            / F.lit(num_perm),
-            6,
-        ),
+                / F.lit(num_perm),
+                6,
+            ),
+        )
     )
     return est.filter(F.col("est_jaccard") >= threshold).select("id_a", "id_b", "est_jaccard")
 
