@@ -799,3 +799,42 @@ def paged_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefetch is the vectorized reader's pipelining (SURVEY §2.1)."""
     o = _t(spark, sf_dir, "orders")
     return o.orderBy("o_orderkey").limit(100).select("o_orderkey", "o_custkey")
+
+
+@query(
+    "retention_ttl_mixed_keys",
+    oracle=f"""
+    SELECT event_id FROM events
+    WHERE NOT COALESCE(
+      (CASE WHEN user_id >= 0 AND user_id <= 99 AND event_id % 5 = 0 THEN 604800
+            WHEN user_id >= 100 AND user_id <= 120 THEN 1209600
+            ELSE NULL END) >= 0
+      AND (({TTL_NOW_MS} - epoch_us(ts) // 1000) // 1000) >
+          (CASE WHEN user_id >= 0 AND user_id <= 99 AND event_id % 5 = 0 THEN 604800
+                WHEN user_id >= 100 AND user_id <= 120 THEN 1209600
+                ELSE NULL END)
+    , FALSE)  -- three-valued logic: unmatched rows (NULL ttl) must KEEP
+    """,
+)
+def retention_ttl_mixed_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL rules mixing partition- AND clustering-key columns — legal for the
+    TTL convictor (the partition pass collects candidate rules, the cluster
+    pass refines; full-AND semantics in the DataFrame model).  The mixed-key
+    rule uses a derived ck column (event_id bucket) to exercise typed bounds
+    on both key levels.  No default TTL: unmatched rows keep forever."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("writetime", writetime_micros(F.col("ts")))
+        .withColumn("ebucket", F.pmod(F.col("event_id"), F.lit(5)))
+    )
+    table = KeyedTable(ev, TableMeta(("user_id",), ("event_id", "ebucket"), "writetime"), "events")
+    rules = [
+        Rule(
+            "weekly_bucket0",
+            {"user_id": (Range("0", "99"),), "ebucket": (Range("0", "0"),)},
+            ttl=604_800,  # 7 d for bucket-0 events of regular users
+        ),
+        Rule("two_weeks_vips", {"user_id": (Range("100", "120"),)}, ttl=1_209_600),
+    ]
+    conv = RuleBasedLateTTLConvictor(table, rules=rules, now_ms=TTL_NOW_MS)
+    return ev.filter(conv.keep_expr()).select("event_id")

@@ -65,6 +65,7 @@ class SnapshotStore:
         path = os.path.join(self.root, version)
         if meta is not None:
             df = KeyedTable(df, meta).clustered()
+            self._write_meta(meta)
         df.write.mode("errorifexists").parquet(path)
         # POSIX rename is atomic: readers see either the old or the new pointer
         fd, tmp = tempfile.mkstemp(dir=self.root, prefix="._CURRENT.")
@@ -72,6 +73,42 @@ class SnapshotStore:
             f.write(version)
         os.replace(tmp, self._pointer)
         return version
+
+    # -- table metadata (the catalog entry for this store) ------------------
+
+    def _write_meta(self, meta: TableMeta) -> None:
+        import json
+
+        fd, tmp = tempfile.mkstemp(dir=self.root, prefix="._META.")
+        with os.fdopen(fd, "w") as f:
+            json.dump(
+                {
+                    "partition_keys": list(meta.partition_keys),
+                    "clustering_keys": list(meta.clustering_keys),
+                    "writetime_col": meta.writetime_col,
+                },
+                f,
+            )
+        os.replace(tmp, os.path.join(self.root, "_META"))
+
+    def read_meta(self) -> Optional[TableMeta]:
+        import json
+
+        try:
+            with open(os.path.join(self.root, "_META")) as f:
+                d = json.load(f)
+        except FileNotFoundError:
+            return None
+        return TableMeta(
+            tuple(d["partition_keys"]), tuple(d["clustering_keys"]), d.get("writetime_col")
+        )
+
+    def read_table(self, spark: SparkSession, name: str = "snapshot") -> KeyedTable:
+        """Current snapshot as a KeyedTable using the persisted key metadata."""
+        meta = self.read_meta()
+        if meta is None:
+            raise FileNotFoundError(f"snapshot store {self.root} has no _META (commit with meta=)")
+        return KeyedTable(self.read(spark), meta, name)
 
     def read(self, spark: SparkSession) -> DataFrame:
         path = self.current_path()

@@ -162,3 +162,29 @@ def test_typed_row_access(spark):
         get(row, "s", int)
     with pytest.raises(RowDecodeError, match="no field"):
         get(row, "zz", int)
+
+
+# ---------------------------------------------------------------------------
+# Snapshot-store metadata + Cassandra connector gating
+# ---------------------------------------------------------------------------
+
+def test_snapshot_store_meta_roundtrip(spark):
+    from cassandra_util_spark.sources.snapshots import SnapshotStore
+
+    with tempfile.TemporaryDirectory() as d:
+        store = SnapshotStore(os.path.join(d, "s"))
+        meta = TableMeta(("tenant",), ("id",), "writetime")
+        df = spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "tenant bigint, id string, writetime bigint"
+        )
+        store.commit(df, meta=meta)
+        table = store.read_table(spark, "t")
+        assert table.meta == meta
+        assert table.df.count() == 2
+
+
+def test_cassandra_connector_gated(spark):
+    from cassandra_util_spark.sources.cassandra import ConnectorUnavailable, read_cassandra_table
+
+    with pytest.raises(ConnectorUnavailable, match="not on the classpath"):
+        read_cassandra_table(spark, "ks", "t", ["pk"])
