@@ -120,6 +120,15 @@ class KeyedTable:
             order.append(F.col(self.meta.writetime_col))
         return out.sortWithinPartitions(*order)
 
+    def iter_rows(self, key_ordered: bool = False):
+        """Lazily stream rows to the driver — the paged-fetch/Enumerator
+        consumption surface (cql-wrapper ``CQLStatement.scala:138-149``,
+        prefetch ``Implicits.scala:59-92``).  Spark fetches a partition ahead
+        (the mapPrefetch analog); ``key_ordered`` yields primary-key order
+        like a clustering-ordered CQL scan."""
+        df = self.df.orderBy(*self.meta.primary_key) if key_ordered else self.df
+        return df.toLocalIterator(prefetchPartitions=True)
+
     def with_df(self, df: DataFrame) -> "KeyedTable":
         return KeyedTable(df, self.meta, self.name)
 

@@ -86,6 +86,12 @@ def ngram_jaccard_pairs(
     knob that keeps candidate generation near-linear on web-scale corpora.
     Output: (id_a, id_b, jaccard rounded to 6dp).
     """
+    # word_shingles is array_distinct per document, so distinct() adds no
+    # semantic dedup — but its shuffle IS the shared materialization point:
+    # Catalyst's ReusedExchange feeds the same shuffle output to sizes and
+    # BOTH self-join sides.  Removing it (2.5x slower) or replacing it with a
+    # localCheckpoint (1.3x slower) re-runs or re-reads the scan+explode per
+    # consumer.  Keep the distinct.
     sh = (
         df.select(F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), n)).alias("sh"))
         .distinct()

@@ -188,3 +188,10 @@ def test_cassandra_connector_gated(spark):
 
     with pytest.raises(ConnectorUnavailable, match="not on the classpath"):
         read_cassandra_table(spark, "ks", "t", ["pk"])
+
+
+def test_iter_rows_paged(spark):
+    df = spark.createDataFrame([(3, "c"), (1, "a"), (2, "b")], "tenant bigint, id string")
+    table = KeyedTable(df, TableMeta(("tenant",), ("id",)))
+    got = [r["tenant"] for r in table.iter_rows(key_ordered=True)]
+    assert got == [1, 2, 3]
