@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "retention_rules_antijoin",
     "events_sessionize",
     "orders_status_rollup",
+    "asof_join_clicks_purchases",
 ]
 
 

@@ -838,3 +838,40 @@ def retention_ttl_mixed_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     conv = RuleBasedLateTTLConvictor(table, rules=rules, now_ms=TTL_NOW_MS)
     return ev.filter(conv.keep_expr()).select("event_id")
+
+
+@query(
+    "asof_join_clicks_purchases",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+    p AS (
+      SELECT user_id, ts, max(event_id) AS pev
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+    SELECT c.event_id, p.pev AS purchase_event_id,
+           CAST(epoch_us(p.ts) AS BIGINT) AS purchase_wt
+    FROM clicks c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def asof_join_clicks_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (an operator Spark's API lacks; DuckDB ASOF JOIN is the
+    oracle): each click paired with the user's latest at-or-before purchase.
+    Right side deduped per (user, ts) first so tie semantics are defined in
+    both engines."""
+    from cassandra_util_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("pev"))
+    )
+    joined = asof_join(
+        clicks, purchases, on=["user_id"], left_ts="ts", right_ts="ts", right_cols=["pev"]
+    )
+    return joined.select(
+        "event_id",
+        F.col("pev_right").alias("purchase_event_id"),
+        F.unix_micros(F.col("ts_right")).alias("purchase_wt"),
+    )

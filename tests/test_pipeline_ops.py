@@ -211,3 +211,49 @@ def test_frame_sample_plan(spark):
         by_id.setdefault(r["media_id"], []).append(r["frame_ts"])
     assert sorted(by_id[1]) == [0, 10, 20, 30]
     assert sorted(by_id[2]) == [0]
+
+
+# ---------------------------------------------------------------------------
+# as-of join
+# ---------------------------------------------------------------------------
+
+def test_asof_join_matches_pandas(spark):
+    import pandas as pd
+
+    from cassandra_util_spark.operators.asof import asof_join
+
+    left = pd.DataFrame(
+        {"k": [1, 1, 1, 2, 2, 3], "lts": [10, 25, 5, 40, 39, 7], "lv": list("abcdef")}
+    )
+    right = pd.DataFrame(
+        {"k": [1, 1, 2, 2, 4], "rts": [10, 20, 39, 41, 1], "rv": [100, 200, 300, 400, 500]}
+    )
+    sl = spark.createDataFrame(left)
+    sr = spark.createDataFrame(right)
+    got = {
+        (r["k"], r["lts"]): r["rv_right"]
+        for r in asof_join(sl, sr, ["k"], "lts", "rts").collect()
+    }
+    expected_df = pd.merge_asof(
+        left.sort_values("lts"), right.sort_values("rts"),
+        left_on="lts", right_on="rts", by="k",
+    )
+    expected = {
+        (r.k, r.lts): (None if pd.isna(r.rv) else int(r.rv))
+        for r in expected_df.itertuples()
+    }
+    assert got == expected
+    # >= semantics: left at exactly the right ts matches it
+    assert got[(1, 10)] == 100
+    # no earlier right row -> null
+    assert got[(1, 5)] is None and got[(3, 7)] is None
+
+
+def test_asof_join_strict(spark):
+    from cassandra_util_spark.operators.asof import asof_join
+
+    sl = spark.createDataFrame([(1, 10), (1, 11)], "k long, lts long")
+    sr = spark.createDataFrame([(1, 10, 7)], "k long, rts long, rv long")
+    rows = {r["lts"]: r["rv_right"] for r in asof_join(sl, sr, ["k"], "lts", "rts", strict=True).collect()}
+    # strictly-before: the equal-ts right row does NOT match lts=10
+    assert rows == {10: None, 11: 7}
