@@ -114,3 +114,82 @@ def streaming_retention(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def continuous_rollup(
+    events: DataFrame,
+    store,
+    checkpoint_dir: str,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    group_cols: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+) -> StreamingQuery:
+    """Continuously-maintained rollup table (the hypertable/continuous-
+    aggregate pattern): each micro-batch's partial aggregates merge into a
+    versioned snapshot, so the rollup is always queryable at full history —
+    unlike append-mode windowed output, closed windows update when late data
+    arrives (retrospective semantics, like retention).
+
+    Merge math: counts and DECIMAL sums are associative, so
+    merge(old, partial) = groupBy(keys).sum — one tiny shuffle over
+    (windows x groups), independent of event volume.  Exactly-once: the last
+    applied batch id is recorded next to the snapshot pointer; replayed
+    batches (checkpoint recovery) are skipped instead of double-counted.
+    """
+    import os
+
+    from pyspark.sql import functions as F2
+
+    marker = os.path.join(store.root, "_LAST_BATCH")
+
+    def last_applied() -> int:
+        try:
+            with open(marker) as f:
+                return int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            return -1
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= last_applied():
+            return
+        partial = (
+            batch_df.groupBy(F2.window(F2.col(ts_col), window).alias("w"), *group_cols)
+            .agg(
+                F2.count(F2.lit(1)).alias("n_events"),
+                F2.sum(F2.col(value_col).cast("decimal(28,6)")).alias("value_sum"),
+            )
+            .select(
+                F2.unix_timestamp(F2.col("w.start")).alias("window_start"),
+                *group_cols,
+                "n_events",
+                "value_sum",
+            )
+        )
+        current = store.current_path()
+        if current is not None:
+            old = batch_df.sparkSession.read.parquet(current)
+            merged = (
+                old.unionByName(partial)
+                .groupBy("window_start", *group_cols)
+                .agg(
+                    F2.sum("n_events").alias("n_events"),
+                    F2.sum("value_sum").alias("value_sum"),
+                )
+            )
+        else:
+            merged = partial
+        store.commit(merged)
+        import tempfile as _tf
+
+        fd, tmp = _tf.mkstemp(dir=store.root, prefix="._LAST_BATCH.")
+        with os.fdopen(fd, "w") as f:
+            f.write(str(batch_id))
+        os.replace(tmp, marker)
+
+    return (
+        events.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -115,3 +115,40 @@ def test_streaming_retention_spooked_passes_through(spark, workdir, events_src):
     q.awaitTermination(120)
     # spooked => dry run => everything passes through, nothing deleted
     assert spark.read.parquet(out).count() == batch_df.count()
+
+
+def test_continuous_rollup_matches_batch(spark, workdir, events_src):
+    from cassandra_util_spark.sources.snapshots import SnapshotStore
+    from cassandra_util_spark.streaming.events import continuous_rollup
+
+    src, batch_df = events_src
+    store = SnapshotStore(os.path.join(workdir, "rollup-store"))
+    cp = os.path.join(workdir, "cp-rollup")
+
+    # several micro-batches (one file per trigger)
+    events = stream_events(spark, src, batch_df.schema, max_files_per_trigger=1)
+    q = continuous_rollup(events, store, cp)
+    q.awaitTermination(180)
+
+    got = store.read(spark)
+    expected = (
+        batch_df.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)")).alias("value_sum"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type", "n_events", "value_sum",
+        )
+    )
+    # every window present with full-history totals (no watermark withholding)
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
+
+    # replaying the drained stream must not double-count
+    q2 = continuous_rollup(stream_events(spark, src, batch_df.schema), store, cp)
+    q2.awaitTermination(120)
+    again = store.read(spark)
+    assert again.exceptAll(expected).count() == 0 and expected.exceptAll(again).count() == 0
