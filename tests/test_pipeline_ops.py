@@ -257,3 +257,26 @@ def test_asof_join_strict(spark):
     rows = {r["lts"]: r["rv_right"] for r in asof_join(sl, sr, ["k"], "lts", "rts", strict=True).collect()}
     # strictly-before: the equal-ts right row does NOT match lts=10
     assert rows == {10: None, 11: 7}
+
+
+def test_salted_agg_matches_direct(spark):
+    from cassandra_util_spark.functions.skew import salted_agg
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    direct = {
+        (r["user_id"],): (r["n"], r["total"])
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("value").cast("decimal(28,6)")).alias("total"))
+        .collect()
+    }
+    salted = {
+        (r["user_id"],): (r["n"], r["total"])
+        for r in salted_agg(
+            ev, ["user_id"],
+            {"n": F.count(F.lit(1)), "total": F.sum(F.col("value").cast("decimal(28,6)"))},
+            {"n": F.sum("n"), "total": F.sum("total")},
+            buckets=8,
+        ).collect()
+    }
+    assert salted == direct
