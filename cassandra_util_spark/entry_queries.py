@@ -51,6 +51,11 @@ def query(name: str, oracle: Optional[str] = None):
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # the events files store TIMESTAMP(NANOS), which Spark refuses to read
+        # by default — and the DRIVER passes its own session here, which may
+        # not have the conf; it is runtime-settable, so pin it defensively
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # ts is TIMESTAMP(NANOS) in the files, surfaced as int64 nanos via
