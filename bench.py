@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "events_sessionize",
     "orders_status_rollup",
     "asof_join_clicks_purchases",
+    "range_join_incidents",
 ]
 
 

@@ -880,3 +880,39 @@ def asof_join_clicks_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pev_right").alias("purchase_event_id"),
         F.unix_micros(F.col("ts_right")).alias("purchase_wt"),
     )
+
+
+@query(
+    "range_join_incidents",
+    oracle="""
+    WITH incidents AS (
+      SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS lo,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) + 3599 AS hi
+      FROM events WHERE event_type = 'error'
+      GROUP BY 1, 2 HAVING count(*) >= 3),
+    purchases AS (
+      SELECT event_id, CAST(epoch_us(ts) // 1000000 AS BIGINT) AS p
+      FROM events WHERE event_type = 'purchase')
+    SELECT pu.event_id, i.lo AS incident_start
+    FROM purchases pu JOIN incidents i ON pu.p >= i.lo AND pu.p <= i.hi
+    """,
+)
+def range_join_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized range join (no equi-key): purchases falling inside error-
+    burst hours.  A naive inequality join is O(points x intervals) nested
+    loop; bucketing the time domain turns it into one equi-shuffle."""
+    from cassandra_util_spark.operators.rangejoin import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    incidents = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("lo"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 3)
+        .select("lo", (F.col("lo") + 3599).alias("hi"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", (F.unix_micros(F.col("ts")) / 1_000_000).cast("bigint").alias("p")
+    )
+    joined = range_join(purchases, incidents, "p", "lo", "hi", bucket_width=3600)
+    return joined.select("event_id", F.col("lo").alias("incident_start"))

@@ -280,3 +280,34 @@ def test_salted_agg_matches_direct(spark):
         ).collect()
     }
     assert salted == direct
+
+
+def test_range_join_matches_naive(spark):
+    from cassandra_util_spark.operators.rangejoin import range_join
+
+    points = spark.createDataFrame(
+        [(i, v) for i, v in enumerate([5, 10, 99, 100, 150, 250, 301])], "pid long, p long"
+    )
+    intervals = spark.createDataFrame(
+        [(0, 100), (90, 110), (300, 301), (400, 500)], "lo long, hi long"
+    )
+    got = {
+        (r["pid"], r["lo"])
+        for r in range_join(points, intervals, "p", "lo", "hi", bucket_width=50).collect()
+    }
+    naive = {
+        (r["pid"], r["lo"])
+        for r in points.crossJoin(intervals)
+        .filter("p >= lo AND p <= hi")
+        .collect()
+    }
+    assert got == naive and len(got) == 7  # boundary points included; 99,100 hit two intervals
+
+
+def test_range_join_left_keeps_unmatched(spark):
+    from cassandra_util_spark.operators.rangejoin import range_join
+
+    points = spark.createDataFrame([(1, 999)], "pid long, p long")
+    intervals = spark.createDataFrame([(0, 10)], "lo long, hi long")
+    rows = range_join(points, intervals, "p", "lo", "hi", 100, how="left").collect()
+    assert len(rows) == 1 and rows[0]["lo"] is None
