@@ -152,3 +152,43 @@ def test_continuous_rollup_matches_batch(spark, workdir, events_src):
     q2.awaitTermination(120)
     again = store.read(spark)
     assert again.exceptAll(expected).count() == 0 and expected.exceptAll(again).count() == 0
+
+
+def test_stateful_ttl_counter(spark, workdir, events_src):
+    from cassandra_util_spark.streaming.stateful import ttl_counter
+
+    src, batch_df = events_src
+    out = os.path.join(workdir, "ttl-counter")
+    cp = os.path.join(workdir, "cp-ttl")
+
+    events = stream_events(spark, src, batch_df.schema, max_files_per_trigger=1)
+    counted = ttl_counter(events.drop("writetime"), ttl_seconds=3600, watermark="30 minutes")
+    q = (
+        counted.writeStream.outputMode("update")
+        # parquet sinks reject update mode; append each update batch instead
+        .foreachBatch(lambda df, _id: df.write.mode("append").parquet(out))
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out)
+    # each TTL expiry closes an epoch and a fresh state restarts counting:
+    # per (user, epoch) the updates are cumulative, so max(n_events) is that
+    # epoch's total, and summing epochs must conserve every event
+    per_epoch = (
+        got.groupBy("user_id", "epoch_start_ms")
+        .agg(F.max("n_events").alias("n"))
+        .groupBy("user_id")
+        .agg(F.sum("n").alias("total"))
+    )
+    totals = {r["user_id"]: r["total"] for r in per_epoch.collect()}
+    expected = {
+        r["user_id"]: r["cnt"]
+        for r in batch_df.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert totals == expected
+    # with a 1h TTL over a 30-day stream and a 30-min watermark, silent users
+    # must actually expire
+    assert got.filter("expired").count() > 0
