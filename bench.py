@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "orders_status_rollup",
     "asof_join_clicks_purchases",
     "range_join_incidents",
+    "q10_returned_items",
 ]
 
 

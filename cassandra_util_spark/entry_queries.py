@@ -916,3 +916,107 @@ def range_join_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = range_join(purchases, incidents, "p", "lo", "hi", bucket_width=3600)
     return joined.select("event_id", F.col("lo").alias("incident_start"))
+
+
+# ---------------------------------------------------------------------------
+# Analytics breadth: returned-item report, scalar subquery, profiling
+# ---------------------------------------------------------------------------
+
+@query(
+    "q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item revenue per customer (TPC-H Q10 shape)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    one = F.lit(1).cast("decimal(18,2)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(price * (one - disc)).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "parts_above_avg_price",
+    oracle="""
+    SELECT p_partkey FROM part
+    WHERE CAST(p_retailprice AS DECIMAL(18,2)) * (SELECT COUNT(*) FROM part)
+        > (SELECT SUM(CAST(p_retailprice AS DECIMAL(18,2))) FROM part)
+    """,
+)
+def parts_above_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery surface: parts priced above the mean, compared as
+    price*count > sum so the arithmetic stays exact (no float average)."""
+    p = _t(spark, sf_dir, "part")
+    p.createOrReplaceTempView("part_sq")
+    return spark.sql(
+        """
+        SELECT p_partkey FROM part_sq
+        WHERE CAST(p_retailprice AS DECIMAL(18,2)) * (SELECT COUNT(*) FROM part_sq)
+            > (SELECT SUM(CAST(p_retailprice AS DECIMAL(18,2))) FROM part_sq)
+        """
+    )
+
+
+@query(
+    "orders_profile",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(DISTINCT o_orderstatus) AS n_statuses,
+           MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_prices
+    FROM orders
+    """,
+)
+def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-profiling surface for pipeline data quality: cardinalities,
+    ranges, exact distincts, null counts — one pass."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        F.sum(F.when(F.col("o_totalprice").isNull(), 1).otherwise(0)).cast("bigint").alias("null_prices"),
+    )
+
+
+@query(
+    "token_count_regex",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_regex_tokens
+    FROM documents
+    """,
+)
+def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenization: alpha runs, digit runs, and lone symbols
+    each count as one token (the pre-tokenizer shape BPE vocabularies use)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)
+            )
+        ).cast("bigint").alias("n_regex_tokens"),
+    )
