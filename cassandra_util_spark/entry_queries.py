@@ -372,7 +372,7 @@ def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
     )
     return (
-        o.withColumn("rnk", F.row_number().over(w))
+        o.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= 3)
         .select("o_custkey", "o_orderkey", "rnk")
     )
@@ -456,7 +456,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.length(t).alias("n_chars"),
-        whitespace_token_count(t).alias("n_tokens"),
+        whitespace_token_count(t).cast("bigint").alias("n_tokens"),
         bpe_token_estimate(t).alias("bpe_tokens"),
         F.round(punct_ratio(t), 6).alias("punct_ratio"),
         F.round(stopword_ratio(t), 6).alias("stopword_ratio"),

@@ -91,6 +91,17 @@ class RetentionJob:
         backup_written: Optional[str] = None
         committed: Optional[str] = None
 
+        def _obs_count(obs: Observation, fallback) -> int:
+            # CollectMetrics can vanish from the executed plan when an input
+            # side is empty at runtime (empty-relation propagation folds the
+            # node away), leaving Observation.get to assert JVM-side.  The
+            # counts must stay authoritative, so fall back to recounting.
+            try:
+                return int(obs.get["n"])
+            except Exception:
+                warnings.append("observation metrics unavailable; recounted from source")
+                return int(fallback())
+
         if dry:
             # full evaluation, no side effects: a single pass with conditional
             # counts (the dry-run counters of FilteringOnDiskAtomIterator)
@@ -112,7 +123,7 @@ class RetentionJob:
                     .write.mode("append")
                     .parquet(self.backup_path)
                 )
-                convicted_n = int(obs_b.get["n"])
+                convicted_n = _obs_count(obs_b, convicted_df.count)
                 backup_written = self.backup_path
             else:
                 convicted_n = convicted_df.count()
@@ -123,7 +134,11 @@ class RetentionJob:
                     kept_df.observe(obs_k, F.count(F.lit(1)).alias("n")),
                     meta=self.table.meta,
                 )
-                kept_n = int(obs_k.get["n"])
+                # fallback reads the just-committed version: metadata-only
+                # count from parquet footers, exact by construction
+                kept_n = _obs_count(
+                    obs_k, lambda: self.store.read(kept_df.sparkSession).count()
+                )
             else:
                 kept_n = kept_df.count()
 

@@ -10,7 +10,10 @@ Two paths:
   the ``nprobe`` nearest cells, scanning N·nprobe/K vectors instead of N.
 - embedding cosine near-dup via deterministic sign-LSH hyperplanes.
 
-Everything is expressions over array columns; no Python UDFs.
+Exact-scoring paths are pure expressions over array columns (oracle-
+matched); the IVF centroid assignment uses an Arrow-batched pandas UDF —
+batched BLAS matmuls are the right tool once a fixed small matrix (the
+centroids) multiplies every row.
 """
 
 from __future__ import annotations
@@ -63,7 +66,7 @@ def cosine_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
@@ -194,7 +197,7 @@ def ivf_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select("query_id", F.col(id_col).alias("neighbor_id"), "rank")
     )

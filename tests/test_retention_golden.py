@@ -205,3 +205,40 @@ def test_empty_rule_convicts_nothing(tenanted, rules_df):
     stats = RetentionJob(table, convictor).run()
     assert not stats.spooked
     assert stats.kept == 2 and stats.convicted == 0
+
+
+# ---------------------------------------------------------------------------
+# Wet-run write paths: backup sink + snapshot commit (previously only the
+# dry-run counters were covered)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "rng, want_kept, want_convicted",
+    [
+        (("1", "30"), 10, 90),       # partial conviction (a in 1..9 convicted)
+        ((None, None), 0, 100),       # unbounded rule convicts everything:
+                                      # kept side is empty at runtime, which
+                                      # used to kill Observation.get
+        (("9999", None), 100, 0),     # nothing convicted
+    ],
+)
+def test_wet_run_backup_and_snapshot(spark, abcd, rules_df, tmp_path, rng, want_kept, want_convicted):
+    from cassandra_util_spark.sources.snapshots import SnapshotStore
+
+    table = abcd(["a"], ["b"])  # 100 rows, a in 0..9, b in 0..9
+    rules = rules_df([("r", "a", rng)])
+    convictor = RuleBasedDeletionConvictor(table, rules=rules)
+    store = SnapshotStore(str(tmp_path / "snap"))
+    backup = str(tmp_path / "backup")
+    stats = RetentionJob(table, convictor, backup_path=backup, store=store).run()
+
+    assert not stats.spooked, stats.warnings
+    assert (stats.kept, stats.convicted) == (want_kept, want_convicted)
+    assert stats.committed_version is not None
+    # snapshot readback is exactly the kept rows
+    assert store.read(spark).count() == want_kept
+    # backup dir holds exactly the convicted rows (or was never created)
+    if want_convicted:
+        assert spark.read.parquet(backup).count() == want_convicted
+    # pointer advances per commit
+    assert store.current_version() == stats.committed_version
