@@ -46,6 +46,11 @@ BENCH_QUERIES = [
     "asof_join_clicks_purchases",
     "range_join_incidents",
     "q10_returned_items",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "orders_pivot_priority",
+    "events_user_gaps",
+    "acctbal_percentiles",
 ]
 
 

@@ -1020,3 +1020,151 @@ def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).cast("bigint").alias("n_regex_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Analytics breadth: semi-join, pushdown range agg, pivot, lead/lag, percentiles
+# ---------------------------------------------------------------------------
+
+@query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS decorrelated to a LEFT SEMI join (TPC-H Q4 shape): the probe
+    side streams, the semi side deduplicates on the join key — no row
+    multiplication, one shuffle on the order key."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    sem = o.join(
+        li, (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate), "left_semi"
+    )
+    return sem.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure scan-aggregate with range predicates (TPC-H Q6 shape): every
+    filter reaches the parquet scan as a pushed filter + min/max row-group
+    prune; the aggregation is a map-side partial — zero shuffled rows beyond
+    one partial-agg row per task."""
+    li = _t(spark, sf_dir, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return f.agg(
+        F.sum(price * disc).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@query(
+    "orders_pivot_priority",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+           CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+           CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS n_medium,
+           CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS n_notspec,
+           CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def orders_pivot_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (status x priority counts).  The pivot values are DECLARED, not
+    discovered: passing them up front removes the extra distinct-values job
+    Spark otherwise runs — the difference between one pass and two at scale."""
+    o = _t(spark, sf_dir, "orders")
+    piv = o.groupBy("o_orderstatus").pivot("o_orderpriority", _PRIORITIES).count()
+    renames = ["n_urgent", "n_high", "n_medium", "n_notspec", "n_low"]
+    return piv.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).cast("bigint").alias(a)
+          for p, a in zip(_PRIORITIES, renames)],
+    )
+
+
+@query(
+    "events_user_gaps",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+           CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us
+    FROM g GROUP BY user_id
+    """,
+)
+def events_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap statistics per user via lag() — the lead/lag analytic
+    surface.  One shuffle on user_id serves BOTH the window sort and the
+    aggregation (same key, exchange reuse).  (ts, event_id) is a total order,
+    so gaps are deterministic under equal timestamps.  The gap total is an
+    exact bigint sum — an engine-portable avg falls out as sum/n downstream
+    (cross-engine double division rounds differently at the 6dp boundary)."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.withColumn(
+        "gap_us", F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    )
+    return g.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("gap_us").cast("bigint").alias("max_gap_us"),
+        F.sum("gap_us").cast("bigint").alias("sum_gap_us"),
+    )
+
+
+@query(
+    "acctbal_percentiles",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(quantile_cont(c_acctbal, 0.5), 6) AS p50_acctbal,
+           ROUND(quantile_cont(c_acctbal, 0.95), 6) AS p95_acctbal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def acctbal_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per segment (sort-based aggregate).
+    Both engines use the (n-1)*p linear-interpolation definition.  At scale
+    swap for approx_percentile: the exact form concentrates each group on one
+    task; the sketch is mergeable map-side."""
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.expr("percentile(c_acctbal, 0.5)"), 6).alias("p50_acctbal"),
+        F.round(F.expr("percentile(c_acctbal, 0.95)"), 6).alias("p95_acctbal"),
+    )
