@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "orders_pivot_priority",
     "events_user_gaps",
     "acctbal_percentiles",
+    "media_features",
+    "media_frame_plan",
 ]
 
 

@@ -1168,3 +1168,73 @@ def acctbal_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(c_acctbal, 0.5)"), 6).alias("p50_acctbal"),
         F.round(F.expr("percentile(c_acctbal, 0.95)"), 6).alias("p95_acctbal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: binary payload pipeline (decode step stubbed, plumbing real)
+# ---------------------------------------------------------------------------
+
+@query(
+    "media_features",
+    oracle="""
+    SELECT doc_id AS media_id, 'image' AS kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS digest,
+           CAST(('0x' || substr(sha256(text), 1, 2)) AS INT) AS f0_byte
+    FROM documents
+    """,
+)
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction via Arrow-batched mapInPandas: docs
+    become opaque media blobs, the (stubbed-deterministic) decoder emits
+    n_bytes / sha256 digest / an 8-dim feature.  The first feature element is
+    exported through an exact integer roundtrip (f*255 is the digest's first
+    byte), so the oracle verifies the decode chain bit-for-bit — float32
+    storage cannot drift a value that must land on an integer."""
+    from cassandra_util_spark.operators.multimodal import (
+        extract_features,
+        media_from_documents,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    feats = extract_features(media_from_documents(d), decoder="fake", dim=8)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "digest",
+        F.round(F.element_at("feature", 1).cast("double") * 255, 0)
+        .cast("int")
+        .alias("f0_byte"),
+    )
+
+
+@query(
+    "media_frame_plan",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(unnest(range(0, greatest(n_chars % 120, 1), 10)) AS BIGINT) AS frame_ts
+    FROM documents
+    """,
+)
+def media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: metadata-driven fan-out from media rows to
+    (media_id, frame_ts) rows — the shuffle-free explode a real frame decoder
+    consumes.  Synthetic duration = n_chars % 120 seconds, sampled at 10s."""
+    from cassandra_util_spark.operators.multimodal import (
+        frame_sample_plan,
+        media_from_documents,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    # media_from_documents drops n_chars; attach the synthetic duration from
+    # the source table (broadcast-sized key join, payloads never shuffle)
+    media = media_from_documents(d, kind="video").join(
+        d.select(F.col("doc_id").alias("media_id"), (F.col("n_chars") % 120).alias("__dur")),
+        "media_id",
+    ).withColumn(
+        "meta", F.create_map(F.lit("duration_s"), F.col("__dur").cast("string"))
+    )
+    return frame_sample_plan(media, every_n_seconds=10).select(
+        "media_id", F.col("frame_ts").cast("bigint").alias("frame_ts")
+    )
