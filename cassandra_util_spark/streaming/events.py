@@ -193,3 +193,33 @@ def continuous_rollup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    id_cols: tuple[str, ...],
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+    digest_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state: keys are remembered only
+    within the watermark horizon (``dropDuplicatesWithinWatermark``), so state
+    size tracks the duplicate-arrival window, not the full stream history —
+    the property that keeps this runnable forever at ingest scale.  A plain
+    ``dropDuplicates`` on an unbounded stream leaks state linearly.
+
+    ``digest_cols``: optional content columns folded into a 256-bit digest
+    dedup key (the streaming form of :func:`operators.dedup.exact_dedup` —
+    dedup on content, shuffle 32 bytes regardless of payload size).
+    """
+    keyed = events
+    keys = list(id_cols)
+    if digest_cols:
+        from cassandra_util_spark.operators.dedup import content_digest
+
+        keyed = events.withColumn(
+            "__digest", content_digest(*[F.col(c) for c in digest_cols])
+        )
+        keys = keys + ["__digest"]
+    out = keyed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    return out.drop("__digest") if digest_cols else out

@@ -192,3 +192,65 @@ def test_stateful_ttl_counter(spark, workdir, events_src):
     # with a 1h TTL over a 30-day stream and a 30-min watermark, silent users
     # must actually expire
     assert got.filter("expired").count() > 0
+
+
+def test_streaming_dedup_bounded_state(spark, workdir, events_src):
+    """Duplicated source files: every event arrives twice within the
+    watermark horizon; the deduped stream must match the batch distinct."""
+    src, batch_df = events_src
+    # stage an exact duplicate of the source as a second file batch
+    dup = os.path.join(workdir, "src_dup")
+    os.makedirs(dup, exist_ok=True)
+    for f in os.listdir(src):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(src, f), os.path.join(dup, "dup-" + f))
+    for f in os.listdir(dup):
+        shutil.copy(os.path.join(dup, f), os.path.join(src, f))
+
+    from cassandra_util_spark.streaming import stream_events, streaming_dedup
+
+    out = os.path.join(workdir, "deduped")
+    cp = os.path.join(workdir, "cp_dedup")
+    events = stream_events(spark, src, batch_df.schema)
+    deduped = streaming_dedup(events, ("event_id",), watermark="48 hours")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    assert got.count() == batch_df.select("event_id").distinct().count()
+    assert got.select("event_id").distinct().count() == got.count()
+
+
+def test_streaming_dedup_content_digest(spark, workdir, events_src):
+    """Content-digest mode: same payload under different event ids collapses
+    to one row per (digest) key."""
+    src, batch_df = events_src
+    from cassandra_util_spark.streaming import stream_events, streaming_dedup
+
+    out = os.path.join(workdir, "deduped2")
+    cp = os.path.join(workdir, "cp_dedup2")
+    events = stream_events(spark, src, batch_df.schema)
+    deduped = streaming_dedup(
+        events, (), watermark="48 hours", digest_cols=("user_id", "event_type", "props")
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    want = batch_df.select("user_id", "event_type", "props").distinct().count()
+    assert got.count() == want
+    assert "__digest" not in got.columns
