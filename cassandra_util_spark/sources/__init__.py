@@ -1,3 +1,15 @@
+from cassandra_util_spark.sources.bucketed import (
+    colocated_join,
+    join_is_colocated,
+    selected_buckets,
+    write_bucketed,
+)
 from cassandra_util_spark.sources.snapshots import SnapshotStore
 
-__all__ = ["SnapshotStore"]
+__all__ = [
+    "SnapshotStore",
+    "colocated_join",
+    "join_is_colocated",
+    "selected_buckets",
+    "write_bucketed",
+]
