@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "acctbal_percentiles",
     "media_features",
     "media_frame_plan",
+    "events_json_props",
 ]
 
 

@@ -1238,3 +1238,31 @@ def media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_plan(media, every_n_seconds=10).select(
         "media_id", F.col("frame_ts").cast("bigint").alias("frame_ts")
     )
+
+
+@query(
+    "events_json_props",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
+    FROM events
+    WHERE json_extract(props, '$.k') IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction + aggregation (the schema-on-read surface for
+    semi-structured event payloads).  `get_json_object` evaluates JVM-side in
+    codegen; for hot paths with a KNOWN schema prefer `from_json` once into a
+    struct column — parse once, not per-expression."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        ev.filter(k.isNotNull())
+        .groupBy((k % 10).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(k).cast("bigint").alias("k_sum"),
+        )
+    )
