@@ -43,3 +43,35 @@ def salted_agg(
     return phase1.groupBy(*keys).agg(
         *[expr.alias(name) for name, expr in final_aggs.items()]
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    how: str = "inner",
+    buckets: int = 16,
+) -> DataFrame:
+    """Equi-join with a salted key: the scale fallback when one left-side key
+    dominates AND the right side is too big to broadcast, so both AQE paths
+    (broadcast conversion, skew split on sorted-merge) are unavailable or
+    insufficient.
+
+    Left rows get a deterministic salt in [0, buckets); the right side is
+    replicated ``buckets``x with every salt value, so each left row still
+    matches its right rows exactly once and the hot key spreads over
+    ``buckets`` reducers.  Cost: right side shuffles buckets-times its size —
+    pick ``buckets`` ~= (hot-key rows / average-key rows), not "big".
+
+    Supports ``inner`` and ``left`` joins (semantics preserved for both:
+    replication multiplies matches per (key, salt), and each left row carries
+    exactly one salt).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(buckets))
+    lhs = left.withColumn("__salt", salt)
+    rhs = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    )
+    return lhs.join(rhs, list(on) + ["__salt"], how).drop("__salt")

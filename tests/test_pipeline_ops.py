@@ -311,3 +311,27 @@ def test_range_join_left_keeps_unmatched(spark):
     intervals = spark.createDataFrame([(0, 10)], "lo long, hi long")
     rows = range_join(points, intervals, "p", "lo", "hi", 100, how="left").collect()
     assert len(rows) == 1 and rows[0]["lo"] is None
+
+
+def test_salted_join_matches_plain(spark):
+    """Skewed fact (one hot key) x dim: salted join must equal the plain
+    join for inner and left, including unmatched-left preservation."""
+    from cassandra_util_spark.functions.skew import salted_join
+
+    fact_rows = [(1, i) for i in range(900)] + [(k, 0) for k in range(2, 12)]
+    fact = spark.createDataFrame(fact_rows, "k bigint, v int")
+    dim = spark.createDataFrame(
+        [(k, f"dim{k}") for k in range(1, 8)], "k bigint, label string"
+    )
+
+    for how in ("inner", "left"):
+        got = salted_join(fact, dim, ["k"], how=how, buckets=8)
+        want = fact.join(dim, ["k"], how)
+        assert got.count() == want.count(), how
+        # exact multiset equality via exceptAll both ways
+        assert got.exceptAll(want).count() == 0, how
+        assert want.exceptAll(got).count() == 0, how
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        salted_join(fact, dim, ["k"], how="right")
