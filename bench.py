@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "media_features",
     "media_frame_plan",
     "events_json_props",
+    "salted_event_rollup",
 ]
 
 

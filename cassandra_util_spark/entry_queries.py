@@ -1266,3 +1266,28 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(k).cast("bigint").alias("k_sum"),
         )
     )
+
+
+@query(
+    "salted_event_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS value_sum
+    FROM events GROUP BY event_type
+    """,
+)
+def salted_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation in the contract: identical results to the
+    direct groupBy (DECIMAL sums are associative across the salt split), but
+    a key owning half the table spreads over 32 reducers in phase 1 instead
+    of landing on one."""
+    from cassandra_util_spark.functions.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events")
+    return salted_agg(
+        ev,
+        ["event_type"],
+        {"n": F.count(F.lit(1)), "value_sum": F.sum(F.col("value").cast("decimal(28,6)"))},
+        {"n": F.sum("n").cast("bigint"), "value_sum": F.sum("value_sum").cast("double")},
+    )
