@@ -24,8 +24,16 @@ from cassandra_util_spark.operators.text import normalize_text
 # ---------------------------------------------------------------------------
 
 def content_digest(*cols: Column) -> Column:
-    """sha256 over the concatenated content — 32-byte shuffle key."""
-    return F.sha2(F.concat_ws("", *cols), 256)
+    """Injective sha256 digest of the content tuple — 32-byte shuffle key.
+
+    Each column is hashed separately and the fixed-width per-column hashes
+    are joined and hashed again: boundary shifts (("ab","c") vs ("a","bc")),
+    values containing the join separator, and null-vs-empty cannot collide,
+    unlike a single hash over the raw concatenation (concat_ws skips NULLs).
+    The NULL sentinel is not 64 hex chars, so it cannot equal any column hash.
+    """
+    parts = [F.coalesce(F.sha2(c.cast("string"), 256), F.lit("null")) for c in cols]
+    return F.sha2(F.concat_ws("|", *parts), 256)
 
 
 def exact_dedup(df: DataFrame, id_col: str, content_cols: list[str]) -> DataFrame:

@@ -60,7 +60,9 @@ def retention_with_indexes(
     for ix in indexes:
         kept_ix = ix.build(table.with_df(table.df.filter(keep)))
         out[ix.name] = kept_ix
-        if index_stores and ix.name in index_stores:
+        # same degradation-ladder guard as the base store: a spooked run
+        # promises to delete NOTHING durably, index snapshots included
+        if index_stores and ix.name in index_stores and not convictor.spooked:
             index_stores[ix.name].commit(kept_ix)
     kept = table.df.filter(keep)
     out["base"] = kept

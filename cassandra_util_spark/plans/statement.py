@@ -72,6 +72,10 @@ class Statement:
             if isinstance(param, Inline):
                 text_parts.append(param.text)
             elif isinstance(param, In):
+                if not param.values:
+                    # 'x IN ()' is invalid SQL in both engines; fail at build
+                    # time with a clear message instead of at execute time
+                    raise ValueError("In(...) requires at least one value")
                 text_parts.append("(" + ", ".join(["?"] * len(param.values)) + ")")
                 flat.extend(param.values)
             elif isinstance(param, Fields):
@@ -92,16 +96,24 @@ class Statement:
     def render(self) -> str:
         """Inline every param as an escaped literal (debug/logging only —
         mirrors the reference's toString escaping rules: quote doubling,
-        hex blobs, ISO-8601 UTC timestamps, collection literals)."""
-        text, args = self.to_sql()
-        out: list[str] = []
-        it = iter(args)
-        for chunk in text.split("?"):
-            out.append(chunk)
-            try:
-                out.append(render_literal(next(it)))
-            except StopIteration:
-                pass
+        hex blobs, ISO-8601 UTC timestamps, collection literals).
+
+        Rendered from the (parts, params) IR directly — never by re-splitting
+        the joined text — so a literal ``?`` inside a text part (quoted
+        string, comment) cannot misalign subsequent substitutions."""
+        out: list[str] = [self.parts[0]]
+        for part, param in zip(self.parts[1:], self.params):
+            if isinstance(param, Inline):
+                out.append(param.text)
+            elif isinstance(param, In):
+                out.append("(" + ", ".join(render_literal(v) for v in param.values) + ")")
+            elif isinstance(param, Fields):
+                out.append(
+                    ", ".join(f"{k} = {render_literal(v)}" for k, v in param.mapping.items())
+                )
+            else:
+                out.append(render_literal(param))
+            out.append(part)
         return "".join(out)
 
 

@@ -35,9 +35,21 @@ class SnapshotStore:
     def current_version(self) -> Optional[str]:
         try:
             with open(self._pointer) as f:
-                return f.read().strip() or None
+                content = f.read().strip()
         except FileNotFoundError:
             return None
+        return content.split("\n", 1)[0] or None
+
+    def current_tag(self) -> Optional[str]:
+        """Tag recorded atomically with the pointer at commit time (exactly-
+        once bookkeeping: e.g. the streaming batch id this version applied)."""
+        try:
+            with open(self._pointer) as f:
+                content = f.read().strip()
+        except FileNotFoundError:
+            return None
+        parts = content.split("\n", 1)
+        return parts[1] if len(parts) == 2 else None
 
     def current_path(self) -> Optional[str]:
         v = self.current_version()
@@ -53,13 +65,18 @@ class SnapshotStore:
         n = int(vs[-1][1:]) + 1 if vs else 1
         return f"v{n:05d}"
 
-    def commit(self, df: DataFrame, meta: Optional[TableMeta] = None) -> str:
+    def commit(self, df: DataFrame, meta: Optional[TableMeta] = None, tag: Optional[str] = None) -> str:
         """Write ``df`` as the next version and swap the pointer atomically.
 
         With ``meta``, data lands clustered: repartitioned by partition key
         and sorted by (pk, ck, writetime) within partitions — the sorted-run
         layout the reference guarantees, which gives parquet row-group pruning
         on key predicates at read time.
+
+        ``tag`` rides in the SAME pointer write (second line of ``_CURRENT``),
+        so bookkeeping like "which streaming batch produced this version" is
+        atomic with the version swap — there is no window where the snapshot
+        is committed but its provenance is not.
         """
         version = self._next_version()
         path = os.path.join(self.root, version)
@@ -67,10 +84,12 @@ class SnapshotStore:
             df = KeyedTable(df, meta).clustered()
             self._write_meta(meta)
         df.write.mode("errorifexists").parquet(path)
+        if tag is not None and "\n" in tag:
+            raise ValueError("tag must be a single line")
         # POSIX rename is atomic: readers see either the old or the new pointer
         fd, tmp = tempfile.mkstemp(dir=self.root, prefix="._CURRENT.")
         with os.fdopen(fd, "w") as f:
-            f.write(version)
+            f.write(version if tag is None else f"{version}\n{tag}")
         os.replace(tmp, self._pointer)
         return version
 

@@ -134,20 +134,18 @@ def continuous_rollup(
     Merge math: counts and DECIMAL sums are associative, so
     merge(old, partial) = groupBy(keys).sum — one tiny shuffle over
     (windows x groups), independent of event volume.  Exactly-once: the last
-    applied batch id is recorded next to the snapshot pointer; replayed
+    applied batch id rides in the SAME atomic pointer write as the snapshot
+    commit (``SnapshotStore.commit(tag=...)``), so a crash between "snapshot
+    merged" and "batch id recorded" is impossible by construction — replayed
     batches (checkpoint recovery) are skipped instead of double-counted.
     """
-    import os
-
     from pyspark.sql import functions as F2
 
-    marker = os.path.join(store.root, "_LAST_BATCH")
-
     def last_applied() -> int:
+        tag = store.current_tag()
         try:
-            with open(marker) as f:
-                return int(f.read().strip())
-        except (FileNotFoundError, ValueError):
+            return int(tag) if tag is not None else -1
+        except ValueError:
             return -1
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -179,13 +177,7 @@ def continuous_rollup(
             )
         else:
             merged = partial
-        store.commit(merged)
-        import tempfile as _tf
-
-        fd, tmp = _tf.mkstemp(dir=store.root, prefix="._LAST_BATCH.")
-        with os.fdopen(fd, "w") as f:
-            f.write(str(batch_id))
-        os.replace(tmp, marker)
+        store.commit(merged, tag=str(batch_id))
 
     return (
         events.writeStream.foreachBatch(process_batch)

@@ -195,3 +195,42 @@ def test_iter_rows_paged(spark):
     table = KeyedTable(df, TableMeta(("tenant",), ("id",)))
     got = [r["tenant"] for r in table.iter_rows(key_ordered=True)]
     assert got == [1, 2, 3]
+
+
+def test_spooked_run_commits_nothing_including_indexes(spark, tmp_path):
+    """Degradation-ladder invariant: a spooked run deletes NOTHING durably —
+    neither the base snapshot nor any derived-index snapshot."""
+    from cassandra_util_spark.sources.snapshots import SnapshotStore
+
+    df = spark.createDataFrame(
+        [(t, f"id{i}", t * 10 + i) for t in (1, 2) for i in range(3)],
+        "tenant bigint, id string, score bigint",
+    )
+    table = KeyedTable(df, TableMeta(("tenant",), ("id",)), "scored")
+    ix = DerivedIndex("by_score", ("score",))
+    # rule on a non-key column => spooked convictor
+    convictor = RuleBasedDeletionConvictor(
+        table, rules=[Rule("bad", {"score": (Range("1", "99"),)})]
+    )
+    assert convictor.spooked
+    base_store = SnapshotStore(str(tmp_path / "base"))
+    ix_store = SnapshotStore(str(tmp_path / "by_score"))
+    retention_with_indexes(
+        table, convictor, [ix], store=base_store, index_stores={"by_score": ix_store}
+    )
+    assert base_store.current_version() is None
+    assert ix_store.current_version() is None
+
+
+def test_snapshot_commit_tag_atomic_with_pointer(spark, tmp_path):
+    from cassandra_util_spark.sources.snapshots import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "s"))
+    df = spark.createDataFrame([(1, "a")], "k bigint, v string")
+    store.commit(df)  # untagged commit: no tag visible
+    assert store.current_tag() is None
+    store.commit(df, tag="7")
+    assert store.current_version() == "v00002"
+    assert store.current_tag() == "7"
+    with pytest.raises(ValueError, match="single line"):
+        store.commit(df, tag="a\nb")

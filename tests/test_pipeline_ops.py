@@ -335,3 +335,17 @@ def test_salted_join_matches_plain(spark):
 
     with _pt.raises(ValueError):
         salted_join(fact, dim, ["k"], how="right")
+
+
+def test_content_digest_injective(spark):
+    """Boundary shifts across columns and null-vs-empty must NOT collide
+    (ADVICE r1: a concat-based digest folded ("ab","c") and ("a","bc"))."""
+    from cassandra_util_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, "ab", "c"), (2, "a", "bc"), (3, None, "x"), (4, "", "x"), (5, "ab", "c")],
+        "doc_id bigint, s1 string, s2 string",
+    )
+    kept = sorted(r["doc_id"] for r in exact_dedup(df, "doc_id", ["s1", "s2"]).collect())
+    # only the true duplicate (5 == 1) collapses
+    assert kept == [1, 2, 3, 4]

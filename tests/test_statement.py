@@ -85,3 +85,18 @@ def test_execute_against_spark(spark):
         .createOrReplaceTempView("stmt_t")
     s = cql("SELECT count(*) AS n FROM stmt_t WHERE id IN ? AND v != ?", In([1, 2]), "zz")
     assert s.execute(spark).collect()[0]["n"] == 2
+
+
+def test_render_literal_question_mark_in_text():
+    # a literal '?' inside a text part must not misalign substitutions
+    # (render works from the IR, not by re-splitting the joined text)
+    s = Statement(("SELECT * FROM t WHERE q = '??' AND a = ", " AND b = ", ""), (1, 2))
+    assert s.render() == "SELECT * FROM t WHERE q = '??' AND a = 1 AND b = 2"
+    # a rendered string param containing '?' must not swallow later params
+    s2 = Statement(("SELECT ", " AS a, ", " AS b"), ("what?", 7))
+    assert s2.render() == "SELECT 'what?' AS a, 7 AS b"
+
+
+def test_empty_in_raises():
+    with pytest.raises(ValueError, match="at least one value"):
+        cql("WHERE x IN ?", In([])).to_sql()
