@@ -84,7 +84,8 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign every corpus vector to its nearest centroid (max cosine).
 
-    The centroid matrix is collected (it is tiny — N/stride rows) and closed
+    The centroid matrix is collected — O(K) where K is the *fixed*
+    ``num_centroids`` parameter, never a function of corpus size — and closed
     over by an Arrow-batched pandas UDF: each batch becomes one
     (batch x dim) @ (dim x cells) BLAS matmul + argmax — measured ~5x faster
     than the crossJoin + per-row expression cosine, and it is a map-only
@@ -151,28 +152,54 @@ def kmeans_refine(
     return cents
 
 
+def ivf_seeds(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 64,
+) -> DataFrame:
+    """``num_centroids`` deterministic seed vectors, independent of N.
+
+    Sampling = the K smallest ids under a multiplicative hash order
+    (``portable_token``): uniform-ish over the corpus, fully deterministic,
+    and executed as a distributed TakeOrdered (top-K per partition, K-row
+    merge on the driver) — no full sort, and the driver never holds more
+    than K vectors no matter how large the corpus grows.
+    """
+    from cassandra_util_spark.functions import portable_token
+
+    return (
+        corpus.select(id_col, vec_col)
+        .orderBy(portable_token(F.col(id_col)).asc(), F.col(id_col).asc())
+        .limit(num_centroids)
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
-    centroid_stride: int = 16,
+    num_centroids: int = 64,
     nprobe: int = 8,
     refine_iters: int = 2,
 ) -> DataFrame:
     """Approximate top-k: probe only the ``nprobe`` nearest cells per query.
 
-    Centroids seed from a deterministic stratified subset (every
-    ``stride``-th vector by id), then ``refine_iters`` Lloyd iterations align
-    them with the data's cluster structure.  Measured on the 64-dim test
-    embeddings: recall@10 ≈ 0.35 with raw seeds/nprobe=4, ≈ 0.61 with two
+    ``num_centroids`` (K) is a FIXED parameter — pick ~sqrt(N) capped by
+    memory (4096 is reasonable at warehouse scale); it never scales with the
+    corpus, so the O(K) driver-side centroid collect in :func:`ivf_assign`
+    stays bounded at any N.  Seeds come from :func:`ivf_seeds` (deterministic
+    hash-ordered sample), then ``refine_iters`` Lloyd iterations align them
+    with the data's cluster structure.  Measured on the 64-dim test
+    embeddings: recall@10 ≈ 0.35 with raw seeds/nprobe=4, ≈ 0.6 with two
     refinements and nprobe=8 (~25% of the corpus scanned per query) — the
     standard IVF recall/scan trade; raise nprobe or add exact re-ranking of a
     wider candidate set when the workload needs more.
     """
-    seeds = corpus.filter(F.col(id_col) % centroid_stride == 0)
-    # materialize the refined centroids (a ~N/stride-row table): both the
+    seeds = ivf_seeds(corpus, id_col, vec_col, num_centroids)
+    # materialize the refined centroids (a K-row table): both the
     # corpus assignment and the query probes consume them, and without a
     # materialization point each re-runs the whole Lloyd chain
     centroids = kmeans_refine(corpus, seeds, id_col, vec_col, refine_iters).localCheckpoint()

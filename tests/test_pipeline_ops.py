@@ -90,12 +90,34 @@ def test_ivf_recall_vs_brute_force(spark, vecs):
     }
     approx = {
         (r["query_id"], r["neighbor_id"])
-        for r in ivf_topk(vecs, queries, k=10, centroid_stride=16, nprobe=8).collect()
+        for r in ivf_topk(vecs, queries, k=10, num_centroids=32, nprobe=8).collect()
     }
     recall = len(exact & approx) / len(exact)
-    # nprobe 8 of ~31 cells scans ~25% of the corpus; measured ~0.6 on these
+    # nprobe 8 of 32 cells scans ~25% of the corpus; measured ~0.6 on these
     # 64-dim embeddings (IVF without re-ranking)
     assert recall >= 0.5, f"IVF recall@10 = {recall}"
+
+
+def test_ivf_centroid_count_independent_of_corpus_size(spark, vecs):
+    """The 100 TB guard: K is a fixed parameter — a 10x corpus yields the
+    SAME centroid count (and thus the same O(K) driver collect), unlike a
+    stride-based seeding where K = N/stride grows with N."""
+    from cassandra_util_spark.operators.similarity import ivf_seeds
+
+    from functools import reduce
+
+    small = vecs.limit(100).select("vec_id", "embedding")
+    big = reduce(
+        lambda a, b: a.unionByName(b),
+        [small.select((F.col("vec_id") + 1000 * i).alias("vec_id"), "embedding")
+         for i in range(1, 10)],
+        small,
+    )
+    k_small = ivf_seeds(small, num_centroids=16).count()
+    k_big = ivf_seeds(big, num_centroids=16).count()
+    assert k_small == k_big == 16
+    # fewer rows than K: seeds degrade gracefully to the whole corpus
+    assert ivf_seeds(small.limit(5), num_centroids=16).count() == 5
 
 
 def test_neardup_lsh_exact_copies(spark, vecs):
