@@ -603,20 +603,105 @@ def dedup_ngram_jaccard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
 
 
-@query("dedup_minhash_lsh")  # xxhash64 signatures are not oracle-portable: rows-only
+def _minhash_params_sql(num_perm: int = 64) -> str:
+    """The (j, a, b) universal-hash family as a VALUES table — generated from
+    the SAME ``minhash_params`` the Spark operator uses."""
+    from cassandra_util_spark.operators.dedup import minhash_params
+
+    rows = ", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(minhash_params(num_perm)))
+    return f"(VALUES {rows}) p(j, a, b)"
+
+
+def _p31(expr: str) -> str:
+    from cassandra_util_spark.functions import portable_hash31_sql
+
+    return portable_hash31_sql(expr)
+
+
+def _p32(expr: str, offset: int) -> str:
+    from cassandra_util_spark.functions import portable_hash32_sql
+
+    return portable_hash32_sql(expr, offset)
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+    toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    sh AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        FROM toks WHERE len(w) >= 3)
+    ),
+    h AS (SELECT doc_id, {_p31('sh')} AS h FROM sh),
+    sig AS (
+      SELECT doc_id, p.j, min((p.a * h.h + p.b) % 2147483647) AS v
+      FROM h CROSS JOIN {_minhash_params_sql(64)}
+      GROUP BY doc_id, p.j),
+    bands AS (
+      SELECT doc_id, j // 4 AS band,
+             string_agg(CAST(v AS VARCHAR), ',' ORDER BY j) AS bucket
+      FROM sig GROUP BY doc_id, j // 4),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+    m AS (
+      SELECT c.id_a, c.id_b, count(*) FILTER (WHERE sa.v = sb.v) AS matches
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.id_a
+      JOIN sig sb ON sb.doc_id = c.id_b AND sb.j = sa.j
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, round(matches / 64.0, 6) AS est_jaccard
+    FROM m WHERE round(matches / 64.0, 6) >= 0.5
+    """,
+)
 def dedup_minhash_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64)+LSH(16 bands) near-dup pairs at estimated-jaccard 0.5.
-    Verified in tests against the exact jaccard pairs (recall check)."""
+    Portable md5-word base hash => the oracle reproduces the signatures,
+    banding, candidate set, and estimate bit-for-bit; recall vs exact
+    Jaccard is separately property-tested in test_pipeline_ops."""
     from cassandra_util_spark.operators.dedup import minhash_lsh_pairs
 
     d = _t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(d, "doc_id", "text", n=3, num_perm=64, bands=16, threshold=0.5)
 
 
-@query("dedup_simhash")  # xxhash64-based bits: rows-only
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS t FROM documents),
+    hh AS (
+      SELECT doc_id, {_p32('t', 1)} AS hi, {_p32('t', 9)} AS lo FROM toks),
+    bits AS (
+      SELECT doc_id, b.i AS i,
+             sum(CASE WHEN ((CASE WHEN b.i < 32 THEN lo >> b.i
+                                  ELSE hi >> (b.i - 32) END) & 1) = 1
+                      THEN 1 ELSE -1 END) AS s
+      FROM hh CROSS JOIN (SELECT unnest(range(0, 64)) AS i) b
+      GROUP BY doc_id, b.i),
+    chunks AS (
+      SELECT doc_id, i // 16 AS c,
+             sum(CASE WHEN s > 0 THEN (1::BIGINT << (i % 16)) ELSE 0 END) AS val
+      FROM bits GROUP BY doc_id, i // 16),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             sum(bit_count(xor(a.val, b.val))) AS hamming
+      FROM chunks a JOIN chunks b ON a.c = b.c AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+    FROM pairs WHERE hamming <= 3
+    """,
+)
 def dedup_simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash64 near-dup pairs at Hamming distance <= 3 via 4x16-bit band
-    candidates (pigeonhole exact for d<=3)."""
+    candidates (pigeonhole exact for d<=3).  The oracle computes ALL-pairs
+    Hamming from the same portable per-bit md5 hashes — an equivalent (and
+    simpler) formulation precisely BECAUSE the banding is exact for d<=3;
+    the outputs must be identical, which is what the hash check certifies."""
     from cassandra_util_spark.operators.dedup import simhash_pairs
 
     d = _t(spark, sf_dir, "documents")
@@ -679,14 +764,53 @@ def ann_cosine_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(e, e.filter(F.col("vec_id") < 5), "vec_id", "embedding", k=10)
 
 
-@query("ann_ivf_topk")  # approximate: verified against brute force in tests
+@query(
+    "ann_ivf_topk",
+    oracle="""
+    WITH corpus AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    seeds AS (
+      SELECT vec_id AS cell, v AS cv FROM corpus
+      ORDER BY (vec_id * 2654435761) % 4294967296, vec_id LIMIT 16),
+    assigned AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT c.vec_id, c.v, s.cell,
+               row_number() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY list_cosine_similarity(c.v, s.cv) DESC, s.cell ASC) AS rn
+        FROM corpus c CROSS JOIN seeds s) WHERE rn = 1),
+    queries AS (SELECT vec_id AS query_id, v AS qv FROM corpus WHERE vec_id < 5),
+    probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT q.query_id, q.qv, s.cell,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY list_cosine_similarity(q.qv, s.cv) DESC, s.cell ASC) AS rn
+        FROM queries q CROSS JOIN seeds s) WHERE rn <= 4)
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             CAST(row_number() OVER (
+               PARTITION BY p.query_id
+               ORDER BY list_cosine_similarity(p.qv, a.v) DESC, a.vec_id ASC) AS BIGINT) AS rank
+      FROM probes p JOIN assigned a ON a.cell = p.cell
+      WHERE a.vec_id <> p.query_id)
+    WHERE rank <= 10
+    """,
+)
 def ann_ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-10: corpus bucketed to nearest centroid once,
-    queries probe the 4 nearest of ~N/16 cells — the 100 TB scan pattern."""
+    """IVF approximate top-10: corpus assigned to its nearest of K=16
+    deterministic seed centroids once, queries probe the 4 nearest cells —
+    the 100 TB scan pattern (scan N*nprobe/K instead of N).  refine_iters=0
+    here so the oracle can replicate the centroid argmax exactly in SQL; the
+    Lloyd-refined path is recall-tested in test_pipeline_ops."""
     from cassandra_util_spark.operators.similarity import ivf_topk
 
     e = _t(spark, sf_dir, "embeddings")
-    return ivf_topk(e, e.filter(F.col("vec_id") < 5), "vec_id", "embedding", k=10, refine_iters=1)
+    return ivf_topk(
+        e, e.filter(F.col("vec_id") < 5), "vec_id", "embedding",
+        k=10, num_centroids=16, nprobe=4, refine_iters=0,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -15,6 +15,31 @@ def portable_token(col: Column) -> Column:
     return F.pmod(col.cast("bigint") * F.lit(_KNUTH), F.lit(_2_32))
 
 
+def portable_hash32(col: Column, offset: int = 1) -> Column:
+    """32-bit portable string hash: 8 hex chars of md5 starting at ``offset``
+    (1-based), as a non-negative bigint.  md5 renders identically in every
+    engine, so an external oracle can reproduce the value exactly — unlike
+    xxhash64/murmur whose seeds and mixing are engine-specific.  Offsets 1
+    and 9 give two independent 32-bit words from one md5."""
+    return F.conv(F.substring(F.md5(col), offset, 8), 16, 10).cast("bigint")
+
+
+def portable_hash31(col: Column) -> Column:
+    """31-bit portable string hash (the top md5 word masked to 31 bits) —
+    fits the Mersenne-field universal-hashing arithmetic used by MinHash."""
+    return portable_hash32(col).bitwiseAND(F.lit(0x7FFFFFFF))
+
+
+def portable_hash32_sql(expr: str, offset: int = 1) -> str:
+    """DuckDB SQL computing exactly :func:`portable_hash32`."""
+    return f"CAST(('0x' || substring(md5({expr}), {offset}, 8)) AS BIGINT)"
+
+
+def portable_hash31_sql(expr: str) -> str:
+    """DuckDB SQL computing exactly :func:`portable_hash31`."""
+    return f"({portable_hash32_sql(expr)} & 2147483647)"
+
+
 def writetime_micros(ts_col: Column) -> Column:
     """Event-time timestamp → writetime microseconds (the reference's cell
     timestamp unit; CQLTimestamp.scala:17-40)."""

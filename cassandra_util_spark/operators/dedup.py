@@ -7,8 +7,10 @@ Scale design (the part that matters at 100 TB):
 - near-dup never does all-pairs: candidates come from LSH band buckets
   (MinHash), bit-band buckets (SimHash), or shared-shingle joins with a
   document-frequency cap (Jaccard) — each bounds the join fan-out;
-- every signature is computed with built-in expressions (xxhash64,
-  transform/aggregate over arrays) — no Python in the per-row path.
+- every signature is computed with built-in expressions (md5-word portable
+  hashes by default, xxhash64 opt-in; transform/aggregate over arrays) — no
+  Python in the per-row path, and the default hash family is reproducible in
+  any engine so signatures are oracle-verifiable end to end.
 """
 
 from __future__ import annotations
@@ -165,8 +167,26 @@ def ngram_jaccard_pairs(
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+_MERSENNE_31 = (1 << 31) - 1
+
+
+def minhash_params(num_perm: int) -> list[tuple[int, int]]:
+    """The deterministic (a_j, b_j) universal-hash family — module-level so
+    an external oracle can reproduce the identical permutations."""
+    import random
+
+    rnd = random.Random(1742)
+    p = _MERSENNE_31
+    return [(rnd.randrange(1, p), rnd.randrange(0, p)) for _ in range(num_perm)]
+
+
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_perm: int = 64
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 64,
+    hash_fn: str = "portable",
 ) -> DataFrame:
     """(id, sig: array<bigint>) MinHash signatures.
 
@@ -176,27 +196,36 @@ def minhash_signatures(
     shingle subtree num_perm times into codegen — measured 20x slower — and
     this shape also spreads signature work across executors by shingle, not
     by document, which is what survives skewed document sizes at scale.
+
+    ``hash_fn``: base-hash family for the shingle.  "portable" (default, an
+    md5 word — reproducible in any engine, so signatures are oracle-
+    verifiable) or "xxhash64" (fastest JVM hash; same pipeline, engine-
+    specific values).  Only the leaf hash differs — banding, candidate
+    generation, and verification are identical code in both modes.
     """
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), n)).alias("sh")
     )
     # permutations via universal hashing of ONE base hash in the Mersenne
     # field p = 2^31-1: h_j = (a_j * h31 + b_j) mod p with a_j,b_j < p and
-    # h31 the low 31 bits of xxhash64(shingle).  Everything must live in the
+    # h31 a 31-bit base hash of the shingle.  Everything must live in the
     # SAME 31-bit field: a larger p against 31-bit inputs barely wraps, the
     # map stays near-monotonic, signatures correlate across seeds, and LSH
     # precision collapses (measured: 18x false-positive pairs).  Products
-    # stay under 2^62 (no ANSI overflow) and only one xxhash64 runs per
+    # stay under 2^62 (no ANSI overflow) and only one base hash runs per
     # shingle instead of num_perm.
-    import random
+    from cassandra_util_spark.functions import portable_hash31
 
-    rnd = random.Random(1742)  # deterministic permutation family
-    p = (1 << 31) - 1
-    params = [(rnd.randrange(1, p), rnd.randrange(0, p)) for _ in range(num_perm)]
-    h31 = F.xxhash64(F.col("sh")).bitwiseAND(F.lit(0x7FFFFFFF))
+    params = minhash_params(num_perm)
+    if hash_fn == "portable":
+        h31 = portable_hash31(F.col("sh"))
+    elif hash_fn == "xxhash64":
+        h31 = F.xxhash64(F.col("sh")).bitwiseAND(F.lit(0x7FFFFFFF))
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     sh = sh.select("id", h31.alias("h"))
     aggs = [
-        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(p))).alias(f"h{j}")
+        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_MERSENNE_31))).alias(f"h{j}")
         for j, (a, b) in enumerate(params)
     ]
     return (
@@ -214,38 +243,47 @@ def minhash_lsh_pairs(
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    hash_fn: str = "portable",
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash-LSH.
 
     signature → ``bands`` bands of ``num_perm/bands`` rows; docs sharing any
-    band hash become candidates (one shuffle keyed by (band, hash)); candidate
-    pairs are verified with the estimated Jaccard = matching signature
-    fraction.  Output: (id_a, id_b, est_jaccard).
+    band key become candidates (one shuffle keyed by (band, bucket));
+    candidate pairs are verified with the estimated Jaccard = matching
+    signature fraction.  Output: (id_a, id_b, est_jaccard).
+
+    In "portable" mode (default) the band bucket is the concatenated band
+    values themselves — collision-free and engine-reproducible; in
+    "xxhash64" mode the bucket is hashed to a fixed 8 bytes, the smaller
+    shuffle key for extreme scale (a 2^-64 collision can at worst add one
+    candidate pair, which the verify step then scores honestly).
     """
     rows_per_band = num_perm // bands
     # materialize signatures once: three consumers follow (banding + both
     # sides of the candidate verify join) and recomputing the explode+64-agg
     # DAG per consumer costs more than the signature table's storage.  At
     # warehouse scale this step is a persisted signature table on disk.
-    sig = minhash_signatures(df, id_col, text_col, n, num_perm).localCheckpoint(eager=False)
+    sig = minhash_signatures(df, id_col, text_col, n, num_perm, hash_fn).localCheckpoint(
+        eager=False
+    )
     # band the ids WITHOUT carrying signatures: the candidate join shuffles
-    # only (id, band, bucket) — 24 bytes/row — instead of 8*num_perm-byte
+    # only (id, band, bucket) — small rows — instead of 8*num_perm-byte
     # signature arrays; signatures rejoin onto the (few) surviving candidate
     # pairs afterwards
+
+    def band_key(b: Column) -> Column:
+        joined = F.concat_ws(",", F.transform(
+            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+            lambda v: v.cast("string"),
+        ))
+        return joined if hash_fn == "portable" else F.xxhash64(joined).cast("string")
+
     banded = sig.select(
         "id",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(",", F.transform(
-                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                            lambda v: v.cast("string"),
-                        ))
-                    ).alias("bucket"),
-                ),
+                lambda b: F.struct(b.alias("band"), band_key(b).alias("bucket")),
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
@@ -287,23 +325,41 @@ def minhash_lsh_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, hash_fn: str = "portable"
+) -> DataFrame:
     """(id, sim: bigint) 64-bit SimHash: per bit, sign of the sum over token
-    occurrences of ±1 by that bit of xxhash64(token).
+    occurrences of ±1 by that bit of a 64-bit token hash.
 
     explode(tokens) → groupBy(id).agg(64 conditional sums) → assemble the
     word from the counter signs.  Same scale rationale as
     :func:`minhash_signatures` (partial aggregation, no expression blowup).
+
+    ``hash_fn``: "portable" (default) takes the two leading 32-bit md5 words
+    (hi = hex chars 1-8 → bits 63..32, lo = chars 9-16 → bits 31..0) so an
+    external oracle reproduces every bit; "xxhash64" splits the JVM hash the
+    same way.  Only the leaf hash differs between modes.
     """
+    from cassandra_util_spark.functions import portable_hash32
     from cassandra_util_spark.operators.text import tokens
 
     tok = df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("t"))
-    h = F.xxhash64(F.col("t"))
+    if hash_fn == "portable":
+        hi, lo = portable_hash32(F.col("t"), 1), portable_hash32(F.col("t"), 9)
+    elif hash_fn == "xxhash64":
+        h = F.xxhash64(F.col("t"))
+        hi = F.shiftright(h, 32).bitwiseAND(F.lit(0xFFFFFFFF))
+        lo = h.bitwiseAND(F.lit(0xFFFFFFFF))
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    tok = tok.select("id", hi.alias("hi"), lo.alias("lo"))
+
+    def bit(i: int) -> Column:
+        src = F.col("lo") if i < 32 else F.col("hi")
+        return F.shiftright(src, i % 32).bitwiseAND(F.lit(1))
+
     aggs = [
-        F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(64)
+        F.sum(F.when(bit(i) == 1, 1).otherwise(-1)).alias(f"b{i}") for i in range(64)
     ]
     counters = tok.groupBy("id").agg(*aggs)
     word = F.lit(0).cast("long")
@@ -321,6 +377,7 @@ def simhash_pairs(
     id_col: str,
     text_col: str,
     max_hamming: int = 3,
+    hash_fn: str = "portable",
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash_a, simhash_b) <= max_hamming.
 
@@ -328,7 +385,7 @@ def simhash_pairs(
     one of 4 16-bit chunks — group on (chunk_index, chunk_value), then verify
     with bit_count(xor).  Output: (id_a, id_b, hamming).
     """
-    sigs = simhash_signatures(df, id_col, text_col)
+    sigs = simhash_signatures(df, id_col, text_col, hash_fn)
     chunk_structs = [
         F.struct(
             F.lit(i).alias("chunk"),
@@ -355,5 +412,7 @@ def simhash_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    ham = cand.withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+    ham = cand.withColumn(
+        "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("bigint")
+    )
     return ham.filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")

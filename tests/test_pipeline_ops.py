@@ -371,3 +371,36 @@ def test_content_digest_injective(spark):
     kept = sorted(r["doc_id"] for r in exact_dedup(df, "doc_id", ["s1", "s2"]).collect())
     # only the true duplicate (5 == 1) collapses
     assert kept == [1, 2, 3, 4]
+
+
+def test_portable_hash_cross_engine(spark):
+    """The portable md5-word hashes must agree bit-for-bit between Spark and
+    DuckDB — the primitive every portable signature oracle rests on."""
+    import duckdb
+
+    from cassandra_util_spark.functions import (
+        portable_hash31,
+        portable_hash31_sql,
+        portable_hash32,
+        portable_hash32_sql,
+    )
+
+    samples = ["", "a", "abc", "the quick brown fox", "ümlaut", "a b c d e"]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = {
+        r["s"]: (r["h31"], r["hi"], r["lo"])
+        for r in df.select(
+            "s",
+            portable_hash31(F.col("s")).alias("h31"),
+            portable_hash32(F.col("s"), 1).alias("hi"),
+            portable_hash32(F.col("s"), 9).alias("lo"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for s in samples:
+        h31, hi, lo = con.execute(
+            f"SELECT {portable_hash31_sql('?')}, {portable_hash32_sql('?', 1)},"
+            f" {portable_hash32_sql('?', 9)}",
+            [s, s, s],
+        ).fetchone()
+        assert got[s] == (h31, hi, lo), f"cross-engine hash mismatch for {s!r}"
