@@ -603,6 +603,48 @@ def dedup_ngram_jaccard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
 
 
+@query(
+    "dedup_ngram_jaccard_capped",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+    toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    sh AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        FROM toks WHERE len(w) >= 3)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    freq AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+    capped AS (
+      SELECT s.doc_id, s.sh FROM sh s JOIN freq f ON f.sh = s.sh
+      WHERE f.df > 1 AND f.df <= 20),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard_capped_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB Jaccard mode: stop-shingles above doc-frequency 20 are
+    dropped BEFORE candidate generation, bounding each shingle's pair
+    fan-out at C(20,2) — the knob that keeps the self-join near-linear on
+    web-scale corpora.  The cap is exact and portable (a deterministic
+    doc-frequency filter), so this path gets the same full-hash oracle as
+    the uncapped query: intersections count only capped shingles while
+    set sizes stay uncapped, on both sides."""
+    from cassandra_util_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5, max_doc_freq=20)
+
+
 def _minhash_params_sql(num_perm: int = 64) -> str:
     """The (j, a, b) universal-hash family as a VALUES table — generated from
     the SAME ``minhash_params`` the Spark operator uses."""

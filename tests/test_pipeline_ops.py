@@ -404,3 +404,30 @@ def test_portable_hash_cross_engine(spark):
             [s, s, s],
         ).fetchone()
         assert got[s] == (h31, hi, lo), f"cross-engine hash mismatch for {s!r}"
+
+
+def test_jaccard_doc_freq_cap_drops_stop_shingles(spark):
+    """A shingle shared by every doc is a stop-shingle: with the cap it
+    contributes to NO pair's intersection; without it, every doc pair becomes
+    a candidate.  (sizes stay uncapped on both paths.)"""
+    from cassandra_util_spark.operators.dedup import ngram_jaccard_pairs
+
+    # 4 docs sharing one universal 3-gram prefix; docs 1/2 also share a tail
+    common = "alpha beta gamma"
+    rows = [
+        (1, f"{common} one two three four"),
+        (2, f"{common} one two three five"),
+        (3, f"{common} six seven eight nine"),
+        (4, f"{common} ten eleven twelve thirteen"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    uncapped = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.1)
+    capped = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.1, max_doc_freq=3)
+    unc = {(r["id_a"], r["id_b"]): r["jaccard"] for r in uncapped.collect()}
+    cap = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped.collect()}
+    # every pair shares the universal shingles -> 6 uncapped candidate pairs
+    assert len(unc) == 6
+    # cap=3 drops shingles present in all 4 docs; only the 1-2 overlap remains
+    assert set(cap) == {(1, 2)}
+    # capped jaccard <= uncapped jaccard for the surviving pair
+    assert cap[(1, 2)] <= unc[(1, 2)]
