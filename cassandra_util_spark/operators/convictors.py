@@ -100,6 +100,25 @@ def create_convictor(name: str, table: KeyedTable, **options: Any) -> Convictor:
 # Rule-based convictors (the reference's two production convictors)
 # ---------------------------------------------------------------------------
 
+def _resolve_rules(
+    table: KeyedTable, rules: Any, rules_select: Any, with_ttl: bool
+) -> Any:
+    """Rules come either as data (DataFrame / LoadedRules / [Rule]) or as a
+    QUERY (``rules_select`` — Statement or SQL string), the reference's
+    ``rules_select_statement`` option where the rule set is data-driven
+    configuration fetched at convictor-construction time
+    (``RuleBasedDeletionConvictor.java:97-198``)."""
+    from cassandra_util_spark.plans.rules import load_rules
+
+    if rules is None and rules_select is None:
+        raise ConfigurationError("requires 'rules' or 'rules_select'")
+    if rules_select is not None:
+        if rules is not None:
+            raise ConfigurationError("pass either 'rules' or 'rules_select', not both")
+        return load_rules(table.df.sparkSession, rules_select, with_ttl=with_ttl)
+    return load_rules_df(rules, with_ttl=with_ttl) if isinstance(rules, DataFrame) else rules
+
+
 @register_convictor
 class RuleBasedDeletionConvictor(Convictor):
     """Match ⇒ convict, over a rules table (cassandra-util
@@ -110,11 +129,12 @@ class RuleBasedDeletionConvictor(Convictor):
     def __init__(
         self,
         table: KeyedTable,
-        rules: DataFrame | LoadedRules | list[Rule],
+        rules: DataFrame | LoadedRules | list[Rule] | None = None,
+        rules_select: Any = None,
         **options: Any,
     ) -> None:
         super().__init__(table, **options)
-        loaded = load_rules_df(rules) if isinstance(rules, DataFrame) else rules
+        loaded = _resolve_rules(table, rules, rules_select, with_ttl=False)
         compiled = compile_ruleset(loaded, table, mode="delete")
         self.rules = compiled.rules
         self.warnings = compiled.warnings
@@ -123,8 +143,11 @@ class RuleBasedDeletionConvictor(Convictor):
     @classmethod
     def validate_options(cls, **options: Any) -> dict[str, Any]:
         options = dict(options)
-        if options.pop("rules", None) is None:
-            raise ConfigurationError("rule_based_deletion requires 'rules'")
+        if options.pop("rules", None) is None and options.pop("rules_select", None) is None:
+            raise ConfigurationError(
+                "rule_based_deletion requires 'rules' or 'rules_select'"
+            )
+        options.pop("rules_select", None)
         return options
 
     def convict_expr(self) -> Column:
@@ -142,13 +165,14 @@ class RuleBasedLateTTLConvictor(Convictor):
     def __init__(
         self,
         table: KeyedTable,
-        rules: DataFrame | LoadedRules | list[Rule],
+        rules: DataFrame | LoadedRules | list[Rule] | None = None,
         default_ttl: Optional[int] = None,
         now_ms: Optional[int] = None,
+        rules_select: Any = None,
         **options: Any,
     ) -> None:
         super().__init__(table, **options)
-        loaded = load_rules_df(rules, with_ttl=True) if isinstance(rules, DataFrame) else rules
+        loaded = _resolve_rules(table, rules, rules_select, with_ttl=True)
         compiled = compile_ruleset(loaded, table, mode="ttl")
         self.rules = compiled.rules
         self.warnings = compiled.warnings
@@ -161,8 +185,10 @@ class RuleBasedLateTTLConvictor(Convictor):
     @classmethod
     def validate_options(cls, **options: Any) -> dict[str, Any]:
         options = dict(options)
-        if options.pop("rules", None) is None:
-            raise ConfigurationError("rule_based_late_ttl requires 'rules'")
+        if options.pop("rules", None) is None and options.get("rules_select") is None:
+            raise ConfigurationError(
+                "rule_based_late_ttl requires 'rules' or 'rules_select'"
+            )
         dt = options.pop("default_ttl", None)
         if dt is not None:
             try:
@@ -170,6 +196,7 @@ class RuleBasedLateTTLConvictor(Convictor):
             except (TypeError, ValueError):
                 raise ConfigurationError(f"invalid default_ttl {dt!r}") from None
         options.pop("now_ms", None)
+        options.pop("rules_select", None)
         return options
 
     def effective_ttl_expr(self) -> Column:

@@ -122,6 +122,29 @@ def load_rules_df(rules_df: DataFrame, with_ttl: bool = False) -> LoadedRules:
     return LoadedRules(rules, warnings, spooked)
 
 
+def load_rules(spark, rules_select, with_ttl: bool = False) -> LoadedRules:
+    """Load rules from a *query* — the reference's ``rules_select_statement``
+    path, where the convictor's rule set is data-driven configuration fetched
+    by an operator-supplied SELECT (``RuleBasedDeletionConvictor.java:97-198``,
+    executed there at LOCAL_QUORUM; here Spark SQL's parameterized-query API
+    plays that role, with Catalyst's plan cache as the prepared-statement
+    cache).
+
+    ``rules_select`` may be a :class:`~cassandra_util_spark.plans.statement.Statement`
+    (safe parameter binding — the way to scope a shared rules table by
+    tenant) or a plain SQL string.  The result must expose the standard rule
+    columns (``rulename``, ``column``, ``range``; plus ``ttl`` when
+    ``with_ttl``).
+    """
+    from cassandra_util_spark.plans.statement import Statement
+
+    if isinstance(rules_select, Statement):
+        df = rules_select.execute(spark)
+    else:
+        df = spark.sql(rules_select)
+    return load_rules_df(df, with_ttl=with_ttl)
+
+
 # ---------------------------------------------------------------------------
 # Text bound → typed literal (schema-directed late typing)
 # ---------------------------------------------------------------------------

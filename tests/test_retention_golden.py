@@ -3,6 +3,7 @@ RuleBasedDeletionConvictorSpec.scala — exact, deterministic oracles for the
 rule→expression compiler and the retention job."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from cassandra_util_spark.operators.convictors import RuleBasedDeletionConvictor
 from cassandra_util_spark.operators.retention import RetentionJob
@@ -242,3 +243,48 @@ def test_wet_run_backup_and_snapshot(spark, abcd, rules_df, tmp_path, rng, want_
         assert spark.read.parquet(backup).count() == want_convicted
     # pointer advances per commit
     assert store.current_version() == stats.committed_version
+
+
+def test_rules_loaded_via_select_statement(spark, tenanted, rules_df):
+    """The reference's rules_select_statement path: the rule set is fetched by
+    an operator-supplied parameterized SELECT over a shared rules table
+    (RuleBasedDeletionConvictor.java:97-198) — here scoped by tenant through
+    safe Statement binding, then compiled exactly like a rules DataFrame."""
+    from cassandra_util_spark.operators.convictors import create_convictor
+    from cassandra_util_spark.plans.statement import cql
+
+    table = tenanted([(1726, "aa"), (1726, "bb"), (1750, "cc"), (1780, "dd")])
+    # shared, multi-tenant rules table: only the tenant=1726 rule should load
+    all_rules = rules_df(
+        [("purge_1726", "tenant", ("1726", "1726")), ("purge_1750", "tenant", ("1750", "1750"))]
+    ).withColumn("owner", F.col("rulename"))
+    all_rules.createOrReplaceTempView("shared_rules")
+    stmt = cql(
+        "SELECT rulename, column, range FROM shared_rules WHERE rulename = :name",
+        name="purge_1726",
+    )
+    convictor = create_convictor("rule_based_deletion", table, rules_select=stmt)
+    stats = RetentionJob(table, convictor).run()
+    assert not stats.spooked, stats.warnings
+    # only tenant 1726 convicted; 1750 survives because ITS rule wasn't selected
+    assert (stats.kept, stats.convicted) == (2, 2)
+
+    # plain-string SELECT works too
+    convictor2 = create_convictor(
+        "rule_based_deletion", table,
+        rules_select="SELECT rulename, column, range FROM shared_rules",
+    )
+    stats2 = RetentionJob(table, convictor2).run()
+    assert (stats2.kept, stats2.convicted) == (1, 3)
+
+
+def test_rules_and_rules_select_mutually_exclusive(tenanted, rules_df):
+    from cassandra_util_spark.operators.convictors import (
+        ConfigurationError,
+        RuleBasedDeletionConvictor,
+    )
+
+    table = tenanted([(1, "x")])
+    rules = rules_df([("r", "tenant", ("1", "1"))])
+    with pytest.raises(ConfigurationError, match="not both"):
+        RuleBasedDeletionConvictor(table, rules=rules, rules_select="SELECT 1")

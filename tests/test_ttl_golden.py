@@ -242,3 +242,23 @@ def test_ttl_inconsistent_spooks(tenanted, rules_df):
     )
     convictor = RuleBasedLateTTLConvictor(table, rules=rules, now_ms=NOW_MS)
     assert convictor.spooked
+
+
+def test_ttl_rules_via_select_statement(spark, tenanted, rules_df):
+    """rules_select works for the TTL convictor too (with_ttl plumbed)."""
+    table = tenanted(
+        [(1726, "aa", aged(400)), (1726, "bb", aged(100)), (1750, "cc", aged(400))],
+        with_writetime=True,
+    )
+    rules_df(
+        [("r1726", "tenant", ("1726", "1726"), 300)], with_ttl=True
+    ).createOrReplaceTempView("ttl_rules_view")
+    convictor = RuleBasedLateTTLConvictor(
+        table,
+        rules_select="SELECT rulename, column, range, ttl FROM ttl_rules_view",
+        now_ms=NOW_MS,
+    )
+    stats = RetentionJob(table, convictor).run()
+    assert not stats.spooked, stats.warnings
+    # aa: matched, age 400 > ttl 300 -> convicted; bb young; cc unmatched, no default
+    assert (stats.kept, stats.convicted) == (2, 1)
