@@ -48,6 +48,10 @@ class MetricsRegistry:
 
     counters: dict[str, int] = field(default_factory=lambda: defaultdict(int))
     timers: dict[str, list[float]] = field(default_factory=lambda: defaultdict(list))
+    reports: list[dict[str, Any]] = field(default_factory=list)
+
+    def report(self, payload: dict[str, Any]) -> None:
+        self.reports.append(payload)
 
     def incr(self, name: str, n: int = 1) -> None:
         self.counters[name] += n
@@ -97,6 +101,84 @@ class Tracer:
                 return False
 
         return _Ctx()
+
+
+class StatusReporter:
+    """Interval progress reporting during a long action — the
+    ``dcs_status_report_ms`` analog (``FilteringSSTableScanner.java:333-373``
+    logs kept/dropped counts and rates at a fixed interval mid-scan).
+
+    A daemon thread polls the SparkContext status tracker every
+    ``interval_ms`` and records a report (elapsed seconds, active stages,
+    completed/total task counts) into ``registry.reports`` plus a
+    ``{name}.reports`` counter; ``on_report`` receives each payload for log
+    lines.  A final report is always emitted on exit, so even a run shorter
+    than the interval records its progress exactly once.
+
+    Polling the status tracker is driver-local and O(active stages) — it
+    costs the executors nothing, which is what makes an aggressive interval
+    safe on a 1000-executor job.
+    """
+
+    def __init__(
+        self,
+        spark,
+        registry: MetricsRegistry,
+        name: str = "retention",
+        interval_ms: int = 10_000,
+        on_report: Optional[Callable[[dict[str, Any]], None]] = None,
+    ) -> None:
+        self.spark = spark
+        self.registry = registry
+        self.name = name
+        self.interval_ms = interval_ms
+        self.on_report = on_report
+
+    def _snapshot(self, final: bool) -> dict[str, Any]:
+        tracker = self.spark.sparkContext.statusTracker()
+        stage_ids = tracker.getActiveStageIds()
+        done = total = 0
+        for sid in stage_ids:
+            info = tracker.getStageInfo(sid)
+            if info is not None:
+                done += info.numCompletedTasks
+                total += info.numTasks
+        return {
+            "name": self.name,
+            "elapsed_s": time.monotonic() - self._t0,
+            "active_stages": len(stage_ids),
+            "tasks_done": done,
+            "tasks_total": total,
+            "final": final,
+        }
+
+    def _emit(self, final: bool = False) -> None:
+        payload = self._snapshot(final)
+        self.registry.report(payload)
+        self.registry.incr(f"{self.name}.reports")
+        if self.on_report:
+            self.on_report(payload)
+
+    def _loop(self) -> None:
+        while not self._stop.wait(self.interval_ms / 1000.0):
+            self._emit()
+
+    def __enter__(self) -> "StatusReporter":
+        import threading
+
+        self._t0 = time.monotonic()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(
+            target=self._loop, name=f"status-report-{self.name}", daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> bool:
+        self._stop.set()
+        self._thread.join(timeout=5)
+        self._emit(final=True)
+        return False
 
 
 def observed_counts(df: DataFrame, keep: Column, name: str = "retention") -> tuple[DataFrame, Observation]:

@@ -63,13 +63,22 @@ class RetentionJob:
         dry_run: bool = False,
         backup_path: Optional[str] = None,
         store: Optional[SnapshotStore] = None,
+        registry=None,
+        status_report_ms: Optional[int] = None,
     ) -> None:
+        """``status_report_ms`` + ``registry``: interval progress reports
+        during the run (the ``dcs_status_report_ms`` option,
+        ``FilteringSSTableScanner.java:333-373``) — see
+        :class:`~cassandra_util_spark.core.metrics.StatusReporter`; end-of-run
+        kept/convicted totals land in the registry counters either way."""
         table.validate()
         self.table = table
         self.convictor = convictor
         self.requested_dry_run = dry_run
         self.backup_path = backup_path
         self.store = store
+        self.registry = registry
+        self.status_report_ms = status_report_ms
 
     @property
     def effective_dry_run(self) -> bool:
@@ -83,6 +92,25 @@ class RetentionJob:
         return src.filter(keep), src.filter(~keep)
 
     def run(self) -> RetentionStats:
+        if self.status_report_ms is not None and self.registry is not None:
+            from cassandra_util_spark.core.metrics import StatusReporter
+
+            with StatusReporter(
+                self.table.df.sparkSession,
+                self.registry,
+                name="retention",
+                interval_ms=self.status_report_ms,
+            ):
+                stats = self._run()
+        else:
+            stats = self._run()
+        if self.registry is not None:
+            self.registry.incr("retention.kept", stats.kept)
+            self.registry.incr("retention.convicted", stats.convicted)
+            self.registry.time("retention.duration_s", stats.duration_s)
+        return stats
+
+    def _run(self) -> RetentionStats:
         start = time.monotonic()
         kept_df, convicted_df = self.plan()
         dry = self.effective_dry_run

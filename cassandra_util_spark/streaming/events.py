@@ -12,8 +12,10 @@ reported at an interval.  Mapping:
 - rate limiting (the reference's compaction throughput throttle,
   ``FilteringSSTableScanner.java:195-203``) = ``maxFilesPerTrigger`` /
   ``maxBytesPerTrigger``;
-- progress reporting (``dcs_status_report_ms``) = StreamingQueryListener /
-  ``lastProgress``;
+- progress reporting (``dcs_status_report_ms``) = :class:`ProgressListener`
+  (a StreamingQueryListener feeding MetricsRegistry per micro-batch) for
+  streams; :class:`~cassandra_util_spark.core.metrics.StatusReporter` for
+  batch retention runs;
 - late data: watermarks gate only *stateful* windowed aggregation, never
   retention — a record older than the watermark still gets retention-filtered
   (the reference deletes retroactively at any age).
@@ -30,6 +32,44 @@ from pyspark.sql.types import StructType
 
 from cassandra_util_spark.core.table import KeyedTable, TableMeta
 from cassandra_util_spark.operators.convictors import Convictor
+
+
+def progress_listener(registry, name: str = "stream"):
+    """StreamingQueryListener recording per-micro-batch progress into a
+    :class:`MetricsRegistry` — the streaming half of ``dcs_status_report_ms``
+    (``FilteringSSTableScanner.java:333-373``): rows ingested, rows/sec, and
+    batch ids land in ``registry.reports`` as the query runs.
+
+    Register with ``spark.streams.addListener(listener)``; events are
+    delivered asynchronously by Spark's listener bus, so tests should poll
+    briefly after ``awaitTermination``.
+    """
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class ProgressListener(StreamingQueryListener):
+        def onQueryStarted(self, event) -> None:
+            registry.incr(f"{name}.started")
+
+        def onQueryProgress(self, event) -> None:
+            p = event.progress
+            registry.incr(f"{name}.reports")
+            registry.incr(f"{name}.input_rows", int(p.numInputRows))
+            registry.report(
+                {
+                    "name": name,
+                    "batch_id": p.batchId,
+                    "num_input_rows": int(p.numInputRows),
+                    "processed_rows_per_sec": float(p.processedRowsPerSecond or 0.0),
+                }
+            )
+
+        def onQueryIdle(self, event) -> None:
+            pass
+
+        def onQueryTerminated(self, event) -> None:
+            registry.incr(f"{name}.terminated")
+
+    return ProgressListener()
 
 
 def stream_events(

@@ -234,3 +234,43 @@ def test_snapshot_commit_tag_atomic_with_pointer(spark, tmp_path):
     assert store.current_tag() == "7"
     with pytest.raises(ValueError, match="single line"):
         store.commit(df, tag="a\nb")
+
+
+def test_status_reporter_interval_reports(spark):
+    """dcs_status_report_ms analog: interval progress reports appear in the
+    registry DURING a retention run (plus the guaranteed final report)."""
+    import time as _time
+
+    from cassandra_util_spark.core.metrics import StatusReporter
+
+    reg = MetricsRegistry()
+    with StatusReporter(spark, reg, name="slowjob", interval_ms=50):
+        # an action slow enough to span several intervals
+        spark.range(0, 2_000_000, 1, 8).selectExpr("sum(id * id)").collect()
+        _time.sleep(0.25)
+    assert reg.counters["slowjob.reports"] >= 2  # >=1 interval + final
+    assert reg.reports[-1]["final"] is True
+    assert all(r["name"] == "slowjob" for r in reg.reports)
+    assert all(r["elapsed_s"] >= 0 for r in reg.reports)
+
+
+def test_retention_run_feeds_registry(spark, tmp_path):
+    from cassandra_util_spark.core.table import TableMeta as TM
+
+    df = spark.createDataFrame(
+        [(t, f"id{i}") for t in (1, 2, 3, 4) for i in range(5)],
+        "tenant bigint, id string",
+    )
+    from cassandra_util_spark.core.table import KeyedTable as KT
+    from cassandra_util_spark.operators.retention import RetentionJob as RJ
+
+    table = KT(df, TM(("id", "tenant")), "tenanted")
+    convictor = RuleBasedDeletionConvictor(
+        table, rules=[Rule("purge_t2", {"tenant": (Range("2", "2"),)})]
+    )
+    reg = MetricsRegistry()
+    stats = RJ(table, convictor, registry=reg, status_report_ms=50).run()
+    assert reg.counters["retention.kept"] == stats.kept == 15
+    assert reg.counters["retention.convicted"] == stats.convicted == 5
+    assert reg.counters["retention.reports"] >= 1  # final report at minimum
+    assert reg.timer_stats("retention.duration_s")["count"] == 1

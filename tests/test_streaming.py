@@ -254,3 +254,38 @@ def test_streaming_dedup_content_digest(spark, workdir, events_src):
     want = batch_df.select("user_id", "event_type", "props").distinct().count()
     assert got.count() == want
     assert "__digest" not in got.columns
+
+
+def test_streaming_progress_listener(spark, workdir, events_src):
+    """Streaming half of dcs_status_report_ms: per-micro-batch progress
+    reports land in the registry via the listener bus."""
+    import time as _time
+
+    from cassandra_util_spark.core.metrics import MetricsRegistry
+    from cassandra_util_spark.streaming.events import progress_listener
+
+    src, batch_df = events_src
+    reg = MetricsRegistry()
+    listener = progress_listener(reg, name="ingest")
+    spark.streams.addListener(listener)
+    try:
+        out = os.path.join(workdir, "listener-out")
+        cp = os.path.join(workdir, "listener-cp")
+        q = (
+            stream_events(spark, src, batch_df.schema)
+            .writeStream.option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .format("parquet")
+            .option("path", out)
+            .start()
+        )
+        q.awaitTermination(120)
+        # listener-bus delivery is async: poll briefly
+        deadline = _time.monotonic() + 30
+        while _time.monotonic() < deadline and reg.counters["ingest.reports"] < 1:
+            _time.sleep(0.2)
+        assert reg.counters["ingest.reports"] >= 1
+        assert reg.counters["ingest.input_rows"] == batch_df.count()
+        assert any("processed_rows_per_sec" in r for r in reg.reports)
+    finally:
+        spark.streams.removeListener(listener)
