@@ -227,14 +227,22 @@ class ConfigurableDeleter(Convictor):
       semantics: keep iff NO covered key column matches (= convict on any
       match).  Observable outcomes on its own test matrix are identical.
     - the reference compares raw serialized bytes unsigned
-      (``compareUnsigned``); we compare in the column's type domain, which
-      agrees for non-negative ints and ASCII text (all its fixtures).
+      (``compareUnsigned``); the default ``compare="typed"`` compares in the
+      column's type domain, which agrees for non-negative ints and ASCII
+      text (all the reference fixtures).  ``compare="bytes"`` reproduces the
+      byte-wise unsigned order exactly (negative keys sort after positive),
+      closing the parity gap for negative-int keys.
     """
 
     name = "configurable_deleter"
 
-    def __init__(self, table: KeyedTable, delete_keys: str, **options: Any) -> None:
+    def __init__(
+        self, table: KeyedTable, delete_keys: str, compare: str = "typed", **options: Any
+    ) -> None:
         super().__init__(table, **options)
+        if compare not in ("typed", "bytes"):
+            raise ConfigurationError(f"compare must be 'typed' or 'bytes', got {compare!r}")
+        self.compare = compare
         parsed = self.validate_delete_keys(delete_keys)
         columns: dict[str, tuple[Range, ...]] = {}
         for col, spec in parsed.items():
@@ -263,6 +271,9 @@ class ConfigurableDeleter(Convictor):
         if value is None:
             raise ConfigurationError("delete_keys is a required configuration property")
         cls.validate_delete_keys(value)
+        cmp_mode = options.pop("compare", "typed")
+        if cmp_mode not in ("typed", "bytes"):
+            raise ConfigurationError(f"compare must be 'typed' or 'bytes', got {cmp_mode!r}")
         return options
 
     @staticmethod
@@ -301,7 +312,10 @@ class ConfigurableDeleter(Convictor):
         for col, ranges in self.columns.items():
             dtype = self.table.dtype_of(col)
             col_preds.append(
-                reduce(lambda a, b: a | b, (range_match_expr(col, r, dtype) for r in ranges))
+                reduce(
+                    lambda a, b: a | b,
+                    (range_match_expr(col, r, dtype, self.compare) for r in ranges),
+                )
             )
         if not col_preds:
             return F.lit(False)

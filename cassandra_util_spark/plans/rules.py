@@ -206,13 +206,45 @@ def _typed_lit(value: Any, dtype: str) -> Column:
 # Compilation to Column expressions
 # ---------------------------------------------------------------------------
 
-def range_match_expr(column: str, rng: Range, dtype: str) -> Column:
-    """value ∈ [lo, hi] inclusive; None bound = unbounded."""
+_SIGN64 = -(1 << 63)
+
+
+def _unsigned64_lit(v: int) -> int:
+    """The signed-bigint whose value under ``x XOR sign-bit`` ordering equals
+    v's rank in unsigned-byte order (big-endian two's complement)."""
+    x = (v & 0xFFFFFFFFFFFFFFFF) ^ (1 << 63)
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
+def range_match_expr(column: str, rng: Range, dtype: str, compare: str = "typed") -> Column:
+    """value ∈ [lo, hi] inclusive; None bound = unbounded.
+
+    ``compare="bytes"`` reproduces the reference's unsigned byte-wise order
+    over the serialized key (``ConfigurableDeleter.java:272-275``): integer
+    types compare as ``x XOR sign-bit`` (exactly unsigned big-endian
+    two's-complement order, still a folded codegen integer compare — negative
+    keys sort AFTER positive ones); strings already compare byte-wise in
+    Spark (UTF8String order = UTF-8 byte order), and other types keep their
+    typed order (the reference fixtures only exercise ints and text).
+    """
+    base = dtype.split("(")[0]
+    if compare == "bytes" and base in _INT_BOUNDS:
+        colx = F.col(column).cast("bigint").bitwiseXOR(F.lit(_SIGN64))
+
+        def bound_lit(text: str) -> Column:
+            return F.lit(_unsigned64_lit(parse_bound(text, dtype)))
+
+    else:
+        colx = F.col(column)
+
+        def bound_lit(text: str) -> Column:
+            return _typed_lit(parse_bound(text, dtype), dtype)
+
     preds: list[Column] = []
     if rng.lo is not None:
-        preds.append(F.col(column) >= _typed_lit(parse_bound(rng.lo, dtype), dtype))
+        preds.append(colx >= bound_lit(rng.lo))
     if rng.hi is not None:
-        preds.append(F.col(column) <= _typed_lit(parse_bound(rng.hi, dtype), dtype))
+        preds.append(colx <= bound_lit(rng.hi))
     if not preds:
         # (null, null) = full scan: matches every non-null value
         return F.col(column).isNotNull()

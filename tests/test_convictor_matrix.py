@@ -78,3 +78,44 @@ def test_odd_token_disperses(abcd):
     conv = create_convictor("odd_token", table)
     stats = RetentionJob(table, conv).run()
     assert 30 <= stats.kept <= 70
+
+
+def test_configurable_deleter_bytes_vs_typed_negative_keys(spark):
+    """Where typed and byte-wise unsigned orders genuinely diverge: negative
+    integer keys.  CQL serializes ints big-endian two's complement and the
+    reference compares those bytes UNSIGNED (ConfigurableDeleter.java:272-275)
+    — so -3 sorts AFTER 8, and a [0, null) range swallows negatives too."""
+    from cassandra_util_spark.core.table import KeyedTable, TableMeta
+    from cassandra_util_spark.operators.convictors import (
+        ConfigurableDeleter,
+        ConfigurationError,
+        create_convictor,
+    )
+
+    df = spark.createDataFrame([(-5,), (-1,), (0,), (3,), (8,)], "a bigint")
+    table = KeyedTable(df, TableMeta(("a",)), "negs")
+
+    # range [0, unbounded): typed keeps negatives; bytes convicts them too
+    typed = ConfigurableDeleter(table, delete_keys='{"a": [[0, null]]}')
+    kept_typed = {r["a"] for r in df.filter(typed.keep_expr()).collect()}
+    assert kept_typed == {-5, -1}
+
+    by = ConfigurableDeleter(table, delete_keys='{"a": [[0, null]]}', compare="bytes")
+    kept_bytes = {r["a"] for r in df.filter(by.keep_expr()).collect()}
+    assert kept_bytes == set()  # negatives sort above every positive
+
+    # range [-3, 5]: typed convicts -3..5; bytes sees lo > hi => empty range
+    typed2 = ConfigurableDeleter(table, delete_keys='{"a": [["-3", "5"]]}')
+    assert {r["a"] for r in df.filter(typed2.keep_expr()).collect()} == {-5, 8}
+    bytes2 = ConfigurableDeleter(table, delete_keys='{"a": [["-3", "5"]]}', compare="bytes")
+    assert {r["a"] for r in df.filter(bytes2.keep_expr()).collect()} == {-5, -1, 0, 3, 8}
+
+    # both modes agree on the reference's own fixture domain (non-negative)
+    nn = spark.createDataFrame([(0,), (3,), (8,), (11,)], "a bigint")
+    nn_table = KeyedTable(nn, TableMeta(("a",)), "nonneg")
+    for mode in ("typed", "bytes"):
+        conv = ConfigurableDeleter(nn_table, delete_keys='{"a": [[3, 8]]}', compare=mode)
+        assert {r["a"] for r in nn.filter(conv.keep_expr()).collect()} == {0, 11}
+
+    with pytest.raises(ConfigurationError, match="typed.*bytes|bytes.*typed"):
+        create_convictor("configurable_deleter", table, delete_keys="{}", compare="nope")
