@@ -1457,3 +1457,43 @@ def salted_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"n": F.count(F.lit(1)), "value_sum": F.sum(F.col("value").cast("decimal(28,6)"))},
         {"n": F.sum("n").cast("bigint"), "value_sum": F.sum("value_sum").cast("double")},
     )
+
+
+@query(
+    "bucketed_colocated_join",
+    oracle="""
+    SELECT o_custkey AS custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+    FROM customer JOIN orders ON o_custkey = c_custkey
+    GROUP BY o_custkey
+    """,
+)
+def bucketed_colocated_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-aware co-location as bucketed storage: both sides written
+    bucketBy(8, custkey) — the equi-join then needs NO shuffle exchange
+    under either side, and the downstream per-custkey aggregate reuses the
+    same partitioning (zero Exchange in the whole plan; the batch analog of
+    CQLBatch.groupByFirstReplica locality).  The oracle is the plain join —
+    bucketing must change the plan, never the result."""
+    import os
+    import tempfile
+
+    from cassandra_util_spark.sources.bucketed import colocated_join, write_bucketed
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_name"
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    base = tempfile.mkdtemp(prefix="bucketed-contract-")
+    write_bucketed(c, "bk_customer", ["custkey"], 8, sort_cols=["custkey"],
+                   path=os.path.join(base, "customer"))
+    write_bucketed(o, "bk_orders", ["custkey"], 8, sort_cols=["custkey"],
+                   path=os.path.join(base, "orders"))
+    joined = colocated_join(spark, "bk_customer", "bk_orders", ["custkey"])
+    return joined.groupBy("custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_spend"),
+    )

@@ -347,6 +347,21 @@ class AllPartitionKeyDeleter(Convictor):
 
 
 @register_convictor
+class AllAtomDeleter(Convictor):
+    """Convicts every atom (``example/AllAtomDeleter.java:43-53``).  The
+    reference distinguishes partition-level conviction from atom/cell-level
+    conviction; in the row model a row IS the atom group, so this is
+    behaviorally identical to ``delete_all_partitions`` — registered under
+    its own name so the example-convictor matrix maps 1:1 and the identity
+    is explicit rather than implied."""
+
+    name = "delete_all_atoms"
+
+    def convict_expr(self) -> Column:
+        return F.lit(True)
+
+
+@register_convictor
 class AllClusterKeyDeleter(Convictor):
     """Convicts every clustering group — rows in tables *with* clustering keys
     vanish; tables without clustering keys are untouched."""

@@ -33,6 +33,48 @@ class ConnectorUnavailable(RuntimeError):
     pass
 
 
+# -- pure option construction (unit-testable without the connector jar) -----
+
+def read_options(keyspace: str, table: str) -> dict[str, str]:
+    """Reader options for the connector's documented surface."""
+    if not keyspace or not table:
+        raise ValueError("keyspace and table are required")
+    return {"keyspace": keyspace, "table": table}
+
+
+def writetime_projection(column: str) -> str:
+    """The ``writetime(col)`` projection expression the connector exposes
+    (surfaces the cell timestamp as a queryable column)."""
+    if not column.isidentifier():
+        raise ValueError(f"writetime_of must be a column identifier, got {column!r}")
+    return f"writetime({column})"
+
+
+def write_options(
+    keyspace: str, table: str, writetime_us: Optional[int] = None
+) -> dict[str, str]:
+    """Writer options; ``writetime_us`` maps to
+    ``spark.cassandra.output.timestamp`` (the USING TIMESTAMP analog)."""
+    opts = {"keyspace": keyspace, "table": table}
+    if writetime_us is not None:
+        if int(writetime_us) < 0:
+            raise ValueError("writetime_us must be non-negative microseconds")
+        opts["spark.cassandra.output.timestamp"] = str(int(writetime_us))
+    return opts
+
+
+# Smoke recipe when a connector jar IS present (not in this container):
+#   spark = (SparkSession.builder
+#            .config("spark.jars.packages",
+#                    "com.datastax.spark:spark-cassandra-connector_2.13:3.5.1")
+#            .config("spark.sql.extensions",
+#                    "com.datastax.spark.connector.CassandraSparkExtensions")
+#            .config("spark.cassandra.connection.host", "127.0.0.1")
+#            .getOrCreate())
+#   t = read_cassandra_table(spark, "ks", "events", ["id"], writetime_of="payload")
+#   t.df.show()   # then RetentionJob(t, convictor).run() as with parquet
+
+
 def _check_connector(spark: SparkSession) -> None:
     try:
         # the connector registers this format; loading its DataSource class
@@ -61,16 +103,11 @@ def read_cassandra_table(
     (per-cell timestamps collapse to that column's, matching the engine's
     per-row writetime model)."""
     _check_connector(spark)
-    reader = (
-        spark.read.format(CASSANDRA_FORMAT)
-        .option("keyspace", keyspace)
-        .option("table", table)
-    )
-    df = reader.load()
+    df = spark.read.format(CASSANDRA_FORMAT).options(**read_options(keyspace, table)).load()
     if writetime_of is not None:
         from pyspark.sql import functions as F
 
-        df = df.withColumn("writetime", F.expr(f"writetime({writetime_of})"))
+        df = df.withColumn("writetime", F.expr(writetime_projection(writetime_of)))
     meta = TableMeta(
         tuple(partition_keys),
         tuple(clustering_keys),
@@ -89,12 +126,9 @@ def write_cassandra_table(
     """Bulk write; ``writetime_us`` maps to spark.cassandra.output.timestamp
     (USING TIMESTAMP for the whole write)."""
     _check_connector(df.sparkSession)
-    writer = (
+    (
         df.write.format(CASSANDRA_FORMAT)
-        .option("keyspace", keyspace)
-        .option("table", table)
+        .options(**write_options(keyspace, table, writetime_us))
         .mode(mode)
+        .save()
     )
-    if writetime_us is not None:
-        writer = writer.option("spark.cassandra.output.timestamp", str(writetime_us))
-    writer.save()

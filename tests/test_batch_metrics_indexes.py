@@ -274,3 +274,30 @@ def test_retention_run_feeds_registry(spark, tmp_path):
     assert reg.counters["retention.convicted"] == stats.convicted == 5
     assert reg.counters["retention.reports"] >= 1  # final report at minimum
     assert reg.timer_stats("retention.duration_s")["count"] == 1
+
+
+def test_connector_option_construction_without_jar():
+    """The connector surface is unexercisable in-container (no jar), but its
+    option/format/projection construction is pure — unit-test that."""
+    from cassandra_util_spark.sources.cassandra import (
+        CASSANDRA_FORMAT,
+        read_options,
+        write_options,
+        writetime_projection,
+    )
+
+    assert CASSANDRA_FORMAT == "org.apache.spark.sql.cassandra"
+    assert read_options("ks", "events") == {"keyspace": "ks", "table": "events"}
+    assert writetime_projection("payload") == "writetime(payload)"
+    assert write_options("ks", "t") == {"keyspace": "ks", "table": "t"}
+    assert write_options("ks", "t", 1_700_000_000_000_000) == {
+        "keyspace": "ks",
+        "table": "t",
+        "spark.cassandra.output.timestamp": "1700000000000000",
+    }
+    with pytest.raises(ValueError, match="identifier"):
+        writetime_projection("payload); DROP TABLE x")
+    with pytest.raises(ValueError, match="required"):
+        read_options("", "t")
+    with pytest.raises(ValueError, match="non-negative"):
+        write_options("ks", "t", -5)

@@ -99,3 +99,18 @@ def test_colocated_join_helper(spark, bucketed_pair):
         assert j.count() == spark.table("b_orders").count()
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_contract_bucketed_join_plan_has_no_exchange(spark):
+    """The contract query's WHOLE plan (join + downstream agg) must contain
+    zero SHUFFLE exchanges — bucketing supplies the partitioning for both.
+    (AQE may still broadcast a tiny side — a broadcast is not a shuffle and
+    disappears at real scale thresholds; the guarded invariant is that no
+    hash repartitioning of either fact table ever happens.)"""
+    from cassandra_util_spark.entry_queries import QUERIES
+    from cassandra_util_spark.sources.bucketed import join_is_colocated
+
+    df = QUERIES["bucketed_colocated_join"](spark, "/root/testdata/sf0.001")
+    assert join_is_colocated(df)  # no Exchange hashpartitioning anywhere
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan

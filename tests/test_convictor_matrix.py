@@ -21,6 +21,9 @@ EXPECT = {
     # convictor -> {layout: surviving rows}
     "keep_all": {layout: 100 for layout in LAYOUTS},
     "delete_all_partitions": {layout: 0 for layout in LAYOUTS},
+    # atom-level conviction == partition-level in the row model (a row is the
+    # atom group); the matrix states the identity explicitly
+    "delete_all_atoms": {layout: 0 for layout in LAYOUTS},
     "odd_pk": {layout: 50 for layout in LAYOUTS},  # a even
     "delete_all_clusters": {
         # convicts everything in tables WITH clustering keys, nothing otherwise
