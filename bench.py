@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "events_hourly_rollup",
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "embedding_neardup",
@@ -55,6 +56,7 @@ BENCH_QUERIES = [
     "media_frame_plan",
     "events_json_props",
     "salted_event_rollup",
+    "bucketed_colocated_join",
 ]
 
 
