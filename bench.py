@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "events_json_props",
     "salted_event_rollup",
     "bucketed_colocated_join",
+    "corpus_clean_pipeline",
 ]
 
 

@@ -1497,3 +1497,67 @@ def bucketed_colocated_join_query(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_spend"),
     )
+
+
+@query(
+    "corpus_clean_pipeline",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, text,
+             round(0.4 * least(len({_TOKS_SQL}) / 100.0, 1.0)
+                 + 0.3 * least((len(list_filter(list_transform({_TOKS_SQL}, x -> lower(x)),
+                                                x -> list_contains({_STOPS_SQL}, x)))
+                                / greatest(len({_TOKS_SQL}), 1)) * 4.0, 1.0)
+                 + 0.3 * (1.0 - least(((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+                                       / greatest(length(text), 1)) * 5.0, 1.0)), 6) AS quality,
+             CASE
+               WHEN en + de + fr + es = 0 THEN 'und'
+               WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+               WHEN de >= fr AND de >= es THEN 'de'
+               WHEN fr >= es THEN 'fr'
+               ELSE 'es'
+             END AS lang_pred
+      FROM (
+        SELECT doc_id, text,
+          len(list_filter(ltoks, x -> list_contains(['the','a','and','of','to','in','is'], x))) AS en,
+          len(list_filter(ltoks, x -> list_contains(['der','die','das','und','ist','nicht'], x))) AS de,
+          len(list_filter(ltoks, x -> list_contains(['le','la','les','et','est','une'], x))) AS fr,
+          len(list_filter(ltoks, x -> list_contains(['el','los','las','y','es','una'], x))) AS es
+        FROM (SELECT doc_id, text, list_transform({_TOKS_SQL}, x -> lower(x)) AS ltoks
+              FROM documents)
+      )),
+    filtered AS (
+      SELECT doc_id, text, quality, lang_pred FROM scored
+      WHERE quality >= 0.5 AND lang_pred = 'en'),
+    deduped AS (
+      SELECT doc_id, lang_pred, quality,
+             row_number() OVER (PARTITION BY md5({_NORM_SQL}) ORDER BY doc_id) AS rn
+      FROM filtered)
+    SELECT doc_id, lang_pred, quality FROM deduped WHERE rn = 1
+    """,
+)
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data cleaning pipeline in ONE Catalyst plan:
+    quality scoring -> language filter -> formatting-insensitive dedup
+    (fingerprint, lowest id survives).  Composition is the point: scoring and
+    language ID fuse into the same map-only scan stage (whole-stage codegen),
+    the quality/lang filter prunes BEFORE the dedup shuffle, and the only
+    exchange in the plan is on the 16-byte fingerprint of the surviving
+    rows — exactly how the stages compose at 100 TB."""
+    from pyspark.sql import Window
+    from cassandra_util_spark.operators.text import fingerprint, lang_id, quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    scored = d.select(
+        "doc_id", "text",
+        quality_score(t).alias("quality"),
+        lang_id(t).alias("lang_pred"),
+    )
+    filtered = scored.filter((F.col("quality") >= 0.5) & (F.col("lang_pred") == "en"))
+    w = Window.partitionBy(fingerprint(F.col("text"))).orderBy(F.col("doc_id").asc())
+    return (
+        filtered.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang_pred", "quality")
+    )

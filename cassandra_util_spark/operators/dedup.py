@@ -340,12 +340,15 @@ def simhash_signatures(
     external oracle reproduces every bit; "xxhash64" splits the JVM hash the
     same way.  Only the leaf hash differs between modes.
     """
-    from cassandra_util_spark.functions import portable_hash32
     from cassandra_util_spark.operators.text import tokens
 
     tok = df.select(F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("t"))
     if hash_fn == "portable":
-        hi, lo = portable_hash32(F.col("t"), 1), portable_hash32(F.col("t"), 9)
+        # both 32-bit words slice one md5 subtree; codegen subexpression
+        # elimination evaluates it once per token
+        hx = F.md5(F.col("t"))
+        hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("bigint")
+        lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("bigint")
     elif hash_fn == "xxhash64":
         h = F.xxhash64(F.col("t"))
         hi = F.shiftright(h, 32).bitwiseAND(F.lit(0xFFFFFFFF))
