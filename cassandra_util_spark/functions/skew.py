@@ -33,6 +33,13 @@ def salted_agg(
     >>> salted_agg(df, ["tenant"],
     ...     {"n": F.count(F.lit(1)), "total": F.sum("v")},
     ...     {"n": F.sum("n"), "total": F.sum("total")})
+
+    The salt hashes ALL columns (deterministic — no ``rand()``, so retries
+    and speculative tasks agree), which means rows that are full duplicates
+    share a salt bucket.  Real skewed data has varying non-key values, so
+    the hot key still fans out; a pathological all-columns-identical corpus
+    would not spread, and that trade (determinism over a degenerate case)
+    is deliberate.
     """
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(buckets))
     phase1 = (

@@ -385,7 +385,15 @@ def test_portable_hash_cross_engine(spark):
         portable_hash32_sql,
     )
 
-    samples = ["", "a", "abc", "the quick brown fox", "ümlaut", "a b c d e"]
+    import random as _random
+
+    rnd = _random.Random(7)
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789 äöüßéñ中日"
+    fuzz = [
+        "".join(rnd.choice(alphabet) for _ in range(rnd.randrange(0, 40)))
+        for _ in range(200)
+    ]
+    samples = ["", "a", "abc", "the quick brown fox", "ümlaut", "a b c d e"] + fuzz
     df = spark.createDataFrame([(s,) for s in samples], "s string")
     got = {
         r["s"]: (r["h31"], r["hi"], r["lo"])
