@@ -1561,3 +1561,55 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "lang_pred", "quality")
     )
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+    toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    sh AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        FROM toks WHERE len(w) >= 3)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.5),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs),
+    reach(id, root) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id),
+    comp AS (SELECT id, min(root) AS comp FROM reach GROUP BY id)
+    SELECT d.doc_id,
+           coalesce(c.comp, d.doc_id) AS cluster,
+           d.doc_id = coalesce(c.comp, d.doc_id) AS keep
+    FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    """,
+)
+def dedup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup resolution: Jaccard pairs (the same edges the
+    dedup_ngram_jaccard query verifies) closed into connected components by
+    iterative min-label propagation, then one canonical survivor (lowest id)
+    per cluster across the WHOLE corpus — singletons are their own cluster.
+    The oracle replays the closure as a recursive CTE, so the iterative
+    DataFrame algorithm is hash-checked end to end, not just row-counted."""
+    from cassandra_util_spark.operators.cluster import resolve_duplicates
+    from cassandra_util_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    return resolve_duplicates(d, pairs, "doc_id")

@@ -1,0 +1,88 @@
+"""Connected-components cluster resolution (operators/cluster.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+
+
+def _union_find(edges, nodes):
+    """Driver-side oracle: classic union-find over the same edges."""
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def test_chain_transitivity(spark):
+    """a-b, b-c, c-d is ONE cluster even though (a,d) was never a pair."""
+    from cassandra_util_spark.operators.cluster import connected_components
+
+    comp = connected_components(_pairs(spark, [(1, 2), (2, 3), (3, 4)]))
+    rows = {r["id"]: r["comp"] for r in comp.collect()}
+    assert rows == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_multiple_components_and_edge_direction(spark):
+    """Components stay separate; reversed edge order (b < a) still merges."""
+    from cassandra_util_spark.operators.cluster import connected_components
+
+    comp = connected_components(_pairs(spark, [(5, 4), (10, 11), (12, 11)]))
+    rows = {r["id"]: r["comp"] for r in comp.collect()}
+    assert rows == {4: 4, 5: 4, 10: 10, 11: 10, 12: 10}
+
+
+def test_matches_union_find_on_random_graph(spark):
+    """Random sparse graph vs a driver-side union-find oracle."""
+    import random
+
+    from cassandra_util_spark.operators.cluster import connected_components
+
+    rnd = random.Random(7)
+    nodes = list(range(200))
+    edges = [(rnd.randrange(200), rnd.randrange(200)) for _ in range(120)]
+    edges = [(a, b) for a, b in edges if a != b]
+    expected = _union_find(edges, {n for e in edges for n in e})
+
+    comp = connected_components(_pairs(spark, edges))
+    rows = {r["id"]: r["comp"] for r in comp.collect()}
+    assert rows == expected
+
+
+def test_convergence_guard_raises(spark):
+    """A path graph of diameter > max_iter trips the guard instead of
+    silently emitting an under-merged clustering."""
+    from cassandra_util_spark.operators.cluster import connected_components
+
+    chain = [(i, i + 1) for i in range(30)]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(_pairs(spark, chain), max_iter=3)
+
+
+def test_resolve_duplicates_canonical_and_singletons(spark):
+    from cassandra_util_spark.operators.cluster import resolve_duplicates
+
+    corpus = spark.createDataFrame([(i,) for i in range(8)], "doc_id bigint")
+    pairs = _pairs(spark, [(1, 3), (3, 5), (2, 6)])
+    out = {r["doc_id"]: (r["cluster"], r["keep"]) for r in
+           resolve_duplicates(corpus, pairs, "doc_id").collect()}
+    assert out == {
+        0: (0, True),
+        1: (1, True), 3: (1, False), 5: (1, False),
+        2: (2, True), 6: (2, False),
+        4: (4, True), 7: (7, True),
+    }
+    # exactly one survivor per cluster
+    survivors = [k for k, (c, keep) in out.items() if keep]
+    assert sorted(survivors) == [0, 1, 2, 4, 7]
