@@ -1613,3 +1613,42 @@ def dedup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
     return resolve_duplicates(d, pairs, "doc_id")
+
+
+# per-language sampling rates for the stratified-sample contract query;
+# thresholds are integer literals computed ONCE here and inlined into BOTH
+# engines' predicates, so there is no cross-engine float rounding surface
+_STRATA_FRACTIONS = {"en": 0.5, "de": 1.0, "fr": 0.25, "es": 0.1, "zh": 0.3}
+
+
+def _strata_case_sql() -> str:
+    from cassandra_util_spark.operators.sampling import gate_threshold
+
+    arms = " ".join(
+        f"WHEN lang = '{v}' THEN {gate_threshold(f)}"
+        for v, f in sorted(_STRATA_FRACTIONS.items())
+    )
+    return f"CASE {arms} ELSE 0 END"
+
+
+@query(
+    "stratified_sample_docs",
+    oracle=f"""
+    SELECT doc_id, lang FROM documents
+    WHERE CAST(('0x' || substring(md5('s1:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          < {_strata_case_sql()}
+    """,
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language sampling in ONE map-only pass: a row is
+    kept iff a portable hash of (seed, doc_id) clears its language's
+    threshold.  Unlike df.sample, the selected ROW SET is a pure function
+    of the data — independent of partitioning, cluster size, and run order
+    — which is what makes a 100 TB corpus sample reproducible and
+    auditable (the oracle re-derives the exact membership)."""
+    from cassandra_util_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_sample(d, "lang", _STRATA_FRACTIONS, "doc_id", seed="s1").select(
+        "doc_id", "lang"
+    )

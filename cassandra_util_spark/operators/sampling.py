@@ -1,0 +1,117 @@
+"""Deterministic sampling and data mixing for training-corpus assembly.
+
+Training pipelines need samples that are (a) reproducible run-to-run and
+cluster-size-independent, (b) exact — auditable against an external engine,
+and (c) map-only at 100 TB.  Spark's ``df.sample`` is none of these: it is
+seeded per-partition, so the selected ROWS change with partitioning.
+
+The primitive here is hash-gating: a row is in the sample iff a portable
+32-bit hash of (seed, key) falls below ``fraction * 2^32``.  That decision
+is a pure function of the row's key — no RNG state, no partition
+dependence, no shuffle — and reproducible in any engine that has md5
+(``functions.portable_hash32``).  Nested samples compose: the 10% sample
+of the 50% sample is a fixed subset of both (hash < 0.1*2^32 implies
+hash < 0.5*2^32), which gives free sample-size laddering.
+
+``mixture_fractions`` solves the source-mixing problem: given per-source
+row counts and target mixture weights, the largest total T satisfying
+``w_s * T <= n_s`` for all sources is ``T = min(n_s / w_s)``; each source
+then samples at ``w_s * T / n_s``.  The bottleneck source samples at 1.0
+and everything else downsamples to match — no upsampling/duplication.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cassandra_util_spark.functions import portable_hash32, portable_hash32_sql
+
+_2_32 = 1 << 32
+
+
+def sample_gate(key: Column, seed: str) -> Column:
+    """Uniform [0, 2^32) gate value for (seed, key) — the decision hash."""
+    return portable_hash32(F.concat(F.lit(seed), F.lit(":"), key.cast("string")))
+
+
+def sample_gate_sql(key_expr: str, seed: str) -> str:
+    """DuckDB SQL computing exactly :func:`sample_gate`."""
+    return portable_hash32_sql(f"'{seed}:' || CAST({key_expr} AS VARCHAR)")
+
+
+def gate_threshold(fraction: float) -> int:
+    """The integer gate for a fraction — computed ONCE driver-side so both
+    engines compare against the identical literal."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    return int(round(fraction * _2_32))
+
+
+def hash_sample(df: DataFrame, fraction: float, key_col: str, seed: str = "s1") -> DataFrame:
+    """Deterministic ~``fraction`` sample keyed by ``key_col``.
+
+    Map-only: the filter is a pure expression over the key, so it pushes
+    into the scan stage and costs no shuffle at any scale.
+    """
+    return df.filter(sample_gate(F.col(key_col), seed) < F.lit(gate_threshold(fraction)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    seed: str = "s1",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. per-language rates).
+
+    Strata absent from ``fractions`` sample at ``default_fraction``.
+    Single map-only pass: the per-stratum threshold is a CASE expression,
+    not a per-stratum job — one scan regardless of stratum count.
+    """
+    thr: Column = F.lit(gate_threshold(default_fraction))
+    for value, frac in sorted(fractions.items()):
+        thr = F.when(F.col(strata_col) == value, F.lit(gate_threshold(frac))).otherwise(thr)
+    return df.filter(sample_gate(F.col(key_col), seed) < thr)
+
+
+def mixture_fractions(
+    counts: dict[str, int], weights: dict[str, float]
+) -> dict[str, float]:
+    """Per-source sampling fractions achieving the target mixture.
+
+    The achievable total is limited by the scarcest source relative to its
+    weight; that source is kept whole and the rest downsample.  Returns
+    {source: fraction in (0, 1]} for every source in ``weights``.
+    """
+    if set(weights) - set(counts):
+        raise ValueError(f"weights name unknown sources: {set(weights) - set(counts)}")
+    wsum = sum(weights.values())
+    if wsum <= 0:
+        raise ValueError("weights must sum to a positive value")
+    norm = {s: w / wsum for s, w in weights.items() if w > 0}
+    total = min(counts[s] / w for s, w in norm.items())
+    return {s: (w * total) / counts[s] for s, w in norm.items()}
+
+
+def mixed_sample(
+    df: DataFrame,
+    source_col: str,
+    weights: dict[str, float],
+    key_col: str,
+    seed: str = "mix",
+) -> DataFrame:
+    """Downsample each source so the result approximates the target mixture.
+
+    Counts per source come from one aggregate pass (exact, not estimated);
+    the sampling pass itself is map-only.  Two scans total — at warehouse
+    scale the counts pass reads footer statistics / a catalog, not data.
+    """
+    counts = {
+        r[source_col]: r["n"]
+        for r in df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    fracs = mixture_fractions(counts, weights)
+    return stratified_sample(df, source_col, fracs, key_col, seed, default_fraction=0.0)

@@ -1,0 +1,96 @@
+"""Deterministic sampling / data mixing (operators/sampling.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def test_hash_sample_deterministic_and_partition_independent(spark, docs):
+    from cassandra_util_spark.operators.sampling import hash_sample
+
+    a = sorted(r["doc_id"] for r in hash_sample(docs, 0.3, "doc_id").collect())
+    b = sorted(
+        r["doc_id"]
+        for r in hash_sample(docs.repartition(17), 0.3, "doc_id").collect()
+    )
+    assert a == b and len(a) > 0
+    # rate lands near the target (binomial tolerance on 500 docs)
+    assert 0.2 < len(a) / docs.count() < 0.4
+
+
+def test_hash_sample_nesting_ladder(spark, docs):
+    """The 10% sample is a subset of the 50% sample — same seed, same key."""
+    from cassandra_util_spark.operators.sampling import hash_sample
+
+    small = {r["doc_id"] for r in hash_sample(docs, 0.1, "doc_id").collect()}
+    big = {r["doc_id"] for r in hash_sample(docs, 0.5, "doc_id").collect()}
+    assert small <= big and len(small) < len(big)
+
+
+def test_hash_sample_fraction_bounds(spark, docs):
+    from cassandra_util_spark.operators.sampling import hash_sample
+
+    assert hash_sample(docs, 0.0, "doc_id").count() == 0
+    assert hash_sample(docs, 1.0, "doc_id").count() == docs.count()
+    with pytest.raises(ValueError):
+        hash_sample(docs, 1.5, "doc_id")
+
+
+def test_stratified_sample_rates_and_isolation(spark, docs):
+    from cassandra_util_spark.operators.sampling import stratified_sample
+
+    out = stratified_sample(
+        docs, "lang", {"en": 1.0, "de": 0.0}, "doc_id", default_fraction=0.5
+    )
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    full = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["en"] == full["en"]  # fraction 1.0 keeps the stratum whole
+    assert "de" not in counts  # fraction 0.0 drops it entirely
+    for lang in full:
+        if lang not in ("en", "de"):
+            assert 0.25 < counts.get(lang, 0) / full[lang] < 0.75  # default 0.5
+
+
+def test_mixture_fractions_bottleneck_kept_whole():
+    from cassandra_util_spark.operators.sampling import mixture_fractions
+
+    fr = mixture_fractions(
+        counts={"a": 1000, "b": 100, "c": 400}, weights={"a": 1, "b": 1, "c": 2}
+    )
+    # b is the scarcest relative to its weight -> sampled at 1.0
+    assert fr["b"] == pytest.approx(1.0)
+    # achieved mixture matches the target weights exactly
+    achieved = {s: fr[s] * n for s, n in {"a": 1000, "b": 100, "c": 400}.items()}
+    assert achieved["a"] == pytest.approx(achieved["b"])
+    assert achieved["c"] == pytest.approx(2 * achieved["a"])
+    assert all(0 < f <= 1 for f in fr.values())
+
+
+def test_mixture_fractions_validation():
+    from cassandra_util_spark.operators.sampling import mixture_fractions
+
+    with pytest.raises(ValueError, match="unknown sources"):
+        mixture_fractions({"a": 10}, {"a": 1, "zz": 1})
+    with pytest.raises(ValueError, match="positive"):
+        mixture_fractions({"a": 10}, {"a": 0})
+
+
+def test_mixed_sample_achieves_target_mixture(spark, docs):
+    from cassandra_util_spark.operators.sampling import mixed_sample
+
+    weights = {"src0": 2.0, "src1": 1.0, "src2": 1.0}
+    out = mixed_sample(docs.filter(F.col("source").isin(*weights)), "source", weights, "doc_id")
+    counts = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # src0 should land near twice src1/src2 (hash-gating is approximate at
+    # this corpus size; the FRACTIONS are exact, membership is binomial)
+    assert counts["src0"] > counts["src1"] * 1.4
+    assert counts["src0"] > counts["src2"] * 1.4
+    # deterministic: rerun yields the identical row set
+    again = mixed_sample(docs.filter(F.col("source").isin(*weights)), "source", weights, "doc_id")
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
