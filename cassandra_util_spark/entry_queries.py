@@ -1652,3 +1652,34 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(d, "lang", _STRATA_FRACTIONS, "doc_id", seed="s1").select(
         "doc_id", "lang"
     )
+
+
+@query(
+    "doc_repetition_filter",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents),
+    stats AS (
+      SELECT doc_id,
+        round(CASE WHEN len(w) > 0 THEN
+          list_max(list_transform(list_distinct(w), t -> len(list_filter(w, x -> x = t)))) / len(w)
+          ELSE 0.0 END, 6) AS top_token_frac,
+        round(CASE WHEN len(w) >= 2 THEN
+          1.0 - len(list_distinct(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])))
+                / (len(w) - 1)
+          ELSE 0.0 END, 6) AS dup_bigram_frac
+      FROM toks)
+    SELECT doc_id, top_token_frac, dup_bigram_frac,
+           (top_token_frac > 0.12 OR dup_bigram_frac > 0.06) AS repetitive
+    FROM stats
+    """,
+)
+def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/boilerplate signals for every document —
+    most-frequent-token fraction and duplicate-bigram fraction — plus the
+    combined flag.  Both signals are pure expressions fused into one
+    map-only codegen stage: at 100 TB this is a single scan reading
+    (doc_id, text), no shuffle, no Python."""
+    from cassandra_util_spark.operators.text import repetition_profile
+
+    d = _t(spark, sf_dir, "documents")
+    return repetition_profile(d, "doc_id", "text")

@@ -101,6 +101,70 @@ def lang_id(col: Column) -> Column:
     )
 
 
+def _norm_tokens(col: Column) -> Column:
+    """non-empty tokens of the normalized text (the repetition-stat basis)."""
+    return F.filter(F.split(normalize_text(col), " "), lambda t: t != "")
+
+
+def top_token_fraction(col: Column) -> Column:
+    """Fraction of the document taken by its single most frequent token —
+    the Gopher-style "most common word" repetition signal (a natural English
+    page sits near the stopword ceiling ~0.06-0.1; templated/spammy pages
+    spike far above).
+
+    Pure expression: distinct-tokens × occurrence-count inside codegen,
+    O(d·n) per row — the right trade for web-document lengths because it
+    keeps the pass map-only.  For book-length documents the explode +
+    groupBy(id, token) + max/sum formulation replaces it (one shuffle,
+    linear per row); same output, swap at the caller.
+    """
+
+    def frac_of(toks: Column) -> Column:
+        counts = F.transform(
+            F.array_distinct(toks), lambda t: F.size(F.filter(toks, lambda x: x == t))
+        )
+        return F.when(
+            F.size(toks) > 0, F.array_max(counts) / F.size(toks)
+        ).otherwise(F.lit(0.0))
+
+    return F.transform(F.array(_norm_tokens(col)), frac_of)[0]
+
+
+def duplicate_ngram_fraction(col: Column, n: int = 2) -> Column:
+    """Fraction of word n-grams that are repeats of an earlier n-gram
+    (1 - distinct/total) — the Gopher "duplicate n-gram" boilerplate signal.
+    0.0 for documents with fewer than n words."""
+
+    def frac_of(toks: Column) -> Column:
+        count = F.size(toks) - F.lit(n - 1)
+        grams = F.transform(
+            F.sequence(F.lit(0), F.greatest(count, F.lit(1)) - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+        return F.when(
+            count >= 1,
+            F.lit(1.0) - F.size(F.array_distinct(grams)) / count,
+        ).otherwise(F.lit(0.0))
+
+    return F.transform(F.array(_norm_tokens(col)), frac_of)[0]
+
+
+def repetition_profile(df: DataFrame, id_col: str, text_col: str,
+                       top_token_max: float = 0.12,
+                       dup_bigram_max: float = 0.06) -> DataFrame:
+    """Per-document repetition stats + a combined boilerplate flag, one
+    map-only pass (both signals fuse into the same codegen stage)."""
+    t = F.col(text_col)
+    top = F.round(top_token_fraction(t), 6)
+    dup = F.round(duplicate_ngram_fraction(t, 2), 6)
+    return df.select(
+        F.col(id_col),
+        top.alias("top_token_frac"),
+        dup.alias("dup_bigram_frac"),
+        ((top > top_token_max) | (dup > dup_bigram_max)).alias("repetitive"),
+    )
+
+
 def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One-pass profile: counts, fingerprint, quality, language."""
     t = F.col(text_col)

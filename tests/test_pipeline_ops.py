@@ -439,3 +439,52 @@ def test_jaccard_doc_freq_cap_drops_stop_shingles(spark):
     assert set(cap) == {(1, 2)}
     # capped jaccard <= uncapped jaccard for the surviving pair
     assert cap[(1, 2)] <= unc[(1, 2)]
+
+
+# ---------------------------------------------------------------------------
+# repetition / boilerplate signals
+# ---------------------------------------------------------------------------
+
+def test_top_token_fraction_known_values(spark):
+    from cassandra_util_spark.operators.text import top_token_fraction
+
+    df = spark.createDataFrame(
+        [(1, "spam spam spam ham"), (2, "all words here differ"), (3, "")],
+        "id bigint, text string",
+    )
+    out = {r["id"]: r["f"] for r in
+           df.select("id", F.round(top_token_fraction(F.col("text")), 6).alias("f")).collect()}
+    assert out[1] == 0.75       # 3 of 4 tokens are 'spam'
+    assert out[2] == 0.25       # 4 distinct tokens of 4
+    assert out[3] == 0.0        # empty text guard
+
+
+def test_duplicate_ngram_fraction_known_values(spark):
+    from cassandra_util_spark.operators.text import duplicate_ngram_fraction
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"),     # bigrams: ab ba ab ba ab -> 2 distinct of 5
+         (2, "one two three"),   # all bigrams distinct
+         (3, "single")],         # fewer than 2 words
+        "id bigint, text string",
+    )
+    out = {r["id"]: r["f"] for r in
+           df.select("id", F.round(duplicate_ngram_fraction(F.col("text"), 2), 6).alias("f")).collect()}
+    assert out[1] == 0.6
+    assert out[2] == 0.0
+    assert out[3] == 0.0
+
+
+def test_repetition_profile_flags_planted_boilerplate(spark, docs):
+    from cassandra_util_spark.operators.text import repetition_profile
+
+    planted = spark.createDataFrame(
+        [(90001, "buy now " * 40), (90002, "click here click here " * 25)],
+        "doc_id bigint, text string",
+    )
+    corpus = docs.select("doc_id", "text").unionByName(planted)
+    out = repetition_profile(corpus, "doc_id", "text")
+    flagged = {r["doc_id"] for r in out.filter("repetitive").collect()}
+    assert {90001, 90002} <= flagged
+    # natural corpus is mostly unflagged
+    assert len(flagged) < corpus.count() * 0.5
