@@ -1683,3 +1683,46 @@ def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return repetition_profile(d, "doc_id", "text")
+
+
+@query(
+    "pii_redaction",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                  || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                  || CAST(doc_id % 100 AS VARCHAR)
+                  || ' ssn 123-45-6789 tel +1 (555) 010-'
+                  || CAST(1000 + doc_id % 9000 AS VARCHAR) AS t
+      FROM documents)
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(t,
+                   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+                 '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'),
+               '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+             '\\+?\\d[\\d\\s().-]{7,}\\d', '<PHONE>', 'g') AS clean
+    FROM aug
+    """,
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub certified end to end: every document gets deterministic
+    synthetic PII appended (email, IPv4, SSN, phone derived from doc_id),
+    then the redaction chain runs and the full cleaned TEXT is
+    hash-compared against DuckDB applying the same patterns — proving the
+    patterns fire, in order, identically, on all 500 docs.  Map-only."""
+    from cassandra_util_spark.operators.text import redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com"),
+        F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit("."), (F.col("doc_id") % 100).cast("string"),
+        F.lit(" ssn 123-45-6789 tel +1 (555) 010-"),
+        (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+    )
+    return d.select("doc_id", redact_pii(aug).alias("clean"))

@@ -101,6 +101,33 @@ def lang_id(col: Column) -> Column:
     )
 
 
+# PII patterns, applied in THIS order (email first — its local part may look
+# like a phone; IPv4 before phone — dotted digit runs would otherwise match
+# the phone pattern).  Restricted to syntax shared verbatim by Java regex
+# (Spark) and RE2 (DuckDB, 'g' flag): classes, bounded repeats, \b, (?:...).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+)
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace emails, SSNs, IPv4 addresses, and phone-shaped digit runs
+    with typed placeholders — the standard pre-training scrub pass.
+
+    A chain of regexp_replace expressions: map-only, whole-stage codegen,
+    order-sensitive (see PII_PATTERNS).  This is pattern-based redaction —
+    the deterministic floor every corpus gets; NER-based PII (names,
+    addresses) is a model pass that layers on top via mapInPandas, outside
+    this operator's scope."""
+    c = col
+    for _, pattern, replacement in PII_PATTERNS:
+        c = F.regexp_replace(c, pattern, replacement)
+    return c
+
+
 def _norm_tokens(col: Column) -> Column:
     """non-empty tokens of the normalized text (the repetition-stat basis)."""
     return F.filter(F.split(normalize_text(col), " "), lambda t: t != "")

@@ -488,3 +488,39 @@ def test_repetition_profile_flags_planted_boilerplate(spark, docs):
     assert {90001, 90002} <= flagged
     # natural corpus is mostly unflagged
     assert len(flagged) < corpus.count() * 0.5
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+def test_redact_pii_each_class(spark):
+    from cassandra_util_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "server at 192.168.1.254 up"),
+            (3, "ssn is 123-45-6789 ok"),
+            (4, "call +1 (555) 010-2345 today"),
+            (5, "no pii in this sentence"),
+        ],
+        "id bigint, text string",
+    )
+    out = {r["id"]: r["c"] for r in df.select("id", redact_pii(F.col("text")).alias("c")).collect()}
+    assert out[1] == "mail <EMAIL> now"
+    assert out[2] == "server at <IP> up"
+    assert out[3] == "ssn is <SSN> ok"
+    assert out[4] == "call <PHONE> today"
+    assert out[5] == "no pii in this sentence"
+
+
+def test_redact_pii_order_ip_not_eaten_by_phone(spark):
+    from cassandra_util_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "at 10.20.30.40 call +1 (555) 010-2345 or mail a@b.co")],
+        "id bigint, text string",
+    )
+    c = df.select(redact_pii(F.col("text")).alias("c")).collect()[0]["c"]
+    assert c == "at <IP> call <PHONE> or mail <EMAIL>"
