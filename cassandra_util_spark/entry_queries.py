@@ -1726,3 +1726,37 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
     )
     return d.select("doc_id", redact_pii(aug).alias("clean"))
+
+
+@query(
+    "sequence_packing",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, CAST(ceil(length(text) / 4) AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens,
+             coalesce(CAST(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_before
+      FROM t)
+    SELECT doc_id, n_tokens,
+           cum_before // 1024 AS bin,
+           cum_before % 1024 AS bin_offset
+    FROM c
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing into 1024-token training windows,
+    in doc_id order: each document's window and in-window offset derive
+    from the running token count — hash-verified against the same window
+    arithmetic in DuckDB.  The contract runs the single-stream (global
+    order) mode; pack_sequences(shard_col=...) is the per-shard parallel
+    form used at scale, and pack_greedy is the no-split applyInPandas
+    variant (both pytest-verified)."""
+    from cassandra_util_spark.operators.packing import pack_sequences
+    from cassandra_util_spark.operators.text import bpe_token_estimate
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", bpe_token_estimate(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(d, "doc_id", "n_tokens", capacity=1024)

@@ -1,0 +1,130 @@
+"""Sequence packing: assembling documents into fixed-size training windows.
+
+Pretraining consumes fixed-length token windows, not documents; packing
+decides which documents share a window.  Two industry-standard modes:
+
+- **concat-and-chunk** (:func:`pack_sequences`): documents are concatenated
+  in a deterministic order and windows are cut every ``capacity`` tokens —
+  documents may span a window boundary (the EOD-token style).  Window
+  assignment is pure arithmetic on the running token count, so it is a
+  window-function expression: exact, shuffle-light, and reproducible in any
+  SQL engine.
+- **greedy no-split** (:func:`pack_greedy`): a document never crosses a
+  window; it goes into the current window unless it would overflow, which
+  opens a new one.  That running remainder is a sequential fold — not
+  expressible as an associative window aggregate — so it runs as an
+  Arrow-batched ``applyInPandas`` over shards (the documented escape hatch
+  for genuinely stateful per-group logic).
+
+Scale design (100 TB): a single global ordering funnels the cumulative sum
+through one partition — fine for a contract oracle, wrong at scale.  Both
+modes take ``shard_col``: packing is then independent per shard (the window
+partitions / the groupBy key), runs fully parallel, and window ids become
+(shard, bin).  Sharding by a stable key (e.g. a hash prefix of the doc id)
+is how real pipelines pack petabyte corpora: windows never cross shards, so
+no cross-shard coordination exists to serialize.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    capacity: int,
+    order_col: str | None = None,
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Concat-and-chunk packing: (id, n_tokens, bin, bin_offset) where
+    ``bin`` is the window holding the document's FIRST token and
+    ``bin_offset`` its position inside that window (long docs spill into
+    subsequent windows; the consumer slices).
+
+    ``order_col`` (default ``id_col``) fixes the concatenation order — the
+    determinism contract.  With ``shard_col``, bins restart per shard and
+    the computation parallelizes; without, one global stream (oracle mode).
+    """
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+    order = order_col or id_col
+    w = (
+        Window.partitionBy(shard_col).orderBy(order)
+        if shard_col
+        else Window.orderBy(order)
+    )
+    cum_before = F.coalesce(
+        F.sum(token_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    out = [F.col(id_col), F.col(token_col).alias("n_tokens")]
+    if shard_col:
+        out.append(F.col(shard_col))
+    return df.select(
+        *out,
+        F.floor(cum_before / F.lit(capacity)).alias("bin"),
+        F.pmod(cum_before, F.lit(capacity)).alias("bin_offset"),
+    )
+
+
+def pack_greedy(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    capacity: int,
+    order_col: str | None = None,
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Greedy no-split packing: (id, n_tokens[, shard], bin) — a document
+    never spans windows; the current window closes when the next document
+    would overflow it.  Documents larger than ``capacity`` get a window of
+    their own (flagged ``oversize``).
+
+    The running remainder is inherently sequential per shard, so each shard
+    folds inside one Arrow batch stream (``applyInPandas``); parallelism
+    comes from sharding, exactly as at production scale.
+    """
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+    order = order_col or id_col
+    shard = shard_col
+    work = df.select(
+        F.col(id_col),
+        F.col(token_col).alias("n_tokens"),
+        (F.col(shard) if shard else F.lit(0)).alias("__shard"),
+        F.col(order).alias("__ord"),
+    )
+
+    schema_shard = f", `{shard}` {dict(df.dtypes)[shard]}" if shard else ""
+    out_schema = (
+        f"`{id_col}` {dict(df.dtypes)[id_col]}, n_tokens bigint{schema_shard}, "
+        "bin bigint, oversize boolean"
+    )
+
+    def fold(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("__ord", kind="mergesort")
+        bins, oversize = [], []
+        cur_bin, cur_fill = 0, 0
+        started = False
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if started and cur_fill + n > capacity:
+                cur_bin += 1
+                cur_fill = 0
+            bins.append(cur_bin)
+            oversize.append(n > capacity)
+            cur_fill += n
+            started = True
+        cols = {id_col: pdf[id_col], "n_tokens": pdf["n_tokens"].astype("int64")}
+        if shard:
+            cols[shard] = pdf["__shard"]
+        cols["bin"] = pd.Series(bins, index=pdf.index, dtype="int64")
+        cols["oversize"] = pd.Series(oversize, index=pdf.index)
+        return pd.DataFrame(cols)
+
+    return work.groupBy("__shard").applyInPandas(fold, out_schema)

@@ -1,0 +1,101 @@
+"""Sequence packing (operators/packing.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def sized(spark):
+    rows = [(i, [30, 70, 100, 45, 260, 10][i % 6]) for i in range(60)]
+    return spark.createDataFrame(rows, "doc_id bigint, n_tokens bigint")
+
+
+def test_pack_sequences_window_arithmetic(spark):
+    from cassandra_util_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, 60), (2, 60), (3, 60), (4, 10)], "doc_id bigint, n_tokens bigint"
+    )
+    out = {r["doc_id"]: (r["bin"], r["bin_offset"]) for r in
+           pack_sequences(df, "doc_id", "n_tokens", capacity=100).collect()}
+    # cum_before: 0, 60, 120, 180
+    assert out == {1: (0, 0), 2: (0, 60), 3: (1, 20), 4: (1, 80)}
+
+
+def test_pack_sequences_sharded_restarts_bins(spark, sized):
+    from cassandra_util_spark.operators.packing import pack_sequences
+
+    df = sized.withColumn("shard", F.col("doc_id") % 4)
+    out = pack_sequences(df, "doc_id", "n_tokens", 512, shard_col="shard")
+    rows = out.collect()
+    # each shard starts its own stream at bin 0 / offset 0
+    for s in range(4):
+        first = min((r for r in rows if r["shard"] == s), key=lambda r: r["doc_id"])
+        assert (first["bin"], first["bin_offset"]) == (0, 0)
+    # per-shard arithmetic matches the global-mode run on that shard alone
+    solo = pack_sequences(
+        df.filter(F.col("shard") == 2), "doc_id", "n_tokens", 512
+    ).collect()
+    sharded2 = {r["doc_id"]: (r["bin"], r["bin_offset"]) for r in rows if r["shard"] == 2}
+    assert {r["doc_id"]: (r["bin"], r["bin_offset"]) for r in solo} == sharded2
+
+
+def test_pack_sequences_rejects_bad_capacity(spark, sized):
+    from cassandra_util_spark.operators.packing import pack_sequences
+
+    with pytest.raises(ValueError):
+        pack_sequences(sized, "doc_id", "n_tokens", 0)
+
+
+def _greedy_reference(sizes, capacity):
+    bins, cur, fill, started = [], 0, 0, False
+    for n in sizes:
+        if started and fill + n > capacity:
+            cur, fill = cur + 1, 0
+        bins.append(cur)
+        fill += n
+        started = True
+    return bins
+
+
+def test_pack_greedy_never_splits_and_respects_capacity(spark, sized):
+    from cassandra_util_spark.operators.packing import pack_greedy
+
+    out = pack_greedy(sized, "doc_id", "n_tokens", capacity=300).collect()
+    rows = sorted(out, key=lambda r: r["doc_id"])
+    expected = _greedy_reference([r["n_tokens"] for r in rows], 300)
+    assert [r["bin"] for r in rows] == expected
+    # no non-oversize bin exceeds capacity
+    fills = {}
+    for r in rows:
+        fills.setdefault(r["bin"], 0)
+        fills[r["bin"]] += r["n_tokens"]
+    for r in rows:
+        if not r["oversize"]:
+            assert fills[r["bin"]] <= 300 or any(
+                x["oversize"] for x in rows if x["bin"] == r["bin"]
+            )
+
+
+def test_pack_greedy_oversize_isolated(spark):
+    from cassandra_util_spark.operators.packing import pack_greedy
+
+    df = spark.createDataFrame(
+        [(1, 50), (2, 900), (3, 50)], "doc_id bigint, n_tokens bigint"
+    )
+    rows = sorted(pack_greedy(df, "doc_id", "n_tokens", 100).collect(),
+                  key=lambda r: r["doc_id"])
+    assert [r["bin"] for r in rows] == [0, 1, 2]   # the giant gets its own bin
+    assert [r["oversize"] for r in rows] == [False, True, False]
+
+
+def test_pack_greedy_sharded_parallel(spark, sized):
+    from cassandra_util_spark.operators.packing import pack_greedy
+
+    df = sized.withColumn("shard", (F.col("doc_id") % 3).cast("string"))
+    out = pack_greedy(df, "doc_id", "n_tokens", 300, shard_col="shard").collect()
+    for s in ("0", "1", "2"):
+        rows = sorted((r for r in out if r["shard"] == s), key=lambda r: r["doc_id"])
+        assert [r["bin"] for r in rows] == _greedy_reference(
+            [r["n_tokens"] for r in rows], 300
+        )
