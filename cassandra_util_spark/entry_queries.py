@@ -1760,3 +1760,38 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", bpe_token_estimate(F.col("text")).alias("n_tokens")
     )
     return pack_sequences(d, "doc_id", "n_tokens", capacity=1024)
+
+
+@query(
+    "doc_top_terms",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term
+            FROM documents)
+      WHERE term <> ''
+      GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ((SELECT count(*) FROM documents) - dfreq.df + 0.5)
+                   / (dfreq.df + 0.5), 6) AS score
+      FROM tf JOIN dfreq ON tf.term = dfreq.term),
+    ranked AS (
+      SELECT doc_id, term, score,
+             CAST(row_number() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, term ASC) AS INT) AS rank
+      FROM scored)
+    SELECT doc_id, term, score, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf·idf with a rational
+    (log-free) idf — small-integer double arithmetic is IEEE-exact, so the
+    scores AND the rank order hash-match the oracle bit for bit, which a
+    libm-log idf cannot guarantee at tie boundaries.  Total tiebreak on
+    the term makes the top-k deterministic."""
+    from cassandra_util_spark.operators.text import tfidf_top_terms
+
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, "doc_id", "text", k=3)

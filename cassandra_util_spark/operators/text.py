@@ -192,6 +192,55 @@ def repetition_profile(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by tf·idf:
+    (id, term, score, rank).
+
+    idf is the BM25-style rational form ``(N - df + 0.5) / (df + 0.5)`` —
+    deliberately log-free: every input is a small integer, so the double
+    arithmetic is IEEE-exact and bit-identical across engines (libm ``ln``
+    is only correct to ~1 ulp, which can flip a rank at a tie boundary).
+    Ranking tiebreaks on the term itself, making the output total-ordered.
+
+    Plan shape at scale: explode → groupBy(id, term) with map-side partial
+    counts (one shuffle); document frequencies groupBy(term) (second
+    shuffle over the much smaller tf table); N joins in as a broadcast
+    1-row aggregate; top-k is a per-id window over the scored tf table.
+    The term-stats join is term-keyed — broadcast it when the vocabulary
+    fits, which for word-level vocabularies it essentially always does.
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        df.select(F.col(id_col).alias("id"), F.explode(_norm_tokens(F.col(text_col))).alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("id").alias(id_col), "term", "score", "rank")
+    )
+
+
 def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One-pass profile: counts, fingerprint, quality, language."""
     t = F.col(text_col)

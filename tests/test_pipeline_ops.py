@@ -524,3 +524,50 @@ def test_redact_pii_order_ip_not_eaten_by_phone(spark):
     )
     c = df.select(redact_pii(F.col("text")).alias("c")).collect()[0]["c"]
     assert c == "at <IP> call <PHONE> or mail <EMAIL>"
+
+
+# ---------------------------------------------------------------------------
+# tf-idf top terms
+# ---------------------------------------------------------------------------
+
+def test_tfidf_rare_term_outranks_common(spark):
+    from cassandra_util_spark.operators.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "common common zebra"),
+            (2, "common words here"),
+            (3, "common stuff there"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = tfidf_top_terms(df, "doc_id", "text", k=1).collect()
+    top = {r["doc_id"]: r["term"] for r in out}
+    # 'zebra' (df=1) beats 'common' (df=3, in every doc) despite tf 1 vs 2:
+    # idf(zebra) = (3-1+.5)/1.5 = 1.667*1 > idf(common) = (3-3+.5)/3.5 * 2
+    assert top[1] == "zebra"
+
+
+def test_tfidf_rank_and_tiebreak_deterministic(spark):
+    from cassandra_util_spark.operators.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha beta")], "doc_id bigint, text string"
+    )
+    rows = sorted(
+        tfidf_top_terms(df, "doc_id", "text", k=2).collect(),
+        key=lambda r: (r["doc_id"], r["rank"]),
+    )
+    # identical scores -> term-asc tiebreak, same order in both docs
+    assert [(r["doc_id"], r["term"], r["rank"]) for r in rows] == [
+        (1, "alpha", 1), (1, "beta", 2), (2, "alpha", 1), (2, "beta", 2),
+    ]
+
+
+def test_tfidf_k_bound_and_coverage(spark, docs):
+    from cassandra_util_spark.operators.text import tfidf_top_terms
+
+    out = tfidf_top_terms(docs, "doc_id", "text", k=3)
+    per_doc = out.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    assert all(r["n"] <= 3 for r in per_doc)
+    assert len(per_doc) == docs.count()  # every doc has at least one term
