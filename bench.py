@@ -58,7 +58,42 @@ BENCH_QUERIES = [
     "salted_event_rollup",
     "bucketed_colocated_join",
     "corpus_clean_pipeline",
+    "dedup_clusters",
+    "stratified_sample_docs",
+    "doc_repetition_filter",
+    "pii_redaction",
+    "sequence_packing",
+    "doc_top_terms",
+    # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
+    # the oracle-verified portable-hash contract queries, with the leaf hash
+    # swapped to xxhash64 — the production configuration at scale
+    "dedup_minhash_lsh_fast",
+    "dedup_simhash_fast",
 ]
+
+
+def _minhash_fast(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from cassandra_util_spark.operators.dedup import minhash_lsh_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_pairs(d, "doc_id", "text", n=3, threshold=0.5, hash_fn="xxhash64")
+
+
+def _simhash_fast(spark, sf_dir):
+    from cassandra_util_spark.operators.dedup import simhash_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_pairs(d, "doc_id", "text", max_hamming=3, hash_fn="xxhash64")
+
+
+# timed alongside the contract queries but NOT part of queries()/oracle_sql():
+# correctness of these pipelines is certified by the portable-hash twins
+EXTRA_QUERIES = {
+    "dedup_minhash_lsh_fast": _minhash_fast,
+    "dedup_simhash_fast": _simhash_fast,
+}
 
 
 def main() -> None:
@@ -72,11 +107,12 @@ def main() -> None:
     # warm the JVM/codegen paths so query timings measure the engine, not startup
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
-    names = [n for n in BENCH_QUERIES if n in QUERIES]
+    runnable = {**QUERIES, **EXTRA_QUERIES}
+    names = [n for n in BENCH_QUERIES if n in runnable]
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.monotonic()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        runnable[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.monotonic() - t0, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
