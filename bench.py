@@ -64,6 +64,9 @@ BENCH_QUERIES = [
     "pii_redaction",
     "sequence_packing",
     "doc_top_terms",
+    "weighted_repeat_docs",
+    "corpus_lang_profile",
+    "embedding_dedup_resolve",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash
     # swapped to xxhash64 — the production configuration at scale

@@ -782,6 +782,51 @@ def embedding_neardup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_dedup_resolve",
+    oracle="""
+    WITH RECURSIVE
+    all_vecs AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, list_transform(embedding, x -> CAST(x AS DOUBLE)) FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM all_vecs a JOIN all_vecs b ON a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.99),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs),
+    reach(id, root) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id),
+    comp AS (SELECT id, min(root) AS comp FROM reach GROUP BY id)
+    SELECT av.vec_id,
+           coalesce(c.comp, av.vec_id) AS cluster,
+           av.vec_id = coalesce(c.comp, av.vec_id) AS keep
+    FROM all_vecs av LEFT JOIN comp c ON c.id = av.vec_id
+    """,
+)
+def embedding_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding-space dedup pipeline end to end: sign-LSH cosine pairs
+    at 0.99 (over the corpus + planted exact copies) closed into clusters by
+    the same connected-components operator used for text near-dup, with one
+    lowest-id survivor each — demonstrating that pair generators and
+    cluster resolution compose across modalities.  Hash-verified including
+    the closure (recursive CTE oracle)."""
+    from cassandra_util_spark.operators.cluster import resolve_duplicates
+    from cassandra_util_spark.operators.similarity import embedding_neardup_pairs
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = e.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    both = e.unionByName(copies)
+    pairs = embedding_neardup_pairs(both, "vec_id", "embedding", threshold=0.99, dim=64, planes=8)
+    return resolve_duplicates(both, pairs, "vec_id")
+
+
+@query(
     "ann_cosine_topk",
     oracle="""
     SELECT query_id, neighbor_id, rank FROM (
@@ -1651,6 +1696,127 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return stratified_sample(d, "lang", _STRATA_FRACTIONS, "doc_id", seed="s1").select(
         "doc_id", "lang"
+    )
+
+
+# per-language multiplicities for the epoch-mixing contract query: scarce
+# strata upweighted, 'en' downsampled, 'zh' dropped — fractional parts are
+# realized through the integer hash gate, never engine-side float math
+_REPEAT_MULTS = {"en": 0.6, "de": 2.3, "fr": 1.5, "zh": 0.0}
+
+
+def _repeat_case_sql() -> tuple[str, str]:
+    from cassandra_util_spark.operators.sampling import gate_threshold
+
+    base_arms, thr_arms = [], []
+    for v, m in sorted(_REPEAT_MULTS.items()):
+        base_arms.append(f"WHEN lang = '{v}' THEN {int(m)}")
+        thr_arms.append(f"WHEN lang = '{v}' THEN {gate_threshold(m - int(m))}")
+    return (
+        f"CASE {' '.join(base_arms)} ELSE 1 END",
+        f"CASE {' '.join(thr_arms)} ELSE 0 END",
+    )
+
+
+_REPEAT_BASE_SQL, _REPEAT_THR_SQL = _repeat_case_sql()
+
+
+@query(
+    "weighted_repeat_docs",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, lang,
+             {_REPEAT_BASE_SQL} + (CASE WHEN
+               CAST(('0x' || substring(md5('rep:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               < {_REPEAT_THR_SQL} THEN 1 ELSE 0 END) AS n
+      FROM documents)
+    SELECT doc_id, lang, unnest(range(1, n + 1)) AS copy
+    FROM m WHERE n >= 1
+    """,
+)
+def weighted_repeat_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch mixing by fractional repetition: 'de' docs appear 2x (plus an
+    exact hash-gated 30% a third time), 'fr' 1.5x, 'en' downsampled to a
+    0.6 keep rate, 'zh' dropped.  Multiplicity is realized per row by a
+    map-side explode over an integer copy sequence — no shuffle, no RNG —
+    and the oracle re-derives every (doc, copy) pair from the same integer
+    thresholds."""
+    from cassandra_util_spark.operators.sampling import stratified_repeat
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_repeat(d, "lang", _REPEAT_MULTS, "doc_id", seed="rep").select(
+        "doc_id", "lang", "copy"
+    )
+
+
+@query(
+    "corpus_lang_profile",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, text,
+             CAST(ceil(length(text) / 4) AS BIGINT) AS bpe,
+             string_split({_NORM_SQL}, ' ') AS w
+      FROM documents),
+    scored AS (
+      SELECT lang, bpe,
+        round(0.4 * least(len({_TOKS_SQL}) / 100.0, 1.0)
+            + 0.3 * least((len(list_filter(list_transform({_TOKS_SQL}, x -> lower(x)),
+                                           x -> list_contains({_STOPS_SQL}, x)))
+                           / greatest(len({_TOKS_SQL}), 1)) * 4.0, 1.0)
+            + 0.3 * (1.0 - least(((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+                                  / greatest(length(text), 1)) * 5.0, 1.0)), 6) AS quality,
+        CASE WHEN round(CASE WHEN len(w) > 0 THEN
+               list_max(list_transform(list_distinct(w), t -> len(list_filter(w, x -> x = t)))) / len(w)
+               ELSE 0.0 END, 6) > 0.12
+          OR round(CASE WHEN len(w) >= 2 THEN
+               1.0 - len(list_distinct(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])))
+                     / (len(w) - 1)
+               ELSE 0.0 END, 6) > 0.06
+        THEN 1 ELSE 0 END AS rep
+      FROM toks)
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(bpe) AS BIGINT) AS total_tokens,
+           round(CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_quality,
+           round(CAST(sum(rep) AS BIGINT) / count(*), 6) AS pct_repetitive
+    FROM scored GROUP BY lang
+    """,
+)
+def corpus_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-health dashboard: per-language doc counts, token volume,
+    mean quality, and repetitive-doc share — quality scoring, repetition
+    signals, and token estimation fused into ONE map stage feeding one
+    partial-aggregated groupBy shuffle.  Mean quality is summed in DECIMAL
+    (float summation is partitioning-order-dependent) and divided once —
+    the determinism discipline every aggregate here follows."""
+    from cassandra_util_spark.operators.text import (
+        bpe_token_estimate,
+        duplicate_ngram_fraction,
+        quality_score,
+        top_token_fraction,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    rep = (
+        (F.round(top_token_fraction(t), 6) > 0.12)
+        | (F.round(duplicate_ngram_fraction(t, 2), 6) > 0.06)
+    ).cast("int")
+    per_doc = d.select(
+        "lang",
+        bpe_token_estimate(t).alias("bpe"),
+        quality_score(t).alias("quality"),
+        rep.alias("rep"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("bpe").alias("total_tokens"),
+        F.round(
+            F.sum(F.col("quality").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_quality"),
+        F.round(F.sum("rep") / F.count(F.lit(1)), 6).alias("pct_repetitive"),
     )
 
 

@@ -96,6 +96,46 @@ def mixture_fractions(
     return {s: (w * total) / counts[s] for s, w in norm.items()}
 
 
+def stratified_repeat(
+    df: DataFrame,
+    strata_col: str,
+    multiplicities: dict[str, float],
+    key_col: str,
+    seed: str = "rep",
+) -> DataFrame:
+    """Deterministic fractional UPSAMPLING: each row appears
+    ``floor(m)`` times plus one more iff its hash gate clears ``frac(m)``
+    — so a stratum with multiplicity 2.3 contributes every row twice and
+    an exact, reproducible 30% of rows a third time.  Strata absent from
+    ``multiplicities`` keep multiplicity 1.0.
+
+    This is the epoch-mixing / temperature-resampling primitive (upweight
+    scarce languages or high-quality sources across an epoch) that
+    ``hash_sample`` (keep/drop only) cannot express.  Output adds a
+    ``copy`` column (1..n) so downstream shuffles treat repeats as
+    distinct rows.
+
+    The per-stratum integer pair (base copies, extra-copy threshold) is
+    computed driver-side, so both engines compare the same literals —
+    no cross-engine float surface.  Map-side explode; no shuffle.
+    """
+    base: Column = F.lit(1)
+    thr: Column = F.lit(0)
+    for value, mult in sorted(multiplicities.items()):
+        if mult < 0:
+            raise ValueError(f"multiplicity must be >= 0, got {mult} for {value!r}")
+        whole = int(mult)
+        base = F.when(F.col(strata_col) == value, F.lit(whole)).otherwise(base)
+        thr = F.when(
+            F.col(strata_col) == value, F.lit(gate_threshold(mult - whole))
+        ).otherwise(thr)
+    n_copies = base + (sample_gate(F.col(key_col), seed) < thr).cast("int")
+    copies = F.when(
+        n_copies >= 1, F.sequence(F.lit(1).cast("bigint"), n_copies.cast("bigint"))
+    ).otherwise(F.array().cast("array<bigint>"))
+    return df.withColumn("copy", F.explode(copies))
+
+
 def mixed_sample(
     df: DataFrame,
     source_col: str,

@@ -94,3 +94,33 @@ def test_mixed_sample_achieves_target_mixture(spark, docs):
     assert sorted(r["doc_id"] for r in out.collect()) == sorted(
         r["doc_id"] for r in again.collect()
     )
+
+
+def test_stratified_repeat_multiplicities(spark, docs):
+    from cassandra_util_spark.operators.sampling import stratified_repeat
+
+    out = stratified_repeat(
+        docs, "lang", {"en": 0.6, "de": 2.3, "zh": 0.0}, "doc_id"
+    )
+    full = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert "zh" not in got                                # multiplicity 0 drops
+    assert 0.4 < got["en"] / full["en"] < 0.8             # ~0.6 keep rate
+    assert 2.0 <= got["de"] / full["de"] <= 3.0           # 2 + ~0.3 extra
+    assert got["fr"] == full["fr"]                        # default 1.0 untouched
+    # copies are numbered 1..n and distinct per doc
+    per_doc = out.filter(F.col("lang") == "de").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"), F.max("copy").alias("mx"),
+        F.countDistinct("copy").alias("dc")).collect()
+    assert all(r["n"] == r["mx"] == r["dc"] and r["n"] in (2, 3) for r in per_doc)
+
+
+def test_stratified_repeat_deterministic_and_validated(spark, docs):
+    from cassandra_util_spark.operators.sampling import stratified_repeat
+
+    a = stratified_repeat(docs, "lang", {"de": 1.5}, "doc_id").collect()
+    b = stratified_repeat(docs.repartition(13), "lang", {"de": 1.5}, "doc_id").collect()
+    key = lambda r: (r["doc_id"], r["copy"])
+    assert sorted(map(key, a)) == sorted(map(key, b))
+    with pytest.raises(ValueError, match=">= 0"):
+        stratified_repeat(docs, "lang", {"de": -1.0}, "doc_id")

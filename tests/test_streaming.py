@@ -289,3 +289,31 @@ def test_streaming_progress_listener(spark, workdir, events_src):
         assert any("processed_rows_per_sec" in r for r in reg.reports)
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_streaming_hash_sample_matches_batch(spark, workdir, events_src):
+    """The sampling gate is a stateless expression, so the SAME operator
+    runs unchanged on a stream — and, because membership is a pure function
+    of the key, the streamed sample equals the batch sample row-for-row."""
+    from cassandra_util_spark.operators.sampling import hash_sample
+
+    src, batch_df = events_src
+    out = os.path.join(workdir, "sampled")
+    cp = os.path.join(workdir, "cp_sample")
+    events = stream_events(spark, src, batch_df.schema)
+    q = (
+        hash_sample(events, 0.25, "event_id")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(r["event_id"] for r in spark.read.parquet(out).select("event_id").collect())
+    want = sorted(
+        r["event_id"] for r in hash_sample(batch_df, 0.25, "event_id").select("event_id").collect()
+    )
+    assert got == want and 0 < len(got) < batch_df.count()
