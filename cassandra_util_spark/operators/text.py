@@ -205,11 +205,15 @@ def tfidf_top_terms(
     Ranking tiebreaks on the term itself, making the output total-ordered.
 
     Plan shape at scale: explode → groupBy(id, term) with map-side partial
-    counts (one shuffle); document frequencies groupBy(term) (second
-    shuffle over the much smaller tf table); N joins in as a broadcast
-    1-row aggregate; top-k is a per-id window over the scored tf table.
-    The term-stats join is term-keyed — broadcast it when the vocabulary
-    fits, which for word-level vocabularies it essentially always does.
+    counts (one shuffle), materialized ONCE (localCheckpoint — three
+    consumers follow: doc-frequency agg, corpus count, and the scored join;
+    without it Catalyst re-runs the scan+explode per consumer, measured as
+    a 3-scan / 10-exchange plan).  Document frequencies are a groupBy(term)
+    over the tf table — partial aggregation keeps hot terms ('the')
+    skew-safe, which a count-over-window-by-term would not.  N joins in as
+    a broadcast 1-row aggregate; top-k is a per-id window.  At warehouse
+    scale the checkpoint becomes a persisted tf table (same pattern as the
+    MinHash signature table, dedup.py).
     """
     from pyspark.sql import Window
 
@@ -217,6 +221,7 @@ def tfidf_top_terms(
         df.select(F.col(id_col).alias("id"), F.explode(_norm_tokens(F.col(text_col))).alias("term"))
         .groupBy("id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
