@@ -1,0 +1,106 @@
+"""Property-based checks for the pipeline operators added in round 2:
+packing, sampling, and cluster resolution must agree with direct Python
+evaluations of their documented semantics on arbitrary inputs — guarding
+the Catalyst formulations against regressions the fixed fixtures miss."""
+
+import random
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+sizes_strategy = st.lists(st.integers(1, 400), min_size=1, max_size=40)
+capacity_strategy = st.integers(10, 300)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(sizes=sizes_strategy, capacity=capacity_strategy)
+def test_pack_sequences_invariants(spark, sizes, capacity):
+    from cassandra_util_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(sizes)], "doc_id bigint, n_tokens bigint"
+    )
+    rows = sorted(
+        pack_sequences(df, "doc_id", "n_tokens", capacity).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    cum = 0
+    prev_bin = 0
+    for r in rows:
+        # bin/offset are exactly the running-total arithmetic
+        assert r["bin"] * capacity + r["bin_offset"] == cum
+        assert 0 <= r["bin_offset"] < capacity
+        assert r["bin"] >= prev_bin  # bins never go backwards in stream order
+        prev_bin = r["bin"]
+        cum += r["n_tokens"]
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(sizes=sizes_strategy, capacity=capacity_strategy)
+def test_pack_greedy_matches_reference_fold(spark, sizes, capacity):
+    from cassandra_util_spark.operators.packing import pack_greedy
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(sizes)], "doc_id bigint, n_tokens bigint"
+    )
+    rows = sorted(
+        pack_greedy(df, "doc_id", "n_tokens", capacity).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    cur_bin = cur_fill = 0
+    started = False
+    for r, n in zip(rows, sizes):
+        if started and cur_fill + n > capacity:
+            cur_bin, cur_fill = cur_bin + 1, 0
+        assert r["bin"] == cur_bin
+        assert r["oversize"] == (n > capacity)
+        cur_fill += n
+        started = True
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    fractions=st.tuples(st.floats(0.0, 1.0), st.floats(0.0, 1.0)),
+    n=st.integers(5, 60),
+)
+def test_hash_sample_nesting_property(spark, fractions, n):
+    """For ANY f1 <= f2 the f1-sample is a subset of the f2-sample."""
+    from cassandra_util_spark.operators.sampling import hash_sample
+
+    f1, f2 = min(fractions), max(fractions)
+    df = spark.createDataFrame([(i,) for i in range(n)], "k bigint")
+    small = {r["k"] for r in hash_sample(df, f1, "k").collect()}
+    big = {r["k"] for r in hash_sample(df, f2, "k").collect()}
+    assert small <= big
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(seed=st.integers(0, 10_000), n_nodes=st.integers(2, 60), n_edges=st.integers(1, 80))
+def test_connected_components_matches_union_find(spark, seed, n_nodes, n_edges):
+    from cassandra_util_spark.operators.cluster import connected_components
+
+    rnd = random.Random(seed)
+    edges = [
+        (rnd.randrange(n_nodes), rnd.randrange(n_nodes)) for _ in range(n_edges)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    parent = {v: v for e in edges for v in e}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {v: find(v) for v in parent}
+
+    pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    got = {r["id"]: r["comp"] for r in connected_components(pairs, max_iter=64).collect()}
+    assert got == expected
