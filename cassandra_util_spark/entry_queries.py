@@ -1421,6 +1421,33 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "media_dedup",
+    oracle="""
+    WITH media AS (
+      SELECT doc_id AS media_id, sha256(text) AS d FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, sha256(text) FROM documents)
+    SELECT media_id FROM (
+      SELECT media_id, row_number() OVER (PARTITION BY d ORDER BY media_id) AS rn
+      FROM media) WHERE rn = 1
+    """,
+)
+def media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over opaque BINARY payloads: the media table unioned
+    with byte-identical copies collapses back to the originals.  The
+    shuffle key is the 32-byte digest of the raw bytes — payloads are
+    hashed byte-exact (never cast through string, which is a lossy UTF-8
+    decode) and never enter a shuffle.  At 100 TB this is THE media dedup
+    plan: one digest scan + one 32-byte-key shuffle, blobs stay put."""
+    from cassandra_util_spark.operators.dedup import exact_dedup
+    from cassandra_util_spark.operators.multimodal import media_from_documents
+
+    m = media_from_documents(_t(spark, sf_dir, "documents")).select("media_id", "payload")
+    copies = m.select((F.col("media_id") + 1000000).alias("media_id"), "payload")
+    return exact_dedup(m.unionByName(copies), "media_id", ["payload"]).select("media_id")
+
+
+@query(
     "media_frame_plan",
     oracle="""
     SELECT doc_id AS media_id,

@@ -25,7 +25,7 @@ from cassandra_util_spark.operators.text import normalize_text
 # Exact dedup
 # ---------------------------------------------------------------------------
 
-def content_digest(*cols: Column) -> Column:
+def content_digest(*cols: Column, binary: set[int] | None = None) -> Column:
     """Injective sha256 digest of the content tuple — 32-byte shuffle key.
 
     Each column is hashed separately and the fixed-width per-column hashes
@@ -33,15 +33,33 @@ def content_digest(*cols: Column) -> Column:
     values containing the join separator, and null-vs-empty cannot collide,
     unlike a single hash over the raw concatenation (concat_ws skips NULLs).
     The NULL sentinel is not 64 hex chars, so it cannot equal any column hash.
+
+    ``binary`` holds the positions (0-based) of BinaryType columns: those
+    are hashed as raw bytes — casting bytes through string is a lossy UTF-8
+    decode that would conflate invalid sequences.  Media payloads therefore
+    dedup on their exact bytes.
     """
-    parts = [F.coalesce(F.sha2(c.cast("string"), 256), F.lit("null")) for c in cols]
+    binary = binary or set()
+    parts = [
+        F.coalesce(
+            F.sha2(c if i in binary else c.cast("string"), 256), F.lit("null")
+        )
+        for i, c in enumerate(cols)
+    ]
     return F.sha2(F.concat_ws("|", *parts), 256)
+
+
+def _digest_for(df: DataFrame, content_cols: list[str]) -> Column:
+    dtypes = dict(df.dtypes)
+    binary = {i for i, c in enumerate(content_cols) if dtypes.get(c) == "binary"}
+    return content_digest(*[F.col(c) for c in content_cols], binary=binary)
 
 
 def exact_dedup(df: DataFrame, id_col: str, content_cols: list[str]) -> DataFrame:
     """Keep the lowest id per identical content.  One shuffle, keyed by the
-    digest; ties and ordering fully deterministic."""
-    digest = content_digest(*[F.col(c) for c in content_cols])
+    digest; ties and ordering fully deterministic.  BinaryType content
+    columns are hashed byte-exact (see content_digest)."""
+    digest = _digest_for(df, content_cols)
     w = Window.partitionBy("__digest").orderBy(F.col(id_col).asc())
     return (
         df.withColumn("__digest", digest)
@@ -53,7 +71,7 @@ def exact_dedup(df: DataFrame, id_col: str, content_cols: list[str]) -> DataFram
 
 def duplicate_clusters(df: DataFrame, id_col: str, content_cols: list[str]) -> DataFrame:
     """(digest, n_copies, keep_id) per duplicated content — the audit view."""
-    digest = content_digest(*[F.col(c) for c in content_cols])
+    digest = _digest_for(df, content_cols)
     return (
         df.withColumn("digest", digest)
         .groupBy("digest")

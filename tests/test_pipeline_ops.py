@@ -571,3 +571,19 @@ def test_tfidf_k_bound_and_coverage(spark, docs):
     per_doc = out.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
     assert all(r["n"] <= 3 for r in per_doc)
     assert len(per_doc) == docs.count()  # every doc has at least one term
+
+
+def test_exact_dedup_binary_byte_exact(spark):
+    """Binary payloads that are invalid UTF-8 still dedup on exact bytes —
+    a string-cast digest would conflate distinct invalid sequences."""
+    from cassandra_util_spark.operators.dedup import exact_dedup
+
+    rows = [
+        (1, bytearray(b"\xff\xfe\x01")),
+        (2, bytearray(b"\xff\xfe\x01")),   # exact copy of 1
+        (3, bytearray(b"\xff\xfd\x01")),   # one byte differs
+        (4, bytearray(b"plain ascii")),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, payload binary")
+    kept = sorted(r["id"] for r in exact_dedup(df, "id", ["payload"]).collect())
+    assert kept == [1, 3, 4]
