@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "corpus_lang_profile",
     "embedding_dedup_resolve",
     "media_dedup",
+    "embedding_quantize",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash
     # swapped to xxhash64 — the production configuration at scale

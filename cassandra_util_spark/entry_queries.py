@@ -827,6 +827,38 @@ def embedding_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_quantize",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    scaled AS (
+      SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m FROM base)
+    SELECT vec_id,
+           CAST(unnest(range(0, len(v))) AS INT) AS pos,
+           unnest(list_transform(v, x -> CAST(CASE WHEN m = 0 THEN 0
+                  ELSE round(x * 127 / m) END AS INT))) AS qval,
+           round(m / 127, 9) AS scale
+    FROM scaled
+    """,
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 symmetric quantization of every corpus vector, exported
+    component-wise (vec_id, pos, qval, scale) so each of the 64·N integer
+    codes and every per-vector scale is hash-verified.  This is the ANN
+    memory lever at 100 TB (4× corpus per heap byte); recall impact is
+    bounded and tested (quantized top-10 vs exact top-10)."""
+    from cassandra_util_spark.operators.similarity import quantize_embedding
+
+    e = _t(spark, sf_dir, "embeddings")
+    q, scale = quantize_embedding(F.col("embedding"))
+    return (
+        e.select("vec_id", q.alias("q"), scale.alias("scale"))
+        .select("vec_id", F.posexplode("q").alias("pos", "qval"), "scale")
+    )
+
+
+@query(
     "ann_cosine_topk",
     oracle="""
     SELECT query_id, neighbor_id, rank FROM (

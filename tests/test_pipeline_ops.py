@@ -587,3 +587,57 @@ def test_exact_dedup_binary_byte_exact(spark):
     df = spark.createDataFrame(rows, "id bigint, payload binary")
     kept = sorted(r["id"] for r in exact_dedup(df, "id", ["payload"]).collect())
     assert kept == [1, 3, 4]
+
+
+def test_quantize_roundtrip_error_bound(spark, vecs):
+    from cassandra_util_spark.operators.similarity import (
+        dequantize_embedding,
+        quantize_embedding,
+    )
+
+    q, scale = quantize_embedding(F.col("embedding"))
+    qd = vecs.select("vec_id", "embedding", q.alias("q"), scale.alias("scale"))
+    err = qd.select(
+        F.array_max(
+            F.zip_with(
+                dequantize_embedding(F.col("q"), F.col("scale")),
+                F.col("embedding"),
+                lambda a, b: F.abs(a - b.cast("double")),
+            )
+        ).alias("max_err"),
+        (F.col("scale") * 0.500001).alias("bound"),  # half-step + fp slack
+    )
+    assert err.filter(F.col("max_err") > F.col("bound")).count() == 0
+    # int8 range respected
+    rng = qd.select(F.array_max("q").alias("hi"), F.array_min("q").alias("lo"))
+    assert rng.filter((F.col("hi") > 127) | (F.col("lo") < -127)).count() == 0
+
+
+def test_quantized_topk_recall(spark, vecs):
+    """Top-10 neighbors on dequantized int8 vectors overlap the exact
+    top-10 at >= 80% on average — the documented recall trade."""
+    from cassandra_util_spark.operators.similarity import (
+        cosine_topk,
+        dequantize_embedding,
+        quantize_embedding,
+    )
+
+    q, scale = quantize_embedding(F.col("embedding"))
+    approx_corpus = vecs.select(
+        "vec_id", dequantize_embedding(q, scale).alias("embedding")
+    )
+    queries = vecs.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(vecs, queries, "vec_id", "embedding", k=10).collect()
+    approx = cosine_topk(
+        approx_corpus, approx_corpus.filter(F.col("vec_id") < 5), "vec_id", "embedding", k=10
+    ).collect()
+
+    def nbrs(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    ex, ap = nbrs(exact), nbrs(approx)
+    recalls = [len(ex[k] & ap.get(k, set())) / len(ex[k]) for k in ex]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
