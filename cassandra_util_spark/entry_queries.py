@@ -851,9 +851,10 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_util_spark.operators.similarity import quantize_embedding
 
     e = _t(spark, sf_dir, "embeddings")
-    q, scale = quantize_embedding(F.col("embedding"))
+    qs = quantize_embedding(F.col("embedding"))
     return (
-        e.select("vec_id", q.alias("q"), scale.alias("scale"))
+        e.select("vec_id", qs.alias("qs"))
+        .select("vec_id", F.col("qs.q").alias("q"), F.col("qs.scale").alias("scale"))
         .select("vec_id", F.posexplode("q").alias("pos", "qval"), "scale")
     )
 
@@ -1668,6 +1669,45 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "decontamination",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+    toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    grams AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(w) - 3),
+          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS sh
+        FROM toks WHERE len(w) >= 5)
+    ),
+    bench AS (SELECT DISTINCT sh FROM grams WHERE doc_id % 50 = 0),
+    hits AS (
+      SELECT g.doc_id, count(*) AS n_collisions
+      FROM grams g JOIN bench b ON g.sh = b.sh
+      WHERE g.doc_id % 50 <> 0
+      GROUP BY g.doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(h.n_collisions, 0) AS BIGINT) AS n_collisions,
+           coalesce(h.n_collisions, 0) >= 1 AS contaminated
+    FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+    WHERE d.doc_id % 50 <> 0
+    """,
+)
+def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: every training doc (doc_id % 50 != 0) is
+    checked for 5-gram overlap against the held-out benchmark slice
+    (doc_id % 50 == 0).  The benchmark gram set broadcasts, so the 100 TB
+    training scan stays join-local; the only shuffle is the per-doc
+    collision count.  Hash-verified per document, including zero-collision
+    rows."""
+    from cassandra_util_spark.operators.dedup import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    train = d.filter(F.col("doc_id") % 50 != 0)
+    return decontaminate(train, bench, "doc_id", "text", n=5, min_collisions=1)
+
+
+@query(
     "dedup_clusters",
     oracle=f"""
     WITH RECURSIVE
@@ -1985,6 +2025,35 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", bpe_token_estimate(F.col("text")).alias("n_tokens")
     )
     return pack_sequences(d, "doc_id", "n_tokens", capacity=1024)
+
+
+@query(
+    "doc_chunks",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents),
+    sized AS (
+      SELECT doc_id, w,
+             greatest(CAST(ceil((len(w) - 16) / 48.0) AS BIGINT), 1) AS k
+      FROM toks)
+    SELECT doc_id,
+           CAST(unnest(range(0, k)) AS INT) AS chunk_id,
+           unnest(list_transform(range(0, k),
+             i -> array_to_string(list_slice(w, i * 48 + 1, i * 48 + 64), ' '))) AS chunk_text,
+           unnest(list_transform(range(0, k),
+             i -> least(64, len(w) - i * 48))) AS n_words
+    FROM sized
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 64-word windows (stride 48, overlap 16) for every
+    document — the segmentation feeding fixed-context training and
+    retrieval indexing.  Map-only expression fan-out; chunk ids, texts,
+    and word counts hash-verified row-for-row against the same window
+    arithmetic in DuckDB."""
+    from cassandra_util_spark.operators.packing import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, "doc_id", "text", chunk_words=64, overlap=16)
 
 
 @query(

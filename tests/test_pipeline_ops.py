@@ -595,8 +595,10 @@ def test_quantize_roundtrip_error_bound(spark, vecs):
         quantize_embedding,
     )
 
-    q, scale = quantize_embedding(F.col("embedding"))
-    qd = vecs.select("vec_id", "embedding", q.alias("q"), scale.alias("scale"))
+    qs = quantize_embedding(F.col("embedding"))
+    qd = vecs.select("vec_id", "embedding", qs.alias("qs")).select(
+        "vec_id", "embedding", F.col("qs.q").alias("q"), F.col("qs.scale").alias("scale")
+    )
     err = qd.select(
         F.array_max(
             F.zip_with(
@@ -622,9 +624,13 @@ def test_quantized_topk_recall(spark, vecs):
         quantize_embedding,
     )
 
-    q, scale = quantize_embedding(F.col("embedding"))
-    approx_corpus = vecs.select(
-        "vec_id", dequantize_embedding(q, scale).alias("embedding")
+    qs = quantize_embedding(F.col("embedding"))
+    approx_corpus = (
+        vecs.select("vec_id", qs.alias("qs"))
+        .select(
+            "vec_id",
+            dequantize_embedding(F.col("qs.q"), F.col("qs.scale")).alias("embedding"),
+        )
     )
     queries = vecs.filter(F.col("vec_id") < 5)
     exact = cosine_topk(vecs, queries, "vec_id", "embedding", k=10).collect()
@@ -641,3 +647,25 @@ def test_quantized_topk_recall(spark, vecs):
     ex, ap = nbrs(exact), nbrs(approx)
     recalls = [len(ex[k] & ap.get(k, set())) / len(ex[k]) for k in ex]
     assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    from cassandra_util_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id bigint, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "report says the quick brown fox jumps over everything"),  # 5-gram hit
+            (2, "completely unrelated sentence about data engineering topics"),
+            (3, "fox jumps over the lazy dog tonight says witness"),       # hit
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: (r["n_collisions"], r["contaminated"]) for r in
+           decontaminate(train, bench, "doc_id", "text", n=5).collect()}
+    assert out[1][1] and out[3][1] and not out[2][1]
+    assert out[2][0] == 0 and out[1][0] >= 1
+    assert len(out) == 3  # clean rows are reported, not dropped
