@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     "embedding_dedup_resolve",
     "media_dedup",
     "embedding_quantize",
+    "decontamination",
+    "doc_chunks",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash
     # swapped to xxhash64 — the production configuration at scale

@@ -182,6 +182,58 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_collisions: int = 1,
+) -> DataFrame:
+    """Flag training documents sharing any word ``n``-gram with a benchmark
+    set — the standard eval-set decontamination pass (the reason reported
+    benchmarks are trusted at all).
+
+    Returns every training row as (id, n_collisions, contaminated), where
+    ``n_collisions`` counts DISTINCT benchmark n-grams hit (not occurrence
+    multiplicity) and ``contaminated`` applies ``min_collisions``.
+
+    Scale shape: the benchmark gram set is distinct-ed and BROADCAST —
+    eval suites are millions of grams at most, far under broadcast limits
+    — so the scan over 100 TB of training grams is join-local (no shuffle
+    of training data by gram); the only exchange is the per-doc collision
+    count keyed by id.  If a benchmark ever outgrew broadcast, dropping
+    the hint degrades gracefully to a shuffle join on the gram.
+    """
+    bench_grams = (
+        benchmark.select(F.explode(word_shingles(F.col(text_col), n)).alias("sh"))
+        .distinct()
+    )
+    train_grams = train.select(
+        F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), n)).alias("sh")
+    )
+    hits = (
+        train_grams.join(F.broadcast(bench_grams), "sh")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_collisions"))
+    )
+    return (
+        train.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("n_collisions"), F.lit(0)).alias("n_collisions"),
+            (F.coalesce(F.col("n_collisions"), F.lit(0)) >= min_collisions).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 

@@ -70,6 +70,52 @@ def pack_sequences(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_words: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping word windows:
+    (id, chunk_id, chunk_text, n_words) — the segmentation pass feeding
+    fixed-context training and retrieval indexing.
+
+    Window k starts at ``k * (chunk_words - overlap)``; the last window is
+    short rather than padded; documents shorter than one window yield
+    exactly one chunk.  Pure expression fan-out (let-bound token array →
+    transform over window starts → posexplode): map-only at any scale, and
+    the chunk count per document is ``ceil((len - overlap) / step)`` —
+    deterministic arithmetic an external engine reproduces exactly.
+    """
+    if not 0 <= overlap < chunk_words:
+        raise ValueError(f"need 0 <= overlap < chunk_words, got {overlap}/{chunk_words}")
+    step = chunk_words - overlap
+    from cassandra_util_spark.operators.text import _norm_tokens
+
+    def chunks_of(toks: Column) -> Column:
+        size = F.size(toks)
+        k = F.greatest(F.ceil((size - F.lit(overlap)) / F.lit(step)), F.lit(1))
+        return F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("chunk_id"),
+                F.concat_ws(" ", F.slice(toks, i * step + 1, chunk_words)).alias(
+                    "chunk_text"
+                ),
+                F.least(F.lit(chunk_words), size - i * step).cast("bigint").alias(
+                    "n_words"
+                ),
+            ),
+        )
+
+    arr = F.transform(F.array(_norm_tokens(F.col(text_col))), chunks_of)[0]
+    return (
+        df.select(F.col(id_col), F.explode(arr).alias("c"))
+        .select(id_col, "c.chunk_id", "c.chunk_text", "c.n_words")
+    )
+
+
 def pack_greedy(
     df: DataFrame,
     id_col: str,

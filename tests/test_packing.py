@@ -99,3 +99,31 @@ def test_pack_greedy_sharded_parallel(spark, sized):
         assert [r["bin"] for r in rows] == _greedy_reference(
             [r["n_tokens"] for r in rows], 300
         )
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from cassandra_util_spark.operators.packing import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame([(1, words), (2, "short doc only")],
+                               "doc_id bigint, text string")
+    rows = sorted(chunk_documents(df, "doc_id", "text", chunk_words=64, overlap=16)
+                  .collect(), key=lambda r: (r["doc_id"], r["chunk_id"]))
+    d1 = [r for r in rows if r["doc_id"] == 1]
+    # 100 words, stride 48 -> ceil(84/48) = 2 chunks
+    assert [r["chunk_id"] for r in d1] == [0, 1]
+    assert d1[0]["n_words"] == 64 and d1[1]["n_words"] == 52
+    c0, c1 = d1[0]["chunk_text"].split(" "), d1[1]["chunk_text"].split(" ")
+    assert c0[0] == "w0" and c1[0] == "w48"      # stride 48
+    assert c0[-16:] == c1[:16]                   # 16-word overlap
+    # short doc -> exactly one whole chunk
+    d2 = [r for r in rows if r["doc_id"] == 2]
+    assert len(d2) == 1 and d2[0]["n_words"] == 3 and d2[0]["chunk_text"] == "short doc only"
+
+
+def test_chunk_documents_validates_overlap(spark):
+    from cassandra_util_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", chunk_words=10, overlap=10)
