@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "embedding_quantize",
     "decontamination",
     "doc_chunks",
+    "stratified_topk_docs",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash
     # swapped to xxhash64 — the production configuration at scale

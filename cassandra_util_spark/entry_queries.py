@@ -1798,6 +1798,33 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stratified_topk_docs",
+    oracle="""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY CAST(('0x' || substring(md5('topk:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) ASC,
+                        doc_id ASC) AS rn
+      FROM documents) WHERE rn <= 25
+    """,
+)
+def stratified_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 25 documents per language by hash order — the deterministic
+    reservoir for quota-exact eval sets.  Unlike fraction gating (binomial
+    counts), the quota is exact; unlike rand()-based sampling, membership
+    survives repartitioning and is re-derivable by the oracle.  The window
+    is WindowGroupLimit-pushed, so the stratum shuffle carries ~k rows per
+    language."""
+    from cassandra_util_spark.operators.sampling import stratified_topk_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_topk_sample(d, "lang", 25, "doc_id", seed="topk").select(
+        "doc_id", "lang"
+    )
+
+
 # per-language multiplicities for the epoch-mixing contract query: scarce
 # strata upweighted, 'en' downsampled, 'zh' dropped — fractional parts are
 # realized through the integer hash gate, never engine-side float math

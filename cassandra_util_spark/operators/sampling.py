@@ -77,6 +77,40 @@ def stratified_sample(
     return df.filter(sample_gate(F.col(key_col), seed) < thr)
 
 
+def stratified_topk_sample(
+    df: DataFrame,
+    strata_col: str,
+    k: int,
+    key_col: str,
+    seed: str = "topk",
+) -> DataFrame:
+    """EXACTLY ``k`` rows per stratum (fewer if the stratum is smaller),
+    chosen by hash order — a deterministic reservoir sample.
+
+    Fraction-gating gives binomial sample sizes; eval-set construction and
+    per-domain quotas need exact counts.  Ranking rows by the portable
+    hash (ties broken by the key) makes the selection a pure function of
+    the data: stable under repartitioning and incremental growth — a row
+    only leaves the sample when a lower-hash row arrives in its stratum.
+
+    One shuffle on the stratum (the window); for heavy strata Spark's
+    WindowGroupLimit pushes the top-k before the exchange, so the shuffle
+    carries ~k rows per stratum, not the stratum.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        sample_gate(F.col(key_col), seed).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def mixture_fractions(
     counts: dict[str, int], weights: dict[str, float]
 ) -> dict[str, float]:

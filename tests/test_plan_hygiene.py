@@ -1,0 +1,58 @@
+"""Physical-plan regression guards: the queries whose 100 TB story is
+"map-only, no shuffle" must STAY shuffle-free, and the retention core must
+keep its predicate in the parquet scan's PushedFilters.  A correctness-
+preserving edit that silently adds an Exchange or strands the filter
+post-scan is a perf regression the oracle check cannot see."""
+
+import re
+
+import pytest
+
+from cassandra_util_spark.entry_queries import QUERIES
+
+# a shuffle is any Exchange that is not a broadcast (broadcasts move a
+# small side once; they are the point of several of these plans)
+_SHUFFLE = re.compile(r"(?<!Broadcast)Exchange")
+
+SF_DIR = "/root/testdata/sf0.001"
+
+MAP_ONLY = [
+    "stratified_sample_docs",
+    "doc_repetition_filter",
+    "pii_redaction",
+    "weighted_repeat_docs",
+    "doc_chunks",
+    "text_quality",
+    "lang_id",
+    "doc_fingerprint",
+    "token_count_regex",
+    "media_frame_plan",
+]
+
+
+def _physical(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.mark.parametrize("name", MAP_ONLY)
+def test_map_only_queries_have_no_shuffle(spark, name):
+    plan = _physical(QUERIES[name](spark, SF_DIR))
+    assert not _SHUFFLE.search(plan), f"{name} gained a shuffle:\n{plan[:2000]}"
+
+
+def test_retention_predicate_reaches_pushed_filters(spark):
+    plan = _physical(QUERIES["retention_rules_delete"](spark, SF_DIR))
+    assert not _SHUFFLE.search(plan)
+    scan_part = plan.split("PushedFilters", 1)
+    assert len(scan_part) == 2, "no PushedFilters in scan"
+    assert "l_orderkey" in scan_part[1][:300], scan_part[1][:300]
+
+
+def test_map_only_queries_prune_unused_columns(spark):
+    """stratified_sample_docs reads only (doc_id, lang): the text column
+    must not survive into ReadSchema."""
+    plan = _physical(QUERIES["stratified_sample_docs"](spark, SF_DIR))
+    read = plan.split("ReadSchema", 1)[1][:300]
+    assert "doc_id" in read and "text" not in read, read

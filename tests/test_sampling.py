@@ -124,3 +124,25 @@ def test_stratified_repeat_deterministic_and_validated(spark, docs):
     assert sorted(map(key, a)) == sorted(map(key, b))
     with pytest.raises(ValueError, match=">= 0"):
         stratified_repeat(docs, "lang", {"de": -1.0}, "doc_id")
+
+
+def test_stratified_topk_exact_quota_and_stability(spark, docs):
+    from cassandra_util_spark.operators.sampling import stratified_topk_sample
+
+    out = stratified_topk_sample(docs, "lang", 10, "doc_id")
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    full = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, n in full.items():
+        assert counts[lang] == min(10, n)  # exact quota
+    # membership is stable under repartitioning
+    again = stratified_topk_sample(docs.repartition(11), "lang", 10, "doc_id")
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+    # incremental-growth property: sample from a superset only shrinks per
+    # stratum when lower-hash rows arrive; the k=5 sample nests in k=10
+    small = {r["doc_id"] for r in stratified_topk_sample(docs, "lang", 5, "doc_id").collect()}
+    big = {r["doc_id"] for r in out.collect()}
+    assert small <= big
+    with pytest.raises(ValueError):
+        stratified_topk_sample(docs, "lang", 0, "doc_id")
