@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "decontamination",
     "doc_chunks",
     "stratified_topk_docs",
+    "training_corpus_assembly",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash
     # swapped to xxhash64 — the production configuration at scale

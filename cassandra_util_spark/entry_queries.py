@@ -2116,3 +2116,147 @@ def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return tfidf_top_terms(d, "doc_id", "text", k=3)
+
+
+# the full-assembly pipeline's redaction chain, identical to PII_PATTERNS
+# (operators/text.py) — kept as one SQL fragment so the assembly oracle
+# applies the exact same chain to the exact same column
+_REDACT_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,"
+    " '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),"
+    " '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'),"
+    " '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),"
+    " '\\+?\\d[\\d\\s().-]{7,}\\d', '<PHONE>', 'g')"
+)
+
+
+def _assembly_oracle() -> str:
+    from cassandra_util_spark.operators.sampling import gate_threshold
+
+    thr = gate_threshold(0.8)
+    return f"""
+    WITH RECURSIVE
+    docs0 AS (SELECT doc_id, lang, {_REDACT_SQL} AS text FROM documents),
+    scored AS (
+      SELECT doc_id, text,
+             round(0.4 * least(len({_TOKS_SQL}) / 100.0, 1.0)
+                 + 0.3 * least((len(list_filter(list_transform({_TOKS_SQL}, x -> lower(x)),
+                                                x -> list_contains({_STOPS_SQL}, x)))
+                                / greatest(len({_TOKS_SQL}), 1)) * 4.0, 1.0)
+                 + 0.3 * (1.0 - least(((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+                                       / greatest(length(text), 1)) * 5.0, 1.0)), 6) AS quality,
+             CASE
+               WHEN en + de + fr + es = 0 THEN 'und'
+               WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+               WHEN de >= fr AND de >= es THEN 'de'
+               WHEN fr >= es THEN 'fr'
+               ELSE 'es'
+             END AS lang_pred
+      FROM (
+        SELECT doc_id, text,
+          len(list_filter(ltoks, x -> list_contains(['the','a','and','of','to','in','is'], x))) AS en,
+          len(list_filter(ltoks, x -> list_contains(['der','die','das','und','ist','nicht'], x))) AS de,
+          len(list_filter(ltoks, x -> list_contains(['le','la','les','et','est','une'], x))) AS fr,
+          len(list_filter(ltoks, x -> list_contains(['el','los','las','y','es','una'], x))) AS es
+        FROM (SELECT doc_id, text, list_transform({_TOKS_SQL}, x -> lower(x)) AS ltoks
+              FROM docs0)
+      )),
+    filtered AS (
+      SELECT doc_id, text FROM scored WHERE quality >= 0.5 AND lang_pred = 'en'),
+    dd AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               row_number() OVER (PARTITION BY md5({_NORM_SQL}) ORDER BY doc_id) AS rn
+        FROM filtered) WHERE rn = 1),
+    toks AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM dd),
+    sh AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        FROM toks WHERE len(w) >= 3)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.5),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs),
+    reach(id, root) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id),
+    comp AS (SELECT id, min(root) AS comp FROM reach GROUP BY id),
+    survivors AS (
+      SELECT d.doc_id, d.text FROM dd d LEFT JOIN comp c ON c.id = d.doc_id
+      WHERE coalesce(c.comp, d.doc_id) = d.doc_id),
+    sampled AS (
+      SELECT doc_id, CAST(ceil(length(text) / 4) AS BIGINT) AS n_tokens
+      FROM survivors
+      WHERE CAST(('0x' || substring(md5('asm:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) < {thr}),
+    packed AS (
+      SELECT doc_id, n_tokens,
+             coalesce(CAST(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_before
+      FROM sampled)
+    SELECT doc_id, n_tokens,
+           cum_before // 512 AS bin,
+           cum_before % 512 AS bin_offset
+    FROM packed
+    """
+
+
+@query("training_corpus_assembly", oracle=_assembly_oracle())
+def training_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE training-corpus assembly line as one declarative plan:
+    PII redaction -> quality + language gate -> formatting-insensitive
+    exact dedup -> transitive near-dup resolution (Jaccard pairs + connected
+    components, canonical survivor) -> deterministic 0.8 sample -> packing
+    into 512-token windows.  Every stage is an already-oracle-verified
+    operator; this query certifies their COMPOSITION end to end with one
+    hash.  Plan-wise: redaction/scoring/gating fuse into the first map
+    stage, the dedup shuffle sees only gated survivors, pair generation
+    only deduped survivors, and the sample gate is applied before the
+    packing window — each stage shrinks the data the next one shuffles,
+    which is exactly the 100 TB assembly discipline."""
+    from pyspark.sql import Window
+
+    from cassandra_util_spark.operators.cluster import resolve_duplicates
+    from cassandra_util_spark.operators.dedup import ngram_jaccard_pairs
+    from cassandra_util_spark.operators.packing import pack_sequences
+    from cassandra_util_spark.operators.sampling import hash_sample
+    from cassandra_util_spark.operators.text import (
+        bpe_token_estimate,
+        fingerprint,
+        lang_id,
+        quality_score,
+        redact_pii,
+    )
+
+    d = _t(spark, sf_dir, "documents").withColumn("text", redact_pii(F.col("text")))
+    t = F.col("text")
+    gated = d.select("doc_id", "text", quality_score(t).alias("q"), lang_id(t).alias("l")).filter(
+        (F.col("q") >= 0.5) & (F.col("l") == "en")
+    )
+    w = Window.partitionBy(fingerprint(F.col("text"))).orderBy(F.col("doc_id").asc())
+    deduped = (
+        gated.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text")
+    )
+    pairs = ngram_jaccard_pairs(deduped, "doc_id", "text", n=3, threshold=0.5)
+    resolved = resolve_duplicates(deduped, pairs, "doc_id")
+    survivors = deduped.join(
+        resolved.filter(F.col("keep")).select("doc_id"), "doc_id"
+    )
+    sampled = hash_sample(survivors, 0.8, "doc_id", seed="asm").select(
+        "doc_id", bpe_token_estimate(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(sampled, "doc_id", "n_tokens", capacity=512)
