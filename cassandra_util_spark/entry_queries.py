@@ -2176,9 +2176,13 @@ def _assembly_oracle() -> str:
         FROM toks WHERE len(w) >= 3)
     ),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    freq AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+    capped AS (
+      SELECT s.doc_id, s.sh FROM sh s JOIN freq f ON f.sh = s.sh
+      WHERE f.df > 1 AND f.df <= 20),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
       GROUP BY 1, 2),
     pairs AS (
       SELECT id_a, id_b FROM inter
@@ -2223,9 +2227,12 @@ def training_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator; this query certifies their COMPOSITION end to end with one
     hash.  Plan-wise: redaction/scoring/gating fuse into the first map
     stage, the dedup shuffle sees only gated survivors, pair generation
-    only deduped survivors, and the sample gate is applied before the
+    (the CAPPED doc-frequency Jaccard — the mode that survives web scale)
+    sees only deduped survivors, and the sample gate is applied before the
     packing window — each stage shrinks the data the next one shuffles,
-    which is exactly the 100 TB assembly discipline."""
+    which is exactly the 100 TB assembly discipline.  At small SF the
+    runtime is dominated by the component-closure rounds' fixed job
+    latency, which amortizes as data grows."""
     from pyspark.sql import Window
 
     from cassandra_util_spark.operators.cluster import resolve_duplicates
@@ -2246,12 +2253,18 @@ def training_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("q") >= 0.5) & (F.col("l") == "en")
     )
     w = Window.partitionBy(fingerprint(F.col("text"))).orderBy(F.col("doc_id").asc())
+    # materialize the dedup survivors once: three consumers follow (pair
+    # generation, the resolve id-set, the survivor join) and each would
+    # otherwise replay the scan+score+window subtree
     deduped = (
         gated.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("doc_id", "text")
+        .localCheckpoint(eager=False)
     )
-    pairs = ngram_jaccard_pairs(deduped, "doc_id", "text", n=3, threshold=0.5)
+    pairs = ngram_jaccard_pairs(
+        deduped, "doc_id", "text", n=3, threshold=0.5, max_doc_freq=20
+    )
     resolved = resolve_duplicates(deduped, pairs, "doc_id")
     survivors = deduped.join(
         resolved.filter(F.col("keep")).select("doc_id"), "doc_id"
