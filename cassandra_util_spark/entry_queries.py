@@ -2273,3 +2273,28 @@ def training_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", bpe_token_estimate(F.col("text")).alias("n_tokens")
     )
     return pack_sequences(sampled, "doc_id", "n_tokens", capacity=512)
+
+
+@query(
+    "dedup_incremental",
+    oracle="""
+    WITH ref AS (
+      SELECT DISTINCT sha256(text) AS d FROM documents WHERE doc_id < 250),
+    incoming AS (SELECT doc_id, text FROM documents WHERE doc_id >= 200)
+    SELECT i.doc_id FROM incoming i
+    WHERE sha256(i.text) NOT IN (SELECT d FROM ref)
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-batch-versus-historical-corpus dedup: the incoming slice
+    (doc_id >= 200) anti-joins the historical store's digest set
+    (doc_id < 250), dropping exactly the 50 overlapping documents.  The
+    reference reduces to one 32-byte digest per historical doc — the
+    persisted artifact an incremental crawl pipeline keeps — and the join
+    shuffles digests, never content."""
+    from cassandra_util_spark.operators.dedup import dedup_against
+
+    d = _t(spark, sf_dir, "documents")
+    reference = d.filter(F.col("doc_id") < 250)
+    incoming = d.filter(F.col("doc_id") >= 200)
+    return dedup_against(incoming, reference, "doc_id", ["text"]).select("doc_id")

@@ -181,6 +181,32 @@ def ngram_jaccard_pairs(
     return jac.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
+def dedup_against(
+    df: DataFrame,
+    reference: DataFrame,
+    id_col: str,
+    content_cols: list[str],
+) -> DataFrame:
+    """Incremental dedup: drop rows whose content already exists in a
+    REFERENCE corpus (the new-crawl-versus-historical-store pass; within-
+    batch duplicates are exact_dedup's job and are NOT collapsed here).
+
+    Anti-join on the 32-byte content digest: the reference side reduces to
+    its distinct digest set — at warehouse scale that digest table is the
+    persisted artifact (one digest per historical doc, content never
+    re-read), and the join shuffles 32-byte keys only.  BinaryType content
+    hashes byte-exact, as in exact_dedup.
+    """
+    digest = _digest_for(df, content_cols)
+    ref_digest = _digest_for(reference, content_cols)
+    ref = reference.select(ref_digest.alias("__digest")).distinct()
+    return (
+        df.withColumn("__digest", digest)
+        .join(ref, "__digest", "left_anti")
+        .drop("__digest")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Benchmark decontamination
 # ---------------------------------------------------------------------------

@@ -669,3 +669,21 @@ def test_decontaminate_flags_planted_overlap(spark):
     assert out[1][1] and out[3][1] and not out[2][1]
     assert out[2][0] == 0 and out[1][0] >= 1
     assert len(out) == 3  # clean rows are reported, not dropped
+
+
+def test_dedup_against_reference_only(spark, docs):
+    """Cross-corpus duplicates drop; within-batch duplicates survive (they
+    are exact_dedup's job, not this pass's)."""
+    from cassandra_util_spark.operators.dedup import dedup_against
+
+    d = docs.select("doc_id", "text")
+    reference = d.filter(F.col("doc_id") < 100)
+    dup_in_batch = d.filter(F.col("doc_id") == 400).select(
+        (F.col("doc_id") + 9000).alias("doc_id"), "text"
+    )
+    incoming = d.filter(F.col("doc_id") >= 50).unionByName(dup_in_batch)
+    out = sorted(r["doc_id"] for r in
+                 dedup_against(incoming, reference, "doc_id", ["text"]).collect())
+    assert min(out) == 100                      # 50-99 dropped (in reference)
+    assert 9400 in out and 400 in out           # both in-batch copies kept
+    assert len(out) == (500 - 100) + 1
