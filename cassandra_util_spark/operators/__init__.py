@@ -7,6 +7,27 @@ from cassandra_util_spark.operators.convictors import (
     register_convictor,
 )
 from cassandra_util_spark.operators.retention import RetentionJob, RetentionStats
+from cassandra_util_spark.operators.cluster import connected_components, resolve_duplicates
+from cassandra_util_spark.operators.dedup import (
+    decontaminate,
+    dedup_against,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from cassandra_util_spark.operators.packing import (
+    chunk_documents,
+    pack_greedy,
+    pack_sequences,
+)
+from cassandra_util_spark.operators.sampling import (
+    hash_sample,
+    mixed_sample,
+    stratified_repeat,
+    stratified_sample,
+    stratified_topk_sample,
+)
 
 __all__ = [
     "Convictor",
@@ -17,4 +38,20 @@ __all__ = [
     "register_convictor",
     "RetentionJob",
     "RetentionStats",
+    "connected_components",
+    "resolve_duplicates",
+    "decontaminate",
+    "dedup_against",
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_pairs",
+    "chunk_documents",
+    "pack_greedy",
+    "pack_sequences",
+    "hash_sample",
+    "mixed_sample",
+    "stratified_repeat",
+    "stratified_sample",
+    "stratified_topk_sample",
 ]
