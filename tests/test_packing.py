@@ -127,3 +127,17 @@ def test_chunk_documents_validates_overlap(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
     with pytest.raises(ValueError):
         chunk_documents(df, "doc_id", "text", chunk_words=10, overlap=10)
+
+
+def test_chunk_documents_empty_text(spark):
+    """Empty/whitespace-only documents yield one empty chunk with zero
+    words (the normalized token set is empty), never an error row."""
+    from cassandra_util_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame([(1, ""), (2, "   "), (3, "!!!")],
+                               "doc_id bigint, text string")
+    rows = sorted(chunk_documents(df, "doc_id", "text").collect(),
+                  key=lambda r: r["doc_id"])
+    assert [(r["doc_id"], r["chunk_id"], r["chunk_text"], r["n_words"]) for r in rows] == [
+        (1, 0, "", 0), (2, 0, "", 0), (3, 0, "", 0),
+    ]

@@ -104,3 +104,24 @@ def test_connected_components_matches_union_find(spark, seed, n_nodes, n_edges):
     pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
     got = {r["id"]: r["comp"] for r in connected_components(pairs, max_iter=64).collect()}
     assert got == expected
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    mult=st.floats(0.0, 4.0).map(lambda x: round(x, 2)),
+    n=st.integers(20, 80),
+)
+def test_stratified_repeat_copy_counts_property(spark, mult, n):
+    """Every row appears floor(m) or ceil(m) times; the extra-copy rate
+    over the stratum is governed by the hash gate (exact thresholds, so
+    per-row counts are a pure function of the key)."""
+    from cassandra_util_spark.operators.sampling import stratified_repeat
+
+    df = spark.createDataFrame([(i, "s") for i in range(n)], "k bigint, g string")
+    out = stratified_repeat(df, "g", {"s": mult}, "k")
+    counts = {r["k"]: r["n"] for r in
+              out.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    lo, hi = int(mult), int(mult) + (1 if mult != int(mult) else 0)
+    for i in range(n):
+        c = counts.get(i, 0)
+        assert lo <= c <= max(hi, lo), (i, c, mult)

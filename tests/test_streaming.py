@@ -317,3 +317,41 @@ def test_streaming_hash_sample_matches_batch(spark, workdir, events_src):
         r["event_id"] for r in hash_sample(batch_df, 0.25, "event_id").select("event_id").collect()
     )
     assert got == want and 0 < len(got) < batch_df.count()
+
+
+def test_streaming_text_scoring_matches_batch(spark, workdir, events_src):
+    """Quality scoring, language ID, and PII redaction are stateless
+    expressions: the same operator columns run unchanged on a stream and
+    produce row-identical results to batch."""
+    from cassandra_util_spark.operators.text import lang_id, quality_score, redact_pii
+
+    src, batch_df = events_src
+    out = os.path.join(workdir, "scored")
+    cp = os.path.join(workdir, "cp_scored")
+
+    def score(df):
+        t = F.col("props")  # events' JSON string column doubles as text here
+        return df.select(
+            "event_id",
+            quality_score(t).alias("q"),
+            lang_id(t).alias("l"),
+            redact_pii(t).alias("clean"),
+        )
+
+    events = stream_events(spark, src, batch_df.schema)
+    q = (
+        score(events)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        map(tuple, spark.read.parquet(out).collect()), key=lambda r: r[0]
+    )
+    want = sorted(map(tuple, score(batch_df).collect()), key=lambda r: r[0])
+    assert got == want and len(got) == batch_df.count()
