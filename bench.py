@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "stratified_topk_docs",
     "training_corpus_assembly",
     "dedup_incremental",
+    "passage_dup_share",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash
     # swapped to xxhash64 — the production configuration at scale

@@ -2298,3 +2298,48 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference = d.filter(F.col("doc_id") < 250)
     incoming = d.filter(F.col("doc_id") >= 200)
     return dedup_against(incoming, reference, "doc_id", ["text"]).select("doc_id")
+
+
+@query(
+    "passage_dup_share",
+    oracle=f"""
+    WITH all_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' zz yy xx ww vv uu tt ss' FROM documents),
+    toks AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM all_docs),
+    sized AS (
+      SELECT doc_id, w, greatest(CAST(ceil(len(w) / 32.0) AS BIGINT), 1) AS k
+      FROM toks),
+    chunks AS (
+      SELECT doc_id,
+             md5(unnest(list_transform(range(0, k),
+               i -> array_to_string(list_slice(w, i * 32 + 1, i * 32 + 32), ' ')))) AS fp
+      FROM sized),
+    freq AS (SELECT fp, count(DISTINCT doc_id) AS n_docs FROM chunks GROUP BY fp)
+    SELECT c.doc_id,
+           count(*) AS n_chunks,
+           CAST(sum(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+           round(CAST(sum(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 / count(*), 6) AS dup_share
+    FROM chunks c JOIN freq f ON f.fp = c.fp
+    GROUP BY c.doc_id
+    """,
+)
+def passage_dup_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level duplication share: the corpus is unioned with copies
+    that share every prefix passage but diverge in the tail, and each
+    document reports what fraction of its 32-word chunks also appear in
+    another document — the boilerplate signal document-level dedup cannot
+    see.  Chunking, fingerprint doc-frequency, and the per-doc rollup are
+    hash-verified for all 1000 docs."""
+    from cassandra_util_spark.operators.dedup import passage_dup_stats
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz yy xx ww vv uu tt ss")).alias("text"),
+    )
+    return passage_dup_stats(
+        d.unionByName(copies), "doc_id", "text", chunk_words=32, overlap=0
+    )

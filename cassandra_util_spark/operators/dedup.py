@@ -211,6 +211,50 @@ def dedup_against(
 # Benchmark decontamination
 # ---------------------------------------------------------------------------
 
+def passage_dup_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_words: int = 64,
+    overlap: int = 0,
+) -> DataFrame:
+    """Passage-level duplication: per document, the share of its chunks
+    whose fingerprint appears in MORE THAN ONE distinct document —
+    (id, n_chunks, dup_chunks, dup_share).
+
+    Document-level dedup misses boilerplate passages embedded in otherwise
+    distinct pages (headers, licenses, templated sections); this is the
+    chunk-granularity signal modern pretraining pipelines filter on.
+    Built by composition: chunk_documents fan-out → md5 chunk fingerprint
+    → fingerprint-keyed doc-frequency (one shuffle on the 16-byte print,
+    map-side partials) → broadcast back onto the chunk stream → per-doc
+    aggregate.  Overlap defaults to 0 here — overlapping windows would
+    double-count shared text in the share.
+    """
+    from cassandra_util_spark.operators.packing import chunk_documents
+
+    chunks = chunk_documents(df, id_col, text_col, chunk_words, overlap).select(
+        F.col(id_col).alias("id"), F.md5(F.col("chunk_text")).alias("fp")
+    )
+    freq = chunks.groupBy("fp").agg(
+        F.count_distinct(F.col("id")).alias("n_docs")
+    )
+    return (
+        chunks.join(F.broadcast(freq), "fp")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("n_docs") > 1).cast("int")).alias("dup_chunks"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_chunks",
+            F.col("dup_chunks").cast("bigint").alias("dup_chunks"),
+            F.round(F.col("dup_chunks") / F.col("n_chunks"), 6).alias("dup_share"),
+        )
+    )
+
+
 def decontaminate(
     train: DataFrame,
     benchmark: DataFrame,

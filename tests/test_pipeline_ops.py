@@ -687,3 +687,22 @@ def test_dedup_against_reference_only(spark, docs):
     assert min(out) == 100                      # 50-99 dropped (in reference)
     assert 9400 in out and 400 in out           # both in-batch copies kept
     assert len(out) == (500 - 100) + 1
+
+
+def test_passage_dup_stats_shared_prefix(spark):
+    from cassandra_util_spark.operators.dedup import passage_dup_stats
+
+    base = " ".join(f"w{i}" for i in range(64))          # exactly 2 chunks of 32
+    df = spark.createDataFrame(
+        [
+            (1, base),                                    # both chunks shared with 2
+            (2, base + " tail words differ here now"),    # 3rd chunk unique
+            (3, "entirely different text with no shared passages at all"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: (r["n_chunks"], r["dup_chunks"], r["dup_share"]) for r in
+           passage_dup_stats(df, "doc_id", "text", chunk_words=32).collect()}
+    assert out[1] == (2, 2, 1.0)        # every chunk of 1 appears in 2
+    assert out[2] == (3, 2, 0.666667)   # 2 of 3 chunks shared
+    assert out[3][1] == 0 and out[3][2] == 0.0
