@@ -355,3 +355,36 @@ def test_streaming_text_scoring_matches_batch(spark, workdir, events_src):
     )
     want = sorted(map(tuple, score(batch_df).collect()), key=lambda r: r[0])
     assert got == want and len(got) == batch_df.count()
+
+
+def test_streaming_dedup_against_static_reference(spark, workdir, events_src):
+    """dedup_against works unchanged on a stream: the historical digest
+    set is a static side of a stream-static left-anti join, so streaming
+    ingestion dedups against the persisted corpus with no extra code."""
+    from cassandra_util_spark.operators.dedup import dedup_against
+
+    src, batch_df = events_src
+    # historical reference = half the events (by id parity)
+    reference = batch_df.filter(F.col("event_id") % 2 == 0).select("event_id", "props")
+    out = os.path.join(workdir, "new_only")
+    cp = os.path.join(workdir, "cp_against")
+    events = stream_events(spark, src, batch_df.schema).select("event_id", "props")
+    q = (
+        dedup_against(events, reference, "event_id", ["event_id", "props"])
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+    want = sorted(
+        r["event_id"]
+        for r in dedup_against(
+            batch_df.select("event_id", "props"), reference, "event_id", ["event_id", "props"]
+        ).collect()
+    )
+    assert got == want and 0 < len(got) < batch_df.count()
