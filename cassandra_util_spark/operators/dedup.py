@@ -227,9 +227,13 @@ def passage_dup_stats(
     chunk-granularity signal modern pretraining pipelines filter on.
     Built by composition: chunk_documents fan-out → md5 chunk fingerprint
     → fingerprint-keyed doc-frequency (one shuffle on the 16-byte print,
-    map-side partials) → broadcast back onto the chunk stream → per-doc
-    aggregate.  Overlap defaults to 0 here — overlapping windows would
-    double-count shared text in the share.
+    map-side partials) → fingerprint-keyed join back onto the chunk
+    stream → per-doc aggregate.  The frequency table has one row per
+    DISTINCT chunk — at corpus scale that is billions of rows, so the
+    rejoin is deliberately NOT broadcast (unlike decontaminate's bounded
+    benchmark grams): both sides shuffle on the same 16-byte key, and the
+    chunk-stage exchange is reused.  Overlap defaults to 0 here —
+    overlapping windows would double-count shared text in the share.
     """
     from cassandra_util_spark.operators.packing import chunk_documents
 
@@ -240,7 +244,7 @@ def passage_dup_stats(
         F.count_distinct(F.col("id")).alias("n_docs")
     )
     return (
-        chunks.join(F.broadcast(freq), "fp")
+        chunks.join(freq, "fp")
         .groupBy("id")
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
