@@ -17,6 +17,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from cassandra_util_spark.entry_queries import ORACLES, QUERIES  # noqa: E402
 
+# Import-time contract check (VERDICT r2 item 4): every registered query has a
+# DuckDB oracle unless it is on the documented rows-only list (genuinely
+# non-SQL-expressible ops).  A silently oracle-less query would downgrade the
+# driver's correctness gate for that row without anyone noticing.
+_ROWS_ONLY_OK: frozenset[str] = frozenset()
+_missing = sorted(set(QUERIES) - set(ORACLES) - _ROWS_ONLY_OK)
+assert not _missing, f"queries registered without an oracle: {_missing}"
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""

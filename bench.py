@@ -121,23 +121,34 @@ def main() -> None:
     runnable = {**QUERIES, **EXTRA_QUERIES}
     names = [n for n in BENCH_QUERIES if n in runnable]
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    # Per-query error isolation: one broken query must never erase the
+    # performance signal of the other 50+ (BENCH_r02 lost every timing to a
+    # single AnalysisException).  Record the error, keep timing the rest,
+    # always print the JSON line; exit non-zero only at the end.
     for name in names:
         t0 = time.monotonic()
-        runnable[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.monotonic() - t0, 3)
+        try:
+            runnable[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.monotonic() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — isolate ANY per-query failure
+            msg = f"{type(exc).__name__}: {exc}"
+            errors[name] = msg.splitlines()[0][:300]
+            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
+    if errors:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

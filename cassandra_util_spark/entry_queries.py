@@ -23,7 +23,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cassandra_util_spark.core.table import KeyedTable, TableMeta
-from cassandra_util_spark.functions import portable_token, writetime_micros
+from cassandra_util_spark.functions import (
+    normalize_event_time,
+    portable_token,
+    writetime_micros,
+)
 from cassandra_util_spark.operators.convictors import (
     ConfigurableDeleter,
     RuleBasedDeletionConvictor,
@@ -50,20 +54,78 @@ def query(name: str, oracle: Optional[str] = None):
     return deco
 
 
+# Physical types each driver table's columns are allowed to arrive in.
+# Timestamp-ish columns list every representation seen across Spark versions
+# (TIMESTAMP on Spark 3, TIMESTAMP_NTZ on Spark 4's native nanos read, bigint
+# under legacy nanosAsLong); _t normalizes those to TIMESTAMP.  Anything else
+# fails fast with a message naming the column and type, instead of a deep
+# Catalyst error downstream.
+_TS_REPS = {"timestamp", "timestamp_ntz", "bigint"}
+_EXPECTED_TYPES: dict[str, dict[str, set[str]]] = {
+    "region": {"r_regionkey": {"int"}, "r_name": {"string"}},
+    "nation": {"n_nationkey": {"int"}, "n_name": {"string"}, "n_regionkey": {"int"}},
+    "customer": {
+        "c_custkey": {"bigint"}, "c_name": {"string"}, "c_nationkey": {"int"},
+        "c_acctbal": {"double"}, "c_mktsegment": {"string"},
+    },
+    "supplier": {
+        "s_suppkey": {"bigint"}, "s_name": {"string"},
+        "s_nationkey": {"int"}, "s_acctbal": {"double"},
+    },
+    "part": {
+        "p_partkey": {"bigint"}, "p_name": {"string"}, "p_brand": {"string"},
+        "p_type": {"string"}, "p_size": {"int"}, "p_retailprice": {"double"},
+    },
+    "orders": {
+        "o_orderkey": {"bigint"}, "o_custkey": {"bigint"},
+        "o_orderstatus": {"string"}, "o_totalprice": {"double"},
+        "o_orderdate": _TS_REPS, "o_orderpriority": {"string"},
+    },
+    "lineitem": {
+        "l_orderkey": {"bigint"}, "l_partkey": {"bigint"}, "l_suppkey": {"bigint"},
+        "l_linenumber": {"int"}, "l_quantity": {"double"},
+        "l_extendedprice": {"double"}, "l_discount": {"double"}, "l_tax": {"double"},
+        "l_returnflag": {"string"}, "l_linestatus": {"string"}, "l_shipdate": _TS_REPS,
+    },
+    "events": {
+        "event_id": {"bigint"}, "ts": _TS_REPS, "user_id": {"bigint"},
+        "event_type": {"string"}, "value": {"double"}, "props": {"string"},
+    },
+    "documents": {
+        "doc_id": {"bigint"}, "text": {"string"}, "lang": {"string"},
+        "source": {"string"}, "n_chars": {"bigint"},
+    },
+    "embeddings": {
+        "vec_id": {"bigint"}, "embedding": {"array<float>"}, "label": {"int"},
+    },
+}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        # the events files store TIMESTAMP(NANOS), which Spark refuses to read
-        # by default — and the DRIVER passes its own session here, which may
-        # not have the conf; it is runtime-settable, so pin it defensively
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The DRIVER passes its own session here, which may carry different confs;
+    # both of these are runtime-settable, so pin them defensively:
+    #  - UTC session tz: makes the TIMESTAMP_NTZ→TIMESTAMP cast in
+    #    normalize_event_time epoch-preserving (the reference's timestamps are
+    #    timezone-free epoch-µs — CQLTimestamp.scala:17-40 — and DuckDB's
+    #    epoch_us reads the same wall-clock as UTC), and keeps every
+    #    date/time function deterministic across driver environments.
+    #  - nanosAsLong: lets Spark 3.x read the events TIMESTAMP(NANOS) parquet
+    #    at all (as int64 nanos); Spark 4 ignores it and reads NTZ natively.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        # ts is TIMESTAMP(NANOS) in the files, surfaced as int64 nanos via
-        # nanosAsLong; convert to Spark's µs timestamp (truncation, matching
-        # DuckDB's epoch_us on the same nanos)
-        for field in df.schema.fields:
-            if field.name == "ts" and field.dataType.simpleString() == "bigint":
-                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    expected = _EXPECTED_TYPES.get(name, {})
+    for field in df.schema.fields:
+        allowed = expected.get(field.name)
+        got = field.dataType.simpleString()
+        if allowed is not None and got not in allowed:
+            raise TypeError(
+                f"table {name!r} column {field.name!r} has unexpected physical "
+                f"type {got!r}; expected one of {sorted(allowed)} "
+                "(did the parquet writer or a Spark upgrade change the schema?)"
+            )
+        if allowed is _TS_REPS and got != "timestamp":
+            df = normalize_event_time(df, field.name)
     return df
 
 
@@ -1122,7 +1184,7 @@ def asof_join_clicks_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "event_id",
         F.col("pev_right").alias("purchase_event_id"),
-        F.unix_micros(F.col("ts_right")).alias("purchase_wt"),
+        writetime_micros(F.col("ts_right")).alias("purchase_wt"),
     )
 
 
@@ -1156,7 +1218,7 @@ def range_join_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lo", (F.col("lo") + 3599).alias("hi"))
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", (F.unix_micros(F.col("ts")) / 1_000_000).cast("bigint").alias("p")
+        "event_id", (writetime_micros(F.col("ts")) / 1_000_000).cast("bigint").alias("p")
     )
     joined = range_join(purchases, incidents, "p", "lo", "hi", bucket_width=3600)
     return joined.select("event_id", F.col("lo").alias("incident_start"))
@@ -1382,7 +1444,7 @@ def events_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     g = ev.withColumn(
-        "gap_us", F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+        "gap_us", writetime_micros(F.col("ts")) - F.lag(writetime_micros(F.col("ts"))).over(w)
     )
     return g.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),

@@ -42,8 +42,54 @@ def portable_hash31_sql(expr: str) -> str:
 
 def writetime_micros(ts_col: Column) -> Column:
     """Event-time timestamp → writetime microseconds (the reference's cell
-    timestamp unit; CQLTimestamp.scala:17-40)."""
-    return F.unix_micros(ts_col)
+    timestamp unit; CQLTimestamp.scala:17-40).
+
+    NTZ-safe: ``unix_micros`` rejects TIMESTAMP_NTZ (how Spark 4 reads the
+    parquet TIMESTAMP(NANOS) event time), so cast through TIMESTAMP first.
+    The cast is a no-op for TIMESTAMP inputs and interprets NTZ wall-clock in
+    the session timezone — the engine pins that to UTC (see
+    :func:`normalize_event_time`), which matches the reference's timezone-free
+    epoch-µs writetime semantics.
+    """
+    return F.unix_micros(ts_col.cast("timestamp"))
+
+
+#: Physical representations an event-time column may arrive in, depending on
+#: Spark version and reader conf:
+#:  - ``timestamp``      — Spark ≤3 read of TIMESTAMP(MICROS/MILLIS) parquet
+#:  - ``timestamp_ntz``  — Spark 4 native read of TIMESTAMP(NANOS) parquet
+#:                         (truncated to µs; isAdjustedToUTC=false ⇒ NTZ)
+#:  - ``bigint``         — raw int64 nanos via spark.sql.legacy.parquet.nanosAsLong
+EVENT_TIME_TYPES = ("timestamp", "timestamp_ntz", "bigint")
+
+
+def normalize_event_time(df, col: str = "ts"):
+    """Normalize an event-time column to canonical TIMESTAMP (epoch-µs).
+
+    Handles all three physical representations in :data:`EVENT_TIME_TYPES`
+    identically — the regression Spark 4.1.2 exposed was a single hard-coded
+    assumption of the bigint-nanos representation.  Requires the session
+    timezone to be UTC for the NTZ branch to be epoch-preserving (DuckDB's
+    ``epoch_us`` treats the same wall-clock as UTC); callers that read driver
+    parquet pin it (``entry_queries._t``).
+
+    Raises a clear TypeError naming the unexpected physical type rather than
+    letting a deep Catalyst AnalysisException surface later.
+    """
+    dt = df.schema[col].dataType.simpleString()
+    if dt == "bigint":
+        # int64 nanoseconds → µs timestamp (truncation, matching epoch_us)
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    if dt == "timestamp_ntz":
+        # wall-clock µs; UTC session tz makes this cast epoch-preserving
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    if dt == "timestamp":
+        return df
+    raise TypeError(
+        f"event-time column {col!r} has unexpected physical type {dt!r}; "
+        f"expected one of {EVENT_TIME_TYPES} "
+        "(did the parquet writer or a Spark upgrade change the representation?)"
+    )
 
 
 def age_seconds(writetime_col: Column, now_ms: int) -> Column:

@@ -31,6 +31,7 @@ from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
 
 from cassandra_util_spark.core.table import KeyedTable, TableMeta
+from cassandra_util_spark.functions import writetime_micros
 from cassandra_util_spark.operators.convictors import Convictor
 
 
@@ -87,7 +88,10 @@ def stream_events(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(source_dir)
-    return df.withColumn("writetime", F.unix_micros(F.col(ts_col)))
+    # writetime_micros is NTZ-safe: a stream source whose schema carries
+    # TIMESTAMP_NTZ event time (Spark 4's native parquet nanos read) derives
+    # the same epoch-µs writetime as a TIMESTAMP source under the UTC session tz
+    return df.withColumn("writetime", writetime_micros(F.col(ts_col)))
 
 
 def windowed_rollup(

@@ -1,0 +1,90 @@
+"""Event-time representation proofing.
+
+The same parquet event table arrives as three different physical types
+depending on Spark version and reader conf (TIMESTAMP on Spark 3,
+TIMESTAMP_NTZ on Spark 4's native TIMESTAMP(NANOS) read, int64 nanos under
+legacy nanosAsLong).  The Spark 4.1.2 upgrade broke round 2 precisely because
+one call path assumed one representation — these tests pin that every
+representation yields byte-identical query output, and that an unexpected
+representation fails fast with a named error instead of a deep Catalyst one.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_util_spark.entry_queries import _t
+from cassandra_util_spark.functions import normalize_event_time, writetime_micros
+
+
+@pytest.fixture(scope="module")
+def three_reps(spark, tmp_path_factory):
+    """The same 200 events written as TIMESTAMP, TIMESTAMP_NTZ, and int64-nanos
+    parquet files."""
+    base = str(tmp_path_factory.mktemp("event-reps"))
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = normalize_event_time(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ).limit(200)
+    paths = {}
+    variants = {
+        "timestamp": ev,
+        "timestamp_ntz": ev.withColumn("ts", F.col("ts").cast("timestamp_ntz")),
+        "bigint_nanos": ev.withColumn("ts", F.unix_micros(F.col("ts")) * F.lit(1000)),
+    }
+    for name, df in variants.items():
+        p = os.path.join(base, name)
+        df.coalesce(1).write.parquet(p)
+        paths[name] = p
+    return paths
+
+
+def test_all_representations_normalize_identically(spark, three_reps):
+    outs = {}
+    for name, path in three_reps.items():
+        df = normalize_event_time(spark.read.parquet(path))
+        assert df.schema["ts"].dataType.simpleString() == "timestamp", name
+        outs[name] = sorted(
+            df.select("event_id", writetime_micros(F.col("ts")).alias("wt")).collect()
+        )
+    assert outs["timestamp"] == outs["timestamp_ntz"] == outs["bigint_nanos"]
+    assert len(outs["timestamp"]) == 200
+
+
+def test_writetime_micros_accepts_ntz_directly(spark, three_reps):
+    """writetime_micros itself is NTZ-safe even without prior normalization
+    (the streaming path can receive an NTZ-schema'd source)."""
+    ntz = spark.read.parquet(three_reps["timestamp_ntz"])
+    ts = spark.read.parquet(three_reps["timestamp"])
+    got = sorted(ntz.select("event_id", writetime_micros(F.col("ts")).alias("wt")).collect())
+    want = sorted(ts.select("event_id", writetime_micros(F.col("ts")).alias("wt")).collect())
+    assert got == want
+
+
+def test_unexpected_representation_fails_loud(spark):
+    df = spark.createDataFrame([(1, "2024-01-01")], "event_id bigint, ts string")
+    with pytest.raises(TypeError, match="unexpected physical type 'string'"):
+        normalize_event_time(df)
+
+
+def test_t_rejects_wrong_typed_parquet(spark, tmp_path):
+    """_t fails fast with a clear message naming the column and physical type
+    when a driver table's schema drifts (VERDICT r2 item 5)."""
+    bad = spark.createDataFrame(
+        [(1, "2024-01-01", 5, "click", 1.0, "{}")],
+        "event_id bigint, ts string, user_id bigint, event_type string, "
+        "value double, props string",
+    )
+    bad.write.parquet(os.path.join(str(tmp_path), "events.parquet"))
+    with pytest.raises(TypeError, match="table 'events' column 'ts'.*'string'"):
+        _t(spark, str(tmp_path), "events")
+
+
+def test_t_normalizes_real_driver_tables(spark):
+    """Every driver table loads through _t and timestamp-ish columns come out
+    as canonical TIMESTAMP regardless of what Spark read them as."""
+    sf = "/root/testdata/sf0.001"
+    for table, col in [("events", "ts"), ("orders", "o_orderdate"), ("lineitem", "l_shipdate")]:
+        df = _t(spark, sf, table)
+        assert df.schema[col].dataType.simpleString() == "timestamp", (table, col)

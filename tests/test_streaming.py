@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from cassandra_util_spark.core.table import KeyedTable, TableMeta
+from cassandra_util_spark.functions import normalize_event_time
 from cassandra_util_spark.operators.convictors import RuleBasedDeletionConvictor
 from cassandra_util_spark.plans.rules import Range, Rule
 from cassandra_util_spark.streaming import stream_events, streaming_retention, windowed_rollup
@@ -25,10 +26,9 @@ def events_src(spark, workdir):
     """Events staged as parquet files (the stream source), with a plain
     timestamp column (micros) so the stream schema is explicit."""
     src = os.path.join(workdir, "src")
-    df = (
-        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    # normalize via the package helper — NOT a private copy of the conversion,
+    # so a Spark upgrade changing the parquet read type breaks exactly one place
+    df = normalize_event_time(spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
     df.write.parquet(src)
     return src, df
 
