@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "bucketed_colocated_join",
     "corpus_clean_pipeline",
     "dedup_clusters",
+    "dedup_clusters_star",
     "stratified_sample_docs",
     "doc_repetition_filter",
     "pii_redaction",
@@ -74,6 +75,7 @@ BENCH_QUERIES = [
     "stratified_topk_docs",
     "training_corpus_assembly",
     "dedup_incremental",
+    "dedup_incremental_bloom",
     "passage_dup_share",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash

@@ -101,6 +101,17 @@ _EXPECTED_TYPES: dict[str, dict[str, set[str]]] = {
 }
 
 
+# Columns normalized to canonical TIMESTAMP because they feed epoch-µs
+# writetime arithmetic (unix_micros rejects NTZ).  Date-only columns
+# (o_orderdate, l_shipdate) deliberately STAY at their native read type: the
+# NTZ→TIMESTAMP cast wraps the column and defeats parquet filter pushdown
+# (PushedFilters: [] on q1's shipdate predicate — a measured 1.5× regression),
+# while NTZ literal comparisons push down natively and compare identically
+# under the pinned UTC session tz.  No contract query pushes a literal
+# predicate on events.ts, so its normalization costs no pruning.
+_NORMALIZE_COLS = {"events": ("ts",)}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # The DRIVER passes its own session here, which may carry different confs;
     # both of these are runtime-settable, so pin them defensively:
@@ -124,8 +135,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 f"type {got!r}; expected one of {sorted(allowed)} "
                 "(did the parquet writer or a Spark upgrade change the schema?)"
             )
-        if allowed is _TS_REPS and got != "timestamp":
-            df = normalize_event_time(df, field.name)
+    for col in _NORMALIZE_COLS.get(name, ()):
+        df = normalize_event_time(df, col)
     return df
 
 
@@ -1769,9 +1780,10 @@ def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(train, bench, "doc_id", "text", n=5, min_collisions=1)
 
 
-@query(
-    "dedup_clusters",
-    oracle=f"""
+# shared by dedup_clusters (label propagation) and dedup_clusters_star
+# (large-star/small-star contraction): both algorithms must hash-match the
+# same transitive-closure oracle
+_CLUSTERS_ORACLE = f"""
     WITH RECURSIVE
     norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
     toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
@@ -1804,8 +1816,10 @@ def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
            coalesce(c.comp, d.doc_id) AS cluster,
            d.doc_id = coalesce(c.comp, d.doc_id) AS keep
     FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
-    """,
-)
+    """
+
+
+@query("dedup_clusters", oracle=_CLUSTERS_ORACLE)
 def dedup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup resolution: Jaccard pairs (the same edges the
     dedup_ngram_jaccard query verifies) closed into connected components by
@@ -1819,6 +1833,22 @@ def dedup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
     return resolve_duplicates(d, pairs, "doc_id")
+
+
+@query("dedup_clusters_star", oracle=_CLUSTERS_ORACLE)
+def dedup_clusters_star_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same transitive near-dup resolution as ``dedup_clusters``, closed by
+    alternating large-star/small-star contraction (Kiveris et al., SoCC'14)
+    instead of label propagation — the O(log² n)-round path for pair graphs
+    whose components may chain (diameter ≫ LSH's shallow near-cliques).
+    Hash-checked against the identical recursive-CTE oracle, so both
+    algorithms are certified to produce the same clustering."""
+    from cassandra_util_spark.operators.cluster import resolve_duplicates
+    from cassandra_util_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    return resolve_duplicates(d, pairs, "doc_id", method="star")
 
 
 # per-language sampling rates for the stratified-sample contract query;
@@ -2360,6 +2390,34 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference = d.filter(F.col("doc_id") < 250)
     incoming = d.filter(F.col("doc_id") >= 200)
     return dedup_against(incoming, reference, "doc_id", ["text"]).select("doc_id")
+
+
+@query(
+    "dedup_incremental_bloom",
+    oracle="""
+    WITH ref AS (
+      SELECT DISTINCT sha256(text) AS d FROM documents WHERE doc_id < 250),
+    incoming AS (SELECT doc_id, text FROM documents WHERE doc_id >= 200)
+    SELECT i.doc_id FROM incoming i
+    WHERE sha256(i.text) NOT IN (SELECT d FROM ref)
+    """,
+)
+def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same incremental dedup, via the Bloom-pruned two-phase path: a bitmap
+    of the historical digests broadcasts, provably-new rows (any missed
+    probe — no false negatives) bypass the join, and only Bloom hits reach
+    the exact anti-join.  At 100 TB the incoming corpus therefore never
+    fully shuffles.  False positives only cost an extra exact check — this
+    query hash-matches the SAME oracle as ``dedup_incremental``, certifying
+    the two methods byte-identical."""
+    from cassandra_util_spark.operators.dedup import dedup_against
+
+    d = _t(spark, sf_dir, "documents")
+    reference = d.filter(F.col("doc_id") < 250)
+    incoming = d.filter(F.col("doc_id") >= 200)
+    return dedup_against(
+        incoming, reference, "doc_id", ["text"], method="bloom", bloom_bits=1 << 16
+    ).select("doc_id")
 
 
 @query(

@@ -7,7 +7,11 @@ from cassandra_util_spark.operators.convictors import (
     register_convictor,
 )
 from cassandra_util_spark.operators.retention import RetentionJob, RetentionStats
-from cassandra_util_spark.operators.cluster import connected_components, resolve_duplicates
+from cassandra_util_spark.operators.cluster import (
+    connected_components,
+    connected_components_star,
+    resolve_duplicates,
+)
 from cassandra_util_spark.operators.dedup import (
     decontaminate,
     dedup_against,
@@ -39,6 +43,7 @@ __all__ = [
     "RetentionJob",
     "RetentionStats",
     "connected_components",
+    "connected_components_star",
     "resolve_duplicates",
     "decontaminate",
     "dedup_against",

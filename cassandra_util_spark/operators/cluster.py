@@ -92,12 +92,119 @@ def connected_components(
     )
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 40,
+) -> DataFrame:
+    """(id, component) via alternating large-star/small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the adversarial-diameter upgrade to
+    :func:`connected_components`.
+
+    Label propagation needs rounds = component diameter; a pathological
+    10,000-link chain means 10,000 shuffles.  Star contraction converges in
+    O(log² n) rounds regardless of diameter by rewiring the graph itself:
+
+    - **large-star**: every node's larger neighbors are reconnected to the
+      minimum of its neighborhood (halves long tails);
+    - **small-star**: every node and its smaller neighbors collapse onto the
+      smallest of them (flattens local stars).
+
+    Each half-round is one groupBy shuffle + one co-partitioned join, keyed
+    by node id; edges are (bigint, bigint) — no content in the shuffle.
+    Termination: the edge multiset is fixed-point (checked by count +
+    order-insensitive hash-sum, two scalar aggregates, no join).  At the
+    fixed point every edge is (child → component-min) directly.
+
+    Default for dedup stays label propagation (near-dup clusters are shallow
+    near-cliques; fewer rounds, one shuffle per round); choose this variant
+    via ``resolve_duplicates(method="star")`` when the pair graph may chain.
+    """
+    fwd = pairs.select(F.col(id_a).alias("u").cast("bigint"),
+                       F.col(id_b).alias("v").cast("bigint"))
+    all_nodes = (
+        fwd.select(F.col("u").alias("id"))
+        .unionByName(fwd.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    # canonical undirected edge set, no self-loops
+    edges = (
+        fwd.filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def _sig(e: DataFrame) -> tuple[int, int]:
+        # order-insensitive multiset signature; decimal(38,0) sum so ANSI
+        # mode can't overflow on summed 64-bit hashes
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"])
+
+    sig = _sig(edges)
+    for _ in range(max_iter):
+        # -- large-star: around each node x, connect neighbors y > x to
+        #    m(x) = min(neighborhood(x) ∪ {x})
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        edges = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.least("v", "m").alias("u"), F.greatest("v", "m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        # -- small-star: direct edges high→low; collapse each node x and its
+        #    smaller neighbors onto m(x) = min of them
+        lo_mins = edges.groupBy("v").agg(F.min("u").alias("m"))
+        hi_edge = lo_mins.select(F.col("m").alias("u"), F.col("v"))
+        lo_edges = (
+            edges.join(lo_mins, "v")
+            .select(F.col("m").alias("u"), F.col("u").alias("v"))
+        )
+        edges = (
+            hi_edge.unionByName(lo_edges)
+            .filter(F.col("u") != F.col("v"))
+            .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        new_sig = _sig(edges)
+        if new_sig == sig:
+            # fixed point: edges are (root=u, child=v) stars
+            labels = edges.select(F.col("v").alias("id"), F.col("u").alias("comp"))
+            return (
+                all_nodes.join(labels, "id", "left")
+                .select("id", F.coalesce("comp", "id").alias("comp"))
+            )
+        sig = new_sig
+    raise RuntimeError(
+        f"connected_components_star did not converge in {max_iter} rounds "
+        "(expected O(log^2 n)); the edge stream may be changing under the "
+        "computation — materialize pairs first"
+    )
+
+
 def resolve_duplicates(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    method: str = "label_propagation",
 ) -> DataFrame:
     """Full-corpus cluster assignment + survivor flag.
 
@@ -109,8 +216,17 @@ def resolve_duplicates(
     The components table is tiny relative to the corpus (only paired docs
     appear in it), so the corpus join broadcasts in the common case; at
     extreme pair volume Catalyst/AQE falls back to a key shuffle on id.
+
+    ``method``: 'label_propagation' (default — fewest shuffles on the
+    shallow near-clique graphs dedup produces) or 'star' (large-star/
+    small-star contraction, O(log² n) rounds on any diameter).
     """
-    comp = connected_components(pairs, id_a, id_b)
+    if method == "star":
+        comp = connected_components_star(pairs, id_a, id_b)
+    elif method == "label_propagation":
+        comp = connected_components(pairs, id_a, id_b)
+    else:
+        raise ValueError(f"unknown method {method!r}: label_propagation | star")
     out = (
         df.select(F.col(id_col).alias("id"))
         .join(comp, "id", "left")

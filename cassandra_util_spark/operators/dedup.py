@@ -181,30 +181,107 @@ def ngram_jaccard_pairs(
     return jac.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
+def _bloom_pos(col: Column, seed: int, num_bits: int) -> Column:
+    """Bit position of hash ``seed`` for a digest value, in [0, num_bits)."""
+    return F.pmod(F.xxhash64(F.lit(seed), col), F.lit(num_bits))
+
+
+def _bloom_bitmap_words(
+    digests: DataFrame, col: str, num_bits: int, num_hashes: int
+) -> list[int]:
+    """Distributed Bloom-filter build: per-partition bitmaps folded in Arrow
+    batches (numpy bit-ops, never per-row Python), OR-merged on the driver.
+
+    Driver transfer is (num_partitions × num_bits/8) bytes — at 1024
+    partitions and the default 2^23 bits that is 1 GiB spread over one
+    collect of 1 MiB rows; for larger filters insert a tree level
+    (repartition to √P groups and OR per group) before the driver fold.
+    """
+    import numpy as np
+    import pandas as pd
+
+    num_words = num_bits // 64
+    pos = digests.select(
+        F.explode(
+            F.array(*[_bloom_pos(F.col(col), s, num_bits) for s in range(num_hashes)])
+        ).alias("pos")
+    )
+
+    def fold(batches):
+        bm = np.zeros(num_words, dtype=np.uint64)
+        for pdf in batches:
+            p = pdf["pos"].to_numpy().astype(np.int64)
+            np.bitwise_or.at(bm, p >> 6, np.uint64(1) << (p & 63).astype(np.uint64))
+        yield pd.DataFrame({"words": [bm.view(np.int64).tolist()]})
+
+    out = np.zeros(num_words, dtype=np.uint64)
+    for row in pos.mapInPandas(fold, "words array<bigint>").collect():
+        out |= np.asarray(row["words"], dtype=np.int64).view(np.uint64)
+    return out.view(np.int64).tolist()
+
+
 def dedup_against(
     df: DataFrame,
     reference: DataFrame,
     id_col: str,
     content_cols: list[str],
+    method: str = "anti_join",
+    bloom_bits: int = 1 << 23,
+    bloom_hashes: int = 5,
 ) -> DataFrame:
     """Incremental dedup: drop rows whose content already exists in a
     REFERENCE corpus (the new-crawl-versus-historical-store pass; within-
     batch duplicates are exact_dedup's job and are NOT collapsed here).
 
-    Anti-join on the 32-byte content digest: the reference side reduces to
-    its distinct digest set — at warehouse scale that digest table is the
-    persisted artifact (one digest per historical doc, content never
-    re-read), and the join shuffles 32-byte keys only.  BinaryType content
-    hashes byte-exact, as in exact_dedup.
+    ``method='anti_join'`` (default): anti-join on the 32-byte content
+    digest — the reference side reduces to its distinct digest set (at
+    warehouse scale that digest table is the persisted artifact, one digest
+    per historical doc, content never re-read) and the join shuffles
+    32-byte keys only.  BinaryType content hashes byte-exact, as in
+    exact_dedup.
+
+    ``method='bloom'``: EXACT two-phase variant for when the incoming scan
+    is the 100 TB side.  A Bloom filter of the reference digests
+    (``bloom_bits`` bits, ``bloom_hashes`` probes) is built distributed and
+    broadcast as one array<bigint> row; incoming rows whose digest misses
+    any probe are *provably new* (no false negatives) and bypass the join
+    entirely — only Bloom hits (true dups + the fp rate) reach the exact
+    anti-join, so the full corpus never shuffles.  False positives cost an
+    extra exact check, never a wrongly dropped row: output is byte-identical
+    to the anti-join (the contract query certifies both against one
+    oracle).  Size ``bloom_bits`` ≈ 10× the reference digest count for ~1%
+    fp; the bitmap must stay broadcast-sized (2^23 bits = 1 MiB default,
+    ~500M digests ⇒ 640 MiB — beyond that, partition the reference and
+    apply per shard, or fall back to the plain anti-join).
     """
     digest = _digest_for(df, content_cols)
     ref_digest = _digest_for(reference, content_cols)
     ref = reference.select(ref_digest.alias("__digest")).distinct()
-    return (
-        df.withColumn("__digest", digest)
-        .join(ref, "__digest", "left_anti")
-        .drop("__digest")
+    if method == "anti_join":
+        return (
+            df.withColumn("__digest", digest)
+            .join(ref, "__digest", "left_anti")
+            .drop("__digest")
+        )
+    if method != "bloom":
+        raise ValueError(f"unknown method {method!r}: anti_join | bloom")
+
+    words = _bloom_bitmap_words(ref, "__digest", bloom_bits, bloom_hashes)
+    bloom = F.broadcast(
+        df.sparkSession.createDataFrame([(words,)], "__bloom_words array<bigint>")
     )
+    probed = df.withColumn("__digest", digest).crossJoin(bloom)
+    hit = F.lit(True)
+    for s in range(bloom_hashes):
+        p = _bloom_pos(F.col("__digest"), s, bloom_bits)
+        word = F.element_at(
+            F.col("__bloom_words"), (F.floor(p / 64) + 1).cast("int")
+        )
+        hit = hit & (F.getbit(word, p % 64) == 1)
+    definitely_new = probed.filter(~hit).drop("__bloom_words", "__digest")
+    candidates = probed.filter(hit).drop("__bloom_words")
+    survivors = candidates.join(ref, "__digest", "left_anti").drop("__digest")
+    return definitely_new.unionByName(survivors)
 
 
 # ---------------------------------------------------------------------------

@@ -79,6 +79,27 @@ def _decode_stub(kind: str) -> None:
     )
 
 
+# Pluggable codec registry — the production integration point for real
+# decoders.  A codec is a callable (payload_bytes, kind) -> list[float]
+# executed INSIDE the Arrow batch loop on executors, so it must be
+# serializable (top-level function or closure over picklable state) and must
+# not touch the driver.  Registering e.g. a PIL/torchvision image embedder:
+#
+#     register_codec("clip_image", lambda payload, kind: clip_embed(payload))
+#     extract_features(media_df, decoder="clip_image")
+#
+# The engine side (schema, batching, partition sizing, shuffle hygiene) is
+# identical for every codec; only the per-payload callable changes.
+_CODECS: dict[str, Callable[[bytes, str], list]] = {}
+
+
+def register_codec(name: str, fn: Callable[[bytes, str], list]) -> None:
+    """Register a named decoder usable as ``extract_features(decoder=name)``."""
+    if name in ("fake", "real"):
+        raise ValueError(f"codec name {name!r} is reserved")
+    _CODECS[name] = fn
+
+
 def extract_features(
     df: DataFrame,
     decoder: str | Callable[[bytes, str], list[float]] = "fake",
@@ -88,10 +109,13 @@ def extract_features(
     """Decode + featurize media payloads via Arrow-batched mapInPandas.
 
     ``decoder``: 'fake' (deterministic), 'real' (raises NotImplementedError —
-    the stub boundary), or a callable (payload_bytes, kind) -> list[float].
+    the stub boundary), a name registered via :func:`register_codec`, or a
+    callable (payload_bytes, kind) -> list[float].
     """
     if decoder == "real":
         _decode_stub("media")
+    if isinstance(decoder, str) and decoder in _CODECS:
+        decoder = _CODECS[decoder]
     fn = _fake_feature if decoder == "fake" else decoder
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -86,3 +86,60 @@ def test_resolve_duplicates_canonical_and_singletons(spark):
     # exactly one survivor per cluster
     survivors = [k for k, (c, keep) in out.items() if keep]
     assert sorted(survivors) == [0, 1, 2, 4, 7]
+
+
+def test_star_matches_label_propagation(spark):
+    """Star contraction and label propagation agree on a random graph (and
+    both agree with union-find)."""
+    import random
+
+    from cassandra_util_spark.operators.cluster import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rnd = random.Random(21)
+    edges = [(rnd.randrange(150), rnd.randrange(150)) for _ in range(100)]
+    edges = [(a, b) for a, b in edges if a != b]
+    expected = _union_find(edges, {n for e in edges for n in e})
+
+    star = {r["id"]: r["comp"] for r in
+            connected_components_star(_pairs(spark, edges)).collect()}
+    lp = {r["id"]: r["comp"] for r in
+          connected_components(_pairs(spark, edges)).collect()}
+    assert star == expected
+    assert lp == expected
+
+
+def test_star_handles_long_chain(spark):
+    """The adversarial-diameter case: a 60-link path converges in O(log²n)
+    star rounds where label propagation would need 60."""
+    from cassandra_util_spark.operators.cluster import connected_components_star
+
+    chain = [(i, i + 1) for i in range(60)]
+    comp = {r["id"]: r["comp"] for r in
+            connected_components_star(_pairs(spark, chain), max_iter=12).collect()}
+    assert comp == {i: 0 for i in range(61)}
+
+
+def test_star_cliques_and_singetons_direction(spark):
+    """Dense near-clique (the shape LSH buckets produce) + reversed edges."""
+    from cassandra_util_spark.operators.cluster import connected_components_star
+
+    clique = [(a, b) for a in range(5, 10) for b in range(5, 10) if a < b]
+    comp = {r["id"]: r["comp"] for r in
+            connected_components_star(_pairs(spark, clique + [(20, 15)])).collect()}
+    assert comp == {**{i: 5 for i in range(5, 10)}, 15: 15, 20: 15}
+
+
+def test_resolve_duplicates_star_method(spark):
+    from cassandra_util_spark.operators.cluster import resolve_duplicates
+
+    corpus = spark.createDataFrame([(i,) for i in range(8)], "doc_id bigint")
+    pairs = _pairs(spark, [(1, 3), (3, 5), (2, 6)])
+    lp = resolve_duplicates(corpus, pairs, "doc_id")
+    star = resolve_duplicates(corpus, pairs, "doc_id", method="star")
+    assert sorted(map(tuple, lp.collect())) == sorted(map(tuple, star.collect()))
+
+    with pytest.raises(ValueError, match="unknown method"):
+        resolve_duplicates(corpus, pairs, "doc_id", method="nope")

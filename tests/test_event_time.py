@@ -81,10 +81,24 @@ def test_t_rejects_wrong_typed_parquet(spark, tmp_path):
         _t(spark, str(tmp_path), "events")
 
 
-def test_t_normalizes_real_driver_tables(spark):
-    """Every driver table loads through _t and timestamp-ish columns come out
-    as canonical TIMESTAMP regardless of what Spark read them as."""
+def test_t_normalizes_events_ts_only(spark):
+    """events.ts (the epoch-µs arithmetic surface) is normalized to canonical
+    TIMESTAMP; date-only columns stay at their native read type so literal
+    predicates keep reaching the parquet scan."""
     sf = "/root/testdata/sf0.001"
-    for table, col in [("events", "ts"), ("orders", "o_orderdate"), ("lineitem", "l_shipdate")]:
-        df = _t(spark, sf, table)
-        assert df.schema[col].dataType.simpleString() == "timestamp", (table, col)
+    assert _t(spark, sf, "events").schema["ts"].dataType.simpleString() == "timestamp"
+    for table, col in [("orders", "o_orderdate"), ("lineitem", "l_shipdate")]:
+        dt = _t(spark, sf, table).schema[col].dataType.simpleString()
+        assert dt in ("timestamp", "timestamp_ntz"), (table, col, dt)
+
+
+def test_date_predicate_pushdown_survives_t(spark):
+    """Regression guard for the q1 pushdown loss: a literal shipdate filter on
+    the _t-loaded lineitem must reach the parquet scan as a PushedFilter."""
+    li = _t(spark, "/root/testdata/sf0.001", "lineitem")
+    f = li.filter(F.col("l_shipdate") <= "1998-09-02").select("l_orderkey")
+    plan = f._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    pushed = re.findall(r"PushedFilters: \[[^\]]*\]", plan)
+    assert pushed and "l_shipdate" in pushed[0], pushed

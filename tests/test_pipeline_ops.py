@@ -706,3 +706,39 @@ def test_passage_dup_stats_shared_prefix(spark):
     assert out[1] == (2, 2, 1.0)        # every chunk of 1 appears in 2
     assert out[2] == (3, 2, 0.666667)   # 2 of 3 chunks shared
     assert out[3][1] == 0 and out[3][2] == 0.0
+
+
+def test_dedup_against_bloom_matches_anti_join(spark, docs):
+    """The Bloom-pruned two-phase path is byte-identical to the plain
+    anti-join — including under a deliberately tiny bitmap (64 bits for 100
+    digests, near-total false-positive saturation) where EVERY row funnels
+    through the exact check."""
+    from cassandra_util_spark.operators.dedup import dedup_against
+
+    d = docs.select("doc_id", "text")
+    reference = d.filter(F.col("doc_id") < 100)
+    incoming = d.filter(F.col("doc_id") >= 50)
+    want = sorted(r["doc_id"] for r in
+                  dedup_against(incoming, reference, "doc_id", ["text"]).collect())
+    for bits in (1 << 16, 64):
+        got = sorted(r["doc_id"] for r in
+                     dedup_against(incoming, reference, "doc_id", ["text"],
+                                   method="bloom", bloom_bits=bits).collect())
+        assert got == want, f"bloom_bits={bits}"
+
+
+def test_dedup_against_bloom_no_false_negatives(spark, docs):
+    """Every true duplicate is dropped (Bloom guarantees no false
+    negatives): the survivor set never intersects the reference digests."""
+    from cassandra_util_spark.operators.dedup import dedup_against
+
+    d = docs.select("doc_id", "text")
+    reference = d.filter(F.col("doc_id") < 250)
+    incoming = d.filter(F.col("doc_id") >= 200)
+    out = dedup_against(incoming, reference, "doc_id", ["text"],
+                        method="bloom", bloom_bits=1 << 14)
+    leaked = out.join(reference.select("text").distinct(), "text").count()
+    assert leaked == 0
+
+    with pytest.raises(ValueError, match="unknown method"):
+        dedup_against(incoming, reference, "doc_id", ["text"], method="nope")
