@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "weighted_repeat_docs",
     "corpus_lang_profile",
     "embedding_dedup_resolve",
+    "semantic_dedup",
     "media_dedup",
     "embedding_quantize",
     "decontamination",

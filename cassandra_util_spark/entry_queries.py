@@ -1006,6 +1006,60 @@ def ann_ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "semantic_dedup",
+    oracle="""
+    WITH RECURSIVE
+    corpus AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    seeds AS (
+      SELECT vec_id AS cell, v AS cv FROM corpus
+      ORDER BY (vec_id * 2654435761) % 4294967296, vec_id LIMIT 16),
+    assigned AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT c.vec_id, c.v, s.cell,
+               row_number() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY list_cosine_similarity(c.v, s.cv) DESC, s.cell ASC) AS rn
+        FROM corpus c CROSS JOIN seeds s) WHERE rn = 1),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM assigned a JOIN assigned b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs),
+    reach(id, root) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id),
+    comp AS (SELECT id, min(root) AS comp FROM reach GROUP BY id)
+    SELECT c.vec_id,
+           coalesce(cm.comp, c.vec_id) AS cluster,
+           c.vec_id = coalesce(cm.comp, c.vec_id) AS keep
+    FROM corpus c LEFT JOIN comp cm ON cm.id = c.vec_id
+    """,
+)
+def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication end to end: k-means cells (K=16
+    deterministic seeds; refine_iters=0 so the oracle replicates the argmax
+    assignment in SQL — the Lloyd-refined path is recall-tested in pytest),
+    cosine pairs computed ONLY within each cell (the cluster-scoping that
+    makes semantic dedup tractable at web scale), transitive closure, one
+    canonical survivor per semantic group.  threshold=0.4 sits below the
+    corpus's natural max cosine (~0.51) so real semantic neighbors — not
+    just planted copies — form the groups being verified."""
+    from cassandra_util_spark.operators.similarity import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        e, "vec_id", "embedding", num_centroids=16, threshold=0.4, refine_iters=0
+    )
+
+
 # ---------------------------------------------------------------------------
 # Remaining SURVEY §2 surfaces: general joins, sessions, rollups, set ops
 # ---------------------------------------------------------------------------

@@ -25,6 +25,13 @@ from cassandra_util_spark.operators.packing import (
     pack_greedy,
     pack_sequences,
 )
+from cassandra_util_spark.operators.similarity import (
+    cosine_topk,
+    embedding_neardup_pairs,
+    ivf_topk,
+    quantize_embedding,
+    semantic_dedup,
+)
 from cassandra_util_spark.operators.sampling import (
     hash_sample,
     mixed_sample,
@@ -51,6 +58,11 @@ __all__ = [
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "simhash_pairs",
+    "cosine_topk",
+    "embedding_neardup_pairs",
+    "ivf_topk",
+    "quantize_embedding",
+    "semantic_dedup",
     "chunk_documents",
     "pack_greedy",
     "pack_sequences",

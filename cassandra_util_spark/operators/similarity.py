@@ -334,3 +334,61 @@ def embedding_neardup_pairs(
         F.round(cosine(F.col("a.vec"), F.col("b.vec")), 4).alias("cos_sim"),
     )
     return scored.filter(F.col("cos_sim") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup-style: cluster-scoped cosine pruning)
+# ---------------------------------------------------------------------------
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 64,
+    threshold: float = 0.8,
+    refine_iters: int = 2,
+) -> DataFrame:
+    """Semantic deduplication over an embedding column, SemDeDup-style
+    (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    through semantic deduplication"): k-means-cluster the corpus, compute
+    cosine pairs ONLY within each cluster, close them into duplicate groups,
+    keep one canonical survivor per group.
+
+    Output: (id, cluster, keep) for every corpus row — the same contract as
+    :func:`~cassandra_util_spark.operators.cluster.resolve_duplicates`.
+
+    Scale design (100 TB): restricting pairs to cluster scope is what makes
+    semantic dedup tractable — the quadratic term is Σ|cell|², bounded by
+    choosing ``num_centroids`` ≈ N/target_cell_size (cells of 1-10k vectors
+    keep each cell's self-join trivially partition-local; the join shuffles
+    on the cell key, so cells process independently across executors).  The
+    centroid table stays O(K) on the driver (ivf_assign), assignment is a
+    map-only BLAS pass, and near-boundary cross-cell duplicates are the
+    accepted approximation of the method (raise num_centroids granularity or
+    run the sign-LSH pair path for recall-critical corpora).  Cosines are
+    rounded to 4dp before thresholding so the keep/drop frontier is
+    reproducible across engines (embedding_neardup_pairs convention).
+    """
+    from cassandra_util_spark.operators.cluster import resolve_duplicates
+
+    seeds = ivf_seeds(corpus, id_col, vec_col, num_centroids)
+    cents = (
+        kmeans_refine(corpus, seeds, id_col, vec_col, refine_iters).localCheckpoint()
+        if refine_iters
+        else seeds
+    )
+    assigned = ivf_assign(corpus, cents, id_col, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), "cell"
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b")
+    )
+    return resolve_duplicates(corpus, pairs, id_col)

@@ -742,3 +742,42 @@ def test_dedup_against_bloom_no_false_negatives(spark, docs):
 
     with pytest.raises(ValueError, match="unknown method"):
         dedup_against(incoming, reference, "doc_id", ["text"], method="nope")
+
+
+def test_semantic_dedup_drops_planted_copies(spark):
+    """An exact copy has cosine 1.0 with its source and an identical argmax
+    cell, so semantic dedup must always group it with the source and keep
+    only the lowest id — regardless of clustering quality."""
+    from cassandra_util_spark.operators.similarity import semantic_dedup
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    copies = e.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    both = e.unionByName(copies)
+    out = {r["vec_id"]: (r["cluster"], r["keep"]) for r in
+           semantic_dedup(both, num_centroids=8, threshold=0.99,
+                          refine_iters=0).collect()}
+    n = e.count()
+    assert len(out) == 2 * n
+    for vid in range(n):
+        assert out[vid + 1000000][0] == out[vid][0], vid   # same group
+        assert not out[vid + 1000000][1]                   # copy dropped
+        assert out[vid][1]                                 # source kept
+
+
+def test_semantic_dedup_refined_path_contract(spark):
+    """Lloyd-refined clustering keeps the resolve contract: every row
+    labeled, exactly one survivor per cluster, survivor = cluster min."""
+    from cassandra_util_spark.operators.similarity import semantic_dedup
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = semantic_dedup(e.select("vec_id", "embedding"), num_centroids=8,
+                          threshold=0.4, refine_iters=2).collect()
+    assert len(rows) == e.count()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], []).append((r["vec_id"], r["keep"]))
+    for cluster, members in by_cluster.items():
+        keepers = [v for v, k in members if k]
+        assert keepers == [cluster] == [min(v for v, _ in members)]
