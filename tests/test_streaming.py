@@ -388,3 +388,37 @@ def test_streaming_dedup_against_static_reference(spark, workdir, events_src):
         ).collect()
     )
     assert got == want and 0 < len(got) < batch_df.count()
+
+
+def test_streaming_dedup_against_bloom(spark, workdir, events_src):
+    """The Bloom-pruned variant also runs unchanged on a stream: the bitmap
+    is built once from the STATIC reference at plan time, broadcasts into
+    every micro-batch, and the exact anti-join only sees Bloom hits — the
+    streamed result matches the batch anti-join row-for-row."""
+    from cassandra_util_spark.operators.dedup import dedup_against
+
+    src, batch_df = events_src
+    reference = batch_df.filter(F.col("event_id") % 2 == 0).select("event_id", "props")
+    out = os.path.join(workdir, "new_only_bloom")
+    cp = os.path.join(workdir, "cp_against_bloom")
+    events = stream_events(spark, src, batch_df.schema).select("event_id", "props")
+    q = (
+        dedup_against(events, reference, "event_id", ["event_id", "props"],
+                      method="bloom", bloom_bits=1 << 16)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+    want = sorted(
+        r["event_id"]
+        for r in dedup_against(
+            batch_df.select("event_id", "props"), reference, "event_id", ["event_id", "props"]
+        ).collect()
+    )
+    assert got == want and 0 < len(got) < batch_df.count()
