@@ -63,28 +63,34 @@ def connected_components(
         .localCheckpoint(eager=False)
     )
 
+    def _label_sum(lbl: DataFrame) -> int:
+        # exact convergence signal: each id's label is monotonically
+        # non-increasing (min over a set containing itself), so the label
+        # total strictly decreases iff ANY label changed this round — a
+        # map-side aggregate replaces the join-and-compare per round.
+        # decimal(38,0) so the ANSI-mode sum cannot overflow.
+        row = lbl.agg(
+            F.coalesce(F.sum(F.col("comp").cast("decimal(38,0)")), F.lit(0)).alias("s")
+        ).collect()[0]
+        return int(row["s"])
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         # neighbor minimum: every edge proposes its src's label to its dst
         proposals = (
             edges.join(labels.withColumnRenamed("id", "src"), "src")
             .select(F.col("dst").alias("id"), F.col("comp"))
         )
-        new_labels = (
+        labels = (
             labels.unionByName(proposals)
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
             .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        new_sum = _label_sum(labels)
+        if new_sum == prev_sum:
             return labels
+        prev_sum = new_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds; "
         "component diameter exceeds the guard — raise max_iter or switch "
