@@ -23,7 +23,8 @@ from cassandra_util_spark.entry_queries import ORACLES, QUERIES  # noqa: E402
 # driver's correctness gate for that row without anyone noticing.
 _ROWS_ONLY_OK: frozenset[str] = frozenset()
 _missing = sorted(set(QUERIES) - set(ORACLES) - _ROWS_ONLY_OK)
-assert not _missing, f"queries registered without an oracle: {_missing}"
+if _missing:  # explicit raise — a bare assert vanishes under python -O
+    raise AssertionError(f"queries registered without an oracle: {_missing}")
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -61,6 +61,10 @@ def query(name: str, oracle: Optional[str] = None):
 # fails fast with a message naming the column and type, instead of a deep
 # Catalyst error downstream.
 _TS_REPS = {"timestamp", "timestamp_ntz", "bigint"}
+# date-only columns are never normalized (see _NORMALIZE_COLS), so a bigint
+# arrival would sail past the gate and break literal predicates downstream —
+# they accept only the two timestamp readings
+_DATE_REPS = {"timestamp", "timestamp_ntz"}
 _EXPECTED_TYPES: dict[str, dict[str, set[str]]] = {
     "region": {"r_regionkey": {"int"}, "r_name": {"string"}},
     "nation": {"n_nationkey": {"int"}, "n_name": {"string"}, "n_regionkey": {"int"}},
@@ -79,13 +83,13 @@ _EXPECTED_TYPES: dict[str, dict[str, set[str]]] = {
     "orders": {
         "o_orderkey": {"bigint"}, "o_custkey": {"bigint"},
         "o_orderstatus": {"string"}, "o_totalprice": {"double"},
-        "o_orderdate": _TS_REPS, "o_orderpriority": {"string"},
+        "o_orderdate": _DATE_REPS, "o_orderpriority": {"string"},
     },
     "lineitem": {
         "l_orderkey": {"bigint"}, "l_partkey": {"bigint"}, "l_suppkey": {"bigint"},
         "l_linenumber": {"int"}, "l_quantity": {"double"},
         "l_extendedprice": {"double"}, "l_discount": {"double"}, "l_tax": {"double"},
-        "l_returnflag": {"string"}, "l_linestatus": {"string"}, "l_shipdate": _TS_REPS,
+        "l_returnflag": {"string"}, "l_linestatus": {"string"}, "l_shipdate": _DATE_REPS,
     },
     "events": {
         "event_id": {"bigint"}, "ts": _TS_REPS, "user_id": {"bigint"},

@@ -50,6 +50,11 @@ def writetime_micros(ts_col: Column) -> Column:
     the session timezone — the engine pins that to UTC (see
     :func:`normalize_event_time`), which matches the reference's timezone-free
     epoch-µs writetime semantics.
+
+    Input must be TIMESTAMP or TIMESTAMP_NTZ.  A raw int64-nanos column must
+    go through :func:`normalize_event_time` FIRST (it is DataFrame-level and
+    type-aware; a Column cannot introspect its own type): casting a bigint
+    here would be interpreted as epoch-SECONDS and mis-scale by 1e9.
     """
     return F.unix_micros(ts_col.cast("timestamp"))
 

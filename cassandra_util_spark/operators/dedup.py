@@ -265,7 +265,14 @@ def dedup_against(
         )
     if method != "bloom":
         raise ValueError(f"unknown method {method!r}: anti_join | bloom")
+    if bloom_bits < 64 or bloom_bits % 64:
+        # positions span [0, bloom_bits); a non-word-multiple truncates the
+        # bitmap and out-of-range probes would NULL out rows on BOTH branches
+        raise ValueError(f"bloom_bits must be a positive multiple of 64, got {bloom_bits}")
 
+    # the distinct-digest shuffle feeds two consumers (the bitmap build's
+    # collect and the exact anti-join) — materialize it once
+    ref = ref.localCheckpoint(eager=False)
     words = _bloom_bitmap_words(ref, "__digest", bloom_bits, bloom_hashes)
     bloom = F.broadcast(
         df.sparkSession.createDataFrame([(words,)], "__bloom_words array<bigint>")

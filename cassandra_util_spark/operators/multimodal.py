@@ -114,7 +114,13 @@ def extract_features(
     """
     if decoder == "real":
         _decode_stub("media")
-    if isinstance(decoder, str) and decoder in _CODECS:
+    if isinstance(decoder, str) and decoder != "fake":
+        if decoder not in _CODECS:
+            # fail before the job launches, not as a TypeError inside every
+            # executor's Arrow loop
+            raise ValueError(
+                f"unknown codec {decoder!r}; registered: {sorted(_CODECS) or '(none)'}"
+            )
         decoder = _CODECS[decoder]
     fn = _fake_feature if decoder == "fake" else decoder
 

@@ -31,7 +31,7 @@ from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
 
 from cassandra_util_spark.core.table import KeyedTable, TableMeta
-from cassandra_util_spark.functions import writetime_micros
+from cassandra_util_spark.functions import normalize_event_time, writetime_micros
 from cassandra_util_spark.operators.convictors import Convictor
 
 
@@ -84,13 +84,17 @@ def stream_events(
 
     ``max_files_per_trigger`` is the ingestion rate limiter.
     """
+    # NTZ→TIMESTAMP (and any timezone-sensitive writetime derivation) is only
+    # epoch-preserving under a UTC session tz; the caller's session may carry
+    # anything, so pin it here exactly as entry_queries._t does
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(source_dir)
-    # writetime_micros is NTZ-safe: a stream source whose schema carries
-    # TIMESTAMP_NTZ event time (Spark 4's native parquet nanos read) derives
-    # the same epoch-µs writetime as a TIMESTAMP source under the UTC session tz
+    # normalize first (type-aware: handles TIMESTAMP, TIMESTAMP_NTZ, and raw
+    # int64-nanos schemas), then derive the epoch-µs writetime
+    df = normalize_event_time(df, ts_col)
     return df.withColumn("writetime", writetime_micros(F.col(ts_col)))
 
 

@@ -77,12 +77,15 @@ def main() -> int:
         odf = con.sql(oracles[name]).df()
         s, o = normalize(sdf), normalize(odf)
         problems = []
+        s_hash = None
         if len(s) != len(o):
             problems.append(f"rowcount {len(s)} != {len(o)}")
         if list(s.columns) != list(o.columns):
             problems.append(f"columns {list(s.columns)} != {list(o.columns)}")
-        elif value_hash(s) != value_hash(o):
-            problems.append("value-hash mismatch")
+        else:
+            s_hash = value_hash(s)
+            if s_hash != value_hash(o):
+                problems.append("value-hash mismatch")
         if problems:
             failures += 1
             report[name] = {"match": False, "problems": problems, "rows": len(s)}
@@ -99,9 +102,9 @@ def main() -> int:
         else:
             report[name] = {
                 "match": True, "rows": len(s),
-                "hash": value_hash(s), "spark_sec": round(t_spark, 2),
+                "hash": s_hash, "spark_sec": round(t_spark, 2),
             }
-            print(f"✓ {name:32s} rows={len(s):7d} hash={value_hash(s)} {t_spark:5.1f}s")
+            print(f"✓ {name:32s} rows={len(s):7d} hash={s_hash} {t_spark:5.1f}s")
     print("FAILURES:", failures)
     # committed artifact: lets a judge distinguish "driver didn't evaluate this
     # query" from "query is broken" when the driver caps its correctness set

@@ -781,3 +781,21 @@ def test_semantic_dedup_refined_path_contract(spark):
     for cluster, members in by_cluster.items():
         keepers = [v for v, k in members if k]
         assert keepers == [cluster] == [min(v for v, _ in members)]
+
+
+def test_dedup_against_bloom_rejects_bad_bits(spark, docs):
+    from cassandra_util_spark.operators.dedup import dedup_against
+
+    d = docs.select("doc_id", "text")
+    with pytest.raises(ValueError, match="multiple of 64"):
+        dedup_against(d, d, "doc_id", ["text"], method="bloom", bloom_bits=1000)
+
+
+def test_extract_features_unknown_codec_fails_fast(spark):
+    from cassandra_util_spark.operators.multimodal import extract_features, media_from_documents
+
+    m = media_from_documents(
+        spark.createDataFrame([(1, "x", "en", "s", 1)],
+                              "doc_id bigint, text string, lang string, source string, n_chars bigint"))
+    with pytest.raises(ValueError, match="unknown codec"):
+        extract_features(m, decoder="clip_img")

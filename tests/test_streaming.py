@@ -422,3 +422,37 @@ def test_streaming_dedup_against_bloom(spark, workdir, events_src):
         ).collect()
     )
     assert got == want and 0 < len(got) < batch_df.count()
+
+
+def test_stream_events_bigint_nanos_schema(spark, workdir):
+    """A stream source whose schema carries raw int64-nanos event time (the
+    Spark 3 nanosAsLong reading) derives the same epoch-µs writetime as a
+    TIMESTAMP source — not the 1e9-mis-scaled value a naive bigint→timestamp
+    cast would produce."""
+    from cassandra_util_spark.functions import normalize_event_time
+
+    base = normalize_event_time(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ).limit(50)
+    src = os.path.join(workdir, "nanos_src")
+    nanos_df = base.withColumn("ts", F.unix_micros("ts") * F.lit(1000))
+    nanos_df.write.parquet(src)
+
+    out = os.path.join(workdir, "nanos_out")
+    cp = os.path.join(workdir, "nanos_cp")
+    q = (
+        stream_events(spark, src, nanos_df.schema)
+        .select("event_id", "writetime")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {r["event_id"]: r["writetime"] for r in spark.read.parquet(out).collect()}
+    want = {r["event_id"]: r["wt"] for r in
+            base.select("event_id", F.unix_micros("ts").alias("wt")).collect()}
+    assert got == want and len(got) == 50
