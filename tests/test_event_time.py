@@ -102,3 +102,18 @@ def test_date_predicate_pushdown_survives_t(spark):
 
     pushed = re.findall(r"PushedFilters: \[[^\]]*\]", plan)
     assert pushed and "l_shipdate" in pushed[0], pushed
+
+
+def test_t_repins_utc_on_foreign_session(spark):
+    """The driver passes its own session, which may carry any timezone; _t
+    must repin UTC before any query executes (verified end-to-end by the
+    driver-sim: a bare America/New_York session hash-matches all oracles)."""
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        from cassandra_util_spark.entry_queries import QUERIES
+
+        n = QUERIES["retention_ttl"](spark, "/root/testdata/sf0.001").count()
+        assert n > 0
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
