@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "pii_redaction",
     "sequence_packing",
     "doc_top_terms",
+    "doc_commonness",
     "weighted_repeat_docs",
     "corpus_lang_profile",
     "embedding_dedup_resolve",

@@ -2268,6 +2268,37 @@ def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(d, "doc_id", "text", k=3)
 
 
+@query(
+    "doc_commonness",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term
+            FROM documents)
+      WHERE term <> ''
+      GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+    SELECT tf.doc_id,
+           CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+           round(SUM(tf.tf * dfreq.df)
+                 / (SUM(tf.tf) * (SELECT count(*) FROM documents)), 6) AS commonness
+    FROM tf JOIN dfreq ON tf.term = dfreq.term
+    GROUP BY tf.doc_id
+    """,
+)
+def doc_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-commonness quality signal — the exactly-reproducible surrogate
+    for an LM-perplexity filter (CCNet's KenLM gate): per document, the
+    tf-weighted mean document-frequency ratio of its tokens.  Numerator and
+    denominator are integer aggregates with ONE final rounded division, so
+    the score hash-matches across engines where a mean of log-probabilities
+    (libm ulp + float summation order) could not."""
+    from cassandra_util_spark.operators.text import commonness_score
+
+    d = _t(spark, sf_dir, "documents")
+    return commonness_score(d, "doc_id", "text")
+
+
 # the full-assembly pipeline's redaction chain, identical to PII_PATTERNS
 # (operators/text.py) — kept as one SQL fragment so the assembly oracle
 # applies the exact same chain to the exact same column

@@ -39,6 +39,12 @@ from cassandra_util_spark.operators.sampling import (
     stratified_sample,
     stratified_topk_sample,
 )
+from cassandra_util_spark.operators.text import (
+    commonness_score,
+    redact_pii,
+    text_profile,
+    tfidf_top_terms,
+)
 
 __all__ = [
     "Convictor",
@@ -66,6 +72,10 @@ __all__ = [
     "chunk_documents",
     "pack_greedy",
     "pack_sequences",
+    "commonness_score",
+    "redact_pii",
+    "text_profile",
+    "tfidf_top_terms",
     "hash_sample",
     "mixed_sample",
     "stratified_repeat",

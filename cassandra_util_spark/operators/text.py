@@ -260,3 +260,54 @@ def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         quality_score(t).alias("quality"),
         lang_id(t).alias("lang_pred"),
     )
+
+
+def commonness_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document corpus-commonness — the exactly-reproducible surrogate
+    for the LM-perplexity quality filter (CCNet's KenLM gate): documents of
+    frequent, ordinary tokens score high; rare-token/garbage documents score
+    low, and both tails are candidates for filtering.
+
+    ``commonness = Σ_t tf(t)·df(t) / (n_tokens · N)`` where df(t) is the
+    term's document frequency and N the corpus size.  The numerator and both
+    denominator factors are INTEGER aggregates — the score is one final
+    double division rounded to 6dp, so (like tfidf_top_terms' log-free idf)
+    it is bit-identical across engines and partitionings; a mean of
+    per-token log-probabilities would be neither (libm ulp + float summation
+    order).
+
+    Plan shape at scale: the same tf-table backbone as tfidf_top_terms —
+    explode → groupBy(id, term) with map-side partial counts, materialized
+    once; document frequencies via groupBy(term) (partial aggregation keeps
+    'the'-scale hot terms skew-safe); N broadcasts as a 1-row aggregate.
+    Documents with zero tokens are excluded (no defined score).
+
+    Output: (id, n_tokens, commonness), total-ordered by id.
+    """
+    tf = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(_norm_tokens(F.col(text_col))).alias("term"),
+        )
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .groupBy("id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("df")).alias("num"),
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            F.round(F.col("num") / (F.col("n_tokens") * F.col("n_docs")), 6).alias(
+                "commonness"
+            ),
+        )
+    )

@@ -799,3 +799,22 @@ def test_extract_features_unknown_codec_fails_fast(spark):
                               "doc_id bigint, text string, lang string, source string, n_chars bigint"))
     with pytest.raises(ValueError, match="unknown codec"):
         extract_features(m, decoder="clip_img")
+
+
+def test_commonness_orders_common_vs_rare(spark):
+    """A document of corpus-frequent tokens scores strictly higher than a
+    rare-token document — the separation the perplexity-style gate filters
+    on — and a singleton-vocabulary corpus pins the exact value."""
+    from cassandra_util_spark.operators.text import commonness_score
+
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog"), (2, "the cat and the mat"),
+         (3, "zyx qwv jkp")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in commonness_score(df, "doc_id", "text").collect()}
+    assert out[1]["commonness"] > out[3]["commonness"]
+    assert out[2]["commonness"] > out[3]["commonness"]
+    # rare doc: every token df=1, N=3 -> exactly 1/3
+    assert out[3]["commonness"] == round(1 / 3, 6)
+    assert out[3]["n_tokens"] == 3
