@@ -187,35 +187,65 @@ def _bloom_pos(col: Column, seed: int, num_bits: int) -> Column:
 
 
 def _bloom_bitmap_words(
-    digests: DataFrame, col: str, num_bits: int, num_hashes: int
+    digests: DataFrame, col: str, num_bits: int, num_hashes: int,
+    tree_threshold: int = 64,
 ) -> list[int]:
     """Distributed Bloom-filter build: per-partition bitmaps folded in Arrow
-    batches (numpy bit-ops, never per-row Python), OR-merged on the driver.
+    batches (numpy bit-ops, never per-row Python), then OR-merged.
 
-    Driver transfer is (num_partitions × num_bits/8) bytes — at 1024
-    partitions and the default 2^23 bits that is 1 GiB spread over one
-    collect of 1 MiB rows; for larger filters insert a tree level
-    (repartition to √P groups and OR per group) before the driver fold.
+    Driver transfer is bounded by a tree level: with P scan partitions the
+    per-partition fold yields P bitmap rows of num_bits/8 bytes each; a flat
+    driver fold of those is (P × num_bits/8) bytes — 1 GiB at 1024
+    partitions × the default 2^23 bits, and proportionally worse when
+    ``bloom_bits`` is sized up for larger reference sets.  So when
+    P > ``tree_threshold`` the per-partition bitmaps are OR-merged in
+    ⌈√P⌉ groups first (one shuffle of P bitmap rows, grouped by a
+    partition-id hash) and the driver collects only √P rows: 32 bitmaps ≈
+    32 MiB at the 1024-partition example.  Below the threshold the group
+    level would cost more in task overhead than it saves, so the fold stays
+    flat.  Both paths produce bit-identical words (OR is associative and
+    commutative) — pinned by test_bloom_tree_merge_identical.
     """
+    import math
+
     import numpy as np
     import pandas as pd
 
     num_words = num_bits // 64
+    num_parts = digests.rdd.getNumPartitions()
+    num_groups = math.isqrt(num_parts - 1) + 1 if num_parts > tree_threshold else 1
     pos = digests.select(
         F.explode(
             F.array(*[_bloom_pos(F.col(col), s, num_bits) for s in range(num_hashes)])
-        ).alias("pos")
+        ).alias("pos"),
+        (F.spark_partition_id() % num_groups).alias("grp"),
     )
 
     def fold(batches):
         bm = np.zeros(num_words, dtype=np.uint64)
+        grp = 0
         for pdf in batches:
-            p = pdf["pos"].to_numpy().astype(np.int64)
-            np.bitwise_or.at(bm, p >> 6, np.uint64(1) << (p & 63).astype(np.uint64))
-        yield pd.DataFrame({"words": [bm.view(np.int64).tolist()]})
+            if len(pdf):
+                grp = int(pdf["grp"].iloc[0])
+                p = pdf["pos"].to_numpy().astype(np.int64)
+                np.bitwise_or.at(bm, p >> 6, np.uint64(1) << (p & 63).astype(np.uint64))
+        yield pd.DataFrame({"grp": [grp], "words": [bm.view(np.int64).tolist()]})
+
+    part_maps = pos.mapInPandas(fold, "grp int, words array<bigint>")
+
+    if num_groups > 1:
+        def or_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            bm = np.zeros(num_words, dtype=np.uint64)
+            for w in pdf["words"]:
+                bm |= np.asarray(w, dtype=np.int64).view(np.uint64)
+            return pd.DataFrame({"words": [bm.view(np.int64).tolist()]})
+
+        part_maps = part_maps.groupBy("grp").applyInPandas(
+            lambda pdf: or_group(pdf), "words array<bigint>"
+        )
 
     out = np.zeros(num_words, dtype=np.uint64)
-    for row in pos.mapInPandas(fold, "words array<bigint>").collect():
+    for row in part_maps.select("words").collect():
         out |= np.asarray(row["words"], dtype=np.int64).view(np.uint64)
     return out.view(np.int64).tolist()
 

@@ -727,6 +727,22 @@ def test_dedup_against_bloom_matches_anti_join(spark, docs):
         assert got == want, f"bloom_bits={bits}"
 
 
+def test_bloom_tree_merge_identical(spark, docs):
+    """The √P tree level is the documented 100 TB transfer bound — it must
+    be byte-identical to the flat driver fold (OR is associative and
+    commutative).  Forces a high partition count (97 partitions, threshold 4
+    ⇒ 10 OR-groups) so the tree path actually executes, and compares against
+    a threshold high enough to keep the fold flat."""
+    from cassandra_util_spark.operators.dedup import _bloom_bitmap_words, _digest_for
+
+    d = docs.select("doc_id", "text").limit(500)
+    digests = d.select(_digest_for(d, ["text"]).alias("__digest")).repartition(97)
+    flat = _bloom_bitmap_words(digests, "__digest", 1 << 12, 5, tree_threshold=1000)
+    tree = _bloom_bitmap_words(digests, "__digest", 1 << 12, 5, tree_threshold=4)
+    assert any(w != 0 for w in flat)
+    assert tree == flat
+
+
 def test_dedup_against_bloom_no_false_negatives(spark, docs):
     """Every true duplicate is dropped (Bloom guarantees no false
     negatives): the survivor set never intersects the reference digests."""
