@@ -120,9 +120,12 @@ def connected_components_star(
 
     Each half-round is one groupBy shuffle + one co-partitioned join, keyed
     by node id; edges are (bigint, bigint) — no content in the shuffle.
-    Termination: the edge multiset is fixed-point (checked by count +
-    order-insensitive hash-sum, two scalar aggregates, no join).  At the
-    fixed point every edge is (child → component-min) directly.
+    Termination: the edge multiset is fixed-point — checked once per full
+    round, AFTER the small-star half (large-star alone never terminates the
+    loop), by one map-side aggregate yielding count + two independently
+    seeded order-insensitive hash sums (no join; collision odds ~2^-128 per
+    round).  At the fixed point every edge is (child → component-min)
+    directly.
 
     Default for dedup stays label propagation (near-dup clusters are shallow
     near-cliques; fewer rounds, one shuffle per round); choose this variant
@@ -144,16 +147,23 @@ def connected_components_star(
         .localCheckpoint(eager=False)
     )
 
-    def _sig(e: DataFrame) -> tuple[int, int]:
-        # order-insensitive multiset signature; decimal(38,0) sum so ANSI
-        # mode can't overflow on summed 64-bit hashes
+    def _sig(e: DataFrame) -> tuple[int, int, int]:
+        # order-insensitive multiset signature, ONE map-side aggregate with
+        # two independently-seeded hash sums: a single sum could in principle
+        # collide between consecutive different edge sets and silently return
+        # an under-merged clustering; two independent 64-bit sums push that
+        # to ~2^-128 per round.  decimal(38,0) so the ANSI-mode sum of
+        # 64-bit hashes cannot overflow.
         row = e.agg(
             F.count(F.lit(1)).alias("n"),
             F.coalesce(
                 F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
             ).alias("h"),
+            F.coalesce(
+                F.sum(F.xxhash64(F.lit(1), "u", "v").cast("decimal(38,0)")), F.lit(0)
+            ).alias("h2"),
         ).collect()[0]
-        return int(row["n"]), int(row["h"])
+        return int(row["n"]), int(row["h"]), int(row["h2"])
 
     sig = _sig(edges)
     for _ in range(max_iter):
@@ -165,12 +175,18 @@ def connected_components_star(
         mins = sym.groupBy("u").agg(
             F.least(F.min("v"), F.first("u")).alias("m")
         )
+        # no distinct() here: the small-star half tolerates duplicate edges
+        # (lo_mins is a min-aggregate; lo_edges duplicates die in the final
+        # distinct), so canonicalizing this intermediate would only add a
+        # shuffle per round — the per-round edge set after small-star is
+        # identical either way (pinned by the star-vs-recursive-CTE oracle).
+        # The checkpoint stays: two consumers below, and it cuts the
+        # iterative lineage.
         edges = (
             sym.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.least("v", "m").alias("u"), F.greatest("v", "m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
             .localCheckpoint(eager=False)
         )
         # -- small-star: direct edges high→low; collapse each node x and its
