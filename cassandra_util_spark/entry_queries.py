@@ -975,7 +975,9 @@ def ann_cosine_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c.vec_id, c.v, s.cell,
                row_number() OVER (
                  PARTITION BY c.vec_id
-                 ORDER BY list_cosine_similarity(c.v, s.cv) DESC, s.cell ASC) AS rn
+                 ORDER BY round(CASE WHEN isnan(list_cosine_similarity(c.v, s.cv))
+                                     THEN 0 ELSE list_cosine_similarity(c.v, s.cv)
+                                END, 4) DESC, s.cell ASC) AS rn
         FROM corpus c CROSS JOIN seeds s) WHERE rn = 1),
     queries AS (SELECT vec_id AS query_id, v AS qv FROM corpus WHERE vec_id < 5),
     probes AS (
@@ -1025,7 +1027,9 @@ def ann_ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c.vec_id, c.v, s.cell,
                row_number() OVER (
                  PARTITION BY c.vec_id
-                 ORDER BY list_cosine_similarity(c.v, s.cv) DESC, s.cell ASC) AS rn
+                 ORDER BY round(CASE WHEN isnan(list_cosine_similarity(c.v, s.cv))
+                                     THEN 0 ELSE list_cosine_similarity(c.v, s.cv)
+                                END, 4) DESC, s.cell ASC) AS rn
         FROM corpus c CROSS JOIN seeds s) WHERE rn = 1),
     pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b

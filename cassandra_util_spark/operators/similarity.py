@@ -133,6 +133,13 @@ def ivf_assign(
     (batch x dim) @ (dim x cells) BLAS matmul + argmax — measured ~5x faster
     than the crossJoin + per-row expression cosine, and it is a map-only
     pass: no shuffle at all.  Ties break toward the smallest cell id.
+
+    Assignment scores are rounded to 4dp BEFORE the argmax (the same
+    precision discipline as the pair threshold): the BLAS pairwise summation
+    and an oracle's sequential dot/norm summation can differ in the last
+    ulp, and an unrounded argmax would let that flip near-tied cell
+    assignments nondeterministically across engines.  At 4dp near-ties
+    become exact ties, broken toward the smallest cell id on both sides.
     """
     import numpy as np
 
@@ -155,7 +162,7 @@ def ivf_assign(
             return pd.Series([], dtype="int64")
         V = np.array(vecs.tolist(), dtype=np.float64)
         V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
-        scores = V @ C.T  # (batch, cells)
+        scores = np.round(V @ C.T, 4)  # (batch, cells), 4dp frontier
         # argmax picks the FIRST max; cells sorted ascending => smallest cell
         return pd.Series(cell_ids[np.argmax(scores, axis=1)])
 
@@ -347,6 +354,7 @@ def semantic_dedup(
     num_centroids: int = 64,
     threshold: float = 0.8,
     refine_iters: int = 2,
+    block_rows: int = 4096,
 ) -> DataFrame:
     """Semantic deduplication over an embedding column, SemDeDup-style
     (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
@@ -372,11 +380,16 @@ def semantic_dedup(
     per-pair expression cosine: the join evaluates three array traversals
     per pair — dot plus both norms — in codegen, measured ~15× slower than
     the vectorized block product at 32k vectors, and its cell-keyed shuffle
-    caps parallelism at K.  Each cell's score matrix is n² doubles — with
-    cells sized 1-10k that is ≤ 800 MB transient per task; split cells into
-    row blocks before raising cell size beyond that.  Cosines are rounded
-    to 4dp before thresholding so the keep/drop frontier is reproducible
-    across engines (embedding_neardup_pairs convention).
+    caps parallelism at K.  The score matrix is computed in ROW BLOCKS of
+    ``block_rows``: S = V[block]·Vᵀ, so peak transient memory per task is
+    block_rows × |cell| doubles (32 MB per 4096-row block at |cell|=1k …
+    bounded even when a skewed corpus or a mis-sized ``num_centroids``
+    produces an oversized cell — the full n² matrix never materializes).
+    The block decomposition is exact, not an approximation: every (i<j)
+    pair appears in exactly one block's row range, pinned by
+    test_semantic_dedup_block_split_identical.  Cosines are rounded to 4dp
+    before thresholding so the keep/drop frontier is reproducible across
+    engines (embedding_neardup_pairs convention).
     """
     import numpy as np
     import pandas as pd
@@ -394,17 +407,24 @@ def semantic_dedup(
     )
 
     def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
+        n = len(pdf)
+        if n < 2:
             return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                                  "id_b": pd.Series([], dtype="int64")})
         pdf = pdf.sort_values("id")  # positional triangle == id-ordered pairs
         ids = pdf["id"].to_numpy()
         V = np.array(pdf["vec"].tolist(), dtype=np.float64)
         V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
-        S = np.round(V @ V.T, 4)
-        ia, ib = np.triu_indices(len(ids), k=1)
-        keep = S[ia, ib] >= threshold
-        return pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]]})
+        out_a, out_b = [], []
+        for s in range(0, n, block_rows):
+            S = np.round(V[s:s + block_rows] @ V.T, 4)  # (block, n)
+            ia, ib = np.nonzero(S >= threshold)
+            ia = ia + s
+            upper = ia < ib  # strict upper triangle, in global coordinates
+            out_a.append(ids[ia[upper]])
+            out_b.append(ids[ib[upper]])
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b)})
 
     pairs = assigned.groupBy("cell").applyInPandas(
         cell_pairs, "id_a bigint, id_b bigint"

@@ -782,6 +782,25 @@ def test_semantic_dedup_drops_planted_copies(spark):
         assert out[vid][1]                                 # source kept
 
 
+def test_semantic_dedup_block_split_identical(spark):
+    """The row-block score decomposition is exact: with ONE oversized cell
+    (num_centroids=1 forces every vector into the same cell, 3× the forced
+    block_rows) the blocked path must emit the identical clustering as a
+    block size large enough to cover the cell in one matmul."""
+    from cassandra_util_spark.operators.similarity import semantic_dedup
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    kw = dict(num_centroids=1, threshold=0.4, refine_iters=0)
+    want = sorted(tuple(r) for r in
+                  semantic_dedup(e, block_rows=1 << 20, **kw).collect())
+    got = sorted(tuple(r) for r in
+                 semantic_dedup(e, block_rows=e.count() // 3, **kw).collect())
+    assert got == want
+    assert any(not r[2] for r in want)  # the planted cell really forms groups
+
+
 def test_semantic_dedup_refined_path_contract(spark):
     """Lloyd-refined clustering keeps the resolve contract: every row
     labeled, exactly one survivor per cluster, survivor = cluster min."""
