@@ -380,6 +380,8 @@ def decontaminate(
     text_col: str,
     n: int = 8,
     min_collisions: int = 1,
+    broadcast_grams: bool | None = None,
+    broadcast_threshold: int = 10_000_000,
 ) -> DataFrame:
     """Flag training documents sharing any word ``n``-gram with a benchmark
     set — the standard eval-set decontamination pass (the reason reported
@@ -389,22 +391,34 @@ def decontaminate(
     ``n_collisions`` counts DISTINCT benchmark n-grams hit (not occurrence
     multiplicity) and ``contaminated`` applies ``min_collisions``.
 
-    Scale shape: the benchmark gram set is distinct-ed and BROADCAST —
-    eval suites are millions of grams at most, far under broadcast limits
-    — so the scan over 100 TB of training grams is join-local (no shuffle
-    of training data by gram); the only exchange is the per-doc collision
-    count keyed by id.  If a benchmark ever outgrew broadcast, dropping
-    the hint degrades gracefully to a shuffle join on the gram.
+    Scale shape: when the benchmark gram set is broadcast-sized — eval
+    suites are millions of grams at most — the scan over 100 TB of training
+    grams is join-local (no shuffle of training data by gram) and the only
+    exchange is the per-doc collision count keyed by id.  The choice is
+    SIZE-CONDITIONAL, not hard-coded: ``broadcast_grams=None`` (default)
+    counts the distinct benchmark grams first — a benchmark-side-only
+    aggregate, never touching the training corpus — and applies the
+    broadcast hint only under ``broadcast_threshold``; beyond it the join
+    degrades to a gram-keyed shuffle instead of a driver OOM.  Both
+    branches produce identical output (test_decontaminate_shuffle_branch).
+    Pass ``broadcast_grams=True/False`` to skip the count and force a
+    branch when the benchmark's size is already known.
     """
     bench_grams = (
         benchmark.select(F.explode(word_shingles(F.col(text_col), n)).alias("sh"))
         .distinct()
     )
+    if broadcast_grams is None:
+        # the count's shuffle is the same distinct the join needs anyway —
+        # materialize it once so the probe isn't paid twice
+        bench_grams = bench_grams.localCheckpoint(eager=False)
+        broadcast_grams = bench_grams.count() <= broadcast_threshold
+    bench_side = F.broadcast(bench_grams) if broadcast_grams else bench_grams
     train_grams = train.select(
         F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), n)).alias("sh")
     )
     hits = (
-        train_grams.join(F.broadcast(bench_grams), "sh")
+        train_grams.join(bench_side, "sh")
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_collisions"))
     )

@@ -671,6 +671,29 @@ def test_decontaminate_flags_planted_overlap(spark):
     assert len(out) == 3  # clean rows are reported, not dropped
 
 
+def test_decontaminate_shuffle_branch(spark, docs):
+    """The size-conditional broadcast: a threshold of 1 forces the auto
+    probe onto the shuffle branch, which must produce output identical to
+    the forced-broadcast branch; the explain of the broadcast branch must
+    actually broadcast the gram set."""
+    from cassandra_util_spark.operators.dedup import decontaminate
+
+    train = docs.select("doc_id", "text").limit(200)
+    bench = docs.select("doc_id", "text").filter(F.col("doc_id") % 7 == 0).limit(30)
+    want = sorted(tuple(r) for r in
+                  decontaminate(train, bench, "doc_id", "text", n=5,
+                                broadcast_grams=True).collect())
+    got_auto_shuffle = sorted(tuple(r) for r in
+                              decontaminate(train, bench, "doc_id", "text", n=5,
+                                            broadcast_threshold=1).collect())
+    assert got_auto_shuffle == want
+    assert any(r[2] for r in want)  # planted self-overlap really collides
+
+    plan = decontaminate(train, bench, "doc_id", "text", n=5,
+                         broadcast_grams=True)._jdf.queryExecution().toString()
+    assert "broadcast" in plan.lower()
+
+
 def test_dedup_against_reference_only(spark, docs):
     """Cross-corpus duplicates drop; within-batch duplicates survive (they
     are exact_dedup's job, not this pass's)."""
