@@ -27,6 +27,15 @@ _DEFAULTS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
+    # Spark 4's default, pinned explicitly so a deployment override can't
+    # silently change arithmetic/cast semantics (e.g. sum overflow wraps
+    # with ANSI off; the engine's decimal(38,0) signature sums assume the
+    # ANSI error instead).  NOTE: ANSI does NOT reject numeric→timestamp
+    # casts (measured on 4.1.2: bigint casts as epoch-seconds, silently) —
+    # which is exactly why raw event-time columns must go through the
+    # type-introspecting normalize_event_time / derive_writetime, never the
+    # Column-level writetime_micros.
+    "spark.sql.ansi.enabled": "true",
     "spark.ui.enabled": "false",
     "spark.driver.memory": "8g",
 }

@@ -54,9 +54,35 @@ def writetime_micros(ts_col: Column) -> Column:
     Input must be TIMESTAMP or TIMESTAMP_NTZ.  A raw int64-nanos column must
     go through :func:`normalize_event_time` FIRST (it is DataFrame-level and
     type-aware; a Column cannot introspect its own type): casting a bigint
-    here would be interpreted as epoch-SECONDS and mis-scale by 1e9.
+    here is interpreted as epoch-SECONDS and mis-scales by 1e9 — SILENTLY,
+    even under ANSI mode (measured on Spark 4.1.2: the numeric→timestamp
+    cast is permitted and saturates rather than erroring), so this function
+    cannot defend itself against numeric input.  Callers with raw columns
+    use :func:`derive_writetime`, which introspects the DataFrame type and
+    never routes a numeric column through a timestamp cast.
     """
     return F.unix_micros(ts_col.cast("timestamp"))
+
+
+def derive_writetime(df, col: str = "ts", out_col: str = "writetime"):
+    """DataFrame-level writetime derivation — the type-introspecting
+    companion to :func:`writetime_micros` (a Column cannot see its own type;
+    a DataFrame can).  Safe on every physical representation in
+    :data:`EVENT_TIME_TYPES`: raw int64 NANOS divide straight to µs without
+    ever passing through a timestamp cast (so the epoch-seconds
+    mis-interpretation cannot occur, with or without ANSI mode), and
+    timestamp/NTZ inputs take the :func:`writetime_micros` path (NTZ relies
+    on the UTC session pin, as normalize_event_time documents).
+    """
+    dt = df.schema[col].dataType.simpleString()
+    if dt == "bigint":
+        return df.withColumn(out_col, F.expr(f"`{col}` div 1000"))
+    if dt in ("timestamp", "timestamp_ntz"):
+        return df.withColumn(out_col, writetime_micros(F.col(col)))
+    raise TypeError(
+        f"event-time column {col!r} has unexpected physical type {dt!r}; "
+        f"expected one of {EVENT_TIME_TYPES}"
+    )
 
 
 #: Physical representations an event-time column may arrive in, depending on

@@ -210,8 +210,12 @@ def tfidf_top_terms(
     without it Catalyst re-runs the scan+explode per consumer, measured as
     a 3-scan / 10-exchange plan).  Document frequencies are a groupBy(term)
     over the tf table — partial aggregation keeps hot terms ('the')
-    skew-safe, which a count-over-window-by-term would not.  N joins in as
-    a broadcast 1-row aggregate; top-k is a per-id window.  At warehouse
+    skew-safe, which a count-over-window-by-term would not.  The df-table
+    join carries NO broadcast hint: the table is one row per distinct
+    corpus term — an unbounded vocabulary at 100 TB — so the join strategy
+    is left to AQE, which broadcasts while the measured size allows and
+    shuffle-joins beyond (both sides key on the term).  N joins in as a
+    broadcast 1-row aggregate; top-k is a per-id window.  At warehouse
     scale the checkpoint becomes a persisted tf table (same pattern as the
     MinHash signature table, dedup.py).
     """
@@ -226,7 +230,7 @@ def tfidf_top_terms(
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "score",
@@ -280,9 +284,13 @@ def commonness_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     explode → groupBy(id, term) with map-side partial counts, materialized
     once; document frequencies via groupBy(term) (partial aggregation keeps
     'the'-scale hot terms skew-safe); N broadcasts as a 1-row aggregate.
-    Documents with zero tokens are excluded (no defined score).
+    The df-table join is deliberately UNHINTED (one row per distinct corpus
+    term — unbounded vocabulary; AQE broadcasts while small, shuffle-joins
+    beyond).  Documents with zero tokens are excluded (no defined score).
 
-    Output: (id, n_tokens, commonness), total-ordered by id.
+    Output: (id, n_tokens, commonness); row order is not defined —
+    aggregate outputs land in shuffle-partition order, so callers wanting a
+    total order must sort.
     """
     tf = (
         df.select(
@@ -296,7 +304,7 @@ def commonness_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
     return (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .groupBy("id")
         .agg(
             F.sum("tf").alias("n_tokens"),

@@ -117,3 +117,39 @@ def test_t_repins_utc_on_foreign_session(spark):
         assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+def test_derive_writetime_all_representations(spark, three_reps):
+    """derive_writetime introspects the physical type: raw int64 nanos
+    divide straight to µs (never a numeric→timestamp cast, so the
+    epoch-seconds 1e9 mis-scale is impossible with or without ANSI mode),
+    and all three representations agree byte-for-byte."""
+    from cassandra_util_spark.functions import derive_writetime
+
+    outs = {}
+    for name, path in three_reps.items():
+        df = derive_writetime(spark.read.parquet(path))
+        outs[name] = sorted(df.select("event_id", "writetime").collect())
+    assert outs["timestamp"] == outs["timestamp_ntz"] == outs["bigint_nanos"]
+    assert len(outs["timestamp"]) == 200
+
+    with pytest.raises(TypeError, match="unexpected physical type 'string'"):
+        derive_writetime(
+            spark.createDataFrame([(1, "2024-01-01")], "event_id bigint, ts string")
+        )
+
+
+def test_ansi_mode_pinned_on_and_numeric_cast_hazard_is_real(spark):
+    """The session factory pins ANSI on.  ANSI does NOT reject a
+    numeric→timestamp cast (measured: bigint casts as epoch-seconds,
+    silently) — this test pins that hazard so the docs stay honest: if a
+    future Spark starts rejecting the cast, writetime_micros' docstring and
+    derive_writetime's reason-for-being should be revisited."""
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    from cassandra_util_spark.functions import derive_writetime
+
+    df = spark.createDataFrame([(1, 1_700_000_000_000_000_000)],
+                               "event_id bigint, ts bigint")
+    [bad] = df.select(writetime_micros(F.col("ts")).alias("wt")).collect()
+    [good] = derive_writetime(df).select("writetime").collect()
+    assert bad["wt"] != good["writetime"]          # the silent 1e9 mis-scale
+    assert good["writetime"] == 1_700_000_000_000_000  # nanos // 1000
