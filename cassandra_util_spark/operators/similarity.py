@@ -316,14 +316,22 @@ def embedding_neardup_pairs(
     dim: int = 64,
     planes: int = 8,
     exact: bool = False,
+    multi_probe: bool = False,
 ) -> DataFrame:
     """Pairs (a < b) with cosine >= threshold.
 
     exact=False (scale path): candidates = same sign-LSH bucket, then exact
-    cosine verify — linear-ish, misses cross-bucket pairs near the boundary
-    (raise ``planes`` bands or multi-probe for recall).
-    exact=True (oracle path): all-pairs verify — O(N²), small N only.
-    Output: (id_a, id_b, cos_sim rounded to 4dp).
+    cosine verify — linear-ish, misses cross-bucket pairs near the boundary.
+    ``multi_probe=True`` is the recall lever for those boundary pairs: one
+    side additionally probes every single-bit-flip neighbor bucket (a
+    high-cosine pair disagrees on few hyperplane signs, most often exactly
+    one), recovering all Hamming-distance-1 bucket pairs for a
+    ``planes``-fold candidate fan-out — no extra shuffle stages, just a
+    wider explode on the probe side.  Each qualifying pair is generated
+    exactly once (the probe set {bucket} ∪ {bucket⊕2^i} has distinct
+    members and only the probing side explodes), so no dedup pass is
+    needed.  exact=True (oracle path): all-pairs verify — O(N²), small N
+    only.  Output: (id_a, id_b, cos_sim rounded to 4dp).
     """
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     if exact:
@@ -331,10 +339,25 @@ def embedding_neardup_pairs(
         cand = a.join(b, F.col("a.id") < F.col("b.id"))
     else:
         bucketed = base.withColumn("bucket", signlsh_bucket(F.col("vec"), dim, planes))
-        a, b = bucketed.alias("a"), bucketed.alias("b")
-        cand = a.join(
-            b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))
-        )
+        b = bucketed.alias("b")
+        if multi_probe:
+            probes = F.array(
+                F.col("bucket"),
+                *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(planes)],
+            )
+            a = (
+                bucketed.withColumn("probe", F.explode(probes))
+                .drop("bucket")
+                .alias("a")
+            )
+            cand = a.join(
+                b, (F.col("a.probe") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))
+            )
+        else:
+            a = bucketed.alias("a")
+            cand = a.join(
+                b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))
+            )
     scored = cand.select(
         F.col("a.id").alias("id_a"),
         F.col("b.id").alias("id_b"),

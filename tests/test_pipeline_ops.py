@@ -876,3 +876,25 @@ def test_commonness_orders_common_vs_rare(spark):
     # rare doc: every token df=1, N=3 -> exactly 1/3
     assert out[3]["commonness"] == round(1 / 3, 6)
     assert out[3]["n_tokens"] == 3
+
+def test_embedding_neardup_multi_probe_recall(spark):
+    """multi_probe probes every single-bit-flip neighbor bucket: its pair
+    set must contain the plain bucket-LSH pairs, stay within the exact
+    oracle's, recover strictly more boundary pairs (measured 15 vs 1 of the
+    66 exact pairs at threshold 0.4 on the sf0.001 corpus), and emit each
+    pair exactly once — the probe-side-only explode needs no dedup."""
+    from cassandra_util_spark.operators.similarity import embedding_neardup_pairs
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+
+    def run(**kw):
+        rows = embedding_neardup_pairs(e, threshold=0.4, planes=8, **kw).collect()
+        pairs = [(r["id_a"], r["id_b"]) for r in rows]
+        assert len(pairs) == len(set(pairs)), "duplicate pair emitted"
+        return set(pairs)
+
+    plain, multi, exact = run(), run(multi_probe=True), run(exact=True)
+    assert plain <= multi <= exact
+    assert len(multi) > len(plain)
