@@ -1,17 +1,26 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric", "value" (total sec), "unit", "queries": {name: sec},
-"sf"}.
+"sf", "repeat"}.
 
 Each query is materialized with the noop writer — full pipeline execution
 (scan → compute → "write") without driver-side result transfer, the honest
 proxy for cluster throughput.
+
+Each query runs ``--repeat N`` times (default 3, env
+SPARK_GRAFT_BENCH_REPEAT) and reports the per-query MEDIAN: single-shot
+timings of sub-4s queries drifted 1.3-1.6x between rounds from JVM/GC
+run-shape noise alone, which made noise indistinguishable from plan
+regressions.  The median of 3 absorbs one-off GC pauses and first-run
+codegen; "value" is the sum of medians.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -112,6 +121,13 @@ EXTRA_QUERIES = {
 
 
 def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--repeat", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3")),
+                    help="runs per query; the reported time is the median")
+    args = ap.parse_args()
+    repeat = max(1, args.repeat)
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from cassandra_util_spark.core.session import get_spark
     from cassandra_util_spark.entry_queries import QUERIES
@@ -131,14 +147,19 @@ def main() -> None:
     # single AnalysisException).  Record the error, keep timing the rest,
     # always print the JSON line; exit non-zero only at the end.
     for name in names:
-        t0 = time.monotonic()
-        try:
-            runnable[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.monotonic() - t0, 3)
-        except Exception as exc:  # noqa: BLE001 — isolate ANY per-query failure
-            msg = f"{type(exc).__name__}: {exc}"
-            errors[name] = msg.splitlines()[0][:300]
-            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+        runs: list[float] = []
+        for _ in range(repeat):
+            t0 = time.monotonic()
+            try:
+                runnable[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                runs.append(time.monotonic() - t0)
+            except Exception as exc:  # noqa: BLE001 — isolate ANY per-query failure
+                msg = f"{type(exc).__name__}: {exc}"
+                errors[name] = msg.splitlines()[0][:300]
+                print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+                break
+        if runs:
+            timings[name] = round(statistics.median(runs), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -147,6 +168,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "repeat": repeat,
     }
     if errors:
         out["errors"] = errors

@@ -56,3 +56,35 @@ def test_map_only_queries_prune_unused_columns(spark):
     plan = _physical(QUERIES["stratified_sample_docs"](spark, SF_DIR))
     read = plan.split("ReadSchema", 1)[1][:300]
     assert "doc_id" in read and "text" not in read, read
+
+
+def test_query_registry_prefix_stable():
+    """The driver's correctness window covers the first 50 registered
+    queries; QUERIES is registration-ordered, so an innocent import-order
+    or decorator shuffle would silently swap which operators get driver
+    correctness rows.  Pin the 50-name prefix: extend the registry by
+    APPENDING — never by reordering.  (If a reorder is ever intentional,
+    update this snapshot in the same commit and say why.)"""
+    from cassandra_util_spark.entry_queries import ORACLES, QUERIES
+
+    first50 = [
+        "retention_rules_delete", "retention_ttl", "configurable_delete_json",
+        "odd_pk_filter", "token_range_filter", "lww_merge", "counter_merge",
+        "writetime_projection", "q1_pricing_summary", "q3_shipping_priority",
+        "q5_region_revenue", "top_orders_per_customer", "events_hourly_rollup",
+        "text_quality", "lang_id", "doc_fingerprint", "dedup_exact",
+        "dedup_fingerprint", "dedup_ngram_jaccard", "dedup_ngram_jaccard_capped",
+        "dedup_minhash_lsh", "dedup_simhash", "embedding_neardup",
+        "embedding_dedup_resolve", "embedding_quantize", "ann_cosine_topk",
+        "ann_ivf_topk", "semantic_dedup", "retention_rules_antijoin",
+        "events_sessionize", "orders_status_rollup", "set_ops_except_intersect",
+        "paged_fetch", "retention_ttl_mixed_keys", "asof_join_clicks_purchases",
+        "range_join_incidents", "q10_returned_items", "parts_above_avg_price",
+        "orders_profile", "token_count_regex", "q4_order_priority",
+        "q6_forecast_revenue", "orders_pivot_priority", "events_user_gaps",
+        "acctbal_percentiles", "media_features", "media_dedup",
+        "media_frame_plan", "events_json_props", "salted_event_rollup",
+    ]
+    assert list(QUERIES)[:50] == first50
+    # every registered query keeps a full-strength oracle
+    assert set(QUERIES) == set(ORACLES)
