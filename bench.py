@@ -88,6 +88,9 @@ BENCH_QUERIES = [
     "dedup_incremental",
     "dedup_incremental_bloom",
     "passage_dup_share",
+    "dedup_span_removal",
+    "gopher_quality_gate",
+    "commonness_buckets",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash
     # swapped to xxhash64 — the production configuration at scale

@@ -2556,3 +2556,146 @@ def passage_dup_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return passage_dup_stats(
         d.unionByName(copies), "doc_id", "text", chunk_words=32, overlap=0
     )
+
+
+@query(
+    "dedup_span_removal",
+    oracle=f"""
+    WITH all_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' zz yy xx ww vv uu tt ss' FROM documents),
+    toks AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM all_docs),
+    sized AS (
+      SELECT doc_id, w, greatest(CAST(ceil(len(w) / 32.0) AS BIGINT), 1) AS k
+      FROM toks),
+    chunks AS (
+      SELECT doc_id,
+             CAST(unnest(range(0, k)) AS INT) AS chunk_id,
+             unnest(list_transform(range(0, k),
+               i -> array_to_string(list_slice(w, i * 32 + 1, i * 32 + 32), ' '))) AS chunk_text
+      FROM sized),
+    fps AS (SELECT doc_id, chunk_id, chunk_text, md5(chunk_text) AS fp FROM chunks),
+    firsts AS (
+      SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id, chunk_id) AS rn
+      FROM fps),
+    rebuilt AS (
+      SELECT doc_id, string_agg(chunk_text, ' ' ORDER BY chunk_id) AS clean_text,
+             count(*) AS n_kept
+      FROM firsts WHERE rn = 1 GROUP BY doc_id),
+    counts AS (SELECT doc_id, count(*) AS n_chunks FROM fps GROUP BY doc_id)
+    SELECT c.doc_id,
+           coalesce(r.clean_text, '') AS clean_text,
+           c.n_chunks,
+           c.n_chunks - coalesce(r.n_kept, 0) AS n_dropped
+    FROM counts c LEFT JOIN rebuilt r ON r.doc_id = c.doc_id
+    """,
+)
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style duplicate-span EXCISION: over the corpus plus planted
+    copies that share every prefix passage (the passage_dup_share fixture),
+    each repeated 32-word span survives only at its globally first
+    occurrence and documents are rebuilt from their surviving spans — the
+    transformation whose measurement counterpart is passage_dup_share.
+    Every rebuilt text, chunk count, and drop count across all 2000 docs is
+    hash-verified against the same first-occurrence election in SQL."""
+    from cassandra_util_spark.operators.dedup import remove_duplicate_spans
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz yy xx ww vv uu tt ss")).alias("text"),
+    )
+    return remove_duplicate_spans(d.unionByName(copies), "doc_id", "text", chunk_words=32)
+
+
+@query(
+    "gopher_quality_gate",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text,
+             list_filter(string_split(text, ' '), x -> x <> '') AS w,
+             list_filter(string_split(text, chr(10)), l -> l <> '') AS lines
+      FROM documents),
+    sig AS (
+      SELECT doc_id,
+        len(w) AS n_words,
+        greatest(len(w), 1) AS d,
+        coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS wc,
+        length(text) - length(replace(text, '#', '')) AS nhash,
+        (length(text) - length(replace(text, '...', ''))) / 3 AS nell,
+        greatest(len(lines), 1) AS nl,
+        len(list_filter(lines,
+            l -> list_contains(['•','-','*'], substring(ltrim(l), 1, 1)))) AS bl,
+        len(list_filter(lines,
+            l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…'))) AS el,
+        len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS aw,
+        len(list_filter(['the','be','to','of','and','that','have','with'],
+            s -> list_contains(list_transform(w, x -> lower(x)), s))) AS sh
+      FROM base)
+    SELECT doc_id,
+      CAST(n_words AS BIGINT) AS n_words,
+      round(wc / d, 6) AS mean_word_len,
+      round((nhash + nell) / d, 6) AS symbol_word_ratio,
+      round(bl / nl, 6) AS bullet_line_frac,
+      round(el / nl, 6) AS ellipsis_line_frac,
+      round(aw / d, 6) AS alpha_word_frac,
+      CAST(sh AS BIGINT) AS stop_hits,
+      (n_words BETWEEN 50 AND 100000)
+        AND (round(wc / d, 6) BETWEEN 3.0 AND 10.0)
+        AND round((nhash + nell) / d, 6) <= 0.1
+        AND round(bl / nl, 6) <= 0.9
+        AND round(el / nl, 6) <= 0.3
+        AND round(aw / d, 6) >= 0.8
+        AND sh >= 2 AS passes
+    FROM sig
+    """,
+)
+def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher rule battery (Rae et al. 2021 A1.1) over every document
+    at the paper's published thresholds — word-count bounds, mean word
+    length, symbol ratio, bullet/ellipsis line fractions, alphabetic-word
+    fraction, stopword presence — every per-document signal AND the
+    composite pass flag hash-verified (all ratios are 6dp-rounded
+    integer-ratio doubles, so the gate frontier is engine-exact)."""
+    from cassandra_util_spark.operators.text import gopher_quality
+
+    d = _t(spark, sf_dir, "documents")
+    return gopher_quality(d, "doc_id", "text")
+
+
+@query(
+    "commonness_buckets",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term
+            FROM documents)
+      WHERE term <> ''
+      GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             round(SUM(tf.tf * dfreq.df)
+                   / (SUM(tf.tf) * (SELECT count(*) FROM documents)), 6) AS commonness
+      FROM tf JOIN dfreq ON tf.term = dfreq.term
+      GROUP BY tf.doc_id),
+    tiled AS (
+      SELECT doc_id, commonness,
+             CAST(ntile(3) OVER (ORDER BY commonness DESC, doc_id ASC) AS BIGINT) AS bucket
+      FROM scored)
+    SELECT doc_id, commonness, bucket,
+           CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS tier
+    FROM tiled
+    """,
+)
+def commonness_buckets_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail corpus tiers: terciles of the
+    commonness score (this engine's exactly-reproducible perplexity
+    surrogate), ranked over a deterministic total order.  Tier membership
+    for every document is hash-verified; the approx-percentile map-side
+    variant (the no-global-sort 100 TB path) is recall-tested in pytest."""
+    from cassandra_util_spark.operators.text import commonness_buckets
+
+    d = _t(spark, sf_dir, "documents")
+    return commonness_buckets(d, "doc_id", "text", buckets=3, mode="exact")

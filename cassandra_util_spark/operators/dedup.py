@@ -373,6 +373,76 @@ def passage_dup_stats(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_words: int = 64,
+) -> DataFrame:
+    """Cross-document duplicate-SPAN removal — the corpus TRANSFORMATION
+    counterpart of :func:`passage_dup_stats` (which only measures): every
+    repeated ``chunk_words``-word span is kept at its globally FIRST
+    occurrence (lowest (doc_id, chunk_id)) and deleted everywhere else,
+    then documents are rebuilt from their surviving spans.  This is the
+    C4-style "deduplicate repeated spans across pages" pass (Raffel et al.
+    2020 §2.2 drop repeated three-sentence spans; MassiveText/Gopher do the
+    per-line analog) — boilerplate embedded in otherwise-distinct pages is
+    excised rather than the whole page being dropped.
+
+    Output: (id, clean_text, n_chunks, n_dropped) for EVERY input document
+    (a fully-boilerplate document survives with clean_text = '').
+    ``clean_text`` is in normalized-token form (the chunker's basis), so
+    rebuilding is exact and engine-reproducible: surviving chunks rejoin
+    with single spaces in chunk order.
+
+    Scale shape (100 TB): chunk fan-out is map-only (chunk_documents);
+    first-occurrence election is a groupBy(fingerprint) min-aggregate —
+    map-side partial mins, one shuffle on the 16-byte print — and the
+    survivor check rejoins the chunk stream on the same key (exchange
+    reuse; deliberately NOT broadcast, the print table has one row per
+    distinct span).  The rebuild is one groupBy(id) collect_list of the
+    document's own chunks — bounded per row by document length, the same
+    bound the input row already had.
+    """
+    from cassandra_util_spark.operators.packing import chunk_documents
+
+    chunks = chunk_documents(df, id_col, text_col, chunk_words, overlap=0).select(
+        F.col(id_col).alias("id"),
+        "chunk_id",
+        "chunk_text",
+        F.md5(F.col("chunk_text")).alias("fp"),
+    )
+    first = chunks.groupBy("fp").agg(
+        F.min(F.struct("id", "chunk_id")).alias("first_at")
+    )
+    survivors = chunks.join(first, "fp").filter(
+        (F.col("id") == F.col("first_at.id"))
+        & (F.col("chunk_id") == F.col("first_at.chunk_id"))
+    )
+    rebuilt = survivors.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_id", "chunk_text"))),
+                lambda s: s["chunk_text"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    counts = chunks.groupBy("id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    return (
+        counts.join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            "n_chunks",
+            (F.col("n_chunks") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+                "n_dropped"
+            ),
+        )
+    )
+
+
 def decontaminate(
     train: DataFrame,
     benchmark: DataFrame,

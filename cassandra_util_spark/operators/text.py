@@ -319,3 +319,159 @@ def commonness_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ),
         )
     )
+
+
+# The eight Gopher repetition-gate stopwords (Rae et al. 2021, A1.1): a page
+# must contain at least two to count as running English prose.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """The Gopher quality-rule battery (Rae et al. 2021, appendix A1.1) —
+    the named, published heuristic gate modern pretraining pipelines apply
+    before any model-based filtering; defaults are the paper's thresholds.
+    Complements :func:`quality_score` (a soft composite) with the standard
+    hard rules, each signal exposed so a pipeline can re-threshold without
+    recomputing:
+
+    - word count in [min_words, max_words]
+    - mean word length in [min_mean_word_len, max_mean_word_len]
+    - '#'/'...' symbols per word <= max_symbol_word_ratio
+    - bullet-started lines <= max_bullet_line_frac of lines
+    - ellipsis-ended lines <= max_ellipsis_line_frac of lines
+    - words containing an alphabetic char >= min_alpha_word_frac
+    - at least min_stop_hits of the eight Gopher stopwords present
+
+    Output: (id, n_words, mean_word_len, symbol_word_ratio,
+    bullet_line_frac, ellipsis_line_frac, alpha_word_frac, stop_hits,
+    passes).  Pure expressions (map-only, codegen, column-pruned scan);
+    ratios round to 6dp from integer numerators/denominators, so the gate
+    frontier is engine-exact.
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_words = F.size(toks)
+    denom = F.greatest(n_words, F.lit(1))
+    word_chars = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+    )
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ellipsis = (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+    lines = F.filter(F.split(t, "\n"), lambda l: l != "")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_lines = F.size(
+        F.filter(lines, lambda l: F.substring(F.ltrim(l), 1, 1).isin("•", "-", "*"))
+    )
+    ellipsis_lines = F.size(
+        F.filter(
+            lines,
+            lambda l: F.endswith(F.rtrim(l), F.lit("..."))
+            | F.endswith(F.rtrim(l), F.lit("…")),
+        )
+    )
+    alpha_words = F.size(F.filter(toks, lambda x: x.rlike("[a-zA-Z]")))
+    lower_toks = F.transform(toks, F.lower)
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(lower_toks, s),
+        )
+    )
+
+    out = df.select(
+        F.col(id_col),
+        n_words.cast("bigint").alias("n_words"),
+        F.round(word_chars / denom, 6).alias("mean_word_len"),
+        F.round((n_hash + n_ellipsis) / denom, 6).alias("symbol_word_ratio"),
+        F.round(bullet_lines / n_lines, 6).alias("bullet_line_frac"),
+        F.round(ellipsis_lines / n_lines, 6).alias("ellipsis_line_frac"),
+        F.round(alpha_words / denom, 6).alias("alpha_word_frac"),
+        stop_hits.cast("bigint").alias("stop_hits"),
+    )
+    return out.withColumn(
+        "passes",
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("bullet_line_frac") <= max_bullet_line_frac)
+        & (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("stop_hits") >= min_stop_hits),
+    )
+
+
+def commonness_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    buckets: int = 3,
+    mode: str = "exact",
+) -> DataFrame:
+    """CCNet-style corpus partitioning into quality tiers (Wenzek et al.
+    2020 split Common Crawl into head/middle/tail by per-document LM
+    perplexity tercile; :func:`commonness_score` is this engine's
+    exactly-reproducible perplexity surrogate, so the tiers here are its
+    terciles).  Pipelines then keep head+middle, or reweight by tier.
+
+    Output: (id, commonness, bucket, tier) — bucket 1..K by DESCENDING
+    commonness (bucket 1 = most ordinary prose = 'head'), tier named
+    head/middle/tail when K=3, 'b<k>' otherwise.
+
+    ``mode='exact'`` ranks with ntile over a TOTAL order (commonness desc,
+    id asc — deterministic, oracle-matched) — a single-partition window,
+    the contract-precision path.  ``mode='approx'`` is the 100 TB path: K-1
+    approx_percentile cutoffs (one tiny aggregate, broadcast back) turn
+    bucketing into a map-side comparison — no global sort; boundary docs
+    may land one tier off (approx-quantile error), which tier-based
+    sampling tolerates by construction.
+    """
+    from pyspark.sql import Window
+
+    scored = commonness_score(df, id_col, text_col)
+    if mode == "exact":
+        w = Window.orderBy(F.col("commonness").desc(), F.col(id_col).asc())
+        out = scored.select(
+            id_col,
+            "commonness",
+            F.ntile(buckets).over(w).cast("bigint").alias("bucket"),
+        )
+    elif mode == "approx":
+        qs = [i / buckets for i in range(1, buckets)]
+        cuts = scored.agg(
+            F.percentile_approx("commonness", qs, 10_000).alias("cuts")
+        )
+        # bucket 1 holds the HIGHEST commonness: count how many cutoffs sit
+        # at-or-above this row's score (cuts ascend, so descend them)
+        out = scored.crossJoin(F.broadcast(cuts)).select(
+            id_col,
+            "commonness",
+            (
+                F.lit(buckets)
+                - F.size(
+                    F.filter(F.col("cuts"), lambda c: F.col("commonness") > c)
+                )
+            ).cast("bigint").alias("bucket"),
+        )
+    else:
+        raise ValueError(f"unknown mode {mode!r}: exact | approx")
+    tier = (
+        F.when(F.col("bucket") == 1, F.lit("head"))
+        .when(F.col("bucket") == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        if buckets == 3
+        else F.concat(F.lit("b"), F.col("bucket"))
+    )
+    return out.withColumn("tier", tier)

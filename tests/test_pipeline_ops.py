@@ -937,3 +937,77 @@ def test_register_codec_real_ppm_decode(spark):
     assert [round(x, 6) for x in out[1]] == [1.0, 0.0, 0.0]
     assert [round(x, 6) for x in out[2]] == [0.0, round(128 / 255, 6), 0.0]
     assert [round(x, 6) for x in out[3]] == [round(c / 255, 6) for c in (10, 20, 30)]
+
+def test_remove_duplicate_spans_planted(spark):
+    """First occurrence of a shared span survives; later occurrences are
+    excised and documents rebuilt from their surviving chunks; a document
+    that is ALL boilerplate survives as an empty row, not a dropped one."""
+    from cassandra_util_spark.operators.dedup import remove_duplicate_spans
+
+    boiler = " ".join(f"b{i}" for i in range(8))       # one 8-word chunk
+    tail = "fresh words only here now appear once more"
+    df = spark.createDataFrame(
+        [
+            (1, boiler + " " + tail),   # first occurrence of the span
+            (2, boiler),                # all boilerplate -> empty survivor
+            (3, boiler + " other unique ending words go here instead"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           remove_duplicate_spans(df, "doc_id", "text", chunk_words=8).collect()}
+    assert len(out) == 3
+    assert out[1]["clean_text"].startswith(boiler)     # first keeps the span
+    assert out[1]["n_dropped"] == 0
+    assert out[2]["clean_text"] == "" and out[2]["n_dropped"] == 1
+    assert boiler not in out[3]["clean_text"]
+    assert out[3]["n_dropped"] == 1 and out[3]["clean_text"] != ""
+
+
+def test_gopher_quality_each_rule_fires(spark):
+    """One planted document per Gopher rule, each violating exactly that
+    rule; plus one passing document, proving every signal gates."""
+    from cassandra_util_spark.operators.text import gopher_quality
+
+    good = ("the quick brown fox jumps over the lazy dog and that have with "
+            "be to of words keep going nicely along here ") * 3  # ~60 words
+    rows = [
+        (1, good),
+        (2, "the of and that short"),                          # too few words
+        (3, " ".join(["pneumonoultramicroscopic"] * 60) + " the of"),  # long words
+        (4, good.replace("fox", "#fox#")),                     # symbol-heavy? keep below
+        (5, " ".join(["123"] * 60) + " the of"),               # non-alpha words
+        (6, " ".join(["w" + str(i) for i in range(60)])),      # no stopwords
+        (7, "\n".join(["- bullet item " + good[:20]] * 10)),   # bullet lines
+        (8, "\n".join([("the of and line " + str(i) + " ...") for i in range(60)])),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in gopher_quality(df, "doc_id", "text").collect()}
+    assert out[1]["passes"]
+    assert not out[2]["passes"] and out[2]["n_words"] < 50
+    assert not out[3]["passes"] and out[3]["mean_word_len"] > 10
+    assert not out[5]["passes"] and out[5]["alpha_word_frac"] < 0.8
+    assert not out[6]["passes"] and out[6]["stop_hits"] < 2
+    assert not out[7]["passes"] and out[7]["bullet_line_frac"] > 0.9
+    assert not out[8]["passes"] and out[8]["ellipsis_line_frac"] > 0.3
+
+
+def test_commonness_buckets_approx_matches_exact(spark, docs):
+    """The approx (map-side, no global sort) tiering agrees with the exact
+    ntile tiering away from tier boundaries: >=85% identical buckets, all
+    three tiers populated, buckets within 1..3."""
+    from cassandra_util_spark.operators.text import commonness_buckets
+
+    d = docs.select("doc_id", "text")
+    exact = {r["doc_id"]: r["bucket"] for r in
+             commonness_buckets(d, "doc_id", "text", mode="exact").collect()}
+    approx = {r["doc_id"]: r["bucket"] for r in
+              commonness_buckets(d, "doc_id", "text", mode="approx").collect()}
+    assert set(exact) == set(approx)
+    assert set(exact.values()) == {1, 2, 3}
+    assert all(1 <= b <= 3 for b in approx.values())
+    agree = sum(exact[k] == approx[k] for k in exact) / len(exact)
+    assert agree >= 0.85, f"approx/exact tier agreement {agree}"
+
+    with pytest.raises(ValueError, match="unknown mode"):
+        commonness_buckets(d, "doc_id", "text", mode="nope")
