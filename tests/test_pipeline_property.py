@@ -125,3 +125,58 @@ def test_stratified_repeat_copy_counts_property(spark, mult, n):
     for i in range(n):
         c = counts.get(i, 0)
         assert lo <= c <= max(hi, lo), (i, c, mult)
+
+
+words_strategy = st.lists(
+    st.lists(st.sampled_from([f"w{i}" for i in range(12)]), min_size=1, max_size=30),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(docs=words_strategy, chunk_words=st.integers(2, 8))
+def test_remove_duplicate_spans_matches_reference_fold(spark, docs, chunk_words):
+    """The distributed first-occurrence election must agree with a direct
+    Python fold of the documented semantics on arbitrary corpora: chunk in
+    order, keep a span only the first time its text is seen globally (by
+    (doc_id, chunk_id)), rebuild from survivors."""
+    from cassandra_util_spark.operators.dedup import remove_duplicate_spans
+
+    texts = [" ".join(ws) for ws in docs]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    got = {r["doc_id"]: (r["clean_text"], r["n_chunks"], r["n_dropped"]) for r in
+           remove_duplicate_spans(df, "doc_id", "text", chunk_words).collect()}
+
+    seen: set[str] = set()
+    for i, ws in enumerate(docs):
+        n_chunks = max(-(-len(ws) // chunk_words), 1)
+        kept = []
+        for c in range(n_chunks):
+            span = " ".join(ws[c * chunk_words:(c + 1) * chunk_words])
+            if span not in seen:
+                seen.add(span)
+                kept.append(span)
+        want = (" ".join(kept), n_chunks, n_chunks - len(kept))
+        assert got[i] == want, (i, got[i], want)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(docs=words_strategy)
+def test_gopher_signal_bounds(spark, docs):
+    """Signal invariants on arbitrary inputs: fractions in [0,1], counts
+    consistent, mean word length positive for non-empty docs."""
+    from cassandra_util_spark.operators.text import gopher_quality
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)], "doc_id bigint, text string"
+    )
+    for r in gopher_quality(df, "doc_id", "text").collect():
+        assert r["n_words"] == len(docs[r["doc_id"]])
+        for f in ("bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac"):
+            assert 0.0 <= r[f] <= 1.0, (f, r[f])
+        assert r["symbol_word_ratio"] >= 0.0
+        assert r["mean_word_len"] > 0
+        assert 0 <= r["stop_hits"] <= 8
