@@ -91,6 +91,8 @@ BENCH_QUERIES = [
     "dedup_span_removal",
     "gopher_quality_gate",
     "commonness_buckets",
+    "dedup_ngram_containment",
+    "dedup_fingerprint_longest",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash
     # swapped to xxhash64 — the production configuration at scale

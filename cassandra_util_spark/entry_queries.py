@@ -2699,3 +2699,90 @@ def commonness_buckets_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return commonness_buckets(d, "doc_id", "text", buckets=3, mode="exact")
+
+
+@query(
+    "dedup_ngram_containment",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+    subsets AS (
+      SELECT doc_id + 1000000 AS doc_id,
+             array_to_string(list_slice(string_split(t, ' '), 1, 20), ' ') AS t
+      FROM norm),
+    alln AS (SELECT * FROM norm UNION ALL SELECT * FROM subsets),
+    toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM alln),
+    sh AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        FROM toks WHERE len(w) >= 3)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(n_common / least(sa.n_sh, sb.n_sh), 6) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(n_common / least(sa.n_sh, sb.n_sh), 6) >= 0.9
+    """,
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subset-duplication pairs: the corpus unioned with 20-word prefix
+    excerpts of every document.  Each excerpt is FULLY contained in its
+    source (containment 1.0) while its symmetric Jaccard is far below any
+    dedup threshold — the quote/snippet/truncated-mirror case Jaccard
+    misses.  Every flagged pair and its 6dp containment is hash-verified."""
+    from cassandra_util_spark.operators.dedup import ngram_containment_pairs
+    from cassandra_util_spark.operators.text import normalize_text
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", normalize_text(F.col("text")).alias("text")
+    )
+    subsets = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 20), " ").alias("text"),
+    )
+    return ngram_containment_pairs(
+        d.unionByName(subsets), "doc_id", "text", n=3, threshold=0.9
+    )
+
+
+@query(
+    "dedup_fingerprint_longest",
+    oracle=f"""
+    WITH all_docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, upper(text) || ' !!!' AS text FROM documents
+    )
+    SELECT doc_id FROM (
+      SELECT doc_id, row_number() OVER (
+        PARTITION BY md5({_NORM_SQL})
+        ORDER BY length(text) DESC, doc_id ASC) AS rn
+      FROM all_docs
+    ) WHERE rn = 1
+    """,
+)
+def dedup_fingerprint_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor-policy dedup: the same formatting-insensitive collapse as
+    ``dedup_fingerprint``, but the KEPT copy is the longest raw text
+    (prefer=length, ties lowest id) — the keep-best-copy rule web-corpus
+    dedup applies when formatting variants differ in completeness.  Here
+    the punctuated shouting variants are strictly longer, so exactly the
+    +1000000 ids survive — the policy inversion is hash-verified."""
+    from cassandra_util_spark.operators.dedup import exact_dedup
+    from cassandra_util_spark.operators.text import fingerprint
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    variant = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.upper(F.col("text")), F.lit(" !!!")).alias("text"),
+    )
+    alld = d.unionByName(variant).withColumn("fp", fingerprint(F.col("text")))
+    return exact_dedup(
+        alld, "doc_id", ["fp"], prefer=F.length(F.col("text"))
+    ).select("doc_id")

@@ -55,12 +55,26 @@ def _digest_for(df: DataFrame, content_cols: list[str]) -> Column:
     return content_digest(*[F.col(c) for c in content_cols], binary=binary)
 
 
-def exact_dedup(df: DataFrame, id_col: str, content_cols: list[str]) -> DataFrame:
-    """Keep the lowest id per identical content.  One shuffle, keyed by the
+def exact_dedup(
+    df: DataFrame,
+    id_col: str,
+    content_cols: list[str],
+    prefer: Column | None = None,
+) -> DataFrame:
+    """Keep one row per identical content.  One shuffle, keyed by the
     digest; ties and ordering fully deterministic.  BinaryType content
-    columns are hashed byte-exact (see content_digest)."""
+    columns are hashed byte-exact (see content_digest).
+
+    ``prefer`` selects WHICH copy survives: the row with the highest
+    ``prefer`` value (ties → lowest id); default is lowest id.  Pointless
+    when the digest covers the whole row (identical content ⇒ identical
+    preference), but the survivor-quality lever when deduping on a
+    normalized key — e.g. digest on ``fingerprint(text)`` with
+    ``prefer=F.length("text")`` keeps the longest formatting variant, the
+    standard keep-best-copy policy of web-corpus dedup."""
     digest = _digest_for(df, content_cols)
-    w = Window.partitionBy("__digest").orderBy(F.col(id_col).asc())
+    order = ([prefer.desc()] if prefer is not None else []) + [F.col(id_col).asc()]
+    w = Window.partitionBy("__digest").orderBy(*order)
     return (
         df.withColumn("__digest", digest)
         .withColumn("__rn", F.row_number().over(w))
@@ -108,21 +122,16 @@ def word_shingles(col: Column, n: int = 3) -> Column:
 # n-gram Jaccard near-dup (exact similarity on shingle sets)
 # ---------------------------------------------------------------------------
 
-def ngram_jaccard_pairs(
+def _ngram_pair_counts(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    n: int = 3,
-    threshold: float = 0.5,
-    max_doc_freq: int | None = None,
-) -> DataFrame:
-    """All pairs (a < b) with Jaccard(shingles_a, shingles_b) >= threshold.
-
-    Candidates come from a self-join on shared shingles; ``max_doc_freq``
-    drops stop-shingles (present in more than N docs) before the join — the
-    knob that keeps candidate generation near-linear on web-scale corpora.
-    Output: (id_a, id_b, jaccard rounded to 6dp).
-    """
+    n: int,
+    max_doc_freq: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared candidate machinery for the shingle-set similarity metrics:
+    returns (inter, sizes) — per-pair common-shingle counts for every pair
+    sharing at least one shingle, and per-doc distinct-shingle counts."""
     # word_shingles is array_distinct per document, so distinct() adds no
     # semantic dedup — but its shuffle IS the shared materialization point:
     # Catalyst's ReusedExchange feeds the same shuffle output to sizes and
@@ -168,17 +177,69 @@ def ngram_jaccard_pairs(
             b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id"))
         ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
     inter = pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_common"))
+    return inter, sizes
+
+
+def _with_sizes(inter: DataFrame, sizes: DataFrame) -> DataFrame:
+    # no broadcast hint: sizes has one row per DOCUMENT — unbounded at
+    # corpus scale (the commonness_score df-table lesson); AQE broadcasts
+    # while its measured size allows and shuffle-joins beyond
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    jac = (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6),
-        )
+    return inter.join(sa, "id_a").join(sb, "id_b")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """All pairs (a < b) with Jaccard(shingles_a, shingles_b) >= threshold.
+
+    Candidates come from a self-join on shared shingles; ``max_doc_freq``
+    drops stop-shingles (present in more than N docs) before the join — the
+    knob that keeps candidate generation near-linear on web-scale corpora.
+    Output: (id_a, id_b, jaccard rounded to 6dp).
+    """
+    inter, sizes = _ngram_pair_counts(df, id_col, text_col, n, max_doc_freq)
+    jac = _with_sizes(inter, sizes).withColumn(
+        "jaccard",
+        F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6),
     )
     return jac.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.9,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """All pairs (a < b) with CONTAINMENT >= threshold, where containment =
+    |shingles_a ∩ shingles_b| / min(|shingles_a|, |shingles_b|) — Broder's
+    containment coefficient on the smaller side.
+
+    The subset-duplication detector symmetric Jaccard is blind to: a
+    20-word excerpt fully contained in a 2000-word page scores containment
+    1.0 but Jaccard ≈ 0.01, so quote farms, syndicated snippets, and
+    prefix-truncated mirrors never cross a Jaccard threshold.  Same
+    candidate machinery and scale knob (``max_doc_freq``) as
+    :func:`ngram_jaccard_pairs`.  Output: (id_a, id_b, containment rounded
+    to 6dp).
+    """
+    inter, sizes = _ngram_pair_counts(df, id_col, text_col, n, max_doc_freq)
+    cont = _with_sizes(inter, sizes).withColumn(
+        "containment",
+        F.round(F.col("n_common") / F.least(F.col("n_a"), F.col("n_b")), 6),
+    )
+    return cont.filter(F.col("containment") >= threshold).select(
+        "id_a", "id_b", "containment"
+    )
 
 
 def _bloom_pos(col: Column, seed: int, num_bits: int) -> Column:

@@ -1011,3 +1011,63 @@ def test_commonness_buckets_approx_matches_exact(spark, docs):
 
     with pytest.raises(ValueError, match="unknown mode"):
         commonness_buckets(d, "doc_id", "text", mode="nope")
+
+def test_containment_catches_subset_jaccard_misses(spark, docs):
+    """A 20-word excerpt of a long document is invisible to symmetric
+    Jaccard (tiny union ratio) but scores containment 1.0 — the planted
+    subset pairs must appear in containment output and NOT in jaccard
+    output at their respective standard thresholds."""
+    from cassandra_util_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+    from cassandra_util_spark.operators.text import normalize_text
+
+    d = docs.select("doc_id", normalize_text(F.col("text")).alias("text")).limit(50)
+    subsets = d.select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 20), " ").alias("text"),
+    )
+    both = d.unionByName(subsets)
+    cont = {(r["id_a"], r["id_b"]): r["containment"] for r in
+            ngram_containment_pairs(both, "doc_id", "text", threshold=0.9).collect()}
+    jac = {(r["id_a"], r["id_b"]) for r in
+           ngram_jaccard_pairs(both, "doc_id", "text", threshold=0.5).collect()}
+    planted = [(i, i + 1000) for i in range(50)]
+    hits = [p for p in planted if p in cont]
+    assert len(hits) >= 45          # docs shorter than the excerpt self-collapse
+    assert all(cont[p] == 1.0 for p in hits)
+    # Jaccard blindness holds where containment ≠ jaccard: sources much
+    # longer than the 20-word excerpt (short sources legitimately pass both)
+    n_words = {r["doc_id"]: r["n"] for r in
+               d.select("doc_id", F.size(F.split(F.col("text"), " ")).alias("n")).collect()}
+    long_planted = [(i, j) for i, j in planted if n_words[i] >= 45]
+    assert long_planted, "fixture should contain long documents"
+    assert all(p in cont for p in long_planted)
+    assert not any(p in jac for p in long_planted)
+
+    # the capped mode applies to containment too
+    capped = ngram_containment_pairs(both, "doc_id", "text", threshold=0.9,
+                                     max_doc_freq=20).collect()
+    assert capped  # planted pairs survive a generous cap
+
+
+def test_exact_dedup_prefer_keeps_longest(spark, docs):
+    """Survivor policy: deduping on the normalized fingerprint with
+    prefer=length keeps the longest formatting variant instead of the
+    lowest id; default policy still keeps the lowest id."""
+    from cassandra_util_spark.operators.dedup import exact_dedup
+    from cassandra_util_spark.operators.text import fingerprint
+
+    d = docs.select("doc_id", "text").limit(30)
+    longer = d.select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat(F.upper(F.col("text")), F.lit(" !!!")).alias("text"),
+    )
+    both = d.unionByName(longer).withColumn("fp", fingerprint(F.col("text")))
+    kept_pref = {r["doc_id"] for r in
+                 exact_dedup(both, "doc_id", ["fp"],
+                             prefer=F.length(F.col("text"))).collect()}
+    kept_default = {r["doc_id"] for r in exact_dedup(both, "doc_id", ["fp"]).collect()}
+    assert kept_pref == {i + 1000 for i in range(30)}
+    assert kept_default == set(range(30))
