@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "commonness_buckets",
     "dedup_ngram_containment",
     "dedup_fingerprint_longest",
+    "dedup_within_doc_spans",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash
     # swapped to xxhash64 — the production configuration at scale

@@ -2786,3 +2786,58 @@ def dedup_fingerprint_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(
         alld, "doc_id", ["fp"], prefer=F.length(F.col("text"))
     ).select("doc_id")
+
+
+@query(
+    "dedup_within_doc_spans",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+    planted AS (
+      SELECT doc_id + 1000000 AS doc_id,
+             array_to_string(list_slice(string_split(t, ' '), 1, 32), ' ') || ' ' ||
+             array_to_string(list_slice(string_split(t, ' '), 1, 32), ' ') || ' ' ||
+             array_to_string(list_slice(string_split(t, ' '), 1, 32), ' ') AS t
+      FROM base),
+    alln AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+    toks AS (
+      SELECT doc_id, list_filter(string_split(t, ' '), x -> x <> '') AS w
+      FROM alln),
+    chunked AS (
+      SELECT doc_id,
+             list_transform(range(0, greatest(CAST(ceil(len(w) / 32.0) AS BIGINT), 1)),
+               i -> array_to_string(list_slice(w, i * 32 + 1, i * 32 + 32), ' ')) AS c
+      FROM toks),
+    kept AS (
+      SELECT doc_id, c,
+             list_transform(
+               list_filter(range(1, len(c) + 1), i -> list_position(c, c[i]) = i),
+               i -> c[i]) AS k
+      FROM chunked)
+    SELECT doc_id,
+           array_to_string(k, ' ') AS clean_text,
+           CAST(len(c) AS BIGINT) AS n_chunks,
+           CAST(len(c) - len(k) AS BIGINT) AS n_dropped
+    FROM kept
+    """,
+)
+def dedup_within_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeated-span excision over the corpus plus planted
+    self-repetitions (each document's first 32 normalized words repeated
+    three times — chunk-aligned, so two of the three spans are internal
+    repeats).  A pure map-only expression: zero shuffles, the cheapest
+    possible plan at any corpus size.  Rebuilt texts and drop counts for
+    all 2000 docs hash-verified."""
+    from cassandra_util_spark.operators.dedup import remove_repeated_spans_within
+    from cassandra_util_spark.operators.text import normalize_text
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    rep = F.array_join(
+        F.slice(F.split(normalize_text(F.col("text")), " "), 1, 32), " "
+    )
+    planted = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat_ws(" ", rep, rep, rep).alias("text"),
+    )
+    return remove_repeated_spans_within(
+        d.unionByName(planted), "doc_id", "text", chunk_words=32
+    )

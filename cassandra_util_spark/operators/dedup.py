@@ -504,6 +504,82 @@ def remove_duplicate_spans(
     )
 
 
+def remove_repeated_spans_within(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_words: int = 32,
+) -> DataFrame:
+    """WITHIN-document repeated-span removal — the per-page half of the
+    repetition cleanup (MassiveText/Gopher drop pages with heavy internal
+    repetition; the milder remedy is to excise the repeats): each
+    ``chunk_words``-word span is kept at its first occurrence INSIDE the
+    document and dropped on every later repeat; the document is rebuilt
+    from surviving spans.  :func:`remove_duplicate_spans` is the
+    cross-document counterpart and needs corpus-global state; this one
+    needs none — a span's verdict depends only on its own row.
+
+    Output: (id, clean_text, n_chunks, n_dropped); ``clean_text`` is in
+    normalized-token form (the chunker's basis).
+
+    Scale shape: a PURE map-only expression — the chunk array is let-bound,
+    first-occurrence testing is ``array_position(chunks, chunks[i]) == i+1``
+    (first index of the value == own index), and the rebuild is a
+    filter+join over the same bound array.  Zero shuffles, whole-stage
+    codegen, column-pruned scan: the cheapest possible plan shape at any
+    corpus size.
+    """
+    from cassandra_util_spark.operators.text import _norm_tokens
+
+    if chunk_words < 1:
+        raise ValueError(f"chunk_words must be positive, got {chunk_words}")
+
+    def of_chunks(chunks: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.size(chunks))
+        kept_expr = F.transform(
+            F.filter(
+                F.transform(idx, lambda i: F.struct(
+                    i.alias("i"),
+                    F.element_at(chunks, i).alias("c"),
+                )),
+                lambda s: F.array_position(chunks, s["c"]) == s["i"],
+            ),
+            lambda s: s["c"],
+        )
+
+        def of_kept(kept: Column) -> Column:
+            return F.struct(
+                F.array_join(kept, " ").alias("clean_text"),
+                F.size(chunks).cast("bigint").alias("n_chunks"),
+                (F.size(chunks) - F.size(kept)).cast("bigint").alias("n_dropped"),
+            )
+
+        return F.transform(F.array(kept_expr), of_kept)[0]
+
+    def chunks_of(toks: Column) -> Column:
+        k = F.greatest(F.ceil(F.size(toks) / F.lit(chunk_words)), F.lit(1))
+        return F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * chunk_words + 1, chunk_words), " "
+            ),
+        )
+
+    out = F.transform(
+        F.array(F.transform(F.array(_norm_tokens(F.col(text_col))), chunks_of)[0]),
+        of_chunks,
+    )[0]
+    # two-step projection: the struct is materialized once per row, then
+    # expanded (CollapseProject keeps non-cheap higher-order expressions
+    # single-evaluated rather than inlining them per output column)
+    return df.select(F.col(id_col), out.alias("__o")).select(
+        id_col,
+        F.col("__o.clean_text").alias("clean_text"),
+        F.col("__o.n_chunks").alias("n_chunks"),
+        F.col("__o.n_dropped").alias("n_dropped"),
+    )
+
+
 def decontaminate(
     train: DataFrame,
     benchmark: DataFrame,

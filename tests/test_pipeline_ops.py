@@ -1071,3 +1071,31 @@ def test_exact_dedup_prefer_keeps_longest(spark, docs):
     kept_default = {r["doc_id"] for r in exact_dedup(both, "doc_id", ["fp"]).collect()}
     assert kept_pref == {i + 1000 for i in range(30)}
     assert kept_default == set(range(30))
+
+def test_within_doc_span_removal_map_only(spark):
+    """Planted internal repetition is excised keeping the first occurrence;
+    the physical plan has ZERO exchanges (a span's verdict depends only on
+    its own row — the whole operator is one map expression)."""
+    from cassandra_util_spark.operators.dedup import remove_repeated_spans_within
+
+    span = " ".join(f"s{i}" for i in range(4))
+    df = spark.createDataFrame(
+        [
+            (1, " ".join([span] * 3)),                  # c,c,c -> keep first
+            (2, span + " tail one two three"),          # no internal repeat
+            (3, span + " " + span + " middle four five six seven"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           remove_repeated_spans_within(df, "doc_id", "text", chunk_words=4).collect()}
+    assert out[1]["clean_text"] == span and out[1]["n_dropped"] == 2
+    assert out[2]["n_dropped"] == 0
+    assert out[3]["n_chunks"] == 4 and out[3]["n_dropped"] == 1
+    assert out[3]["clean_text"].count(span) == 1
+
+    plan = remove_repeated_spans_within(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "within-doc span removal must be map-only"
+
+    with pytest.raises(ValueError, match="chunk_words"):
+        remove_repeated_spans_within(df, "doc_id", "text", chunk_words=0)
