@@ -456,3 +456,40 @@ def test_stream_events_bigint_nanos_schema(spark, workdir):
     want = {r["event_id"]: r["wt"] for r in
             base.select("event_id", F.unix_micros("ts").alias("wt")).collect()}
     assert got == want and len(got) == 50
+
+
+def test_streaming_gopher_gate_and_span_excision_match_batch(spark, workdir, events_src):
+    """The round-4 map-only operators are stateless expressions too: the
+    Gopher rule battery and within-document span excision run unchanged on
+    a stream and produce row-identical results to batch."""
+    from cassandra_util_spark.operators.dedup import remove_repeated_spans_within
+    from cassandra_util_spark.operators.text import gopher_quality
+
+    src, batch_df = events_src
+    out = os.path.join(workdir, "gated")
+    cp = os.path.join(workdir, "cp_gated")
+
+    def gate_stream(df):
+        text_df = df.select("event_id", F.col("props").alias("text"))
+        g = gopher_quality(text_df, "event_id", "text")
+        s = remove_repeated_spans_within(text_df, "event_id", "text", chunk_words=4)
+        return g.select("event_id", "n_words", "stop_hits", "passes"), s
+
+    events = stream_events(spark, src, batch_df.schema)
+    g_stream, s_stream = gate_stream(events)
+    for name, sdf in (("g", g_stream), ("s", s_stream)):
+        q = (
+            sdf.writeStream.outputMode("append")
+            .option("checkpointLocation", os.path.join(cp, name))
+            .trigger(availableNow=True)
+            .format("parquet")
+            .option("path", os.path.join(out, name))
+            .start()
+        )
+        q.awaitTermination(120)
+
+    g_batch, s_batch = gate_stream(batch_df)
+    for name, bdf in (("g", g_batch), ("s", s_batch)):
+        got = sorted(map(tuple, spark.read.parquet(os.path.join(out, name)).collect()))
+        want = sorted(map(tuple, bdf.collect()))
+        assert got == want and len(got) == batch_df.count(), name
