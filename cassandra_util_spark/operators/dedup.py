@@ -472,7 +472,12 @@ def remove_duplicate_spans(
         "chunk_id",
         "chunk_text",
         F.md5(F.col("chunk_text")).alias("fp"),
-    )
+    ).localCheckpoint(eager=False)
+    # ^ materialized once: three consumers follow (election, survivor join,
+    #   per-doc counts) and the counts' id-keyed aggregate cannot reuse the
+    #   fp-keyed exchange, so without this the normalize+chunk expression
+    #   runs twice — measured 2x slower at sf0.1 (the tfidf tf-table
+    #   pattern; at warehouse scale this is a persisted chunk table).
     first = chunks.groupBy("fp").agg(
         F.min(F.struct("id", "chunk_id")).alias("first_at")
     )
