@@ -163,6 +163,10 @@ def main() -> None:
                 msg = f"{type(exc).__name__}: {exc}"
                 errors[name] = msg.splitlines()[0][:300]
                 print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+                # discard partial timings: a 1-run "median" labeled as an
+                # N-run median would reintroduce exactly the single-shot
+                # drift the repeat feature exists to remove
+                runs = []
                 break
         if runs:
             timings[name] = round(statistics.median(runs), 3)

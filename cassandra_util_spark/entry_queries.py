@@ -2614,7 +2614,7 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH base AS (
       SELECT doc_id, text,
-             list_filter(string_split(text, ' '), x -> x <> '') AS w,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w,
              list_filter(string_split(text, chr(10)), l -> l <> '') AS lines
       FROM documents),
     sig AS (

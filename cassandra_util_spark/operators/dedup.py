@@ -534,6 +534,7 @@ def remove_repeated_spans_within(
     codegen, column-pruned scan: the cheapest possible plan shape at any
     corpus size.
     """
+    from cassandra_util_spark.operators.packing import chunk_structs
     from cassandra_util_spark.operators.text import _norm_tokens
 
     if chunk_words < 1:
@@ -561,17 +562,18 @@ def remove_repeated_spans_within(
 
         return F.transform(F.array(kept_expr), of_kept)[0]
 
-    def chunks_of(toks: Column) -> Column:
-        k = F.greatest(F.ceil(F.size(toks) / F.lit(chunk_words)), F.lit(1))
-        return F.transform(
-            F.sequence(F.lit(0), k - 1),
-            lambda i: F.array_join(
-                F.slice(toks, i * chunk_words + 1, chunk_words), " "
-            ),
-        )
-
+    # the chunk arithmetic is chunk_structs (packing.py) — the SAME window
+    # expression the cross-document excision explodes, so the two span
+    # operators cannot disagree on chunk boundaries
     out = F.transform(
-        F.array(F.transform(F.array(_norm_tokens(F.col(text_col))), chunks_of)[0]),
+        F.array(
+            F.transform(
+                F.array(_norm_tokens(F.col(text_col))),
+                lambda toks: F.transform(
+                    chunk_structs(toks, chunk_words, 0), lambda s: s["chunk_text"]
+                ),
+            )[0]
+        ),
         of_chunks,
     )[0]
     # two-step projection: the struct is materialized once per row, then

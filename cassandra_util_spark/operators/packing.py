@@ -70,6 +70,35 @@ def pack_sequences(
     )
 
 
+def chunk_structs(toks: Column, chunk_words: int, overlap: int = 0) -> Column:
+    """Array of (chunk_id, chunk_text, n_words) structs over a token-array
+    Column — the ONE source of the fixed-window chunk arithmetic, shared by
+    :func:`chunk_documents` (cross-document span tooling explodes it) and
+    `remove_repeated_spans_within` (which consumes it in place, map-only).
+    Window k starts at ``k * (chunk_words - overlap)``; the last window is
+    short rather than padded; fewer tokens than one window ⇒ exactly one
+    chunk.  Keeping it single-sourced means the two span-excision operators
+    can never silently disagree on chunk boundaries.
+    """
+    if not 0 <= overlap < chunk_words:
+        raise ValueError(f"need 0 <= overlap < chunk_words, got {overlap}/{chunk_words}")
+    step = chunk_words - overlap
+    size = F.size(toks)
+    k = F.greatest(F.ceil((size - F.lit(overlap)) / F.lit(step)), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_id"),
+            F.concat_ws(" ", F.slice(toks, i * step + 1, chunk_words)).alias(
+                "chunk_text"
+            ),
+            F.least(F.lit(chunk_words), size - i * step).cast("bigint").alias(
+                "n_words"
+            ),
+        ),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str,
@@ -88,28 +117,12 @@ def chunk_documents(
     the chunk count per document is ``ceil((len - overlap) / step)`` —
     deterministic arithmetic an external engine reproduces exactly.
     """
-    if not 0 <= overlap < chunk_words:
-        raise ValueError(f"need 0 <= overlap < chunk_words, got {overlap}/{chunk_words}")
-    step = chunk_words - overlap
     from cassandra_util_spark.operators.text import _norm_tokens
 
-    def chunks_of(toks: Column) -> Column:
-        size = F.size(toks)
-        k = F.greatest(F.ceil((size - F.lit(overlap)) / F.lit(step)), F.lit(1))
-        return F.transform(
-            F.sequence(F.lit(0), k - 1),
-            lambda i: F.struct(
-                i.cast("int").alias("chunk_id"),
-                F.concat_ws(" ", F.slice(toks, i * step + 1, chunk_words)).alias(
-                    "chunk_text"
-                ),
-                F.least(F.lit(chunk_words), size - i * step).cast("bigint").alias(
-                    "n_words"
-                ),
-            ),
-        )
-
-    arr = F.transform(F.array(_norm_tokens(F.col(text_col))), chunks_of)[0]
+    arr = F.transform(
+        F.array(_norm_tokens(F.col(text_col))),
+        lambda toks: chunk_structs(toks, chunk_words, overlap),
+    )[0]
     return (
         df.select(F.col(id_col), F.explode(arr).alias("c"))
         .select(id_col, "c.chunk_id", "c.chunk_text", "c.n_words")

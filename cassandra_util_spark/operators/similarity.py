@@ -22,6 +22,19 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _round_half_away(a, dp: int):
+    """numpy rounding with HALF-AWAY-FROM-ZERO ties — the mode Spark's
+    ROUND (BigDecimal HALF_UP) and DuckDB's round() share.  np.round ties
+    half-to-EVEN, so a score landing exactly on a .00005 boundary would
+    round differently in the BLAS paths than in the SQL oracles and flip a
+    threshold/argmax frontier across engines; every numpy-side 4dp round
+    in this module goes through this helper for that reason."""
+    import numpy as np
+
+    f = 10.0 ** dp
+    return np.copysign(np.floor(np.abs(a) * f + 0.5), a) / f
+
+
 def dot(a: Column, b: Column) -> Column:
     # cast BEFORE multiplying: float32*float32 would round in float32 first,
     # diverging from any double-precision oracle by ~1e-7 per term
@@ -162,7 +175,7 @@ def ivf_assign(
             return pd.Series([], dtype="int64")
         V = np.array(vecs.tolist(), dtype=np.float64)
         V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
-        scores = np.round(V @ C.T, 4)  # (batch, cells), 4dp frontier
+        scores = _round_half_away(V @ C.T, 4)  # (batch, cells), 4dp frontier
         # argmax picks the FIRST max; cells sorted ascending => smallest cell
         return pd.Series(cell_ids[np.argmax(scores, axis=1)])
 
@@ -440,7 +453,7 @@ def semantic_dedup(
         V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
         out_a, out_b = [], []
         for s in range(0, n, block_rows):
-            S = np.round(V[s:s + block_rows] @ V.T, 4)  # (block, n)
+            S = _round_half_away(V[s:s + block_rows] @ V.T, 4)  # (block, n)
             ia, ib = np.nonzero(S >= threshold)
             ia = ia + s
             upper = ia < ib  # strict upper triangle, in global coordinates

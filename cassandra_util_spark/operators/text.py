@@ -360,9 +360,14 @@ def gopher_quality(
     passes).  Pure expressions (map-only, codegen, column-pruned scan);
     ratios round to 6dp from integer numerators/denominators, so the gate
     frontier is engine-exact.
+
+    Words split on ANY whitespace run (``\\s+``), not just spaces — a
+    document written one word per line must count 60 words, not 1, or the
+    word-count bound wrongly gates ordinary multi-line prose (the
+    line-based signals below already treat newlines structurally).
     """
     t = F.col(text_col)
-    toks = tokens(t)
+    toks = F.filter(F.split(t, r"\s+"), lambda x: x != "")
     n_words = F.size(toks)
     denom = F.greatest(n_words, F.lit(1))
     word_chars = F.aggregate(

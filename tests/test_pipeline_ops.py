@@ -975,7 +975,7 @@ def test_gopher_quality_each_rule_fires(spark):
         (1, good),
         (2, "the of and that short"),                          # too few words
         (3, " ".join(["pneumonoultramicroscopic"] * 60) + " the of"),  # long words
-        (4, good.replace("fox", "#fox#")),                     # symbol-heavy? keep below
+        (4, good.replace("fox", "##fox##")),                   # symbol-heavy
         (5, " ".join(["123"] * 60) + " the of"),               # non-alpha words
         (6, " ".join(["w" + str(i) for i in range(60)])),      # no stopwords
         (7, "\n".join(["- bullet item " + good[:20]] * 10)),   # bullet lines
@@ -986,10 +986,28 @@ def test_gopher_quality_each_rule_fires(spark):
     assert out[1]["passes"]
     assert not out[2]["passes"] and out[2]["n_words"] < 50
     assert not out[3]["passes"] and out[3]["mean_word_len"] > 10
+    assert not out[4]["passes"] and out[4]["symbol_word_ratio"] > 0.1
     assert not out[5]["passes"] and out[5]["alpha_word_frac"] < 0.8
     assert not out[6]["passes"] and out[6]["stop_hits"] < 2
     assert not out[7]["passes"] and out[7]["bullet_line_frac"] > 0.9
     assert not out[8]["passes"] and out[8]["ellipsis_line_frac"] > 0.3
+
+    # the remaining bounds gate too, shown via threshold overrides on the
+    # passing document: an upper word bound below its count, and a mean
+    # word length floor above its mean
+    tight = {r["doc_id"]: r["passes"] for r in
+             gopher_quality(df, "doc_id", "text", min_words=1, max_words=30).collect()}
+    assert not tight[1]
+    floor = {r["doc_id"]: r["passes"] for r in
+             gopher_quality(df, "doc_id", "text", min_mean_word_len=9.0).collect()}
+    assert not floor[1]
+
+    # whitespace tokenization: one-word-per-line prose counts every word
+    nl = spark.createDataFrame([(9, good.replace(" ", "\n"))],
+                               "doc_id bigint, text string")
+    [r9] = gopher_quality(nl, "doc_id", "text").collect()
+    assert r9["n_words"] == out[1]["n_words"]
+    assert r9["stop_hits"] == out[1]["stop_hits"]
 
 
 def test_commonness_buckets_approx_matches_exact(spark, docs):
