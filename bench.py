@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "dedup_ngram_containment",
     "dedup_fingerprint_longest",
     "dedup_within_doc_spans",
+    "corpus_gate_report",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash
     # swapped to xxhash64 — the production configuration at scale

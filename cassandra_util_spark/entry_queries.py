@@ -2841,3 +2841,91 @@ def dedup_within_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_repeated_spans_within(
         d.unionByName(planted), "doc_id", "text", chunk_words=32
     )
+
+
+@query(
+    "corpus_gate_report",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source, text,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w,
+             list_filter(string_split(text, chr(10)), l -> l <> '') AS lines
+      FROM documents),
+    sig AS (
+      SELECT doc_id, source,
+        len(w) AS n_words,
+        greatest(len(w), 1) AS d,
+        coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS wc,
+        length(text) - length(replace(text, '#', '')) AS nhash,
+        (length(text) - length(replace(text, '...', ''))) / 3 AS nell,
+        greatest(len(lines), 1) AS nl,
+        len(list_filter(lines,
+            l -> list_contains(['•','-','*'], substring(ltrim(l), 1, 1)))) AS bl,
+        len(list_filter(lines,
+            l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…'))) AS el,
+        len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS aw,
+        len(list_filter(['the','be','to','of','and','that','have','with'],
+            s -> list_contains(list_transform(w, x -> lower(x)), s))) AS sh
+      FROM base),
+    gates AS (
+      SELECT doc_id, source,
+        CASE WHEN (n_words BETWEEN 50 AND 100000)
+          AND (round(wc / d, 6) BETWEEN 3.0 AND 10.0)
+          AND round((nhash + nell) / d, 6) <= 0.1
+          AND round(bl / nl, 6) <= 0.9
+          AND round(el / nl, 6) <= 0.3
+          AND round(aw / d, 6) >= 0.8
+          AND sh >= 2 THEN 1 ELSE 0 END AS pass
+      FROM sig),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS term
+            FROM documents)
+      WHERE term <> ''
+      GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    commonness AS (
+      SELECT tf.doc_id,
+             round(SUM(tf.tf * dfreq.df)
+                   / (SUM(tf.tf) * (SELECT count(*) FROM documents)), 6) AS commonness
+      FROM tf JOIN dfreq ON tf.term = dfreq.term
+      GROUP BY tf.doc_id)
+    SELECT g.source,
+           count(*) AS n_docs,
+           CAST(sum(g.pass) AS BIGINT) AS n_pass,
+           round(CAST(sum(g.pass) AS BIGINT) / count(*), 6) AS pass_rate,
+           round(CAST(sum(CAST(c.commonness AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(c.commonness), 6) AS avg_commonness
+    FROM gates g LEFT JOIN commonness c ON c.doc_id = g.doc_id
+    GROUP BY g.source
+    """,
+)
+def corpus_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation dashboard a pipeline operator reads before tuning
+    thresholds: per SOURCE, document counts, Gopher-gate pass rates, and
+    the mean commonness score — composing two already-oracled operators
+    (gopher_quality, commonness_score) into the per-provenance rollup that
+    decides which feeds get cut.  Means are DECIMAL-summed over the
+    6dp-rounded per-doc scores (the corpus_lang_profile discipline), so
+    the aggregate is partitioning- and engine-exact."""
+    from cassandra_util_spark.operators.text import commonness_score, gopher_quality
+
+    d = _t(spark, sf_dir, "documents")
+    gates = gopher_quality(d, "doc_id", "text").select(
+        "doc_id", F.col("passes").cast("int").alias("pass")
+    ).join(d.select("doc_id", "source"), "doc_id")
+    com = commonness_score(d, "doc_id", "text").select("doc_id", "commonness")
+    return (
+        gates.join(com, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("pass").cast("bigint").alias("n_pass"),
+            F.round(F.sum("pass") / F.count(F.lit(1)), 6).alias("pass_rate"),
+            F.round(
+                F.sum(F.col("commonness").cast("decimal(18,6)")).cast("double")
+                / F.count("commonness"),
+                6,
+            ).alias("avg_commonness"),
+        )
+    )
