@@ -1117,3 +1117,18 @@ def test_within_doc_span_removal_map_only(spark):
 
     with pytest.raises(ValueError, match="chunk_words"):
         remove_repeated_spans_within(df, "doc_id", "text", chunk_words=0)
+
+def test_commonness_buckets_approx_plan_has_no_global_window(spark, docs):
+    """The approx tiering's scale claim, pinned in the plan: exact mode
+    needs a single-partition global window (ntile); approx mode must not —
+    cutoffs broadcast and bucketing is a map-side comparison."""
+    from cassandra_util_spark.operators.text import commonness_buckets
+
+    d = docs.select("doc_id", "text")
+    exact_plan = commonness_buckets(d, "doc_id", "text", mode="exact") \
+        ._jdf.queryExecution().executedPlan().toString()
+    approx_plan = commonness_buckets(d, "doc_id", "text", mode="approx") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in exact_plan
+    assert "Window" not in approx_plan
+    assert "BroadcastNestedLoopJoin" in approx_plan or "BroadcastExchange" in approx_plan
