@@ -1845,7 +1845,7 @@ def decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shared by dedup_clusters (label propagation) and dedup_clusters_star
 # (large-star/small-star contraction): both algorithms must hash-match the
 # same transitive-closure oracle
-_CLUSTERS_ORACLE = f"""
+_CLUSTERS_CTE = f"""
     WITH RECURSIVE
     norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
     toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
@@ -1874,6 +1874,9 @@ _CLUSTERS_ORACLE = f"""
       UNION
       SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id),
     comp AS (SELECT id, min(root) AS comp FROM reach GROUP BY id)
+    """
+
+_CLUSTERS_ORACLE = f"""{_CLUSTERS_CTE}
     SELECT d.doc_id,
            coalesce(c.comp, d.doc_id) AS cluster,
            d.doc_id = coalesce(c.comp, d.doc_id) AS keep
@@ -2929,3 +2932,160 @@ def corpus_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_commonness"),
         )
     )
+
+
+from cassandra_util_spark.functions import portable_hash32_sql as _h32_sql  # noqa: E402
+
+_SHARD_SEED = "ep0"
+_N_SHARDS = 8
+_SHARD_GATE = _h32_sql(f"'{_SHARD_SEED}:' || CAST(doc_id AS VARCHAR)")
+_SHARD_ORD = _h32_sql(f"'{_SHARD_SEED}:' || CAST(doc_id AS VARCHAR)", offset=9)
+
+
+@query(
+    "corpus_shard_plan",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id,
+             {_SHARD_GATE} AS gate,
+             {_SHARD_ORD} AS ord
+      FROM documents)
+    SELECT doc_id,
+           CAST(gate % {_N_SHARDS} AS INT) AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY gate % {_N_SHARDS}
+             ORDER BY ord ASC, doc_id ASC) AS BIGINT) AS pos
+    FROM g
+    """,
+)
+def corpus_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle: every document assigned a training
+    shard and a within-shard position, both pure functions of
+    (seed, doc_id) — the reproducible global reorder a training loader
+    needs, WITHOUT a global sort.  The shard is the low bits of a portable
+    md5 word; the order inside a shard is an independent second word of
+    the same digest, so source-contiguous input is dispersed and the plan
+    is one hash-partition exchange + per-shard sort (no range exchange, no
+    skew sampling).  Changing the seed re-deals a fresh epoch order."""
+    from cassandra_util_spark.operators.sampling import deterministic_shards
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    out = deterministic_shards(d, "doc_id", _N_SHARDS, seed=_SHARD_SEED)
+    return out.select("doc_id", "shard", F.col("pos").cast("bigint").alias("pos"))
+
+
+@query(
+    "mixture_temperature_plan",
+    oracle="""
+    WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+    w AS (
+      SELECT source, n_docs,
+             round(sqrt(n_docs / CAST((SELECT sum(n_docs) FROM c) AS DOUBLE)), 6) AS wd
+      FROM c),
+    z AS (
+      SELECT source, n_docs,
+             round(wd / CAST((SELECT sum(CAST(wd AS DECIMAL(18,6))) FROM w) AS DOUBLE),
+                   6) AS weight
+      FROM w)
+    SELECT source, n_docs, weight,
+           round(least(1.0, weight * (SELECT min(n_docs / weight) FROM z) / n_docs),
+                 6) AS target_frac
+    FROM z
+    """,
+)
+def mixture_temperature_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (alpha = 0.5, the sqrt rule):
+    per-source counts → w_s ∝ sqrt(n_s/N) normalized into mixture weights
+    → the per-source sampling fraction that realizes the mixture without
+    upsampling (the scarcest-relative-to-weight source stays whole, the
+    rest downsample — mixture_fractions' min rule, here in-plan).
+
+    Float discipline for cross-engine exactness: every irrational step
+    (sqrt, the two divisions) is an IEEE correctly-rounded double op
+    rounded to 6dp, and the normalizer Z sums those 6dp values in DECIMAL
+    so the only order-dependent operation is exact.  One partial-aggregate
+    pass over the corpus; everything after runs on |sources| rows."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    everything = Window.partitionBy()
+    wd = F.round(
+        F.sqrt(F.col("n_docs") / F.sum("n_docs").over(everything).cast("double")), 6
+    )
+    w = c.withColumn("wd", wd)
+    weight = F.round(
+        F.col("wd")
+        / F.sum(F.col("wd").cast("decimal(18,6)")).over(everything).cast("double"),
+        6,
+    )
+    z = w.withColumn("weight", weight).drop("wd")
+    t = F.min(F.col("n_docs") / F.col("weight")).over(everything)
+    return z.select(
+        "source",
+        "n_docs",
+        "weight",
+        F.round(
+            F.least(F.lit(1.0), F.col("weight") * t / F.col("n_docs")), 6
+        ).alias("target_frac"),
+    )
+
+
+@query(
+    "adaptive_length_bounds",
+    oracle="""
+    WITH b AS (
+      SELECT lang,
+             round(quantile_cont(n_chars, 0.05), 4) AS lo,
+             round(quantile_cont(n_chars, 0.95), 4) AS hi,
+             count(*) AS n_docs
+      FROM documents GROUP BY lang),
+    k AS (
+      SELECT d.lang, count(*) AS n_kept
+      FROM documents d JOIN b ON b.lang = d.lang
+      WHERE d.n_chars BETWEEN b.lo AND b.hi
+      GROUP BY d.lang)
+    SELECT b.lang, b.lo, b.hi, b.n_docs,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+    FROM b LEFT JOIN k ON k.lang = b.lang
+    """,
+)
+def adaptive_length_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language adaptive length gate: each language's own exact
+    [p05, p95] interpolated percentile band of document length, plus the
+    count the gate keeps — fixed thresholds are wrong across scripts
+    (200 chars of zh is a document, of en a fragment).  Bounds rounded to
+    4dp so the linear-interpolation frontier is engine-exact.  The gate
+    join broadcasts |languages| rows; at extreme per-stratum cardinality
+    the documented lever is percentile_approx in the same plan shape."""
+    from cassandra_util_spark.operators.text import adaptive_length_report
+
+    d = _t(spark, sf_dir, "documents")
+    return adaptive_length_report(d, "lang", "n_chars", "doc_id", 0.05, 0.95)
+
+
+@query(
+    "dedup_cluster_sizes",
+    oracle=f"""{_CLUSTERS_CTE}
+    , full_c AS (
+      SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS cluster
+      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+    sz AS (SELECT cluster, count(*) AS size FROM full_c GROUP BY cluster)
+    SELECT size, count(*) AS n_clusters, CAST(sum(size) AS BIGINT) AS n_docs
+    FROM sz GROUP BY size
+    """,
+)
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution over the same certified Jaccard
+    pair graph as dedup_clusters: (size, n_clusters, n_docs) with
+    singletons as size-1 clusters — the audit that tells a curation run
+    whether duplication mass sits in a few giant mirror clusters (needs
+    span excision / survivor sampling) or a collapse-safe long tail.  Two
+    key-only aggregations on top of the hash-certified component closure;
+    the histogram is at most |distinct sizes| rows at any corpus scale."""
+    from cassandra_util_spark.operators.cluster import cluster_size_histogram
+    from cassandra_util_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    return cluster_size_histogram(d, pairs, "doc_id")

@@ -258,3 +258,35 @@ def resolve_duplicates(
         )
     )
     return out.withColumn("keep", F.col(id_col) == F.col("cluster"))
+
+
+def cluster_size_histogram(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    method: str = "label_propagation",
+) -> DataFrame:
+    """Duplicate-cluster size distribution: (size, n_clusters, n_docs) per
+    component size, singletons included as size-1 clusters.
+
+    The audit view that decides dedup policy: a corpus whose mass sits in a
+    few giant clusters (boilerplate storms, mirror sites) needs survivor
+    sampling or span excision, while a long tail of pairs is safe to
+    collapse outright.  Composes :func:`resolve_duplicates` (already
+    hash-certified against a recursive-CTE oracle) with two partial
+    aggregations — the histogram is at most |distinct sizes| rows, so both
+    shuffles carry keys only and the result is driver-safe at any corpus
+    size.
+    """
+    clusters = resolve_duplicates(df, pairs, id_col, id_a, id_b, method)
+    sizes = clusters.groupBy("cluster").agg(F.count(F.lit(1)).alias("size"))
+    return (
+        sizes.groupBy("size")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("size").cast("bigint").alias("n_docs"),
+        )
+        .select("size", "n_clusters", "n_docs")
+    )

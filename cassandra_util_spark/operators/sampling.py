@@ -170,6 +170,66 @@ def stratified_repeat(
     return df.withColumn("copy", F.explode(copies))
 
 
+def deterministic_shards(
+    df: DataFrame,
+    key_col: str,
+    num_shards: int,
+    seed: str = "shard",
+) -> DataFrame:
+    """Deterministic global corpus shuffle into ``num_shards`` training
+    shards: each row gets a ``shard`` in [0, num_shards) and a ``pos``
+    (1-based) within its shard, both pure functions of (seed, key).
+
+    Training loaders need the corpus in a reproducible pseudo-random order
+    that no sequential scan bias survives (sources are typically appended
+    contiguously), yet a global ORDER BY over 100 TB is a full-range
+    repartition + total sort.  Hash-order sharding avoids it: the shard is
+    the low bits of a portable hash (so shard membership never changes with
+    cluster size), and the within-shard order is an INDEPENDENT second hash
+    word of the same md5 — one hash-partitioned shuffle with a per-shard
+    sort, no global range exchange, no sampling-based skew estimation.
+    Re-runs, repartitions, and engine swaps reproduce the identical
+    (shard, pos) for every row; changing ``seed`` is a fresh epoch order.
+    """
+    if num_shards <= 0:
+        raise ValueError(f"num_shards must be positive, got {num_shards}")
+    from pyspark.sql import Window
+
+    gate = sample_gate(F.col(key_col), seed)
+    order = portable_hash32(
+        F.concat(F.lit(seed), F.lit(":"), F.col(key_col).cast("string")), offset=9
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("__ord").asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("shard", F.pmod(gate, F.lit(num_shards)).cast("int"))
+        .withColumn("__ord", order)
+        .withColumn("pos", F.row_number().over(w))
+        .drop("__ord")
+    )
+
+
+def temperature_weights(counts: dict[str, int], alpha: float = 0.5) -> dict[str, float]:
+    """Temperature-scaled mixture weights: w_s ∝ (n_s / N)^alpha.
+
+    The multilingual/multi-source rebalancing rule (mT5/XLM-R style):
+    alpha=1 keeps natural proportions, alpha=0 is uniform, and values in
+    between upweight scarce sources without flattening the head.  Feed the
+    result to :func:`mixture_fractions` / :func:`mixed_sample` to realize
+    the mixture as deterministic per-source sampling rates.
+
+    Driver-side math over one tiny dict (one entry per source) — the
+    counts come from a partial-aggregate pass at any scale.
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    total = sum(counts.values())
+    if total <= 0:
+        raise ValueError("counts must sum to a positive value")
+    raw = {s: (n / total) ** alpha for s, n in counts.items() if n > 0}
+    z = sum(raw.values())
+    return {s: v / z for s, v in raw.items()}
+
+
 def mixed_sample(
     df: DataFrame,
     source_col: str,

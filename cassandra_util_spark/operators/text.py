@@ -480,3 +480,73 @@ def commonness_buckets(
         else F.concat(F.lit("b"), F.col("bucket"))
     )
     return out.withColumn("tier", tier)
+
+
+def adaptive_length_report(
+    df: DataFrame,
+    strata_col: str,
+    length_col: str,
+    id_col: str,
+    lo_p: float = 0.05,
+    hi_p: float = 0.95,
+) -> DataFrame:
+    """Per-stratum adaptive length gate: exact [lo_p, hi_p] percentile
+    bounds of ``length_col`` within each stratum (e.g. language), plus how
+    many documents the gate keeps.
+
+    Fixed length thresholds are wrong across languages — 200 chars of
+    Chinese is a full document, 200 chars of English is a fragment — so
+    production gates derive bounds from each stratum's own distribution.
+    Output: (stratum, lo, hi, n_docs, n_kept), bounds linearly
+    interpolated (the definition both Spark's ``percentile`` and ANSI
+    ``percentile_cont`` share) and rounded to 4dp so the frontier is
+    engine-exact.
+
+    Two partial aggregations over (stratum) — key-only shuffles; the
+    per-doc gate itself is a broadcast of |strata| rows at any corpus
+    size.  For the row-level filtered corpus, join these bounds back and
+    keep ``length BETWEEN lo AND hi`` (see adaptive_length_filter).
+    """
+    pct = (
+        df.groupBy(strata_col)
+        .agg(
+            F.round(F.percentile(F.col(length_col), F.lit(lo_p)), 4).alias("lo"),
+            F.round(F.percentile(F.col(length_col), F.lit(hi_p)), 4).alias("hi"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+    kept = (
+        df.join(F.broadcast(pct.select(strata_col, "lo", "hi")), strata_col)
+        .filter(F.col(length_col).between(F.col("lo"), F.col("hi")))
+        .groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return pct.join(kept, strata_col, "left").select(
+        strata_col,
+        "lo",
+        "hi",
+        "n_docs",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+    )
+
+
+def adaptive_length_filter(
+    df: DataFrame,
+    strata_col: str,
+    length_col: str,
+    lo_p: float = 0.05,
+    hi_p: float = 0.95,
+) -> DataFrame:
+    """Rows of ``df`` whose ``length_col`` falls inside the stratum's own
+    [lo_p, hi_p] percentile band — the row-level companion of
+    :func:`adaptive_length_report`.  One agg pass for the bounds (tiny:
+    |strata| rows), then a broadcast-join gate; no row-level shuffle."""
+    bounds = df.groupBy(strata_col).agg(
+        F.round(F.percentile(F.col(length_col), F.lit(lo_p)), 4).alias("__lo"),
+        F.round(F.percentile(F.col(length_col), F.lit(hi_p)), 4).alias("__hi"),
+    )
+    return (
+        df.join(F.broadcast(bounds), strata_col)
+        .filter(F.col(length_col).between(F.col("__lo"), F.col("__hi")))
+        .drop("__lo", "__hi")
+    )

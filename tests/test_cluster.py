@@ -143,3 +143,27 @@ def test_resolve_duplicates_star_method(spark):
 
     with pytest.raises(ValueError, match="unknown method"):
         resolve_duplicates(corpus, pairs, "doc_id", method="nope")
+
+
+def test_cluster_size_histogram_planted(spark):
+    from cassandra_util_spark.operators.cluster import cluster_size_histogram
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id bigint")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a bigint, id_b bigint"
+    )
+    # components: {1,2,3}, {5,6}; singletons 4, 7
+    got = {r["size"]: (r["n_clusters"], r["n_docs"])
+           for r in cluster_size_histogram(docs, pairs, "doc_id").collect()}
+    assert got == {3: (1, 3), 2: (1, 2), 1: (2, 2)}
+    # histogram mass equals the corpus
+    assert sum(v[1] for v in got.values()) == 7
+
+
+def test_cluster_size_histogram_no_pairs(spark):
+    from cassandra_util_spark.operators.cluster import cluster_size_histogram
+
+    docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id bigint")
+    empty = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    got = cluster_size_histogram(docs, empty, "doc_id").collect()
+    assert len(got) == 1 and got[0]["size"] == 1 and got[0]["n_clusters"] == 10

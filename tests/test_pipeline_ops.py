@@ -1132,3 +1132,43 @@ def test_commonness_buckets_approx_plan_has_no_global_window(spark, docs):
     assert "Window" in exact_plan
     assert "Window" not in approx_plan
     assert "BroadcastNestedLoopJoin" in approx_plan or "BroadcastExchange" in approx_plan
+
+
+def test_adaptive_length_filter_band(spark):
+    """Per-stratum percentile gate: each language keeps only rows inside its
+    own [p25, p75] band — strata with disjoint length scales don't share a
+    threshold."""
+    from cassandra_util_spark.operators.text import (
+        adaptive_length_filter,
+        adaptive_length_report,
+    )
+
+    rows = [("en", i, 100 + i) for i in range(1, 101)] + [
+        ("zh", 1000 + i, 10 + (i % 20)) for i in range(1, 61)
+    ]
+    df = spark.createDataFrame(rows, "lang string, doc_id bigint, n_chars bigint")
+    kept = adaptive_length_filter(df, "lang", "n_chars", 0.25, 0.75)
+    by_lang = {}
+    for r in kept.collect():
+        by_lang.setdefault(r["lang"], []).append(r["n_chars"])
+    # en lengths 101..200: p25=125.75, p75=175.25 -> kept 126..175 (50 rows)
+    assert sorted(by_lang["en"]) == list(range(126, 176))
+    # zh never leaks into en's band and vice versa
+    assert max(by_lang["zh"]) < min(by_lang["en"])
+    rep = {r["lang"]: r for r in
+           adaptive_length_report(df, "lang", "n_chars", "doc_id", 0.25, 0.75).collect()}
+    assert rep["en"]["n_kept"] == 50 and rep["en"]["n_docs"] == 100
+    assert rep["en"]["lo"] == 125.75 and rep["en"]["hi"] == 175.25
+    # the report's n_kept equals the filter's realized count per stratum
+    assert rep["zh"]["n_kept"] == len(by_lang["zh"])
+
+
+def test_adaptive_length_report_single_value_stratum(spark):
+    """A stratum whose lengths are all identical keeps everything: lo=hi."""
+    from cassandra_util_spark.operators.text import adaptive_length_report
+
+    df = spark.createDataFrame(
+        [("x", i, 42) for i in range(5)], "lang string, doc_id bigint, n_chars bigint"
+    )
+    r = adaptive_length_report(df, "lang", "n_chars", "doc_id").collect()[0]
+    assert r["lo"] == 42.0 and r["hi"] == 42.0 and r["n_kept"] == 5

@@ -146,3 +146,113 @@ def test_stratified_topk_exact_quota_and_stability(spark, docs):
     assert small <= big
     with pytest.raises(ValueError):
         stratified_topk_sample(docs, "lang", 0, "doc_id")
+
+
+def test_deterministic_shards_partition_invariant(spark, docs):
+    from cassandra_util_spark.operators.sampling import deterministic_shards
+
+    a = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in deterministic_shards(docs, "doc_id", 8).collect()
+    }
+    b = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in deterministic_shards(docs.repartition(17), "doc_id", 8).collect()
+    }
+    assert a == b and len(a) == docs.count()
+
+
+def test_deterministic_shards_positions_contiguous(spark, docs):
+    from collections import defaultdict
+
+    from cassandra_util_spark.operators.sampling import deterministic_shards
+
+    rows = deterministic_shards(docs, "doc_id", 4).collect()
+    by_shard = defaultdict(list)
+    for r in rows:
+        assert 0 <= r["shard"] < 4
+        by_shard[r["shard"]].append(r["pos"])
+    # every shard's positions are exactly 1..n — a loader can range-scan them
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    assert len(by_shard) == 4  # 500 docs over 4 shards: all populated
+
+
+def test_deterministic_shards_seed_changes_order(spark, docs):
+    from cassandra_util_spark.operators.sampling import deterministic_shards
+
+    a = {r["doc_id"]: (r["shard"], r["pos"])
+         for r in deterministic_shards(docs, "doc_id", 8, seed="ep0").collect()}
+    b = {r["doc_id"]: (r["shard"], r["pos"])
+         for r in deterministic_shards(docs, "doc_id", 8, seed="ep1").collect()}
+    assert a != b  # a fresh epoch re-deals
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        deterministic_shards(docs, "doc_id", 0)
+
+
+def test_deterministic_shards_order_disperses_sources(spark, docs):
+    """Within a shard, consecutive positions should not replay the input's
+    source-contiguous layout: the first 20 positions of shard 0 draw from
+    more than one source."""
+    from cassandra_util_spark.operators.sampling import deterministic_shards
+
+    out = deterministic_shards(docs.select("doc_id"), "doc_id", 2)
+    head = (
+        out.filter(F.col("shard") == 0)
+        .orderBy("pos")
+        .limit(20)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source")
+        .collect()
+    )
+    assert len({r["source"] for r in head}) > 1
+
+
+def test_temperature_weights_limits():
+    from cassandra_util_spark.operators.sampling import temperature_weights
+
+    counts = {"web": 800, "books": 150, "code": 50}
+    nat = temperature_weights(counts, alpha=1.0)
+    assert abs(nat["web"] - 0.8) < 1e-12 and abs(nat["code"] - 0.05) < 1e-12
+    uni = temperature_weights(counts, alpha=0.0)
+    assert all(abs(v - 1 / 3) < 1e-12 for v in uni.values())
+    mid = temperature_weights(counts, alpha=0.5)
+    assert abs(sum(mid.values()) - 1.0) < 1e-12
+    # temperature compresses the head, lifts the tail
+    assert mid["web"] < nat["web"] and mid["code"] > nat["code"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        temperature_weights(counts, alpha=-0.1)
+    with _pytest.raises(ValueError):
+        temperature_weights({"a": 0}, alpha=0.5)
+
+
+def test_temperature_weights_compose_with_mixture(spark, docs):
+    """temperature_weights feeds mixed_sample: the realized sample's
+    source shares move toward the temperature mixture."""
+    from cassandra_util_spark.operators.sampling import (
+        mixed_sample,
+        temperature_weights,
+    )
+
+    counts = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    w = temperature_weights(counts, alpha=0.5)
+    out = mixed_sample(docs, "source", w, "doc_id")
+    got = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total = sum(got.values())
+    assert total > 0
+    # the scarcest-relative-to-weight source is kept whole
+    bottleneck = min(w, key=lambda s: counts[s] / w[s])
+    assert got[bottleneck] == counts[bottleneck]
+    # realized shares within binomial tolerance of the target mixture
+    for s, ws in w.items():
+        assert abs(got.get(s, 0) / total - ws) < 0.12
