@@ -95,6 +95,12 @@ BENCH_QUERIES = [
     "dedup_fingerprint_longest",
     "dedup_within_doc_spans",
     "corpus_gate_report",
+    "corpus_shard_plan",
+    "mixture_temperature_plan",
+    "adaptive_length_bounds",
+    "dedup_cluster_sizes",
+    "events_skew_report",
+    "dedup_winnowing",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash
     # swapped to xxhash64 — the production configuration at scale

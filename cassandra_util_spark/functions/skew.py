@@ -82,3 +82,47 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
     )
     return lhs.join(rhs, list(on) + ["__salt"], how).drop("__salt")
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 10,
+) -> DataFrame:
+    """Heavy-hitter diagnostic for a shuffle key: the ``top_k`` heaviest
+    key values with their row counts and share of the table, ranked.
+
+    The measurement that decides skew strategy BEFORE a job burns a day:
+    a top key holding >1/shuffle-partitions of the rows will straggle any
+    groupBy/join on that key — route it to :func:`salted_agg` /
+    :func:`salted_join` or AQE skew-split; a flat report means plain
+    hash partitioning is fine.
+
+    One partial-aggregate shuffle over the key (combiner-reduced, so the
+    exchange carries |distinct keys| rows, not the table), then a global
+    top-k that Spark executes as TakeOrderedAndProject — per-partition
+    heaps of k rows, never a full sort.  The denominator is the SUM of the
+    same counts aggregate, cross-joined as one broadcast row, so the base
+    table is declared once and Catalyst reuses the exchange rather than
+    scanning twice.  Output is driver-safe at any scale: exactly
+    ``top_k`` rows; ``share`` is one rounded division of two exact
+    counts, so the report is engine-exact and oracle-friendly.
+    """
+    if top_k <= 0:
+        raise ValueError(f"top_k must be positive, got {top_k}")
+    from pyspark.sql import Window
+
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").cast("bigint").alias("__total"))
+    top = (
+        counts.orderBy(F.col("n").desc(), F.col(key_col).asc())
+        .limit(top_k)
+        .crossJoin(F.broadcast(total))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col(key_col).asc())
+    return top.select(
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        F.col(key_col),
+        F.col("n"),
+        F.round(F.col("n") / F.col("__total").cast("double"), 6).alias("share"),
+    )

@@ -1172,3 +1172,93 @@ def test_adaptive_length_report_single_value_stratum(spark):
     )
     r = adaptive_length_report(df, "lang", "n_chars", "doc_id").collect()[0]
     assert r["lo"] == 42.0 and r["hi"] == 42.0 and r["n_kept"] == 5
+
+
+def test_skew_report_identifies_planted_hot_key(spark):
+    from cassandra_util_spark.functions.skew import skew_report
+
+    rows = [(999, i) for i in range(900)] + [(k, 0) for k in range(1, 101)]
+    df = spark.createDataFrame(rows, "tenant bigint, v int")
+    rep = skew_report(df, "tenant", top_k=3).collect()
+    assert [r["rank"] for r in rep] == [1, 2, 3]
+    assert rep[0]["tenant"] == 999 and rep[0]["n"] == 900
+    assert rep[0]["share"] == 0.9
+    # ties (all other tenants have 1 row) break by key ascending
+    assert (rep[1]["tenant"], rep[2]["tenant"]) == (1, 2)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        skew_report(df, "tenant", top_k=0)
+
+
+def test_skew_report_plan_reuses_exchange_no_full_sort(spark):
+    """The base table is scanned once (ReusedExchange feeds the total) and
+    the global top-k is a heap (TakeOrderedAndProject), not a full Sort."""
+    from cassandra_util_spark.functions.skew import skew_report
+
+    df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    rep = skew_report(df, "user_id", top_k=10)
+    rep.collect()  # let AQE finalize so exchange reuse is visible
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "ReusedExchange" in plan or "ReusedQueryStage" in plan
+
+
+def test_winnowing_guarantee_shared_run_surfaces(spark):
+    """The winnowing guarantee: two documents sharing a run of >= w+k-1
+    words share at least one fingerprint — regardless of surrounding
+    text."""
+    from cassandra_util_spark.operators.dedup import (
+        winnowing_fingerprints,
+        winnowing_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    shared = " ".join(f"common{i}" for i in range(10))  # w+k-1 = 10 words
+    rows = [
+        (1, "left filler words alpha beta " + shared + " gamma delta tail"),
+        (2, "totally different prefix here " + shared + " and another ending"),
+        (3, "no overlap with anything else at all in this document text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = winnowing_pairs(df, "doc_id", "text", k=3, w=8, min_shared=1).collect()
+    assert any(r["id_a"] == 1 and r["id_b"] == 2 for r in pairs)
+    assert not any(3 in (r["id_a"], r["id_b"]) for r in pairs)
+    # short docs (below the w+k-1 floor) emit no fingerprints
+    short = spark.createDataFrame([(9, "only five words right here")],
+                                  "doc_id bigint, text string")
+    n = short.select(F.size(winnowing_fingerprints(F.col("text"))).alias("n")).first()["n"]
+    assert n == 0
+
+
+def test_winnowing_density_below_full_shingles(spark):
+    """Winnowed sets are materially smaller than the full shingle sets the
+    Jaccard path joins on — the scale win the operator exists for."""
+    from cassandra_util_spark.operators.dedup import (
+        winnowing_fingerprints,
+        word_shingles,
+    )
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    r = d.select(
+        F.sum(F.size(winnowing_fingerprints(F.col("text")))).alias("wn"),
+        F.sum(F.size(word_shingles(F.col("text")))).alias("sh"),
+    ).first()
+    assert r["wn"] * 3 < r["sh"]  # at least 3x fewer values in the join
+
+
+def test_winnowing_pairs_df_cap_and_validation(spark):
+    from cassandra_util_spark.operators.dedup import winnowing_pairs
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    uncapped = {(r["id_a"], r["id_b"]) for r in
+                winnowing_pairs(d, "doc_id", "text", min_shared=2).collect()}
+    capped = {(r["id_a"], r["id_b"]) for r in
+              winnowing_pairs(d, "doc_id", "text", min_shared=2,
+                              max_doc_freq=50).collect()}
+    assert capped <= uncapped  # the cap only prunes, never invents pairs
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        winnowing_pairs(d, "doc_id", "text", min_shared=0)

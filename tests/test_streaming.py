@@ -493,3 +493,39 @@ def test_streaming_gopher_gate_and_span_excision_match_batch(spark, workdir, eve
         got = sorted(map(tuple, spark.read.parquet(os.path.join(out, name)).collect()))
         want = sorted(map(tuple, bdf.collect()))
         assert got == want and len(got) == batch_df.count(), name
+
+
+def test_streaming_winnowing_fingerprints_matches_batch(spark, workdir, events_src):
+    """Winnowing fingerprint extraction is a pure per-row expression — it
+    runs unchanged on a stream and yields row-identical fingerprint sets
+    to batch, so streaming ingestion can fingerprint documents for overlap
+    detection with no dedicated streaming code."""
+    from cassandra_util_spark.operators.dedup import winnowing_fingerprints
+
+    src, batch_df = events_src
+    out = os.path.join(workdir, "winnowed")
+    cp = os.path.join(workdir, "cp_winnowed")
+
+    def fp(df):
+        return df.select(
+            "event_id",
+            F.sort_array(winnowing_fingerprints(F.col("props"), k=2, w=3)).alias("fps"),
+        )
+
+    events = stream_events(spark, src, batch_df.schema)
+    q = (
+        fp(events)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        (r["event_id"], tuple(r["fps"])) for r in spark.read.parquet(out).collect()
+    )
+    want = sorted((r["event_id"], tuple(r["fps"])) for r in fp(batch_df).collect())
+    assert got == want and len(got) == batch_df.count()
