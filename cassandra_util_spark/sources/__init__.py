@@ -4,6 +4,7 @@ from cassandra_util_spark.sources.bucketed import (
     selected_buckets,
     write_bucketed,
 )
+from cassandra_util_spark.sources.shards import read_epoch_shard, write_epoch_shards
 from cassandra_util_spark.sources.snapshots import SnapshotStore
 
 __all__ = [
@@ -12,4 +13,6 @@ __all__ = [
     "join_is_colocated",
     "selected_buckets",
     "write_bucketed",
+    "read_epoch_shard",
+    "write_epoch_shards",
 ]
