@@ -180,3 +180,47 @@ def test_gopher_signal_bounds(spark, docs):
         assert r["symbol_word_ratio"] >= 0.0
         assert r["mean_word_len"] > 0
         assert 0 <= r["stop_hits"] <= 8
+
+
+word_strategy = st.integers(0, 30)  # small vocab => frequent shared runs
+doc_strategy = st.lists(word_strategy, min_size=0, max_size=60)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(a=doc_strategy, b=doc_strategy, k=st.integers(2, 4), w=st.integers(2, 6))
+def test_winnowing_matches_reference_and_guarantee(spark, a, b, k, w):
+    """The Catalyst winnowing formulation agrees with a direct Python
+    evaluation of the published algorithm on arbitrary token streams, and
+    the detection guarantee holds: if the two docs share a contiguous run
+    of >= w+k-1 tokens, they share a fingerprint."""
+    from cassandra_util_spark.functions import portable_hash31 as _  # noqa: F401
+    from cassandra_util_spark.operators.dedup import winnowing_fingerprints
+
+    import hashlib
+
+    def h31(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) & 0x7FFFFFFF
+
+    def reference(tokens: list[str]) -> set[int]:
+        grams = [" ".join(tokens[i:i + k]) for i in range(len(tokens) - k + 1)]
+        hs = [h31(g) for g in grams]
+        return {min(hs[i:i + w]) for i in range(len(hs) - w + 1)}
+
+    docs = {1: [f"w{t}" for t in a], 2: [f"w{t}" for t in b]}
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in docs.items()], "doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: set(r["fps"])
+        for r in df.select(
+            "doc_id", winnowing_fingerprints(F.col("text"), k, w).alias("fps")
+        ).collect()
+    }
+    for i, toks in docs.items():
+        assert got[i] == reference(toks), (i, toks)
+    # guarantee: a shared >= w+k-1 token run implies a shared fingerprint
+    t = w + k - 1
+    runs_a = {tuple(docs[1][i:i + t]) for i in range(len(docs[1]) - t + 1)}
+    runs_b = {tuple(docs[2][i:i + t]) for i in range(len(docs[2]) - t + 1)}
+    if runs_a & runs_b:
+        assert got[1] & got[2]
