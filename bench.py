@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "dedup_cluster_sizes",
     "events_skew_report",
     "dedup_winnowing",
+    "corpus_split_assignment",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash
     # swapped to xxhash64 — the production configuration at scale

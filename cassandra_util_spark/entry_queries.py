@@ -3156,3 +3156,36 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return winnowing_pairs(d, "doc_id", "text", k=3, w=8, min_shared=2)
+
+
+from cassandra_util_spark.operators.sampling import (  # noqa: E402
+    gate_threshold as _gate_threshold,
+    sample_gate_sql as _sample_gate_sql,
+)
+
+_SPLIT_GATE = _sample_gate_sql("doc_id", "split")
+_SPLIT_T1 = _gate_threshold(0.90)
+_SPLIT_T2 = _gate_threshold(0.95)
+
+
+@query(
+    "corpus_split_assignment",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN {_SPLIT_GATE} < {_SPLIT_T1} THEN 'train'
+                WHEN {_SPLIT_GATE} < {_SPLIT_T2} THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def corpus_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (90/5/5): every document lands
+    in exactly one split as a pure function of (seed, doc_id) — no row
+    ever leaks between splits across re-runs, repartitions, or corpus
+    growth (an existing key's gate value never changes).  Cumulative
+    integer thresholds are computed once driver-side and inlined into
+    both engines; the map-only CASE folds into the scan at any scale."""
+    from cassandra_util_spark.operators.sampling import corpus_splits
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return corpus_splits(d, "doc_id", {"train": 0.90, "val": 0.05, "test": 0.05})

@@ -249,3 +249,43 @@ def mixed_sample(
     }
     fracs = mixture_fractions(counts, weights)
     return stratified_sample(df, source_col, fracs, key_col, seed, default_fraction=0.0)
+
+
+def corpus_splits(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float],
+    seed: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: adds a ``split`` column
+    partitioning the corpus into the named fractions — every row in
+    exactly one split, membership a pure function of (seed, key).
+
+    The eval-split contract a training pipeline needs: no row ever leaks
+    between splits across re-runs, repartitions, cluster sizes, or engine
+    swaps, and growing the corpus never moves an EXISTING row between
+    splits (its gate value is fixed; only new keys land in new splits).
+    Implemented as cumulative integer thresholds over the portable hash
+    gate, computed driver-side in the given insertion order so both
+    engines compare identical literals; the final split absorbs the
+    rounding remainder, making the assignment exhaustive by construction.
+    Map-only — the CASE folds into the scan at any scale.
+    """
+    if not fractions:
+        raise ValueError("fractions must name at least one split")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    if any(f < 0 for f in fractions.values()):
+        raise ValueError("fractions must be non-negative")
+    names = list(fractions)
+    gate = sample_gate(F.col(key_col), seed)
+    expr = F.lit(names[-1])  # last split absorbs rounding up to 2^32
+    cum = 0.0
+    bounds: list[tuple[str, int]] = []
+    for name in names[:-1]:
+        cum += fractions[name]
+        bounds.append((name, gate_threshold(cum)))
+    for name, thr in reversed(bounds):
+        expr = F.when(gate < F.lit(thr), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)

@@ -289,3 +289,33 @@ def test_write_epoch_shards_roundtrip(spark, docs, tmp_path):
     assert [r["doc_id"] for r in again] == [r["doc_id"] for r in back]
     # total rows preserved across shards
     assert spark.read.parquet(path).count() == docs.count()
+
+
+def test_corpus_splits_exhaustive_exclusive_stable(spark, docs):
+    from cassandra_util_spark.operators.sampling import corpus_splits
+
+    out = corpus_splits(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    assigned = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(assigned) == docs.count()  # exhaustive, one row each
+    counts = {s: list(assigned.values()).count(s) for s in ("train", "val", "test")}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    assert sum(counts.values()) == docs.count()
+    # stable under repartitioning
+    again = {r["doc_id"]: r["split"]
+             for r in corpus_splits(docs.repartition(13), "doc_id",
+                                    {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    assert assigned == again
+    # growth never moves an existing row: assignment on a subset agrees
+    subset = corpus_splits(docs.filter(F.col("doc_id") < 100), "doc_id",
+                           {"train": 0.8, "val": 0.1, "test": 0.1})
+    for r in subset.collect():
+        assert assigned[r["doc_id"]] == r["split"]
+
+
+def test_corpus_splits_validation():
+    from cassandra_util_spark.operators.sampling import corpus_splits
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        corpus_splits(None, "k", {"a": 0.5, "b": 0.4})
+    with pytest.raises(ValueError, match="at least one"):
+        corpus_splits(None, "k", {})
