@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "events_skew_report",
     "dedup_winnowing",
     "corpus_split_assignment",
+    "corpus_token_budget",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash
     # swapped to xxhash64 — the production configuration at scale

@@ -3189,3 +3189,56 @@ def corpus_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").select("doc_id")
     return corpus_splits(d, "doc_id", {"train": 0.90, "val": 0.05, "test": 0.05})
+
+
+@query(
+    "corpus_token_budget",
+    oracle=r"""
+    WITH t AS (
+      SELECT source,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS toks
+      FROM documents),
+    agg AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(toks) AS BIGINT) AS n_tokens
+      FROM t GROUP BY source)
+    SELECT source, n_docs, n_tokens,
+           round(n_tokens / CAST((SELECT sum(n_tokens) FROM agg) AS DOUBLE), 6)
+             AS token_share,
+           round(n_tokens / CAST(n_docs AS DOUBLE), 6) AS mean_tokens
+    FROM agg
+    """,
+)
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture-design planning table: per-source document counts, total
+    regex-pretokenizer token counts, each source's share of the corpus
+    token budget, and mean tokens per document — what
+    temperature/mixture weighting actually consumes (weights over TOKENS,
+    not documents, since document length varies by source).  Integer token
+    sums are exact under any partitioning; the two shares are single
+    rounded double divisions.  One partial-aggregate pass; everything
+    after runs on |sources| rows."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.size(
+        F.regexp_extract_all(
+            F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)
+        )
+    ).cast("bigint")
+    agg = d.select("source", toks.alias("toks")).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks").cast("bigint").alias("n_tokens"),
+    )
+    everything = Window.partitionBy()
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens") / F.sum("n_tokens").over(everything).cast("double"), 6
+        ).alias("token_share"),
+        F.round(F.col("n_tokens") / F.col("n_docs").cast("double"), 6).alias(
+            "mean_tokens"
+        ),
+    )
