@@ -550,3 +550,57 @@ def adaptive_length_filter(
         .filter(F.col(length_col).between(F.col("__lo"), F.col("__hi")))
         .drop("__lo", "__hi")
     )
+
+
+def compression_ratio(
+    df: DataFrame, id_col: str, text_col: str, level: int = 6
+) -> DataFrame:
+    """Per-document zlib compression ratio — the repetitiveness signal
+    (RefinedWeb/Gopher family) that n-gram fractions miss: machine-generated
+    and template text compresses far below prose, so a low ratio flags
+    boilerplate even when no single n-gram dominates.
+
+    Output: (id, n_bytes, n_compressed, ratio) with ratio =
+    compressed/uncompressed UTF-8 bytes rounded to 6dp; empty documents get
+    ratio 1.0.  Deterministic for a fixed zlib level.
+
+    Python-side justification (the repo's UDF rule): DEFLATE is a stateful
+    LZ77+Huffman coder with no Catalyst expression form — this is the
+    genuinely-non-expressible case, so it runs Arrow-batched through
+    ``mapInPandas`` (one Python call per batch, zlib in C per row),
+    map-only with no shuffle at any scale.  There is deliberately NO
+    contract query: DuckDB has no SQL zlib, so a registry entry could only
+    get the weaker rows-only check — the operator is instead pinned by
+    direct-zlib parity tests.
+    """
+    if not 0 <= level <= 9:
+        raise ValueError(f"zlib level must be in [0, 9], got {level}")
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, n_bytes bigint, n_compressed bigint"
+
+    def _measure(batches):
+        import zlib
+
+        for pdf in batches:
+            raw = pdf[text_col].fillna("").map(lambda t: t.encode("utf-8"))
+            yield type(pdf)(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": raw.map(len),
+                    "n_compressed": raw.map(
+                        lambda b: len(zlib.compress(b, level))
+                    ),
+                }
+            )
+
+    return (
+        df.select(id_col, text_col)
+        .mapInPandas(_measure, out_schema)
+        .withColumn(
+            "ratio",
+            F.when(F.col("n_bytes") == 0, F.lit(1.0)).otherwise(
+                F.round(F.col("n_compressed") / F.col("n_bytes").cast("double"), 6)
+            ),
+        )
+    )

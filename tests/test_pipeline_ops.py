@@ -1262,3 +1262,40 @@ def test_winnowing_pairs_df_cap_and_validation(spark):
 
     with _pytest.raises(ValueError):
         winnowing_pairs(d, "doc_id", "text", min_shared=0)
+
+
+def test_compression_ratio_matches_direct_zlib(spark, docs):
+    """The Arrow-batched operator agrees byte-for-byte with direct zlib on
+    every corpus document."""
+    import zlib
+
+    from cassandra_util_spark.operators.text import compression_ratio
+
+    got = {
+        r["doc_id"]: (r["n_bytes"], r["n_compressed"], r["ratio"])
+        for r in compression_ratio(docs, "doc_id", "text").collect()
+    }
+    for r in docs.select("doc_id", "text").collect():
+        raw = r["text"].encode("utf-8")
+        comp = len(zlib.compress(raw, 6))
+        want_ratio = 1.0 if not raw else round(comp / len(raw), 6)
+        assert got[r["doc_id"]] == (len(raw), comp, want_ratio)
+
+
+def test_compression_ratio_flags_repetitive_text(spark):
+    from cassandra_util_spark.operators.text import compression_ratio
+
+    rows = [
+        (1, "buy now click here " * 200),                      # template spam
+        (2, " ".join(f"w{i}x{i*7%13}" for i in range(800))),   # diverse tokens
+        (3, ""),                                               # empty guard
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r["ratio"] for r in
+           compression_ratio(df, "doc_id", "text").collect()}
+    assert got[1] < 0.1 < got[2]
+    assert got[3] == 1.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        compression_ratio(df, "doc_id", "text", level=11)
