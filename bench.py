@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "dedup_winnowing",
     "corpus_split_assignment",
     "corpus_token_budget",
+    "q18_large_orders",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash
     # swapped to xxhash64 — the production configuration at scale

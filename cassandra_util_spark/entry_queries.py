@@ -3242,3 +3242,47 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_tokens"
         ),
     )
+
+
+@query(
+    "q18_large_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 200)
+    SELECT c_custkey, c_name, o_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice, total_qty
+    FROM big
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume orders (TPC-H Q18 shape): the aggregate-filtered join —
+    a HAVING subquery drives the join, so the heavy side reduces BEFORE
+    any join happens (partial-aggregate shuffle on the already-grouped
+    key), and only qualifying orders touch the customer dimension
+    (broadcast).  Quantities sum in DECIMAL for partitioning-exact
+    HAVING-frontier semantics."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"))
+        .filter(F.col("q") > 200)
+        .select("l_orderkey", F.col("q").cast("double").alias("total_qty"))
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "total_qty",
+        )
+    )
