@@ -529,3 +529,28 @@ def test_streaming_winnowing_fingerprints_matches_batch(spark, workdir, events_s
     )
     want = sorted((r["event_id"], tuple(r["fps"])) for r in fp(batch_df).collect())
     assert got == want and len(got) == batch_df.count()
+
+
+def test_streaming_compression_ratio_matches_batch(spark, workdir, events_src):
+    """compression_ratio is stateless Arrow-batched row work — it runs
+    unchanged on a stream and matches batch byte-for-byte, so streaming
+    ingestion can score repetitiveness with no dedicated code."""
+    from cassandra_util_spark.operators.text import compression_ratio
+
+    src, batch_df = events_src
+    out = os.path.join(workdir, "zratio")
+    cp = os.path.join(workdir, "cp_zratio")
+    events = stream_events(spark, src, batch_df.schema)
+    q = (
+        compression_ratio(events, "event_id", "props")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(map(tuple, compression_ratio(batch_df, "event_id", "props").collect()))
+    assert got == want and len(got) == batch_df.count()
