@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     # swapped to xxhash64 — the production configuration at scale
     "dedup_minhash_lsh_fast",
     "dedup_simhash_fast",
+    "dedup_winnowing_fast",
 ]
 
 
@@ -119,6 +120,14 @@ def _minhash_fast(spark, sf_dir):
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return minhash_lsh_pairs(d, "doc_id", "text", n=3, threshold=0.5, hash_fn="xxhash64")
+
+
+def _winnowing_fast(spark, sf_dir):
+    from cassandra_util_spark.operators.dedup import winnowing_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return winnowing_pairs(d, "doc_id", "text", k=3, w=8, min_shared=2,
+                           hash_fn="xxhash64")
 
 
 def _simhash_fast(spark, sf_dir):
@@ -133,6 +142,7 @@ def _simhash_fast(spark, sf_dir):
 EXTRA_QUERIES = {
     "dedup_minhash_lsh_fast": _minhash_fast,
     "dedup_simhash_fast": _simhash_fast,
+    "dedup_winnowing_fast": _winnowing_fast,
 }
 
 

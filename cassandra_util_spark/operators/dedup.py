@@ -913,7 +913,7 @@ def simhash_pairs(
 # ---------------------------------------------------------------------------
 
 def winnowing_fingerprints(
-    col: Column, k: int = 3, w: int = 8
+    col: Column, k: int = 3, w: int = 8, hash_fn: str = "portable"
 ) -> Column:
     """Winnowed fingerprint set of a text column (array<bigint>).
 
@@ -938,6 +938,17 @@ def winnowing_fingerprints(
     from cassandra_util_spark.functions import portable_hash31
     from cassandra_util_spark.operators.text import normalize_text
 
+    if hash_fn == "portable":
+        base_hash = portable_hash31
+    elif hash_fn == "xxhash64":
+        # the minhash/simhash production fast path: one JVM hash per gram
+        # instead of md5+conv; selection changes (different minima), the
+        # winnowing guarantee does not — it only needs hash determinism
+        def base_hash(g: Column) -> Column:
+            return F.xxhash64(g).bitwiseAND(F.lit(0x7FFFFFFF))
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
     def hashes_of(toks: Column) -> Column:
         count = F.size(toks) - F.lit(k - 1)
         grams = F.transform(
@@ -945,7 +956,7 @@ def winnowing_fingerprints(
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
         )
         grams = F.when(count >= 1, grams).otherwise(F.array().cast("array<string>"))
-        return F.transform(grams, portable_hash31)
+        return F.transform(grams, base_hash)
 
     def minima_of(h: Column) -> Column:
         nwin = F.size(h) - F.lit(w - 1)
@@ -970,6 +981,7 @@ def winnowing_pairs(
     w: int = 8,
     min_shared: int = 2,
     max_doc_freq: int | None = None,
+    hash_fn: str = "portable",
 ) -> DataFrame:
     """All pairs (a < b) sharing at least ``min_shared`` winnowed
     fingerprints — overlap candidates with the winnowing guarantee (any
@@ -985,7 +997,7 @@ def winnowing_pairs(
         raise ValueError(f"min_shared must be >= 1, got {min_shared}")
     fps = df.select(
         F.col(id_col).alias("id"),
-        F.explode(winnowing_fingerprints(F.col(text_col), k, w)).alias("fp"),
+        F.explode(winnowing_fingerprints(F.col(text_col), k, w, hash_fn)).alias("fp"),
     )
     if max_doc_freq is not None:
         keep = (

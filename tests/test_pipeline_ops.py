@@ -1299,3 +1299,21 @@ def test_compression_ratio_flags_repetitive_text(spark):
 
     with _pytest.raises(ValueError):
         compression_ratio(df, "doc_id", "text", level=11)
+
+
+def test_winnowing_fast_mode_guarantee_and_validation(spark):
+    """xxhash64 mode selects different minima but keeps the detection
+    guarantee: the planted shared run still pairs."""
+    from cassandra_util_spark.operators.dedup import winnowing_pairs
+
+    shared = " ".join(f"common{i}" for i in range(10))
+    rows = [(1, "alpha beta " + shared + " tail one"),
+            (2, "other prefix " + shared + " different end")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = winnowing_pairs(df, "doc_id", "text", min_shared=1,
+                            hash_fn="xxhash64").collect()
+    assert any(r["id_a"] == 1 and r["id_b"] == 2 for r in pairs)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown hash_fn"):
+        winnowing_pairs(df, "doc_id", "text", hash_fn="sha9")
