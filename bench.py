@@ -104,6 +104,10 @@ BENCH_QUERIES = [
     "corpus_split_assignment",
     "corpus_token_budget",
     "q18_large_orders",
+    "bm25_search",
+    "dsir_select",
+    "dedup_incremental_lsh",
+    "embedding_prototypes",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash
     # swapped to xxhash64 — the production configuration at scale

@@ -3286,3 +3286,211 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_qty",
         )
     )
+
+
+@query(
+    "bm25_search",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+    toks AS (SELECT doc_id, list_filter(string_split(t, ' '), x -> x <> '') AS w
+             FROM norm),
+    dl AS (SELECT doc_id, len(w) AS dl FROM toks),
+    stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(w) AS term FROM toks)
+      WHERE term IN ('merge', 'vector', 'stream')
+      GROUP BY doc_id, term),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(round(((s.n_docs - q.df + 0.5::DOUBLE) / (q.df + 0.5::DOUBLE))
+                  * ((t.tf * 2.2::DOUBLE)
+                     / (t.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE
+                          * (d.dl / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))))
+                  * 1000000000.0::DOUBLE) AS BIGINT) AS s9
+      FROM tf t
+      JOIN dfq q USING (term)
+      JOIN dl d ON d.doc_id = t.doc_id
+      CROSS JOIN stats s),
+    agg AS (
+      SELECT doc_id,
+             round(CAST(CAST(sum(s9) AS BIGINT) AS DOUBLE)
+                   / 1000000000.0::DOUBLE, 6) AS score
+      FROM scored GROUP BY doc_id)
+    SELECT doc_id, score, CAST(rank AS INT) AS rank FROM (
+      SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM agg)
+    WHERE rank <= 10
+    """,
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 retrieval for the query {{merge, vector, stream}}:
+    tf saturation (k1=1.2) and document-length normalization (b=0.75) with
+    the log-free rational idf (the doc_top_terms discipline — libm ln is
+    engine-specific at the last ulp).  Per-term scores integer-scale to
+    round(s*1e9) and sum exactly, so document scores AND the top-10
+    frontier hash-match the oracle bit for bit.  The query-term IN-list
+    folds into the scan; the df table is bounded by the QUERY (3 rows
+    here), not the corpus vocabulary; global top-k is orderBy+limit
+    (TakeOrderedAndProject — per-partition partial top-k, no full sort, no
+    unbounded single-partition window)."""
+    from cassandra_util_spark.operators.text import bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_topk(d, "doc_id", "text", ("merge", "vector", "stream"), k=10)
+
+
+@query(
+    "dsir_select",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, lang, {_NORM_SQL} AS t FROM documents),
+    toks AS (SELECT doc_id, lang, list_filter(string_split(t, ' '), x -> x <> '') AS w
+             FROM norm),
+    grams AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+      FROM toks WHERE len(w) >= 2),
+    bk AS (SELECT doc_id, lang, CAST({_p31('g')} % 256 AS INT) AS k FROM grams),
+    raw_c AS (SELECT doc_id, k, count(*) AS c FROM bk GROUP BY doc_id, k),
+    tgt_k AS (SELECT k, count(*) AS t FROM bk WHERE lang = 'en' GROUP BY k),
+    raw_k AS (SELECT k, CAST(sum(c) AS BIGINT) AS r FROM raw_c GROUP BY k),
+    tot AS (SELECT (SELECT CAST(sum(r) AS BIGINT) FROM raw_k) AS R,
+                   (SELECT CAST(sum(t) AS BIGINT) FROM tgt_k) AS T),
+    ratios AS (
+      SELECT COALESCE(rk.k, tk.k) AS k,
+             CAST(round((CAST((2 * COALESCE(tk.t, 0) + 1) * (2 * tot.R + 256) AS DOUBLE)
+                   / CAST((2 * COALESCE(rk.r, 0) + 1) * (2 * tot.T + 256) AS DOUBLE))
+                   * 1000000000.0::DOUBLE) AS BIGINT) AS lam9
+      FROM raw_k rk FULL OUTER JOIN tgt_k tk ON rk.k = tk.k CROSS JOIN tot)
+    SELECT r.doc_id,
+           CAST(sum(r.c) AS BIGINT) AS n_grams,
+           round(CAST(CAST(sum(r.c * ra.lam9) AS BIGINT) AS DOUBLE)
+                 / CAST(sum(r.c) AS BIGINT) / 1000000000.0::DOUBLE, 6) AS weight
+    FROM raw_c r JOIN ratios ra ON ra.k = r.k
+    GROUP BY r.doc_id
+    """,
+)
+def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR hashed-bigram importance weights (Xie et al., NeurIPS 2023)
+    of every document toward the English slice as the target domain:
+    (doc_id, n_grams, weight), weight > 1 ⇔ the document's hashed-bigram
+    profile is more target-like than raw-like.  The estimator is the
+    log-free tf-weighted mean likelihood ratio with add-half smoothing —
+    all-integer bucket counts, one double division per bucket scaled to
+    round(λ·1e9), exact bigint sums — so weights hash-match the oracle bit
+    for bit (see operators/selection.py for why not log).  Bucket tables
+    are bounded by num_buckets=256 regardless of corpus size: the fit
+    broadcasts by construction, unlike a vocabulary table."""
+    from cassandra_util_spark.operators.selection import dsir_importance_weights
+
+    d = _t(spark, sf_dir, "documents")
+    return dsir_importance_weights(
+        d, d.filter(F.col("lang") == "en"), "doc_id", "text", n=2, num_buckets=256
+    )
+
+
+@query(
+    "dedup_incremental_lsh",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+    toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    sh AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        FROM toks WHERE len(w) >= 3)),
+    h AS (SELECT doc_id, {_p31('sh')} AS h FROM sh),
+    sig AS (
+      SELECT doc_id, p.j, min((p.a * h.h + p.b) % 2147483647) AS v
+      FROM h CROSS JOIN {_minhash_params_sql(64)}
+      GROUP BY doc_id, p.j),
+    bands AS (
+      SELECT doc_id, j // 4 AS band,
+             string_agg(CAST(v AS VARCHAR), ',' ORDER BY j) AS bucket
+      FROM sig GROUP BY doc_id, j // 4),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS nid, b.doc_id AS rid
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id >= 200 AND b.doc_id < 250),
+    m AS (
+      SELECT c.nid, c.rid, count(*) FILTER (WHERE sa.v = sb.v) AS matches
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.nid
+      JOIN sig sb ON sb.doc_id = c.rid AND sb.j = sa.j
+      GROUP BY 1, 2),
+    dups AS (SELECT DISTINCT nid FROM m WHERE round(matches / 64.0, 6) >= 0.5)
+    SELECT doc_id FROM documents
+    WHERE doc_id >= 200 AND doc_id NOT IN (SELECT nid FROM dups)
+    """,
+)
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup against a historical store — the fuzzy
+    counterpart of ``dedup_incremental``: the incoming slice (doc_id >=
+    200) drops every document whose MinHash-LSH estimated Jaccard against
+    ANY historical document (doc_id < 250) reaches 0.5.  Catches what
+    digest dedup cannot: the 50 exact overlaps (est 1.0) AND re-crawled
+    near-variants that a byte hash misses.  At warehouse scale the
+    reference's (signature, band) tables are the persisted index — band
+    keys probe, signatures verify, content is never re-read; the band join
+    shuffles (id, band, bucket) rows only.  Same portable signature
+    machinery as ``dedup_minhash_lsh`` (the banding code is literally
+    shared), so the oracle replays both sides bit for bit."""
+    from cassandra_util_spark.operators.dedup import lsh_dedup_against
+
+    d = _t(spark, sf_dir, "documents")
+    reference = d.filter(F.col("doc_id") < 250)
+    incoming = d.filter(F.col("doc_id") >= 200)
+    return lsh_dedup_against(
+        incoming, reference, "doc_id", "text", n=3, num_perm=64, bands=16, threshold=0.5
+    ).select("doc_id")
+
+
+@query(
+    "embedding_prototypes",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    e AS (
+      SELECT label, i.i AS pos,
+             CAST(round(v[i.i + 1] * 1073741824.0::DOUBLE) AS BIGINT) AS qv
+      FROM q CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i),
+    sums AS (SELECT label, pos, CAST(sum(qv) AS BIGINT) AS s, count(*) AS n
+             FROM e GROUP BY label, pos),
+    cent AS (SELECT label, pos, (CAST(s AS DOUBLE) / n) / 1073741824.0::DOUBLE AS c, n
+             FROM sums),
+    carr AS (SELECT label, list(c ORDER BY pos) AS cvec, max(n) AS n_members
+             FROM cent GROUP BY label),
+    scored AS (
+      SELECT q.vec_id, q.label,
+             round(list_cosine_similarity(q.v, carr.cvec), 4) AS proto_cos,
+             carr.n_members
+      FROM q JOIN carr ON carr.label = q.label),
+    ranked AS (
+      SELECT vec_id, label, proto_cos,
+             CAST(row_number() OVER (PARTITION BY label
+               ORDER BY proto_cos DESC, vec_id) AS INT) AS rank,
+             n_members
+      FROM scored)
+    SELECT vec_id, label, proto_cos, rank,
+           rank > CAST(floor(0.2::DOUBLE * n_members) AS BIGINT) AS keep
+    FROM ranked
+    """,
+)
+def embedding_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSL-prototypes pruning (Sorscher et al. 2022): rank every embedding
+    by cosine to its label's mean centroid and mark the most prototypical
+    20% per label for dropping — the "easy examples carry the least
+    marginal information" data-pruning policy.  Centroids are
+    engine-exact: components quantize to a 2^-30 integer grid and sum as
+    exact bigints (float summation order would differ per partitioning),
+    so the centroid, every 4dp cosine, the per-label ranking, and the cut
+    frontier all hash-match the oracle.  The centroid table is one row per
+    label and broadcasts; scoring is map-only; the only corpus shuffle is
+    the per-label rank window."""
+    from cassandra_util_spark.operators.similarity import prototypicality_prune
+
+    d = _t(spark, sf_dir, "embeddings")
+    return prototypicality_prune(d, "vec_id", "label", "embedding", drop_fraction=0.2)

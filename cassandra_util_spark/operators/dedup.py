@@ -721,6 +721,38 @@ def minhash_signatures(
     )
 
 
+def _banded_ids(sig: DataFrame, num_perm: int, bands: int, hash_fn: str) -> DataFrame:
+    """(id, band, bucket) LSH band keys of a signature table.
+
+    Ids are banded WITHOUT carrying signatures: the candidate join shuffles
+    only (id, band, bucket) — small rows — instead of 8*num_perm-byte
+    signature arrays; signatures rejoin onto the (few) surviving candidate
+    pairs afterwards.  Shared by the self-join pair generator
+    (:func:`minhash_lsh_pairs`) and the incremental two-corpus variant
+    (:func:`lsh_dedup_against`) so the two cannot disagree on band keys —
+    which is also what makes a PERSISTED band table written by one usable
+    as the historical index of the other.
+    """
+    rows_per_band = num_perm // bands
+
+    def band_key(b: Column) -> Column:
+        joined = F.concat_ws(",", F.transform(
+            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+            lambda v: v.cast("string"),
+        ))
+        return joined if hash_fn == "portable" else F.xxhash64(joined).cast("string")
+
+    return sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(b.alias("band"), band_key(b).alias("bucket")),
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -744,7 +776,6 @@ def minhash_lsh_pairs(
     shuffle key for extreme scale (a 2^-64 collision can at worst add one
     candidate pair, which the verify step then scores honestly).
     """
-    rows_per_band = num_perm // bands
     # materialize signatures once: three consumers follow (banding + both
     # sides of the candidate verify join) and recomputing the explode+64-agg
     # DAG per consumer costs more than the signature table's storage.  At
@@ -752,27 +783,7 @@ def minhash_lsh_pairs(
     sig = minhash_signatures(df, id_col, text_col, n, num_perm, hash_fn).localCheckpoint(
         eager=False
     )
-    # band the ids WITHOUT carrying signatures: the candidate join shuffles
-    # only (id, band, bucket) — small rows — instead of 8*num_perm-byte
-    # signature arrays; signatures rejoin onto the (few) surviving candidate
-    # pairs afterwards
-
-    def band_key(b: Column) -> Column:
-        joined = F.concat_ws(",", F.transform(
-            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-            lambda v: v.cast("string"),
-        ))
-        return joined if hash_fn == "portable" else F.xxhash64(joined).cast("string")
-
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(b.alias("band"), band_key(b).alias("bucket")),
-            )
-        ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = _banded_ids(sig, num_perm, bands, hash_fn)
 
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -805,6 +816,84 @@ def minhash_lsh_pairs(
         )
     )
     return est.filter(F.col("est_jaccard") >= threshold).select("id_a", "id_b", "est_jaccard")
+
+
+def lsh_dedup_against(
+    df: DataFrame,
+    reference: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    hash_fn: str = "portable",
+) -> DataFrame:
+    """Incremental NEAR-dup: drop incoming rows whose estimated Jaccard
+    against ANY document of a historical REFERENCE corpus reaches
+    ``threshold`` — the fuzzy counterpart of :func:`dedup_against` (which
+    only catches byte-identical content).  A re-crawled page with a new
+    timestamp or reshuffled boilerplate sails through digest dedup; its
+    MinHash signature still collides with the stored one.
+
+    Same signature/banding machinery as :func:`minhash_lsh_pairs`
+    (:func:`_banded_ids` is literally shared), but the candidate join is
+    new×reference instead of a self-join: incoming band keys probe the
+    reference band table, survivors of the band filter verify on full
+    signatures, and verified hits anti-join out of the incoming batch.
+    Within-batch duplicates are NOT collapsed here (minhash_lsh_pairs +
+    resolve_duplicates is that job), mirroring dedup_against's contract.
+
+    Scale shape (100 TB): at warehouse scale the reference side's
+    (signatures, band table) pair is the PERSISTED index an incremental
+    crawl pipeline maintains — band keys for the probe, signatures for the
+    verify, content never re-read.  The band join shuffles (id, band,
+    bucket) rows only; signatures rejoin on the (few) band-collision
+    survivors; the final anti-join carries bare ids.  Every stage is keyed
+    by band bucket or id — no all-pairs path at any size.
+    """
+    sig_new = minhash_signatures(df, id_col, text_col, n, num_perm, hash_fn).localCheckpoint(
+        eager=False
+    )
+    sig_ref = minhash_signatures(
+        reference, id_col, text_col, n, num_perm, hash_fn
+    ).localCheckpoint(eager=False)
+    cand = (
+        _banded_ids(sig_new, num_perm, bands, hash_fn)
+        .withColumnRenamed("id", "new_id")
+        .join(
+            _banded_ids(sig_ref, num_perm, bands, hash_fn)
+            .withColumnRenamed("id", "ref_id"),
+            ["band", "bucket"],
+        )
+        .select("new_id", "ref_id")
+        .dropDuplicates(["new_id", "ref_id"])
+    )
+    est = (
+        cand.join(sig_new.select(F.col("id").alias("new_id"), F.col("sig").alias("sig_n")), "new_id")
+        .join(sig_ref.select(F.col("id").alias("ref_id"), F.col("sig").alias("sig_r")), "ref_id")
+        .withColumn(
+            "est_jaccard",
+            F.round(
+                F.size(
+                    F.filter(
+                        F.zip_with(F.col("sig_n"), F.col("sig_r"), lambda x, y: (x == y).cast("int")),
+                        lambda v: v == 1,
+                    )
+                )
+                / F.lit(num_perm),
+                6,
+            ),
+        )
+    )
+    dup_ids = (
+        est.filter(F.col("est_jaccard") >= threshold)
+        .select(F.col("new_id").alias("__dup_id"))
+        .distinct()
+    )
+    return df.join(
+        dup_ids, F.col(id_col) == F.col("__dup_id"), "left_anti"
+    )
 
 
 # ---------------------------------------------------------------------------

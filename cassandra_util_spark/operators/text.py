@@ -250,6 +250,89 @@ def tfidf_top_terms(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: tuple[str, ...],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 top-``k`` retrieval for one query over the corpus:
+    (id, score, rank) for the ``k`` best documents.
+
+    Scoring follows BM25's two levers — tf saturation
+    ``tf·(k1+1) / (tf + k1·(1-b + b·dl/avgdl))`` and document-length
+    normalization — but the idf factor is the RATIONAL form
+    ``(N - df + 0.5) / (df + 0.5)`` without the log, the
+    :func:`tfidf_top_terms` discipline: the textbook ``ln`` is monotone in
+    this ratio (per-term ranking is unchanged) while libm logs are only
+    ~1-ulp-correct and engine-specific, which can flip a rank at a tie
+    boundary.  Per-term scores are scaled to integers (``round(s·10^9)``
+    as bigint — one correctly-rounded double product and a half-away
+    round, identical in any engine) and summed EXACTLY — order-free under
+    any partitioning, with none of the double→decimal conversion
+    subtleties a DECIMAL(38,9) sum would reintroduce — then the document
+    score is two final correctly-rounded double divisions and a 6dp round,
+    so the output hash-matches an independent engine bit for bit.
+
+    Plan shape at scale: the query-term IN-list is a LITERAL predicate
+    folded into the scan (rows for non-query terms never leave the explode
+    stage), so the tf table is bounded by |query| rows per document; the
+    document-frequency table is at most |query| rows (broadcast — bounded
+    by the QUERY, not the corpus, unlike the tfidf df-table); (N, Σdl)
+    broadcast as a 1-row aggregate.  One shuffle on (id, term) with
+    map-side partial counts, one on id for the final sum; the top-k window
+    ranks |matching docs| rows with a total (score desc, id) tiebreak.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    qt = [t.lower() for t in query_terms]
+    toks = _norm_tokens(F.col(text_col))
+    dld = df.select(F.col(id_col).alias("id"), F.size(toks).alias("dl"))
+    stats = dld.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.size(toks).alias("dl"),
+            F.explode(toks).alias("term"),
+        )
+        .filter(F.col("term").isin(qt))
+        .groupBy("id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # expression order mirrored verbatim in the SQL oracle: every
+    # intermediate is double with the same association, so each IEEE op
+    # rounds identically on both engines
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    sat = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / avgdl))
+    )
+    per_term = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("id", F.round(idf * sat * F.lit(1.0e9)).cast("bigint").alias("s9"))
+    )
+    from pyspark.sql import Window
+
+    scored = per_term.groupBy("id").agg(
+        F.round(F.sum("s9").cast("double") / F.lit(1.0e9), 6).alias("score")
+    )
+    # global top-k via orderBy+limit — TakeOrderedAndProject keeps partial
+    # top-k per partition and merges k rows on the driver (scale-safe); the
+    # unpartitioned rank window then runs over k rows only, never the corpus
+    top = scored.orderBy(F.col("score").desc(), F.col("id").asc()).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col("id").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        F.col("id").alias(id_col), "score", "rank"
+    )
+
+
 def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One-pass profile: counts, fingerprint, quality, language."""
     t = F.col(text_col)

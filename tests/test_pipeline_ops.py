@@ -1317,3 +1317,175 @@ def test_winnowing_fast_mode_guarantee_and_validation(spark):
 
     with _pytest.raises(ValueError, match="unknown hash_fn"):
         winnowing_pairs(df, "doc_id", "text", hash_fn="sha9")
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval
+# ---------------------------------------------------------------------------
+
+def test_bm25_prefers_term_density_and_respects_k(spark):
+    from cassandra_util_spark.operators.text import bm25_topk
+
+    rows = [
+        (1, "spark spark spark engine"),            # high tf, short doc
+        (2, "spark " + "filler " * 200),            # one hit, long doc
+        (3, "nothing relevant here at all"),        # no hit -> absent
+        (4, "spark engine"),                        # one hit, shortest doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = bm25_topk(df, "doc_id", "text", ("spark",), k=2).collect()
+    assert [r["doc_id"] for r in out] == sorted(
+        [r["doc_id"] for r in out],
+        key=lambda i: [r["rank"] for r in out if r["doc_id"] == i],
+    )
+    ids = {r["doc_id"] for r in out}
+    assert len(out) == 2 and 3 not in ids
+    # tf saturation + length normalization: the dense short doc wins
+    assert out[0]["doc_id"] == 1
+    scores = {r["doc_id"]: r["score"] for r in out}
+    assert all(s > 0 for s in scores.values())
+
+
+def test_bm25_validation_and_multi_term(spark, docs):
+    from cassandra_util_spark.operators.text import bm25_topk
+
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_topk(docs, "doc_id", "text", ())
+    out = bm25_topk(docs, "doc_id", "text", ("merge", "vector"), k=5).collect()
+    assert len(out) == 5
+    assert [r["rank"] for r in out] == [1, 2, 3, 4, 5]
+    # scores are non-increasing in rank, ties broken by id
+    s = [r["score"] for r in out]
+    assert s == sorted(s, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights
+# ---------------------------------------------------------------------------
+
+def test_dsir_weights_target_like_above_raw_like(spark):
+    from cassandra_util_spark.operators.selection import dsir_importance_weights
+
+    target_text = "the quick brown fox jumps over the lazy dog again and again"
+    noise = [
+        (100 + i, " ".join(f"junk{i}tok{j}" for j in range(12)), "noise")
+        for i in range(20)
+    ]
+    rows = [
+        (1, target_text, "tgt"),
+        (2, "the quick brown fox jumps high", "tgt-like"),
+        (3, "zz qq ww ee rr tt yy uu", "unlike"),
+    ] + noise
+    raw = spark.createDataFrame(rows, "doc_id bigint, text string, kind string")
+    target = raw.filter(F.col("kind") == "tgt")
+    w = {
+        r["doc_id"]: r["weight"]
+        for r in dsir_importance_weights(raw, target, "doc_id", "text").collect()
+    }
+    # the target doc itself and its near-clone outrank the unlike doc
+    assert w[1] > w[3] and w[2] > w[3]
+
+
+def test_dsir_weight_partitioning_invariant(spark, docs):
+    """Exact integer aggregation: weights are identical under repartition."""
+    from cassandra_util_spark.operators.selection import dsir_importance_weights
+
+    target = docs.filter(F.col("lang") == "en")
+    a = dsir_importance_weights(docs, target, "doc_id", "text")
+    b = dsir_importance_weights(docs.repartition(13), target.repartition(7),
+                                "doc_id", "text")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_hashed_gram_buckets_validation(spark):
+    from cassandra_util_spark.operators.selection import hashed_gram_buckets
+
+    with pytest.raises(ValueError, match="n must be"):
+        hashed_gram_buckets(F.col("text"), n=0)
+    with pytest.raises(ValueError, match="num_buckets"):
+        hashed_gram_buckets(F.col("text"), num_buckets=0)
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dup LSH
+# ---------------------------------------------------------------------------
+
+def test_lsh_dedup_against_drops_exact_and_near(spark):
+    from cassandra_util_spark.operators.dedup import lsh_dedup_against
+
+    base = " ".join(f"tok{i} mid{i*3%7}" for i in range(40))
+    ref_rows = [(1, base), (2, "completely different historical page content here")]
+    new_rows = [
+        (10, base),                                  # exact re-crawl -> dropped
+        (11, base + " tiny new suffix"),             # near-variant -> dropped
+        (12, " ".join(f"fresh{i} novel{i}" for i in range(40))),  # new -> kept
+    ]
+    ref = spark.createDataFrame(ref_rows, "doc_id bigint, text string")
+    new = spark.createDataFrame(new_rows, "doc_id bigint, text string")
+    kept = {r["doc_id"] for r in
+            lsh_dedup_against(new, ref, "doc_id", "text").select("doc_id").collect()}
+    assert kept == {12}
+
+
+def test_lsh_dedup_against_no_within_batch_collapse(spark):
+    """Duplicates WITHIN the incoming batch survive (minhash_lsh_pairs'
+    job) — only reference collisions drop, mirroring dedup_against."""
+    from cassandra_util_spark.operators.dedup import lsh_dedup_against
+
+    txt = " ".join(f"only batch{i} tok{i}" for i in range(30))
+    ref = spark.createDataFrame(
+        [(1, "some unrelated archive page")], "doc_id bigint, text string")
+    new = spark.createDataFrame(
+        [(10, txt), (11, txt)], "doc_id bigint, text string")
+    kept = {r["doc_id"] for r in
+            lsh_dedup_against(new, ref, "doc_id", "text").collect()}
+    assert kept == {10, 11}
+
+
+# ---------------------------------------------------------------------------
+# prototypicality pruning
+# ---------------------------------------------------------------------------
+
+def test_prototypicality_prune_cut_counts(spark, vecs):
+    from cassandra_util_spark.operators.similarity import prototypicality_prune
+    import math
+
+    out = prototypicality_prune(vecs, "vec_id", "label", "embedding",
+                                drop_fraction=0.2)
+    per = out.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("keep").cast("int")).alias("kept"),
+    ).collect()
+    for r in per:
+        assert r["kept"] == r["n"] - math.floor(0.2 * r["n"])
+    # rank 1 is the most prototypical and is dropped whenever n_drop >= 1
+    top = out.filter(F.col("rank") == 1).collect()
+    for r in top:
+        n = next(p["n"] for p in per if p["label"] == r["label"])
+        assert r["keep"] == (math.floor(0.2 * n) < 1)
+
+
+def test_label_centroids_partitioning_invariant(spark, vecs):
+    """Integer-grid quantization: centroids identical under repartition."""
+    from cassandra_util_spark.operators.similarity import label_centroids
+
+    a = sorted(map(tuple, label_centroids(vecs).collect()))
+    b = sorted(map(tuple, label_centroids(vecs.repartition(17)).collect()))
+    assert a == b
+
+
+def test_prototype_rank_orders_by_centroid_cosine(spark):
+    from cassandra_util_spark.operators.similarity import prototypicality_prune
+
+    # 3 on-axis members and one off-axis outlier: the outlier must rank last
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], 0),
+        (2, [0.9, 0.1, 0.0, 0.0], 0),
+        (3, [0.95, 0.05, 0.0, 0.0], 0),
+        (4, [0.0, 0.0, 1.0, 0.0], 0),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    out = {r["vec_id"]: r for r in
+           prototypicality_prune(df, drop_fraction=0.25).collect()}
+    assert out[4]["rank"] == 4 and out[4]["keep"]
+    assert not out[min(out, key=lambda i: out[i]["rank"])]["keep"]
