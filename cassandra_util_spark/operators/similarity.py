@@ -522,6 +522,7 @@ def prototypicality_prune(
     label_col: str = "label",
     vec_col: str = "embedding",
     drop_fraction: float = 0.2,
+    mode: str = "rank",
 ) -> DataFrame:
     """SSL-prototypes data pruning (Sorscher et al. 2022, "Beyond neural
     scaling laws: beating power law scaling via data pruning"): rank every
@@ -530,18 +531,27 @@ def prototypicality_prune(
     nearest the prototype carry the least marginal information, and pruning
     them beats random subsetting.
 
-    Output: (id, label, proto_cos, rank, keep) for every input row —
-    ``rank`` 1 = most prototypical within the label; ``keep`` is False for
-    the first ``floor(drop_fraction * n_label)`` ranks.  Ties break on id,
-    making the cut frontier total-ordered and reproducible.
+    ``mode='rank'`` (default, the contract-precision path): (id, label,
+    proto_cos, rank, keep) for every input row — ``rank`` 1 = most
+    prototypical within the label; ``keep`` is False for the first
+    ``floor(drop_fraction * n_label)`` ranks.  Ties break on id, making
+    the cut frontier total-ordered and reproducible.  The rank window
+    shuffles once keyed by label; a heavily skewed label (one label = half
+    the corpus) serializes its ranking into one task.
 
-    Scale shape: the centroid table (:func:`label_centroids`) is one row
-    per label and broadcasts; scoring is a map-only expression cosine; the
-    rank window shuffles once keyed by label.  A heavily skewed label
-    (one label = half the corpus) serializes its ranking into one task —
-    the standard window-skew remedy (pre-aggregate a per-label score
-    histogram and cut at a quantile instead of an exact rank) is documented
-    here as the >10^9-rows-per-label escape hatch, not default behavior.
+    ``mode='approx'`` (the skewed-label 100 TB path, the
+    commonness_buckets discipline): one per-label approx_percentile
+    aggregate yields the score cutoff at (1 - drop_fraction); keep becomes
+    a MAP-SIDE comparison against the broadcast cutoff table — no rank
+    window, no per-label serialization.  Output drops ``rank`` (it would
+    need the window this mode exists to avoid): (id, label, proto_cos,
+    keep).  Boundary examples within approx-quantile error of the cutoff
+    may flip keep, which fraction-targeted pruning tolerates by
+    construction.
+
+    Scale shape (both modes): the centroid table (:func:`label_centroids`)
+    is one row per label and broadcasts; scoring is a map-only expression
+    cosine.
     """
     cents = label_centroids(df, label_col, vec_col).withColumnRenamed("label", "__lbl")
     scored = (
@@ -552,15 +562,35 @@ def prototypicality_prune(
             "n_members",
         )
     )
-    w = Window.partitionBy("label").orderBy(F.col("proto_cos").desc(), F.col("id").asc())
-    n_drop = F.floor(F.lit(drop_fraction) * F.col("n_members"))
+    if mode == "rank":
+        w = Window.partitionBy("label").orderBy(
+            F.col("proto_cos").desc(), F.col("id").asc()
+        )
+        n_drop = F.floor(F.lit(drop_fraction) * F.col("n_members"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .select(
+                F.col("id").alias(id_col),
+                "label",
+                "proto_cos",
+                "rank",
+                (F.col("rank") > n_drop).alias("keep"),
+            )
+        )
+    if mode != "approx":
+        raise ValueError(f"unknown mode {mode!r}: rank | approx")
+    # the scored subtree feeds two consumers (cutoffs + the gate); without
+    # the materialization the centroid join and cosine run twice
+    scored = scored.localCheckpoint(eager=False)
+    cuts = scored.groupBy("label").agg(
+        F.percentile_approx("proto_cos", 1.0 - drop_fraction, 10_000).alias("__cut")
+    )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.join(F.broadcast(cuts), "label")
         .select(
             F.col("id").alias(id_col),
             "label",
             "proto_cos",
-            "rank",
-            (F.col("rank") > n_drop).alias("keep"),
+            (F.col("proto_cos") <= F.col("__cut")).alias("keep"),
         )
     )

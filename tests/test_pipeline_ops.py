@@ -1489,3 +1489,23 @@ def test_prototype_rank_orders_by_centroid_cosine(spark):
            prototypicality_prune(df, drop_fraction=0.25).collect()}
     assert out[4]["rank"] == 4 and out[4]["keep"]
     assert not out[min(out, key=lambda i: out[i]["rank"])]["keep"]
+
+
+def test_prototypicality_approx_matches_exact_and_no_window(spark, vecs):
+    """The approx (skewed-label) path agrees with the rank path away from
+    the cutoff boundary, and its plan has no rank window at all."""
+    from cassandra_util_spark.operators.similarity import prototypicality_prune
+
+    exact = prototypicality_prune(vecs, mode="rank")
+    approx = prototypicality_prune(vecs, mode="approx")
+    assert set(approx.columns) == {"vec_id", "label", "proto_cos", "keep"}
+    e = {r["vec_id"]: r["keep"] for r in exact.collect()}
+    a = {r["vec_id"]: r["keep"] for r in approx.collect()}
+    assert set(e) == set(a)
+    # keep decisions agree on the vast majority; only boundary ties may flip
+    disagree = sum(1 for k in e if e[k] != a[k])
+    assert disagree <= max(2, len(e) // 20)
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    with pytest.raises(ValueError, match="unknown mode"):
+        prototypicality_prune(vecs, mode="median")
