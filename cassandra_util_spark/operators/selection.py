@@ -126,10 +126,14 @@ def dsir_importance_weights(
     # by construction, so the driver-free outer join and the broadcast are
     # bounded by config, not data
     # totals named tot_r/tot_t: Spark resolution is case-insensitive, so
-    # "R"/"T" would collide with the per-bucket r/t columns after the join
+    # "R"/"T" would collide with the per-bucket r/t columns after the join.
+    # COALESCE to 0: a target with no grams sums to NULL, which would NULL
+    # every weight — the add-half smoothing is built to handle zero-count
+    # distributions, so let it (hypothesis-found edge,
+    # test_dsir_matches_reference_arithmetic)
     totals = (
-        raw_k.agg(F.sum("r").alias("tot_r"))
-        .crossJoin(tgt_k.agg(F.sum("t").alias("tot_t")))
+        raw_k.agg(F.coalesce(F.sum("r"), F.lit(0)).alias("tot_r"))
+        .crossJoin(tgt_k.agg(F.coalesce(F.sum("t"), F.lit(0)).alias("tot_t")))
     )
     ratios = (
         raw_k.join(tgt_k, "k", "full_outer")

@@ -224,3 +224,122 @@ def test_winnowing_matches_reference_and_guarantee(spark, a, b, k, w):
     runs_b = {tuple(docs[2][i:i + t]) for i in range(len(docs[2]) - t + 1)}
     if runs_a & runs_b:
         assert got[1] & got[2]
+
+
+def _half_away(x: float) -> int:
+    """round-half-away-from-zero to integer — the mode Spark ROUND
+    (BigDecimal HALF_UP) and DuckDB round() share; Python round() is
+    half-EVEN and would diverge on exact .5 boundaries."""
+    import math
+
+    return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+
+def _round6(x: float) -> float:
+    return _half_away(x * 10.0 ** 6) / 10.0 ** 6
+
+
+bm25_doc_strategy = st.lists(st.integers(0, 7), min_size=1, max_size=40)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    docs=st.lists(bm25_doc_strategy, min_size=1, max_size=8),
+    query=st.sets(st.integers(0, 7), min_size=1, max_size=3),
+)
+def test_bm25_matches_reference_arithmetic(spark, docs, query):
+    """The Catalyst BM25 agrees score-for-score (and rank-for-rank) with a
+    direct Python evaluation of the documented formula — same op order,
+    same integer scaling, same half-away rounding — on arbitrary corpora."""
+    from cassandra_util_spark.operators.text import bm25_topk
+
+    corpus = {i: [f"w{t}" for t in d] for i, d in enumerate(docs)}
+    terms = tuple(f"w{t}" for t in sorted(query))
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in corpus.items()], "doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: (r["score"], r["rank"])
+        for r in bm25_topk(df, "doc_id", "text", terms, k=len(corpus)).collect()
+    }
+
+    n_docs = len(corpus)
+    sum_dl = sum(len(t) for t in corpus.values())
+    avgdl = float(sum_dl) / n_docs
+    dfreq = {t: sum(1 for toks in corpus.values() if t in toks) for t in terms}
+    ref_scores = {}
+    for i, toks in corpus.items():
+        s9 = 0
+        hit = False
+        for t in terms:
+            tf = toks.count(t)
+            if tf == 0:
+                continue
+            hit = True
+            idf = (n_docs - dfreq[t] + 0.5) / (dfreq[t] + 0.5)
+            sat = (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (len(toks) / avgdl)))
+            s9 += _half_away(idf * sat * 1.0e9)
+        if hit:
+            ref_scores[i] = _round6(float(s9) / 1.0e9)
+    ranked = sorted(ref_scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    expect = {i: (s, r + 1) for r, (i, s) in enumerate(ranked)}
+    assert got == expect
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    docs=st.lists(st.lists(st.integers(0, 9), min_size=0, max_size=25),
+                  min_size=2, max_size=8),
+    n_target=st.integers(1, 3),
+)
+def test_dsir_matches_reference_arithmetic(spark, docs, n_target):
+    """The Catalyst DSIR weighting agrees weight-for-weight with a direct
+    Python evaluation of the documented likelihood-ratio estimator (same
+    hash, same integer products, same rounding) on arbitrary corpora."""
+    import hashlib
+
+    from cassandra_util_spark.operators.selection import dsir_importance_weights
+
+    B = 64
+    corpus = {i: [f"w{t}" for t in d] for i, d in enumerate(docs)}
+    target_ids = set(list(corpus)[:n_target])
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in corpus.items()], "doc_id bigint, text string"
+    )
+    target = df.filter(F.col("doc_id").isin([int(i) for i in target_ids]))
+    got = {
+        r["doc_id"]: (r["n_grams"], r["weight"])
+        for r in dsir_importance_weights(df, target, "doc_id", "text",
+                                         n=2, num_buckets=B).collect()
+    }
+
+    def bucket(g: str) -> int:
+        return (int(hashlib.md5(g.encode()).hexdigest()[:8], 16) & 0x7FFFFFFF) % B
+
+    def grams(toks):
+        return [" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)]
+
+    raw_k: dict[int, int] = {}
+    tgt_k: dict[int, int] = {}
+    doc_k: dict[int, dict[int, int]] = {}
+    for i, toks in corpus.items():
+        ks = [bucket(g) for g in grams(toks)]
+        if not ks:
+            continue
+        doc_k[i] = {}
+        for k in ks:
+            raw_k[k] = raw_k.get(k, 0) + 1
+            doc_k[i][k] = doc_k[i].get(k, 0) + 1
+            if i in target_ids:
+                tgt_k[k] = tgt_k.get(k, 0) + 1
+    R, T = sum(raw_k.values()), sum(tgt_k.values())
+    expect = {}
+    for i, counts in doc_k.items():
+        num9 = 0
+        for k, c in counts.items():
+            lam = float((2 * tgt_k.get(k, 0) + 1) * (2 * R + B)) / float(
+                (2 * raw_k.get(k, 0) + 1) * (2 * T + B))
+            num9 += c * _half_away(lam * 1.0e9)
+        n_grams = sum(counts.values())
+        expect[i] = (n_grams, _round6(float(num9) / n_grams / 1.0e9))
+    assert got == expect
