@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "dsir_select",
     "dedup_incremental_lsh",
     "embedding_prototypes",
+    "hard_negatives",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash
     # swapped to xxhash64 — the production configuration at scale

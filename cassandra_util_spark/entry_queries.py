@@ -3494,3 +3494,53 @@ def embedding_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "embeddings")
     return prototypicality_prune(d, "vec_id", "label", "embedding", drop_fraction=0.2)
+
+
+@query(
+    "hard_negatives",
+    oracle="""
+    WITH corpus AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    seeds AS (
+      SELECT vec_id AS cell, v AS cv FROM corpus
+      ORDER BY (vec_id * 2654435761) % 4294967296, vec_id LIMIT 16),
+    assigned AS (
+      SELECT vec_id, label, v, cell FROM (
+        SELECT c.vec_id, c.label, c.v, s.cell,
+               row_number() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY round(CASE WHEN isnan(list_cosine_similarity(c.v, s.cv))
+                                     THEN 0 ELSE list_cosine_similarity(c.v, s.cv)
+                                END, 4) DESC, s.cell ASC) AS rn
+        FROM corpus c CROSS JOIN seeds s) WHERE rn = 1),
+    cand AS (
+      SELECT a.vec_id AS anchor_id, b.vec_id AS negative_id,
+             round(CASE WHEN isnan(list_cosine_similarity(a.v, b.v)) THEN 0
+                        ELSE list_cosine_similarity(a.v, b.v) END, 4) AS cos_sim
+      FROM assigned a JOIN assigned b
+        ON a.cell = b.cell AND a.label <> b.label),
+    ranked AS (
+      SELECT anchor_id, negative_id, cos_sim,
+             CAST(row_number() OVER (PARTITION BY anchor_id
+               ORDER BY cos_sim DESC, negative_id ASC) AS BIGINT) AS rank
+      FROM cand)
+    SELECT anchor_id, negative_id, cos_sim, rank FROM ranked WHERE rank <= 3
+    """,
+)
+def hard_negatives_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the 3
+    most-similar embeddings with a DIFFERENT label, candidates restricted
+    to IVF-cell co-residents (16 deterministic hash-ordered seed cells —
+    the semantic_dedup scoping, which is what bounds the quadratic term by
+    Σ|cell|² at 100 TB; hard negatives are by definition near the anchor,
+    so cell co-residence is the right candidate generator).  4dp cosine
+    rounding + negative_id tiebreak make the ranking frontier
+    engine-exact; the oracle replays seeds, assignment, and the top-k."""
+    from cassandra_util_spark.operators.similarity import hard_negatives
+
+    d = _t(spark, sf_dir, "embeddings")
+    return hard_negatives(
+        d, "vec_id", "label", "embedding", k=3, mode="cell",
+        num_centroids=16, refine_iters=0,
+    )

@@ -468,6 +468,79 @@ def semantic_dedup(
     return resolve_duplicates(corpus, pairs, id_col)
 
 
+def hard_negatives(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    k: int = 5,
+    mode: str = "cell",
+    num_centroids: int = 16,
+    refine_iters: int = 0,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the ``k``
+    most cosine-similar examples carrying a DIFFERENT label — the negatives
+    that actually move a contrastive loss (random negatives are trivially
+    distant; the hard ones adjacent to the decision boundary carry the
+    gradient signal).
+
+    Output: (anchor_id, negative_id, cos_sim, rank) with cosines rounded to
+    4dp before ranking (the embedding_neardup frontier discipline) and ties
+    broken on negative_id — a total, engine-reproducible order.
+
+    ``mode='cell'`` (default, the 100 TB path): candidates are restricted
+    to IVF-cell co-residents (:func:`ivf_seeds` → optional
+    :func:`kmeans_refine` → :func:`ivf_assign`), exactly the semantic_dedup
+    scoping — the quadratic term is Σ|cell|², bounded by ``num_centroids``,
+    and the candidate join is one shuffle keyed by cell.  Cross-cell
+    negatives are the accepted approximation (hard negatives are by
+    definition NEAR the anchor, which is what cell co-residence captures;
+    raise ``num_centroids`` granularity or ``refine_iters`` for tighter
+    cells).  ``mode='exact'`` scores all label-mismatched pairs — the
+    oracle/audit path, O(N²), small-N only (the ngram exact-mode
+    convention).
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(label_col).alias("lbl"), F.col(vec_col).alias("vec")
+    )
+    if mode == "cell":
+        seeds = ivf_seeds(df, id_col, vec_col, num_centroids)
+        cents = (
+            kmeans_refine(df, seeds, id_col, vec_col, refine_iters).localCheckpoint()
+            if refine_iters
+            else seeds
+        )
+        assigned = ivf_assign(df, cents, id_col, vec_col).select(
+            F.col(id_col).alias("id"),
+            F.col(label_col).alias("lbl"),
+            F.col(vec_col).alias("vec"),
+            "cell",
+        )
+        a, b = assigned.alias("a"), assigned.alias("b")
+        cand = a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell")) & (F.col("a.lbl") != F.col("b.lbl")),
+        )
+    elif mode == "exact":
+        a, b = base.alias("a"), base.alias("b")
+        cand = a.join(b, F.col("a.lbl") != F.col("b.lbl"))
+    else:
+        raise ValueError(f"unknown mode {mode!r}: cell | exact")
+    scored = cand.select(
+        F.col("a.id").alias("anchor_id"),
+        F.col("b.id").alias("negative_id"),
+        F.round(cosine(F.col("a.vec"), F.col("b.vec")), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos_sim").desc(), F.col("negative_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("anchor_id", "negative_id", "cos_sim", "rank")
+    )
+
+
 def label_centroids(
     df: DataFrame,
     label_col: str = "label",

@@ -1509,3 +1509,52 @@ def test_prototypicality_approx_matches_exact_and_no_window(spark, vecs):
     assert "Window" not in plan
     with pytest.raises(ValueError, match="unknown mode"):
         prototypicality_prune(vecs, mode="median")
+
+
+def test_hard_negatives_label_mismatch_and_rank(spark, vecs):
+    from cassandra_util_spark.operators.similarity import hard_negatives
+
+    out = hard_negatives(vecs, k=3, mode="cell")
+    labels = {r["vec_id"]: r["label"] for r in vecs.select("vec_id", "label").collect()}
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert labels[r["anchor_id"]] != labels[r["negative_id"]]
+        assert 1 <= r["rank"] <= 3
+    # per-anchor scores non-increasing in rank
+    by_anchor = {}
+    for r in rows:
+        by_anchor.setdefault(r["anchor_id"], []).append((r["rank"], r["cos_sim"]))
+    for v in by_anchor.values():
+        v.sort()
+        assert all(a[1] >= b[1] for a, b in zip(v, v[1:]))
+
+
+def test_hard_negatives_exact_finds_planted_boundary(spark):
+    from cassandra_util_spark.operators.similarity import hard_negatives
+
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.99, 0.14, 0.0], 1),   # adjacent, other label -> the hard negative
+        (3, [0.0, 1.0, 0.0], 1),     # far, other label
+        (4, [0.9, 0.1, 0.0], 0),     # near but same label -> excluded
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    out = {(r["anchor_id"], r["rank"]): r["negative_id"]
+           for r in hard_negatives(df, k=1, mode="exact").collect()}
+    assert out[(1, 1)] == 2
+    with pytest.raises(ValueError, match="unknown mode"):
+        hard_negatives(df, mode="fuzzy")
+
+
+def test_hard_negatives_cell_subset_of_exact(spark, vecs):
+    """Cell mode scores a subset of the exact pair space with identical
+    cosines — the approximation only prunes candidates, never rescores."""
+    from cassandra_util_spark.operators.similarity import hard_negatives
+
+    sub = vecs.limit(120)
+    exact = {(r["anchor_id"], r["negative_id"]): r["cos_sim"]
+             for r in hard_negatives(sub, k=1000, mode="exact").collect()}
+    cell = hard_negatives(sub, k=3, mode="cell").collect()
+    for r in cell:
+        assert exact[(r["anchor_id"], r["negative_id"])] == r["cos_sim"]
