@@ -263,3 +263,37 @@ def streaming_dedup(
         keys = keys + ["__digest"]
     out = keyed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
     return out.drop("__digest") if digest_cols else out
+
+
+def streaming_dedup_against(
+    stream: DataFrame,
+    reference: DataFrame,
+    content_cols: tuple[str, ...],
+) -> DataFrame:
+    """Streaming incremental dedup against a HISTORICAL store — the
+    streaming form of :func:`operators.dedup.dedup_against`: every
+    micro-batch anti-joins the static reference digest set, so records
+    whose content already exists in history never reach the sink.
+    Composes with :func:`streaming_dedup` (within-stream duplicates) the
+    same way the batch operators split the job.
+
+    ``reference`` is a STATIC DataFrame (the persisted digest table of the
+    historical corpus — one 32-byte digest per document, content never
+    re-read); a stream-static left-anti join is fully supported by
+    Structured Streaming, is stateless (nothing accumulates — the static
+    side is re-resolvable per batch, picking up reference refreshes on
+    restart), and broadcasts or shuffle-joins by AQE's choice exactly as
+    in batch.  Output matches batch ``dedup_against`` row-for-row on the
+    same inputs (pinned by test_streaming_dedup_against_matches_batch).
+    """
+    from cassandra_util_spark.operators.dedup import content_digest
+
+    dtypes = dict(reference.dtypes)
+    binary = {i for i, c in enumerate(content_cols) if dtypes.get(c) == "binary"}
+    digest = content_digest(*[F.col(c) for c in content_cols], binary=binary)
+    ref = reference.select(digest.alias("__digest")).distinct()
+    return (
+        stream.withColumn("__digest", digest)
+        .join(ref, "__digest", "left_anti")
+        .drop("__digest")
+    )

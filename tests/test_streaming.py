@@ -554,3 +554,45 @@ def test_streaming_compression_ratio_matches_batch(spark, workdir, events_src):
     got = sorted(map(tuple, spark.read.parquet(out).collect()))
     want = sorted(map(tuple, compression_ratio(batch_df, "event_id", "props").collect()))
     assert got == want and len(got) == batch_df.count()
+
+
+def test_streaming_dedup_against_matches_batch(spark, workdir):
+    """The stream-static anti-join drops exactly what batch dedup_against
+    drops: streamed documents whose content digest exists in the reference
+    store never reach the sink."""
+    from cassandra_util_spark.operators.dedup import dedup_against
+    from cassandra_util_spark.streaming.events import streaming_dedup_against
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    reference = docs.filter(F.col("doc_id") < 250)
+    incoming = docs.filter(F.col("doc_id") >= 200)
+
+    src = os.path.join(workdir, "docs-src")
+    out = os.path.join(workdir, "docs-new")
+    cp = os.path.join(workdir, "docs-cp")
+    incoming.write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(incoming.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    fresh = streaming_dedup_against(stream, reference, ("text",))
+    assert fresh.isStreaming
+    q = (
+        fresh.writeStream.outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()}
+    want = {
+        r["doc_id"]
+        for r in dedup_against(incoming, reference, "doc_id", ["text"])
+        .select("doc_id").collect()
+    }
+    assert got == want and got  # non-empty and row-identical to batch
