@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "dedup_incremental_lsh",
     "embedding_prototypes",
     "hard_negatives",
+    "q14_promo_revenue",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash
     # swapped to xxhash64 — the production configuration at scale

@@ -3544,3 +3544,61 @@ def hard_negatives_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "vec_id", "label", "embedding", k=3, mode="cell",
         num_centroids=16, refine_iters=0,
     )
+
+
+@query(
+    "q14_promo_revenue",
+    oracle="""
+    WITH j AS (
+      SELECT CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2))) AS price,
+             p_type
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'),
+    agg AS (
+      SELECT SUM(CASE WHEN p_type = 'PROMO' THEN price
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS sp,
+             SUM(price) AS st
+      FROM j)
+    SELECT round(100.0::DOUBLE * (CAST(sp AS DOUBLE) / CAST(st AS DOUBLE)), 6)
+             AS promo_share,
+           CAST(sp AS DOUBLE) AS promo_revenue,
+           CAST(st AS DOUBLE) AS total_revenue
+    FROM agg
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion revenue share (TPC-H Q14 shape): the conditional-aggregate
+    ratio over a dimension-joined fact scan — part broadcasts, the shipdate
+    window pushes into the parquet scan, and revenue terms multiply in
+    DECIMAL so both sums are partitioning-exact; the share is one rounded
+    double division."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    price = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    j = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast(li.schema["l_shipdate"].dataType))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast(li.schema["l_shipdate"].dataType))
+        )
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .select(price.alias("price"), "p_type")
+    )
+    agg = j.agg(
+        F.sum(
+            F.when(F.col("p_type") == "PROMO", F.col("price")).otherwise(
+                F.lit(0).cast("decimal(18,2)")
+            )
+        ).alias("sp"),
+        F.sum("price").alias("st"),
+    )
+    return agg.select(
+        F.round(
+            F.lit(100.0) * (F.col("sp").cast("double") / F.col("st").cast("double")), 6
+        ).alias("promo_share"),
+        F.col("sp").cast("double").alias("promo_revenue"),
+        F.col("st").cast("double").alias("total_revenue"),
+    )
