@@ -3602,3 +3602,62 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sp").cast("double").alias("promo_revenue"),
         F.col("st").cast("double").alias("total_revenue"),
     )
+
+
+@query(
+    "bm25_batch_search",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+    toks AS (SELECT doc_id, list_filter(string_split(t, ' '), x -> x <> '') AS w
+             FROM norm),
+    dls AS (SELECT doc_id, len(w) AS dl FROM toks),
+    stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dls),
+    q(qid, terms) AS (VALUES (1, ['merge', 'vector']),
+                             (2, ['stream', 'batch']),
+                             (3, ['customer'])),
+    qt AS (SELECT DISTINCT qid, unnest(terms) AS term FROM q),
+    ex AS (SELECT t.doc_id, d.dl, unnest(t.w) AS term
+           FROM toks t JOIN dls d ON d.doc_id = t.doc_id),
+    tf AS (
+      SELECT qt.qid, ex.doc_id, ex.dl, ex.term, count(*) AS tf
+      FROM ex JOIN qt USING (term)
+      GROUP BY qt.qid, ex.doc_id, ex.dl, ex.term),
+    dfq AS (
+      SELECT term, count(*) AS df
+      FROM (SELECT DISTINCT term, doc_id FROM tf) GROUP BY term),
+    scored AS (
+      SELECT t.qid, t.doc_id,
+             round(CAST(CAST(sum(
+               CAST(round(((s.n_docs - q2.df + 0.5::DOUBLE) / (q2.df + 0.5::DOUBLE))
+                    * ((t.tf * 2.2::DOUBLE)
+                       / (t.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE
+                            * (t.dl / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))))
+                    * 1000000000.0::DOUBLE) AS BIGINT)
+             ) AS BIGINT) AS DOUBLE) / 1000000000.0::DOUBLE, 6) AS score
+      FROM tf t JOIN dfq q2 USING (term) CROSS JOIN stats s
+      GROUP BY t.qid, t.doc_id)
+    SELECT qid AS query_id, doc_id, score, CAST(rank AS INT) AS rank FROM (
+      SELECT qid, doc_id, score,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY score DESC, doc_id) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def bm25_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch BM25 retrieval: top-5 documents for each of three queries in
+    ONE corpus pass — the retrieval-evaluation / RAG-indexing shape.  The
+    corpus tokenizes once; the exploded query-term table (bounded by the
+    query workload, not the corpus) broadcasts into the token stream so
+    non-query tokens die map-side; ranking is a window keyed by query_id,
+    parallel across queries.  Same integer-scaled scoring as
+    ``bm25_search`` — a single-query batch reproduces it exactly
+    (test-pinned)."""
+    from cassandra_util_spark.operators.text import bm25_batch_topk
+
+    d = _t(spark, sf_dir, "documents")
+    q = spark.createDataFrame(
+        [(1, ["merge", "vector"]), (2, ["stream", "batch"]), (3, ["customer"])],
+        "query_id int, terms array<string>",
+    )
+    return bm25_batch_topk(d, q, "doc_id", "text", k=5)

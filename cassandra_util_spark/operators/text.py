@@ -337,6 +337,86 @@ def bm25_topk(
     )
 
 
+def bm25_batch_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Batch BM25: top-``k`` documents for EVERY query in a query table —
+    the retrieval-evaluation / RAG-indexing shape, where thousands of
+    queries score against one corpus in a single pass.
+
+    ``queries`` is (query_id, terms array<string>); terms are matched
+    against the NORMALIZED token stream (lowercase them).  Output:
+    (query_id, id, score, rank) with the same scoring, integer-scaling,
+    and rounding as :func:`bm25_topk` — a single-query batch reproduces
+    bm25_topk's scores exactly.
+
+    Plan shape at scale: the corpus tokenizes ONCE (shared projection);
+    the exploded (term, query_id) table is bounded by the QUERY WORKLOAD
+    (Σ|terms|) and broadcasts — the corpus explode joins it by term, so
+    only tokens some query mentions survive the join (everything else
+    dies map-side, the batch analog of the single-query IN-list).  Per-
+    (query, doc) partial counts shuffle once; document frequencies come
+    from the same tf table; ranking is one window keyed by query_id —
+    parallel across queries, never a global sort.
+    """
+    from pyspark.sql import Window
+
+    base = (
+        df.select(F.col(id_col).alias("id"), _norm_tokens(F.col(text_col)).alias("toks"))
+        .withColumn("dl", F.size("toks"))
+        .localCheckpoint(eager=False)
+    )
+    stats = base.agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl"))
+    qterms = queries.select(
+        F.col(query_id_col).alias("qid"),
+        F.explode(F.col(terms_col)).alias("term"),
+    ).distinct()
+    tf = (
+        base.select("id", "dl", F.explode("toks").alias("term"))
+        .join(F.broadcast(qterms), "term")
+        .groupBy("qid", "id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    # df(term) is query-independent: count each (term, doc) once even when
+    # several queries share the term
+    dfreq = (
+        tf.select("term", "id").distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    sat = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / avgdl))
+    )
+    per_term = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("qid", "id", F.round(idf * sat * F.lit(1.0e9)).cast("bigint").alias("s9"))
+    )
+    scored = per_term.groupBy("qid", "id").agg(
+        F.round(F.sum("s9").cast("double") / F.lit(1.0e9), 6).alias("score")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(query_id_col),
+            F.col("id").alias(id_col),
+            "score",
+            "rank",
+        )
+    )
+
+
 def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One-pass profile: counts, fingerprint, quality, language."""
     t = F.col(text_col)

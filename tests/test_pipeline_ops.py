@@ -1558,3 +1558,39 @@ def test_hard_negatives_cell_subset_of_exact(spark, vecs):
     cell = hard_negatives(sub, k=3, mode="cell").collect()
     for r in cell:
         assert exact[(r["anchor_id"], r["negative_id"])] == r["cos_sim"]
+
+
+def test_bm25_batch_single_query_matches_topk(spark, docs):
+    """A 1-query batch reproduces bm25_topk's scores exactly — the two
+    formulations share scoring arithmetic by construction."""
+    from cassandra_util_spark.operators.text import bm25_batch_topk, bm25_topk
+
+    q = spark.createDataFrame([(7, ["merge", "vector"])],
+                              "query_id int, terms array<string>")
+    batch = {
+        (r["doc_id"], r["rank"]): r["score"]
+        for r in bm25_batch_topk(docs, q, "doc_id", "text", k=8).collect()
+    }
+    single = {
+        (r["doc_id"], r["rank"]): r["score"]
+        for r in bm25_topk(docs, "doc_id", "text", ("merge", "vector"), k=8).collect()
+    }
+    assert batch == single
+
+
+def test_bm25_batch_queries_independent(spark, docs):
+    """Adding a second query must not perturb the first query's ranking
+    (document frequencies are per-term, not per-workload)."""
+    from cassandra_util_spark.operators.text import bm25_batch_topk
+
+    q1 = spark.createDataFrame([(1, ["stream"])], "query_id int, terms array<string>")
+    q2 = spark.createDataFrame(
+        [(1, ["stream"]), (2, ["stream", "customer"])],
+        "query_id int, terms array<string>",
+    )
+    a = sorted(map(tuple, bm25_batch_topk(docs, q1, "doc_id", "text", k=5).collect()))
+    b = sorted(
+        map(tuple, bm25_batch_topk(docs, q2, "doc_id", "text", k=5)
+            .filter(F.col("query_id") == 1).collect())
+    )
+    assert a == b
