@@ -3661,3 +3661,85 @@ def bm25_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id int, terms array<string>",
     )
     return bm25_batch_topk(d, q, "doc_id", "text", k=5)
+
+
+@query(
+    "hybrid_retrieval_rrf",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+    toks AS (SELECT doc_id, list_filter(string_split(t, ' '), x -> x <> '') AS w
+             FROM norm),
+    dls AS (SELECT doc_id, len(w) AS dl FROM toks),
+    stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dls),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(w) AS term FROM toks)
+      WHERE term IN ('merge', 'vector', 'stream')
+      GROUP BY doc_id, term),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    bscored AS (
+      SELECT t.doc_id,
+             round(CAST(CAST(sum(
+               CAST(round(((s.n_docs - q.df + 0.5::DOUBLE) / (q.df + 0.5::DOUBLE))
+                    * ((t.tf * 2.2::DOUBLE)
+                       / (t.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE
+                            * (d.dl / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))))
+                    * 1000000000.0::DOUBLE) AS BIGINT)
+             ) AS BIGINT) AS DOUBLE) / 1000000000.0::DOUBLE, 6) AS score
+      FROM tf t JOIN dfq q USING (term) JOIN dls d ON d.doc_id = t.doc_id
+      CROSS JOIN stats s GROUP BY t.doc_id),
+    text_run AS (
+      SELECT doc_id, rank FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        FROM bscored) WHERE rank <= 20),
+    vec_run AS (
+      SELECT neighbor_id AS doc_id, rank FROM (
+        SELECT c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 ORDER BY list_cosine_similarity(
+                            list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+                            list_transform(c.embedding, x -> CAST(x AS DOUBLE))) DESC,
+                          c.vec_id ASC) AS rank
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id = 0) WHERE rank <= 20),
+    contrib AS (
+      SELECT doc_id,
+             CAST(round((1.0::DOUBLE / (60 + rank)) * 1000000000.0::DOUBLE)
+                  AS BIGINT) AS c9
+      FROM text_run
+      UNION ALL
+      SELECT doc_id,
+             CAST(round((1.0::DOUBLE / (60 + rank)) * 1000000000.0::DOUBLE)
+                  AS BIGINT) AS c9
+      FROM vec_run),
+    fused AS (
+      SELECT doc_id, count(*) AS n_runs,
+             round(CAST(CAST(sum(c9) AS BIGINT) AS DOUBLE)
+                   / 1000000000.0::DOUBLE, 6) AS rrf_score
+      FROM contrib GROUP BY doc_id)
+    SELECT doc_id, CAST(n_runs AS BIGINT) AS n_runs, rrf_score,
+           CAST(rank AS INT) AS rank
+    FROM (SELECT doc_id, n_runs, rrf_score,
+                 row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rank
+          FROM fused)
+    WHERE rank <= 10
+    """,
+)
+def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: the BM25 lexical run
+    (terms {{merge, vector, stream}}, top-20) fuses with an embedding
+    cosine run (query vec_id=0, top-20; vec ids share the doc id space)
+    through RRF — only RANKS enter the combined score, so incomparable
+    score scales fuse robustly.  Integer-scaled contributions make the
+    fused scores and frontier engine-exact; both input runs and the fusion
+    are individually certified operators."""
+    from cassandra_util_spark.operators.similarity import cosine_topk
+    from cassandra_util_spark.operators.text import bm25_topk, rrf_fuse
+
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    text_run = bm25_topk(d, "doc_id", "text", ("merge", "vector", "stream"), k=20)
+    vec_run = cosine_topk(e, e.filter(F.col("vec_id") == 0), "vec_id", "embedding", k=20).select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rank")
+    )
+    return rrf_fuse([text_run, vec_run], "doc_id", k=10)

@@ -417,6 +417,60 @@ def bm25_batch_topk(
     )
 
 
+def rrf_fuse(
+    runs: list[DataFrame],
+    id_col: str,
+    rank_col: str = "rank",
+    k0: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR 2009) of
+    retrieval runs: ``score(d) = Σ_runs 1/(k0 + rank_run(d))`` — the
+    standard hybrid-retrieval combiner (BM25 run + embedding run), robust
+    to incomparable score scales because only RANKS enter the sum.
+
+    Each run is (id, rank) with at most one row per id (a top-k result).
+    Output: (id, n_runs, rrf_score, rank) for the fused top-``k``, ranked
+    by score with an id tiebreak.  Per-run contributions integer-scale to
+    ``round(1e9/(k0+rank))`` and sum exactly (the bm25_topk discipline), so
+    fused scores are engine-exact under any partitioning and run order.
+
+    Scale shape: inputs are top-k runs — already small; the fuse is one
+    union + one groupBy(id) with map-side partials, and the final top-k is
+    orderBy+limit (TakeOrderedAndProject) with the rank window over k rows.
+    """
+    if not runs:
+        raise ValueError("runs must be non-empty")
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    contrib = [
+        r.select(
+            F.col(id_col).alias("id"),
+            F.round(
+                (F.lit(1.0) / (F.lit(k0) + F.col(rank_col))) * F.lit(1.0e9)
+            )
+            .cast("bigint")
+            .alias("c9"),
+        )
+        for r in runs
+    ]
+    fused = (
+        reduce(lambda a, b: a.unionByName(b), contrib)
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_runs"),
+            F.round(F.sum("c9").cast("double") / F.lit(1.0e9), 6).alias("rrf_score"),
+        )
+    )
+    top = fused.orderBy(F.col("rrf_score").desc(), F.col("id").asc()).limit(k)
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col("id").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        F.col("id").alias(id_col), "n_runs", "rrf_score", "rank"
+    )
+
+
 def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One-pass profile: counts, fingerprint, quality, language."""
     t = F.col(text_col)

@@ -1594,3 +1594,30 @@ def test_bm25_batch_queries_independent(spark, docs):
             .filter(F.col("query_id") == 1).collect())
     )
     assert a == b
+
+
+def test_rrf_fuse_favors_cross_run_consensus(spark):
+    from cassandra_util_spark.operators.text import rrf_fuse
+
+    run_a = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id bigint, rank int")
+    run_b = spark.createDataFrame(
+        [(3, 1), (4, 2)], "doc_id bigint, rank int")
+    out = {r["doc_id"]: r for r in rrf_fuse([run_a, run_b], "doc_id", k=10).collect()}
+    # doc 3 appears in both runs -> highest fused score despite mid ranks
+    assert out[3]["n_runs"] == 2 and out[3]["rank"] == 1
+    assert out[1]["n_runs"] == 1
+    # single-run docs ordered by their own rank
+    assert out[1]["rrf_score"] > out[2]["rrf_score"]
+    with pytest.raises(ValueError, match="non-empty"):
+        rrf_fuse([], "doc_id")
+
+
+def test_rrf_fuse_run_order_invariant(spark):
+    from cassandra_util_spark.operators.text import rrf_fuse
+
+    a = spark.createDataFrame([(i, i) for i in range(1, 8)], "doc_id bigint, rank int")
+    b = spark.createDataFrame([(9 - i, i) for i in range(1, 8)], "doc_id bigint, rank int")
+    x = sorted(map(tuple, rrf_fuse([a, b], "doc_id", k=20).collect()))
+    y = sorted(map(tuple, rrf_fuse([b, a], "doc_id", k=20).collect()))
+    assert x == y
