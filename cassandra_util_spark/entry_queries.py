@@ -3604,17 +3604,22 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "bm25_batch_search",
-    oracle=f"""
-    WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+_BM25_QUERIES_VALUES = (
+    "VALUES (1, ['merge', 'vector']), (2, ['stream', 'batch']), (3, ['customer'])"
+)
+
+
+def _bm25_batch_ctes(values_sql: str, k: int) -> str:
+    """The batch-BM25 oracle CTE chain ending in a ``run`` CTE of
+    (qid, doc_id, score, rank<=k) — shared by the retrieval contract query
+    and its evaluation query so the two replay identical arithmetic."""
+    return f"""
+    norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
     toks AS (SELECT doc_id, list_filter(string_split(t, ' '), x -> x <> '') AS w
              FROM norm),
     dls AS (SELECT doc_id, len(w) AS dl FROM toks),
     stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dls),
-    q(qid, terms) AS (VALUES (1, ['merge', 'vector']),
-                             (2, ['stream', 'batch']),
-                             (3, ['customer'])),
+    q(qid, terms) AS ({values_sql}),
     qt AS (SELECT DISTINCT qid, unnest(terms) AS term FROM q),
     ex AS (SELECT t.doc_id, d.dl, unnest(t.w) AS term
            FROM toks t JOIN dls d ON d.doc_id = t.doc_id),
@@ -3635,13 +3640,21 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                     * 1000000000.0::DOUBLE) AS BIGINT)
              ) AS BIGINT) AS DOUBLE) / 1000000000.0::DOUBLE, 6) AS score
       FROM tf t JOIN dfq q2 USING (term) CROSS JOIN stats s
-      GROUP BY t.qid, t.doc_id)
-    SELECT qid AS query_id, doc_id, score, CAST(rank AS INT) AS rank FROM (
-      SELECT qid, doc_id, score,
-             row_number() OVER (PARTITION BY qid
-               ORDER BY score DESC, doc_id) AS rank
-      FROM scored)
-    WHERE rank <= 5
+      GROUP BY t.qid, t.doc_id),
+    run AS (
+      SELECT qid, doc_id, score, rank FROM (
+        SELECT qid, doc_id, score,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY score DESC, doc_id) AS rank
+        FROM scored)
+      WHERE rank <= {k})"""
+
+
+@query(
+    "bm25_batch_search",
+    oracle=f"""
+    WITH {_bm25_batch_ctes(_BM25_QUERIES_VALUES, 5)}
+    SELECT qid AS query_id, doc_id, score, CAST(rank AS INT) AS rank FROM run
     """,
 )
 def bm25_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3661,6 +3674,52 @@ def bm25_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id int, terms array<string>",
     )
     return bm25_batch_topk(d, q, "doc_id", "text", k=5)
+
+
+@query(
+    "retrieval_eval",
+    oracle=f"""
+    WITH {_bm25_batch_ctes(_BM25_QUERIES_VALUES, 5)},
+    qrels AS (
+      SELECT q.qid, t.doc_id
+      FROM toks t CROSS JOIN q
+      WHERE list_has_all(t.w, q.terms)),
+    n_rel AS (SELECT qid, count(*) AS n_rel FROM qrels GROUP BY qid),
+    hit AS (
+      SELECT r.qid, count(*) AS hits, min(r.rank) AS fr
+      FROM run r JOIN qrels u ON u.qid = r.qid AND u.doc_id = r.doc_id
+      GROUP BY r.qid)
+    SELECT n.qid AS query_id, n.n_rel,
+           CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits_at_k,
+           round(COALESCE(h.hits, 0) / n.n_rel, 6) AS recall_at_k,
+           COALESCE(round(1.0::DOUBLE / h.fr, 6), 0.0::DOUBLE) AS mrr_at_k
+    FROM n_rel n LEFT JOIN hit h ON h.qid = n.qid
+    """,
+)
+def retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation (the trec_eval shape): the batch BM25 run is
+    scored against deterministic pseudo-qrels — a document is relevant to
+    a query iff its normalized token set contains ALL the query's terms —
+    yielding per-query recall@5 and MRR@5.  Every metric is an integer
+    count or one rounded division, so the report hash-matches the oracle;
+    run and qrels replay the SAME shared SQL fragment the retrieval
+    contract query uses, keeping the two certifications coupled."""
+    from cassandra_util_spark.operators.text import bm25_batch_topk, retrieval_metrics
+    from cassandra_util_spark.operators.text import _norm_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    q = spark.createDataFrame(
+        [(1, ["merge", "vector"]), (2, ["stream", "batch"]), (3, ["customer"])],
+        "query_id int, terms array<string>",
+    )
+    run = bm25_batch_topk(d, q, "doc_id", "text", k=5)
+    qrels = (
+        d.select("doc_id", _norm_tokens(F.col("text")).alias("toks"))
+        .crossJoin(F.broadcast(q))
+        .filter(F.forall(F.col("terms"), lambda t: F.array_contains(F.col("toks"), t)))
+        .select("query_id", "doc_id")
+    )
+    return retrieval_metrics(run, qrels, "query_id", "doc_id", "rank", k=5)
 
 
 @query(

@@ -471,6 +471,59 @@ def rrf_fuse(
     )
 
 
+def retrieval_metrics(
+    run: DataFrame,
+    qrels: DataFrame,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 10,
+) -> DataFrame:
+    """Per-query retrieval quality of a ranked ``run`` against relevance
+    judgments: (query_id, n_rel, hits_at_k, recall_at_k, mrr_at_k) — the
+    evaluation half of the retrieval loop (BM25/ANN/RRF produce runs;
+    this scores them).
+
+    ``run`` is (query_id, doc_id, rank); ``qrels`` is (query_id, doc_id)
+    binary judgments.  recall@k = relevant retrieved in the top k / total
+    relevant; MRR@k = 1/rank of the first relevant hit (0 when none).
+    Every metric is one integer count or one rounded single division —
+    engine-exact by construction.  Queries with judgments but no run rows
+    score 0 (they count against macro averages, the standard trec_eval
+    convention).
+
+    Scale shape: both inputs are evaluation-scale (top-k runs × judged
+    queries); one join keyed by (query, doc), two partial-aggregate
+    shuffles keyed by query.  No hint on the join — AQE broadcasts the
+    smaller side while its measured size allows.
+    """
+    r = run.filter(F.col(rank_col) <= k).select(
+        F.col(query_id_col).alias("qid"),
+        F.col(id_col).alias("id"),
+        F.col(rank_col).alias("rnk"),
+    )
+    j = qrels.select(F.col(query_id_col).alias("qid"), F.col(id_col).alias("id"))
+    n_rel = j.groupBy("qid").agg(F.count(F.lit(1)).alias("n_rel"))
+    hit = r.join(j, ["qid", "id"]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("hits_at_k"),
+        F.min("rnk").alias("first_rel"),
+    )
+    return (
+        n_rel.join(hit, "qid", "left")
+        .select(
+            F.col("qid").alias(query_id_col),
+            "n_rel",
+            F.coalesce(F.col("hits_at_k"), F.lit(0)).cast("bigint").alias("hits_at_k"),
+            F.round(
+                F.coalesce(F.col("hits_at_k"), F.lit(0)) / F.col("n_rel"), 6
+            ).alias("recall_at_k"),
+            F.coalesce(F.round(F.lit(1.0) / F.col("first_rel"), 6), F.lit(0.0)).alias(
+                "mrr_at_k"
+            ),
+        )
+    )
+
+
 def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One-pass profile: counts, fingerprint, quality, language."""
     t = F.col(text_col)

@@ -1621,3 +1621,37 @@ def test_rrf_fuse_run_order_invariant(spark):
     x = sorted(map(tuple, rrf_fuse([a, b], "doc_id", k=20).collect()))
     y = sorted(map(tuple, rrf_fuse([b, a], "doc_id", k=20).collect()))
     assert x == y
+
+
+def test_retrieval_metrics_known_values(spark):
+    from cassandra_util_spark.operators.text import retrieval_metrics
+
+    run = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3),
+         (2, 20, 1), (2, 21, 2)],
+        "query_id int, doc_id bigint, rank int")
+    qrels = spark.createDataFrame(
+        [(1, 11), (1, 99),        # one hit at rank 2, one missed
+         (2, 30),                 # judged but never retrieved
+         (3, 40)],                # judged query with NO run rows
+        "query_id int, doc_id bigint")
+    out = {r["query_id"]: r for r in
+           retrieval_metrics(run, qrels, k=3).collect()}
+    assert out[1]["n_rel"] == 2 and out[1]["hits_at_k"] == 1
+    assert out[1]["recall_at_k"] == 0.5 and out[1]["mrr_at_k"] == 0.5
+    assert out[2]["hits_at_k"] == 0 and out[2]["recall_at_k"] == 0.0
+    assert out[2]["mrr_at_k"] == 0.0
+    # trec_eval convention: judged-but-unretrieved queries score zero
+    assert out[3]["hits_at_k"] == 0 and out[3]["mrr_at_k"] == 0.0
+
+
+def test_retrieval_metrics_k_cut(spark):
+    """Hits beyond k are invisible: rank k+1 contributes nothing."""
+    from cassandra_util_spark.operators.text import retrieval_metrics
+
+    run = spark.createDataFrame([(1, 10, 6)], "query_id int, doc_id bigint, rank int")
+    qrels = spark.createDataFrame([(1, 10)], "query_id int, doc_id bigint")
+    r = retrieval_metrics(run, qrels, k=5).collect()[0]
+    assert r["hits_at_k"] == 0 and r["mrr_at_k"] == 0.0
+    r2 = retrieval_metrics(run, qrels, k=6).collect()[0]
+    assert r2["hits_at_k"] == 1 and round(r2["mrr_at_k"], 6) == round(1 / 6, 6)
