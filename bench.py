@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "bm25_batch_search",
     "hybrid_retrieval_rrf",
     "retrieval_eval",
+    "events_zorder_layout",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash
     # swapped to xxhash64 — the production configuration at scale

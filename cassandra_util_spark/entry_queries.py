@@ -3722,6 +3722,47 @@ def retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval_metrics(run, qrels, "query_id", "doc_id", "rank", k=5)
 
 
+from cassandra_util_spark.functions.zorder import zorder_value_sql as _zv_sql  # noqa: E402
+
+# epoch-µs of 2024-01-01T00:00:00Z — the events table's era; offsets from it
+# keep the z-order hour dimension small and non-negative
+_ZBASE_US = 1_704_067_200_000_000
+
+
+@query(
+    "events_zorder_layout",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, user_id,
+             (epoch_us(ts) - {_ZBASE_US}) // 3600000000 AS hour_off
+      FROM events)
+    SELECT event_id, user_id, hour_off,
+           {_zv_sql(['user_id', 'hour_off'], 16)} AS zval
+    FROM e
+    """,
+)
+def events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout key over (user_id, event-hour): the
+    data-layout pass that makes parquet min/max row-group pruning work on
+    BOTH a user predicate and a time predicate simultaneously — sort a
+    100 TB table by this bigint before writing (repartitionByRange +
+    sortWithinPartitions) and every interleaved dimension gets partial
+    skipping, where a single-column sort gives one dimension everything
+    and the others nothing.  Pure unrolled-bit integer expression: no
+    shuffle, no Python, bit-exact across engines (the SQL is GENERATED
+    from the same loop as the Column expression)."""
+    from cassandra_util_spark.functions.zorder import zorder_value
+
+    e = _t(spark, sf_dir, "events")
+    hour_off = F.expr(f"(unix_micros(ts) - {_ZBASE_US}) div 3600000000")
+    return e.select(
+        "event_id",
+        "user_id",
+        hour_off.alias("hour_off"),
+        zorder_value([F.col("user_id"), hour_off], 16).alias("zval"),
+    )
+
+
 @query(
     "hybrid_retrieval_rrf",
     oracle=f"""

@@ -1655,3 +1655,71 @@ def test_retrieval_metrics_k_cut(spark):
     assert r["hits_at_k"] == 0 and r["mrr_at_k"] == 0.0
     r2 = retrieval_metrics(run, qrels, k=6).collect()[0]
     assert r2["hits_at_k"] == 1 and round(r2["mrr_at_k"], 6) == round(1 / 6, 6)
+
+
+# ---------------------------------------------------------------------------
+# z-order layout
+# ---------------------------------------------------------------------------
+
+def test_zorder_locality_bounds_both_dimensions(spark):
+    """Sorting by z-value gives simultaneous locality: contiguous chunks of
+    the z-sorted grid span a small range in EVERY dimension, where an
+    x-sort leaves the y-span at full range."""
+    from cassandra_util_spark.functions.zorder import zorder_value
+
+    rows = [(x, y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    z = [
+        (r["x"], r["y"])
+        for r in df.select("x", "y", zorder_value([F.col("x"), F.col("y")], 6).alias("z"))
+        .orderBy("z", "x", "y")
+        .collect()
+    ]
+    n_chunks = 16
+    sz = len(z) // n_chunks
+    for c in range(n_chunks):
+        chunk = z[c * sz:(c + 1) * sz]
+        xs = [p[0] for p in chunk]
+        ys = [p[1] for p in chunk]
+        # a 256-cell z-chunk of a 64x64 grid is a 16x16 tile
+        assert max(xs) - min(xs) <= 16
+        assert max(ys) - min(ys) <= 16
+    # contrast: x-sorted chunks leave y unconstrained (full 0..63 span)
+    by_x = sorted(rows)
+    chunk = by_x[:sz]
+    assert max(p[1] for p in chunk) - min(p[1] for p in chunk) == 63
+
+
+def test_zorder_matches_generated_sql(spark):
+    """The Column expression and the generated DuckDB SQL agree bit for bit
+    (they come from the same loop — this pins that they stay in sync)."""
+    import duckdb
+
+    from cassandra_util_spark.functions.zorder import zorder_value, zorder_value_sql
+
+    rows = [(i, (i * 37) % 1000, (i * 91) % 500) for i in range(200)]
+    df = spark.createDataFrame(rows, "id int, a int, b int")
+    got = {
+        r["id"]: r["z"]
+        for r in df.select(
+            "id", zorder_value([F.col("a"), F.col("b")], 10).alias("z")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id INT, a INT, b INT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    want = dict(
+        con.sql(f"SELECT id, {zorder_value_sql(['a', 'b'], 10)} FROM t").fetchall()
+    )
+    assert got == want
+
+
+def test_zorder_validation(spark):
+    from cassandra_util_spark.functions.zorder import zorder_value, zorder_value_sql
+
+    with pytest.raises(ValueError, match="at least 2"):
+        zorder_value([F.col("x")])
+    with pytest.raises(ValueError, match="63"):
+        zorder_value([F.col("x"), F.col("y")], bits=32)
+    with pytest.raises(ValueError):
+        zorder_value_sql(["x"], 16)
