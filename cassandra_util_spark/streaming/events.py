@@ -265,6 +265,43 @@ def streaming_dedup(
     return out.drop("__digest") if digest_cols else out
 
 
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    max_delay: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join within an event-time interval: each left
+    event pairs with right events of the same key whose timestamp lands in
+    ``[left_ts, left_ts + max_delay]`` — the attribution-window shape
+    (click ⨝ purchases within the hour).
+
+    BOUNDED STATE is the whole design: both sides carry watermarks and the
+    join condition carries an event-time range, which together let Spark
+    prove when a buffered row can never match again and evict it — the
+    documented requirement for state cleanup in stream-stream joins.  A
+    keyed equi-join without the time bound would buffer both streams
+    forever.  State per side ≈ rows inside (watermark + max_delay), not
+    stream history.
+
+    Columns of the right side are suffixed ``_r`` (both sides usually come
+    from the same schema).  Output matches the equivalent batch range join
+    row-for-row on the same inputs (test-pinned)."""
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    for c in r.columns:
+        r = r.withColumnRenamed(c, f"{c}_r")
+    cond = (
+        (F.col(key_col) == F.col(f"{key_col}_r"))
+        & (F.col(f"{right_ts}_r") >= F.col(left_ts))
+        & (F.col(f"{right_ts}_r") <= F.col(left_ts) + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return l.join(r, cond, "inner")
+
+
 def streaming_dedup_against(
     stream: DataFrame,
     reference: DataFrame,

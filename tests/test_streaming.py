@@ -596,3 +596,49 @@ def test_streaming_dedup_against_matches_batch(spark, workdir):
         .select("doc_id").collect()
     }
     assert got == want and got  # non-empty and row-identical to batch
+
+
+def test_streaming_interval_join_matches_batch(spark, workdir, events_src):
+    """The watermarked stream-stream interval join emits exactly the pairs
+    the equivalent batch range join produces: clicks joined to same-user
+    purchases within the following hour."""
+    from cassandra_util_spark.streaming.events import stream_events, streaming_interval_join
+
+    src, batch_df = events_src
+    schema = batch_df.schema
+    out = os.path.join(workdir, "ij-out")
+    cp = os.path.join(workdir, "ij-cp")
+
+    clicks_s = stream_events(spark, src, schema).filter(F.col("event_type") == "click")
+    purch_s = stream_events(spark, src, schema).filter(F.col("event_type") == "purchase")
+    joined = streaming_interval_join(
+        clicks_s.select("user_id", "event_id", "ts"),
+        purch_s.select("user_id", "event_id", "ts"),
+        "user_id", max_delay="1 hour",
+    ).select("event_id", "event_id_r")
+    assert joined.isStreaming
+    q = (
+        joined.writeStream.outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {(r["event_id"], r["event_id_r"])
+           for r in spark.read.parquet(out).collect()}
+    c = batch_df.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    p = batch_df.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("pe"), F.col("ts").alias("pts"))
+    want = {
+        (r["event_id"], r["pe"])
+        for r in c.join(
+            p,
+            (F.col("user_id") == F.col("pu"))
+            & (F.col("pts") >= F.col("ts"))
+            & (F.col("pts") <= F.col("ts") + F.expr("INTERVAL 1 HOUR")),
+        ).collect()
+    }
+    assert got == want and got
