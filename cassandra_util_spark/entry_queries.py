@@ -3734,7 +3734,7 @@ _ZBASE_US = 1_704_067_200_000_000
     oracle=f"""
     WITH e AS (
       SELECT event_id, user_id,
-             (epoch_us(ts) - {_ZBASE_US}) // 3600000000 AS hour_off
+             greatest(0, (epoch_us(ts) - {_ZBASE_US}) // 3600000000) AS hour_off
       FROM events)
     SELECT event_id, user_id, hour_off,
            {_zv_sql(['user_id', 'hour_off'], 16)} AS zval
@@ -3754,7 +3754,12 @@ def events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_util_spark.functions.zorder import zorder_value
 
     e = _t(spark, sf_dir, "events")
-    hour_off = F.expr(f"(unix_micros(ts) - {_ZBASE_US}) div 3600000000")
+    # clamp at the era base: pre-era events would go negative — where Spark
+    # `div` (truncate) and SQL `//` (floor) disagree AND zorder_value's
+    # non-negative input contract breaks; clamped they land in bucket 0
+    hour_off = F.greatest(
+        F.lit(0), F.expr(f"(unix_micros(ts) - {_ZBASE_US}) div 3600000000")
+    )
     return e.select(
         "event_id",
         "user_id",

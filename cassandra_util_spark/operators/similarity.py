@@ -500,9 +500,8 @@ def hard_negatives(
     oracle/audit path, O(N²), small-N only (the ngram exact-mode
     convention).
     """
-    base = df.select(
-        F.col(id_col).alias("id"), F.col(label_col).alias("lbl"), F.col(vec_col).alias("vec")
-    )
+    if mode not in ("cell", "exact"):
+        raise ValueError(f"unknown mode {mode!r}: cell | exact")
     if mode == "cell":
         import numpy as np
         import pandas as pd
@@ -568,8 +567,9 @@ def hard_negatives(
             lambda pdf: cell_topk(pdf),
             "anchor_id bigint, negative_id bigint, cos_sim double, rank bigint",
         )
-    if mode != "exact":
-        raise ValueError(f"unknown mode {mode!r}: cell | exact")
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(label_col).alias("lbl"), F.col(vec_col).alias("vec")
+    )
     a, b = base.alias("a"), base.alias("b")
     cand = a.join(b, F.col("a.lbl") != F.col("b.lbl"))
     scored = cand.select(

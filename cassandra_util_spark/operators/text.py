@@ -375,9 +375,11 @@ def bm25_batch_topk(
         .localCheckpoint(eager=False)
     )
     stats = base.agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl"))
+    # lowercase to match the normalized token stream — the same contract
+    # bm25_topk applies to its term tuple, so a 1-query batch stays exact
     qterms = queries.select(
         F.col(query_id_col).alias("qid"),
-        F.explode(F.col(terms_col)).alias("term"),
+        F.explode(F.transform(F.col(terms_col), F.lower)).alias("term"),
     ).distinct()
     tf = (
         base.select("id", "dl", F.explode("toks").alias("term"))

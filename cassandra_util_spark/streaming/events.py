@@ -323,14 +323,15 @@ def streaming_dedup_against(
     in batch.  Output matches batch ``dedup_against`` row-for-row on the
     same inputs (pinned by test_streaming_dedup_against_matches_batch).
     """
-    from cassandra_util_spark.operators.dedup import content_digest
+    from cassandra_util_spark.operators.dedup import _digest_for
 
-    dtypes = dict(reference.dtypes)
-    binary = {i for i, c in enumerate(content_cols) if dtypes.get(c) == "binary"}
-    digest = content_digest(*[F.col(c) for c in content_cols], binary=binary)
-    ref = reference.select(digest.alias("__digest")).distinct()
+    # digest derived PER SIDE (the batch dedup_against rule): a stream whose
+    # content column arrives binary while the reference stores string (or
+    # vice versa) must not silently cast bytes through a lossy UTF-8 decode
+    cols = list(content_cols)
+    ref = reference.select(_digest_for(reference, cols).alias("__digest")).distinct()
     return (
-        stream.withColumn("__digest", digest)
+        stream.withColumn("__digest", _digest_for(stream, cols))
         .join(ref, "__digest", "left_anti")
         .drop("__digest")
     )

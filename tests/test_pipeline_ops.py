@@ -1752,3 +1752,17 @@ def test_write_zordered_tightens_footer_stats_both_dims(spark, tmp_path):
     assert all(s["y"][1] - s["y"][0] == 63 for s in xspans)
     # and the data round-trips completely
     assert spark.read.parquet(zdir).count() == len(rows)
+
+
+def test_bm25_batch_mixed_case_terms_match_topk(spark, docs):
+    """Query terms lowercase on BOTH paths — mixed-case input reproduces
+    the single-query operator (code-review regression pin)."""
+    from cassandra_util_spark.operators.text import bm25_batch_topk, bm25_topk
+
+    q = spark.createDataFrame([(1, ["Merge", "VECTOR"])],
+                              "query_id int, terms array<string>")
+    batch = {(r["doc_id"], r["rank"]): r["score"]
+             for r in bm25_batch_topk(docs, q, "doc_id", "text", k=5).collect()}
+    single = {(r["doc_id"], r["rank"]): r["score"]
+              for r in bm25_topk(docs, "doc_id", "text", ("Merge", "VECTOR"), k=5).collect()}
+    assert batch == single and batch
