@@ -114,6 +114,8 @@ BENCH_QUERIES = [
     "hybrid_retrieval_rrf",
     "retrieval_eval",
     "events_zorder_layout",
+    "events_funnel",
+    "events_cohort_retention",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash
     # swapped to xxhash64 — the production configuration at scale

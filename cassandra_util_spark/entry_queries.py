@@ -3722,6 +3722,112 @@ def retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval_metrics(run, qrels, "query_id", "doc_id", "rank", k=5)
 
 
+@query(
+    "events_funnel",
+    oracle="""
+    WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS wt FROM events),
+    t1 AS (
+      SELECT user_id, min(wt) AS t1 FROM ev
+      WHERE event_type = 'view' GROUP BY user_id),
+    t2 AS (
+      SELECT e.user_id, min(e.wt) AS t2
+      FROM ev e JOIN t1 ON t1.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.wt >= t1.t1
+      GROUP BY e.user_id),
+    t3 AS (
+      SELECT e.user_id, min(e.wt) AS t3
+      FROM ev e JOIN t2 ON t2.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.wt >= t2.t2
+      GROUP BY e.user_id)
+    SELECT '1_view' AS stage, count(*) AS n_users FROM t1
+    UNION ALL
+    SELECT '2_click_after_view', count(*) FROM t2
+    UNION ALL
+    SELECT '3_purchase_after_click', count(*) FROM t3
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase): stage N counts
+    users whose FIRST stage-N event follows their first stage-N-1 event —
+    the sequential-dependency analysis a flat per-type count gets wrong
+    (a purchase before any view is not a conversion).  Each stage is one
+    filter + user-keyed partial-min aggregate joined to the previous
+    frontier; event times compare as epoch-µs integers (exact).  Three
+    user-keyed shuffles total; stage tables only shrink."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", writetime_micros(F.col("ts")).alias("wt")
+    )
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("wt").alias("t1"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("wt") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("wt").alias("t2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("wt") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("wt").alias("t3"))
+    )
+    def stage(name: str, d: DataFrame) -> DataFrame:
+        return d.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(name).alias("stage"), "n_users"
+        )
+    return (
+        stage("1_view", t1)
+        .unionByName(stage("2_click_after_view", t2))
+        .unionByName(stage("3_purchase_after_click", t3))
+    )
+
+
+@query(
+    "events_cohort_retention",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+    first AS (SELECT user_id, min(day) AS d0 FROM ev GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.d0 // 7 AS cohort_week,
+             (e.day - f.d0) // 7 AS week_offset
+      FROM ev e JOIN first f ON f.user_id = e.user_id)
+    SELECT cohort_week, week_offset, count(*) AS n_active
+    FROM activity GROUP BY cohort_week, week_offset
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week, counted as
+    active per (cohort_week, week_offset) — the table behind every
+    retention curve.  Day/week indices are integer divisions of epoch-µs
+    (all values post-epoch, so truncate == floor in both engines); one
+    user-keyed aggregate for the cohort assignment, one distinct over
+    (user, cohort, offset), one counting aggregate — partial aggregation
+    throughout, output bounded by cohorts × offsets."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("d0"))
+    activity = (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            F.expr("d0 div 7").alias("cohort_week"),
+            F.expr("(day - d0) div 7").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+
+
 from cassandra_util_spark.functions.zorder import zorder_value_sql as _zv_sql  # noqa: E402
 
 # epoch-µs of 2024-01-01T00:00:00Z — the events table's era; offsets from it
