@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "events_zorder_layout",
     "events_funnel",
     "events_cohort_retention",
+    "orders_rollup_totals",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash
     # swapped to xxhash64 — the production configuration at scale

@@ -3723,6 +3723,41 @@ def retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orders_rollup_totals",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS lvl,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def orders_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals in ONE pass (ROLLUP): per (status, priority),
+    per status, and grand total — the multi-level report that would
+    otherwise be three scans unioned.  Catalyst expands the grouping sets
+    into a single partial-aggregated shuffle; ``lvl`` is the grouping_id
+    bitmask disambiguating subtotal rows from data NULLs (identical
+    semantics in ANSI GROUPING()).  Money sums in DECIMAL, cast to double
+    only at the edge."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("bigint").alias("lvl"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority", "lvl", "n_orders", "total"
+        )
+    )
+
+
+@query(
     "events_funnel",
     oracle="""
     WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS wt FROM events),
