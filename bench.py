@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "events_funnel",
     "events_cohort_retention",
     "orders_rollup_totals",
+    "dedup_edit_distance",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash
     # swapped to xxhash64 — the production configuration at scale

@@ -3723,6 +3723,39 @@ def retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_edit_distance",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, substr({_NORM_SQL}, 1, 32) AS title FROM documents),
+    k AS (
+      SELECT doc_id, substr(title, 1, 4) AS k FROM t
+      UNION
+      SELECT doc_id, substr(title, -4, 4) FROM t),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM k a JOIN k b ON a.k = b.k AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b,
+           CAST(levenshtein(ta.title, tb.title) AS BIGINT) AS distance
+    FROM cand
+    JOIN t ta ON ta.doc_id = id_a
+    JOIN t tb ON tb.doc_id = id_b
+    WHERE abs(len(ta.title) - len(tb.title)) <= 4
+      AND levenshtein(ta.title, tb.title) <= 4
+    """,
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Short-string near-dup via Levenshtein over the normalized 32-char
+    title prefix, candidates blocked on shared 4-char prefix OR suffix —
+    the technique for the regime token-set similarity can't reach (too few
+    tokens; 1-2 character edits).  Unit-cost edit distance is identical in
+    Spark codegen and ANSI levenshtein, so blocking, the length
+    pre-filter, and every distance hash-match the oracle."""
+    from cassandra_util_spark.operators.dedup import edit_distance_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return edit_distance_pairs(d, "doc_id", "text", max_distance=4, title_chars=32)
+
+
+@query(
     "orders_rollup_totals",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,

@@ -896,6 +896,77 @@ def lsh_dedup_against(
     )
 
 
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_distance: int = 4,
+    title_chars: int = 32,
+    block_chars: int = 4,
+    mode: str = "blocked",
+) -> DataFrame:
+    """Near-dup pairs by LEVENSHTEIN distance over a normalized title
+    prefix — the short-string technique for the regime where shingle/
+    MinHash methods fail (titles, product names, queries: too few tokens
+    for set similarity, but 1-2 character edits are exactly what edit
+    distance measures).  Output: (id_a, id_b, distance) for pairs with
+    distance <= ``max_distance`` and length difference <= ``max_distance``
+    (a necessary condition, applied before the O(len²) distance).
+
+    ``mode='blocked'`` (default): candidates must share the title's first
+    ``block_chars`` OR last ``block_chars`` characters — two hash-joinable
+    key families instead of all pairs.  Recall contract: any pair whose
+    edits leave EITHER end untouched is found; only pairs edited at both
+    ends simultaneously are missed (multi-pass blocking with more key
+    families is the standard recall ladder).  ``mode='exact'`` scores all
+    length-compatible pairs — O(N²), the small-N audit path.
+
+    Scale shape: blocking keys are tiny fixed-width strings (one shuffle
+    per key family, unioned); the distance evaluates ONLY on candidates;
+    everything is built-in expressions (Spark's levenshtein is JVM
+    codegen, identical unit-cost semantics to ANSI/DuckDB levenshtein, so
+    the whole pipeline is oracle-verifiable).
+    """
+    if mode not in ("blocked", "exact"):
+        raise ValueError(f"unknown mode {mode!r}: blocked | exact")
+    if max_distance < 1:
+        raise ValueError(f"max_distance must be >= 1, got {max_distance}")
+    t = df.select(
+        F.col(id_col).alias("id"),
+        F.substring(normalize_text(F.col(text_col)), 1, title_chars).alias("title"),
+    )
+    if mode == "blocked":
+        pre = t.select("id", F.substring("title", 1, block_chars).alias("k"))
+        suf = t.select("id", F.substring("title", -block_chars, block_chars).alias("k"))
+        keys = pre.unionByName(suf)
+        a, b = keys.alias("a"), keys.alias("b")
+        cand = (
+            a.join(b, (F.col("a.k") == F.col("b.k")) & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        ta, tb = t.alias("ta"), t.alias("tb")
+        cand = ta.join(tb, F.col("ta.id") < F.col("tb.id")).select(
+            F.col("ta.id").alias("id_a"), F.col("tb.id").alias("id_b")
+        )
+    sa = t.select(F.col("id").alias("id_a"), F.col("title").alias("title_a"))
+    sb = t.select(F.col("id").alias("id_b"), F.col("title").alias("title_b"))
+    scored = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(
+            F.abs(F.length("title_a") - F.length("title_b")) <= max_distance
+        )
+        .withColumn(
+            "distance", F.levenshtein("title_a", "title_b").cast("bigint")
+        )
+    )
+    return scored.filter(F.col("distance") <= max_distance).select(
+        "id_a", "id_b", "distance"
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -1766,3 +1766,33 @@ def test_bm25_batch_mixed_case_terms_match_topk(spark, docs):
     single = {(r["doc_id"], r["rank"]): r["score"]
               for r in bm25_topk(docs, "doc_id", "text", ("Merge", "VECTOR"), k=5).collect()}
     assert batch == single and batch
+
+
+def test_edit_distance_blocked_vs_exact_and_recall(spark):
+    from cassandra_util_spark.operators.dedup import edit_distance_pairs
+
+    rows = [
+        (1, "the quick brown fox"),
+        (2, "the quick browm fox"),      # 1 substitution, both ends shared
+        (3, "xhe quick brown fox"),      # prefix edited, suffix shared
+        (4, "the quick brown foz"),      # suffix edited, prefix shared
+        (5, "completely different txt"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    blocked = {(r["id_a"], r["id_b"]): r["distance"]
+               for r in edit_distance_pairs(df, "doc_id", "text", max_distance=2).collect()}
+    exact = {(r["id_a"], r["id_b"]): r["distance"]
+             for r in edit_distance_pairs(df, "doc_id", "text", max_distance=2,
+                                          mode="exact").collect()}
+    # single-end edits are guaranteed found; distances agree with exact
+    for pair in [(1, 2), (1, 3), (1, 4)]:
+        assert pair in blocked and blocked[pair] == exact[pair]
+    assert all(v <= 2 for v in blocked.values())
+    assert not any(5 in p for p in blocked)
+    # blocked is a subset of exact with identical distances
+    assert set(blocked) <= set(exact)
+    assert all(exact[p] == d for p, d in blocked.items())
+    with pytest.raises(ValueError, match="unknown mode"):
+        edit_distance_pairs(df, "doc_id", "text", mode="fuzzy")
+    with pytest.raises(ValueError, match="max_distance"):
+        edit_distance_pairs(df, "doc_id", "text", max_distance=0)
