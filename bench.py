@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "events_cohort_retention",
     "orders_rollup_totals",
     "dedup_edit_distance",
+    "passage_retrieval",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash
     # swapped to xxhash64 — the production configuration at scale

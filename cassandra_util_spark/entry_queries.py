@@ -3609,12 +3609,14 @@ _BM25_QUERIES_VALUES = (
 )
 
 
-def _bm25_batch_ctes(values_sql: str, k: int) -> str:
+def _bm25_batch_ctes(values_sql: str, k: int, source: str = "documents") -> str:
     """The batch-BM25 oracle CTE chain ending in a ``run`` CTE of
-    (qid, doc_id, score, rank<=k) — shared by the retrieval contract query
-    and its evaluation query so the two replay identical arithmetic."""
+    (qid, doc_id, score, rank<=k) — shared by the retrieval contract query,
+    its evaluation query, and the passage-retrieval composition so all
+    replay identical arithmetic.  ``source`` is any relation exposing
+    (doc_id, text)."""
     return f"""
-    norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+    norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM {source}),
     toks AS (SELECT doc_id, list_filter(string_split(t, ' '), x -> x <> '') AS w
              FROM norm),
     dls AS (SELECT doc_id, len(w) AS dl FROM toks),
@@ -3720,6 +3722,67 @@ def retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "doc_id")
     )
     return retrieval_metrics(run, qrels, "query_id", "doc_id", "rank", k=5)
+
+
+@query(
+    "passage_retrieval",
+    oracle=f"""
+    WITH toks_c AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents),
+    sized_c AS (
+      SELECT doc_id, w, greatest(CAST(ceil(len(w) / 32.0) AS BIGINT), 1) AS kc
+      FROM toks_c),
+    chunks_c AS (
+      SELECT doc_id * 100 + CAST(unnest(range(0, kc)) AS BIGINT) AS cid,
+             unnest(list_transform(range(0, kc),
+               i -> array_to_string(list_slice(w, i * 32 + 1, i * 32 + 32), ' ')))
+               AS ctext
+      FROM sized_c),
+    dchunks AS (
+      SELECT cid, ctext FROM (
+        SELECT cid, ctext, min(cid) OVER (PARTITION BY ctext) AS m FROM chunks_c)
+      WHERE cid = m),
+    {_bm25_batch_ctes(_BM25_QUERIES_VALUES, 3, source="(SELECT cid AS doc_id, ctext AS text FROM dchunks)")}
+    SELECT qid AS query_id, doc_id AS passage_id,
+           doc_id // 100 AS src_doc, CAST(doc_id % 100 AS INT) AS chunk_id,
+           score, CAST(rank AS INT) AS rank
+    FROM run
+    """,
+)
+def passage_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage retrieval — the RAG indexing pipeline end to end, composed
+    from three certified operators in ONE plan: documents chunk into
+    32-word passages (chunk_documents), byte-identical passages collapse
+    to their first occurrence (exact_dedup on the content digest), and
+    the batch BM25 scorer ranks the top-3 passages per query over the
+    deduplicated passage table.  Oracle composition mirrors operator
+    composition: the chunk CTE replays the chunker, the min-over-text CTE
+    replays the dedup survivor rule, and the SHARED _bm25_batch_ctes
+    fragment replays the scorer — so the composed result hash-matches
+    end to end."""
+    from cassandra_util_spark.operators.dedup import exact_dedup
+    from cassandra_util_spark.operators.packing import chunk_documents
+    from cassandra_util_spark.operators.text import bm25_batch_topk
+
+    d = _t(spark, sf_dir, "documents")
+    ch = chunk_documents(d, "doc_id", "text", chunk_words=32, overlap=0)
+    passages = ch.select(
+        (F.col("doc_id") * 100 + F.col("chunk_id")).alias("pid"),
+        F.col("chunk_text").alias("text"),
+    )
+    deduped = exact_dedup(passages, "pid", ["text"])
+    q = spark.createDataFrame(
+        [(1, ["merge", "vector"]), (2, ["stream", "batch"]), (3, ["customer"])],
+        "query_id int, terms array<string>",
+    )
+    run = bm25_batch_topk(deduped, q, "pid", "text", k=3)
+    return run.select(
+        "query_id",
+        F.col("pid").alias("passage_id"),
+        F.expr("pid div 100").alias("src_doc"),
+        (F.col("pid") % 100).cast("int").alias("chunk_id"),
+        "score",
+        "rank",
+    )
 
 
 @query(
