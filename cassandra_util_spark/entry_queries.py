@@ -3872,9 +3872,9 @@ def orders_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY e.user_id)
     SELECT '1_view' AS stage, count(*) AS n_users FROM t1
     UNION ALL
-    SELECT '2_click_after_view', count(*) FROM t2
+    SELECT '2_click', count(*) FROM t2
     UNION ALL
-    SELECT '3_purchase_after_click', count(*) FROM t3
+    SELECT '3_purchase', count(*) FROM t3
     """,
 )
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3884,37 +3884,14 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a purchase before any view is not a conversion).  Each stage is one
     filter + user-keyed partial-min aggregate joined to the previous
     frontier; event times compare as epoch-µs integers (exact).  Three
-    user-keyed shuffles total; stage tables only shrink."""
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id", "event_type", writetime_micros(F.col("ts")).alias("wt")
-    )
-    t1 = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("wt").alias("t1"))
-    )
-    t2 = (
-        ev.filter(F.col("event_type") == "click")
-        .join(t1, "user_id")
-        .filter(F.col("wt") >= F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("wt").alias("t2"))
-    )
-    t3 = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(t2, "user_id")
-        .filter(F.col("wt") >= F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("wt").alias("t3"))
-    )
-    def stage(name: str, d: DataFrame) -> DataFrame:
-        return d.agg(F.count(F.lit(1)).alias("n_users")).select(
-            F.lit(name).alias("stage"), "n_users"
-        )
-    return (
-        stage("1_view", t1)
-        .unionByName(stage("2_click_after_view", t2))
-        .unionByName(stage("3_purchase_after_click", t3))
+    user-keyed shuffles total; stage tables only shrink.  Property-tested
+    against a Python reference fold on arbitrary event sets."""
+    from cassandra_util_spark.operators.analytics import funnel_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_counts(
+        ev, "user_id", "event_type", writetime_micros(F.col("ts")),
+        ["view", "click", "purchase"],
     )
 
 
@@ -3940,22 +3917,15 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     user-keyed aggregate for the cohort assignment, one distinct over
     (user, cohort, offset), one counting aggregate — partial aggregation
     throughout, output bounded by cohorts × offsets."""
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id",
-        F.expr("unix_micros(ts) div 86400000000").alias("day"),
-    )
-    first = ev.groupBy("user_id").agg(F.min("day").alias("d0"))
-    activity = (
-        ev.join(first, "user_id")
-        .select(
-            "user_id",
-            F.expr("d0 div 7").alias("cohort_week"),
-            F.expr("(day - d0) div 7").alias("week_offset"),
-        )
-        .distinct()
-    )
-    return activity.groupBy("cohort_week", "week_offset").agg(
-        F.count(F.lit(1)).alias("n_active")
+    from cassandra_util_spark.operators.analytics import cohort_retention
+
+    ev = _t(spark, sf_dir, "events")
+    return cohort_retention(
+        ev, "user_id", writetime_micros(F.col("ts")), period_days=7
+    ).select(
+        F.col("cohort_period").alias("cohort_week"),
+        F.col("period_offset").alias("week_offset"),
+        "n_active",
     )
 
 

@@ -343,3 +343,66 @@ def test_dsir_matches_reference_arithmetic(spark, docs, n_target):
         n_grams = sum(counts.values())
         expect[i] = (n_grams, _round6(float(num9) / n_grams / 1.0e9))
     assert got == expect
+
+
+event_strategy = st.lists(
+    st.tuples(st.integers(0, 5),          # user
+              st.integers(0, 2),          # stage index
+              st.integers(0, 10_000)),    # ts (µs)
+    min_size=0, max_size=60,
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(events=event_strategy)
+def test_funnel_matches_reference_fold(spark, events):
+    from cassandra_util_spark.operators.analytics import funnel_counts
+
+    stages = ["view", "click", "purchase"]
+    rows = [(u, stages[s], t) for u, s, t in events]
+    df = spark.createDataFrame(rows, "user_id bigint, event_type string, wt bigint") \
+        if rows else spark.createDataFrame([], "user_id bigint, event_type string, wt bigint")
+    got = {r["stage"]: r["n_users"]
+           for r in funnel_counts(df, "user_id", "event_type", F.col("wt"), stages).collect()}
+
+    # reference: per user, earliest stage-N event at-or-after stage N-1's frontier
+    per_user: dict[int, list[tuple[str, int]]] = {}
+    for u, t, ts in ((u, stages[s], t) for u, s, t in events):
+        per_user.setdefault(u, []).append((t, ts))
+    counts = {f"{i}_{s}": 0 for i, s in enumerate(stages, start=1)}
+    for u, evs in per_user.items():
+        frontier = None
+        for i, s in enumerate(stages, start=1):
+            cand = [ts for t, ts in evs if t == s and (frontier is None or ts >= frontier)]
+            if not cand:
+                break
+            frontier = min(cand)
+            counts[f"{i}_{s}"] += 1
+    assert got == counts
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    events=st.lists(st.tuples(st.integers(0, 4), st.integers(0, 40)),
+                    min_size=1, max_size=50),
+    period=st.integers(1, 9),
+)
+def test_cohort_retention_matches_reference(spark, events, period):
+    from cassandra_util_spark.operators.analytics import cohort_retention
+
+    day_us = 86_400_000_000
+    rows = [(u, d * day_us + 12_345) for u, d in events]
+    df = spark.createDataFrame(rows, "user_id bigint, wt bigint")
+    got = {(r["cohort_period"], r["period_offset"]): r["n_active"]
+           for r in cohort_retention(df, "user_id", F.col("wt"), period).collect()}
+
+    first = {}
+    for u, d in events:
+        first[u] = min(first.get(u, d), d)
+    cells = set()
+    for u, d in events:
+        cells.add((u, first[u] // period, (d - first[u]) // period))
+    expect: dict[tuple[int, int], int] = {}
+    for _, c, o in cells:
+        expect[(c, o)] = expect.get((c, o), 0) + 1
+    assert got == expect
