@@ -2614,7 +2614,7 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "gopher_quality_gate",
-    oracle="""
+    oracle=r"""
     WITH base AS (
       SELECT doc_id, text,
              list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w,
@@ -4055,3 +4055,95 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("neighbor_id").alias("doc_id"), F.col("rank")
     )
     return rrf_fuse([text_run, vec_run], "doc_id", k=10)
+
+
+# ---------------------------------------------------------------------------
+# Compaction / mutation surface, round 4 additions (append-only: the driver's
+# correctness window is registration-prefix-ordered)
+# ---------------------------------------------------------------------------
+
+@query(
+    "tombstone_compaction",
+    oracle=f"""
+    WITH cells AS (
+      SELECT user_id, event_type, event_id, epoch_us(ts) AS writetime,
+             (event_id % 19 = 0) AS tombstone
+      FROM events),
+    w AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY writetime DESC, tombstone DESC, event_id DESC) AS rn
+      FROM cells)
+    SELECT user_id, event_type, event_id, writetime, tombstone
+    FROM w
+    WHERE rn = 1
+      AND (NOT tombstone OR writetime >= {TTL_NOW_MS * 1000} - 604800000000)
+    """,
+)
+def tombstone_compaction_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction with deletion markers: every 19th event is a row tombstone
+    for its (user_id, event_type) key.  Newest cell wins (delete-wins tie);
+    winning tombstones inside the 7-day grace window survive as markers
+    (zombie prevention), older ones purge.  One key shuffle total."""
+    from cassandra_util_spark.operators.merge import compact_with_tombstones
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("writetime", writetime_micros(F.col("ts")))
+        .withColumn("tombstone", F.col("event_id") % 19 == 0)
+    )
+    out = compact_with_tombstones(
+        ev,
+        ["user_id", "event_type"],
+        "writetime",
+        "tombstone",
+        gc_grace_us=7 * 24 * 3600 * 1_000_000,
+        now_us=TTL_NOW_MS * 1000,
+        tiebreak=["event_id"],
+    )
+    return out.select("user_id", "event_type", "event_id", "writetime", "tombstone")
+
+
+@query(
+    "cdc_apply",
+    oracle="""
+    WITH log AS (
+      SELECT user_id, event_type, event_id, epoch_us(ts) AS writetime, 'U' AS op
+      FROM events WHERE event_id % 3 <> 0
+      UNION ALL
+      SELECT user_id, event_type, event_id, epoch_us(ts) AS writetime,
+             CASE WHEN event_id % 6 = 0 THEN 'D' ELSE 'U' END AS op
+      FROM events WHERE event_id % 3 = 0),
+    w AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY writetime DESC, (op = 'D') DESC, event_id DESC) AS rn
+      FROM log)
+    SELECT user_id, event_type, event_id, writetime
+    FROM w WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_apply_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog apply (MERGE INTO surface): a base snapshot (implicit
+    upserts) plus a changelog of upserts and deletes collapses to the final
+    table state in one key shuffle — newest mutation wins, deletes beat
+    upserts at equal writetime, deleted keys vanish."""
+    from cassandra_util_spark.operators.merge import apply_changelog
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "writetime", writetime_micros(F.col("ts"))
+    )
+    base = ev.filter(F.col("event_id") % 3 != 0).select(
+        "user_id", "event_type", "event_id", "writetime"
+    )
+    changes = ev.filter(F.col("event_id") % 3 == 0).select(
+        "user_id",
+        "event_type",
+        "event_id",
+        "writetime",
+        F.when(F.col("event_id") % 6 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+    )
+    return apply_changelog(
+        base, changes, ["user_id", "event_type"], "writetime", "op",
+        tiebreak=["event_id"],
+    )

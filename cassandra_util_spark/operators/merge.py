@@ -53,6 +53,92 @@ def merge_snapshots(
     return lww_merge(unioned, meta.primary_key, meta.writetime_col, tiebreak)
 
 
+def compact_with_tombstones(
+    df: DataFrame,
+    primary_key: Sequence[str],
+    writetime_col: str,
+    tombstone_col: str,
+    gc_grace_us: int,
+    now_us: int,
+    tiebreak: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Compaction merge with deletion markers — the full Cassandra tombstone
+    life-cycle as one window pass (delete semantics the reference's cleaners
+    produce via CQL DELETE, DeletedRecordsSinkSpec.scala's
+    write-then-delete round trip; purge timing mirrors ``gc_grace_seconds``).
+
+    Per key the newest cell wins; a tombstone at the same writetime beats a
+    live cell (Cassandra's delete-wins tie rule).  A winning tombstone
+    suppresses the row, but the MARKER itself must survive compaction until
+    ``gc_grace_us`` has passed — dropping it early would let a stale
+    re-delivered run resurrect the deleted row ("zombie") — so markers newer
+    than ``now_us - gc_grace_us`` are emitted with ``tombstone_col`` true,
+    and only older markers are purged entirely.
+
+    Scale: identical shape to :func:`lww_merge` — one shuffle on the primary
+    key, window + filter, no extra exchange for the grace predicate (it is a
+    row-local comparison).  AQE splits skewed keys.
+    """
+    order = [
+        F.col(writetime_col).desc(),
+        F.col(tombstone_col).desc(),  # delete-wins at equal writetime
+        *[F.col(c).desc() for c in (tiebreak or [])],
+    ]
+    w = Window.partitionBy(*primary_key).orderBy(*order)
+    purge_horizon = int(now_us) - int(gc_grace_us)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        # live winners always survive; tombstone winners survive only inside
+        # the grace window (marker retention), then purge
+        .filter(
+            (~F.col(tombstone_col))
+            | (F.col(writetime_col) >= F.lit(purge_horizon))
+        )
+    )
+
+
+def apply_changelog(
+    base: DataFrame,
+    changes: DataFrame,
+    primary_key: Sequence[str],
+    writetime_col: str,
+    op_col: str,
+    tiebreak: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Apply a CDC changelog (upserts + deletes) onto a base snapshot — the
+    MERGE INTO / mutation-apply surface of the reference's write path
+    (CQLBatch INSERT ... USING TIMESTAMP plus DELETE, CQLBatch.scala:284-336)
+    as one declarative pass.
+
+    ``changes[op_col]`` is ``'U'`` (upsert) or ``'D'`` (delete); base rows are
+    implicit upserts at their own writetime.  The newest mutation per key
+    wins, a delete beating an upsert at the same writetime, and keys whose
+    winner is a delete vanish from the output (changelog deletes need no
+    grace period: the log is authoritative, unlike compaction's possibly
+    re-delivered runs — use :func:`compact_with_tombstones` there).
+
+    Scale: union is free (multi-source scan), then exactly one shuffle on the
+    primary key.  Columns present in ``base`` but not ``changes`` (or vice
+    versa) raise in unionByName rather than silently nulling.
+    """
+    base_tagged = base.withColumn(op_col, F.lit("U"))
+    merged = base_tagged.unionByName(changes)
+    is_delete = (F.col(op_col) == "D").alias("__del")
+    order = [
+        F.col(writetime_col).desc(),
+        is_delete.desc(),
+        *[F.col(c).desc() for c in (tiebreak or [])],
+    ]
+    w = Window.partitionBy(*primary_key).orderBy(*order)
+    return (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col(op_col) != "D"))
+        .drop("__rn", op_col)
+    )
+
+
 def counter_merge(
     df: DataFrame,
     keys: Sequence[str],
