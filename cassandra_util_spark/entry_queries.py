@@ -4147,3 +4147,333 @@ def cdc_apply_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, changes, ["user_id", "event_type"], "writetime", "op",
         tiebreak=["event_id"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Catalyst subquery/outer-join surface: TPC-H shapes Q7/Q8/Q13/Q15/Q17/Q22
+# (adapted to the driver schema: no partsupp/comment/phone columns, so each
+# keeps the QUERY SHAPE — the Catalyst feature it exercises — with the
+# predicates this schema supports)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(volume) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume
+      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        AND c_custkey = o_custkey
+        AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+          OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00')
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilateral trade volume by year (TPC-H Q7 shape): the same dimension
+    table joined TWICE under different roles (supplier nation vs customer
+    nation) with a symmetric pair predicate.  Both nation copies broadcast;
+    the fact chain shuffles only on its join keys; the shipdate window
+    pushes into the scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    sd = li.schema["l_shipdate"].dataType
+    li = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast(sd))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast(sd))
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    volume = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .select(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+            volume.alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("volume").cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+    WITH all_nations AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+             n2.n_name AS nation
+      FROM part, lineitem, orders, customer, supplier, nation n1, nation n2, region
+      WHERE p_partkey = l_partkey AND l_orderkey = o_orderkey
+        AND o_custkey = c_custkey AND c_nationkey = n1.n_nationkey
+        AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        AND l_suppkey = s_suppkey AND s_nationkey = n2.n_nationkey
+        AND p_type = 'ECONOMY'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00')
+    SELECT o_year,
+           round(CAST(SUM(CASE WHEN nation = 'NATION_5' THEN volume
+                               ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share,
+           CAST(SUM(volume) AS DOUBLE) AS total_volume
+    FROM all_nations GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share inside a region (TPC-H Q8 shape): an 8-table
+    join where nation plays two roles (market membership via the customer
+    side, share attribution via the supplier side) feeding a conditional-
+    aggregate ratio.  Every dimension broadcasts; both sums are DECIMAL so
+    the one double division is partitioning-exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    od = o.schema["o_orderdate"].dataType
+    o = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast(od))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast(od))
+    )
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    volume = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    joined = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            volume.alias("volume"),
+            "nation",
+        )
+    )
+    agg = joined.groupBy("o_year").agg(
+        F.sum(
+            F.when(F.col("nation") == "NATION_5", F.col("volume")).otherwise(
+                F.lit(0).cast("decimal(18,2)")
+            )
+        ).alias("sn"),
+        F.sum("volume").alias("st"),
+    )
+    return agg.select(
+        "o_year",
+        F.round(F.col("sn").cast("double") / F.col("st").cast("double"), 6).alias(
+            "mkt_share"
+        ),
+        F.col("st").cast("double").alias("total_volume"),
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-count distribution over ALL customers (TPC-H Q13 shape): the
+    left-outer join with an extra join-condition predicate — customers with
+    zero qualifying orders must still appear (c_count=0), which an inner
+    join or a WHERE-clause filter would silently drop.  COUNT(col) ignoring
+    the outer side's nulls is the load-bearing semantic."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top revenue supplier (TPC-H Q15 shape): a derived aggregate consumed
+    twice — once as the join input, once reduced to a scalar MAX that
+    filters it.  The scalar side is a broadcast 1-row crossJoin (no driver
+    collect), and the equality compares exact DECIMAL totals, so ties all
+    surface instead of an arbitrary limit-1."""
+    li = _t(spark, sf_dir, "lineitem")
+    sd = li.schema["l_shipdate"].dataType
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast(sd))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast(sd))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            ).alias("total_revenue")
+        )
+    )
+    s = _t(spark, sf_dir, "supplier")
+    max_rev = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            "s_suppkey", "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / 7.0::DOUBLE, 6) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#13'
+      AND l_quantity < (
+        SELECT 0.2::DOUBLE * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2)))
+                                   AS DOUBLE) / COUNT(*))
+        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity order revenue (TPC-H Q17 shape): a correlated scalar
+    subquery — each row compares against ITS part's average quantity —
+    decorrelated by hand into a per-part aggregate joined back to the fact.
+    The brand filter broadcasts into the fact scan FIRST, so the average is
+    computed only over the ~1/25 of lineitem that can ever reach the
+    comparison (same result: the subquery is per-partkey).  The threshold
+    derives from a DECIMAL sum over an exact count, making the comparison
+    frontier engine-exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
+    pruned = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    thr = pruned.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            )
+        ).alias("qty_threshold")
+    )
+    return (
+        pruned.join(thr, F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+                / F.lit(7.0),
+                6,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "q22_idle_balances",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+               AS threshold
+      FROM customer WHERE c_acctbal > 0.0),
+    eligible AS (
+      SELECT c_custkey, c_nationkey, c_acctbal
+      FROM customer, avg_bal
+      WHERE c_acctbal > threshold
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderpriority = '1-URGENT'))
+    SELECT c_nationkey, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM eligible GROUP BY c_nationkey
+    """,
+)
+def q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idle above-average balances (TPC-H Q22 shape): a scalar-subquery
+    threshold (broadcast 1-row crossJoin, no collect) combined with a
+    NOT EXISTS anti-join against the fact — customers holding money but
+    never placing an urgent order.  The anti-join needs only o_custkey (the
+    priority predicate folds into the scan), so column pruning cuts the
+    orders scan to one column plus the pushed filter."""
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("threshold")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("threshold"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )
