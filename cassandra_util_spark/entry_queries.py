@@ -4477,3 +4477,62 @@ def q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("totacctbal"),
         )
     )
+
+
+@query(
+    "bigram_lm_quality",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, source, {{NORM}} AS t FROM documents),
+    toks AS (SELECT doc_id, source,
+                    list_filter(string_split(t, ' '), x -> x <> '') AS w
+             FROM norm),
+    ref AS (SELECT * FROM toks
+            WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+    ref_uni AS (
+      SELECT wd, count(*) AS c_uni
+      FROM (SELECT unnest(w) AS wd FROM ref) GROUP BY wd),
+    ref_tot AS (SELECT CAST(SUM(c_uni) AS BIGINT) AS t_total FROM ref_uni),
+    ref_bg AS (
+      SELECT w1, w2, count(*) AS c12 FROM (
+        SELECT w[i] AS w1, w[i + 1] AS w2
+        FROM ref, unnest(generate_series(1, len(w) - 1)) AS u(i))
+      GROUP BY w1, w2),
+    doc_bg AS (
+      SELECT doc_id, w1, w2, count(*) AS tf FROM (
+        SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+        FROM toks, unnest(generate_series(1, len(w) - 1)) AS u(i))
+      GROUP BY doc_id, w1, w2),
+    terms AS (
+      SELECT doc_id, tf,
+             CASE
+               WHEN c12 IS NOT NULL THEN
+                 CAST(round(ln(c12 / CAST(c1 AS DOUBLE)) * 1000000000.0::DOUBLE)
+                      AS BIGINT)
+               WHEN c2 IS NOT NULL THEN
+                 CAST(round(ln(0.4::DOUBLE * c2 / CAST(t_total AS DOUBLE))
+                            * 1000000000.0::DOUBLE) AS BIGINT)
+               ELSE
+                 CAST(round(ln(0.4::DOUBLE * 0.4::DOUBLE / CAST(t_total AS DOUBLE))
+                            * 1000000000.0::DOUBLE) AS BIGINT)
+             END AS s9
+      FROM doc_bg
+      LEFT JOIN ref_bg USING (w1, w2)
+      LEFT JOIN (SELECT wd AS w1, c_uni AS c1 FROM ref_uni) USING (w1)
+      LEFT JOIN (SELECT wd AS w2, c_uni AS c2 FROM ref_uni) USING (w2)
+      CROSS JOIN ref_tot)
+    SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_transitions,
+           round(CAST(SUM(tf * s9) AS BIGINT) / 1000000000.0::DOUBLE
+                 / CAST(SUM(tf) AS BIGINT), 6) AS avg_logprob
+    FROM terms GROUP BY doc_id
+    """.replace("{NORM}", _NORM_SQL),
+)
+def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring with stupid backoff: a reference model
+    (sources src0-src3) scores every document by mean transition
+    log-probability — the n-gram-LM form of the CCNet/KenLM perplexity
+    gate, with integer-scaled log terms making the frontier engine-exact."""
+    from cassandra_util_spark.operators.text import bigram_lm_score
+
+    d = _t(spark, sf_dir, "documents")
+    ref = d.filter(F.col("source").isin("src0", "src1", "src2", "src3"))
+    return bigram_lm_score(d, ref, "doc_id", "text", alpha=0.4)

@@ -880,3 +880,99 @@ def compression_ratio(
             ),
         )
     )
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    reference: DataFrame,
+    id_col: str,
+    text_col: str,
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Per-document average log-probability under a bigram LM with stupid
+    backoff (Brants et al. 2007) trained on ``reference`` — the actual
+    n-gram-LM form of the quality gate that :func:`commonness_score` only
+    approximates with unigram document frequencies (CCNet's KenLM filter).
+
+    Per adjacent token pair (w1, w2) of a scored document:
+
+    - seen bigram:   ln( c(w1,w2) / c(w1) )
+    - backoff:       ln( alpha * c(w2) / T )      (bigram unseen, w2 known)
+    - OOV floor:     ln( alpha^2 / T )            (w2 unseen entirely)
+
+    where counts come from the reference corpus and T is its total token
+    count.  The score is the mean log-prob per transition; low = surprising
+    under the reference (garbage or off-domain), high = ordinary prose.
+
+    Cross-engine determinism: each transition's log term is integer-scaled
+    at 1e9 and the per-document sum is an exact BIGINT sum (the bm25_topk
+    pattern) — the only float steps are one ln() per DISTINCT (doc, bigram)
+    and one final division, so partitioning never reorders a float sum.
+
+    Plan shape at scale: both corpora tokenize once (map-only projections).
+    Reference model = two count tables (bigram, unigram) built with partial
+    aggregation — skew-safe on 'the'-scale heads.  Scored documents
+    pre-aggregate to (id, w1, w2, tf) before joining, so the model joins
+    touch distinct bigrams, not token instances.  Model tables are
+    UNHINTED joins (unbounded vocabulary — AQE broadcasts while small,
+    shuffle-joins beyond; the commonness_score df-table lesson).  Documents
+    with fewer than 2 tokens have no transitions and are excluded.
+    """
+    toks = F.filter(F.split(normalize_text(F.col(text_col)), " "), lambda t: t != "")
+
+    def bigrams(frame: DataFrame) -> DataFrame:
+        t = frame.select(F.col(id_col).alias("id"), toks.alias("t")).filter(
+            F.size("t") >= 2
+        )
+        return t.select(
+            "id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2),"
+                    " i -> struct(t[i] AS w1, t[i + 1] AS w2))"
+                )
+            ).alias("bg"),
+        ).select("id", "bg.w1", "bg.w2")
+
+    ref_bg = bigrams(reference).groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ref_uni = (
+        reference.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_uni"))
+    )
+    ref_total = ref_uni.agg(F.sum("c_uni").alias("t_total"))
+
+    doc_bg = bigrams(df).groupBy("id", "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
+    c1 = ref_uni.select(F.col("w").alias("w1"), F.col("c_uni").alias("c1"))
+    c2 = ref_uni.select(F.col("w").alias("w2"), F.col("c_uni").alias("c2"))
+
+    term = (
+        F.when(
+            F.col("c12").isNotNull(), F.log(F.col("c12") / F.col("c1"))
+        )
+        .when(
+            F.col("c2").isNotNull(),
+            F.log(F.lit(alpha) * F.col("c2") / F.col("t_total")),
+        )
+        .otherwise(F.log(F.lit(alpha) * F.lit(alpha) / F.col("t_total")))
+    )
+    scaled = F.round(term * F.lit(1e9)).cast("bigint")
+
+    return (
+        doc_bg.join(ref_bg, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .join(c2, "w2", "left")
+        .crossJoin(F.broadcast(ref_total))
+        .groupBy("id")
+        .agg(
+            F.sum("tf").alias("n_transitions"),
+            F.sum(F.col("tf") * scaled).alias("sum9"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_transitions",
+            F.round(
+                F.col("sum9").cast("double") / 1e9 / F.col("n_transitions"), 6
+            ).alias("avg_logprob"),
+        )
+    )

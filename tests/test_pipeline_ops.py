@@ -1796,3 +1796,46 @@ def test_edit_distance_blocked_vs_exact_and_recall(spark):
         edit_distance_pairs(df, "doc_id", "text", mode="fuzzy")
     with pytest.raises(ValueError, match="max_distance"):
         edit_distance_pairs(df, "doc_id", "text", max_distance=0)
+
+
+def test_bigram_lm_all_three_backoff_branches(spark):
+    """Hand-computed stupid-backoff arithmetic on a fixture where one scored
+    doc hits the seen-bigram, backoff, and OOV branches in one pass."""
+    import math
+
+    from cassandra_util_spark.operators.text import bigram_lm_score
+
+    ref = spark.createDataFrame(
+        [(1, "a b a b c")], "doc_id bigint, text string"
+    )  # unigrams: a=2 b=2 c=1, T=5; bigrams: ab=2 ba=1 bc=1
+    scored = spark.createDataFrame(
+        [(10, "a b zz c a")], "doc_id bigint, text string"
+        # transitions: (a,b) seen: ln(2/2); (b,zz) OOV: ln(.16/5);
+        # (zz,c) backoff c known: ln(.4*1/5); (c,a) unseen bigram, a known:
+        # ln(.4*2/5)
+    )
+    out = bigram_lm_score(scored, ref, "doc_id", "text").collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row.n_transitions == 4
+    s9 = sum(
+        round(x * 1e9)
+        for x in [
+            math.log(2 / 2),
+            math.log(0.4 * 0.4 / 5),
+            math.log(0.4 * 1 / 5),
+            math.log(0.4 * 2 / 5),
+        ]
+    )
+    assert row.avg_logprob == pytest.approx(round(s9 / 1e9 / 4, 6), abs=1e-9)
+
+
+def test_bigram_lm_short_docs_excluded(spark):
+    from cassandra_util_spark.operators.text import bigram_lm_score
+
+    ref = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+    scored = spark.createDataFrame(
+        [(10, "solo"), (11, ""), (12, "a b")], "doc_id bigint, text string"
+    )
+    out = {r.doc_id for r in bigram_lm_score(scored, ref, "doc_id", "text").collect()}
+    assert out == {12}  # 0- and 1-token docs have no transitions
