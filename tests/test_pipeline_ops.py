@@ -1839,3 +1839,46 @@ def test_bigram_lm_short_docs_excluded(spark):
     )
     out = {r.doc_id for r in bigram_lm_score(scored, ref, "doc_id", "text").collect()}
     assert out == {12}  # 0- and 1-token docs have no transitions
+
+
+def test_random_projection_preserves_neighborhoods(spark, vecs):
+    """JL sanity: the 16-dim coarse space ranks true near neighbors highly —
+    planted near-duplicates of vec 0 must survive a top-5 coarse cut."""
+    from cassandra_util_spark.operators.similarity import cosine, random_projection
+
+    proj = random_projection(F.col("embedding"), dim=8, k=4, seed=7)
+    pe = vecs.select("vec_id", proj.alias("p"))
+    q = pe.filter(F.col("vec_id") == 0).select(F.col("p").alias("qp"))
+    coarse = (
+        pe.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .withColumn("c", cosine(F.col("p"), F.col("qp")))
+        .orderBy(F.col("c").desc(), F.col("vec_id"))
+        .limit(5)
+    )
+    got = {r.vec_id for r in coarse.collect()}
+    assert 1 in got  # vec 1 is the planted near-copy of vec 0
+
+
+def test_rp_rerank_plan_uses_take_ordered(spark):
+    """The coarse global top-k must compile to TakeOrderedAndProject, not a
+    single-partition window over the whole corpus."""
+    import __spark_entry__ as e
+
+    df = e.queries()["ann_rp_rerank"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_rademacher_signs_portable_and_balanced(spark):
+    from cassandra_util_spark.operators.similarity import rademacher_signs
+
+    s = rademacher_signs(64, 16)
+    again = rademacher_signs(64, 16)
+    assert s == again  # deterministic
+    flat = [x for row in s for x in row]
+    assert set(flat) == {-1, 1}
+    # md5 parity should be near-balanced; a degenerate all-+1 matrix would
+    # collapse the projection to a scaled sum
+    frac = flat.count(1) / len(flat)
+    assert 0.4 < frac < 0.6, frac
