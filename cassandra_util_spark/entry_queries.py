@@ -4677,3 +4677,79 @@ def ann_rp_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top10.withColumn("rank", F.row_number().over(we).cast("bigint")).select(
         F.col("vec_id").alias("neighbor_id"), "rank"
     )
+
+
+@query(
+    "contamination_report",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+    toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    grams AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(w) - 3),
+          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS sh
+        FROM toks WHERE len(w) >= 5)
+    ),
+    totals AS (
+      SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+    bench AS (SELECT DISTINCT sh FROM grams WHERE doc_id % 50 = 0),
+    hits AS (
+      SELECT g.doc_id, count(*) AS n_collisions
+      FROM grams g JOIN bench b ON g.sh = b.sh
+      WHERE g.doc_id % 50 <> 0
+      GROUP BY g.doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(t.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(h.n_collisions, 0) AS BIGINT) AS n_collisions,
+           CASE WHEN coalesce(t.n_grams, 0) = 0 THEN 0.0
+                ELSE round(coalesce(h.n_collisions, 0)
+                           / CAST(t.n_grams AS DOUBLE), 6) END AS overlap
+    FROM documents d
+    LEFT JOIN totals t ON t.doc_id = d.doc_id
+    LEFT JOIN hits h ON h.doc_id = d.doc_id
+    WHERE d.doc_id % 50 <> 0
+    """,
+)
+def contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination audit: decontamination's binary flag upgraded to the
+    per-document overlap FRACTION (distinct 5-grams shared with the
+    benchmark slice / total 5-grams) — the number that separates a shared
+    idiom from a verbatim benchmark copy."""
+    from cassandra_util_spark.operators.dedup import contamination_overlap
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    train = d.filter(F.col("doc_id") % 50 != 0)
+    return contamination_overlap(train, bench, "doc_id", "text", n=5)
+
+
+@query(
+    "dedup_soft_keep",
+    oracle=f"""{_CLUSTERS_CTE},
+    assigned AS (
+      SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS cluster
+      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+    csizes AS (
+      SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+      FROM assigned GROUP BY cluster)
+    SELECT a.doc_id, a.cluster, s.cluster_size,
+           {{GATE}} < (4294967296 // s.cluster_size) AS keep
+    FROM assigned a JOIN csizes s USING (cluster)
+    """.replace("{GATE}", __import__("cassandra_util_spark.operators.sampling",
+                                     fromlist=["sample_gate_sql"]).sample_gate_sql(
+                                         "a.doc_id", "soft1")),
+)
+def dedup_soft_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft (probabilistic) dedup: each near-dup cluster contributes ONE
+    expected survivor via a deterministic 1/|cluster| hash gate, instead of
+    always the lowest id — duplicate mass becomes uniform without the
+    lowest-id selection bias, and which copy survives is reproducible
+    (portable md5 gate, no RNG).  Same Jaccard edges and transitive
+    closure as dedup_clusters, hash-checked through the identical
+    recursive-CTE oracle."""
+    from cassandra_util_spark.operators.cluster import soft_dedup
+    from cassandra_util_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    return soft_dedup(d, pairs, "doc_id", seed="soft1")

@@ -290,3 +290,53 @@ def cluster_size_histogram(
         )
         .select("size", "n_clusters", "n_docs")
     )
+
+
+def soft_dedup(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    seed: str = "soft1",
+    method: str = "label_propagation",
+) -> DataFrame:
+    """Probabilistic deduplication: keep each document with probability
+    1/|cluster| instead of keeping exactly the canonical survivor.
+
+    Hard dedup (:func:`resolve_duplicates`) biases the surviving corpus
+    toward whichever copy sorts first; soft dedup keeps duplicate MASS
+    uniform — every cluster contributes one expected document, but which
+    copy survives varies per cluster, and near-duplicate variation
+    (formatting, boilerplate deltas) is preserved in expectation.  This is
+    the dedup counterpart of temperature sampling: same expected token
+    budget, less selection bias.
+
+    The keep decision is a deterministic hash gate (the sampling-module
+    discipline): ``gate(seed, id) < 2^32 div |cluster|`` — reproducible
+    across runs/engines, no RNG state.  Singletons pass always
+    (2^32 div 1 exceeds every gate value).
+
+    Scale: component table join as in resolve_duplicates, plus ONE extra
+    shuffle for the cluster-size count; the gate itself is map-only.
+
+    Output: (id, cluster, cluster_size, keep).
+    """
+    from cassandra_util_spark.operators.sampling import sample_gate
+
+    assigned = resolve_duplicates(df, pairs, id_col, id_a, id_b, method).drop("keep")
+    sizes = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        assigned.join(sizes, "cluster")
+        .select(
+            id_col,
+            "cluster",
+            "cluster_size",
+            (
+                sample_gate(F.col(id_col), seed)
+                < F.expr("4294967296 div cluster_size")
+            ).alias("keep"),
+        )
+    )

@@ -1882,3 +1882,49 @@ def test_rademacher_signs_portable_and_balanced(spark):
     # collapse the projection to a scaled sum
     frac = flat.count(1) / len(flat)
     assert 0.4 < frac < 0.6, frac
+
+
+def test_contamination_overlap_planted(spark):
+    from cassandra_util_spark.operators.dedup import contamination_overlap
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id bigint, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),          # full copy: overlap 1.0
+            (2, "alpha beta gamma epsilon zeta"),   # shares 1 of 3 3-grams
+            (3, "unrelated words entirely here"),   # overlap 0
+            (4, "too short"),                       # no 3-grams at all
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in contamination_overlap(
+        train, bench, "doc_id", "text", n=3
+    ).collect()}
+    assert out[1].overlap == 1.0 and out[1].n_grams == 2
+    assert out[2].n_collisions == 1 and out[2].n_grams == 3
+    assert out[2].overlap == pytest.approx(round(1 / 3, 6))
+    assert out[3].overlap == 0.0 and out[3].n_collisions == 0
+    assert out[4].n_grams == 0 and out[4].overlap == 0.0
+
+
+def test_soft_dedup_semantics(spark):
+    from cassandra_util_spark.operators.cluster import soft_dedup
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 11)], "doc_id bigint"
+    )
+    # one 5-clique cluster {1..5}; 6..10 singletons
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "id_a bigint, id_b bigint"
+    )
+    out = {r.doc_id: r for r in soft_dedup(docs, pairs, "doc_id").collect()}
+    assert all(out[i].cluster_size == 5 for i in range(1, 6))
+    # singletons always survive: 2^32 div 1 exceeds every gate value
+    assert all(out[i].keep and out[i].cluster_size == 1 for i in range(6, 11))
+    kept_cluster = [i for i in range(1, 6) if out[i].keep]
+    assert 0 <= len(kept_cluster) <= 5  # probabilistic, deterministic per seed
+    # determinism: same seed, same decision
+    again = {r.doc_id: r.keep for r in soft_dedup(docs, pairs, "doc_id").collect()}
+    assert again == {k: v.keep for k, v in out.items()}
