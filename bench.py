@@ -119,6 +119,20 @@ BENCH_QUERIES = [
     "orders_rollup_totals",
     "dedup_edit_distance",
     "passage_retrieval",
+    "tombstone_compaction",
+    "cdc_apply",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q22_idle_balances",
+    "bigram_lm_quality",
+    "embedding_rp_project",
+    "ann_rp_rerank",
+    "contamination_report",
+    "dedup_soft_keep",
+    "events_activity_anomalies",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash
     # swapped to xxhash64 — the production configuration at scale

@@ -4753,3 +4753,38 @@ def dedup_soft_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
     return soft_dedup(d, pairs, "doc_id", seed="soft1")
+
+
+@query(
+    "events_activity_anomalies",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id AS k, date_trunc('hour', ts) AS b, count(*) AS n
+      FROM events GROUP BY user_id, date_trunc('hour', ts)),
+    moments AS (
+      SELECT k, CAST(SUM(n) AS BIGINT) AS s1,
+             CAST(SUM(n * n) AS BIGINT) AS s2,
+             CAST(COUNT(*) AS BIGINT) AS h
+      FROM counts GROUP BY k),
+    scored AS (
+      SELECT c.k, c.b, c.n,
+             CAST(m.s1 AS DOUBLE) / m.h AS mean,
+             CAST(m.s2 AS DOUBLE) / m.h
+               - (CAST(m.s1 AS DOUBLE) / m.h) * (CAST(m.s1 AS DOUBLE) / m.h)
+               AS var
+      FROM counts c JOIN moments m USING (k))
+    SELECT k AS user_id, CAST(epoch(b) AS BIGINT) AS bucket_start,
+           CAST(n AS BIGINT) AS n_events,
+           round((CAST(n AS DOUBLE) - mean) / sqrt(var), 4) AS z
+    FROM scored
+    WHERE var > 0 AND abs((CAST(n AS DOUBLE) - mean) / sqrt(var)) >= 2.0
+    """,
+)
+def events_activity_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly burst/outage detection: buckets ≥2 population σ from
+    the user's own mean hourly rate.  Moments are exact integer aggregates,
+    so the z frontier is engine-identical; two shuffles total, z map-only."""
+    from cassandra_util_spark.operators.analytics import activity_anomalies
+
+    ev = _t(spark, sf_dir, "events")
+    return activity_anomalies(ev, "ts", "user_id", "hour", z_threshold=2.0)

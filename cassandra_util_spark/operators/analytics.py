@@ -94,3 +94,56 @@ def cohort_retention(
     return activity.groupBy("cohort_period", "period_offset").agg(
         F.count(F.lit(1)).alias("n_active")
     )
+
+
+def activity_anomalies(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    bucket: str = "hour",
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Per-key activity anomalies: time buckets whose event count deviates
+    ≥ ``z_threshold`` population standard deviations from that key's own
+    mean — the burst/outage detector over any entity-keyed event stream.
+
+    Determinism: the per-key moments come from EXACT integer aggregates
+    (Σn, Σn², #buckets over the key's observed buckets), so mean, variance
+    and every z-score are fixed double expressions over identical integers
+    in any engine and any partitioning; no float sum ever crosses a shuffle.
+    Keys with zero variance (perfectly uniform activity) produce no
+    anomalies rather than a 0/0.
+
+    Scale: two shuffles total — (key, bucket) count, then key moments; the
+    moment table is |keys| rows and joins back by key (AQE broadcasts while
+    small).  The z computation is map-only.
+
+    Output: (key, bucket_start epoch-seconds, n_events, z 4dp) for
+    anomalous buckets only.
+    """
+    counts = (
+        events.select(
+            F.col(key_col).alias("k"),
+            F.date_trunc(bucket, F.col(ts_col)).alias("b"),
+        )
+        .groupBy("k", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    moments = counts.groupBy("k").agg(
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+        F.count(F.lit(1)).alias("h"),
+    )
+    mean = F.col("s1").cast("double") / F.col("h")
+    var = F.col("s2").cast("double") / F.col("h") - mean * mean
+    z = (F.col("n").cast("double") - mean) / F.sqrt(var)
+    return (
+        counts.join(moments, "k")
+        .filter((var > 0) & (F.abs(z) >= F.lit(z_threshold)))
+        .select(
+            F.col("k").alias(key_col),
+            F.unix_timestamp("b").alias("bucket_start"),
+            F.col("n").alias("n_events"),
+            F.round(z, 4).alias("z"),
+        )
+    )

@@ -1928,3 +1928,20 @@ def test_soft_dedup_semantics(spark):
     # determinism: same seed, same decision
     again = {r.doc_id: r.keep for r in soft_dedup(docs, pairs, "doc_id").collect()}
     assert again == {k: v.keep for k, v in out.items()}
+
+
+def test_activity_anomalies_planted_burst(spark):
+    from datetime import datetime
+
+    from cassandra_util_spark.operators.analytics import activity_anomalies
+
+    # user 1: 1 event/hour for 9 hours, then a 20-event burst hour
+    rows = [(1, datetime(2024, 1, 1, h)) for h in range(9)]
+    rows += [(1, datetime(2024, 1, 1, 9))] * 20
+    # user 2: perfectly uniform — zero variance, must emit nothing
+    rows += [(2, datetime(2024, 1, 1, h)) for h in range(10)]
+    ev = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+    out = activity_anomalies(ev, "ts", "user_id", "hour").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.user_id == 1 and r.n_events == 20 and r.z > 2

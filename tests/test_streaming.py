@@ -642,3 +642,54 @@ def test_streaming_interval_join_matches_batch(spark, workdir, events_src):
         ).collect()
     }
     assert got == want and got
+
+
+def test_streaming_changelog_apply_matches_batch(spark, workdir):
+    """Micro-batched CDC application converges to the batch apply_changelog
+    result even when a DELETE arrives in an earlier micro-batch than an
+    OLDER out-of-order upsert for the same key — the marker-retention case
+    where naive drop-on-delete state diverges."""
+    from cassandra_util_spark.operators.merge import apply_changelog
+    from cassandra_util_spark.sources.snapshots import SnapshotStore
+    from cassandra_util_spark.streaming.events import (
+        read_changelog_state,
+        streaming_apply_changelog,
+    )
+
+    base = spark.createDataFrame(
+        [("a", "v0", 10), ("b", "v0", 10), ("c", "v0", 10)],
+        "k string, v string, writetime bigint",
+    )
+    # file 0 (first micro-batch): delete b at t=30
+    # file 1 (second micro-batch): out-of-order upsert b at t=20 — must NOT
+    # resurrect b; and upsert c at t=40
+    b0 = [("b", None, 30, "D")]
+    b1 = [("b", "stale", 20, "U"), ("c", "v1", 40, "U")]
+    schema = "k string, v string, writetime bigint, op string"
+    src = os.path.join(workdir, "cdc-src")
+    spark.createDataFrame(b0, schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+
+    store = SnapshotStore(os.path.join(workdir, "cdc-state"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = streaming_apply_changelog(
+        stream, base, store,
+        os.path.join(workdir, "cdc-cp"),
+        primary_key=("k",), tiebreak=("v",),
+    )
+    q.awaitTermination(120)
+
+    got = {(r.k, r.v) for r in read_changelog_state(spark, store).collect()}
+    all_changes = spark.createDataFrame(b0 + b1, schema)
+    want = {(r.k, r.v) for r in apply_changelog(
+        base, all_changes, ["k"], "writetime", "op", tiebreak=["v"]
+    ).collect()}
+    assert got == want
+    assert ("b", "stale") not in got  # zombie prevention
+    assert got == {("a", "v0"), ("c", "v1")}
+    # exactly-once bookkeeping: batch id rode the pointer write
+    assert store.current_tag() is not None
