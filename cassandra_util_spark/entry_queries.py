@@ -4788,3 +4788,81 @@ def events_activity_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return activity_anomalies(ev, "ts", "user_id", "hour", z_threshold=2.0)
+
+
+@query(
+    "retention_rule_impact",
+    oracle="""
+    WITH agg AS (
+      SELECT count(*) AS total,
+             SUM(CASE WHEN l_orderkey >= 100 AND l_orderkey <= 500
+                      THEN 1 ELSE 0 END) AS r1,
+             SUM(CASE WHEN (l_suppkey >= 1 AND l_suppkey <= 3)
+                           AND l_partkey <= 50 THEN 1 ELSE 0 END) AS r2,
+             SUM(CASE WHEN (l_orderkey >= 100 AND l_orderkey <= 500)
+                       OR ((l_suppkey >= 1 AND l_suppkey <= 3)
+                           AND l_partkey <= 50) THEN 1 ELSE 0 END) AS rany
+      FROM lineitem)
+    SELECT 'purge_orders' AS rulename, CAST(r1 AS BIGINT) AS n_convicted,
+           round(CAST(r1 AS DOUBLE) / total, 6) AS share FROM agg
+    UNION ALL
+    SELECT 'purge_supplier_lowparts', CAST(r2 AS BIGINT),
+           round(CAST(r2 AS DOUBLE) / total, 6) FROM agg
+    UNION ALL
+    SELECT '__any__', CAST(rany AS BIGINT),
+           round(CAST(rany AS DOUBLE) / total, 6) FROM agg
+    """,
+)
+def retention_rule_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule dry-run impact in one scan: how many rows each retention
+    rule would convict (independent counts) plus the de-overlapped __any__
+    union the deletion would actually remove — the pre-arming report the
+    reference's aggregate status counters cannot answer."""
+    from cassandra_util_spark.plans.rules import rule_impact_report
+
+    li = KeyedTable(
+        _t(spark, sf_dir, "lineitem"),
+        TableMeta(("l_orderkey", "l_suppkey", "l_partkey"), ("l_linenumber",)),
+        "lineitem",
+    )
+    rules = [
+        Rule("purge_orders", {"l_orderkey": (Range("100", "500"),)}),
+        Rule(
+            "purge_supplier_lowparts",
+            {"l_suppkey": (Range("1", "3"),), "l_partkey": (Range(None, "50"),)},
+        ),
+    ]
+    return rule_impact_report(li, rules)
+
+
+@query(
+    "events_cube_profile",
+    oracle="""
+    SELECT event_type,
+           CAST(date_part('dow', ts) AS INT) AS dow,
+           CAST(GROUPING(event_type, CAST(date_part('dow', ts) AS INT)) AS BIGINT)
+             AS gid,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS value_sum
+    FROM events
+    GROUP BY CUBE (event_type, CAST(date_part('dow', ts) AS INT))
+    """,
+)
+def events_cube_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (event_type, day-of-week): all four aggregation
+    granularities — per cell, per type, per weekday, grand total — in ONE
+    pass with partial aggregation, disambiguated by grouping_id (a NULL
+    dimension value vs a rolled-up dimension are different things).  Sums
+    in DECIMAL so every granularity is partitioning-exact."""
+    ev = _t(spark, sf_dir, "events")
+    dow = (F.dayofweek("ts") - F.lit(1)).cast("int").alias("dow")
+    return (
+        ev.select("event_type", dow, "value")
+        .cube("event_type", "dow")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("value_sum"),
+        )
+        .select("event_type", "dow", "gid", "n_events", "value_sum")
+    )

@@ -399,3 +399,49 @@ def compile_ruleset(
     # invalid rules are excluded from compilation — the spooked flag already
     # forces dry run, and dry-run counts then reflect the parseable subset
     return CompiledRuleset(valid_rules, spooked, warnings, contains_pk, contains_ck)
+
+
+def rule_impact_report(table: KeyedTable, rules: list[Rule]) -> DataFrame:
+    """Per-rule dry-run impact: how many rows each rule would convict, in
+    ONE scan — the "which rule is about to delete half the table" report an
+    operator reads before arming a retention config (the reference surfaces
+    only aggregate kept/dropped counts in its status line,
+    FilteringSSTableScanner.java:333-373; per-rule attribution is the
+    missing operational breakdown).
+
+    Counts are independent per rule (a row matching two rules counts in
+    both) plus an ``__any__`` row giving the de-overlapped union — the
+    number the actual deletion would remove.  ``share`` is each count over
+    the table total, rounded to 6dp.
+
+    Scale: every rule predicate folds into one conditional-sum aggregate —
+    a single map-only pass + 1-row combine regardless of rule count; the
+    R-row unpivot happens on the 1-row aggregate, never on data.
+    """
+    aggs = [F.count(F.lit(1)).alias("__total__")]
+    names = []
+    for rule in rules:
+        names.append(rule.name)
+        aggs.append(
+            F.sum(F.when(rule_match_expr(rule, table), 1).otherwise(0)).alias(rule.name)
+        )
+    aggs.append(
+        F.sum(
+            F.when(ruleset_convict_expr(rules, table), 1).otherwise(0)
+        ).alias("__any__")
+    )
+    wide = table.df.agg(*aggs)
+    stack_args = ", ".join(f"'{n}', `{n}`" for n in [*names, "__any__"])
+    long = wide.select(
+        "__total__",
+        F.expr(
+            f"stack({len(names) + 1}, {stack_args}) AS (rulename, n_convicted)"
+        ),
+    )
+    return long.select(
+        "rulename",
+        F.col("n_convicted").cast("bigint").alias("n_convicted"),
+        F.round(
+            F.col("n_convicted").cast("double") / F.col("__total__"), 6
+        ).alias("share"),
+    )
