@@ -5,10 +5,13 @@ from cassandra_util_spark.sources.bucketed import (
     write_bucketed,
 )
 from cassandra_util_spark.sources.shards import read_epoch_shard, write_epoch_shards
+from cassandra_util_spark.sources.runs import RunStore, size_tiered_plan
 from cassandra_util_spark.sources.snapshots import SnapshotStore
 
 __all__ = [
     "SnapshotStore",
+    "RunStore",
+    "size_tiered_plan",
     "colocated_join",
     "join_is_colocated",
     "selected_buckets",

@@ -1,0 +1,103 @@
+"""LSM run store + size-tiered compaction semantics.
+
+The reference's retention engine rides inside a real compaction strategy
+(DeletingCompactionStrategy delegating to size-tiered,
+DeletingCompactionStrategy.java:102-126); these tests pin the modeled
+equivalents: lazy LWW reads over overlapping runs, STCS bucketing math,
+read-view invariance under compaction, and the retention hook dropping rows
+during the merge exactly like a convictor.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_util_spark.core.table import TableMeta
+from cassandra_util_spark.sources.runs import RunStore, size_tiered_plan
+
+
+def test_stcs_bucketing_math():
+    # four ~100-byte runs + two 10KB runs: only the small tier qualifies
+    sizes = {"r1": 100, "r2": 110, "r3": 95, "r4": 105, "r5": 10_000, "r6": 10_500}
+    plan = size_tiered_plan(sizes, min_threshold=4)
+    assert len(plan) == 1 and sorted(plan[0]) == ["r1", "r2", "r3", "r4"]
+    # raising the threshold disqualifies the bucket
+    assert size_tiered_plan(sizes, min_threshold=5) == []
+    # max_threshold caps a giant bucket
+    many = {f"r{i}": 100 + i for i in range(40)}
+    capped = size_tiered_plan(many, min_threshold=4, max_threshold=8)
+    assert capped and all(len(b) <= 8 for b in capped)
+    with pytest.raises(ValueError):
+        size_tiered_plan(sizes, min_threshold=1)
+
+
+@pytest.fixture
+def seeded_store(spark, tmp_path):
+    meta = TableMeta(("user_id",), ("event_id",), "writetime")
+    store = RunStore(str(tmp_path / "runs"), meta)
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .withColumn("writetime", F.unix_micros(F.col("ts").cast("timestamp")))
+        .select("user_id", "event_id", "event_type", "writetime")
+    )
+    # four overlapping runs: full + three re-delivered slices (older data
+    # re-appearing is exactly the overlap compaction must resolve)
+    store.append_run(ev)
+    store.append_run(ev.filter(F.col("user_id") <= 50))
+    store.append_run(ev.filter(F.col("user_id").between(25, 75)))
+    store.append_run(ev.filter(F.col("user_id") > 60))
+    return store, ev
+
+
+def test_lazy_read_is_lww_view(spark, seeded_store):
+    store, ev = seeded_store
+    got = store.read_merged(spark).count()
+    assert got == ev.count()  # unique (user_id, event_id) keys: no inflation
+
+
+def test_compaction_preserves_read_view(spark, seeded_store):
+    store, ev = seeded_store
+    before = {tuple(r) for r in store.read_merged(spark).collect()}
+    new = store.compact(spark, min_threshold=2)
+    assert new, "expected at least one merge job"
+    assert len(store.live_runs()) < 4
+    after = {tuple(r) for r in store.read_merged(spark).collect()}
+    assert after == before  # the compaction invariant
+
+
+def test_compaction_retention_hook_drops_rows(spark, seeded_store):
+    """keep_expr during compact = the deleting-compaction integration:
+    convicted rows vanish from the merged run."""
+    store, ev = seeded_store
+    # merge everything in one job, dropping user_id <= 50 during the merge
+    new = store.compact(
+        spark,
+        min_threshold=2,
+        max_threshold=32,
+        keep_expr=lambda df: df.filter(F.col("user_id") > 50),
+    )
+    assert new
+    view = store.read_merged(spark)
+    # rows from un-compacted runs may still carry user_id <= 50; compact
+    # until one run remains for the full sweep
+    while len(store.live_runs()) > 1:
+        store.compact(
+            spark, min_threshold=2,
+            keep_expr=lambda df: df.filter(F.col("user_id") > 50),
+        )
+    final = store.read_merged(spark)
+    assert final.filter(F.col("user_id") <= 50).count() == 0
+    want = ev.filter(F.col("user_id") > 50).count()
+    assert final.count() == want
+
+
+def test_manifest_swap_is_atomic_visibility(spark, tmp_path):
+    meta = TableMeta(("k",), (), "writetime")
+    store = RunStore(str(tmp_path / "rs"), meta)
+    df = spark.createDataFrame([("a", 1)], "k string, writetime bigint")
+    store.append_run(df)
+    assert store.live_runs() == ["r00001"]
+    # a dead directory (failed job) never appears in the manifest
+    import os
+
+    os.makedirs(os.path.join(store.root, "r00099"))
+    assert store.live_runs() == ["r00001"]
