@@ -110,3 +110,124 @@ def ttl_counter(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+FUNNEL_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("stage_reached", LongType(), False),  # 1-based
+        StructField("start_ms", LongType(), True),
+        StructField("end_ms", LongType(), True),
+        StructField("completed", BooleanType(), False),
+        StructField("abandoned", BooleanType(), False),
+    ]
+)
+
+FUNNEL_STATE_SCHEMA = StructType(
+    [
+        StructField("stage_idx", LongType(), False),  # stages completed so far
+        StructField("start_ms", LongType(), False),
+        StructField("last_stage_ms", LongType(), False),
+    ]
+)
+
+
+def funnel_detector(
+    events: DataFrame,
+    stages: tuple[str, ...],
+    timeout_seconds: int,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming ordered-sequence (CEP) detection: per key, advance a stage
+    machine through ``stages`` as events arrive; emit ONE row when the final
+    stage completes (completed=True, funnel start/end times) or when the
+    key's funnel times out mid-sequence (abandoned=True, stage reached) —
+    the live form of the batch ``funnel_counts`` operator.
+
+    State is O(1) per live key (stage index + two timestamps) — never the
+    event history.  Batches sort by event time before advancing, so the
+    detector matches the batch earliest-first recurrence EXACTLY when each
+    key's events arrive across micro-batches in event-time order
+    (test_streaming_funnel_matches_batch pins this); under cross-batch
+    disorder it degrades to arrival-order CEP semantics — the standard
+    streaming tradeoff, chosen over unbounded per-stage timestamp sets.
+    Abandonment fires on the EVENT-TIME watermark passing
+    last-progress + timeout, not wall clock — deterministic replay, like
+    every other clock in this engine.  One conversion per key per funnel
+    lifetime; completed keys clear their state.
+    """
+    n_stages = len(stages)
+    if n_stages < 2:
+        raise ValueError("a funnel needs at least 2 stages")
+    stage_of = {name: i for i, name in enumerate(stages)}
+
+    def update(
+        key: Tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            stage_idx, start_ms, last_ms = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "stage_reached": [stage_idx],
+                    "start_ms": [start_ms],
+                    "end_ms": [last_ms],
+                    "completed": [False],
+                    "abandoned": [True],
+                }
+            )
+            return
+        stage_idx, start_ms, last_ms = state.get if state.exists else (0, 0, 0)
+        done = False
+        for pdf in batches:
+            if done:
+                break
+            pdf = pdf.sort_values(ts_col, kind="mergesort")  # stable: ties keep order
+            ts_ms = (pd.to_datetime(pdf[ts_col]).astype("int64") // 1_000_000).tolist()
+            types = pdf[type_col].tolist()
+            for t_ms, etype in zip(ts_ms, types):
+                if stage_of.get(etype) != stage_idx:
+                    continue
+                if stage_idx > 0 and t_ms < last_ms:
+                    continue  # stage event predates previous stage: not a progression
+                if stage_idx == 0:
+                    start_ms = t_ms
+                stage_idx += 1
+                last_ms = t_ms
+                if stage_idx == n_stages:
+                    done = True
+                    break
+        if done:
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "stage_reached": [n_stages],
+                    "start_ms": [start_ms],
+                    "end_ms": [last_ms],
+                    "completed": [True],
+                    "abandoned": [False],
+                }
+            )
+        elif stage_idx > 0:
+            state.update((stage_idx, start_ms, last_ms))
+            state.setTimeoutTimestamp(last_ms + timeout_seconds * 1000)
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=FUNNEL_OUTPUT_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

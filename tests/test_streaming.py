@@ -693,3 +693,110 @@ def test_streaming_changelog_apply_matches_batch(spark, workdir):
     assert got == {("a", "v0"), ("c", "v1")}
     # exactly-once bookkeeping: batch id rode the pointer write
     assert store.current_tag() is not None
+
+
+def test_streaming_funnel_matches_batch(spark, workdir):
+    """In event-time-ordered delivery the streaming CEP funnel completes
+    exactly the users the batch earliest-first recurrence completes."""
+    from cassandra_util_spark.streaming.stateful import funnel_detector
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        # watermarks require TIMESTAMP; Spark 4 reads the nanos parquet as NTZ
+        .select("user_id", "event_type", F.col("ts").cast("timestamp").alias("ts"))
+    )
+    stages = ("view", "click", "purchase")
+
+    # batch expectation: the funnel_counts frontier recurrence, per user
+    frontier = None
+    for name in stages:
+        cur = ev.filter(F.col("event_type") == name).select(
+            "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("wt")
+        )
+        if frontier is None:
+            frontier = cur.groupBy("user_id").agg(F.min("wt").alias("t"))
+        else:
+            frontier = (
+                cur.join(frontier.select("user_id", F.col("t").alias("prev")), "user_id")
+                .filter(F.col("wt") >= F.col("prev"))
+                .groupBy("user_id")
+                .agg(F.min("wt").alias("t"))
+            )
+    want = {r.user_id for r in frontier.select("user_id").collect()}
+
+    # deliver chronologically: four quarter files appended in ts order
+    import time as _time
+
+    src = os.path.join(workdir, "funnel-src")
+    qs_bounds = ev.approxQuantile("user_id", [0.0], 0.0)  # touch to materialize
+    bounds = ev.selectExpr("percentile(unix_micros(cast(ts as timestamp)), array(0.25,0.5,0.75)) as q").collect()[0].q
+    lo = float("-inf")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    for hi in [*bounds, float("inf")]:
+        part = ev.filter((us > F.lit(lo)) & (us <= F.lit(hi))) if lo != float("-inf") else ev.filter(us <= F.lit(hi))
+        part = part if hi != float("inf") else ev.filter(us > F.lit(lo))
+        part.coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)  # distinct mtimes: the file source replays in mtime order
+        lo = hi
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    q = (
+        funnel_detector(stream, stages, timeout_seconds=10**9, watermark="0 seconds")
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", os.path.join(workdir, "funnel-cp"))
+        .trigger(availableNow=True)
+        .format("memory")
+        .queryName("funnel_mem")
+        .start()
+    )
+    q.awaitTermination(180)
+    res = spark.sql("select * from funnel_mem")
+    got = {r.user_id for r in res.filter(F.col("completed")).collect()}
+    assert got == want and got, (len(got), len(want))
+
+
+def test_streaming_funnel_abandonment_timeout(spark, workdir):
+    """A key stuck mid-funnel emits an abandoned row once the event-time
+    watermark passes last-progress + timeout."""
+    from datetime import datetime
+
+    from cassandra_util_spark.streaming.stateful import funnel_detector
+
+    schema = "user_id bigint, event_type string, ts timestamp"
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    b0 = [(1, "view", t0), (1, "click", datetime(2024, 1, 1, 0, 0, 10))]
+    b1 = [(2, "view", datetime(2024, 1, 1, 2, 0, 0))]  # pushes the watermark
+    src = os.path.join(workdir, "aband-src")
+    import time as _time
+
+    spark.createDataFrame(b0, schema).coalesce(1).write.parquet(src)
+    _time.sleep(1.1)
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        funnel_detector(
+            stream, ("view", "click", "purchase"),
+            timeout_seconds=600, watermark="1 second",
+        )
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", os.path.join(workdir, "aband-cp"))
+        .trigger(availableNow=True)
+        .format("memory")
+        .queryName("aband_mem")
+        .start()
+    )
+    q.awaitTermination(180)
+    res = spark.sql("select * from aband_mem").collect()
+    ab = [r for r in res if r.abandoned]
+    assert len(ab) == 1 and ab[0].user_id == 1 and ab[0].stage_reached == 2
+    assert not [r for r in res if r.completed]
