@@ -4866,3 +4866,37 @@ def events_cube_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "dow", "gid", "n_events", "value_sum")
     )
+
+
+@query(
+    "embedding_mean_pool",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id // 16 AS grp, i AS pos,
+             CAST(round(CAST(embedding[i + 1] AS DOUBLE)
+                        * 1000000000.0::DOUBLE) AS BIGINT) AS x9
+      FROM embeddings, unnest(generate_series(0, 63)) AS u(i)),
+    per_dim AS (
+      SELECT grp, pos, CAST(SUM(x9) AS BIGINT) AS s9,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM ex GROUP BY grp, pos)
+    SELECT grp, CAST(pos AS INT) AS pos, n AS n_vectors,
+           round(CAST(s9 AS DOUBLE) / 1000000000.0::DOUBLE / n, 6) AS val
+    FROM per_dim
+    """,
+)
+def embedding_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk→document embedding pooling: element-wise mean per group of 16
+    vectors via exact integer sums (partition-invariant, unlike avg()),
+    exported component-wise so all 64·G pooled values hash-verify."""
+    from cassandra_util_spark.operators.similarity import mean_pool_embeddings
+
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "grp", F.expr("vec_id div 16")
+    )
+    pooled = mean_pool_embeddings(e, "grp", "embedding")
+    return pooled.select(
+        "grp",
+        F.posexplode("pooled").alias("pos", "val"),
+        "n_vectors",
+    ).select("grp", "pos", "n_vectors", "val")

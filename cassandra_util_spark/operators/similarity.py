@@ -789,3 +789,52 @@ def rademacher_signs_sql_values(dim: int, k: int, seed: int = 7) -> str:
         for i, s in enumerate(row)
     )
     return rows
+
+
+def mean_pool_embeddings(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Element-wise mean of vectors per group — the chunk→document pooling
+    step every long-document embedding pipeline needs (embed chunks, pool
+    to one document vector).
+
+    Engine-exact: components scale to 1e9-integers per element, the
+    per-(group, position) sum is an exact BIGINT aggregate with map-side
+    partial combine, and the mean is one rounded double division — so the
+    pooled vector is identical under any partitioning (a float avg() would
+    not be).  Reassembly sorts by position inside a struct array (the
+    kmeans_refine pattern): no Python, no UDF.
+
+    Output: (group, n_vectors, pooled array<double> 6dp).
+    Scale: one shuffle keyed by (group, pos) then one by group — both keys
+    grow with the data, no reduce-to-one.
+    """
+    exploded = df.select(
+        F.col(group_col).alias("g"),
+        F.posexplode(
+            F.transform(
+                F.col(vec_col),
+                lambda x: F.round(x.cast("double") * 1e9).cast("bigint"),
+            )
+        ).alias("pos", "x9"),
+    )
+    per_dim = exploded.groupBy("g", "pos").agg(
+        F.sum("x9").alias("s9"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        per_dim.groupBy("g")
+        .agg(
+            F.max("n").alias("n_vectors"),  # all dims share the group count
+            F.array_sort(F.collect_list(F.struct("pos", "s9", "n"))).alias("pm"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "n_vectors",
+            F.transform(
+                F.col("pm"),
+                lambda s: F.round(s["s9"].cast("double") / 1e9 / s["n"], 6),
+            ).alias("pooled"),
+        )
+    )

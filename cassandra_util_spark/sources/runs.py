@@ -167,3 +167,33 @@ class RunStore:
             self._swap_manifest([*live, run])
             new_runs.append(run)
         return new_runs
+
+
+def _dir_mtime(path: str) -> float:
+    return os.path.getmtime(path)
+
+
+def vacuum_dead_runs(store: RunStore, min_age_s: float = 3600.0) -> list[str]:
+    """Garbage-collect run directories absent from the live manifest —
+    compaction inputs already replaced, and the debris of failed appends
+    (which write their directory BEFORE the manifest swap publishes it).
+
+    ``min_age_s`` is the in-flight guard: a directory younger than this may
+    be an append that has not swapped its manifest yet, so it is left
+    alone — the same reasoning as SnapshotStore.vacuum keeping the current
+    pointer's version.  Returns the removed run names.
+    """
+    import shutil
+
+    live = set(store.live_runs())
+    removed: list[str] = []
+    now = __import__("time").time()
+    for d in sorted(os.listdir(store.root)):
+        if not (d.startswith("r") and d[1:].isdigit()) or d in live:
+            continue
+        path = os.path.join(store.root, d)
+        if now - _dir_mtime(path) < min_age_s:
+            continue
+        shutil.rmtree(path)
+        removed.append(d)
+    return removed

@@ -1945,3 +1945,19 @@ def test_activity_anomalies_planted_burst(spark):
     assert len(out) == 1
     r = out[0]
     assert r.user_id == 1 and r.n_events == 20 and r.z > 2
+
+
+def test_mean_pool_embeddings_exact(spark):
+    from cassandra_util_spark.operators.similarity import mean_pool_embeddings
+
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0, 3.0]),
+            (1, [3.0, 2.0, 1.0]),
+            (2, [5.0, 5.0, 5.0]),
+        ],
+        "g bigint, embedding array<float>",
+    )
+    out = {r.g: r for r in mean_pool_embeddings(vecs, "g").collect()}
+    assert out[1].pooled == [2.0, 2.0, 2.0] and out[1].n_vectors == 2
+    assert out[2].pooled == [5.0, 5.0, 5.0] and out[2].n_vectors == 1

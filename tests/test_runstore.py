@@ -101,3 +101,25 @@ def test_manifest_swap_is_atomic_visibility(spark, tmp_path):
 
     os.makedirs(os.path.join(store.root, "r00099"))
     assert store.live_runs() == ["r00001"]
+
+
+def test_vacuum_dead_runs(spark, tmp_path):
+    import os
+    import time
+
+    from cassandra_util_spark.sources.runs import vacuum_dead_runs
+
+    meta = TableMeta(("k",), (), "writetime")
+    store = RunStore(str(tmp_path / "vac"), meta)
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "k string, writetime bigint")
+    store.append_run(df)
+    store.append_run(df)
+    store.compact(spark, min_threshold=2)  # r00001+r00002 -> r00003 (dead inputs)
+    assert store.live_runs() == ["r00003"]
+    # young debris is protected (in-flight append guard)
+    assert vacuum_dead_runs(store, min_age_s=3600) == []
+    removed = vacuum_dead_runs(store, min_age_s=0.0)
+    assert removed == ["r00001", "r00002"]
+    assert sorted(d for d in os.listdir(store.root) if d.startswith("r")) == ["r00003"]
+    # the view still reads fine
+    assert store.read_merged(spark).count() == 2
