@@ -5,6 +5,7 @@ from cassandra_util_spark.sources.bucketed import (
     write_bucketed,
 )
 from cassandra_util_spark.sources.shards import read_epoch_shard, write_epoch_shards
+from cassandra_util_spark.sources.ivf_index import probe_ivf_index, write_ivf_index
 from cassandra_util_spark.sources.runs import RunStore, size_tiered_plan
 from cassandra_util_spark.sources.snapshots import SnapshotStore
 
@@ -12,6 +13,8 @@ __all__ = [
     "SnapshotStore",
     "RunStore",
     "size_tiered_plan",
+    "write_ivf_index",
+    "probe_ivf_index",
     "colocated_join",
     "join_is_colocated",
     "selected_buckets",

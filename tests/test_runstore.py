@@ -123,3 +123,58 @@ def test_vacuum_dead_runs(spark, tmp_path):
     assert sorted(d for d in os.listdir(store.root) if d.startswith("r")) == ["r00003"]
     # the view still reads fine
     assert store.read_merged(spark).count() == 2
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index (partition-pruned ANN)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def ivf_index_dir(spark, tmp_path_factory):
+    from cassandra_util_spark.sources.ivf_index import write_ivf_index
+
+    path = str(tmp_path_factory.mktemp("ivf") / "index")
+    corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    write_ivf_index(corpus, path, num_centroids=16, refine_iters=1)
+    return path
+
+
+def test_persisted_probe_matches_inmemory_ivf(spark, ivf_index_dir):
+    """The persisted index returns the same neighbors as the in-memory
+    ivf_topk with identical parameters (same seeds, same refinement)."""
+    from cassandra_util_spark.operators.similarity import ivf_topk
+    from cassandra_util_spark.sources.ivf_index import probe_ivf_index
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = corpus.filter(F.col("vec_id") < 3)
+    want = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivf_topk(
+            corpus, queries, k=5, num_centroids=16, nprobe=4, refine_iters=1
+        ).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in probe_ivf_index(
+            spark, ivf_index_dir, queries, k=5, nprobe=4
+        ).collect()
+    }
+    assert got == want and got
+
+
+def test_probe_plan_prunes_partitions(spark, ivf_index_dir):
+    """The probe scan must carry a cell PartitionFilter — pruning happens
+    at file listing, the whole point of the persisted layout."""
+    from cassandra_util_spark.sources.ivf_index import probe_ivf_index
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = corpus.filter(F.col("vec_id") == 0)
+    df = probe_ivf_index(spark, ivf_index_dir, queries, k=5, nprobe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    seg = plan.split("PartitionFilters", 1)
+    assert len(seg) == 2 and "cell" in seg[1][:200], plan[:1500]
+    # nprobe=2 of 16 cells: the filter must enumerate exactly 2 values
+    import re
+
+    m = re.search(r"cell#\d+L? IN \(([^)]*)\)", plan)
+    assert m and len(m.group(1).split(",")) == 2, m.group(0) if m else plan[:800]
