@@ -231,3 +231,129 @@ def funnel_detector(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+ANOMALY_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("bucket_start_ms", LongType(), False),
+        StructField("n_events", LongType(), False),
+        StructField("z_scaled_1e4", LongType(), False),  # z * 1e4, rounded
+        StructField("anomalous", BooleanType(), False),
+    ]
+)
+
+ANOMALY_STATE_SCHEMA = StructType(
+    [
+        StructField("s1", LongType(), False),   # Σ count over closed buckets
+        StructField("s2", LongType(), False),   # Σ count² over closed buckets
+        StructField("h", LongType(), False),    # closed buckets
+        StructField("open_start_ms", LongType(), False),
+        StructField("open_n", LongType(), False),
+    ]
+)
+
+
+def streaming_anomalies(
+    events: DataFrame,
+    z_threshold: float = 2.0,
+    bucket_ms: int = 3_600_000,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Online per-key activity anomalies: the live form of the batch
+    ``activity_anomalies`` operator.  Per key the state holds exact integer
+    moments (Σn, Σn², #buckets) over CLOSED time buckets plus the one open
+    bucket — O(1) state per key, never event history.
+
+    A bucket closes when a later bucket's event arrives (or the key times
+    out); at close it is scored PREQUENTIALLY against the moments
+    accumulated so far (itself included, matching the batch formula's
+    self-inclusion) and then folded in.  This is the honest online
+    contract: the batch operator scores against ALL buckets including
+    future ones, which no stream can know — early buckets therefore score
+    against less history.  A planted burst after a stable baseline alerts
+    identically in both.
+
+    The z-score is emitted as an integer (z·10⁴ rounded) — the same
+    integer-export discipline as every other float frontier here.  Keys
+    with zero variance emit z=0, not 0/0.
+    """
+
+    def update(
+        key: Tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+
+        def close_bucket(s1, s2, h, start_ms, n):
+            # fold the closing bucket in, then score it against the updated
+            # moments (self-inclusive, like the batch population z)
+            s1 += n
+            s2 += n * n
+            h += 1
+            mean = s1 / h
+            var = s2 / h - mean * mean
+            z = (n - mean) / var**0.5 if var > 0 else 0.0
+            return s1, s2, h, z
+
+        if state.hasTimedOut:
+            s1, s2, h, start_ms, n = state.get
+            state.remove()
+            if n > 0:
+                s1, s2, h, z = close_bucket(s1, s2, h, start_ms, n)
+                yield pd.DataFrame(
+                    {
+                        "user_id": [user_id],
+                        "bucket_start_ms": [start_ms],
+                        "n_events": [n],
+                        "z_scaled_1e4": [int(round(z * 1e4))],
+                        "anomalous": [abs(z) >= z_threshold],
+                    }
+                )
+            return
+
+        s1, s2, h, open_start, open_n = (
+            state.get if state.exists else (0, 0, 0, -1, 0)
+        )
+        out_rows: list[dict] = []
+        last_ms = 0
+        for pdf in batches:
+            ts_ms = (pd.to_datetime(pdf[ts_col]).astype("int64") // 1_000_000)
+            buckets = (ts_ms // bucket_ms) * bucket_ms
+            last_ms = max(last_ms, int(ts_ms.max()))
+            for b, cnt in buckets.value_counts().sort_index().items():
+                b = int(b)
+                if b == open_start:
+                    open_n += int(cnt)
+                    continue
+                if open_start >= 0 and open_n > 0 and b > open_start:
+                    s1, s2, h, z = close_bucket(s1, s2, h, open_start, open_n)
+                    out_rows.append(
+                        {
+                            "user_id": user_id,
+                            "bucket_start_ms": open_start,
+                            "n_events": open_n,
+                            "z_scaled_1e4": int(round(z * 1e4)),
+                            "anomalous": abs(z) >= z_threshold,
+                        }
+                    )
+                open_start, open_n = b, int(cnt)
+        state.update((s1, s2, h, open_start, open_n))
+        state.setTimeoutTimestamp(last_ms + 2 * bucket_ms)
+        if out_rows:
+            yield pd.DataFrame(out_rows)
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=ANOMALY_OUTPUT_SCHEMA,
+            stateStructType=ANOMALY_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -800,3 +800,49 @@ def test_streaming_funnel_abandonment_timeout(spark, workdir):
     ab = [r for r in res if r.abandoned]
     assert len(ab) == 1 and ab[0].user_id == 1 and ab[0].stage_reached == 2
     assert not [r for r in res if r.completed]
+
+
+def test_streaming_anomalies_planted_burst(spark, workdir):
+    """A 20x burst after a stable baseline alerts online; the stable
+    baseline itself never does.  State is moments-only (O(1) per key)."""
+    from datetime import datetime, timedelta
+
+    from cassandra_util_spark.streaming.stateful import streaming_anomalies
+
+    schema = "user_id bigint, event_type string, ts timestamp"
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    for h in range(10):  # stable: 2 events/hour
+        rows += [(1, "view", t0 + timedelta(hours=h)),
+                 (1, "view", t0 + timedelta(hours=h, minutes=30))]
+    burst = [(1, "view", t0 + timedelta(hours=10, minutes=m)) for m in range(40)]
+    closer = [(1, "view", t0 + timedelta(hours=12))]  # closes the burst bucket
+
+    src = os.path.join(workdir, "anom-src")
+    import time as _time
+
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    _time.sleep(1.1)
+    spark.createDataFrame(burst, schema).coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.1)
+    spark.createDataFrame(closer, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        streaming_anomalies(stream, z_threshold=2.0, watermark="1 second")
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", os.path.join(workdir, "anom-cp"))
+        .trigger(availableNow=True)
+        .format("memory")
+        .queryName("anom_mem")
+        .start()
+    )
+    q.awaitTermination(180)
+    res = spark.sql("select * from anom_mem").collect()
+    flagged = [r for r in res if r.anomalous]
+    assert len(flagged) == 1 and flagged[0].n_events == 40
+    # baseline buckets scored non-anomalous
+    base = [r for r in res if r.n_events == 2]
+    assert base and all(not r.anomalous for r in base)
