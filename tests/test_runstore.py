@@ -178,3 +178,34 @@ def test_probe_plan_prunes_partitions(spark, ivf_index_dir):
 
     m = re.search(r"cell#\d+L? IN \(([^)]*)\)", plan)
     assert m and len(m.group(1).split(",")) == 2, m.group(0) if m else plan[:800]
+
+
+# property tests: the STCS planner's structural invariants
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        sizes=st.dictionaries(
+            st.text(alphabet="abcdefgh", min_size=1, max_size=4).map(lambda s: "r_" + s),
+            st.integers(min_value=1, max_value=10**12),
+            max_size=60,
+        ),
+        min_t=st.integers(min_value=2, max_value=6),
+        max_t=st.integers(min_value=2, max_value=40),
+    )
+    @settings(max_examples=150, deadline=None)
+    def test_stcs_plan_invariants(sizes, min_t, max_t):
+        plan = size_tiered_plan(sizes, min_threshold=min_t, max_threshold=max_t)
+        seen = [r for job in plan for r in job]
+        # every planned run exists, appears at most once, jobs are disjoint
+        assert len(seen) == len(set(seen))
+        assert set(seen) <= set(sizes)
+        # every job respects the thresholds
+        assert all(min_t <= len(job) or len(job) == min(max_t, len(job)) for job in plan)
+        assert all(len(job) >= 2 for job in plan)
+        assert all(len(job) <= max_t for job in plan)
+        # determinism
+        assert plan == size_tiered_plan(sizes, min_threshold=min_t, max_threshold=max_t)
+except ImportError:  # pragma: no cover
+    pass
