@@ -133,6 +133,9 @@ BENCH_QUERIES = [
     "contamination_report",
     "dedup_soft_keep",
     "events_activity_anomalies",
+    "retention_rule_impact",
+    "events_cube_profile",
+    "embedding_mean_pool",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash
     # swapped to xxhash64 — the production configuration at scale

@@ -904,6 +904,7 @@ def edit_distance_pairs(
     title_chars: int = 32,
     block_chars: int = 4,
     mode: str = "blocked",
+    max_key_freq: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by LEVENSHTEIN distance over a normalized title
     prefix — the short-string technique for the regime where shingle/
@@ -920,6 +921,14 @@ def edit_distance_pairs(
     ends simultaneously are missed (multi-pass blocking with more key
     families is the standard recall ladder).  ``mode='exact'`` scores all
     length-compatible pairs — O(N²), the small-N audit path.
+
+    ``max_key_freq`` is the scale-safety lever for LOW-ENTROPY corpora
+    (the df-cap discipline from ngram_jaccard_pairs): a blocking key shared
+    by f documents contributes O(f²) candidates, so one hot prefix ("the
+    2024 annual…" × 10⁶ titles) degenerates toward all-pairs.  With the cap
+    set, keys above it are dropped BEFORE the self-join (one cheap count
+    aggregate over the tiny key table); pairs blocked only by a dropped key
+    are the documented recall cost.
 
     Scale shape: blocking keys are tiny fixed-width strings (one shuffle
     per key family, unioned); the distance evaluates ONLY on candidates;
@@ -939,6 +948,14 @@ def edit_distance_pairs(
         pre = t.select("id", F.substring("title", 1, block_chars).alias("k"))
         suf = t.select("id", F.substring("title", -block_chars, block_chars).alias("k"))
         keys = pre.unionByName(suf)
+        if max_key_freq is not None:
+            hot = (
+                keys.groupBy("k")
+                .agg(F.count(F.lit(1)).alias("f"))
+                .filter(F.col("f") > max_key_freq)
+                .select("k")
+            )
+            keys = keys.join(F.broadcast(hot), "k", "left_anti")
         a, b = keys.alias("a"), keys.alias("b")
         cand = (
             a.join(b, (F.col("a.k") == F.col("b.k")) & (F.col("a.id") < F.col("b.id")))

@@ -1961,3 +1961,24 @@ def test_mean_pool_embeddings_exact(spark):
     out = {r.g: r for r in mean_pool_embeddings(vecs, "g").collect()}
     assert out[1].pooled == [2.0, 2.0, 2.0] and out[1].n_vectors == 2
     assert out[2].pooled == [5.0, 5.0, 5.0] and out[2].n_vectors == 1
+
+
+def test_edit_distance_key_freq_cap(spark):
+    """The blocking-key frequency cap bounds candidate fan-out; capped and
+    uncapped agree wherever a sub-cap key still blocks the pair."""
+    from cassandra_util_spark.operators.dedup import edit_distance_pairs
+
+    # 6 docs sharing the hot prefix "the "; two also share a rare suffix
+    rows = [(i, f"the common prefix num {i}") for i in range(6)]
+    rows += [(10, "zz unique ending xyzq"), (11, "zz unique endinh xyzq")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    full = edit_distance_pairs(docs, "doc_id", "text", max_distance=3).collect()
+    capped = edit_distance_pairs(
+        docs, "doc_id", "text", max_distance=3, max_key_freq=4
+    ).collect()
+    full_pairs = {(r.id_a, r.id_b) for r in full}
+    capped_pairs = {(r.id_a, r.id_b) for r in capped}
+    # the rare-suffix pair survives the cap (its keys are low-frequency)
+    assert (10, 11) in capped_pairs
+    # hot-prefix pairs may be dropped, never invented
+    assert capped_pairs <= full_pairs
