@@ -4900,3 +4900,71 @@ def embedding_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode("pooled").alias("pos", "val"),
         "n_vectors",
     ).select("grp", "pos", "n_vectors", "val")
+
+
+_CM_HASH_SQL = (
+    "CAST(('0x' || substring(md5('cm:' || CAST(i AS VARCHAR) || ':' "
+    "|| CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 256"
+)
+
+
+@query(
+    "sketch_count_min_users",
+    oracle=f"""
+    WITH d(i) AS (VALUES (0), (1), (2), (3)),
+    cells AS (
+      SELECT i AS row, {_CM_HASH_SQL} AS idx, count(*) AS c
+      FROM events, d GROUP BY 1, 2),
+    keys AS (SELECT DISTINCT user_id FROM events),
+    probe AS (
+      SELECT user_id, CAST(MIN(c.c) AS BIGINT) AS cm_estimate
+      FROM (SELECT user_id, i, {_CM_HASH_SQL} AS idx FROM keys, d) k
+      JOIN cells c ON c.row = k.i AND c.idx = k.idx
+      GROUP BY user_id),
+    exact AS (SELECT user_id, count(*) AS exact_n FROM events GROUP BY user_id)
+    SELECT user_id, cm_estimate, exact_n
+    FROM probe JOIN exact USING (user_id)
+    """,
+)
+def sketch_count_min_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch audit: per-user point estimates from a
+    4×256 counter table (portable md5 rows — every counter reproducible in
+    any engine) joined against exact counts.  The sketch never
+    underestimates (CM's one-sided error), pinned per key by the oracle."""
+    from cassandra_util_spark.operators.sketches import count_min_build, count_min_query
+
+    ev = _t(spark, sf_dir, "events")
+    sk = count_min_build(ev, "user_id", depth=4, width=256)
+    keys = ev.select("user_id").distinct()
+    est = count_min_query(sk, keys, "user_id", depth=4, width=256)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    return est.join(exact, "user_id")
+
+
+_HLL_HASH_SQL = (
+    "CAST(('0x' || substring(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 8)) "
+    "AS BIGINT)"
+)
+
+
+@query(
+    "sketch_hll_registers",
+    oracle=f"""
+    SELECT bucket, MAX(r) AS register FROM (
+      SELECT h % 512 AS bucket,
+             CASE WHEN (h // 512) = 0 THEN CAST(24 AS BIGINT)
+                  ELSE 23 - CAST(floor(log2(h // 512)) AS BIGINT) END AS r
+      FROM (SELECT {_HLL_HASH_SQL} AS h FROM events))
+    GROUP BY bucket
+    """,
+)
+def sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register table (p=9: 512 buckets, max leading-zero rank
+    per bucket) over user ids — the mergeable distinct-count sketch whose
+    every register is exact integer arithmetic on the portable hash, so two
+    engines (and any two partitionings, and any union of per-split
+    sketches) produce the identical table."""
+    from cassandra_util_spark.operators.sketches import hll_build
+
+    ev = _t(spark, sf_dir, "events")
+    return hll_build(ev, "user_id", p=9)

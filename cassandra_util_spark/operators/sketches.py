@@ -1,0 +1,169 @@
+"""Mergeable sketches as DataFrames: Count-Min (frequency) and HyperLogLog
+(cardinality), built on the portable md5 hash family.
+
+Why sketches as TABLES: at 100 TB the useful property is MERGEABILITY —
+per-partition/per-day sketch tables union and re-aggregate (sum for CM, max
+for HLL) into the global sketch without touching raw data again.  Both are
+built here with exact integer arithmetic over engine-portable hashes
+(``portable_hash32``), so unlike Spark's built-in ``count_min_sketch``/
+``approx_count_distinct`` (opaque bytes, JVM-specific xxhash), every
+register value and every estimate is bit-reproducible in ANY engine — the
+same discipline that makes the MinHash/SimHash paths oracle-verifiable.
+
+- Count-Min (Cormode & Muthukrishnan 2005): depth d hash rows × width w
+  counters; point estimate = min over rows; never underestimates.
+- HyperLogLog (Flajolet et al. 2007): p-bit bucket index + max
+  leading-zero rank per bucket; the Σ2^-M harmonic term is computed as an
+  EXACT integer sum of 2^(64-M) so the estimate is one deterministic
+  double division, not a float reduction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cassandra_util_spark.functions import portable_hash32
+
+# fixed-point scale for HLL's alpha constants (driver-side literals)
+_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def _alpha_m(m: int) -> float:
+    return _ALPHA.get(m, 0.7213 / (1 + 1.079 / m))
+
+
+def count_min_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    seed: str = "cm",
+) -> DataFrame:
+    """Build a Count-Min sketch as a (row, idx, c) table — at most
+    depth × width rows regardless of input size.
+
+    Each hash row i indexes by ``portable_hash32(seed:i:key) % width``;
+    counts come from one partial-aggregated groupBy.  Sketches over splits
+    of the data merge by ``union → groupBy(row, idx).sum(c)`` — counter
+    addition is exactly how CM composes.
+    """
+    if depth < 1 or width < 1:
+        raise ValueError(f"depth/width must be >= 1, got {depth}/{width}")
+    rows = []
+    key = F.col(key_col).cast("string")
+    for i in range(depth):
+        idx = F.pmod(
+            portable_hash32(F.concat(F.lit(f"{seed}:{i}:"), key)), F.lit(width)
+        )
+        rows.append(
+            df.select(F.lit(i).alias("row"), idx.alias("idx"))
+            .groupBy("row", "idx")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def count_min_query(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    seed: str = "cm",
+) -> DataFrame:
+    """Point-estimate each key: min over the depth rows of its counters.
+    The sketch is at most depth × width rows — always broadcast-sized
+    (that is the point of a sketch)."""
+    key = F.col(key_col).cast("string")
+    probes = keys.select(
+        key_col,
+        *[
+            F.pmod(
+                portable_hash32(F.concat(F.lit(f"{seed}:{i}:"), key)), F.lit(width)
+            ).alias(f"idx{i}")
+            for i in range(depth)
+        ],
+    )
+    est = probes
+    for i in range(depth):
+        side = sketch.filter(F.col("row") == i).select(
+            F.col("idx").alias(f"idx{i}"), F.col("c").alias(f"c{i}")
+        )
+        est = est.join(F.broadcast(side), f"idx{i}", "left")
+    counters = [F.coalesce(F.col(f"c{i}"), F.lit(0)) for i in range(depth)]
+    return est.select(
+        key_col, F.least(*counters).cast("bigint").alias("cm_estimate")
+    )
+
+
+def hll_build(df: DataFrame, key_col: str, p: int = 9, seed: str = "hll") -> DataFrame:
+    """Build an HLL register table (bucket, register) — at most 2^p rows.
+
+    The 32-bit portable hash splits: low p bits → bucket, the remaining
+    (32-p) bits → rank = leading-zero count + 1 (computed via the integer
+    log2: rank = (32-p) - floor(log2(rest)) when rest > 0, else the max
+    (32-p)+1).  Registers MERGE by max — union two register tables and
+    ``groupBy(bucket).max`` is the cross-split/cross-day composition.
+    """
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4,16], got {p}")
+    h = portable_hash32(F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string")))
+    bucket = F.pmod(h, F.lit(1 << p))
+    rest = F.shiftright(h, p)  # top 32-p bits
+    bits = 32 - p
+    # floor(log2(rest)) via bigint-safe log; rest==0 => all-zero suffix
+    rank = F.when(rest == 0, F.lit(bits + 1)).otherwise(
+        F.lit(bits) - F.floor(F.log2(rest.cast("double")))
+    )
+    return (
+        df.select(bucket.alias("bucket"), rank.cast("bigint").alias("r"))
+        .groupBy("bucket")
+        .agg(F.max("r").alias("register"))
+    )
+
+
+def hll_estimate(registers: DataFrame, p: int = 9) -> DataFrame:
+    """Cardinality estimate from a register table, in exact-integer form.
+
+    Empty buckets count with register 0.  The harmonic term Σ 2^-M_j is
+    summed as EXACT integers Σ 2^(40 - M_j) (M_j ≤ 32-p+1 ≤ 29 < 40), so
+    the only float steps are one division and the small-range correction's
+    ln — deterministic double ops over identical integers in any engine.
+
+    Output: 1 row (n_buckets, n_zero, raw_estimate, estimate) — estimate
+    applies the standard small-range linear counting when raw ≤ 2.5m and
+    empty buckets exist.
+    """
+    m = None
+    # p is a parameter of the build; the register table only knows buckets
+    # present, so m must be passed via p
+    m = 1 << p
+    agg = registers.agg(
+        F.count(F.lit(1)).alias("filled"),
+        F.sum(F.expr("shiftleft(1L, cast(40 - register AS int))")).alias("s_filled"),
+    )
+    alpha = _alpha_m(m)
+    two40 = float(1 << 40)
+    return agg.select(
+        F.lit(m).cast("bigint").alias("n_buckets"),
+        (F.lit(m) - F.col("filled")).cast("bigint").alias("n_zero"),
+        F.round(
+            F.lit(alpha * m * m)
+            / ((F.col("s_filled") + (F.lit(m) - F.col("filled")) * F.lit(1 << 40)).cast("double") / F.lit(two40)),
+            4,
+        ).alias("raw_estimate"),
+    ).select(
+        "n_buckets",
+        "n_zero",
+        "raw_estimate",
+        F.when(
+            (F.col("raw_estimate") <= 2.5 * m) & (F.col("n_zero") > 0),
+            F.round(F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("n_zero")), 4),
+        )
+        .otherwise(F.col("raw_estimate"))
+        .alias("estimate"),
+    )

@@ -1982,3 +1982,47 @@ def test_edit_distance_key_freq_cap(spark):
     assert (10, 11) in capped_pairs
     # hot-prefix pairs may be dropped, never invented
     assert capped_pairs <= full_pairs
+
+
+def test_count_min_never_underestimates_and_merges(spark):
+    from cassandra_util_spark.operators.sketches import count_min_build, count_min_query
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    sk = count_min_build(ev, "user_id", depth=4, width=64)  # narrow: forces collisions
+    keys = ev.select("user_id").distinct()
+    est = count_min_query(sk, keys, "user_id", depth=4, width=64)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    j = est.join(exact, "user_id").collect()
+    assert all(r.cm_estimate >= r.n for r in j)  # one-sided error
+    # mergeability: split sketches sum to the whole sketch
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    merged = (
+        count_min_build(a, "user_id", depth=4, width=64)
+        .unionByName(count_min_build(b, "user_id", depth=4, width=64))
+        .groupBy("row", "idx")
+        .agg(F.sum("c").alias("c"))
+    )
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in count_min_build(ev, "user_id", depth=4, width=64).collect()
+    }
+
+
+def test_hll_estimate_accuracy_and_merge(spark):
+    from cassandra_util_spark.operators.sketches import hll_build, hll_estimate
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    regs = hll_build(ev, "user_id", p=9)
+    est = hll_estimate(regs, p=9).collect()[0]
+    exact = ev.select("user_id").distinct().count()
+    assert abs(est.estimate - exact) / exact < 0.15
+    # register merge law: max-union of split sketches == whole sketch
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+    merged = (
+        hll_build(a, "user_id", p=9)
+        .unionByName(hll_build(b, "user_id", p=9))
+        .groupBy("bucket")
+        .agg(F.max("register").alias("register"))
+    )
+    assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in regs.collect()}
