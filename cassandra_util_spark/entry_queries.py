@@ -4968,3 +4968,54 @@ def sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return hll_build(ev, "user_id", p=9)
+
+
+_HLL_TYPE_HASH_SQL = (
+    "CAST(('0x' || substring(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 8)) "
+    "AS BIGINT)"
+)
+
+
+@query(
+    "sketch_hll_per_type",
+    oracle=f"""
+    WITH regs AS (
+      SELECT grp, bucket, MAX(r) AS register FROM (
+        SELECT event_type AS grp, h % 512 AS bucket,
+               CASE WHEN (h // 512) = 0 THEN CAST(24 AS BIGINT)
+                    ELSE 23 - CAST(floor(log2(h // 512)) AS BIGINT) END AS r
+        FROM (SELECT event_type, {_HLL_TYPE_HASH_SQL} AS h FROM events))
+      GROUP BY grp, bucket),
+    agg AS (
+      SELECT grp, count(*) AS filled,
+             CAST(SUM(CAST(1 AS BIGINT) << CAST(40 - register AS INT)) AS BIGINT)
+               AS s_filled
+      FROM regs GROUP BY grp),
+    raw AS (
+      SELECT grp, CAST(512 - filled AS BIGINT) AS n_zero,
+             round(188686.82445861166::DOUBLE
+                   / (CAST(s_filled + (512 - filled) * 1099511627776 AS DOUBLE)
+                      / 1099511627776.0::DOUBLE), 4) AS raw_estimate
+      FROM agg)
+    SELECT grp AS event_type, n_zero, raw_estimate,
+           CASE WHEN raw_estimate <= 1280.0 AND n_zero > 0
+                THEN round(512.0::DOUBLE * ln(512.0::DOUBLE / n_zero), 4)
+                ELSE raw_estimate END AS estimate
+    FROM raw
+    """,
+)
+def sketch_hll_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct-user estimates from grouped HLL sketches —
+    one pass builds all five sketches, the estimate arithmetic (exact
+    integer harmonic sums, one division, linear-counting correction) is
+    mirrored literally in the oracle so even the ESTIMATES hash-match."""
+    from cassandra_util_spark.operators.sketches import (
+        hll_build_grouped,
+        hll_estimate_grouped,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    regs = hll_build_grouped(ev, "event_type", "user_id", p=9)
+    return hll_estimate_grouped(regs, p=9).select(
+        F.col("grp").alias("event_type"), "n_zero", "raw_estimate", "estimate"
+    )

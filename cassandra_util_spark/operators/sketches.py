@@ -167,3 +167,72 @@ def hll_estimate(registers: DataFrame, p: int = 9) -> DataFrame:
         .otherwise(F.col("raw_estimate"))
         .alias("estimate"),
     )
+
+
+def hll_build_grouped(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    p: int = 9,
+    seed: str = "hll",
+) -> DataFrame:
+    """Per-group HLL register tables — one sketch per group value in one
+    pass ((group, bucket) partial-aggregated max).  The warehouse staple
+    "distinct users per day/source" at any scale: output is
+    |groups| × ≤2^p rows, merges across splits by the same max law."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4,16], got {p}")
+    h = portable_hash32(F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string")))
+    bucket = F.pmod(h, F.lit(1 << p))
+    rest = F.shiftright(h, p)
+    bits = 32 - p
+    rank = F.when(rest == 0, F.lit(bits + 1)).otherwise(
+        F.lit(bits) - F.floor(F.log2(rest.cast("double")))
+    )
+    return (
+        df.select(
+            F.col(group_col).alias("grp"),
+            bucket.alias("bucket"),
+            rank.cast("bigint").alias("r"),
+        )
+        .groupBy("grp", "bucket")
+        .agg(F.max("r").alias("register"))
+    )
+
+
+def hll_estimate_grouped(registers: DataFrame, p: int = 9) -> DataFrame:
+    """Per-group cardinality estimates from grouped register tables; the
+    same exact-integer harmonic sum as :func:`hll_estimate`, one row per
+    group."""
+    m = 1 << p
+    alpha = _alpha_m(m)
+    two40 = float(1 << 40)
+    agg = registers.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("filled"),
+        F.sum(F.expr("shiftleft(1L, cast(40 - register AS int))")).alias("s_filled"),
+    )
+    raw = F.round(
+        F.lit(alpha * m * m)
+        / (
+            (F.col("s_filled") + (F.lit(m) - F.col("filled")) * F.lit(1 << 40)).cast(
+                "double"
+            )
+            / F.lit(two40)
+        ),
+        4,
+    )
+    return agg.select(
+        "grp",
+        (F.lit(m) - F.col("filled")).cast("bigint").alias("n_zero"),
+        raw.alias("raw_estimate"),
+    ).select(
+        "grp",
+        "n_zero",
+        "raw_estimate",
+        F.when(
+            (F.col("raw_estimate") <= 2.5 * m) & (F.col("n_zero") > 0),
+            F.round(F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("n_zero")), 4),
+        )
+        .otherwise(F.col("raw_estimate"))
+        .alias("estimate"),
+    )

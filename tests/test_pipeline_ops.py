@@ -2026,3 +2026,23 @@ def test_hll_estimate_accuracy_and_merge(spark):
         .agg(F.max("register").alias("register"))
     )
     assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in regs.collect()}
+
+
+def test_hll_grouped_estimates_accurate(spark):
+    from cassandra_util_spark.operators.sketches import (
+        hll_build_grouped,
+        hll_estimate_grouped,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    regs = hll_build_grouped(ev, "event_type", "user_id", p=9)
+    est = {r.grp: r.estimate for r in hll_estimate_grouped(regs, p=9).collect()}
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for k in exact:
+        assert abs(est[k] - exact[k]) / exact[k] < 0.15, (k, est[k], exact[k])
