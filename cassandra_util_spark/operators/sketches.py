@@ -144,7 +144,11 @@ def hll_estimate(registers: DataFrame, p: int = 9) -> DataFrame:
     m = 1 << p
     agg = registers.agg(
         F.count(F.lit(1)).alias("filled"),
-        F.sum(F.expr("shiftleft(1L, cast(40 - register AS int))")).alias("s_filled"),
+        # empty sketch (no keys at all): 0 filled buckets, harmonic term 0 —
+        # the estimate then comes out via linear counting as m·ln(m/m) = 0
+        F.coalesce(
+            F.sum(F.expr("shiftleft(1L, cast(40 - register AS int))")), F.lit(0)
+        ).alias("s_filled"),
     )
     alpha = _alpha_m(m)
     two40 = float(1 << 40)
@@ -236,3 +240,66 @@ def hll_estimate_grouped(registers: DataFrame, p: int = 9) -> DataFrame:
         .otherwise(F.col("raw_estimate"))
         .alias("estimate"),
     )
+
+
+def hll_union(*register_tables: DataFrame) -> DataFrame:
+    """Union of HLL sketches: element-wise register max — the lossless
+    merge (HLL's defining property: sketch(A ∪ B) == max-merge of
+    sketch(A), sketch(B), exactly)."""
+    from functools import reduce
+
+    if not register_tables:
+        raise ValueError("need at least one register table")
+    unioned = reduce(DataFrame.unionByName, register_tables)
+    return unioned.groupBy("bucket").agg(F.max("register").alias("register"))
+
+
+def hll_intersect_estimate(
+    regs_a: DataFrame, regs_b: DataFrame, p: int = 9
+) -> DataFrame:
+    """|A ∩ B| by inclusion-exclusion over HLL estimates:
+    est(A) + est(B) − est(A ∪ B).  Unlike union, intersection has no
+    lossless sketch form — the error compounds (can even go negative for
+    near-disjoint sets; clamped at 0), which is the documented limit of
+    cardinality sketches, not a defect.  Output: 1 row with all four
+    numbers so the caller sees the arithmetic."""
+    a = hll_estimate(regs_a, p).select(F.col("estimate").alias("est_a"))
+    b = hll_estimate(regs_b, p).select(F.col("estimate").alias("est_b"))
+    u = hll_estimate(hll_union(regs_a, regs_b), p).select(
+        F.col("estimate").alias("est_union")
+    )
+    return (
+        a.crossJoin(b)
+        .crossJoin(u)
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            F.greatest(
+                F.lit(0.0), F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), 4)
+            ).alias("est_intersection"),
+        )
+    )
+
+
+def cm_join_size_estimate(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
+    """Equi-join cardinality estimate from two Count-Min sketches built on
+    the SAME (depth, width, seed): |A ⋈ B| ≈ min over hash rows of the
+    counter inner product Σ_idx cA·cB (AMS/CM inner-product estimation,
+    Cormode & Muthukrishnan 2005 §4.2; always an OVERestimate, like the
+    point queries).
+
+    This is the sketch-driven JOIN PLANNER input: at 100 TB, deciding
+    broadcast vs shuffle vs salting needs the join's output size BEFORE
+    running it — two tiny sketch tables (built once per table, mergeable
+    across partitions) answer it with exact-integer arithmetic and no scan
+    of either side.  Output: 1 row (join_size_estimate).
+    """
+    a = sketch_a.select("row", "idx", F.col("c").alias("ca"))
+    b = sketch_b.select("row", "idx", F.col("c").alias("cb"))
+    per_row = (
+        a.join(b, ["row", "idx"])
+        .groupBy("row")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("ip"))
+    )
+    return per_row.agg(F.min("ip").cast("bigint").alias("join_size_estimate"))

@@ -2046,3 +2046,42 @@ def test_hll_grouped_estimates_accurate(spark):
     assert set(est) == set(exact)
     for k in exact:
         assert abs(est[k] - exact[k]) / exact[k] < 0.15, (k, est[k], exact[k])
+
+
+def test_hll_union_exact_and_intersection_estimate(spark):
+    from cassandra_util_spark.operators.sketches import (
+        hll_build,
+        hll_intersect_estimate,
+        hll_union,
+    )
+
+    # sf0.01: 150 distinct users (sf0.001 has only 15)
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    a = ev.filter(F.col("user_id") <= 100)   # users 1..100
+    b = ev.filter(F.col("user_id") >= 51)    # users 51..150; overlap = 50
+    ra, rb = hll_build(a, "user_id", p=9), hll_build(b, "user_id", p=9)
+    # union merge is LOSSLESS: equals the sketch of the union
+    direct = hll_build(ev.filter((F.col("user_id") <= 100) | (F.col("user_id") >= 51)), "user_id", p=9)
+    assert {tuple(r) for r in hll_union(ra, rb).collect()} == {
+        tuple(r) for r in direct.collect()
+    }
+    est = hll_intersect_estimate(ra, rb, p=9).collect()[0]
+    assert abs(est.est_intersection - 50) / 50 < 0.35  # compounded error band
+
+
+def test_cm_join_size_estimate_upper_bounds_true_size(spark):
+    from cassandra_util_spark.operators.sketches import (
+        cm_join_size_estimate,
+        count_min_build,
+    )
+
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    # width sizes the collision noise ~ L1(a)*L1(b)/width per row: 8192 keeps
+    # the estimate within a small multiple of the true size at this N
+    sa = count_min_build(o.select(F.col("o_orderkey").alias("k")), "k", depth=4, width=8192)
+    sb = count_min_build(li.select(F.col("l_orderkey").alias("k")), "k", depth=4, width=8192)
+    est = cm_join_size_estimate(sa, sb).collect()[0].join_size_estimate
+    true = o.join(li, o.o_orderkey == li.l_orderkey).count()
+    assert est >= true  # one-sided, like the point queries
+    assert est <= true * 3  # and not uselessly loose at this width
