@@ -129,7 +129,19 @@ class SnapshotStore:
             raise FileNotFoundError(f"snapshot store {self.root} has no _META (commit with meta=)")
         return KeyedTable(self.read(spark), meta, name)
 
-    def read(self, spark: SparkSession) -> DataFrame:
+    def read(self, spark: SparkSession, version: Optional[str] = None) -> DataFrame:
+        """Read the current snapshot, or — time travel — any still-vacuumed
+        historical ``version`` (as listed by :meth:`versions`).  Old
+        versions are immutable once the pointer moves past them, so a
+        version read is a consistent point-in-time view for as long as
+        vacuum retention keeps it."""
+        if version is not None:
+            if version not in self.versions():
+                raise FileNotFoundError(
+                    f"snapshot store {self.root} has no version {version!r} "
+                    f"(available: {self.versions()})"
+                )
+            return spark.read.parquet(os.path.join(self.root, version))
         path = self.current_path()
         if path is None:
             raise FileNotFoundError(f"snapshot store {self.root} has no committed version")

@@ -301,3 +301,28 @@ def test_connector_option_construction_without_jar():
         read_options("", "t")
     with pytest.raises(ValueError, match="non-negative"):
         write_options("ks", "t", -5)
+
+
+def test_snapshot_time_travel_read(spark, tmp_path):
+    """Historical versions stay readable (point-in-time views) until
+    vacuumed; a snapshot diff is just except/intersect over two reads."""
+    import pytest as _pytest
+
+    from cassandra_util_spark.sources.snapshots import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "tt"))
+    v1 = store.commit(spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string"))
+    v2 = store.commit(spark.createDataFrame([(2, "b"), (3, "c")], "id bigint, v string"))
+    assert store.current_version() == v2
+    old = {tuple(r) for r in store.read(spark, version=v1).collect()}
+    new = {tuple(r) for r in store.read(spark).collect()}
+    assert old == {(1, "a"), (2, "b")} and new == {(2, "b"), (3, "c")}
+    # snapshot diff via set ops on the two point-in-time reads
+    added = store.read(spark).exceptAll(store.read(spark, version=v1)).collect()
+    assert {tuple(r) for r in added} == {(3, "c")}
+    with _pytest.raises(FileNotFoundError):
+        store.read(spark, version="v99999")
+    # vacuum drops v1; time-travel read then fails loudly
+    store.vacuum(keep_last=1)
+    with _pytest.raises(FileNotFoundError):
+        store.read(spark, version=v1)
