@@ -5019,3 +5019,71 @@ def sketch_hll_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate_grouped(regs, p=9).select(
         F.col("grp").alias("event_type"), "n_zero", "raw_estimate", "estimate"
     )
+
+
+@query(
+    "runstore_compaction_view",
+    oracle="""
+    WITH runs AS (
+      SELECT user_id, event_type, event_id, epoch_us(ts) AS writetime FROM events
+      UNION ALL
+      SELECT user_id, event_type, event_id, epoch_us(ts) FROM events
+      WHERE user_id <= 50
+      UNION ALL
+      SELECT user_id, event_type, event_id, epoch_us(ts) FROM events
+      WHERE user_id BETWEEN 25 AND 75)
+    SELECT user_id, event_type, event_id, writetime FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY user_id, event_id
+               ORDER BY writetime DESC) AS rn
+      FROM runs) WHERE rn = 1
+    """,
+)
+def runstore_compaction_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSM run-store end to end, driver-checked: three overlapping runs
+    (full + two re-delivered slices) append to a store, size-tiered
+    compaction merges until one run remains, and the returned view must be
+    the exact LWW merge of everything appended — the compaction invariant
+    as a hash-checked contract, not just a pytest."""
+    import tempfile
+
+    from cassandra_util_spark.sources.runs import RunStore
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("writetime", writetime_micros(F.col("ts")))
+        .select("user_id", "event_type", "event_id", "writetime")
+    )
+    store = RunStore(tempfile.mkdtemp(prefix="runstore-q-"), TableMeta(("user_id",), ("event_id",), "writetime"))
+    store.append_run(ev)
+    store.append_run(ev.filter(F.col("user_id") <= 50))
+    store.append_run(ev.filter(F.col("user_id").between(25, 75)))
+    guard = 0
+    while len(store.live_runs()) > 1 and guard < 10:
+        if not store.compact(spark, min_threshold=2):
+            break
+        guard += 1
+    return store.read_merged(spark).select(
+        "user_id", "event_type", "event_id", "writetime"
+    )
+
+
+@query("ivf_persisted_probe", oracle=None)
+def ivf_persisted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted IVF index end to end: build the partitioned layout in
+    a temp dir (K=16 portable seeds, refine_iters=0 — the same parameters
+    as ann_ivf_topk), probe it, and hash-match the SAME oracle — proving
+    the on-disk partition-pruned path returns byte-identical neighbors to
+    the in-memory plan."""
+    from cassandra_util_spark.sources.ivf_index import probe_ivf_index, write_ivf_index
+    import tempfile
+
+    e = _t(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="ivfq-") + "/idx"
+    write_ivf_index(e, path, num_centroids=16, refine_iters=0)
+    return probe_ivf_index(
+        spark, path, e.filter(F.col("vec_id") < 5), k=10, nprobe=4
+    )
+
+
+ORACLES["ivf_persisted_probe"] = ORACLES["ann_ivf_topk"]

@@ -9,7 +9,7 @@ of an ANN index: no serving process, no sidecar format — a partitioned
 table whose layout IS the index, queryable by any Spark job.
 
 Layout contract: ``write_ivf_index`` stores (id, embedding, cell) with
-``partitionBy("cell")`` plus the centroid table under ``_centroids/`` (a
+``partitionBy("cell")`` plus the centroid table under ``centroids/`` (a
 K-row parquet — K is a fixed parameter, never corpus-sized).  Probing loads
 ONLY the centroids (K rows) driver-side to choose cells, then issues a
 ``cell IN (...)`` scan whose PartitionFilters prune at file-listing time —
@@ -49,7 +49,7 @@ def write_ivf_index(
 
     seeds = ivf_seeds(corpus, id_col, vec_col, num_centroids)
     centroids = kmeans_refine(corpus, seeds, id_col, vec_col, refine_iters).localCheckpoint()
-    centroids.write.parquet(os.path.join(path, "_centroids"))
+    centroids.write.parquet(os.path.join(path, "centroids"))
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
     (
         assigned.repartition("cell")
@@ -81,7 +81,7 @@ def probe_ivf_index(
 
     from cassandra_util_spark.operators.similarity import cosine
 
-    centroids = spark.read.parquet(os.path.join(path, "_centroids"))
+    centroids = spark.read.parquet(os.path.join(path, "centroids"))
     cent = centroids.select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cent_vec"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     qcells = q.crossJoin(F.broadcast(cent)).withColumn(
