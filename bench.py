@@ -136,6 +136,13 @@ BENCH_QUERIES = [
     "retention_rule_impact",
     "events_cube_profile",
     "embedding_mean_pool",
+    "sketch_count_min_users",
+    "sketch_hll_registers",
+    "sketch_hll_per_type",
+    "runstore_compaction_view",
+    "ivf_persisted_probe",
+    "orders_ledger_reconciliation",
+    "events_sliding_window_sum",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash
     # swapped to xxhash64 — the production configuration at scale

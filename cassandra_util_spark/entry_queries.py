@@ -5087,3 +5087,101 @@ def ivf_persisted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["ivf_persisted_probe"] = ORACLES["ann_ivf_topk"]
+
+
+@query(
+    "orders_ledger_reconciliation",
+    oracle="""
+    WITH ledger AS (
+      SELECT o_orderkey AS k,
+             CAST(round(CAST(o_totalprice AS DECIMAL(18,2)), 0) AS BIGINT)
+               AS expected_total
+      FROM orders WHERE o_orderkey % 3 = 0),
+    actual AS (
+      SELECT l_orderkey AS k,
+             CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 0) AS BIGINT)
+               AS actual_total
+      FROM lineitem GROUP BY l_orderkey)
+    SELECT coalesce(l.k, a.k) AS o_orderkey,
+           CASE WHEN l.k IS NULL THEN 'actual_only'
+                WHEN a.k IS NULL THEN 'ledger_only'
+                ELSE 'both' END AS presence,
+           l.expected_total, a.actual_total
+    FROM ledger l FULL OUTER JOIN actual a ON l.k = a.k
+    """,
+)
+def orders_ledger_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided reconciliation (the audit-join every billing/ETL pipeline
+    runs): a partial ledger FULL OUTER JOINed to per-order line totals,
+    every key classified both/ledger_only/actual_only — rows missing from
+    EITHER side must surface, which inner/left joins silently drop.
+    Totals are rounded DECIMAL sums exported as integers."""
+    ledger = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 3 == 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.round(F.col("o_totalprice").cast("decimal(18,2)"), 0)
+            .cast("bigint")
+            .alias("expected_total"),
+        )
+    )
+    actual = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("k"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 0)
+            .cast("bigint")
+            .alias("actual_total")
+        )
+    )
+    l, a = ledger.alias("l"), actual.alias("a")
+    return l.join(a, F.col("l.k") == F.col("a.k"), "full_outer").select(
+        F.coalesce(F.col("l.k"), F.col("a.k")).alias("o_orderkey"),
+        F.when(F.col("l.k").isNull(), "actual_only")
+        .when(F.col("a.k").isNull(), "ledger_only")
+        .otherwise("both")
+        .alias("presence"),
+        "expected_total",
+        "actual_total",
+    )
+
+
+@query(
+    "events_sliding_window_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 7200000000 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS sliding_sum,
+           CAST(COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 7200000000 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS sliding_n
+    FROM events
+    """,
+)
+def events_sliding_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time sliding aggregate via a RANGE window frame: per event,
+    the DECIMAL value sum and count over the user's preceding 2 hours —
+    the interval frame (RANGE, not ROWS) whose boundary is a time delta,
+    computed in one pass per user partition with no self-join.  A ROWS
+    frame would be wrong (fixed row count ≠ fixed time span); a windowed
+    groupBy would bucket, not slide."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "wt", F.unix_micros(F.col("ts"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("wt")
+        .rangeBetween(-7_200_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(28,6)")).over(w).cast("double").alias("sliding_sum"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("sliding_n"),
+    )
