@@ -5185,3 +5185,49 @@ def events_sliding_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(28,6)")).over(w).cast("double").alias("sliding_sum"),
         F.count(F.lit(1)).over(w).cast("bigint").alias("sliding_n"),
     )
+
+
+@query(
+    "acctbal_histogram_percentiles",
+    oracle="""
+    WITH hist AS (
+      SELECT LEAST(255, GREATEST(0,
+               CAST(floor((c_acctbal - (-1000.0)) / 11000.0 * 256) AS BIGINT)))
+               AS bin,
+             count(*) AS cnt
+      FROM customer GROUP BY 1),
+    cum AS (
+      SELECT bin, cnt,
+             SUM(cnt) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM hist),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM hist),
+    params(p) AS (VALUES (0.05), (0.5), (0.95)),
+    hit AS (
+      SELECT p, bin, cnt, cum,
+             CAST(ceil(p * n) AS BIGINT) AS target,
+             row_number() OVER (PARTITION BY p ORDER BY bin) AS rn
+      FROM params, cum, tot
+      WHERE cum >= CAST(ceil(p * n) AS BIGINT))
+    SELECT p,
+           round(-1000.0::DOUBLE
+                 + (CAST(bin AS DOUBLE)
+                    + CAST(target - (cum - cnt) AS DOUBLE) / cnt)
+                 * 42.96875::DOUBLE, 4) AS value
+    FROM hit WHERE rn = 1
+    """,
+)
+def acctbal_histogram_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch percentiles: customer balances binned into a
+    256-bin mergeable count table over [-1000, 10000), percentiles read
+    off by exact-integer rank walk + one in-bin interpolation — the
+    deterministic, engine-portable alternative to percentile_approx, with
+    error bounded by one bin width (~43 units here)."""
+    from cassandra_util_spark.operators.histogram import (
+        equi_width_histogram,
+        histogram_percentiles,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    hist = equi_width_histogram(c, "c_acctbal", -1000.0, 10000.0, bins=256)
+    return histogram_percentiles(hist, [0.05, 0.5, 0.95], -1000.0, 10000.0, bins=256)

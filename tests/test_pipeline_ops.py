@@ -2085,3 +2085,40 @@ def test_cm_join_size_estimate_upper_bounds_true_size(spark):
     true = o.join(li, o.o_orderkey == li.l_orderkey).count()
     assert est >= true  # one-sided, like the point queries
     assert est <= true * 3  # and not uselessly loose at this width
+
+
+def test_histogram_percentiles_accuracy_and_merge(spark):
+    from cassandra_util_spark.operators.histogram import (
+        equi_width_histogram,
+        histogram_percentiles,
+    )
+
+    c = spark.read.parquet("/root/testdata/sf0.01/customer.parquet")
+    hist = equi_width_histogram(c, "c_acctbal", -1000.0, 10000.0, bins=256)
+    got = {r.p: r.value for r in histogram_percentiles(
+        hist, [0.05, 0.5, 0.95], -1000.0, 10000.0, bins=256
+    ).collect()}
+    exact = c.selectExpr(
+        "percentile(c_acctbal, array(0.05, 0.5, 0.95)) AS q"
+    ).collect()[0].q
+    bin_width = 11000.0 / 256
+    for p, e in zip([0.05, 0.5, 0.95], exact):
+        assert abs(got[p] - e) <= bin_width, (p, got[p], e)
+    # merge law: per-split histograms re-sum to the whole histogram
+    a = c.filter(F.col("c_custkey") % 2 == 0)
+    b = c.filter(F.col("c_custkey") % 2 == 1)
+    merged = (
+        equi_width_histogram(a, "c_acctbal", -1000.0, 10000.0, 256)
+        .unionByName(equi_width_histogram(b, "c_acctbal", -1000.0, 10000.0, 256))
+        .groupBy("bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in hist.collect()}
+
+
+def test_histogram_tail_clamping(spark):
+    from cassandra_util_spark.operators.histogram import equi_width_histogram
+
+    df = spark.createDataFrame([(-5.0,), (0.5,), (99.0,)], "v double")
+    h = {r.bin: r.cnt for r in equi_width_histogram(df, "v", 0.0, 1.0, bins=4).collect()}
+    assert h == {0: 1, 2: 1, 3: 1}  # -5 clamps to bin 0, 99 to the last bin
