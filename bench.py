@@ -143,6 +143,10 @@ BENCH_QUERIES = [
     "ivf_persisted_probe",
     "orders_ledger_reconciliation",
     "events_sliding_window_sum",
+    "acctbal_histogram_percentiles",
+    "pii_audit_report",
+    "doc_length_histogram",
+    "corpus_zipf_audit",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash
     # swapped to xxhash64 — the production configuration at scale

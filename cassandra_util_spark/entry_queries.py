@@ -5231,3 +5231,147 @@ def acctbal_histogram_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame
     c = _t(spark, sf_dir, "customer")
     hist = equi_width_histogram(c, "c_acctbal", -1000.0, 10000.0, bins=256)
     return histogram_percentiles(hist, [0.05, 0.5, 0.95], -1000.0, 10000.0, bins=256)
+
+
+@query(
+    "pii_audit_report",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 2 = 0
+                          THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                               || '@example.com'
+                          ELSE '' END
+                  || CASE WHEN doc_id % 3 = 0
+                          THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                               || '.' || CAST(doc_id % 100 AS VARCHAR)
+                          ELSE '' END
+                  || CASE WHEN doc_id % 5 = 0
+                          THEN ' ssn 123-45-6789' ELSE '' END
+                  || CASE WHEN doc_id % 7 = 0
+                          THEN ' tel +1 (555) 010-'
+                               || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                          ELSE '' END AS t
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(regexp_extract_all(t,
+                 '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS email,
+             regexp_replace(t,
+                 '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}',
+                 '<EMAIL>', 'g') AS t1
+      FROM aug),
+    m2 AS (
+      SELECT doc_id, email,
+             len(regexp_extract_all(t1, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS ssn,
+             regexp_replace(t1, '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g') AS t2
+      FROM m),
+    m3 AS (
+      SELECT doc_id, email, ssn,
+             len(regexp_extract_all(t2, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS ipv4,
+             regexp_replace(t2, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g') AS t3
+      FROM m2),
+    m4 AS (
+      SELECT doc_id, email, ssn, ipv4,
+             len(regexp_extract_all(t3, '\\+?\\d[\\d\\s().-]{7,}\\d')) AS phone
+      FROM m3)
+    SELECT 'email' AS pii_type, CAST(SUM(email) AS BIGINT) AS n_matches,
+           CAST(SUM(CASE WHEN email > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs
+    FROM m4
+    UNION ALL
+    SELECT 'ssn', CAST(SUM(ssn) AS BIGINT),
+           CAST(SUM(CASE WHEN ssn > 0 THEN 1 ELSE 0 END) AS BIGINT) FROM m4
+    UNION ALL
+    SELECT 'ipv4', CAST(SUM(ipv4) AS BIGINT),
+           CAST(SUM(CASE WHEN ipv4 > 0 THEN 1 ELSE 0 END) AS BIGINT) FROM m4
+    UNION ALL
+    SELECT 'phone', CAST(SUM(phone) AS BIGINT),
+           CAST(SUM(CASE WHEN phone > 0 THEN 1 ELSE 0 END) AS BIGINT) FROM m4
+    """,
+)
+def pii_audit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII audit over a corpus with UNEVEN injection (only some docs carry
+    each type, so the per-type doc counts differ): total matches and
+    affected docs per pattern, counted through the redaction chain's
+    sequential view so types never double-count each other's spans."""
+    from cassandra_util_spark.operators.text import pii_report
+
+    d = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"),
+                F.lit("."), (F.col("doc_id") % 100).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" ssn 123-45-6789")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(" tel +1 (555) 010-"), (F.lit(1000) + F.col("doc_id") % 9000).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    return pii_report(d.select("doc_id", aug.alias("text")), "doc_id", "text")
+
+
+@query(
+    "doc_length_histogram",
+    oracle="""
+    SELECT LEAST(63, GREATEST(0,
+             CAST(floor((n_chars - 0.0) / 2048.0 * 64) AS BIGINT))) AS bin,
+           count(*) AS cnt
+    FROM documents GROUP BY 1
+    """,
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document length distribution as a mergeable 64-bin histogram over
+    [0, 2048) chars — the curation dashboard's shape plot, and the exact
+    count table histogram_percentiles reads quantiles from."""
+    from cassandra_util_spark.operators.histogram import equi_width_histogram
+
+    d = _t(spark, sf_dir, "documents")
+    return equi_width_histogram(d, "n_chars", 0.0, 2048.0, bins=64)
+
+
+@query(
+    "corpus_zipf_audit",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split({NORM}, ' '), x -> x <> '')) AS term
+      FROM documents),
+    freq AS (SELECT term, count(*) AS freq FROM toks GROUP BY term)
+    SELECT CAST(rank AS BIGINT) AS rank, term, freq,
+           CAST(rank * freq AS BIGINT) AS rank_freq
+    FROM (SELECT term, freq,
+                 row_number() OVER (ORDER BY freq DESC, term ASC) AS rank
+          FROM freq)
+    WHERE rank <= 30
+    """.replace("{NORM}", _NORM_SQL),
+)
+def corpus_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf audit: the 30 most frequent corpus terms with rank and the
+    rank·frequency product (roughly constant under Zipf's law — a corpus
+    whose head deviates wildly is boilerplate-dominated or template spam).
+    One partial-aggregated term count + a 30-row TakeOrdered; the window
+    only ranks the already-limited rows."""
+    from pyspark.sql import Window
+
+    from cassandra_util_spark.operators.text import _norm_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(_norm_tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("term").asc())
+        .limit(30)
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("term").asc())
+    return freq.withColumn("rank", F.row_number().over(w).cast("bigint")).select(
+        "rank", "term", "freq", (F.col("rank") * F.col("freq")).cast("bigint").alias("rank_freq")
+    )

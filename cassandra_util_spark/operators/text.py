@@ -976,3 +976,45 @@ def bigram_lm_score(
             ).alias("avg_logprob"),
         )
     )
+
+
+def pii_report(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Corpus-wide PII audit: per pattern type, total match count and
+    documents affected — the report that decides whether a feed needs the
+    scrub at all, and the post-scrub zero-check.
+
+    Counts follow the REDACTION CHAIN's view: pattern k is counted on the
+    text with patterns 1..k-1 already replaced (the same order sensitivity
+    redact_pii documents — an IPv4 must not double-count as a phone).
+    Map-only per-doc counting + one |patterns|-row aggregate; the unpivot
+    runs on the 1-row aggregate.
+    """
+    c = F.col(text_col)
+    per_type = []
+    names = []
+    for name, pattern, replacement in PII_PATTERNS:
+        names.append(name)
+        per_type.append(
+            F.size(F.regexp_extract_all(c, F.lit(pattern), F.lit(0))).alias(name)
+        )
+        c = F.regexp_replace(c, pattern, replacement)
+    per_doc = df.select(F.col(id_col).alias("id"), *per_type)
+    aggs = []
+    for name in names:
+        aggs.append(F.sum(name).alias(f"{name}_n"))
+        aggs.append(
+            F.sum(F.when(F.col(name) > 0, 1).otherwise(0)).alias(f"{name}_docs")
+        )
+    wide = per_doc.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{n}', `{n}_n`, `{n}_docs`" for n in names
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(names)}, {stack_args}) AS (pii_type, n_matches, n_docs)"
+        )
+    ).select(
+        "pii_type",
+        F.col("n_matches").cast("bigint").alias("n_matches"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+    )
