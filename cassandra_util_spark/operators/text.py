@@ -1018,3 +1018,60 @@ def pii_report(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col("n_matches").cast("bigint").alias("n_matches"),
         F.col("n_docs").cast("bigint").alias("n_docs"),
     )
+
+
+def adaptive_length_report_hist(
+    df: DataFrame,
+    strata_col: str,
+    length_col: str,
+    id_col: str,
+    lo_p: float = 0.05,
+    hi_p: float = 0.95,
+    hist_lo: float = 0.0,
+    hist_hi: float = 4096.0,
+    bins: int = 512,
+) -> DataFrame:
+    """:func:`adaptive_length_report`'s extreme-cardinality path, now code
+    (the docstring lever): per-stratum [lo_p, hi_p] bounds read off
+    per-stratum equi-width HISTOGRAMS instead of exact percentiles —
+    no per-stratum sort, a |strata| × bins mergeable count table, bounds
+    within one bin width of the ceil(p·n)-th order statistic (the
+    histogram-module guarantee).  Same output schema as the exact form:
+    (stratum, lo, hi, n_docs, n_kept)."""
+    from cassandra_util_spark.operators.histogram import (
+        equi_width_histogram_grouped,
+        histogram_percentiles_grouped,
+    )
+
+    hist = equi_width_histogram_grouped(
+        df, strata_col, length_col, hist_lo, hist_hi, bins
+    )
+    pct = histogram_percentiles_grouped(hist, [lo_p, hi_p], hist_lo, hist_hi, bins)
+    bounds = (
+        pct.groupBy("grp")
+        .pivot("p", [lo_p, hi_p])
+        .agg(F.first("value"))
+        .select(
+            F.col("grp").alias(strata_col),
+            F.col(f"`{lo_p}`").alias("lo"),
+            F.col(f"`{hi_p}`").alias("hi"),
+        )
+    )
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    kept = (
+        df.join(F.broadcast(bounds), strata_col)
+        .filter(F.col(length_col).between(F.col("lo"), F.col("hi")))
+        .groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        counts.join(bounds, strata_col)
+        .join(kept, strata_col, "left")
+        .select(
+            strata_col,
+            "lo",
+            "hi",
+            "n_docs",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+        )
+    )

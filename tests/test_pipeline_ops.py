@@ -2122,3 +2122,65 @@ def test_histogram_tail_clamping(spark):
     df = spark.createDataFrame([(-5.0,), (0.5,), (99.0,)], "v double")
     h = {r.bin: r.cnt for r in equi_width_histogram(df, "v", 0.0, 1.0, bins=4).collect()}
     assert h == {0: 1, 2: 1, 3: 1}  # -5 clamps to bin 0, 99 to the last bin
+
+
+def test_grouped_histogram_percentiles_match_exact_within_bin(spark):
+    """Per-language histogram bounds approximate the exact per-stratum
+    percentiles within one bin width — the extreme-cardinality path for
+    the adaptive length gate."""
+    from cassandra_util_spark.operators.histogram import (
+        equi_width_histogram_grouped,
+        histogram_percentiles_grouped,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    hist = equi_width_histogram_grouped(d, "lang", "n_chars", 0.0, 2048.0, bins=256)
+    got = {
+        (r.grp, r.p): r.value
+        for r in histogram_percentiles_grouped(
+            hist, [0.05, 0.95], 0.0, 2048.0, bins=256
+        ).collect()
+    }
+    # the histogram guarantee is RANK-bracketing, not value distance (at a
+    # small stratum the gap between adjacent order statistics can exceed
+    # any bin width): the ceil(p*n)-th value must lie within one bin of
+    # the returned bound
+    import math
+
+    bin_w = 2048.0 / 256
+    rows = d.select("lang", "n_chars").collect()
+    per_lang = {}
+    for r in rows:
+        per_lang.setdefault(r.lang, []).append(r.n_chars)
+    for lang, vals in per_lang.items():
+        vals.sort()
+        n = len(vals)
+        for p in (0.05, 0.95):
+            target_val = vals[math.ceil(p * n) - 1]
+            assert abs(got[(lang, p)] - target_val) <= bin_w, (
+                lang, p, got[(lang, p)], target_val,
+            )
+
+
+def test_adaptive_length_hist_mode_close_to_exact(spark):
+    """The histogram path's per-stratum gates keep nearly the same rows as
+    the exact-percentile path (the only divergence is one bin width of
+    boundary)."""
+    from cassandra_util_spark.operators.text import (
+        adaptive_length_report,
+        adaptive_length_report_hist,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    exact = {r.lang: r for r in adaptive_length_report(
+        d, "lang", "n_chars", "doc_id"
+    ).collect()}
+    hist = {r.lang: r for r in adaptive_length_report_hist(
+        d, "lang", "n_chars", "doc_id", hist_lo=0.0, hist_hi=2048.0, bins=512
+    ).collect()}
+    assert set(exact) == set(hist)
+    for lang in exact:
+        assert exact[lang].n_docs == hist[lang].n_docs
+        # gate agreement: kept counts within 5% of each other
+        e, h = exact[lang].n_kept, hist[lang].n_kept
+        assert abs(e - h) <= max(2, 0.05 * e), (lang, e, h)
