@@ -43,11 +43,35 @@ def merge_snapshots(
     runs: Sequence[DataFrame],
     meta: TableMeta,
     tiebreak: Optional[Sequence[str]] = None,
+    allow_schema_evolution: bool = False,
 ) -> DataFrame:
     """Union overlapping sorted runs and collapse to the LWW view — the
     compaction merge.  Spark's multi-file scan already parallelizes the
-    union; the only cost is the key shuffle of the dedup window."""
-    unioned = reduce(DataFrame.unionByName, runs)
+    union; the only cost is the key shuffle of the dedup window.
+
+    ``allow_schema_evolution``: accept runs whose column sets differ — the
+    ALTER TABLE ADD life-cycle, where runs written before the new column
+    carry nulls for it (exactly Cassandra's read semantics for pre-ALTER
+    SSTables).  Key columns must still exist in every run: a run missing a
+    PRIMARY KEY column is corrupt, not evolved, and fails loudly.
+    Default strict: an unexpected column-set mismatch usually means wrong
+    inputs, not evolution."""
+    if allow_schema_evolution:
+        required = set(meta.primary_key) | (
+            {meta.writetime_col} if meta.writetime_col else set()
+        )
+        for i, r in enumerate(runs):
+            missing = required - set(r.columns)
+            if missing:
+                raise ValueError(
+                    f"run {i} is missing key column(s) {sorted(missing)}; "
+                    "schema evolution only covers non-key columns"
+                )
+        unioned = reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), runs
+        )
+    else:
+        unioned = reduce(DataFrame.unionByName, runs)
     if meta.writetime_col is None:
         return unioned.dropDuplicates(list(meta.primary_key))
     return lww_merge(unioned, meta.primary_key, meta.writetime_col, tiebreak)

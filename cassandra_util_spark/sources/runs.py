@@ -120,16 +120,22 @@ class RunStore:
         self._swap_manifest([*self.live_runs(), run])
         return run
 
-    def read_merged(self, spark: SparkSession) -> DataFrame:
+    def read_merged(
+        self, spark: SparkSession, allow_schema_evolution: bool = False
+    ) -> DataFrame:
         """The table view: LWW across all live runs (newest writetime per
-        key; the lazy merge every LSM read path performs)."""
+        key; the lazy merge every LSM read path performs).
+        ``allow_schema_evolution``: runs written before an ALTER-style
+        column addition read with nulls for the new column."""
         from cassandra_util_spark.operators.merge import merge_snapshots
 
         runs = self.live_runs()
         if not runs:
             raise ValueError(f"run store at {self.root} has no runs")
         dfs = [spark.read.parquet(os.path.join(self.root, r)) for r in runs]
-        return merge_snapshots(dfs, self.meta)
+        return merge_snapshots(
+            dfs, self.meta, allow_schema_evolution=allow_schema_evolution
+        )
 
     def compact(
         self,
@@ -156,7 +162,7 @@ class RunStore:
         new_runs: list[str] = []
         for bucket in plan:
             dfs = [spark.read.parquet(os.path.join(self.root, r)) for r in bucket]
-            merged = merge_snapshots(dfs, self.meta)
+            merged = merge_snapshots(dfs, self.meta, allow_schema_evolution=True)
             if keep_expr is not None:
                 merged = keep_expr(merged)
             run = self._next_run()

@@ -209,3 +209,39 @@ try:
         assert plan == size_tiered_plan(sizes, min_threshold=min_t, max_threshold=max_t)
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_schema_evolution_across_runs(spark, tmp_path):
+    """The ALTER TABLE ADD life-cycle: a run written before the new column
+    reads with nulls for it; compaction merges evolved and pre-evolution
+    runs; a run missing a KEY column fails loudly."""
+    from cassandra_util_spark.operators.merge import merge_snapshots
+
+    meta = TableMeta(("k",), (), "writetime")
+    store = RunStore(str(tmp_path / "evo"), meta)
+    store.append_run(
+        spark.createDataFrame([("a", 1), ("b", 1)], "k string, writetime bigint")
+    )
+    # column added after the first run was written
+    store.append_run(
+        spark.createDataFrame(
+            [("b", 2, "fresh"), ("c", 2, "new")],
+            "k string, writetime bigint, note string",
+        )
+    )
+    with pytest.raises(Exception):
+        store.read_merged(spark)  # strict by default
+    view = {(r.k, r.note) for r in store.read_merged(
+        spark, allow_schema_evolution=True
+    ).collect()}
+    assert view == {("a", None), ("b", "fresh"), ("c", "new")}
+    # compaction handles the mixed-schema bucket and preserves the view
+    store.compact(spark, min_threshold=2)
+    assert len(store.live_runs()) == 1
+    after = {(r.k, r.note) for r in store.read_merged(spark).collect()}
+    assert after == view
+    # a run missing a KEY column is corrupt, not evolved
+    bad = spark.createDataFrame([(9,)], "writetime bigint")
+    ok = spark.createDataFrame([("a", 1)], "k string, writetime bigint")
+    with pytest.raises(ValueError, match="key column"):
+        merge_snapshots([ok, bad], meta, allow_schema_evolution=True)
