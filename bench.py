@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "pii_audit_report",
     "doc_length_histogram",
     "corpus_zipf_audit",
+    "lang_confusion_matrix",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash
     # swapped to xxhash64 — the production configuration at scale

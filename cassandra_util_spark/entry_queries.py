@@ -5375,3 +5375,49 @@ def corpus_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return freq.withColumn("rank", F.row_number().over(w).cast("bigint")).select(
         "rank", "term", "freq", (F.col("rank") * F.col("freq")).cast("bigint").alias("rank_freq")
     )
+
+
+@query(
+    "lang_confusion_matrix",
+    oracle=f"""
+    WITH pred AS (
+      SELECT doc_id, lang AS declared,
+        CASE
+          WHEN en + de + fr + es = 0 THEN 'und'
+          WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+          WHEN de >= fr AND de >= es THEN 'de'
+          WHEN fr >= es THEN 'fr'
+          ELSE 'es'
+        END AS predicted
+      FROM (
+        SELECT doc_id, lang,
+          len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is'], x))) AS en,
+          len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht'], x))) AS de,
+          len(list_filter(toks, x -> list_contains(['le','la','les','et','est','une'], x))) AS fr,
+          len(list_filter(toks, x -> list_contains(['el','los','las','y','es','una'], x))) AS es
+        FROM (SELECT doc_id, lang,
+                     list_transform({{TOKS}}, x -> lower(x)) AS toks
+              FROM documents)))
+    SELECT declared, predicted, count(*) AS n,
+           (declared = predicted) AS agree
+    FROM pred GROUP BY declared, predicted
+    """.replace("{TOKS}", _TOKS_SQL),
+)
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: declared metadata language vs the
+    marker-stopword prediction, one cell per (declared, predicted) pair
+    with an agreement flag — the audit that catches mislabeled feeds (a
+    'de' source whose predictions skew 'en' is mislabeled or templated).
+    One partial-aggregated groupBy; the matrix is |langs|² rows."""
+    from cassandra_util_spark.operators.text import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.col("lang").alias("declared"),
+            lang_id(F.col("text")).alias("predicted"),
+        )
+        .groupBy("declared", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("agree", F.col("declared") == F.col("predicted"))
+    )

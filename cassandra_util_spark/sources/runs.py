@@ -203,3 +203,47 @@ def vacuum_dead_runs(store: RunStore, min_age_s: float = 3600.0) -> list[str]:
         shutil.rmtree(path)
         removed.append(d)
     return removed
+
+
+def maintain(
+    store: RunStore,
+    spark: SparkSession,
+    keep_expr: Optional[Callable[[DataFrame], DataFrame]] = None,
+    min_threshold: int = 4,
+    max_threshold: int = 32,
+    max_rounds: int = 8,
+    vacuum_min_age_s: float = 3600.0,
+) -> dict:
+    """One maintenance cycle — the ops loop the reference runs inside
+    Cassandra's compaction daemon: repeat size-tiered compaction (with the
+    retention ``keep_expr`` applied during each merge, exactly where the
+    reference's convictors run) until no bucket qualifies, then vacuum
+    dead runs.  ``max_rounds`` bounds the loop — STCS converges because
+    every merge strictly reduces the run count, but a bound beats a proof
+    in an ops loop.
+
+    Returns a summary dict: rounds run, runs merged, runs before/after,
+    dead runs vacuumed.
+    """
+    before = len(store.live_runs())
+    rounds = 0
+    merged: list[str] = []
+    for _ in range(max_rounds):
+        new = store.compact(
+            spark,
+            min_threshold=min_threshold,
+            max_threshold=max_threshold,
+            keep_expr=keep_expr,
+        )
+        if not new:
+            break
+        merged.extend(new)
+        rounds += 1
+    vacuumed = vacuum_dead_runs(store, min_age_s=vacuum_min_age_s)
+    return {
+        "rounds": rounds,
+        "merged_runs": merged,
+        "runs_before": before,
+        "runs_after": len(store.live_runs()),
+        "vacuumed": vacuumed,
+    }

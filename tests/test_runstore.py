@@ -245,3 +245,40 @@ def test_schema_evolution_across_runs(spark, tmp_path):
     ok = spark.createDataFrame([("a", 1)], "k string, writetime bigint")
     with pytest.raises(ValueError, match="key column"):
         merge_snapshots([ok, bad], meta, allow_schema_evolution=True)
+
+
+def test_maintenance_cycle_with_retention(spark, tmp_path):
+    """The full ops loop: compaction rounds with a real convictor's
+    keep-expression applied during each merge, then vacuum — ending with
+    fewer runs, the convicted rows gone, and the kept view intact."""
+    from cassandra_util_spark.core.table import KeyedTable
+    from cassandra_util_spark.operators.convictors import create_convictor
+    from cassandra_util_spark.sources.runs import maintain
+
+    meta = TableMeta(("user_id",), ("event_id",), "writetime")
+    store = RunStore(str(tmp_path / "maint"), meta)
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .withColumn("writetime", F.unix_micros(F.col("ts").cast("timestamp")))
+        .select("user_id", "event_id", "event_type", "writetime")
+    )
+    for lo, hi in [(1, 15), (1, 8), (5, 12), (9, 15)]:
+        store.append_run(ev.filter(F.col("user_id").between(lo, hi)))
+
+    table = KeyedTable(ev, meta, "events")
+    rules = spark.createDataFrame(
+        [("purge_low", "user_id", ("1", "5"))],
+        "rulename string, column string, range struct<lo:string,hi:string>",
+    )
+    conv = create_convictor("rule_based_deletion", table, rules=rules)
+    summary = maintain(
+        store, spark,
+        keep_expr=lambda df: df.filter(conv.keep_expr()),
+        min_threshold=2, vacuum_min_age_s=0.0,
+    )
+    assert summary["rounds"] >= 1 and summary["runs_after"] < summary["runs_before"]
+    assert summary["vacuumed"], "compacted inputs must be vacuumed"
+    final = store.read_merged(spark)
+    assert final.filter(F.col("user_id") <= 5).count() == 0
+    want = ev.filter(F.col("user_id") > 5).count()
+    assert final.count() == want
