@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "doc_length_histogram",
     "corpus_zipf_audit",
     "lang_confusion_matrix",
+    "unicode_nfc_fingerprints",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash
     # swapped to xxhash64 — the production configuration at scale

@@ -5421,3 +5421,41 @@ def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .withColumn("agree", F.col("declared") == F.col("predicted"))
     )
+
+
+@query(
+    "unicode_nfc_fingerprints",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' caf' || chr(101) || chr(769)
+                  || ' r' || chr(101) || chr(769) || 'sum' || chr(101) || chr(769)
+               AS t
+      FROM documents)
+    SELECT doc_id, nfc_normalize(t) AS text_nfc,
+           md5(nfc_normalize(t)) AS nfc_fingerprint
+    FROM aug
+    """,
+)
+def unicode_nfc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFC normalization certified byte-for-byte: every document gets
+    DECOMPOSED accent sequences appended (e + combining acute), the
+    Arrow-batched normalizer collapses them to precomposed form, and both
+    the full normalized text and its md5 hash-match DuckDB's
+    nfc_normalize — the multilingual-dedup prerequisite proven, not
+    assumed."""
+    from cassandra_util_spark.operators.text import unicode_normalize_text
+
+    d = _t(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" caf"), F.lit("é"),
+            F.lit(" r"), F.lit("é"), F.lit("sum"), F.lit("é"),
+        ).alias("text"),
+    )
+    out = unicode_normalize_text(aug, "doc_id", "text", form="NFC")
+    return out.select(
+        "doc_id", "text_nfc", F.md5("text_nfc").alias("nfc_fingerprint")
+    )

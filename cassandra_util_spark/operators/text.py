@@ -1075,3 +1075,43 @@ def adaptive_length_report_hist(
             F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
         )
     )
+
+
+def unicode_normalize_text(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    form: str = "NFC",
+    out_col: str = "text_nfc",
+) -> DataFrame:
+    """Unicode normalization (NFC/NFKC/NFD/NFKD) of a text column — the
+    multilingual-dedup prerequisite: 'é' as one codepoint and 'e'+combining
+    acute are DIFFERENT bytes, so every hash-based method (fingerprints,
+    shingles, MinHash) sees two distinct documents until normalization
+    collapses them.
+
+    Spark has no built-in Unicode normalizer, so this is a justified
+    Arrow-batched ``mapInPandas`` pass (vectorized transfer, Python
+    ``unicodedata`` per batch — map-only, no shuffle at any scale).
+    ``unicodedata.normalize`` implements the same UAX #15 forms as DuckDB's
+    ``nfc_normalize``, making the output oracle-verifiable byte-for-byte.
+    """
+    import unicodedata
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, {out_col} string"
+
+    def _norm(batches):
+        for pdf in batches:
+            yield type(pdf)(
+                {
+                    id_col: pdf[id_col],
+                    out_col: pdf[text_col]
+                    .fillna("")
+                    .map(lambda t: unicodedata.normalize(form, t)),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(_norm, out_schema)

@@ -2184,3 +2184,27 @@ def test_adaptive_length_hist_mode_close_to_exact(spark):
         # gate agreement: kept counts within 5% of each other
         e, h = exact[lang].n_kept, hist[lang].n_kept
         assert abs(e - h) <= max(2, 0.05 * e), (lang, e, h)
+
+
+def test_unicode_normalize_collapses_decomposed_dupes(spark):
+    """The dedup motivation, end to end: a decomposed and a precomposed
+    spelling of the same text fingerprint apart RAW but together after
+    NFC."""
+    from cassandra_util_spark.operators.text import unicode_normalize_text
+
+    pre = "café"                 # precomposed é
+    dec = "café"                # e + combining acute
+    docs = spark.createDataFrame(
+        [(1, pre), (2, dec), (3, "unrelated")], "doc_id bigint, text string"
+    )
+    raw = docs.select("doc_id", F.md5("text").alias("h")).collect()
+    assert len({r.h for r in raw}) == 3  # all distinct before normalization
+    out = unicode_normalize_text(docs, "doc_id", "text")
+    fps = {r.doc_id: r.h for r in out.select(
+        "doc_id", F.md5("text_nfc").alias("h")
+    ).collect()}
+    assert fps[1] == fps[2] != fps[3]
+    # null-safe
+    docs_n = spark.createDataFrame([(9, None)], "doc_id bigint, text string")
+    got = unicode_normalize_text(docs_n, "doc_id", "text").collect()
+    assert got[0].text_nfc == ""
