@@ -149,6 +149,9 @@ BENCH_QUERIES = [
     "corpus_zipf_audit",
     "lang_confusion_matrix",
     "unicode_nfc_fingerprints",
+    "q12_late_shipment_priority",
+    "q19_disjunctive_revenue",
+    "q21_waiting_supplier",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash
     # swapped to xxhash64 — the production configuration at scale

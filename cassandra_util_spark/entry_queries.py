@@ -5459,3 +5459,168 @@ def unicode_nfc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "text_nfc", F.md5("text_nfc").alias("nfc_fingerprint")
     )
+
+
+@query(
+    "q12_late_shipment_priority",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+    GROUP BY l_returnflag
+    """,
+)
+def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-shipment priority split (TPC-H Q12 shape; the synthetic schema
+    has no l_shipmode/commitdate, so "mode" is l_returnflag and "late" is
+    shipped >60 days after order date).  The plan shape is the point: a
+    non-equi residual predicate (l_shipdate vs o_orderdate+interval) rides
+    ON TOP of the equi-join key, so the join stays a hash join on
+    o_orderkey with the interval comparison evaluated as a post-join
+    filter, then a 3-group conditional-count aggregate — integer counts,
+    partitioning-exact.  At 100 TB both sides are big: this is the one
+    TPC-H shape here that legitimately shuffles both inputs (AQE handles
+    skewed order keys); counts are map-side partial."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#33' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive-predicate revenue (TPC-H Q19 shape, minus the absent
+    p_container/l_shipmode columns).  The OR-of-ANDs mixes part-side and
+    lineitem-side conjuncts; Catalyst factors the per-side implications out
+    of the disjunction so the part scan prunes to the three brands and the
+    lineitem scan gets the quantity-range union BEFORE the join, leaving
+    only the cross-side residual on the hash join (verify with
+    .explain: PushedFilters shows Or(...) on both scans).  Part broadcasts;
+    revenue accumulates in DECIMAL so the sum is partitioning-exact, cast
+    to double only at output."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    qty = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#11") & F.col("p_size").between(1, 15)
+         & qty.between(1, 11))
+        | ((F.col("p_brand") == "Brand#22") & F.col("p_size").between(1, 25)
+           & qty.between(10, 20))
+        | ((F.col("p_brand") == "Brand#33") & F.col("p_size").between(1, 35)
+           & qty.between(20, 30))
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q21_waiting_supplier",
+    oracle="""
+    WITH late AS (
+      SELECT l_orderkey, l_suppkey
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+        AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+    SELECT s_name, s_suppkey, COUNT(*) AS numwait
+    FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM late) l1
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM late l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s_name, s_suppkey
+    """,
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sole-late-supplier count (TPC-H Q21 shape; "kept the order waiting"
+    is shipped >30 days after an 'F'-status order's date, standing in for
+    the absent receipt/commit dates).  The semantics are Q21's exactly —
+    supplier shipped late, SOME other supplier participated, NO other
+    supplier was late — but instead of the textbook EXISTS + NOT EXISTS
+    double self-join (three lineitem scans, three shuffles on the order
+    key), both existence tests collapse into ONE window pass: after the
+    orders⨝lineitem join shuffles on o_orderkey, a window partitioned by
+    the SAME key computes the distinct-supplier set and the late-supplier
+    set per order with zero additional exchange (the sort for the window
+    rides the join's partitioning), and the predicates become n_supp >= 2
+    AND late_supps == {me}.  Set sizes are bounded by suppliers-per-order
+    (single digits), so window state is O(1) per order at 100 TB.  The
+    supplier dimension broadcasts onto the survivors."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    j = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+            .alias("is_late"),
+        )
+    )
+    w = Window.partitionBy("l_orderkey")
+    ann = j.select(
+        "l_orderkey",
+        "l_suppkey",
+        "is_late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
+        F.collect_set(F.when(F.col("is_late"), F.col("l_suppkey"))).over(w)
+        .alias("late_supps"),
+    )
+    sole_late = (
+        ann.filter(
+            F.col("is_late")
+            & (F.col("n_supp") >= 2)
+            & (F.size("late_supps") == 1)
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        sole_late.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name", "s_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
