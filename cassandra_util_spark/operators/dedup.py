@@ -944,9 +944,17 @@ def edit_distance_pairs(
         F.col(id_col).alias("id"),
         F.substring(normalize_text(F.col(text_col)), 1, title_chars).alias("title"),
     )
+    # The title is <= title_chars (~tens of bytes), so it is CHEAPER to carry
+    # it through the blocking shuffle than to re-join it onto the candidate
+    # pairs afterwards: carrying costs O(keys) extra shuffle bytes once, the
+    # re-join costs two additional shuffled joins of the full id set plus the
+    # candidate set.  The length gate rides the join condition so
+    # length-incompatible pairs never reach the dedup.
     if mode == "blocked":
-        pre = t.select("id", F.substring("title", 1, block_chars).alias("k"))
-        suf = t.select("id", F.substring("title", -block_chars, block_chars).alias("k"))
+        pre = t.select("id", "title", F.substring("title", 1, block_chars).alias("k"))
+        suf = t.select(
+            "id", "title", F.substring("title", -block_chars, block_chars).alias("k")
+        )
         keys = pre.unionByName(suf)
         if max_key_freq is not None:
             hot = (
@@ -958,26 +966,40 @@ def edit_distance_pairs(
             keys = keys.join(F.broadcast(hot), "k", "left_anti")
         a, b = keys.alias("a"), keys.alias("b")
         cand = (
-            a.join(b, (F.col("a.k") == F.col("b.k")) & (F.col("a.id") < F.col("b.id")))
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            a.join(
+                b,
+                (F.col("a.k") == F.col("b.k"))
+                & (F.col("a.id") < F.col("b.id"))
+                & (
+                    F.abs(F.length(F.col("a.title")) - F.length(F.col("b.title")))
+                    <= max_distance
+                ),
+            )
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.col("a.title").alias("title_a"),
+                F.col("b.title").alias("title_b"),
+            )
             .dropDuplicates(["id_a", "id_b"])
         )
     else:
         ta, tb = t.alias("ta"), t.alias("tb")
-        cand = ta.join(tb, F.col("ta.id") < F.col("tb.id")).select(
-            F.col("ta.id").alias("id_a"), F.col("tb.id").alias("id_b")
+        cand = ta.join(
+            tb,
+            (F.col("ta.id") < F.col("tb.id"))
+            & (
+                F.abs(F.length(F.col("ta.title")) - F.length(F.col("tb.title")))
+                <= max_distance
+            ),
+        ).select(
+            F.col("ta.id").alias("id_a"),
+            F.col("tb.id").alias("id_b"),
+            F.col("ta.title").alias("title_a"),
+            F.col("tb.title").alias("title_b"),
         )
-    sa = t.select(F.col("id").alias("id_a"), F.col("title").alias("title_a"))
-    sb = t.select(F.col("id").alias("id_b"), F.col("title").alias("title_b"))
-    scored = (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .filter(
-            F.abs(F.length("title_a") - F.length("title_b")) <= max_distance
-        )
-        .withColumn(
-            "distance", F.levenshtein("title_a", "title_b").cast("bigint")
-        )
+    scored = cand.withColumn(
+        "distance", F.levenshtein("title_a", "title_b").cast("bigint")
     )
     return scored.filter(F.col("distance") <= max_distance).select(
         "id_a", "id_b", "distance"
