@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "q12_late_shipment_priority",
     "q19_disjunctive_revenue",
     "q21_waiting_supplier",
+    "runstore_leveled_view",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash
     # swapped to xxhash64 — the production configuration at scale

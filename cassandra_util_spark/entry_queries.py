@@ -5624,3 +5624,55 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name", "s_suppkey")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@query(
+    "runstore_leveled_view",
+    oracle="""
+    WITH runs AS (
+      SELECT user_id, event_type, event_id, epoch_us(ts) AS writetime FROM events
+      UNION ALL
+      SELECT user_id, event_type, event_id, epoch_us(ts) FROM events
+      WHERE user_id <= 50
+      UNION ALL
+      SELECT user_id, event_type, event_id, epoch_us(ts) FROM events
+      WHERE user_id BETWEEN 25 AND 75)
+    SELECT user_id, event_type, event_id, writetime FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY user_id, event_id
+               ORDER BY writetime DESC) AS rn
+      FROM runs) WHERE rn = 1 AND user_id BETWEEN 25 AND 75
+    """,
+)
+def runstore_leveled_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEVELED compaction end to end, driver-checked: three overlapping
+    runs append as L0, leveled maintenance drains them into range-split
+    non-overlapping L1 runs, and a BOUNDED read (user_id in [25, 75]) goes
+    through the stats-pruned path — so the hash certifies the whole chain:
+    range re-split, per-run stats, run pruning, and the LWW merge of
+    whatever survives pruning.  The Spark analog of Cassandra's
+    LeveledCompactionStrategy read path (one sstable per level per key
+    range) under the reference's strategy-agnostic deleting wrapper."""
+    import tempfile
+
+    from cassandra_util_spark.sources.runs import RunStore, maintain
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("writetime", writetime_micros(F.col("ts")))
+        .select("user_id", "event_type", "event_id", "writetime")
+    )
+    store = RunStore(
+        tempfile.mkdtemp(prefix="runstore-lq-"),
+        TableMeta(("user_id",), ("event_id",), "writetime"),
+    )
+    store.append_run(ev)
+    store.append_run(ev.filter(F.col("user_id") <= 50))
+    store.append_run(ev.filter(F.col("user_id").between(25, 75)))
+    maintain(
+        store, spark, strategy="leveled", min_threshold=2,
+        run_target_bytes=64 << 10, vacuum_min_age_s=0.0,
+    )
+    return store.read_merged(spark, key_lower=25, key_upper=75).select(
+        "user_id", "event_type", "event_id", "writetime"
+    )

@@ -81,14 +81,36 @@ class RunStore:
     def live_runs(self) -> list[str]:
         try:
             with open(self._manifest) as f:
-                return [ln for ln in f.read().split("\n") if ln]
+                return [ln.split(" ")[0] for ln in f.read().split("\n") if ln]
         except FileNotFoundError:
             return []
 
-    def _swap_manifest(self, runs: list[str]) -> None:
+    def live_levels(self) -> dict[str, int]:
+        """Run → LSM level.  Manifest v1 lines (bare names, every store
+        written before leveling existed) read as level 0 — the overlapping
+        tier, which is exactly what an un-leveled run is."""
+        out: dict[str, int] = {}
+        try:
+            with open(self._manifest) as f:
+                for ln in f.read().split("\n"):
+                    if not ln:
+                        continue
+                    parts = ln.split(" ")
+                    out[parts[0]] = int(parts[1]) if len(parts) > 1 else 0
+        except FileNotFoundError:
+            pass
+        return out
+
+    def _swap_manifest(self, runs: list[str], levels: Optional[dict[str, int]] = None) -> None:
+        """Atomically publish a new live-run set.  Levels carry over for
+        surviving runs (so an STCS pass on a leveled store cannot silently
+        flatten it); new names default to level 0 unless ``levels`` says
+        otherwise."""
+        current = self.live_levels()
+        lv = {**current, **(levels or {})}
         fd, tmp = tempfile.mkstemp(dir=self.root, prefix="_RUNS.")
         with os.fdopen(fd, "w") as f:
-            f.write("\n".join(runs))
+            f.write("\n".join(f"{r} {lv.get(r, 0)}" for r in runs))
         os.replace(tmp, self._manifest)  # atomic on POSIX
 
     def _next_run(self) -> str:
@@ -112,27 +134,120 @@ class RunStore:
     def append_run(self, df: DataFrame) -> str:
         """Write a new run (clustered by the key layout) and publish it.
         The write is invisible until the manifest swap — a failed job
-        leaves a dead directory, never a half-visible run."""
+        leaves a dead directory, never a half-visible run.  Key-range stats
+        are computed from the WRITTEN parquet (a column-pruned read-back,
+        never a recompute of the input lineage) so leveling and pruned
+        reads can reason about the run without scanning data."""
         run = self._next_run()
-        KeyedTable(df, self.meta).clustered().write.parquet(
-            os.path.join(self.root, run)
-        )
+        path = os.path.join(self.root, run)
+        KeyedTable(df, self.meta).clustered().write.parquet(path)
+        self._write_stats(df.sparkSession, path)
         self._swap_manifest([*self.live_runs(), run])
         return run
 
+    # -- key-range stats (leveling + pruned reads) --------------------------
+
+    @property
+    def _range_col(self) -> str:
+        return self.meta.partition_keys[0]
+
+    def _write_stats(self, spark: SparkSession, run_path: str) -> None:
+        from pyspark.sql import functions as F
+
+        c = self._range_col
+        row = (
+            spark.read.parquet(run_path)
+            .agg(F.min(c).alias("lo"), F.max(c).alias("hi"), F.count(F.lit(1)).alias("rows"))
+            .collect()[0]
+        )
+        import json
+
+        with open(os.path.join(run_path, "_STATS.json"), "w") as f:
+            json.dump(
+                {"column": c, "min": row["lo"], "max": row["hi"], "rows": row["rows"]},
+                f,
+                default=str,
+            )
+
+    def run_stats(self) -> dict[str, dict]:
+        """Run → {column, min, max, rows} for every live run that has a
+        stats file (runs written before stats existed simply have none —
+        they are never pruned and never assumed non-overlapping)."""
+        import json
+
+        out: dict[str, dict] = {}
+        for r in self.live_runs():
+            p = os.path.join(self.root, r, "_STATS.json")
+            try:
+                with open(p) as f:
+                    out[r] = json.load(f)
+            except FileNotFoundError:
+                continue
+        return out
+
+    def prune_runs(self, lower, upper) -> list[str]:
+        """Live runs whose key range MAY intersect [lower, upper] on the
+        first partition-key column — the leveled-read payoff: L1+ runs are
+        non-overlapping, so a bounded read touches at most one run per
+        level plus all of L0.  Runs without stats (or with un-comparable
+        stats types) are kept — pruning is an optimization, never a
+        correctness bet."""
+        stats = self.run_stats()
+        keep: list[str] = []
+        for r in self.live_runs():
+            s = stats.get(r)
+            if s is None or s["min"] is None:
+                keep.append(r)
+                continue
+            try:
+                disjoint = (upper is not None and s["min"] > upper) or (
+                    lower is not None and s["max"] < lower
+                )
+            except TypeError:
+                disjoint = False
+            if not disjoint:
+                keep.append(r)
+        return keep
+
     def read_merged(
-        self, spark: SparkSession, allow_schema_evolution: bool = False
+        self,
+        spark: SparkSession,
+        allow_schema_evolution: bool = False,
+        key_lower=None,
+        key_upper=None,
     ) -> DataFrame:
         """The table view: LWW across all live runs (newest writetime per
         key; the lazy merge every LSM read path performs).
         ``allow_schema_evolution``: runs written before an ALTER-style
-        column addition read with nulls for the new column."""
+        column addition read with nulls for the new column.
+
+        ``key_lower``/``key_upper`` (inclusive, on the first partition-key
+        column) bound the read: runs outside the range are skipped ENTIRELY
+        via their stats (on a leveled store that is ~one run per level),
+        and the bound is also applied as a pushed filter so partially
+        overlapping runs scan only matching row groups."""
+        from pyspark.sql import functions as F
+
         from cassandra_util_spark.operators.merge import merge_snapshots
 
-        runs = self.live_runs()
+        bounded = key_lower is not None or key_upper is not None
+        runs = self.prune_runs(key_lower, key_upper) if bounded else self.live_runs()
         if not runs:
+            if self.live_runs():
+                # everything pruned: an empty view with the store's schema
+                any_run = self.live_runs()[0]
+                empty = spark.read.parquet(os.path.join(self.root, any_run)).limit(0)
+                return empty
             raise ValueError(f"run store at {self.root} has no runs")
         dfs = [spark.read.parquet(os.path.join(self.root, r)) for r in runs]
+        if bounded:
+            c = self._range_col
+            cond = F.lit(True)
+            if key_lower is not None:
+                cond = cond & (F.col(c) >= F.lit(key_lower))
+            if key_upper is not None:
+                cond = cond & (F.col(c) <= F.lit(key_upper))
+            dfs = [d.filter(cond) for d in dfs]
         return merge_snapshots(
             dfs, self.meta, allow_schema_evolution=allow_schema_evolution
         )
@@ -166,13 +281,131 @@ class RunStore:
             if keep_expr is not None:
                 merged = keep_expr(merged)
             run = self._next_run()
-            KeyedTable(merged, self.meta).clustered().write.parquet(
-                os.path.join(self.root, run)
-            )
+            path = os.path.join(self.root, run)
+            KeyedTable(merged, self.meta).clustered().write.parquet(path)
+            self._write_stats(spark, path)
             live = [r for r in self.live_runs() if r not in bucket]
             self._swap_manifest([*live, run])
             new_runs.append(run)
         return new_runs
+
+    def compact_leveled(
+        self,
+        spark: SparkSession,
+        run_target_bytes: int = 128 << 20,
+        min_threshold: int = 4,
+        fanout: int = 10,
+        keep_expr: Optional[Callable[[DataFrame], DataFrame]] = None,
+    ) -> list[str]:
+        """One round of LEVELED compaction — Cassandra's
+        LeveledCompactionStrategy shape re-expressed for Spark: L0 is the
+        overlapping append tier; every level >= 1 holds runs that are
+        NON-OVERLAPPING on the first partition-key column, produced by
+        range-repartitioning the merge output into ~``run_target_bytes``
+        chunks.  The read-path payoff is :meth:`prune_runs`: a bounded read
+        touches at most one run per leveled level (plus L0), where STCS
+        would scan every run.
+
+        Per round (one job, from :func:`leveled_plan`): when L0 reaches
+        ``min_threshold`` runs, L0+L1 merge into L1; when level n's bytes
+        exceed ``run_target_bytes * fanout**n``, Ln+Ln+1 merge into Ln+1.
+        Each merge is a full rewrite of the two levels — simpler than
+        Cassandra's incremental pick-one-sstable refinement and the same
+        amortized write amplification at this round granularity (the
+        incremental form is the optimization to add if level sizes ever
+        make a full rewrite too large a single job).  ``keep_expr`` is the
+        deleting-compaction retention hook, same as :meth:`compact`.
+
+        The split writes one staging job (`repartitionByRange` on the
+        primary key, so chunk boundaries come from range sampling), then
+        registers each chunk directory as a run — data moves once.
+        Returns the new run names (empty when no level triggers).
+        """
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        from cassandra_util_spark.operators.merge import merge_snapshots
+
+        job = leveled_plan(
+            self.run_sizes(),
+            self.live_levels(),
+            run_target_bytes=run_target_bytes,
+            min_threshold=min_threshold,
+            fanout=fanout,
+        )
+        if job is None:
+            return []
+        inputs, target_level = job
+        sizes = self.run_sizes()
+        dfs = [spark.read.parquet(os.path.join(self.root, r)) for r in inputs]
+        merged = merge_snapshots(dfs, self.meta, allow_schema_evolution=True)
+        if keep_expr is not None:
+            merged = keep_expr(merged)
+        in_bytes = sum(sizes[r] for r in inputs)
+        n_out = max(1, -(-in_bytes // run_target_bytes))  # ceil: runs stay <= target
+        order = [F.col(c) for c in self.meta.primary_key]
+        stage = tempfile.mkdtemp(dir=self.root, prefix="_stage.")
+        (
+            merged.repartitionByRange(n_out, *order)
+            .withColumn("__chunk", F.spark_partition_id())
+            .sortWithinPartitions(*order)
+            .write.partitionBy("__chunk")
+            .parquet(stage, mode="overwrite")
+        )
+        new_runs: list[str] = []
+        levels: dict[str, int] = {}
+        chunks = sorted(
+            (d for d in os.listdir(stage) if d.startswith("__chunk=")),
+            key=lambda d: int(d.split("=")[1]),
+        )
+        for d in chunks:
+            run = self._next_run()
+            path = os.path.join(self.root, run)
+            os.replace(os.path.join(stage, d), path)
+            self._write_stats(spark, path)
+            new_runs.append(run)
+            levels[run] = target_level
+            # publish incrementally-named runs only after ALL chunks land
+        shutil.rmtree(stage, ignore_errors=True)
+        live = [r for r in self.live_runs() if r not in set(inputs)]
+        self._swap_manifest([*live, *new_runs], levels=levels)
+        return new_runs
+
+
+def leveled_plan(
+    run_sizes: dict[str, int],
+    run_levels: dict[str, int],
+    run_target_bytes: int = 128 << 20,
+    min_threshold: int = 4,
+    fanout: int = 10,
+) -> Optional[tuple[list[str], int]]:
+    """Pick at most ONE leveled merge job: ``(input runs, target level)``.
+
+    Trigger order mirrors Cassandra's LCS priorities: a full L0 tier first
+    (reads pay for every overlapping L0 run, so draining it matters most),
+    then the shallowest over-full level.  Level n's budget is
+    ``run_target_bytes * fanout**n`` — the geometric ladder that bounds
+    total levels at log_fanout(data/run_target).  Pure metadata arithmetic,
+    deterministic, testable without Spark.
+    """
+    if min_threshold < 2:
+        raise ValueError(f"min_threshold must be >= 2, got {min_threshold}")
+    if fanout < 2:
+        raise ValueError(f"fanout must be >= 2, got {fanout}")
+    by_level: dict[int, list[str]] = {}
+    for r in run_sizes:
+        by_level.setdefault(run_levels.get(r, 0), []).append(r)
+    for lv in by_level:
+        by_level[lv].sort()
+    l0 = by_level.get(0, [])
+    if len(l0) >= min_threshold:
+        return ([*l0, *by_level.get(1, [])], 1)
+    for lv in sorted(k for k in by_level if k >= 1):
+        level_bytes = sum(run_sizes[r] for r in by_level[lv])
+        if level_bytes > run_target_bytes * fanout**lv:
+            return ([*by_level[lv], *by_level.get(lv + 1, [])], lv + 1)
+    return None
 
 
 def _dir_mtime(path: str) -> float:
@@ -213,28 +446,44 @@ def maintain(
     max_threshold: int = 32,
     max_rounds: int = 8,
     vacuum_min_age_s: float = 3600.0,
+    strategy: str = "stcs",
+    run_target_bytes: int = 128 << 20,
+    fanout: int = 10,
 ) -> dict:
     """One maintenance cycle — the ops loop the reference runs inside
-    Cassandra's compaction daemon: repeat size-tiered compaction (with the
-    retention ``keep_expr`` applied during each merge, exactly where the
-    reference's convictors run) until no bucket qualifies, then vacuum
-    dead runs.  ``max_rounds`` bounds the loop — STCS converges because
-    every merge strictly reduces the run count, but a bound beats a proof
-    in an ops loop.
+    Cassandra's compaction daemon: repeat compaction (with the retention
+    ``keep_expr`` applied during each merge, exactly where the reference's
+    convictors run) until no bucket/level qualifies, then vacuum dead
+    runs.  ``strategy``: "stcs" (size-tiered buckets) or "leveled"
+    (:meth:`RunStore.compact_leveled` — non-overlapping levels, pruned
+    bounded reads).  ``max_rounds`` bounds the loop — both strategies
+    converge (every merge strictly reduces run count at a level), but a
+    bound beats a proof in an ops loop.
 
     Returns a summary dict: rounds run, runs merged, runs before/after,
     dead runs vacuumed.
     """
+    if strategy not in ("stcs", "leveled"):
+        raise ValueError(f"unknown strategy {strategy!r}: stcs | leveled")
     before = len(store.live_runs())
     rounds = 0
     merged: list[str] = []
     for _ in range(max_rounds):
-        new = store.compact(
-            spark,
-            min_threshold=min_threshold,
-            max_threshold=max_threshold,
-            keep_expr=keep_expr,
-        )
+        if strategy == "stcs":
+            new = store.compact(
+                spark,
+                min_threshold=min_threshold,
+                max_threshold=max_threshold,
+                keep_expr=keep_expr,
+            )
+        else:
+            new = store.compact_leveled(
+                spark,
+                run_target_bytes=run_target_bytes,
+                min_threshold=min_threshold,
+                fanout=fanout,
+                keep_expr=keep_expr,
+            )
         if not new:
             break
         merged.extend(new)

@@ -1,0 +1,156 @@
+"""Leveled compaction over the LSM run store.
+
+Cassandra's LeveledCompactionStrategy is the other strategy the reference's
+DeletingCompactionStrategy can delegate to (the wrapper is
+strategy-agnostic: DeletingCompactionStrategy.java:102-126 consumes
+whatever scanner set the underlying strategy picked).  These tests pin the
+Spark re-expression: L0 as the overlapping append tier, levels >= 1 as
+range-split non-overlapping runs, bounded reads pruning to ~one run per
+level, and the retention keep-expression applied during leveled merges.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_util_spark.core.table import TableMeta
+from cassandra_util_spark.sources.runs import RunStore, leveled_plan, maintain
+
+
+def test_leveled_plan_math():
+    sizes = {"r1": 100, "r2": 100, "r3": 100, "r4": 100}
+    levels = {r: 0 for r in sizes}
+    # full L0 tier drains into L1
+    job = leveled_plan(sizes, levels, min_threshold=4)
+    assert job == (["r1", "r2", "r3", "r4"], 1)
+    # below threshold, nothing to do
+    assert leveled_plan({"r1": 100}, {"r1": 0}, min_threshold=4) is None
+    # L0 merge pulls in existing L1 runs
+    sizes2 = {**sizes, "r5": 500}
+    job2 = leveled_plan(sizes2, {**levels, "r5": 1}, min_threshold=4)
+    assert job2 == (["r1", "r2", "r3", "r4", "r5"], 1)
+    # an over-full L1 (budget run_target * fanout) spills into L2
+    job3 = leveled_plan(
+        {"a": 900, "b": 900, "c": 50},
+        {"a": 1, "b": 1, "c": 2},
+        run_target_bytes=100,
+        min_threshold=4,
+        fanout=10,
+    )
+    assert job3 == (["a", "b", "c"], 2)
+    # within budget: no job
+    assert (
+        leveled_plan(
+            {"a": 400, "b": 400},
+            {"a": 1, "b": 1},
+            run_target_bytes=100,
+            min_threshold=4,
+            fanout=10,
+        )
+        is None
+    )
+    with pytest.raises(ValueError):
+        leveled_plan(sizes, levels, min_threshold=1)
+    with pytest.raises(ValueError):
+        leveled_plan(sizes, levels, fanout=1)
+
+
+@pytest.fixture
+def seeded_store(spark, tmp_path):
+    meta = TableMeta(("user_id",), ("event_id",), "writetime")
+    store = RunStore(str(tmp_path / "runs"), meta)
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .withColumn("writetime", F.unix_micros(F.col("ts").cast("timestamp")))
+        .select("user_id", "event_id", "event_type", "writetime")
+    )
+    store.append_run(ev)
+    store.append_run(ev.filter(F.col("user_id") <= 50))
+    store.append_run(ev.filter(F.col("user_id").between(25, 75)))
+    store.append_run(ev.filter(F.col("user_id") > 60))
+    return store, ev
+
+
+def test_leveled_compaction_view_levels_and_disjointness(spark, seeded_store):
+    store, ev = seeded_store
+    before = {tuple(r) for r in store.read_merged(spark).collect()}
+    # tiny run target so the merge range-splits into several L1 runs
+    summary = maintain(
+        store, spark, strategy="leveled", min_threshold=2,
+        run_target_bytes=16 << 10, vacuum_min_age_s=0.0,
+    )
+    assert summary["rounds"] >= 1 and summary["merged_runs"]
+    levels = store.live_levels()
+    assert levels and all(lv == 1 for lv in levels.values())  # L0 drained
+    assert len(levels) > 1  # actually split, not one megarun
+    # L1 runs are key-disjoint per their stats (adjacent runs may touch at
+    # a shared boundary value; ranges must never properly interleave)
+    stats = store.run_stats()
+    spans = sorted((stats[r]["min"], stats[r]["max"]) for r in levels)
+    for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert lo1 <= hi1 and hi1 <= lo2
+    # the read view is invariant under leveled compaction
+    after = {tuple(r) for r in store.read_merged(spark).collect()}
+    assert after == before
+    # dead inputs were vacuumed
+    assert summary["vacuumed"]
+
+
+def test_bounded_read_prunes_and_matches(spark, seeded_store):
+    store, ev = seeded_store
+    maintain(
+        store, spark, strategy="leveled", min_threshold=2,
+        run_target_bytes=16 << 10, vacuum_min_age_s=0.0,
+    )
+    full = store.read_merged(spark)
+    lo, hi = 10, 30
+    want = {tuple(r) for r in full.filter(F.col("user_id").between(lo, hi)).collect()}
+    got = {tuple(r) for r in store.read_merged(spark, key_lower=lo, key_upper=hi).collect()}
+    assert got == want and got
+    # pruning actually skipped runs
+    assert len(store.prune_runs(lo, hi)) < len(store.live_runs())
+    # a range beyond every key prunes everything but still returns a
+    # schema-stable empty view
+    empty = store.read_merged(spark, key_lower=10**9, key_upper=10**9 + 1)
+    assert empty.count() == 0 and empty.columns == full.columns
+
+
+def test_keep_expr_applies_during_leveled_merge(spark, seeded_store):
+    store, ev = seeded_store
+    maintain(
+        store, spark, strategy="leveled", min_threshold=2,
+        run_target_bytes=16 << 10,
+        keep_expr=lambda df: df.filter(F.col("event_type") != "click"),
+        vacuum_min_age_s=0.0,
+    )
+    got = store.read_merged(spark)
+    assert got.filter(F.col("event_type") == "click").count() == 0
+    # and ONLY that slice was dropped: keys are unique in the source, so
+    # the survivors are exactly the non-click keys
+    n_src = (
+        ev.filter(F.col("event_type") != "click")
+        .select("user_id", "event_id").distinct().count()
+    )
+    assert got.count() == n_src
+
+
+def test_manifest_v1_backcompat(spark, tmp_path):
+    meta = TableMeta(("user_id",), ("event_id",), "writetime")
+    store = RunStore(str(tmp_path / "runs"), meta)
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .withColumn("writetime", F.unix_micros(F.col("ts").cast("timestamp")))
+        .select("user_id", "event_id", "event_type", "writetime")
+        .limit(100)
+    )
+    run = store.append_run(ev)
+    # rewrite the manifest in the v1 bare-name format
+    with open(os.path.join(store.root, "_RUNS"), "w") as f:
+        f.write(run)
+    assert store.live_runs() == [run]
+    assert store.live_levels() == {run: 0}
+    assert store.read_merged(spark).count() == 100
+    # a run with no stats file is never pruned
+    os.remove(os.path.join(store.root, run, "_STATS.json"))
+    assert store.prune_runs(10**9, 10**9 + 1) == [run]
