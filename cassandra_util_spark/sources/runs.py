@@ -307,14 +307,15 @@ class RunStore:
         would scan every run.
 
         Per round (one job, from :func:`leveled_plan`): when L0 reaches
-        ``min_threshold`` runs, L0+L1 merge into L1; when level n's bytes
-        exceed ``run_target_bytes * fanout**n``, Ln+Ln+1 merge into Ln+1.
-        Each merge is a full rewrite of the two levels — simpler than
-        Cassandra's incremental pick-one-sstable refinement and the same
-        amortized write amplification at this round granularity (the
-        incremental form is the optimization to add if level sizes ever
-        make a full rewrite too large a single job).  ``keep_expr`` is the
-        deleting-compaction retention hook, same as :meth:`compact`.
+        ``min_threshold`` runs, L0+L1 merge into L1 (L0 runs span the key
+        space, so all of L1 genuinely participates); when level n's bytes
+        exceed ``run_target_bytes * fanout**n``, ONE victim run from Ln
+        merges with only the Ln+1 runs its key range overlaps — Cassandra's
+        incremental pick-one-sstable discipline, which is what bounds a
+        single job at ~(1 + fanout) * run_target bytes no matter how big
+        the level is (the 100 TB property: job size is a constant, level
+        size is not).  ``keep_expr`` is the deleting-compaction retention
+        hook, same as :meth:`compact`.
 
         The split writes one staging job (`repartitionByRange` on the
         primary key, so chunk boundaries come from range sampling), then
@@ -333,6 +334,11 @@ class RunStore:
             run_target_bytes=run_target_bytes,
             min_threshold=min_threshold,
             fanout=fanout,
+            run_ranges={
+                r: (s["min"], s["max"])
+                for r, s in self.run_stats().items()
+                if s.get("min") is not None
+            },
         )
         if job is None:
             return []
@@ -379,6 +385,7 @@ def leveled_plan(
     run_target_bytes: int = 128 << 20,
     min_threshold: int = 4,
     fanout: int = 10,
+    run_ranges: Optional[dict[str, tuple]] = None,
 ) -> Optional[tuple[list[str], int]]:
     """Pick at most ONE leveled merge job: ``(input runs, target level)``.
 
@@ -388,6 +395,17 @@ def leveled_plan(
     ``run_target_bytes * fanout**n`` — the geometric ladder that bounds
     total levels at log_fanout(data/run_target).  Pure metadata arithmetic,
     deterministic, testable without Spark.
+
+    ``run_ranges`` (run → (min key, max key)) enables the INCREMENTAL
+    over-full job: one victim from Ln (lowest min key — a deterministic
+    sweep cursor; Cassandra persists a round-robin token cursor, same
+    effect) plus only the Ln+1 runs whose ranges intersect it.  The merged
+    output's key range is contained in the union of its inputs' ranges, so
+    untouched Ln+1 neighbors stay disjoint from the new runs and the
+    per-level non-overlap invariant survives without rewriting them.
+    Runs missing from ``run_ranges`` (or with un-comparable range types)
+    conservatively count as overlapping.  Without ``run_ranges`` the
+    over-full job degrades to the full two-level rewrite.
     """
     if min_threshold < 2:
         raise ValueError(f"min_threshold must be >= 2, got {min_threshold}")
@@ -403,8 +421,32 @@ def leveled_plan(
         return ([*l0, *by_level.get(1, [])], 1)
     for lv in sorted(k for k in by_level if k >= 1):
         level_bytes = sum(run_sizes[r] for r in by_level[lv])
-        if level_bytes > run_target_bytes * fanout**lv:
-            return ([*by_level[lv], *by_level.get(lv + 1, [])], lv + 1)
+        if level_bytes <= run_target_bytes * fanout**lv:
+            continue
+        nxt = by_level.get(lv + 1, [])
+        if not run_ranges:
+            return ([*by_level[lv], *nxt], lv + 1)
+        # incremental: one victim (lowest min key; unranged runs first so
+        # they cannot linger unmergeable), plus overlapping next-level runs
+        def _victim_key(r: str):
+            rng = run_ranges.get(r)
+            return (0,) if rng is None else (1, rng[0], r)
+
+        victim = min(by_level[lv], key=_victim_key)
+        v_rng = run_ranges.get(victim)
+        overlapping = []
+        for r in nxt:
+            rng = run_ranges.get(r)
+            if v_rng is None or rng is None:
+                overlapping.append(r)
+                continue
+            try:
+                disjoint = rng[0] > v_rng[1] or rng[1] < v_rng[0]
+            except TypeError:
+                disjoint = False
+            if not disjoint:
+                overlapping.append(r)
+        return ([victim, *overlapping], lv + 1)
     return None
 
 

@@ -154,3 +154,53 @@ def test_manifest_v1_backcompat(spark, tmp_path):
     # a run with no stats file is never pruned
     os.remove(os.path.join(store.root, run, "_STATS.json"))
     assert store.prune_runs(10**9, 10**9 + 1) == [run]
+
+
+def test_incremental_plan_picks_victim_and_overlaps_only():
+    sizes = {"a": 300, "b": 300, "x": 100, "y": 100, "z": 100}
+    levels = {"a": 1, "b": 1, "x": 2, "y": 2, "z": 2}
+    ranges = {
+        "a": (0, 49), "b": (50, 99),
+        "x": (0, 30), "y": (31, 60), "z": (61, 99),
+    }
+    # L1 over budget (600 > 100*2): victim is 'a' (lowest min); it overlaps
+    # x and y but NOT z
+    job = leveled_plan(
+        sizes, levels, run_target_bytes=100, min_threshold=4, fanout=2,
+        run_ranges=ranges,
+    )
+    assert job == (["a", "x", "y"], 2)
+    # a next-level run with no range info is conservatively included
+    job2 = leveled_plan(
+        sizes, levels, run_target_bytes=100, min_threshold=4, fanout=2,
+        run_ranges={k: v for k, v in ranges.items() if k != "z"},
+    )
+    assert job2 == (["a", "x", "y", "z"], 2)
+    # without ranges: full two-level rewrite
+    job3 = leveled_plan(sizes, levels, run_target_bytes=100, min_threshold=4, fanout=2)
+    assert job3 == (["a", "b", "x", "y", "z"], 2)
+
+
+def test_incremental_compaction_leaves_siblings_untouched(spark, seeded_store):
+    store, ev = seeded_store
+    maintain(
+        store, spark, strategy="leveled", min_threshold=2,
+        run_target_bytes=8 << 10, vacuum_min_age_s=0.0,
+    )
+    l1 = [r for r, lv in store.live_levels().items() if lv == 1]
+    assert len(l1) >= 3
+    before_view = {tuple(r) for r in store.read_merged(spark).collect()}
+    # shrink the budget so L1 is over-full: ONE victim must move to L2
+    new = store.compact_leveled(spark, run_target_bytes=4 << 10, fanout=2)
+    assert new
+    levels = store.live_levels()
+    survivors_l1 = [r for r in l1 if r in levels]
+    assert len(survivors_l1) == len(l1) - 1  # exactly one victim consumed
+    assert all(levels[r] == 2 for r in new)
+    # L2 runs are key-disjoint and the view is invariant
+    stats = store.run_stats()
+    spans = sorted((stats[r]["min"], stats[r]["max"]) for r in new)
+    for (_, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert hi1 <= lo2
+    after_view = {tuple(r) for r in store.read_merged(spark).collect()}
+    assert after_view == before_view
