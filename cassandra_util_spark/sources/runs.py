@@ -131,18 +131,28 @@ class RunStore:
             out[r] = total
         return out
 
-    def append_run(self, df: DataFrame) -> str:
+    def append_run(self, df: DataFrame, name: Optional[str] = None) -> str:
         """Write a new run (clustered by the key layout) and publish it.
         The write is invisible until the manifest swap — a failed job
         leaves a dead directory, never a half-visible run.  Key-range stats
         are computed from the WRITTEN parquet (a column-pruned read-back,
         never a recompute of the input lineage) so leveling and pruned
-        reads can reason about the run without scanning data."""
-        run = self._next_run()
+        reads can reason about the run without scanning data.
+
+        ``name`` makes the append IDEMPOTENT for retrying writers (the
+        streaming ingest path names runs by micro-batch id): an already-
+        published name is a no-op, and a dead directory from a crashed
+        earlier attempt is overwritten rather than duplicated."""
+        run = name if name is not None else self._next_run()
+        live = self.live_runs()
+        if name is not None and run in live:
+            return run
         path = os.path.join(self.root, run)
-        KeyedTable(df, self.meta).clustered().write.parquet(path)
+        KeyedTable(df, self.meta).clustered().write.mode(
+            "overwrite" if name is not None else "errorifexists"
+        ).parquet(path)
         self._write_stats(df.sparkSession, path)
-        self._swap_manifest([*self.live_runs(), run])
+        self._swap_manifest([*live, run])
         return run
 
     # -- key-range stats (leveling + pruned reads) --------------------------
@@ -470,7 +480,7 @@ def vacuum_dead_runs(store: RunStore, min_age_s: float = 3600.0) -> list[str]:
     removed: list[str] = []
     now = __import__("time").time()
     for d in sorted(os.listdir(store.root)):
-        if not (d.startswith("r") and d[1:].isdigit()) or d in live:
+        if not (d[:1] in ("r", "b") and d[1:].isdigit()) or d in live:
             continue
         path = os.path.join(store.root, d)
         if now - _dir_mtime(path) < min_age_s:

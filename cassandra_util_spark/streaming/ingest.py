@@ -1,0 +1,89 @@
+"""Streaming ingestion into the LSM run store — the memtable-flush analog.
+
+Cassandra's write path accumulates writes in a memtable and flushes it as a
+new SSTable; compaction later folds overlapping SSTables together, and that
+is where the reference's deleting strategy filters rows
+(DeletingCompactionStrategy.java:102-126).  The Structured Streaming
+re-expression: each micro-batch IS a flush — ``foreachBatch`` appends the
+batch as one new L0 run (cheap, no merge; exactly Cassandra's
+flush-then-compact cost model), and the same ``maintain`` loop the batch
+side uses runs every N batches with the retention keep-expression applied
+during merges.
+
+Delivery semantics: ``foreachBatch`` is at-least-once on recovery — after a
+crash the last micro-batch can replay with the SAME batch id.  Runs are
+named by batch id (``b<id>``), and :meth:`RunStore.append_run` treats an
+already-published name as a no-op and overwrites a half-written directory
+from a crashed attempt, so the store converges to exactly-once run content
+without any external transaction log.  (LWW merge would also absorb a
+duplicate run, but idempotent naming keeps the run set — and therefore
+compaction planning — deterministic.)
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from cassandra_util_spark.sources.runs import RunStore, maintain
+
+
+def run_name_for_batch(batch_id: int) -> str:
+    """Deterministic run name for a micro-batch — the idempotence key."""
+    return f"b{batch_id:010d}"
+
+
+def stream_to_runstore(
+    stream: DataFrame,
+    store: RunStore,
+    checkpoint_dir: str,
+    maintain_every: Optional[int] = None,
+    keep_expr: Optional[Callable[[DataFrame], DataFrame]] = None,
+    strategy: str = "stcs",
+    min_threshold: int = 4,
+    run_target_bytes: int = 128 << 20,
+    available_now: bool = True,
+    query_name: str = "runstore-ingest",
+) -> StreamingQuery:
+    """Continuously flush a stream into ``store`` as L0 runs.
+
+    ``maintain_every=N`` interleaves a maintenance cycle after every N-th
+    micro-batch (strategy/threshold/target forwarded to
+    :func:`~cassandra_util_spark.sources.runs.maintain`, with ``keep_expr``
+    as the in-merge retention hook) — write amplification happens in the
+    background cadence the operator chose, never on the ingest hot path's
+    every batch.  ``available_now=True`` drains what exists then stops (the
+    test/backfill trigger); ``False`` runs continuously.
+
+    Scale shape: the per-batch work is one clustered parquet write plus a
+    column-pruned stats read-back — no merge, no read of existing runs.
+    Compaction cost is bounded per cycle by the strategy's plan (one
+    bucket / one victim job at a time), so ingest latency stays flat as
+    the store grows.
+    """
+    if maintain_every is not None and maintain_every < 1:
+        raise ValueError(f"maintain_every must be >= 1, got {maintain_every}")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        store.append_run(batch_df, name=run_name_for_batch(batch_id))
+        if maintain_every is not None and (batch_id + 1) % maintain_every == 0:
+            maintain(
+                store,
+                batch_df.sparkSession,
+                keep_expr=keep_expr,
+                strategy=strategy,
+                min_threshold=min_threshold,
+                run_target_bytes=run_target_bytes,
+                vacuum_min_age_s=0.0,
+            )
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,103 @@
+"""Streaming ingestion into the run store — the memtable-flush analog.
+
+Cassandra's write path flushes memtables as new SSTables and compacts in
+the background; the reference filters rows during those compactions.  These
+tests pin the Structured Streaming equivalent: each micro-batch appends one
+L0 run, replayed batch ids are idempotent, interleaved maintenance keeps
+the run count bounded with retention applied in-merge, and the final LWW
+view equals the batch answer.
+"""
+
+import os
+
+from pyspark.sql import functions as F
+
+from cassandra_util_spark.core.table import TableMeta
+from cassandra_util_spark.sources.runs import RunStore
+from cassandra_util_spark.streaming.ingest import (
+    run_name_for_batch,
+    stream_to_runstore,
+)
+
+
+def _events(spark, n=2000):
+    return (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .withColumn("writetime", F.unix_micros(F.col("ts").cast("timestamp")))
+        .select("user_id", "event_id", "event_type", "writetime")
+        .limit(n)
+    )
+
+
+def test_stream_ingest_matches_batch_view(spark, tmp_path):
+    ev = _events(spark)
+    src = str(tmp_path / "src")
+    # three files -> three micro-batches (maxFilesPerTrigger=1)
+    ev.filter(F.col("user_id") <= 30).coalesce(1).write.mode("append").parquet(src)
+    ev.filter(F.col("user_id").between(20, 60)).coalesce(1).write.mode("append").parquet(src)
+    ev.filter(F.col("user_id") > 50).coalesce(1).write.mode("append").parquet(src)
+
+    meta = TableMeta(("user_id",), ("event_id",), "writetime")
+    store = RunStore(str(tmp_path / "runs"), meta)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    q = stream_to_runstore(stream, store, str(tmp_path / "cp"))
+    q.awaitTermination(120)
+    assert len(store.live_runs()) == 3
+    assert all(r.startswith("b") for r in store.live_runs())
+    got = {tuple(r) for r in store.read_merged(spark).collect()}
+    want = {tuple(r) for r in ev.collect()}
+    assert got == want
+
+
+def test_replayed_batch_is_idempotent(spark, tmp_path):
+    ev = _events(spark, 500)
+    meta = TableMeta(("user_id",), ("event_id",), "writetime")
+    store = RunStore(str(tmp_path / "runs"), meta)
+    name = run_name_for_batch(7)
+    store.append_run(ev, name=name)
+    before = store.read_merged(spark).count()
+    # the at-least-once replay: same batch id arrives again
+    store.append_run(ev, name=name)
+    assert store.live_runs().count(name) == 1
+    assert store.read_merged(spark).count() == before
+    # a crashed first attempt (dir exists, not in manifest) is overwritten
+    store2 = RunStore(str(tmp_path / "runs2"), meta)
+    ev.limit(10).write.parquet(os.path.join(store2.root, name))
+    store2.append_run(ev, name=name)
+    assert store2.read_merged(spark).count() == ev.count()
+
+
+def test_interleaved_maintenance_compacts_and_retains(spark, tmp_path):
+    ev = _events(spark)
+    src = str(tmp_path / "src")
+    for lo, hi in [(0, 25), (26, 50), (51, 75), (76, 10**9)]:
+        ev.filter(F.col("user_id").between(lo, hi)).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    meta = TableMeta(("user_id",), ("event_id",), "writetime")
+    store = RunStore(str(tmp_path / "runs"), meta)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    q = stream_to_runstore(
+        stream, store, str(tmp_path / "cp"),
+        maintain_every=4, strategy="leveled", min_threshold=2,
+        run_target_bytes=16 << 10,
+        keep_expr=lambda df: df.filter(F.col("event_type") != "click"),
+    )
+    q.awaitTermination(180)
+    levels = store.live_levels()
+    assert levels and all(lv >= 1 for lv in levels.values())  # L0 drained
+    view = store.read_merged(spark)
+    assert view.filter(F.col("event_type") == "click").count() == 0
+    want = ev.filter(F.col("event_type") != "click")
+    assert view.count() == want.count()
