@@ -204,3 +204,97 @@ def test_incremental_compaction_leaves_siblings_untouched(spark, seeded_store):
         assert hi1 <= lo2
     after_view = {tuple(r) for r in store.read_merged(spark).collect()}
     assert after_view == before_view
+
+
+# property tests: the leveled planner's structural invariants and convergence
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def _ranged(names):
+        # deterministic disjoint ranges per level ordering: name rank * 100
+        out = {}
+        for i, n in enumerate(sorted(names)):
+            out[n] = (i * 100, i * 100 + 99)
+        return out
+
+    @given(
+        sizes=st.dictionaries(
+            st.text(alphabet="abcdefgh", min_size=1, max_size=4).map(lambda s: "r_" + s),
+            st.integers(min_value=1, max_value=10**9),
+            max_size=40,
+        ),
+        lv=st.integers(min_value=0, max_value=3),
+        min_t=st.integers(min_value=2, max_value=6),
+        fanout=st.integers(min_value=2, max_value=10),
+        target=st.integers(min_value=1, max_value=10**6),
+    )
+    @settings(max_examples=150, deadline=None)
+    def test_leveled_plan_invariants(sizes, lv, min_t, fanout, target):
+        import random
+
+        rng = random.Random(42)
+        levels = {r: rng.randint(0, lv) for r in sizes}
+        job = leveled_plan(
+            sizes, levels, run_target_bytes=target,
+            min_threshold=min_t, fanout=fanout,
+        )
+        if job is None:
+            # no trigger: L0 below threshold AND every level within budget
+            l0 = [r for r in sizes if levels[r] == 0]
+            assert len(l0) < min_t
+            for n in set(levels.values()):
+                if n >= 1:
+                    b = sum(sizes[r] for r in sizes if levels[r] == n)
+                    assert b <= target * fanout**n
+            return
+        inputs, target_level = job
+        assert len(inputs) == len(set(inputs)) and set(inputs) <= set(sizes)
+        assert target_level >= 1
+        in_levels = {levels[r] for r in inputs}
+        # a job spans exactly the source level and (optionally) the target
+        assert in_levels <= {target_level - 1, target_level}
+        assert (target_level - 1) in in_levels
+
+    @given(
+        n_runs=st.integers(min_value=1, max_value=30),
+        min_t=st.integers(min_value=2, max_value=6),
+        fanout=st.integers(min_value=2, max_value=10),
+    )
+    @settings(max_examples=80, deadline=None)
+    def test_leveled_simulation_converges(n_runs, min_t, fanout):
+        # simulate: apply each planned job by replacing inputs with
+        # ceil(bytes/target) runs of <= target bytes at the target level;
+        # the loop must quiesce (bounded by a generous round cap)
+        target = 100
+        sizes = {f"r{i}": 100 for i in range(n_runs)}
+        levels = {r: 0 for r in sizes}
+        nxt = [n_runs]
+
+        for _ in range(200):
+            job = leveled_plan(
+                sizes, levels, run_target_bytes=target,
+                min_threshold=min_t, fanout=fanout,
+                run_ranges=_ranged(sizes),
+            )
+            if job is None:
+                break
+            inputs, tl = job
+            total = sum(sizes[r] for r in inputs)
+            for r in inputs:
+                del sizes[r], levels[r]
+            k = max(1, -(-total // target))
+            per = total // k
+            for j in range(k):
+                name = f"n{nxt[0]}"
+                nxt[0] += 1
+                sizes[name] = per if j else total - per * (k - 1)
+                levels[name] = tl
+        else:
+            raise AssertionError("leveled compaction did not quiesce in 200 rounds")
+        # converged state: L0 drained below threshold, all levels in budget
+        l0 = [r for r in sizes if levels[r] == 0]
+        assert len(l0) < min_t
+
+except ImportError:  # pragma: no cover
+    pass
