@@ -5669,9 +5669,13 @@ def runstore_leveled_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     store.append_run(ev)
     store.append_run(ev.filter(F.col("user_id") <= 50))
     store.append_run(ev.filter(F.col("user_id").between(25, 75)))
+    # target sized to the store so leveling splits into ~8 runs at ANY sf —
+    # a fixed byte target would explode into hundreds of tiny runs at
+    # larger scale factors and measure file-system churn, not the engine
+    target = max(64 << 10, sum(store.run_sizes().values()) // 8)
     maintain(
         store, spark, strategy="leveled", min_threshold=2,
-        run_target_bytes=64 << 10, vacuum_min_age_s=0.0,
+        run_target_bytes=target, vacuum_min_age_s=0.0,
     )
     return store.read_merged(spark, key_lower=25, key_upper=75).select(
         "user_id", "event_type", "event_id", "writetime"

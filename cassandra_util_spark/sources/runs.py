@@ -375,11 +375,31 @@ class RunStore:
             (d for d in os.listdir(stage) if d.startswith("__chunk=")),
             key=lambda d: int(d.split("=")[1]),
         )
+        # ONE stats job for every chunk (groupBy the partition column of the
+        # staged layout) instead of one read-back job per chunk — at hundreds
+        # of chunks per merge the per-job latency dominated the merge itself
+        c = self._range_col
+        stat_rows = {
+            int(r["__chunk"]): r
+            for r in spark.read.option("basePath", stage)
+            .parquet(*(os.path.join(stage, d) for d in chunks))
+            .groupBy("__chunk")
+            .agg(F.min(c).alias("lo"), F.max(c).alias("hi"), F.count(F.lit(1)).alias("rows"))
+            .collect()
+        }
+        import json as _json
+
         for d in chunks:
             run = self._next_run()
             path = os.path.join(self.root, run)
             os.replace(os.path.join(stage, d), path)
-            self._write_stats(spark, path)
+            row = stat_rows[int(d.split("=")[1])]
+            with open(os.path.join(path, "_STATS.json"), "w") as f:
+                _json.dump(
+                    {"column": c, "min": row["lo"], "max": row["hi"], "rows": row["rows"]},
+                    f,
+                    default=str,
+                )
             new_runs.append(run)
             levels[run] = target_level
             # publish incrementally-named runs only after ALL chunks land
