@@ -5680,3 +5680,49 @@ def runstore_leveled_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return store.read_merged(spark, key_lower=25, key_upper=75).select(
         "user_id", "event_type", "event_id", "writetime"
     )
+
+
+@query(
+    "sketch_heavy_hitters",
+    oracle=f"""
+    WITH norm AS (SELECT {_NORM_SQL} AS t FROM documents),
+    toks AS (SELECT list_filter(string_split(t, ' '), x -> x <> '') AS w
+             FROM norm),
+    big AS (
+      SELECT w[i] || ' ' || w[i + 1] AS bigram
+      FROM toks, unnest(generate_series(1, len(w) - 1)) AS u(i)
+      WHERE len(w) >= 2),
+    tot AS (SELECT count(*) AS t FROM big),
+    c AS (SELECT bigram, count(*) AS n FROM big GROUP BY bigram)
+    SELECT bigram, n FROM c, tot
+    WHERE n >= CAST(ceil(0.001 * t) AS BIGINT)
+    """,
+)
+def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """φ-heavy hitters (φ=0.001) over corpus bigrams via the Count-Min
+    pre-shuffle gate with exact verification — the sketch prunes the
+    shuffle, the second pass restores exactness, so the oracle is a plain
+    GROUP BY ... HAVING and must hash-match bit for bit.  The operator a
+    vocabulary/boilerplate audit runs at 100 TB, where exact-counting the
+    full n-gram tail is the cost and the Zipf head is the answer.
+    Counterpart of the reference's per-scan observed-row statistics
+    (DeletingCompactionStrategy's kept/dropped counters) generalized to
+    frequency ranking."""
+    from cassandra_util_spark.operators.sketches import heavy_hitters_exact
+    from cassandra_util_spark.operators.text import normalize_text
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(normalize_text(F.col("text")), " "), lambda t: t != "")
+    big = (
+        d.select(toks.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2),"
+                    " i -> concat(t[i], ' ', t[i + 1]))"
+                )
+            ).alias("bigram")
+        )
+    )
+    return heavy_hitters_exact(big, "bigram", phi=0.001, depth=4, width=1024)

@@ -43,28 +43,35 @@ def count_min_build(
     """Build a Count-Min sketch as a (row, idx, c) table — at most
     depth × width rows regardless of input size.
 
-    Each hash row i indexes by ``portable_hash32(seed:i:key) % width``;
-    counts come from one partial-aggregated groupBy.  Sketches over splits
-    of the data merge by ``union → groupBy(row, idx).sum(c)`` — counter
-    addition is exactly how CM composes.
+    Each hash row i indexes by ``portable_hash32(seed:i:key) % width``.
+    The depth rows are built in ONE scan: each input row explodes to its
+    depth (row, idx) cells, then one partial-aggregated groupBy counts
+    them — the input (which may itself be an expensive derivation, e.g. an
+    n-gram explode) is never re-scanned per hash row.  Sketches over
+    splits of the data merge by ``union → groupBy(row, idx).sum(c)`` —
+    counter addition is exactly how CM composes.
     """
     if depth < 1 or width < 1:
         raise ValueError(f"depth/width must be >= 1, got {depth}/{width}")
-    rows = []
     key = F.col(key_col).cast("string")
-    for i in range(depth):
-        idx = F.pmod(
-            portable_hash32(F.concat(F.lit(f"{seed}:{i}:"), key)), F.lit(width)
-        )
-        rows.append(
-            df.select(F.lit(i).alias("row"), idx.alias("idx"))
-            .groupBy("row", "idx")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                F.pmod(
+                    portable_hash32(F.concat(F.lit(f"{seed}:{i}:"), key)),
+                    F.lit(width),
+                ).alias("idx"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("e"))
+        .select("e.row", "e.idx")
+        .groupBy("row", "idx")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
 
 
 def count_min_query(
@@ -303,3 +310,77 @@ def cm_join_size_estimate(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame
         .agg(F.sum(F.col("ca") * F.col("cb")).alias("ip"))
     )
     return per_row.agg(F.min("ip").cast("bigint").alias("join_size_estimate"))
+
+
+def heavy_hitters_exact(
+    df: DataFrame,
+    key_col: str,
+    phi: float,
+    depth: int = 4,
+    width: int = 1024,
+    seed: str = "hh",
+) -> DataFrame:
+    """Exact φ-heavy hitters with a Count-Min pre-shuffle gate: every key
+    whose true frequency is ≥ ceil(phi · N), with its EXACT count.
+
+    The two-phase shape is the point at 100 TB.  A plain
+    ``groupBy(key).count()`` over a huge-cardinality key (URLs, n-grams,
+    session ids) shuffles one record per distinct key per map partition —
+    for Zipfian data that is almost entirely tail keys that can never reach
+    the threshold.  Phase A broadcasts the CM sketch (≤ depth × width rows,
+    fixed size by construction) back onto the raw rows and drops every row
+    whose key's CM estimate is already below the threshold — map-side, no
+    shuffle, and safe because CM point estimates never UNDERestimate
+    (Cormode & Muthukrishnan 2005): a dropped key provably has true count
+    < threshold, so there are no false negatives.  Phase B exact-counts
+    only the survivors (heavy keys compress well under map-side partial
+    aggregation) and applies the threshold again, removing CM's false
+    positives.  Output is therefore exactly the φ-heavy-hitter set — the
+    sketch changes the PLAN, never the answer.
+
+    N (the total row count) is read off the sketch itself — row 0's
+    counters partition the input, so Σc over row 0 is exact and free.
+    The sketch is COLLECTED to the driver and re-emitted as depth literal
+    arrays of width counters: legitimate at any input scale because its
+    size is ≤ depth × width BY CONSTRUCTION (the O(K) centroid-collect
+    discipline — bounded driver transfer, never data-dependent), and it
+    turns the gate into pure map-side expressions with O(1) array-literal
+    lookups — no joins at all, and the input is scanned exactly twice
+    (single-pass sketch build + gated pass).  Cache ``df`` upstream if
+    the source scan itself dominates.
+
+    On this repo's synthetic corpus the bigram distribution is nearly
+    uniform, so the gate only removes ~30% of rows at sf0.01; on a real
+    Zipfian corpus the same gate removes the ~99% tail — the docstring
+    constant-factor claims are distribution-dependent, the correctness
+    contract is not.
+    """
+    import math
+
+    if not 0.0 < phi <= 1.0:
+        raise ValueError(f"phi must be in (0, 1], got {phi}")
+    counters = [[0] * width for _ in range(depth)]
+    for r in count_min_build(df, key_col, depth, width, seed).collect():
+        counters[r["row"]][r["idx"]] = r["c"]
+    total = sum(counters[0])
+    thr = max(1, math.ceil(phi * total))
+    key = F.col(key_col).cast("string")
+    est = F.least(
+        *[
+            F.element_at(
+                F.lit(counters[i]),
+                F.pmod(
+                    portable_hash32(F.concat(F.lit(f"{seed}:{i}:"), key)),
+                    F.lit(width),
+                ).cast("int")
+                + F.lit(1),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.filter(est >= F.lit(thr))
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= F.lit(thr))
+    )

@@ -2008,6 +2008,39 @@ def test_count_min_never_underestimates_and_merges(spark):
     }
 
 
+def test_heavy_hitters_exact_matches_group_by(spark):
+    """The CM gate changes the plan, never the answer: even with a
+    deliberately narrow sketch (width=8 over 15 keys — heavy collisions,
+    so the gate passes many false positives) the verified output equals
+    the plain GROUP BY ... HAVING result exactly."""
+    import pytest
+
+    from cassandra_util_spark.operators.sketches import heavy_hitters_exact
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    total = ev.count()
+    for phi in (0.01, 0.05, 0.2):
+        got = {
+            (r.user_id, r.n)
+            for r in heavy_hitters_exact(ev, "user_id", phi, depth=2, width=8).collect()
+        }
+        import math
+
+        thr = math.ceil(phi * total)
+        want = {
+            (r.user_id, r.n)
+            for r in ev.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= thr)
+            .collect()
+        }
+        assert got == want, f"phi={phi}"
+    # phi above every key's share -> empty, not an error
+    assert heavy_hitters_exact(ev, "user_id", 0.99).count() == 0
+    with pytest.raises(ValueError):
+        heavy_hitters_exact(ev, "user_id", 0.0)
+
+
 def test_hll_estimate_accuracy_and_merge(spark):
     from cassandra_util_spark.operators.sketches import hll_build, hll_estimate
 
