@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     "q21_waiting_supplier",
     "runstore_leveled_view",
     "sketch_heavy_hitters",
+    "events_incremental_rollup",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash
     # swapped to xxhash64 — the production configuration at scale

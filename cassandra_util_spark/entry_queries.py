@@ -5726,3 +5726,64 @@ def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return heavy_hitters_exact(big, "bigram", phi=0.001, depth=4, width=1024)
+
+
+@query(
+    "events_incremental_rollup",
+    oracle="""
+    SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS value_sum,
+           MIN(value) AS value_min,
+           MAX(value) AS value_max
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance certified against from-scratch
+    aggregation: the event stream is split into three disjoint batches
+    (event_id mod 3 — standing in for arrival days), each batch
+    re-aggregates ALONE into a partial (day, event_type) rollup, and
+    merge_rollups folds the three partials into one table touching only
+    rollup-sized inputs.  The oracle aggregates all raw rows in one pass —
+    the hash match IS the partial-aggregate closure theorem (sum/count
+    merge by addition in order-independent DECIMAL, min/max by min/max),
+    the property that lets a 100 TB pipeline maintain a persisted rollup
+    by re-aggregating only each day's delta.  Reference anchor: per-scan
+    observed counters folded across sstables
+    (DeletingCompactionStrategy.java kept/dropped statistics)."""
+    from cassandra_util_spark.operators.merge import merge_rollups
+
+    ev = _t(spark, sf_dir, "events")
+
+    def partial(batch: DataFrame) -> DataFrame:
+        return (
+            batch.groupBy(
+                F.unix_timestamp(F.date_trunc("day", F.col("ts"))).alias(
+                    "day_start"
+                ),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(28,6)")).alias("value_sum"),
+                F.min("value").alias("value_min"),
+                F.max("value").alias("value_max"),
+            )
+        )
+
+    parts = [partial(ev.filter(F.col("event_id") % 3 == i)) for i in range(3)]
+    merged = merge_rollups(
+        parts,
+        ["day_start", "event_type"],
+        {"n_events": "sum", "value_sum": "sum", "value_min": "min", "value_max": "max"},
+    )
+    return merged.select(
+        "day_start",
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("value_sum").cast("double").alias("value_sum"),
+        "value_min",
+        "value_max",
+    )

@@ -180,3 +180,43 @@ def counter_merge(
         aggs.append(F.sum(col).alias(f"{c}_total"))
     aggs.append(F.count(F.lit(1)).alias("merge_count"))
     return df.groupBy(*keys).agg(*aggs)
+
+
+def merge_rollups(
+    parts: Sequence[DataFrame],
+    keys: Sequence[str],
+    spec: dict,
+) -> DataFrame:
+    """Incremental rollup maintenance: merge any number of PARTIAL-aggregate
+    tables (a persisted rollup plus one or more delta batches) into the
+    rollup of their union — without touching the raw rows that produced
+    them.
+
+    ``spec`` maps each measure column to its merge law: ``"sum"`` (also the
+    law for counts — counts merge by addition), ``"min"``, or ``"max"``.
+    Only algebraic aggregates with commutative, associative merge laws are
+    accepted; that closure property is exactly why the result equals a
+    from-scratch aggregation of all underlying rows (the oracle re-derives
+    it that way in ``events_incremental_rollup``).
+
+    The 100 TB shape: a day's delta re-aggregates alone (touching only the
+    new data), then merges with the persisted rollup in one
+    ``union → groupBy(keys)`` whose input is two ROLLUP-sized tables, not
+    the raw history — the same partial/final split Spark's own hash
+    aggregate performs inside a job, made durable across jobs.  Sum
+    measures should arrive as DECIMAL partials (see :func:`counter_merge`):
+    decimal addition is order-independent, so the merged rollup is
+    bit-identical however the batches were split.  Reference anchor: the
+    kept/dropped counters the reference accumulates per scan and folds
+    across sstables (DeletingCompactionStrategy's observed counts).
+    """
+    allowed = {"sum", "min", "max"}
+    bad = {k: v for k, v in spec.items() if v not in allowed}
+    if bad:
+        raise ValueError(
+            f"unsupported merge law(s) {bad}; only {sorted(allowed)} merge "
+            "losslessly from partials"
+        )
+    unioned = reduce(lambda a, b: a.unionByName(b), parts)
+    aggs = [getattr(F, law)(F.col(c)).alias(c) for c, law in spec.items()]
+    return unioned.groupBy(*keys).agg(*aggs)

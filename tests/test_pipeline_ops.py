@@ -2241,3 +2241,34 @@ def test_unicode_normalize_collapses_decomposed_dupes(spark):
     docs_n = spark.createDataFrame([(9, None)], "doc_id bigint, text string")
     got = unicode_normalize_text(docs_n, "doc_id", "text").collect()
     assert got[0].text_nfc == ""
+
+
+def test_merge_rollups_equals_global_agg_any_split(spark):
+    """Partial-aggregate closure: merging per-batch rollups equals the
+    global aggregation regardless of how the rows were split, and
+    non-algebraic merge laws are rejected loudly."""
+    import pytest
+
+    from cassandra_util_spark.operators.merge import merge_rollups
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+
+    def partial(batch):
+        return batch.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)")).alias("vsum"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+
+    spec = {"n": "sum", "vsum": "sum", "vmin": "min", "vmax": "max"}
+    want = {tuple(r) for r in partial(ev).collect()}
+    for splits in (2, 5):
+        parts = [
+            partial(ev.filter(F.col("event_id") % splits == i))
+            for i in range(splits)
+        ]
+        got = {tuple(r) for r in merge_rollups(parts, ["event_type"], spec).collect()}
+        assert got == want, f"splits={splits}"
+    with pytest.raises(ValueError):
+        merge_rollups([partial(ev)], ["event_type"], {"n": "avg"})
