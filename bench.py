@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh_fast",
     "dedup_simhash_fast",
     "dedup_winnowing_fast",
+    "sketch_heavy_hitters_fast",
 ]
 
 
@@ -181,6 +182,30 @@ def _winnowing_fast(spark, sf_dir):
                            hash_fn="xxhash64")
 
 
+def _heavy_hitters_fast(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from cassandra_util_spark.operators.sketches import heavy_hitters_exact
+    from cassandra_util_spark.operators.text import normalize_text
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.filter(F.split(normalize_text(F.col("text")), " "), lambda t: t != "")
+    big = (
+        d.select(toks.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2),"
+                    " i -> concat(t[i], ' ', t[i + 1]))"
+                )
+            ).alias("bigram")
+        )
+    )
+    return heavy_hitters_exact(big, "bigram", phi=0.001, depth=4, width=1024,
+                               hash_fn="xxhash64")
+
+
 def _simhash_fast(spark, sf_dir):
     from cassandra_util_spark.operators.dedup import simhash_pairs
 
@@ -194,6 +219,7 @@ EXTRA_QUERIES = {
     "dedup_minhash_lsh_fast": _minhash_fast,
     "dedup_simhash_fast": _simhash_fast,
     "dedup_winnowing_fast": _winnowing_fast,
+    "sketch_heavy_hitters_fast": _heavy_hitters_fast,
 }
 
 

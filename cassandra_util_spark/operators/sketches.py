@@ -33,12 +33,29 @@ def _alpha_m(m: int) -> float:
     return _ALPHA.get(m, 0.7213 / (1 + 1.079 / m))
 
 
+def _cm_idx(key, i: int, width: int, seed: str, hash_fn: str):
+    """Counter index for hash row i.  "portable" (default) is the md5-derived
+    engine-reproducible family every oracle mirrors; "xxhash64" is the
+    production fast path (JVM-native, no md5) — CM's guarantees hold for any
+    pairwise-independent-ish family, only cross-engine reproducibility is
+    given up (the minhash_lsh fast-mode discipline)."""
+    salted = F.concat(F.lit(f"{seed}:{i}:"), key)
+    if hash_fn == "portable":
+        h = portable_hash32(salted)
+    elif hash_fn == "xxhash64":
+        h = F.xxhash64(salted)
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    return F.pmod(h, F.lit(width))
+
+
 def count_min_build(
     df: DataFrame,
     key_col: str,
     depth: int = 4,
     width: int = 256,
     seed: str = "cm",
+    hash_fn: str = "portable",
 ) -> DataFrame:
     """Build a Count-Min sketch as a (row, idx, c) table — at most
     depth × width rows regardless of input size.
@@ -58,10 +75,7 @@ def count_min_build(
         *[
             F.struct(
                 F.lit(i).alias("row"),
-                F.pmod(
-                    portable_hash32(F.concat(F.lit(f"{seed}:{i}:"), key)),
-                    F.lit(width),
-                ).alias("idx"),
+                _cm_idx(key, i, width, seed, hash_fn).alias("idx"),
             )
             for i in range(depth)
         ]
@@ -81,6 +95,7 @@ def count_min_query(
     depth: int = 4,
     width: int = 256,
     seed: str = "cm",
+    hash_fn: str = "portable",
 ) -> DataFrame:
     """Point-estimate each key: min over the depth rows of its counters.
     The sketch is at most depth × width rows — always broadcast-sized
@@ -89,9 +104,7 @@ def count_min_query(
     probes = keys.select(
         key_col,
         *[
-            F.pmod(
-                portable_hash32(F.concat(F.lit(f"{seed}:{i}:"), key)), F.lit(width)
-            ).alias(f"idx{i}")
+            _cm_idx(key, i, width, seed, hash_fn).alias(f"idx{i}")
             for i in range(depth)
         ],
     )
@@ -319,6 +332,7 @@ def heavy_hitters_exact(
     depth: int = 4,
     width: int = 1024,
     seed: str = "hh",
+    hash_fn: str = "portable",
 ) -> DataFrame:
     """Exact φ-heavy hitters with a Count-Min pre-shuffle gate: every key
     whose true frequency is ≥ ceil(phi · N), with its EXACT count.
@@ -360,7 +374,7 @@ def heavy_hitters_exact(
     if not 0.0 < phi <= 1.0:
         raise ValueError(f"phi must be in (0, 1], got {phi}")
     counters = [[0] * width for _ in range(depth)]
-    for r in count_min_build(df, key_col, depth, width, seed).collect():
+    for r in count_min_build(df, key_col, depth, width, seed, hash_fn).collect():
         counters[r["row"]][r["idx"]] = r["c"]
     total = sum(counters[0])
     thr = max(1, math.ceil(phi * total))
@@ -369,11 +383,7 @@ def heavy_hitters_exact(
         *[
             F.element_at(
                 F.lit(counters[i]),
-                F.pmod(
-                    portable_hash32(F.concat(F.lit(f"{seed}:{i}:"), key)),
-                    F.lit(width),
-                ).cast("int")
-                + F.lit(1),
+                _cm_idx(key, i, width, seed, hash_fn).cast("int") + F.lit(1),
             )
             for i in range(depth)
         ]

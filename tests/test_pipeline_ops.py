@@ -2272,3 +2272,27 @@ def test_merge_rollups_equals_global_agg_any_split(spark):
         assert got == want, f"splits={splits}"
     with pytest.raises(ValueError):
         merge_rollups([partial(ev)], ["event_type"], {"n": "avg"})
+
+
+def test_heavy_hitters_xxhash64_mode_still_exact(spark):
+    """hash_fn only changes which rows the gate prunes, never the output:
+    the xxhash64 production mode returns the identical heavy-hitter set
+    (and an unknown family raises)."""
+    import pytest
+
+    from cassandra_util_spark.operators.sketches import heavy_hitters_exact
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    portable = {
+        tuple(r)
+        for r in heavy_hitters_exact(ev, "user_id", 0.05, depth=2, width=8).collect()
+    }
+    fast = {
+        tuple(r)
+        for r in heavy_hitters_exact(
+            ev, "user_id", 0.05, depth=2, width=8, hash_fn="xxhash64"
+        ).collect()
+    }
+    assert fast == portable
+    with pytest.raises(ValueError):
+        heavy_hitters_exact(ev, "user_id", 0.05, hash_fn="fnv")
