@@ -60,7 +60,8 @@ def count_min_build(
     """Build a Count-Min sketch as a (row, idx, c) table — at most
     depth × width rows regardless of input size.
 
-    Each hash row i indexes by ``portable_hash32(seed:i:key) % width``.
+    Each hash row i indexes by ``hash(seed:i:key) % width`` with the
+    family chosen by ``hash_fn`` (see :func:`_cm_idx`).
     The depth rows are built in ONE scan: each input row explodes to its
     depth (row, idx) cells, then one partial-aggregated groupBy counts
     them — the input (which may itself be an expensive derivation, e.g. an
