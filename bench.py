@@ -1,7 +1,11 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric", "value" (total sec), "unit", "queries": {name: sec},
-"sf", "repeat"}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output contract: the LAST stdout line is a compact (<1 KB) JSON summary
+{"metric", "value" (total sec), "unit", "queries" (12 slowest), "queries_timed",
+"errors_count", "sf", "repeat"} that always fits a tail-capture window; the
+full per-query map is printed on the line before it AND written to
+BENCH_FULL.json.
 
 Each query is materialized with the noop writer — full pipeline execution
 (scan → compute → "write") without driver-side result transfer, the honest
@@ -279,7 +283,39 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+
+    # The FULL record (all ~130 per-query medians) goes to a side file and to
+    # an early stdout line; the LAST stdout line is a compact summary
+    # guaranteed well under 1 KB.  Round 4's official bench record came back
+    # "parsed": null because the single JSON line carrying every per-query
+    # entry (~4 KB) overflowed the driver's tail-capture window (VERDICT r4,
+    # task 1) — the driver only reliably sees the tail of stdout, so the line
+    # it parses must stay small no matter how many queries the suite grows to.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_FULL.json")
+    try:
+        with open(full_path, "w") as f:
+            json.dump(out, f, indent=1)
+            f.write("\n")
+    except OSError as exc:  # read-only checkout: the stdout copy still exists
+        print(f"bench: could not write {full_path}: {exc}", file=sys.stderr)
     print(json.dumps(out))
+
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:12])
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "queries": slowest,  # 12 slowest; full map: line above + BENCH_FULL.json
+        "queries_timed": len(timings),
+        "errors_count": len(errors),
+        "sf": out["sf"],
+        "repeat": repeat,
+        "full": "BENCH_FULL.json",
+    }
+    line = json.dumps(compact)
+    assert len(line) < 1024, len(line)
+    print(line)
     if errors:
         sys.exit(1)
 

@@ -5787,3 +5787,66 @@ def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value_min",
         "value_max",
     )
+
+
+# ---------------------------------------------------------------------------
+# Driver-window curation (round 5).
+#
+# The driver's hard correctness gate covers the FIRST 50 registered queries;
+# everything past that is certified only by the builder's local (identical-
+# methodology) oracle.  Registration order is source order, which through
+# round 4 spent window rows on near-trivial variants (odd_pk_filter,
+# paged_fetch, ...) while entire operator families — sketches, the LSM run
+# store, connected components, winnowing, BM25, sequence packing, the full
+# assembly pipeline — had no driver row at all (VERDICT r4, task 2).
+#
+# This block deliberately re-orders the registry ONCE, at import time, after
+# all registration: ten family-representative queries move into the 50-row
+# window and ten near-trivial or variant queries move just past it (they keep
+# their full-strength local oracles and tests; nothing is removed).  The
+# pinned prefix snapshot in tests/test_plan_hygiene.py is updated in the same
+# commit, as that test's docstring sanctions.
+_WINDOW_SWAP_IN = [
+    "dedup_clusters_star",       # connected components / star contraction
+    "training_corpus_assembly",  # six-stage composed pipeline
+    "sketch_heavy_hitters",      # CM-sketch-gated exact heavy hitters
+    "runstore_leveled_view",     # LSM run store, leveled compaction read
+    "dedup_incremental_lsh",     # persisted-band-index incremental LSH
+    "bm25_search",               # retrieval family
+    "sequence_packing",          # packing family
+    "dedup_winnowing",           # winnowing fingerprints (MOSS)
+    "events_funnel",             # ordered-event CEP (batch form)
+    "contamination_report",      # decontamination overlap report
+]
+_WINDOW_SWAP_OUT = [
+    "odd_pk_filter",             # parity filter: token_range_filter covers it
+    "writetime_projection",      # trivial projection
+    "paged_fetch",               # limit/offset paging
+    "token_count_regex",         # map-only regex count
+    "orders_profile",            # simple profile: q1 covers aggregation
+    "dedup_fingerprint",         # variant of dedup_exact (still local-green)
+    "dedup_ngram_jaccard_capped",  # variant of dedup_ngram_jaccard
+    "media_frame_plan",          # media_features/media_dedup stay in-window
+    "orders_status_rollup",      # simple rollup: q1/q4 cover it
+    "events_json_props",         # scalar JSON extraction
+]
+
+
+def _curate_driver_window() -> None:
+    names = list(QUERIES)
+    missing = [n for n in _WINDOW_SWAP_IN + _WINDOW_SWAP_OUT if n not in QUERIES]
+    if missing:  # loud: a renamed query must update this list, not skip it
+        raise AssertionError(f"window curation references unknown queries: {missing}")
+    prefix = [n for n in names[:50] if n not in set(_WINDOW_SWAP_OUT)]
+    prefix += _WINDOW_SWAP_IN
+    assert len(prefix) == 50, len(prefix)
+    # displaced queries land immediately after the window, keeping their
+    # relative order; all other queries keep registration order
+    order = prefix + [n for n in names if n not in set(prefix)]
+    for reg in (QUERIES, ORACLES):
+        snapshot = dict(reg)
+        reg.clear()
+        reg.update({n: snapshot[n] for n in order if n in snapshot})
+
+
+_curate_driver_window()

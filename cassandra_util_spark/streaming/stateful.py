@@ -217,8 +217,31 @@ def funnel_detector(
                 }
             )
         elif stage_idx > 0:
-            state.update((stage_idx, start_ms, last_ms))
-            state.setTimeoutTimestamp(last_ms + timeout_seconds * 1000)
+            deadline_ms = last_ms + timeout_seconds * 1000
+            wm_ms = state.getCurrentWatermarkMs()
+            if wm_ms >= deadline_ms:
+                # The key's deadline already passed the event-time watermark —
+                # this happens when a stage>=1 key receives only NON-advancing
+                # events after its timeout elapsed, so hasTimedOut never fired
+                # for it this batch.  Re-arming with a timestamp <= watermark
+                # raises INVALID_TIMEOUT_TIMESTAMP (PySpark 4 GroupState) and
+                # fails the whole query; the correct semantics is the same as
+                # the timeout path: emit the abandonment row and drop state.
+                if state.exists:
+                    state.remove()
+                yield pd.DataFrame(
+                    {
+                        "user_id": [user_id],
+                        "stage_reached": [stage_idx],
+                        "start_ms": [start_ms],
+                        "end_ms": [last_ms],
+                        "completed": [False],
+                        "abandoned": [True],
+                    }
+                )
+            else:
+                state.update((stage_idx, start_ms, last_ms))
+                state.setTimeoutTimestamp(deadline_ms)
 
     return (
         events.withWatermark(ts_col, watermark)
@@ -328,6 +351,24 @@ def streaming_anomalies(
                 b = int(b)
                 if b == open_start:
                     open_n += int(cnt)
+                    continue
+                if open_start >= 0 and b < open_start:
+                    # Cross-batch disorder: an in-watermark event arrived for
+                    # a bucket OLDER than the open one (sorting is only
+                    # intra-batch).  Close/score bucket b immediately without
+                    # touching the open bucket — overwriting open_start here
+                    # used to silently drop the open bucket's counts from
+                    # both the output and the moments.
+                    s1, s2, h, z = close_bucket(s1, s2, h, b, int(cnt))
+                    out_rows.append(
+                        {
+                            "user_id": user_id,
+                            "bucket_start_ms": b,
+                            "n_events": int(cnt),
+                            "z_scaled_1e4": int(round(z * 1e4)),
+                            "anomalous": abs(z) >= z_threshold,
+                        }
+                    )
                     continue
                 if open_start >= 0 and open_n > 0 and b > open_start:
                     s1, s2, h, z = close_bucket(s1, s2, h, open_start, open_n)

@@ -64,26 +64,40 @@ def test_query_registry_prefix_stable():
     or decorator shuffle would silently swap which operators get driver
     correctness rows.  Pin the 50-name prefix: extend the registry by
     APPENDING — never by reordering.  (If a reorder is ever intentional,
-    update this snapshot in the same commit and say why.)"""
+    update this snapshot in the same commit and say why.)
+
+    Round-5 intentional reorder (VERDICT r4, task 2): ten near-trivial or
+    variant queries (odd_pk_filter, writetime_projection, paged_fetch,
+    token_count_regex, orders_profile, dedup_fingerprint,
+    dedup_ngram_jaccard_capped, media_frame_plan, orders_status_rollup,
+    events_json_props) moved to positions 50-59 in favor of one
+    representative per previously-uncovered operator family: connected
+    components (dedup_clusters_star), assembly pipeline, sketches
+    (heavy hitters), LSM run store (leveled view), incremental LSH, BM25,
+    sequence packing, winnowing, CEP funnel, and decontamination report.
+    The reorder is entry_queries._curate_driver_window; displaced queries
+    keep full-strength local oracles and unit tests."""
     from cassandra_util_spark.entry_queries import ORACLES, QUERIES
 
     first50 = [
         "retention_rules_delete", "retention_ttl", "configurable_delete_json",
-        "odd_pk_filter", "token_range_filter", "lww_merge", "counter_merge",
-        "writetime_projection", "q1_pricing_summary", "q3_shipping_priority",
-        "q5_region_revenue", "top_orders_per_customer", "events_hourly_rollup",
-        "text_quality", "lang_id", "doc_fingerprint", "dedup_exact",
-        "dedup_fingerprint", "dedup_ngram_jaccard", "dedup_ngram_jaccard_capped",
+        "token_range_filter", "lww_merge", "counter_merge",
+        "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
+        "top_orders_per_customer", "events_hourly_rollup", "text_quality",
+        "lang_id", "doc_fingerprint", "dedup_exact", "dedup_ngram_jaccard",
         "dedup_minhash_lsh", "dedup_simhash", "embedding_neardup",
         "embedding_dedup_resolve", "embedding_quantize", "ann_cosine_topk",
         "ann_ivf_topk", "semantic_dedup", "retention_rules_antijoin",
-        "events_sessionize", "orders_status_rollup", "set_ops_except_intersect",
-        "paged_fetch", "retention_ttl_mixed_keys", "asof_join_clicks_purchases",
+        "events_sessionize", "set_ops_except_intersect",
+        "retention_ttl_mixed_keys", "asof_join_clicks_purchases",
         "range_join_incidents", "q10_returned_items", "parts_above_avg_price",
-        "orders_profile", "token_count_regex", "q4_order_priority",
-        "q6_forecast_revenue", "orders_pivot_priority", "events_user_gaps",
-        "acctbal_percentiles", "media_features", "media_dedup",
-        "media_frame_plan", "events_json_props", "salted_event_rollup",
+        "q4_order_priority", "q6_forecast_revenue", "orders_pivot_priority",
+        "events_user_gaps", "acctbal_percentiles", "media_features",
+        "media_dedup", "salted_event_rollup", "dedup_clusters_star",
+        "training_corpus_assembly", "sketch_heavy_hitters",
+        "runstore_leveled_view", "dedup_incremental_lsh", "bm25_search",
+        "sequence_packing", "dedup_winnowing", "events_funnel",
+        "contamination_report",
     ]
     assert list(QUERIES)[:50] == first50
     # every registered query keeps a full-strength oracle

@@ -846,3 +846,103 @@ def test_streaming_anomalies_planted_burst(spark, workdir):
     # baseline buckets scored non-anomalous
     base = [r for r in res if r.n_events == 2]
     assert base and all(not r.anomalous for r in base)
+
+
+def test_streaming_funnel_non_advancing_after_deadline(spark, workdir):
+    """ADVICE r4 (high): a stage>=1 key that receives only NON-advancing
+    events after the watermark passed its deadline used to re-arm the
+    timeout BELOW the watermark — INVALID_TIMEOUT_TIMESTAMP, killing the
+    whole query.  Now the key emits its abandonment row inline (same
+    semantics as the timeout path) and the query survives."""
+    from datetime import datetime
+
+    from cassandra_util_spark.streaming.stateful import funnel_detector
+
+    schema = "user_id bigint, event_type string, ts timestamp"
+    b0 = [(1, "view", datetime(2024, 1, 1, 0, 0, 0))]  # stage 1; deadline 00:10
+    # b1 advances the watermark past the deadline but gives key 1 nothing
+    b1 = [(2, "view", datetime(2024, 1, 1, 2, 0, 0))]
+    # b2 delivers ONLY a non-advancing event (repeat stage-0 "view") to key 1:
+    # it has data, so hasTimedOut is False, and the old code re-armed at
+    # 00:10 < watermark(~02:00)
+    b2 = [(1, "view", datetime(2024, 1, 1, 3, 0, 0)),
+          (3, "view", datetime(2024, 1, 1, 3, 0, 0))]
+
+    src = os.path.join(workdir, "nonadv-src")
+    import time as _time
+
+    for i, b in enumerate([b0, b1, b2]):
+        spark.createDataFrame(b, schema).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        funnel_detector(
+            stream, ("view", "click", "purchase"),
+            timeout_seconds=600, watermark="1 second",
+        )
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", os.path.join(workdir, "nonadv-cp"))
+        .trigger(availableNow=True)
+        .format("memory")
+        .queryName("nonadv_mem")
+        .start()
+    )
+    q.awaitTermination(180)  # old code: StreamingQueryException here
+    res = spark.sql("select * from nonadv_mem").collect()
+    ab = [r for r in res if r.abandoned and r.user_id == 1]
+    assert len(ab) == 1 and ab[0].stage_reached == 1
+    assert not [r for r in res if r.completed]
+
+
+def test_streaming_anomalies_out_of_order_bucket_across_batches(spark, workdir):
+    """ADVICE r4 (medium): an in-watermark event for a bucket OLDER than the
+    open one used to overwrite the open bucket's counts (losing them from
+    both output and moments).  Now the old bucket closes immediately and the
+    open bucket survives intact."""
+    from datetime import datetime, timedelta
+
+    from cassandra_util_spark.streaming.stateful import streaming_anomalies
+
+    schema = "user_id bigint, event_type string, ts timestamp"
+    t0 = datetime(2024, 1, 1)
+    b0 = []
+    for h in range(5):  # buckets h0..h4, 2 events each; h4 stays open
+        b0 += [(1, "view", t0 + timedelta(hours=h)),
+               (1, "view", t0 + timedelta(hours=h, minutes=30))]
+    # b1: out-of-order event for bucket h2 (< open h4) + one more for open h4
+    b1 = [(1, "view", t0 + timedelta(hours=2, minutes=45)),
+          (1, "view", t0 + timedelta(hours=4, minutes=45))]
+    # b2: closer, pushes the open bucket h4 out
+    b2 = [(1, "view", t0 + timedelta(hours=6))]
+
+    src = os.path.join(workdir, "ooo-src")
+    import time as _time
+
+    for b in [b0, b1, b2]:
+        spark.createDataFrame(b, schema).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        streaming_anomalies(stream, z_threshold=10.0, watermark="12 hours")
+        .writeStream.outputMode("update")
+        .option("checkpointLocation", os.path.join(workdir, "ooo-cp"))
+        .trigger(availableNow=True)
+        .format("memory")
+        .queryName("ooo_mem")
+        .start()
+    )
+    q.awaitTermination(180)
+    res = spark.sql("select * from ooo_mem").collect()
+    by_bucket = {r.bucket_start_ms: r.n_events for r in res}
+    h2 = int((t0 + timedelta(hours=2)).timestamp() * 1000)
+    h4 = int((t0 + timedelta(hours=4)).timestamp() * 1000)
+    # the late h2 straggler closes as its own 1-event row; the open h4
+    # bucket keeps all 3 of its events (2 from b0 + 1 from b1)
+    assert by_bucket.get(h2) == 1, by_bucket
+    assert by_bucket.get(h4) == 3, by_bucket
