@@ -38,8 +38,16 @@ def _cm_idx(key, i: int, width: int, seed: str, hash_fn: str):
     engine-reproducible family every oracle mirrors; "xxhash64" is the
     production fast path (JVM-native, no md5) — CM's guarantees hold for any
     pairwise-independent-ish family, only cross-engine reproducibility is
-    given up (the minhash_lsh fast-mode discipline)."""
-    salted = F.concat(F.lit(f"{seed}:{i}:"), key)
+    given up (the minhash_lsh fast-mode discipline).
+
+    NULL keys hash under a private sentinel ("\\x00null") instead of
+    propagating NULL through concat→hash→pmod: a NULL index would strand
+    null-key rows in a null counter cell, silently exclude them from the
+    heavy-hitter gate (NULL estimate fails every filter), and undercount N.
+    The sentinel shares a counter with a real "\\x00null" string key only in
+    the CM estimate — an overestimate CM already tolerates; exact phases
+    still group on the real (nullable) key."""
+    salted = F.concat(F.lit(f"{seed}:{i}:"), F.coalesce(key, F.lit("\x00null")))
     if hash_fn == "portable":
         h = portable_hash32(salted)
     elif hash_fn == "xxhash64":
@@ -365,10 +373,18 @@ def heavy_hitters_exact(
     the source scan itself dominates.
 
     On this repo's synthetic corpus the bigram distribution is nearly
-    uniform, so the gate only removes ~30% of rows at sf0.01; on a real
-    Zipfian corpus the same gate removes the ~99% tail — the docstring
-    constant-factor claims are distribution-dependent, the correctness
-    contract is not.
+    uniform, so the gate only removes ~30% of rows at sf0.01; on a Zipfian
+    corpus the same gate removes the ~99% tail.  Measured
+    (test_heavy_hitters_gate_prunes_zipf_tail, rank-frequency 1/r over
+    2000 distinct keys, phi=0.01, depth=4 width=1024): 12 of 2000 keys
+    (0.6%) clear the gate — exactly the 12 true heavy hitters, zero CM
+    false positives at that width — so 99.4% of distinct keys never reach
+    the exact-count shuffle.  The constant-factor claims are
+    distribution-dependent; the correctness contract is not.
+
+    NULL keys participate like any other value (sentinel-hashed in the
+    gate, grouped as SQL NULL in the exact phase) — a NULL whose true
+    frequency clears ceil(phi·N) is reported, as a plain GROUP BY would.
     """
     import math
 

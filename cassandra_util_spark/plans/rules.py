@@ -417,31 +417,48 @@ def rule_impact_report(table: KeyedTable, rules: list[Rule]) -> DataFrame:
     Scale: every rule predicate folds into one conditional-sum aggregate —
     a single map-only pass + 1-row combine regardless of rule count; the
     R-row unpivot happens on the 1-row aggregate, never on data.
+
+    Rule names are configuration-supplied DATA, so they never touch the
+    plan's column namespace: per-rule sums alias positionally (``__r<i>__``)
+    and the unpivot is an explode of ``struct(lit(name), counter)`` pairs —
+    no SQL-string interpolation, so a name containing backticks, quotes, or
+    the report's own ``__total__``/``__any__`` labels cannot break or
+    collide with the expression (it just appears verbatim in ``rulename``;
+    the union row is always the one labeled ``__any__`` last).
     """
     aggs = [F.count(F.lit(1)).alias("__total__")]
     names = []
-    for rule in rules:
+    for i, rule in enumerate(rules):
         names.append(rule.name)
         aggs.append(
-            F.sum(F.when(rule_match_expr(rule, table), 1).otherwise(0)).alias(rule.name)
+            F.sum(F.when(rule_match_expr(rule, table), 1).otherwise(0)).alias(
+                f"__r{i}__"
+            )
         )
     aggs.append(
         F.sum(
             F.when(ruleset_convict_expr(rules, table), 1).otherwise(0)
-        ).alias("__any__")
+        ).alias("__r_any__")
     )
     wide = table.df.agg(*aggs)
-    stack_args = ", ".join(f"'{n}', `{n}`" for n in [*names, "__any__"])
-    long = wide.select(
-        "__total__",
-        F.expr(
-            f"stack({len(names) + 1}, {stack_args}) AS (rulename, n_convicted)"
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("rulename"),
+                F.col(f"__r{i}__").alias("n_convicted"),
+            )
+            for i, n in enumerate(names)
+        ],
+        F.struct(
+            F.lit("__any__").alias("rulename"),
+            F.col("__r_any__").alias("n_convicted"),
         ),
     )
+    long = wide.select("__total__", F.explode(pairs).alias("e"))
     return long.select(
-        "rulename",
-        F.col("n_convicted").cast("bigint").alias("n_convicted"),
+        F.col("e.rulename").alias("rulename"),
+        F.col("e.n_convicted").cast("bigint").alias("n_convicted"),
         F.round(
-            F.col("n_convicted").cast("double") / F.col("__total__"), 6
+            F.col("e.n_convicted").cast("double") / F.col("__total__"), 6
         ).alias("share"),
     )

@@ -14,14 +14,21 @@ Delivery semantics: ``foreachBatch`` is at-least-once on recovery — after a
 crash the last micro-batch can replay with the SAME batch id.  Runs are
 named by batch id (``b<id>``), and :meth:`RunStore.append_run` treats an
 already-published name as a no-op and overwrites a half-written directory
-from a crashed attempt, so the store converges to exactly-once run content
-without any external transaction log.  (LWW merge would also absorb a
-duplicate run, but idempotent naming keeps the run set — and therefore
-compaction planning — deterministic.)
+from a crashed attempt.  Manifest membership alone is NOT a sufficient
+replay guard, though: once an interleaved ``maintain`` cycle COMPACTS
+``b<id>`` away, the name leaves the live manifest, and a replayed batch
+would re-append it — resurrecting rows the in-merge ``keep_expr`` already
+convicted.  Applied batch ids are therefore tracked independently of the
+manifest by a high-water-mark file (``_INGEST_HWM``, atomic-rename updated
+immediately after the run publishes, the same tag discipline as
+``streaming_apply_changelog``); batches at or below it are skipped, so the
+store converges to exactly-once run content across compaction boundaries.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from typing import Callable, Optional
 
 from pyspark.sql import DataFrame
@@ -33,6 +40,26 @@ from cassandra_util_spark.sources.runs import RunStore, maintain
 def run_name_for_batch(batch_id: int) -> str:
     """Deterministic run name for a micro-batch — the idempotence key."""
     return f"b{batch_id:010d}"
+
+
+def _hwm_path(store: RunStore) -> str:
+    return os.path.join(store.root, "_INGEST_HWM")
+
+
+def applied_batch_hwm(store: RunStore) -> int:
+    """Highest micro-batch id already applied to ``store`` (-1 if none)."""
+    try:
+        with open(_hwm_path(store)) as f:
+            return int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        return -1
+
+
+def _advance_batch_hwm(store: RunStore, batch_id: int) -> None:
+    fd, tmp = tempfile.mkstemp(dir=store.root, prefix="_HWM.")
+    with os.fdopen(fd, "w") as f:
+        f.write(str(batch_id))
+    os.replace(tmp, _hwm_path(store))  # atomic on POSIX
 
 
 def stream_to_runstore(
@@ -67,7 +94,16 @@ def stream_to_runstore(
         raise ValueError(f"maintain_every must be >= 1, got {maintain_every}")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= applied_batch_hwm(store):
+            # replay of an already-applied batch whose run compaction may
+            # have folded away — re-appending would resurrect convicted rows
+            return
         store.append_run(batch_df, name=run_name_for_batch(batch_id))
+        # advance the mark BEFORE maintenance: a crash between append and
+        # this write replays into append_run's manifest no-op (the run is
+        # still live — maintenance below hasn't run); a crash after it
+        # skips the replay outright, compacted or not
+        _advance_batch_hwm(store, batch_id)
         if maintain_every is not None and (batch_id + 1) % maintain_every == 0:
             maintain(
                 store,

@@ -2296,3 +2296,63 @@ def test_heavy_hitters_xxhash64_mode_still_exact(spark):
     assert fast == portable
     with pytest.raises(ValueError):
         heavy_hitters_exact(ev, "user_id", 0.05, hash_fn="fnv")
+
+
+def test_heavy_hitters_gate_prunes_zipf_tail(spark):
+    """VERDICT r4 task 4: demonstrate (not just assert) that the CM gate
+    prunes the Zipfian tail it exists for.  On a rank-frequency 1/r corpus
+    the gate's survivor KEY set must be a small fraction of the distinct
+    keys — the 100 TB claim is that tail keys never reach the exact-count
+    shuffle — while the final output still exactly equals the GROUP BY
+    oracle.  Measured here: ~1% of 2000 distinct keys survive the gate
+    (12 true heavy hitters + CM false positives)."""
+    import math
+
+    from cassandra_util_spark.operators.sketches import (
+        count_min_build,
+        count_min_query,
+        heavy_hitters_exact,
+    )
+
+    # deterministic Zipf: rank r gets floor(2000/r) rows, ranks 1..2000
+    rows = [(f"k{r:04d}",) for r in range(1, 2001) for _ in range(2000 // r)]
+    df = spark.createDataFrame(rows, "key string").repartition(8)
+    total = len(rows)
+    phi = 0.01
+    thr = max(1, math.ceil(phi * total))
+
+    exact = {
+        (r.key, r.n)
+        for r in heavy_hitters_exact(df, "key", phi, depth=4, width=1024).collect()
+    }
+    want = {
+        (r.key, r.n)
+        for r in df.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= thr).collect()
+    }
+    assert exact == want and exact, (len(exact), len(want))
+
+    # gate survivor measurement via the public probe API: distinct keys whose
+    # CM estimate clears the threshold = keys whose ROWS reach the shuffle
+    sketch = count_min_build(df, "key", depth=4, width=1024, seed="hh")
+    est = count_min_query(sketch, df.select("key").distinct(), "key",
+                          depth=4, width=1024, seed="hh")
+    survivors = est.filter(F.col("cm_estimate") >= thr).count()
+    distinct = 2000
+    assert survivors <= 0.05 * distinct, (survivors, distinct)
+    # and every true heavy hitter survives (CM never underestimates)
+    assert survivors >= len(want)
+
+
+def test_heavy_hitters_null_key_not_dropped(spark):
+    """ADVICE r4: NULL keys used to vanish from the heavy-hitter set (NULL
+    hash -> NULL estimate -> filtered), even when NULL's true frequency
+    cleared the threshold.  They now hash under a sentinel and surface
+    exactly like a GROUP BY would report them."""
+    rows = [(None,)] * 50 + [(f"k{i}",) for i in range(40) for _ in range(2)]
+    df = spark.createDataFrame(rows, "key string")
+    got = {(r.key, r.n) for r in
+           __import__("cassandra_util_spark.operators.sketches",
+                      fromlist=["heavy_hitters_exact"])
+           .heavy_hitters_exact(df, "key", phi=0.2, depth=4, width=64).collect()}
+    assert got == {(None, 50)}, got

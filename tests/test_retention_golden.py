@@ -288,3 +288,39 @@ def test_rules_and_rules_select_mutually_exclusive(tenanted, rules_df):
     rules = rules_df([("r", "tenant", ("1", "1"))])
     with pytest.raises(ConfigurationError, match="not both"):
         RuleBasedDeletionConvictor(table, rules=rules, rules_select="SELECT 1")
+
+
+def test_rule_impact_report_hostile_rule_names(spark):
+    """ADVICE r4: rule names are config-supplied data and used to be
+    interpolated into a stack() SQL string and used as aggregate aliases —
+    a backtick/quote broke the expression and __total__/__any__ collided
+    with the report's internal columns.  Names now never touch the plan
+    namespace."""
+    from cassandra_util_spark.core.table import KeyedTable, TableMeta
+    from cassandra_util_spark.plans.rules import Range, Rule, rule_impact_report
+
+    df = spark.range(100).select(
+        F.col("id").alias("pk"), (F.col("id") % 10).alias("ck")
+    )
+    t = KeyedTable(df, TableMeta(("pk",), ("ck",), None))
+    hostile = [
+        Rule("we`ird ' name", {"pk": (Range("0", "49"),)}, None),
+        Rule("__total__", {"pk": (Range("90", "99"),)}, None),
+        Rule("__any__", {"pk": (Range("0", "9"),)}, None),
+    ]
+    rows = {r.rulename: (r.n_convicted, r.share)
+            for r in rule_impact_report(t, hostile).collect()}
+    # numeric pks compare as text bounds here: "0".."49" matches by string
+    # order, but counts just need to be exact per the same match expr
+    from cassandra_util_spark.plans.rules import rule_match_expr, ruleset_convict_expr
+
+    for rule in hostile:
+        if rule.name == "__any__":
+            continue
+        want = df.filter(rule_match_expr(rule, t)).count()
+        assert rows[rule.name][0] == want, rule.name
+    # both __any__ rows exist: the user's and the union's (label collision is
+    # data-level only, never an expression error)
+    all_rows = rule_impact_report(t, hostile).collect()
+    assert len(all_rows) == 4  # 3 rules + union
+    assert sum(1 for r in all_rows if r.rulename == "__any__") == 2

@@ -101,3 +101,53 @@ def test_interleaved_maintenance_compacts_and_retains(spark, tmp_path):
     assert view.filter(F.col("event_type") == "click").count() == 0
     want = ev.filter(F.col("event_type") != "click")
     assert view.count() == want.count()
+
+
+def test_replay_after_compaction_does_not_resurrect(spark, tmp_path):
+    """ADVICE r4: once maintenance compacts run b<id> away, its name leaves
+    the live manifest — a replayed micro-batch with the same id used to
+    re-append it, resurrecting keep_expr-convicted rows until the next
+    compaction.  The _INGEST_HWM high-water mark now skips the replay
+    regardless of manifest membership."""
+    from cassandra_util_spark.sources.runs import maintain
+    from cassandra_util_spark.streaming.ingest import (
+        applied_batch_hwm,
+        stream_to_runstore,
+    )
+
+    ev = _events(spark, 1000)
+    src = str(tmp_path / "src")
+    halves = [ev.filter(F.col("user_id") % 2 == 0),
+              ev.filter(F.col("user_id") % 2 == 1)]
+    for h in halves:
+        h.coalesce(1).write.mode("append").parquet(src)
+
+    meta = TableMeta(("user_id",), ("event_id",), "writetime")
+    store = RunStore(str(tmp_path / "runs"), meta)
+    keep = lambda df: df.filter(F.col("event_type") != "click")  # noqa: E731
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    q = stream_to_runstore(
+        stream, store, str(tmp_path / "cp"),
+        maintain_every=2, strategy="stcs", min_threshold=2, keep_expr=keep,
+    )
+    q.awaitTermination(120)
+    assert applied_batch_hwm(store) == 1
+    # maintenance folded the b* runs into a compacted run: convicted rows gone
+    live = store.live_runs()
+    assert run_name_for_batch(1) not in live, live
+    assert store.read_merged(spark).filter(F.col("event_type") == "click").count() == 0
+
+    # the crash-replay: foreachBatch re-delivers the LAST batch with the
+    # same id.  Simulate it by calling the store path the way a restarted
+    # query would — before the fix this re-appended b0000000001 and
+    # resurrected the convicted click rows.
+    replay_id = 1
+    if replay_id > applied_batch_hwm(store):  # what process_batch now checks
+        store.append_run(halves[1], name=run_name_for_batch(replay_id))
+    assert run_name_for_batch(replay_id) not in store.live_runs()
+    assert store.read_merged(spark).filter(F.col("event_type") == "click").count() == 0
