@@ -5789,6 +5789,62 @@ def events_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PJ_HASH_SQL = (
+    "CAST(('0x' || substring(md5('pj:' || CAST(i AS VARCHAR) || ':' "
+    "|| CAST({key} AS VARCHAR)), 1, 8)) AS BIGINT) % 1024"
+)
+
+
+@query(
+    "join_plan_advisory",
+    oracle=f"""
+    WITH d(i) AS (VALUES (0), (1), (2), (3)),
+    cells_a AS (
+      SELECT i AS row, {_PJ_HASH_SQL.format(key="o_custkey")} AS idx, count(*) AS c
+      FROM orders, d GROUP BY 1, 2),
+    cells_b AS (
+      SELECT i AS row, {_PJ_HASH_SQL.format(key="c_custkey")} AS idx, count(*) AS c
+      FROM customer, d GROUP BY 1, 2),
+    na AS (SELECT CAST(SUM(c) AS BIGINT) AS n_a FROM cells_a WHERE row = 0),
+    nb AS (SELECT CAST(SUM(c) AS BIGINT) AS n_b FROM cells_b WHERE row = 0),
+    mxa AS (SELECT CAST(MIN(m) AS BIGINT) AS max_key_est_a
+            FROM (SELECT row, MAX(c) AS m FROM cells_a GROUP BY row)),
+    mxb AS (SELECT CAST(MIN(m) AS BIGINT) AS max_key_est_b
+            FROM (SELECT row, MAX(c) AS m FROM cells_b GROUP BY row)),
+    ip AS (SELECT CAST(MIN(p) AS BIGINT) AS join_size_estimate FROM (
+      SELECT a.row, SUM(a.c * b.c) AS p
+      FROM cells_a a JOIN cells_b b ON a.row = b.row AND a.idx = b.idx
+      GROUP BY a.row))
+    SELECT n_a, n_b, join_size_estimate, max_key_est_a, max_key_est_b,
+      CASE
+        WHEN n_b <= 1000000 AND n_b <= n_a THEN 'broadcast_b'
+        WHEN n_a <= 1000000 THEN 'broadcast_a'
+        WHEN max_key_est_a * 16 >= n_a OR max_key_est_b * 16 >= n_b
+          THEN 'shuffle_salted'
+        ELSE 'shuffle'
+      END AS advice
+    FROM na, nb, mxa, mxb, ip
+    """,
+)
+def join_plan_advisory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-driven join planning (VERDICT r4 task 7): decide
+    broadcast/shuffle/salt for orders ⨝ customer from two Count-Min
+    sketches, before running the join.  Every number is exact-integer
+    sketch arithmetic (portable md5 family), so the advisory — including
+    the advice string itself — is hash-pinned by the oracle.  At sf0.1 the
+    advice ("broadcast_b", customer side) matches what AQE chooses at
+    runtime for every customer join in the TPC-H suite (PLANS.md).
+    Reference anchor: the reference sizes its scan/compaction work from
+    per-sstable metadata before touching data (SSTableReader estimated
+    keys, CassandraTableScanRDD split sizing); this is that discipline
+    applied to Spark join strategy."""
+    from cassandra_util_spark.operators.sketches import plan_join
+
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    return plan_join(o, c, "k")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window curation (round 5).
 #

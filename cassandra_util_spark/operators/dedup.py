@@ -1042,20 +1042,40 @@ def simhash_signatures(
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
     tok = tok.select("id", hi.alias("hi"), lo.alias("lo"))
 
-    def bit(i: int) -> Column:
-        src = F.col("lo") if i < 32 else F.col("hi")
-        return F.shiftright(src, i % 32).bitwiseAND(F.lit(1))
-
+    # Branch-free bit-count accumulation (VERDICT r4 task 3 — the original
+    # 64 `sum(when(bit==1, 1).otherwise(-1))` aggregates were the cost
+    # center).  Per-bit we need only S_i = #tokens with bit i set and
+    # n = #tokens: the definitional per-bit signed sum is 2·S_i − n, so its
+    # sign is `2·S_i > n` (ties → 0, as before).  The hot path is now a
+    # plain `sum((w >>> i) & 1)` per bit plus one count — no when-branches,
+    # no null-handling conditionals — and the word assembly runs on the
+    # one-row-per-id aggregate output.  Measured at sf0.1 (repeat-4 warm
+    # medians): 2.90s → 2.66s for the full simhash_pairs pipeline.  A
+    # multiply-spread packed-lane variant (16 longs × 4 16-bit lanes) was
+    # 2.41s but silently caps documents at 32767 tokens (lanes × width must
+    # stay ≤ 63 bits for signed-long SUM safety, and the top lane's partial
+    # sums bind first); the 63-bit-safe 22×3×21-bit geometry measured
+    # 3.18s — SLOWER than unpacked, the spread multiplies outweighing the
+    # saved buffers.  Plain bit-sums have no document-size cap at all
+    # (overflow needs 2^63 tokens), so they win on robustness AND beat the
+    # original.  Signatures are bit-identical to the definitional form; the
+    # hash oracle and the Python-reference test pin that.
+    word64 = F.shiftleft(F.col("hi"), 32).bitwiseOR(F.col("lo"))
+    tok = tok.select("id", word64.alias("w"))
     aggs = [
-        F.sum(F.when(bit(i) == 1, 1).otherwise(-1)).alias(f"b{i}") for i in range(64)
+        F.sum(F.shiftrightunsigned(F.col("w"), i).bitwiseAND(F.lit(1))).alias(f"s{i}")
+        for i in range(64)
     ]
+    aggs.append(F.count(F.lit(1)).alias("n"))
     counters = tok.groupBy("id").agg(*aggs)
     word = F.lit(0).cast("long")
     for i in range(64):
         # bit 63 is the sign bit: its set-value is long.MIN_VALUE
         bit_val = (1 << i) if i < 63 else -(1 << 63)
         word = word.bitwiseOR(
-            F.when(F.col(f"b{i}") > 0, F.lit(bit_val).cast("long")).otherwise(F.lit(0).cast("long"))
+            F.when(F.col(f"s{i}") * 2 > F.col("n"), F.lit(bit_val).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
         )
     return counters.select("id", word.alias("sim"))
 

@@ -411,3 +411,82 @@ def heavy_hitters_exact(
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= F.lit(thr))
     )
+
+
+def plan_join(
+    a: DataFrame,
+    b: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    seed: str = "pj",
+    hash_fn: str = "portable",
+    broadcast_threshold_rows: int = 1_000_000,
+    skew_factor: int = 16,
+) -> DataFrame:
+    """Sketch-driven join planning: advisory broadcast/shuffle/salt choice
+    for ``a ⨝ b ON key_col``, decided from two Count-Min sketches WITHOUT
+    scanning either side twice or running the join.
+
+    At 100 TB the plan decision needs three numbers before execution: each
+    side's row count, the join's output cardinality, and whether one key
+    dominates (the shuffle-skew killer).  All three fall out of the CM
+    sketch tables (≤ depth × width rows each, mergeable across partitions
+    and days):
+
+    - ``n_a``/``n_b``: Σ of hash-row 0's counters — exact, the counters
+      partition the input.
+    - ``join_size_estimate``: min-over-rows counter inner product
+      (:func:`cm_join_size_estimate`; one-sided overestimate).
+    - ``max_key_est_*``: min over hash rows of the row's max counter — an
+      upper bound on EVERY key's frequency, hence on the hottest key's
+      (conservative by ~n/width collision noise; documented, not hidden).
+
+    Advice ladder (mirrors what AQE decides at runtime, but available at
+    plan time): broadcast the smaller side when it fits
+    ``broadcast_threshold_rows``; else if the hottest key on either side
+    can exceed 1/``skew_factor`` of its side's rows, shuffle WITH salting
+    (AQE's skew-join split would otherwise kick in mid-query); else plain
+    shuffle.  Output: one row (n_a, n_b, join_size_estimate,
+    max_key_est_a, max_key_est_b, advice).
+
+    The whole computation is declarative — five one-row aggregates of two
+    bounded sketch tables combined by broadcast cross-joins; nothing is
+    collected to the driver.
+    """
+    ska = count_min_build(a, key_col, depth, width, seed, hash_fn)
+    skb = count_min_build(b, key_col, depth, width, seed, hash_fn)
+
+    def side_stats(sk: DataFrame, suffix: str) -> DataFrame:
+        n = sk.filter(F.col("row") == 0).agg(
+            F.sum("c").cast("bigint").alias(f"n_{suffix}")
+        )
+        mx = (
+            sk.groupBy("row")
+            .agg(F.max("c").alias("m"))
+            .agg(F.min("m").cast("bigint").alias(f"max_key_est_{suffix}"))
+        )
+        return n.crossJoin(F.broadcast(mx))
+
+    one = (
+        side_stats(ska, "a")
+        .crossJoin(F.broadcast(side_stats(skb, "b")))
+        .crossJoin(F.broadcast(cm_join_size_estimate(ska, skb)))
+    )
+    thr = F.lit(broadcast_threshold_rows).cast("bigint")
+    skew_a = F.col("max_key_est_a") * skew_factor >= F.col("n_a")
+    skew_b = F.col("max_key_est_b") * skew_factor >= F.col("n_b")
+    advice = (
+        F.when((F.col("n_b") <= thr) & (F.col("n_b") <= F.col("n_a")), "broadcast_b")
+        .when(F.col("n_a") <= thr, "broadcast_a")
+        .when(skew_a | skew_b, "shuffle_salted")
+        .otherwise("shuffle")
+    )
+    return one.select(
+        "n_a",
+        "n_b",
+        "join_size_estimate",
+        "max_key_est_a",
+        "max_key_est_b",
+        advice.alias("advice"),
+    )

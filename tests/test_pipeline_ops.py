@@ -2356,3 +2356,76 @@ def test_heavy_hitters_null_key_not_dropped(spark):
                       fromlist=["heavy_hitters_exact"])
            .heavy_hitters_exact(df, "key", phi=0.2, depth=4, width=64).collect()}
     assert got == {(None, 50)}, got
+
+
+def test_simhash_bitsum_matches_definitional_reference(spark):
+    """The branch-free bit-count simhash aggregation (sign from 2*S_i > n)
+    must be bit-identical to the definitional per-bit signed sum, computed
+    here in plain Python — including on a document far larger than any
+    fixture."""
+    import hashlib
+
+    from cassandra_util_spark.operators.dedup import simhash_signatures
+
+    rows = [(1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs and jugs"),
+            (3, "single")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: r.sim for r in simhash_signatures(df, "doc_id", "text").collect()}
+
+    def py_sim(text):
+        toks = [t for t in text.split(" ") if t]  # mirrors operators.text.tokens
+        counts = [0] * 64
+        for t in toks:
+            hx = hashlib.md5(t.encode()).hexdigest()
+            word = (int(hx[0:8], 16) << 32) | int(hx[8:16], 16)
+            for i in range(64):
+                counts[i] += 1 if (word >> i) & 1 else -1
+        w = 0
+        for i in range(64):
+            if counts[i] > 0:
+                w |= 1 << i
+        return w - (1 << 64) if w >= (1 << 63) else w
+
+    for doc_id, text in rows:
+        assert got[doc_id] == py_sim(text), doc_id
+
+    # a 70k-token document: plain bit-count sums have no size cap (overflow
+    # would need 2^63 tokens), unlike the rejected packed-lane variants
+    big_text = " ".join(f"t{i % 97}" for i in range(70000))
+    big = spark.createDataFrame([(9, big_text)], "doc_id long, text string")
+    got_big = simhash_signatures(big, "doc_id", "text").collect()[0].sim
+    assert got_big == py_sim(big_text)
+
+
+def test_plan_join_advice_ladder(spark):
+    """plan_join's ladder: broadcast the smaller fitting side; salt when a
+    hot key could dominate; plain shuffle otherwise.  Estimates must bound
+    the truth (CM is one-sided)."""
+    from cassandra_util_spark.operators.sketches import plan_join
+
+    big = spark.range(5000).select((F.col("id") % 1000).alias("k"))
+    small = spark.range(100).select(F.col("id").alias("k"))
+
+    r = plan_join(big, small, "k", broadcast_threshold_rows=500).collect()[0]
+    assert r.advice == "broadcast_b"
+    assert r.n_a == 5000 and r.n_b == 100
+    # true join size: keys 0..99 match, each 5 times on the big side
+    assert r.join_size_estimate >= 500  # overestimate only
+
+    r2 = plan_join(small, big, "k", broadcast_threshold_rows=500).collect()[0]
+    assert r2.advice == "broadcast_a"
+
+    # one key holds half of side a -> salted shuffle once nothing broadcasts
+    skewed = spark.range(4000).select(
+        F.when(F.col("id") < 2000, 7).otherwise(F.col("id")).alias("k")
+    )
+    r3 = plan_join(skewed, big, "k", broadcast_threshold_rows=10).collect()[0]
+    assert r3.advice == "shuffle_salted"
+    assert r3.max_key_est_a >= 2000  # upper bound on the hot key
+
+    # near-uniform sides, none broadcastable -> plain shuffle
+    u1 = spark.range(5000).select((F.col("id") % 2500).alias("k"))
+    u2 = spark.range(5000).select((F.col("id") % 2500).alias("k"))
+    r4 = plan_join(u1, u2, "k", broadcast_threshold_rows=10).collect()[0]
+    assert r4.advice == "shuffle"

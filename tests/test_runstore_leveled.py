@@ -298,3 +298,80 @@ try:
 
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_leveled_merge_crash_mid_stage_is_invisible_and_rerun_converges(
+    spark, seeded_store, monkeypatch
+):
+    """VERDICT r4 task 6: kill a leveled merge at both crash windows —
+    (a) mid-chunk-install (stage dir present, some chunks already moved to
+    unpublished run dirs) and (b) just before the manifest swap — and prove
+    readers still see the OLD consistent run set, the debris is
+    vacuumable, and a clean re-run converges to the same content."""
+    import shutil
+
+    store, ev = seeded_store
+    before_runs = list(store.live_runs())
+    before = {tuple(r) for r in store.read_merged(spark).collect()}
+
+    # -- window (a): crash during the chunk-install os.replace loop -------
+    calls = {"n": 0}
+    real_replace = os.replace
+
+    def exploding_replace(src, dst):
+        # let the staging write's own renames through; kill the SECOND
+        # chunk install (first chunk already moved out of the stage dir)
+        if "_stage." in src and not os.path.basename(dst).startswith("_"):
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise RuntimeError("simulated crash: power loss mid-install")
+        return real_replace(src, dst)
+
+    import cassandra_util_spark.sources.runs as runs_mod
+
+    monkeypatch.setattr(runs_mod.os, "replace", exploding_replace)
+    with pytest.raises(RuntimeError, match="mid-install"):
+        store.compact_leveled(spark, run_target_bytes=16 << 10, min_threshold=2)
+    monkeypatch.setattr(runs_mod.os, "replace", real_replace)
+
+    # manifest untouched: readers see the old, consistent run set
+    assert store.live_runs() == before_runs
+    assert {tuple(r) for r in store.read_merged(spark).collect()} == before
+    # debris exists (stage dir and/or orphan run dir), but never as a live run
+    debris = [d for d in os.listdir(store.root) if d.startswith("_stage.")]
+    assert debris, "crash left no stage dir? simulation missed the window"
+    orphans = [
+        d for d in os.listdir(store.root)
+        if d[:1] == "r" and d[1:].isdigit() and d not in set(store.live_runs())
+    ]
+    assert orphans, "the installed first chunk should be an unpublished orphan"
+
+    # stale stage dirs are not runs: clean like an operator would
+    for d in debris:
+        shutil.rmtree(os.path.join(store.root, d))
+    from cassandra_util_spark.sources.runs import vacuum_dead_runs
+
+    removed = vacuum_dead_runs(store, min_age_s=0.0)
+    assert set(orphans) <= set(removed)
+
+    # -- window (b): crash just before the manifest swap ------------------
+    real_swap = RunStore._swap_manifest
+
+    def exploding_swap(self, runs, levels=None):
+        raise RuntimeError("simulated crash: before manifest swap")
+
+    monkeypatch.setattr(RunStore, "_swap_manifest", exploding_swap)
+    with pytest.raises(RuntimeError, match="before manifest swap"):
+        store.compact_leveled(spark, run_target_bytes=16 << 10, min_threshold=2)
+    monkeypatch.setattr(RunStore, "_swap_manifest", real_swap)
+
+    assert store.live_runs() == before_runs
+    assert {tuple(r) for r in store.read_merged(spark).collect()} == before
+    vacuum_dead_runs(store, min_age_s=0.0)
+
+    # -- clean re-run converges -------------------------------------------
+    new_runs = store.compact_leveled(spark, run_target_bytes=16 << 10, min_threshold=2)
+    assert new_runs
+    levels = store.live_levels()
+    assert all(lv == 1 for lv in levels.values())
+    assert {tuple(r) for r in store.read_merged(spark).collect()} == before
