@@ -159,6 +159,12 @@ BENCH_QUERIES = [
     "runstore_leveled_view",
     "sketch_heavy_hitters",
     "events_incremental_rollup",
+    "join_plan_advisory",
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q16_parts_supplier_relation",
+    "q20_potential_promotion",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash
     # swapped to xxhash64 — the production configuration at scale

@@ -5906,3 +5906,290 @@ def _curate_driver_window() -> None:
 
 
 _curate_driver_window()
+
+
+# ---------------------------------------------------------------------------
+# Round 5: the five TPC-H shapes missing from the suite (q2, q9, q11, q16,
+# q20), adapted to this testdata's schema — there is no partsupp table, so
+# each query re-expresses its ORIGINAL join/agg shape (correlated min,
+# multi-dim profit rollup, global-scalar HAVING, NOT-IN + count-distinct,
+# nested semi-join) over the supplier linkage that DOES exist: the distinct
+# (l_partkey, l_suppkey) pairs of lineitem.  Appended AFTER the curation
+# block: registration order past position 50 only affects listing order.
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH small_parts AS (
+      SELECT p_partkey, p_type, p_retailprice FROM part WHERE p_size < 25),
+    min_price AS (
+      SELECT p_type, MIN(p_retailprice) AS mn FROM small_parts GROUP BY p_type),
+    cheapest AS (
+      SELECT sp.p_partkey, sp.p_type, sp.p_retailprice
+      FROM small_parts sp JOIN min_price m
+        ON sp.p_type = m.p_type AND sp.p_retailprice = m.mn),
+    supplies AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type, p_retailprice
+    FROM cheapest
+    JOIN supplies ON l_partkey = p_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    WHERE r_name = 'EUROPE'
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cost supplier (TPC-H Q2 shape): the correlated-min subquery —
+    parts priced at the MINIMUM retail price of their type — joined back to
+    the suppliers of one region.  The correlated subquery becomes a
+    broadcast of the tiny per-type min table; supplier linkage is the
+    distinct (l_partkey, l_suppkey) projection (no partsupp in this
+    schema).  Region/nation/min-table all broadcast; the only shuffle is
+    the distinct over the two join keys."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") < 25).select(
+        "p_partkey", "p_type", "p_retailprice"
+    )
+    mn = p.groupBy("p_type").agg(F.min("p_retailprice").alias("mn")).select(
+        F.col("p_type").alias("mn_type"), "mn"
+    )
+    cheapest = p.join(
+        F.broadcast(mn),
+        (F.col("p_type") == F.col("mn_type")) & (F.col("p_retailprice") == F.col("mn")),
+    ).select("p_partkey", "p_type", "p_retailprice")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        li.join(F.broadcast(cheapest), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "p_retailprice")
+    )
+
+
+@query(
+    "q9_product_type_profit",
+    oracle="""
+    SELECT nation, o_year,
+           CAST(SUM(volume) AS DOUBLE)
+             - 0.0625 * CAST(SUM(retail_qty) AS DOUBLE) AS profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+             CAST(p_retailprice AS DECIMAL(18,2))
+               * CAST(l_quantity AS DECIMAL(18,2)) AS retail_qty
+      FROM lineitem, part, supplier, orders, nation
+      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        AND o_orderkey = l_orderkey AND n_nationkey = s_nationkey
+        AND p_name LIKE '%gear%')
+    GROUP BY nation, o_year
+    """,
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-type profit by nation and year (TPC-H Q9 shape): a 5-table
+    join with a LIKE-filtered part side feeding a two-term profit rollup.
+    Supply cost is adapted to p_retailprice/16 per unit (no partsupp):
+    both terms accumulate as exact DECIMAL sums and the 1/16 scaling is a
+    power of two, so the final double arithmetic is bit-deterministic under
+    any partitioning.  part/supplier/nation broadcast; lineitem⨝orders is
+    the one big shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    volume = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    retail_qty = F.col("p_retailprice").cast("decimal(18,2)") * F.col(
+        "l_quantity"
+    ).cast("decimal(18,2)")
+    joined = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            volume.alias("volume"),
+            retail_qty.alias("retail_qty"),
+        )
+    )
+    agg = joined.groupBy("nation", "o_year").agg(
+        F.sum("volume").alias("sv"), F.sum("retail_qty").alias("sr")
+    )
+    return agg.select(
+        "nation",
+        "o_year",
+        (
+            F.col("sv").cast("double") - F.lit(0.0625) * F.col("sr").cast("double")
+        ).alias("profit"),
+    )
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+    WITH supplied AS (
+      SELECT l_partkey,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_quantity AS DECIMAL(18,2)) AS val
+      FROM lineitem, supplier, nation
+      WHERE s_suppkey = l_suppkey AND n_nationkey = s_nationkey
+        AND n_name = 'NATION_7'),
+    per_part AS (SELECT l_partkey, SUM(val) AS value FROM supplied GROUP BY l_partkey),
+    stats AS (SELECT SUM(value) AS tot, COUNT(*) AS np FROM per_part)
+    SELECT l_partkey, CAST(value AS DOUBLE) AS value
+    FROM per_part, stats WHERE value * np > 2 * tot
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important-stock identification (TPC-H Q11 shape): per-part value for
+    one nation's suppliers, kept only when it exceeds TWICE THE MEAN
+    per-part value — the global-scalar HAVING that needs the whole
+    aggregate before any row can pass.  The (total, n_parts) scalar is a
+    1-row broadcast cross-join; the threshold compares value·n > 2·total
+    in exact DECIMAL (no float fraction), so the cut is partitioning-exact
+    AND scale-stable (a fixed fraction-of-total, TPC-H's 0.0001/SF, empties
+    out as part cardinality grows with scale).  Value is adapted to
+    extendedprice*quantity (no partsupp availqty/supplycost)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    supplied = (
+        li.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select(
+            "l_partkey",
+            (
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * F.col("l_quantity").cast("decimal(18,2)")
+            ).alias("val"),
+        )
+    )
+    per_part = supplied.groupBy("l_partkey").agg(F.sum("val").alias("value"))
+    stats = per_part.agg(
+        F.sum("value").alias("tot"), F.count(F.lit(1)).alias("np")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(stats))
+        .filter(F.col("value") * F.col("np") > F.col("tot") * 2)
+        .select("l_partkey", F.col("value").cast("double").alias("value"))
+    )
+
+
+@query(
+    "q16_parts_supplier_relation",
+    oracle="""
+    WITH ok_suppliers AS (SELECT s_suppkey FROM supplier WHERE s_acctbal >= 0),
+    pairs AS (
+      SELECT DISTINCT p_brand, p_type, p_size, l_suppkey
+      FROM part JOIN lineitem ON l_partkey = p_partkey
+      WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%'
+        AND p_size IN (5, 10, 15, 20, 25, 30, 35, 40)
+        AND l_suppkey IN (SELECT s_suppkey FROM ok_suppliers))
+    SELECT p_brand, p_type, p_size, COUNT(*) AS supplier_cnt
+    FROM pairs GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_parts_supplier_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts/supplier relationship (TPC-H Q16 shape): count of DISTINCT
+    suppliers per (brand, type, size) with a NOT-IN supplier exclusion —
+    here the 'complaints' analog is suppliers with negative account
+    balance, excluded by a broadcast LEFT ANTI join (null-safe, unlike a
+    naive NOT IN over a nullable subquery).  The distinct-before-count is
+    explicit so the exact-distinct shuffle carries only the four group
+    columns plus suppkey."""
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(5, 10, 15, 20, 25, 30, 35, 40))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    pairs = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct()
+    )
+    return pairs.groupBy("p_brand", "p_type", "p_size").agg(
+        F.count(F.lit(1)).alias("supplier_cnt")
+    )
+
+
+@query(
+    "q20_potential_promotion",
+    oracle="""
+    WITH promo_parts AS (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
+    usage AS (
+      SELECT l_suppkey,
+             SUM(CASE WHEN year(l_shipdate) = 1996
+                      THEN CAST(l_quantity AS DECIMAL(18,2))
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS qty_1996,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_total
+      FROM lineitem JOIN promo_parts ON p_partkey = l_partkey
+      GROUP BY l_suppkey),
+    candidates AS (
+      SELECT l_suppkey FROM usage WHERE qty_1996 * 5 > qty_total)
+    SELECT s_name, s_acctbal, n_name
+    FROM supplier
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    WHERE r_name = 'ASIA'
+      AND s_suppkey IN (SELECT l_suppkey FROM candidates)
+    """,
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Potential part promotion (TPC-H Q20 shape): the nested semi-join —
+    suppliers qualify through an aggregate threshold over their own
+    shipments (1996 quantity of promo-named parts exceeding a fifth of their
+    all-time quantity, adapting availqty > 0.5·qty without partsupp), then
+    filter to one region.  The candidate set is a LEFT SEMI broadcast into
+    supplier; the threshold compares exact DECIMAL sums (qty·5 > total),
+    so qualification is partitioning-exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    promo = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%")).select(
+        "p_partkey"
+    )
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    usage = (
+        li.join(F.broadcast(promo), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.when(F.year("l_shipdate") == 1996, qty).otherwise(
+                    F.lit(0).cast("decimal(18,2)")
+                )
+            ).alias("qty_1996"),
+            F.sum(qty).alias("qty_total"),
+        )
+    )
+    candidates = usage.filter(F.col("qty_1996") * 5 > F.col("qty_total")).select(
+        "l_suppkey"
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        s.join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .join(
+            F.broadcast(candidates),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_name", "s_acctbal", "n_name")
+    )

@@ -25,6 +25,7 @@ QUERIES = [
     "doc_commonness",
     "events_activity_anomalies",
     "q8_market_share",
+    "q9_product_type_profit",
     "q17_small_quantity_revenue",
     "semantic_dedup",
     "embedding_rp_project",
