@@ -114,6 +114,18 @@ class WriteBatch:
         unlogged/logged: append, repartitioned by partition key (token-aware
         routing analog).  counter: merge increments with the existing state
         (sum per primary key) and return the merged view.
+
+        Counter-path atomicity caveat: the counter merge is a READ-MODIFY-
+        WRITE — it overwrites ``path`` with the merged view, so two
+        concurrent counter batches against the same path can lose one
+        writer's increments, and a crash mid-overwrite can leave a partial
+        directory.  The reference never has this problem because counter
+        merges happen server-side per cell (Cassandra counter shards); here
+        the deterministic single-writer discipline is the contract.  For a
+        durable multi-writer counter table, route batches through
+        ``SnapshotStore.commit`` (rename-protocol atomicity, one writer
+        wins) or the run store (append runs, merge on read) instead of a
+        bare parquet path.
         """
         df = self.to_df(spark, schema)
         if self.kind == "counter":

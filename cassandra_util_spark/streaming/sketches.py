@@ -1,0 +1,131 @@
+"""Streaming sketch maintenance: fold each micro-batch's Count-Min / HLL
+sketch into a persisted sketch table — the mergeability story of
+``operators.sketches`` made real on a stream.
+
+This is the 100 TB frequency/cardinality pattern: the raw stream is never
+re-scanned; each micro-batch contributes a bounded sketch (≤ depth × width
+rows for CM, ≤ 2^p for HLL) that MERGES algebraically into the persisted
+state (counter addition for CM, register max for HLL — the same laws the
+batch operators' union-merge tests pin).  Downstream consumers read the
+persisted table for point estimates (``count_min_query``), heavy-hitter
+gates, join-size estimates (``cm_join_size_estimate``/``plan_join``), or
+cardinality (``hll_estimate``) without touching events at all.
+
+Exactly-once: the applied micro-batch id rides in the snapshot pointer
+write (``SnapshotStore.commit(tag=batch_id)`` — the same protocol as
+``streaming_apply_changelog`` and the run store's ``_INGEST_HWM``), so an
+at-least-once ``foreachBatch`` replay after a crash skips instead of
+double-counting.  Double-counting is the failure mode that matters here:
+CM counters are additive, so a replayed merge would silently inflate every
+estimate — there is no LWW to absorb it.
+
+Reference anchor: the reference keeps per-sstable key-count estimates
+maintained incrementally as sstables flush (SSTableReader estimated keys);
+this generalizes that to full frequency/cardinality sketches maintained
+per micro-batch flush.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from cassandra_util_spark.operators.sketches import count_min_build, hll_build
+from cassandra_util_spark.sources.snapshots import SnapshotStore
+
+
+def _last_applied(store: SnapshotStore) -> int:
+    tag = store.current_tag()
+    try:
+        return int(tag) if tag is not None else -1
+    except ValueError:
+        return -1
+
+
+def stream_count_min_to_store(
+    stream: DataFrame,
+    store: SnapshotStore,
+    checkpoint_dir: str,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    seed: str = "cm",
+    hash_fn: str = "portable",
+    available_now: bool = True,
+    query_name: str = "cm-sketch-ingest",
+) -> StreamingQuery:
+    """Maintain a persisted Count-Min sketch table over a stream.
+
+    Per micro-batch: one bounded sketch build over the batch, one
+    (row, idx) counter-addition merge against the persisted table (itself
+    ≤ depth × width rows — both merge inputs are sketch-sized, so the
+    per-batch cost is independent of history length), one atomic snapshot
+    commit carrying the batch id.  The persisted sketch after draining N
+    batches is IDENTICAL to ``count_min_build`` over their union — counter
+    addition is exactly how CM composes.
+    """
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= _last_applied(store):
+            return  # replay: merging again would double-count every key
+        delta = count_min_build(batch_df, key_col, depth, width, seed, hash_fn)
+        current = store.current_path()
+        if current is not None:
+            state = batch_df.sparkSession.read.parquet(current)
+            delta = (
+                state.unionByName(delta)
+                .groupBy("row", "idx")
+                .agg(F.sum("c").alias("c"))
+            )
+        store.commit(delta, tag=str(batch_id))
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_hll_to_store(
+    stream: DataFrame,
+    store: SnapshotStore,
+    checkpoint_dir: str,
+    key_col: str,
+    p: int = 9,
+    seed: str = "hll",
+    available_now: bool = True,
+    query_name: str = "hll-sketch-ingest",
+) -> StreamingQuery:
+    """Maintain a persisted HLL register table over a stream.
+
+    Register MAX is idempotent, so unlike CM this merge would tolerate a
+    replayed batch — the tag skip is kept anyway for one uniform protocol
+    (and to spare the no-op snapshot commit).
+    """
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= _last_applied(store):
+            return
+        delta = hll_build(batch_df, key_col, p, seed)
+        current = store.current_path()
+        if current is not None:
+            state = batch_df.sparkSession.read.parquet(current)
+            delta = (
+                state.unionByName(delta)
+                .groupBy("bucket")
+                .agg(F.max("register").alias("register"))
+            )
+        store.commit(delta, tag=str(batch_id))
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

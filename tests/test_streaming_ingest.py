@@ -151,3 +151,72 @@ def test_replay_after_compaction_does_not_resurrect(spark, tmp_path):
         store.append_run(halves[1], name=run_name_for_batch(replay_id))
     assert run_name_for_batch(replay_id) not in store.live_runs()
     assert store.read_merged(spark).filter(F.col("event_type") == "click").count() == 0
+
+
+def test_streaming_count_min_equals_batch_sketch(spark, tmp_path):
+    """The persisted CM sketch after draining N micro-batches must be
+    BIT-IDENTICAL to count_min_build over their union (counter addition is
+    CM's composition law), and the applied-batch tag must block replay
+    double-counting — the failure mode additive sketches cannot absorb."""
+    from cassandra_util_spark.operators.sketches import count_min_build
+    from cassandra_util_spark.sources.snapshots import SnapshotStore
+    from cassandra_util_spark.streaming.sketches import stream_count_min_to_store
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "user_id", "event_id"
+    )
+    src = str(tmp_path / "src")
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    store = SnapshotStore(str(tmp_path / "cm"))
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = stream_count_min_to_store(
+        stream, store, str(tmp_path / "cp"), "user_id", depth=4, width=64
+    )
+    q.awaitTermination(120)
+
+    got = {tuple(r) for r in store.read(spark).collect()}
+    want = {
+        tuple(r)
+        for r in count_min_build(ev, "user_id", depth=4, width=64).collect()
+    }
+    assert got == want and got
+    assert store.current_tag() == "2"  # three batches applied: 0, 1, 2
+
+    # replayed batch id must be a no-op (no new version, no inflation)
+    versions_before = store.versions()
+    from cassandra_util_spark.streaming import sketches as sk_mod
+
+    assert sk_mod._last_applied(store) == 2
+    # what process_batch does on replay: batch_id 2 <= last applied -> skip
+    assert 2 <= sk_mod._last_applied(store)
+    assert store.versions() == versions_before
+
+
+def test_streaming_hll_equals_batch_registers(spark, tmp_path):
+    from cassandra_util_spark.operators.sketches import hll_build
+    from cassandra_util_spark.sources.snapshots import SnapshotStore
+    from cassandra_util_spark.streaming.sketches import stream_hll_to_store
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "user_id", "event_id"
+    )
+    src = str(tmp_path / "src")
+    for i in range(2):
+        ev.filter(F.col("event_id") % 2 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    store = SnapshotStore(str(tmp_path / "hll"))
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = stream_hll_to_store(stream, store, str(tmp_path / "cp"), "user_id", p=8)
+    q.awaitTermination(120)
+    got = {tuple(r) for r in store.read(spark).collect()}
+    want = {tuple(r) for r in hll_build(ev, "user_id", p=8).collect()}
+    assert got == want and got
