@@ -450,6 +450,13 @@ def plan_join(
     shuffle.  Output: one row (n_a, n_b, join_size_estimate,
     max_key_est_a, max_key_est_b, advice).
 
+    Each advice value has an executor in this engine: "broadcast_*" →
+    ``F.broadcast`` on that side, "shuffle_salted" →
+    :func:`cassandra_util_spark.functions.skew.salted_join` (pick
+    ``buckets`` ≈ max_key_est / (n / distinct-estimate)), "shuffle" →
+    plain join.  PLANS.md's audit appends a cross-check that the advisory
+    matches AQE's runtime choice for the contract query's join.
+
     The whole computation is declarative — five one-row aggregates of two
     bounded sketch tables combined by broadcast cross-joins; nothing is
     collected to the driver.

@@ -16,9 +16,27 @@ import sys
 
 
 def _load(path: str) -> dict:
-    """Accept bench.py's raw JSON line or the driver's BENCH_r{N}.json
-    wrapper (which nests the line under 'parsed')."""
-    d = json.load(open(path))
+    """Accept bench.py's raw JSON output (since round 5: the FULL map line
+    followed by a compact tail line — take the line with the most queries),
+    BENCH_FULL.json (indented single object), or the driver's
+    BENCH_r{N}.json wrapper (which nests the line under 'parsed')."""
+    text = open(path).read()
+    try:
+        d = json.loads(text)
+    except json.JSONDecodeError:
+        # line-delimited capture: pick the parseable line with most queries
+        best: dict = {}
+        for line in text.splitlines():
+            line = line.strip()
+            if not line.startswith("{"):
+                continue
+            try:
+                cand = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if len(cand.get("queries", {})) >= len(best.get("queries", {})):
+                best = cand
+        d = best
     if "queries" not in d and "parsed" in d:
         p = d["parsed"]
         d = p if isinstance(p, dict) else json.loads(p.replace("'", '"'))

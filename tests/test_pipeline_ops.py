@@ -2429,3 +2429,34 @@ def test_plan_join_advice_ladder(spark):
     u2 = spark.range(5000).select((F.col("id") % 2500).alias("k"))
     r4 = plan_join(u1, u2, "k", broadcast_threshold_rows=10).collect()[0]
     assert r4.advice == "shuffle"
+
+
+def test_plan_join_advice_executes_equivalently(spark):
+    """Advice-to-execution loop: whatever plan_join advises, executing the
+    join THAT way must produce exactly the plain join's rows — the advisory
+    changes the physical strategy, never the answer."""
+    from cassandra_util_spark.functions.skew import salted_join
+    from cassandra_util_spark.operators.sketches import plan_join
+
+    # skewed left (half the rows share key 7), non-broadcastable threshold
+    left = spark.range(4000).select(
+        F.when(F.col("id") < 2000, 7).otherwise(F.col("id") % 500).alias("k"),
+        F.col("id").alias("lv"),
+    )
+    right = spark.range(500).select(F.col("id").alias("k"), (F.col("id") * 10).alias("rv"))
+    advice = plan_join(
+        left.select("k"), right.select("k"), "k", broadcast_threshold_rows=10
+    ).collect()[0].advice
+    assert advice == "shuffle_salted"
+
+    plain = {tuple(r) for r in left.join(right, "k").collect()}
+    salted = {tuple(r) for r in salted_join(left, right, ["k"], buckets=8).collect()}
+    assert salted == plain and plain
+
+    # broadcast advice path: same equivalence
+    advice2 = plan_join(
+        left.select("k"), right.select("k"), "k", broadcast_threshold_rows=1000
+    ).collect()[0].advice
+    assert advice2 == "broadcast_b"
+    bcast = {tuple(r) for r in left.join(F.broadcast(right), "k").collect()}
+    assert bcast == plain
