@@ -165,6 +165,7 @@ BENCH_QUERIES = [
     "q11_important_stock",
     "q16_parts_supplier_relation",
     "q20_potential_promotion",
+    "cluster_aware_split",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash
     # swapped to xxhash64 — the production configuration at scale

@@ -6193,3 +6193,43 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_name", "s_acctbal", "n_name")
     )
+
+
+_CSPLIT_GATE = _sample_gate_sql("cluster", "split")
+
+
+@query(
+    "cluster_aware_split",
+    oracle=f"""{_CLUSTERS_CTE}
+    SELECT doc_id, cluster,
+           CASE WHEN {_CSPLIT_GATE} < {_SPLIT_T1} THEN 'train'
+                WHEN {_CSPLIT_GATE} < {_SPLIT_T2} THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS cluster
+          FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+    """,
+)
+def cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-proof train/val/test split: the deterministic 90/5/5 gate of
+    ``corpus_split_assignment`` applied to the NEAR-DUP CLUSTER label
+    instead of the document id, so every member of a duplicate cluster
+    lands in the same split.  This is the composition a benchmark-honest
+    training pipeline needs: splitting by raw doc id lets near-duplicates
+    straddle train and test, silently inflating eval scores — exactly the
+    contamination the decontamination operator hunts AFTER the fact; the
+    cluster-keyed gate prevents it BY CONSTRUCTION.  Clusters come from the
+    same Jaccard-pair transitive closure as ``dedup_clusters`` (oracle:
+    recursive CTE + the identical hash gate on the component label), so the
+    full pipeline — pairs → components → split — is hash-certified end to
+    end.  Scale: the gate itself is map-only over the cluster table; cost
+    is the clustering, which the corpus pays once and persists."""
+    from cassandra_util_spark.operators.cluster import resolve_duplicates
+    from cassandra_util_spark.operators.dedup import ngram_jaccard_pairs
+    from cassandra_util_spark.operators.sampling import corpus_splits
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+    clusters = resolve_duplicates(d, pairs, "doc_id").select("doc_id", "cluster")
+    return corpus_splits(
+        clusters, "cluster", {"train": 0.90, "val": 0.05, "test": 0.05}
+    )

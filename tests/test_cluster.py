@@ -167,3 +167,26 @@ def test_cluster_size_histogram_no_pairs(spark):
     empty = spark.createDataFrame([], "id_a bigint, id_b bigint")
     got = cluster_size_histogram(docs, empty, "doc_id").collect()
     assert len(got) == 1 and got[0]["size"] == 1 and got[0]["n_clusters"] == 10
+
+
+def test_cluster_aware_split_no_cross_split_duplicates(spark):
+    """The leakage invariant: every near-dup cluster maps to EXACTLY one
+    split — no pair of documents in the same cluster may straddle
+    train/test.  Also exhaustive: every doc gets a split."""
+    from cassandra_util_spark.entry_queries import QUERIES
+
+    res = QUERIES["cluster_aware_split"](spark, "/root/testdata/sf0.001")
+    rows = res.collect()
+    assert rows and all(r.split in ("train", "val", "test") for r in rows)
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values()), {
+        c: s for c, s in by_cluster.items() if len(s) > 1
+    }
+    # the fixture actually exercises the invariant: at least one multi-doc
+    # cluster exists (planted dups), so the test is not vacuous
+    from collections import Counter
+
+    sizes = Counter(r.cluster for r in rows)
+    assert any(v > 1 for v in sizes.values())
