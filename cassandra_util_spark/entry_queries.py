@@ -6100,27 +6100,30 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q16_parts_supplier_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parts/supplier relationship (TPC-H Q16 shape): count of DISTINCT
-    suppliers per (brand, type, size) with a NOT-IN supplier exclusion —
-    here the 'complaints' analog is suppliers with negative account
-    balance, excluded by a broadcast LEFT ANTI join (null-safe, unlike a
-    naive NOT IN over a nullable subquery).  The distinct-before-count is
-    explicit so the exact-distinct shuffle carries only the four group
-    columns plus suppkey."""
+    suppliers per (brand, type, size) with a supplier exclusion — here the
+    'complaints' analog is suppliers with negative account balance.  Both
+    the engine and the oracle keep only suppkeys IN the s_acctbal >= 0 set
+    (a broadcast LEFT SEMI join), the SAME polarity on both sides: an
+    anti-join against the negative set would ALSO keep suppkeys that are
+    missing from supplier or have NULL acctbal, which only coincides with
+    the semi-join under full referential integrity (ADVICE r5).  The
+    distinct-before-count is explicit so the exact-distinct shuffle
+    carries only the four group columns plus suppkey."""
     p = _t(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1")
         & (~F.col("p_type").like("PROMO%"))
         & (F.col("p_size").isin(5, 10, 15, 20, 25, 30, 35, 40))
     )
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
-    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+    ok = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") >= 0).select(
         "s_suppkey"
     )
     pairs = (
         li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
         .join(
-            F.broadcast(bad),
+            F.broadcast(ok),
             F.col("l_suppkey") == F.col("s_suppkey"),
-            "left_anti",
+            "left_semi",
         )
         .select("p_brand", "p_type", "p_size", "l_suppkey")
         .distinct()

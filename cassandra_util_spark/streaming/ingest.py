@@ -23,13 +23,24 @@ manifest by a high-water-mark file (``_INGEST_HWM``, atomic-rename updated
 immediately after the run publishes, the same tag discipline as
 ``streaming_apply_changelog``); batches at or below it are skipped, so the
 store converges to exactly-once run content across compaction boundaries.
+
+Batch ids are only meaningful WITHIN one logical stream: a restart from a
+FRESH checkpoint resets ids to 0, and a bare ``batch_id <= hwm`` guard
+would then silently no-op every batch — data loss, not idempotence.  The
+HWM therefore records a transaction identity alongside the id (Delta's
+``txnAppId`` + ``txnVersion`` pattern): by default the streaming query id
+Spark persists in the checkpoint's ``metadata`` file, which is stable
+across restarts of the same checkpoint and regenerates exactly when the
+checkpoint is wiped.  An identity mismatch FAILS LOUDLY instead of
+skipping.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import tempfile
-from typing import Callable, Optional
+from typing import Callable, Optional, Tuple
 
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
@@ -42,23 +53,64 @@ def run_name_for_batch(batch_id: int) -> str:
     return f"b{batch_id:010d}"
 
 
+def resolve_txn_app_id(checkpoint_dir: str, fallback: str) -> str:
+    """Stable identity for the logical stream writing through a checkpoint.
+
+    Structured Streaming persists the query id in ``<checkpoint>/metadata``
+    (JSON, key ``id``) at start; it survives restarts of the same
+    checkpoint and is regenerated iff the checkpoint is wiped or replaced —
+    exactly the lifetime a replay guard's identity needs.  Resolved lazily
+    INSIDE the first micro-batch (the file exists by then).  ``fallback``
+    covers non-local checkpoints this process can't read directly.
+    """
+    try:
+        with open(os.path.join(checkpoint_dir, "metadata")) as f:
+            qid = json.load(f).get("id")
+        if qid:
+            return str(qid)
+    except (OSError, ValueError):
+        pass
+    return fallback
+
+
 def _hwm_path(store: RunStore) -> str:
     return os.path.join(store.root, "_INGEST_HWM")
 
 
-def applied_batch_hwm(store: RunStore) -> int:
-    """Highest micro-batch id already applied to ``store`` (-1 if none)."""
+def _read_hwm(store: RunStore) -> Tuple[Optional[str], int]:
+    """(txn_app_id, batch hwm) from the store; (None, -1) if absent.
+
+    Legacy single-line files (pre-identity) parse as (None, hwm) — the
+    identity is adopted on the next advance.
+    """
     try:
         with open(_hwm_path(store)) as f:
-            return int(f.read().strip())
-    except (FileNotFoundError, ValueError):
-        return -1
+            content = f.read().strip()
+    except FileNotFoundError:
+        return None, -1
+    parts = content.split("\n")
+    try:
+        if len(parts) >= 2:
+            return parts[0] or None, int(parts[1])
+        return None, int(parts[0])
+    except ValueError:
+        return None, -1
 
 
-def _advance_batch_hwm(store: RunStore, batch_id: int) -> None:
+def applied_batch_hwm(store: RunStore) -> int:
+    """Highest micro-batch id already applied to ``store`` (-1 if none)."""
+    return _read_hwm(store)[1]
+
+
+def applied_txn_app_id(store: RunStore) -> Optional[str]:
+    """Transaction identity recorded with the HWM (None if legacy/absent)."""
+    return _read_hwm(store)[0]
+
+
+def _advance_batch_hwm(store: RunStore, batch_id: int, app_id: str) -> None:
     fd, tmp = tempfile.mkstemp(dir=store.root, prefix="_HWM.")
     with os.fdopen(fd, "w") as f:
-        f.write(str(batch_id))
+        f.write(f"{app_id}\n{batch_id}")
     os.replace(tmp, _hwm_path(store))  # atomic on POSIX
 
 
@@ -73,8 +125,16 @@ def stream_to_runstore(
     run_target_bytes: int = 128 << 20,
     available_now: bool = True,
     query_name: str = "runstore-ingest",
+    txn_app_id: Optional[str] = None,
 ) -> StreamingQuery:
     """Continuously flush a stream into ``store`` as L0 runs.
+
+    ``txn_app_id`` names the logical stream for the replay guard (default:
+    the checkpoint's persisted query id via :func:`resolve_txn_app_id`).
+    Pass it explicitly to let a REPLACEMENT stream (fresh checkpoint)
+    intentionally continue an existing store's id sequence; otherwise a
+    fresh checkpoint against a written store raises instead of silently
+    skipping every batch.
 
     ``maintain_every=N`` interleaves a maintenance cycle after every N-th
     micro-batch (strategy/threshold/target forwarded to
@@ -94,7 +154,19 @@ def stream_to_runstore(
         raise ValueError(f"maintain_every must be >= 1, got {maintain_every}")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= applied_batch_hwm(store):
+        app_id = txn_app_id or resolve_txn_app_id(checkpoint_dir, query_name)
+        stored_app, hwm = _read_hwm(store)
+        if stored_app is not None and stored_app != app_id:
+            # a DIFFERENT stream's ids are incomparable with ours — batch 0
+            # of a fresh checkpoint would read as "already applied" and the
+            # guard below would silently drop every batch (ADVICE r5)
+            raise RuntimeError(
+                f"run store {store.root} was written by stream "
+                f"{stored_app!r}; this stream is {app_id!r} — refusing to "
+                "compare batch ids across streams. Pass txn_app_id="
+                f"{stored_app!r} to continue that sequence deliberately."
+            )
+        if batch_id <= hwm:
             # replay of an already-applied batch whose run compaction may
             # have folded away — re-appending would resurrect convicted rows
             return
@@ -103,7 +175,7 @@ def stream_to_runstore(
         # this write replays into append_run's manifest no-op (the run is
         # still live — maintenance below hasn't run); a crash after it
         # skips the replay outright, compacted or not
-        _advance_batch_hwm(store, batch_id)
+        _advance_batch_hwm(store, batch_id, app_id)
         if maintain_every is not None and (batch_id + 1) % maintain_every == 0:
             maintain(
                 store,

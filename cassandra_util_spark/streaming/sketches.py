@@ -12,12 +12,25 @@ gates, join-size estimates (``cm_join_size_estimate``/``plan_join``), or
 cardinality (``hll_estimate``) without touching events at all.
 
 Exactly-once: the applied micro-batch id rides in the snapshot pointer
-write (``SnapshotStore.commit(tag=batch_id)`` — the same protocol as
-``streaming_apply_changelog`` and the run store's ``_INGEST_HWM``), so an
-at-least-once ``foreachBatch`` replay after a crash skips instead of
+write (``SnapshotStore.commit(tag="app_id:batch_id")`` — the same protocol
+as ``streaming_apply_changelog`` and the run store's ``_INGEST_HWM``), so
+an at-least-once ``foreachBatch`` replay after a crash skips instead of
 double-counting.  Double-counting is the failure mode that matters here:
 CM counters are additive, so a replayed merge would silently inflate every
 estimate — there is no LWW to absorb it.
+
+The tag carries a transaction identity (Delta's ``txnAppId`` +
+``txnVersion`` pattern; by default the checkpoint's persisted query id) so
+batch ids are only ever compared within one logical stream.  A fresh
+checkpoint (ids reset to 0) against an existing store FAILS LOUDLY —
+without the identity it would silently freeze the sketch (every batch
+reads as already-applied).  A foreign or unparsable tag likewise raises
+instead of degrading to "never applied", which would re-merge and
+double-count CM counters on replay (ADVICE r5).
+
+Store growth: each micro-batch commits a new version; after a successful
+commit the store is vacuumed down to ``retain_versions`` so a long-running
+stream's version count — not just its per-batch compute — stays bounded.
 
 Reference anchor: the reference keeps per-sstable key-count estimates
 maintained incrementally as sstables flush (SSTableReader estimated keys);
@@ -31,16 +44,39 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from typing import Optional
+
 from cassandra_util_spark.operators.sketches import count_min_build, hll_build
 from cassandra_util_spark.sources.snapshots import SnapshotStore
+from cassandra_util_spark.streaming.ingest import resolve_txn_app_id
 
 
-def _last_applied(store: SnapshotStore) -> int:
+def _last_applied(store: SnapshotStore, app_id: str) -> int:
+    """Batch id of the last commit by the stream ``app_id`` (-1 if none).
+
+    Raises on an identity mismatch or an unparsable tag: both mean the
+    store's version history is NOT this stream's — skipping would freeze
+    the sketch, re-merging would double-count, and only failing is safe.
+    """
     tag = store.current_tag()
-    try:
-        return int(tag) if tag is not None else -1
-    except ValueError:
+    if tag is None:
         return -1
+    stored_app, sep, version = tag.rpartition(":")
+    if sep and stored_app != app_id:
+        raise RuntimeError(
+            f"sketch store {store.root} is maintained by stream "
+            f"{stored_app!r}; this stream is {app_id!r} — refusing to "
+            "compare batch ids across streams. Pass txn_app_id="
+            f"{stored_app!r} to continue that sequence deliberately."
+        )
+    try:
+        return int(version)
+    except ValueError:
+        raise RuntimeError(
+            f"sketch store {store.root} has a foreign snapshot tag "
+            f"{tag!r} — not this module's 'app_id:batch_id' protocol; "
+            "treating it as 'never applied' would double-count on replay."
+        ) from None
 
 
 def stream_count_min_to_store(
@@ -54,6 +90,8 @@ def stream_count_min_to_store(
     hash_fn: str = "portable",
     available_now: bool = True,
     query_name: str = "cm-sketch-ingest",
+    txn_app_id: Optional[str] = None,
+    retain_versions: int = 2,
 ) -> StreamingQuery:
     """Maintain a persisted Count-Min sketch table over a stream.
 
@@ -67,7 +105,8 @@ def stream_count_min_to_store(
     """
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= _last_applied(store):
+        app_id = txn_app_id or resolve_txn_app_id(checkpoint_dir, query_name)
+        if batch_id <= _last_applied(store, app_id):
             return  # replay: merging again would double-count every key
         delta = count_min_build(batch_df, key_col, depth, width, seed, hash_fn)
         current = store.current_path()
@@ -78,7 +117,8 @@ def stream_count_min_to_store(
                 .groupBy("row", "idx")
                 .agg(F.sum("c").alias("c"))
             )
-        store.commit(delta, tag=str(batch_id))
+        store.commit(delta, tag=f"{app_id}:{batch_id}")
+        store.vacuum(keep_last=retain_versions)
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)
@@ -99,6 +139,8 @@ def stream_hll_to_store(
     seed: str = "hll",
     available_now: bool = True,
     query_name: str = "hll-sketch-ingest",
+    txn_app_id: Optional[str] = None,
+    retain_versions: int = 2,
 ) -> StreamingQuery:
     """Maintain a persisted HLL register table over a stream.
 
@@ -108,7 +150,8 @@ def stream_hll_to_store(
     """
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= _last_applied(store):
+        app_id = txn_app_id or resolve_txn_app_id(checkpoint_dir, query_name)
+        if batch_id <= _last_applied(store, app_id):
             return
         delta = hll_build(batch_df, key_col, p, seed)
         current = store.current_path()
@@ -119,7 +162,8 @@ def stream_hll_to_store(
                 .groupBy("bucket")
                 .agg(F.max("register").alias("register"))
             )
-        store.commit(delta, tag=str(batch_id))
+        store.commit(delta, tag=f"{app_id}:{batch_id}")
+        store.vacuum(keep_last=retain_versions)
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)

@@ -273,6 +273,7 @@ ANOMALY_STATE_SCHEMA = StructType(
         StructField("h", LongType(), False),    # closed buckets
         StructField("open_start_ms", LongType(), False),
         StructField("open_n", LongType(), False),
+        StructField("max_closed_ms", LongType(), False),  # newest CLOSED bucket
     ]
 )
 
@@ -302,6 +303,16 @@ def streaming_anomalies(
     The z-score is emitted as an integer (z·10⁴ rounded) — the same
     integer-export discipline as every other float frontier here.  Keys
     with zero variance emit z=0, not 0/0.
+
+    Closed buckets are FINAL: the state tracks the newest closed bucket
+    start (``max_closed_ms``) and a cross-batch disorder fragment arriving
+    for a bucket at or before it is DROPPED — folding it into the moments
+    would count one real bucket twice (skewing s1/s2/h) and emit a
+    duplicate ``bucket_start_ms`` row with a fragment count (ADVICE r5).
+    This is the same finality a watermark gives windows: events behind the
+    close frontier don't reopen history.  Disordered buckets NEWER than the
+    frontier (between it and the open bucket) still close and score exactly
+    once.
     """
 
     def update(
@@ -323,7 +334,7 @@ def streaming_anomalies(
             return s1, s2, h, z
 
         if state.hasTimedOut:
-            s1, s2, h, start_ms, n = state.get
+            s1, s2, h, start_ms, n, _max_closed = state.get
             state.remove()
             if n > 0:
                 s1, s2, h, z = close_bucket(s1, s2, h, start_ms, n)
@@ -338,8 +349,8 @@ def streaming_anomalies(
                 )
             return
 
-        s1, s2, h, open_start, open_n = (
-            state.get if state.exists else (0, 0, 0, -1, 0)
+        s1, s2, h, open_start, open_n, max_closed = (
+            state.get if state.exists else (0, 0, 0, -1, 0, -1)
         )
         out_rows: list[dict] = []
         last_ms = 0
@@ -355,11 +366,16 @@ def streaming_anomalies(
                 if open_start >= 0 and b < open_start:
                     # Cross-batch disorder: an in-watermark event arrived for
                     # a bucket OLDER than the open one (sorting is only
-                    # intra-batch).  Close/score bucket b immediately without
-                    # touching the open bucket — overwriting open_start here
-                    # used to silently drop the open bucket's counts from
-                    # both the output and the moments.
+                    # intra-batch).  Behind the close frontier it's a
+                    # fragment of an ALREADY-closed-and-scored bucket —
+                    # drop it (folding would double-count the bucket in the
+                    # moments and emit a duplicate output row).  Ahead of
+                    # the frontier, close/score bucket b exactly once
+                    # without touching the open bucket.
+                    if b <= max_closed:
+                        continue
                     s1, s2, h, z = close_bucket(s1, s2, h, b, int(cnt))
+                    max_closed = b
                     out_rows.append(
                         {
                             "user_id": user_id,
@@ -372,6 +388,7 @@ def streaming_anomalies(
                     continue
                 if open_start >= 0 and open_n > 0 and b > open_start:
                     s1, s2, h, z = close_bucket(s1, s2, h, open_start, open_n)
+                    max_closed = max(max_closed, open_start)
                     out_rows.append(
                         {
                             "user_id": user_id,
@@ -382,7 +399,7 @@ def streaming_anomalies(
                         }
                     )
                 open_start, open_n = b, int(cnt)
-        state.update((s1, s2, h, open_start, open_n))
+        state.update((s1, s2, h, open_start, open_n, max_closed))
         state.setTimeoutTimestamp(last_ms + 2 * bucket_ms)
         if out_rows:
             yield pd.DataFrame(out_rows)

@@ -898,10 +898,13 @@ def test_streaming_funnel_non_advancing_after_deadline(spark, workdir):
 
 
 def test_streaming_anomalies_out_of_order_bucket_across_batches(spark, workdir):
-    """ADVICE r4 (medium): an in-watermark event for a bucket OLDER than the
-    open one used to overwrite the open bucket's counts (losing them from
-    both output and moments).  Now the old bucket closes immediately and the
-    open bucket survives intact."""
+    """ADVICE r4 (medium) + ADVICE r5 (low): an in-watermark event for a
+    bucket OLDER than the open one used to overwrite the open bucket's
+    counts; the r4 fix then closed late buckets unconditionally, so a
+    fragment of an ALREADY-closed bucket was folded into the moments a
+    second time and emitted as a duplicate row.  Now closed buckets are
+    final: a disordered bucket NEWER than the close frontier closes exactly
+    once; a fragment AT/BEHIND the frontier is dropped."""
     from datetime import datetime, timedelta
 
     from cassandra_util_spark.streaming.stateful import streaming_anomalies
@@ -909,11 +912,14 @@ def test_streaming_anomalies_out_of_order_bucket_across_batches(spark, workdir):
     schema = "user_id bigint, event_type string, ts timestamp"
     t0 = datetime(2024, 1, 1)
     b0 = []
-    for h in range(5):  # buckets h0..h4, 2 events each; h4 stays open
+    for h in [0, 1, 2, 4]:  # h3 intentionally absent; h4 stays open
         b0 += [(1, "view", t0 + timedelta(hours=h)),
                (1, "view", t0 + timedelta(hours=h, minutes=30))]
-    # b1: out-of-order event for bucket h2 (< open h4) + one more for open h4
-    b1 = [(1, "view", t0 + timedelta(hours=2, minutes=45)),
+    # b1: late event for NEVER-closed bucket h3 (frontier is h2, open is h4)
+    #     + a fragment for ALREADY-closed bucket h2
+    #     + one more event for the open bucket h4
+    b1 = [(1, "view", t0 + timedelta(hours=3, minutes=15)),
+          (1, "view", t0 + timedelta(hours=2, minutes=45)),
           (1, "view", t0 + timedelta(hours=4, minutes=45))]
     # b2: closer, pushes the open bucket h4 out
     b2 = [(1, "view", t0 + timedelta(hours=6))]
@@ -939,10 +945,14 @@ def test_streaming_anomalies_out_of_order_bucket_across_batches(spark, workdir):
     )
     q.awaitTermination(180)
     res = spark.sql("select * from ooo_mem").collect()
-    by_bucket = {r.bucket_start_ms: r.n_events for r in res}
     h2 = int((t0 + timedelta(hours=2)).timestamp() * 1000)
+    h3 = int((t0 + timedelta(hours=3)).timestamp() * 1000)
     h4 = int((t0 + timedelta(hours=4)).timestamp() * 1000)
-    # the late h2 straggler closes as its own 1-event row; the open h4
-    # bucket keeps all 3 of its events (2 from b0 + 1 from b1)
-    assert by_bucket.get(h2) == 1, by_bucket
-    assert by_bucket.get(h4) == 3, by_bucket
+    rows = {b: [r.n_events for r in res if r.bucket_start_ms == b] for b in (h2, h3, h4)}
+    # h2 closed once in b0 with its 2 events; the b1 fragment is dropped —
+    # no duplicate row, no double fold into the moments
+    assert rows[h2] == [2], rows
+    # the never-closed h3 straggler closes exactly once as its own row
+    assert rows[h3] == [1], rows
+    # the open h4 bucket keeps all 3 of its events (2 from b0 + 1 from b1)
+    assert rows[h4] == [3], rows

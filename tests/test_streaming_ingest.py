@@ -186,16 +186,22 @@ def test_streaming_count_min_equals_batch_sketch(spark, tmp_path):
         for r in count_min_build(ev, "user_id", depth=4, width=64).collect()
     }
     assert got == want and got
-    assert store.current_tag() == "2"  # three batches applied: 0, 1, 2
+    # tag = txn identity (the checkpoint's query id) + last applied batch id
+    from cassandra_util_spark.streaming.ingest import resolve_txn_app_id
+
+    app = resolve_txn_app_id(str(tmp_path / "cp"), "cm-sketch-ingest")
+    assert store.current_tag() == f"{app}:2"  # three batches applied: 0, 1, 2
 
     # replayed batch id must be a no-op (no new version, no inflation)
     versions_before = store.versions()
     from cassandra_util_spark.streaming import sketches as sk_mod
 
-    assert sk_mod._last_applied(store) == 2
+    assert sk_mod._last_applied(store, app) == 2
     # what process_batch does on replay: batch_id 2 <= last applied -> skip
-    assert 2 <= sk_mod._last_applied(store)
+    assert 2 <= sk_mod._last_applied(store, app)
     assert store.versions() == versions_before
+    # per-batch vacuum keeps the version COUNT bounded for long streams
+    assert len(versions_before) <= 2, versions_before
 
 
 def test_streaming_hll_equals_batch_registers(spark, tmp_path):
@@ -220,3 +226,92 @@ def test_streaming_hll_equals_batch_registers(spark, tmp_path):
     got = {tuple(r) for r in store.read(spark).collect()}
     want = {tuple(r) for r in hll_build(ev, "user_id", p=8).collect()}
     assert got == want and got
+
+
+def test_fresh_checkpoint_against_written_store_fails_loudly(spark, tmp_path):
+    """ADVICE r5 (medium): the replay guard is keyed on (txn identity,
+    batch id), not batch id alone.  Restarting with a FRESH checkpoint
+    resets batch ids to 0; a bare `batch_id <= hwm` guard would read every
+    batch as already-applied and silently no-op — data loss in the run
+    store, a frozen sketch in the sketch store.  Both must now RAISE."""
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    from cassandra_util_spark.sources.snapshots import SnapshotStore
+    from cassandra_util_spark.streaming.ingest import applied_txn_app_id
+    from cassandra_util_spark.streaming.sketches import stream_count_min_to_store
+
+    ev = _events(spark, 400)
+    src = str(tmp_path / "src")
+    ev.coalesce(1).write.mode("append").parquet(src)
+
+    def fresh_stream():
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    # -- run store ----------------------------------------------------------
+    meta = TableMeta(("user_id",), ("event_id",), "writetime")
+    store = RunStore(str(tmp_path / "runs"), meta)
+    q = stream_to_runstore(fresh_stream(), store, str(tmp_path / "cp1"))
+    q.awaitTermination(120)
+    n_runs = len(store.live_runs())
+    assert n_runs >= 1 and applied_txn_app_id(store) is not None
+
+    q2 = stream_to_runstore(fresh_stream(), store, str(tmp_path / "cp2"))
+    with pytest.raises(StreamingQueryException, match="refusing to compare"):
+        q2.awaitTermination(120)
+        raise AssertionError("fresh-checkpoint restart silently succeeded")
+    assert len(store.live_runs()) == n_runs  # nothing appended, nothing lost
+
+    # explicit txn_app_id opts back into the Delta-style idempotent skip
+    q3 = stream_to_runstore(
+        fresh_stream(), store, str(tmp_path / "cp3"),
+        txn_app_id=applied_txn_app_id(store),
+    )
+    q3.awaitTermination(120)
+    assert len(store.live_runs()) == n_runs  # batch 0 <= hwm: skipped, no dup
+
+    # -- sketch store (CM is additive: a silent skip freezes it) ------------
+    cm = SnapshotStore(str(tmp_path / "cm"))
+    q4 = stream_count_min_to_store(
+        fresh_stream(), cm, str(tmp_path / "cp4"), "user_id", depth=2, width=16
+    )
+    q4.awaitTermination(120)
+    tag_before = cm.current_tag()
+    q5 = stream_count_min_to_store(
+        fresh_stream(), cm, str(tmp_path / "cp5"), "user_id", depth=2, width=16
+    )
+    with pytest.raises(StreamingQueryException, match="refusing to compare"):
+        q5.awaitTermination(120)
+        raise AssertionError("fresh-checkpoint sketch restart silently succeeded")
+    assert cm.current_tag() == tag_before  # no double-count commit happened
+
+
+def test_foreign_or_legacy_sketch_tags(spark, tmp_path):
+    """A foreign (unparsable) snapshot tag used to degrade to 'never
+    applied' — a replay would then re-merge and double-count CM counters.
+    It must raise.  A legacy bare-integer tag still parses (adopted into
+    the new format on the next commit)."""
+    import pytest
+
+    from cassandra_util_spark.sources.snapshots import SnapshotStore
+    from cassandra_util_spark.streaming.sketches import _last_applied
+
+    df = spark.range(3)
+    foreign = SnapshotStore(str(tmp_path / "foreign"))
+    foreign.commit(df, tag="some-other-module-tag")
+    with pytest.raises(RuntimeError, match="foreign snapshot tag"):
+        _last_applied(foreign, "me")
+
+    legacy = SnapshotStore(str(tmp_path / "legacy"))
+    legacy.commit(df, tag="5")
+    assert _last_applied(legacy, "me") == 5
+
+    other = SnapshotStore(str(tmp_path / "other"))
+    other.commit(df, tag="someone-else:3")
+    with pytest.raises(RuntimeError, match="refusing to compare"):
+        _last_applied(other, "me")
+    assert _last_applied(other, "someone-else") == 3
