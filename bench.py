@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "sketch_heavy_hitters",
     "events_incremental_rollup",
     "join_plan_advisory",
+    "advised_join_exec",
     "q2_min_cost_supplier",
     "q9_product_type_profit",
     "q11_important_stock",

@@ -6236,3 +6236,50 @@ def cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_splits(
         clusters, "cluster", {"train": 0.90, "val": 0.05, "test": 0.05}
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 6: the join advisory made an executor, plus counter-store and
+# gate-from-store surface.  Appended after the curation block.
+
+
+@query(
+    "advised_join_exec",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def advised_join_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per market segment through :func:`~cassandra_util_spark.
+    operators.sketches.advised_join` — the sketch advisory EXECUTING the
+    join it recommends (VERDICT r5 task 3), not just reporting.  At every
+    tested SF the advice is ``broadcast_b`` (customer fits the threshold),
+    so the plan is one scan of each side for the sketches plus a broadcast
+    hash join — and if the data shape ever changed, the same call would
+    route to a salted or plain shuffle with identical rows (pinned by
+    ``test_advised_join_every_branch_row_identical``).  The oracle is the
+    plain join: the advisory changes the physical strategy, never the
+    answer.  Sums are exact DECIMAL(18,2) partials, so the total is
+    partitioning-invariant.  Reference anchor: CQLBatch.scala:56-67
+    (work routed by data shape decided before execution)."""
+    from cassandra_util_spark.operators.sketches import advised_join
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), "c_mktsegment"
+    )
+    return (
+        advised_join(o, c, "k")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price").cast("double").alias("revenue"),
+        )
+    )

@@ -390,11 +390,52 @@ def heavy_hitters_exact(
 
     if not 0.0 < phi <= 1.0:
         raise ValueError(f"phi must be in (0, 1], got {phi}")
-    counters = [[0] * width for _ in range(depth)]
-    for r in count_min_build(df, key_col, depth, width, seed, hash_fn).collect():
-        counters[r["row"]][r["idx"]] = r["c"]
+    counters = _collect_cm_counters(
+        count_min_build(df, key_col, depth, width, seed, hash_fn), depth, width
+    )
     total = sum(counters[0])
     thr = max(1, math.ceil(phi * total))
+    return (
+        _cm_gate(df, key_col, counters, thr, seed, hash_fn)
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= F.lit(thr))
+    )
+
+
+def _collect_cm_counters(sketch: DataFrame, depth: int, width: int) -> list:
+    """Collect a CM sketch table into a depth × width counter matrix.
+
+    Bounded driver transfer BY CONSTRUCTION (≤ depth · width rows, never
+    data-dependent — the O(K) centroid-collect discipline).  Cells outside
+    the claimed shape mean the sketch was built with DIFFERENT parameters
+    than the caller is about to hash with — estimates would be silently
+    wrong, so it raises."""
+    counters = [[0] * width for _ in range(depth)]
+    for r in sketch.collect():
+        if not (0 <= r["row"] < depth and 0 <= r["idx"] < width):
+            raise ValueError(
+                f"sketch cell (row={r['row']}, idx={r['idx']}) is outside "
+                f"depth={depth} x width={width} — the sketch was built with "
+                "different parameters than this query claims"
+            )
+        counters[r["row"]][r["idx"]] = r["c"]
+    return counters
+
+
+def _cm_gate(
+    df: DataFrame,
+    key_col: str,
+    counters: list,
+    threshold: int,
+    seed: str,
+    hash_fn: str,
+) -> DataFrame:
+    """Map-side CM pre-filter: keep rows whose key's CM point estimate
+    (min over depth array-literal lookups — pure expressions, no joins)
+    reaches ``threshold``.  Safe as a gate because CM never underestimates:
+    a dropped key provably has true count < threshold."""
+    depth, width = len(counters), len(counters[0])
     key = F.col(key_col).cast("string")
     est = F.least(
         *[
@@ -405,8 +446,49 @@ def heavy_hitters_exact(
             for i in range(depth)
         ]
     )
+    return df.filter(est >= F.lit(threshold))
+
+
+def heavy_hitters_from_store(
+    store,
+    df: DataFrame,
+    key_col: str,
+    phi: float,
+    depth: int = 4,
+    width: int = 256,
+    seed: str = "cm",
+    hash_fn: str = "portable",
+) -> DataFrame:
+    """Exact φ-heavy hitters gated by a MAINTAINED sketch instead of a
+    rebuild — the consumption pattern the streaming maintenance promises
+    (VERDICT r5 task 7).
+
+    ``store`` is the :class:`~cassandra_util_spark.sources.snapshots.
+    SnapshotStore` a ``stream_count_min_to_store`` query keeps current; the
+    parameters must MATCH that build (defaults mirror its defaults; a shape
+    mismatch raises rather than mis-hashing).  ``df`` is the table the
+    stream has been sketching — typically the run-store view of the same
+    drained stream.
+
+    At 100 TB this splits heavy-hitter cost into the part the stream
+    already paid (the sketch: one bounded merge per micro-batch) and the
+    part only the caller's moment needs (one gated scan + exact count of
+    survivors).  ``heavy_hitters_exact``'s sketch-build pass — a second
+    full scan of the input — disappears; the input is scanned ONCE.  The
+    threshold N comes off the persisted sketch (Σ of hash-row 0), so the
+    gate is consistent with the stream's history: over the exact drained
+    content it equals gate-from-rebuild cell for cell, and the exact phase
+    removes CM false positives either way.
+    """
+    import math
+
+    if not 0.0 < phi <= 1.0:
+        raise ValueError(f"phi must be in (0, 1], got {phi}")
+    counters = _collect_cm_counters(store.read(df.sparkSession), depth, width)
+    total = sum(counters[0])
+    thr = max(1, math.ceil(phi * total))
     return (
-        df.filter(est >= F.lit(thr))
+        _cm_gate(df, key_col, counters, thr, seed, hash_fn)
         .groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= F.lit(thr))
@@ -450,50 +532,186 @@ def plan_join(
     shuffle.  Output: one row (n_a, n_b, join_size_estimate,
     max_key_est_a, max_key_est_b, advice).
 
-    Each advice value has an executor in this engine: "broadcast_*" →
-    ``F.broadcast`` on that side, "shuffle_salted" →
-    :func:`cassandra_util_spark.functions.skew.salted_join` (pick
-    ``buckets`` ≈ max_key_est / (n / distinct-estimate)), "shuffle" →
-    plain join.  PLANS.md's audit appends a cross-check that the advisory
-    matches AQE's runtime choice for the contract query's join.
+    Each advice value has an executor: :func:`advised_join` maps
+    "broadcast_*" → ``F.broadcast`` on that side, "shuffle_salted" →
+    :func:`cassandra_util_spark.functions.skew.salted_join` (buckets ≈
+    max_key_est / (n / distinct-estimate), the documented formula),
+    "shuffle" → plain join.  PLANS.md's audit appends a cross-check that
+    the advisory matches AQE's runtime choice for the contract query's
+    join.
 
-    The whole computation is declarative — five one-row aggregates of two
-    bounded sketch tables combined by broadcast cross-joins; nothing is
-    collected to the driver.
+    Execution shape: each side is scanned EXACTLY ONCE (its sketch build),
+    and the two sketch tables are collected to the driver — bounded by
+    construction at ≤ depth × width rows each, the same O(K) collect
+    discipline as ``heavy_hitters_exact`` — where every statistic is exact
+    integer arithmetic over the counters.  (The previous declarative form
+    re-derived the sketch under three different aggregates; Catalyst does
+    not reuse an exchange across differently-shaped aggregation subtrees,
+    so each side was scanned three times — the opposite of what a
+    plan-time advisory may cost at 100 TB.  This call is therefore EAGER:
+    the two sketch scans run when it is invoked.)
     """
-    ska = count_min_build(a, key_col, depth, width, seed, hash_fn)
-    skb = count_min_build(b, key_col, depth, width, seed, hash_fn)
+    st = _plan_join_stats(a, b, key_col, depth, width, seed, hash_fn)
+    advice = _join_advice(st, broadcast_threshold_rows, skew_factor)
+    spark = a.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                st["n_a"],
+                st["n_b"],
+                st["join_size_estimate"],
+                st["max_key_est_a"],
+                st["max_key_est_b"],
+                advice,
+            )
+        ],
+        "n_a bigint, n_b bigint, join_size_estimate bigint, "
+        "max_key_est_a bigint, max_key_est_b bigint, advice string",
+    )
 
-    def side_stats(sk: DataFrame, suffix: str) -> DataFrame:
-        n = sk.filter(F.col("row") == 0).agg(
-            F.sum("c").cast("bigint").alias(f"n_{suffix}")
-        )
-        mx = (
-            sk.groupBy("row")
-            .agg(F.max("c").alias("m"))
-            .agg(F.min("m").cast("bigint").alias(f"max_key_est_{suffix}"))
-        )
-        return n.crossJoin(F.broadcast(mx))
 
-    one = (
-        side_stats(ska, "a")
-        .crossJoin(F.broadcast(side_stats(skb, "b")))
-        .crossJoin(F.broadcast(cm_join_size_estimate(ska, skb)))
+def _plan_join_stats(
+    a: DataFrame,
+    b: DataFrame,
+    key_col: str,
+    depth: int,
+    width: int,
+    seed: str,
+    hash_fn: str,
+) -> dict:
+    """All plan_join inputs as exact integers from one collected CM sketch
+    per side: row counts (Σ row-0 counters — exact, they partition the
+    input), per-side hottest-key upper bounds (min over rows of the row
+    max), the CM inner-product join-size overestimate, and a
+    linear-counting distinct estimate (Whang et al. 1990: d ≈ −w·ln(z/w)
+    from the z zero counters of a hash row; saturates to n when no counter
+    is zero) used by :func:`advised_join` to size salt buckets."""
+    import math
+
+    ca = _collect_cm_counters(
+        count_min_build(a, key_col, depth, width, seed, hash_fn), depth, width
     )
-    thr = F.lit(broadcast_threshold_rows).cast("bigint")
-    skew_a = F.col("max_key_est_a") * skew_factor >= F.col("n_a")
-    skew_b = F.col("max_key_est_b") * skew_factor >= F.col("n_b")
-    advice = (
-        F.when((F.col("n_b") <= thr) & (F.col("n_b") <= F.col("n_a")), "broadcast_b")
-        .when(F.col("n_a") <= thr, "broadcast_a")
-        .when(skew_a | skew_b, "shuffle_salted")
-        .otherwise("shuffle")
+    cb = _collect_cm_counters(
+        count_min_build(b, key_col, depth, width, seed, hash_fn), depth, width
     )
-    return one.select(
-        "n_a",
-        "n_b",
-        "join_size_estimate",
-        "max_key_est_a",
-        "max_key_est_b",
-        advice.alias("advice"),
+
+    def side(c: list) -> tuple:
+        n = sum(c[0])
+        mx = min(max(row) for row in c)
+        zeros = c[0].count(0)
+        if n == 0:
+            d = 0
+        elif zeros > 0:
+            d = min(n, max(1, round(-width * math.log(zeros / width))))
+        else:
+            d = n  # every counter hit: linear counting saturated
+        return n, mx, d
+
+    n_a, mx_a, d_a = side(ca)
+    n_b, mx_b, d_b = side(cb)
+    jse = min(sum(x * y for x, y in zip(ra, rb)) for ra, rb in zip(ca, cb))
+    return {
+        "n_a": n_a,
+        "n_b": n_b,
+        "join_size_estimate": jse,
+        "max_key_est_a": mx_a,
+        "max_key_est_b": mx_b,
+        "distinct_est_a": d_a,
+        "distinct_est_b": d_b,
+    }
+
+
+def _join_advice(st: dict, broadcast_threshold_rows: int, skew_factor: int) -> str:
+    """The advice ladder, shared by plan_join (reports) and advised_join
+    (executes) so the two can never disagree."""
+    if st["n_b"] <= broadcast_threshold_rows and st["n_b"] <= st["n_a"]:
+        return "broadcast_b"
+    if st["n_a"] <= broadcast_threshold_rows:
+        return "broadcast_a"
+    if (
+        st["max_key_est_a"] * skew_factor >= st["n_a"]
+        or st["max_key_est_b"] * skew_factor >= st["n_b"]
+    ):
+        return "shuffle_salted"
+    return "shuffle"
+
+
+def advised_join(
+    a: DataFrame,
+    b: DataFrame,
+    key_col: str,
+    how: str = "inner",
+    depth: int = 4,
+    width: int = 1024,
+    seed: str = "pj",
+    hash_fn: str = "portable",
+    broadcast_threshold_rows: int = 1_000_000,
+    skew_factor: int = 16,
+    max_salt_buckets: int = 64,
+) -> DataFrame:
+    """Execute ``a ⨝ b ON key_col`` the way :func:`plan_join` advises —
+    the advisory made an executor (VERDICT r5 task 3).
+
+    The advice string maps to a physical strategy that changes the PLAN,
+    never the answer (every branch is row-identical to the plain join,
+    pinned by test):
+
+    - ``broadcast_b`` / ``broadcast_a`` → ``F.broadcast`` hint on that
+      side (Spark ignores an infeasible hint — e.g. broadcasting the
+      preserved side of an outer join — and degrades to shuffle).
+    - ``shuffle_salted`` → :func:`~cassandra_util_spark.functions.skew.
+      salted_join`, with buckets from the documented formula
+      ``ceil(max_key_est / (n / distinct_est))`` — hot-key rows over
+      average-key rows, the replication factor that levels the hot
+      reducer — clamped to [2, ``max_salt_buckets``] (the linear-counting
+      distinct estimate comes off the same collected sketch; no extra
+      scan).  For an inner join whose skew sits only on ``b``, the sides
+      are swapped into the salted join (salting's LEFT side should be the
+      hot one, its right the replicated one) and the output re-projected
+      to the canonical column order.
+    - ``shuffle`` → plain join.
+
+    Non-key column names must be distinct across ``a`` and ``b`` (the
+    output projects key, then a's columns, then b's — identical order on
+    every branch).  Reference anchor: CQLBatch.scala:56-67 routes work by
+    data shape decided before execution; this routes the join the same
+    way.
+    """
+    import math
+
+    from cassandra_util_spark.functions.skew import salted_join
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"advised_join supports inner/left, got {how!r}")
+    dup = (set(a.columns) & set(b.columns)) - {key_col}
+    if dup:
+        raise ValueError(f"non-key columns appear on both sides: {sorted(dup)}")
+    st = _plan_join_stats(a, b, key_col, depth, width, seed, hash_fn)
+    advice = _join_advice(st, broadcast_threshold_rows, skew_factor)
+    out_cols = (
+        [key_col]
+        + [c for c in a.columns if c != key_col]
+        + [c for c in b.columns if c != key_col]
     )
+
+    def buckets_for(side: str) -> int:
+        n, mx, d = st[f"n_{side}"], st[f"max_key_est_{side}"], st[f"distinct_est_{side}"]
+        avg = max(1.0, n / max(1, d))
+        return min(max_salt_buckets, max(2, math.ceil(mx / avg)))
+
+    if advice == "broadcast_b":
+        out = a.join(F.broadcast(b), key_col, how)
+    elif advice == "broadcast_a":
+        out = F.broadcast(a).join(b, key_col, how)
+    elif advice == "shuffle_salted":
+        skew_a = st["max_key_est_a"] * skew_factor >= st["n_a"]
+        skew_b = st["max_key_est_b"] * skew_factor >= st["n_b"]
+        if how == "inner" and skew_b and not skew_a:
+            out = salted_join(b, a, [key_col], "inner", buckets_for("b"))
+        else:
+            out = salted_join(
+                a, b, [key_col], how, buckets_for("a" if skew_a else "b")
+            )
+    else:
+        out = a.join(b, key_col, how)
+    return out.select(*out_cols)

@@ -122,10 +122,13 @@ class WriteBatch:
         directory.  The reference never has this problem because counter
         merges happen server-side per cell (Cassandra counter shards); here
         the deterministic single-writer discipline is the contract.  For a
-        durable multi-writer counter table, route batches through
-        ``SnapshotStore.commit`` (rename-protocol atomicity, one writer
-        wins) or the run store (append runs, merge on read) instead of a
-        bare parquet path.
+        durable multi-writer counter table use
+        :class:`cassandra_util_spark.operators.counters.CounterStore`:
+        each batch appends an additive delta run (no read of existing
+        state, nothing to lose), totals merge on read, and compaction
+        folds deltas — the loss-free shape
+        ``test_interleaved_counter_batches_lose_nothing`` pins against
+        this path's demonstrated lost update.
         """
         df = self.to_df(spark, schema)
         if self.kind == "counter":

@@ -23,6 +23,8 @@ from __future__ import annotations
 
 import os
 import tempfile
+import time
+from contextlib import contextmanager
 from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -101,6 +103,42 @@ class RunStore:
             pass
         return out
 
+    @contextmanager
+    def locked(self, timeout_s: float = 30.0, stale_s: float = 120.0):
+        """Advisory manifest lock (O_CREAT|O_EXCL lockfile) for multi-writer
+        appends.  The LWW/compaction paths keep their single-maintainer
+        discipline; this exists so INDEPENDENT writers (counter deltas,
+        concurrent backfills) can append runs without one writer's
+        read-live → swap losing the other's just-published run.  Held only
+        around the manifest read+swap — never across a data write.  A lock
+        older than ``stale_s`` is presumed abandoned (crashed holder) and
+        broken; acquisition past ``timeout_s`` raises rather than deadlock."""
+        lock = os.path.join(self.root, "_LOCK")
+        deadline = time.monotonic() + timeout_s
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(lock) > stale_s:
+                        os.unlink(lock)
+                        continue
+                except FileNotFoundError:
+                    continue
+                if time.monotonic() > deadline:
+                    raise TimeoutError(f"manifest lock {lock} held past {timeout_s}s")
+                time.sleep(0.05)
+        try:
+            yield
+        finally:
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass
+
     def _swap_manifest(self, runs: list[str], levels: Optional[dict[str, int]] = None) -> None:
         """Atomically publish a new live-run set.  Levels carry over for
         surviving runs (so an STCS pass on a leveled store cannot silently
@@ -144,15 +182,20 @@ class RunStore:
         published name is a no-op, and a dead directory from a crashed
         earlier attempt is overwritten rather than duplicated."""
         run = name if name is not None else self._next_run()
-        live = self.live_runs()
-        if name is not None and run in live:
+        if name is not None and run in self.live_runs():
             return run
         path = os.path.join(self.root, run)
         KeyedTable(df, self.meta).clustered().write.mode(
             "overwrite" if name is not None else "errorifexists"
         ).parquet(path)
         self._write_stats(df.sparkSession, path)
-        self._swap_manifest([*live, run])
+        # publish under the manifest lock, re-reading the live set: a second
+        # writer may have appended between our read and our swap, and a
+        # stale-list swap would silently drop their run from the manifest
+        with self.locked():
+            live = self.live_runs()
+            if run not in live:
+                self._swap_manifest([*live, run])
         return run
 
     # -- key-range stats (leveling + pruned reads) --------------------------

@@ -1,0 +1,112 @@
+"""Multi-writer counter semantics on the run store (VERDICT r5 task 6).
+
+The reference merges counter increments server-side per cell
+(CQLBatch.scala:284-336), so concurrent counter batches cannot lose
+increments; the engine's plain parquet counter path is read-modify-write
+and documents a single-writer discipline.  These tests pin the loss-free
+alternative: interleaved writers appending delta runs, totals by
+merge-on-read, and compaction invariance — plus the manifest-lock fix that
+makes two interleaved appends both survive the manifest.
+"""
+
+from pyspark.sql import functions as F
+
+from cassandra_util_spark.core.table import TableMeta
+from cassandra_util_spark.operators.counters import CounterStore
+from cassandra_util_spark.sources.runs import RunStore
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "tenant string, hits bigint, bytes bigint")
+
+
+def test_interleaved_counter_batches_lose_nothing(spark, tmp_path):
+    """Two writers (separate store handles, as two processes would hold)
+    interleave counter batches touching the same keys; the totals must be
+    the exact sum of every increment — the scenario where the RMW path
+    loses whichever writer read the older state."""
+    root = str(tmp_path / "counters")
+    w1 = CounterStore(root, ["tenant"], ["hits", "bytes"])
+    w2 = CounterStore(root, ["tenant"], ["hits", "bytes"])
+
+    w1.append_increments(_batch(spark, [("a", 1, 10), ("b", 2, 20)]))
+    w2.append_increments(_batch(spark, [("a", 5, 50), ("c", 7, 70)]))
+    w1.append_increments(_batch(spark, [("b", 3, 30), ("a", -1, -10)]))
+
+    got = {r["tenant"]: (r["hits"], r["bytes"]) for r in w1.totals(spark).collect()}
+    assert got == {"a": (5.0, 50.0), "b": (5.0, 50.0), "c": (7.0, 70.0)}
+    assert len(w1.store.live_runs()) == 3  # every writer's run is live
+
+
+def test_rmw_counter_path_contrast_loses_an_interleaved_writer(spark, tmp_path):
+    """The documented failure the CounterStore exists to avoid: two counter
+    batches that both read the same existing state overwrite each other on
+    a bare parquet path."""
+    from cassandra_util_spark.plans.batch import WriteBatch
+
+    path = str(tmp_path / "rmw")
+    meta = TableMeta(("tenant",))
+    base = WriteBatch(meta, "counter", [{"tenant": "a", "hits": 1}])
+    base.execute(spark, path)
+    existing = spark.read.parquet(path)
+
+    b1 = WriteBatch(meta, "counter", [{"tenant": "a", "hits": 10}])
+    b2 = WriteBatch(meta, "counter", [{"tenant": "a", "hits": 100}])
+    # both writers read the SAME pre-state (the interleave), then write
+    pre = existing.collect()
+    b1.execute(spark, path, existing=spark.createDataFrame(pre, existing.schema))
+    b2.execute(spark, path, existing=spark.createDataFrame(pre, existing.schema))
+    final = spark.read.parquet(path).collect()[0]["hits"]
+    assert final == 101  # b1's +10 was lost — the RMW caveat, demonstrated
+
+
+def test_compaction_preserves_totals_and_in_flight_appends(spark, tmp_path):
+    root = str(tmp_path / "counters")
+    cs = CounterStore(root, ["tenant"], ["hits"])
+    for i in range(4):
+        cs.append_increments(
+            spark.createDataFrame([("a", i + 1), ("b", 10 * (i + 1))], "tenant string, hits bigint")
+        )
+    before = {r["tenant"]: r["hits"] for r in cs.totals(spark).collect()}
+    assert before == {"a": 10.0, "b": 100.0}
+
+    folded = cs.compact(spark)
+    assert folded is not None and cs.store.live_runs() == [folded]
+    after = {r["tenant"]: r["hits"] for r in cs.totals(spark).collect()}
+    assert after == before  # addition is associative: fold is invisible
+
+    # a delta appended AFTER a compaction keeps summing into the fold
+    cs.append_increments(spark.createDataFrame([("a", 5)], "tenant string, hits bigint"))
+    assert {r["tenant"]: r["hits"] for r in cs.totals(spark).collect()} == {
+        "a": 15.0,
+        "b": 100.0,
+    }
+
+
+def test_append_run_manifest_swap_rereads_live_set(spark, tmp_path):
+    """The RunStore-level race the lock closes: writer A reads the live
+    list, writer B publishes, then A publishes — A's swap must not drop
+    B's run.  Simulated by publishing through two store handles whose
+    appends interleave at the manifest."""
+    meta = TableMeta(("k",))
+    s1 = RunStore(str(tmp_path / "runs"), meta)
+    s2 = RunStore(str(tmp_path / "runs"), meta)
+    df = spark.range(5).select(F.col("id").alias("k"))
+    s1.append_run(df, name="w1")
+    s2.append_run(df, name="w2")
+    s1.append_run(df, name="w3")
+    assert sorted(s1.live_runs()) == ["w1", "w2", "w3"]
+
+
+def test_counter_store_validation(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="at least one key"):
+        CounterStore(str(tmp_path / "x"), [], ["hits"])
+    with pytest.raises(ValueError, match="both key and counter"):
+        CounterStore(str(tmp_path / "x"), ["k"], ["k"])
+    cs = CounterStore(str(tmp_path / "c"), ["tenant"], ["hits"])
+    with pytest.raises(ValueError, match="missing columns"):
+        cs.append_increments(spark.range(3))
+    with pytest.raises(ValueError, match="no runs"):
+        cs.totals(spark)

@@ -2460,3 +2460,60 @@ def test_plan_join_advice_executes_equivalently(spark):
     assert advice2 == "broadcast_b"
     bcast = {tuple(r) for r in left.join(F.broadcast(right), "k").collect()}
     assert bcast == plain
+
+
+def test_advised_join_every_branch_row_identical(spark):
+    """VERDICT r5 task 3: advised_join executes plan_join's advice — every
+    branch (broadcast_b, broadcast_a, shuffle_salted both skew sides,
+    shuffle) must be row-identical to the plain join, with one canonical
+    column order."""
+    from cassandra_util_spark.operators.sketches import (
+        _join_advice,
+        _plan_join_stats,
+        advised_join,
+    )
+
+    def check(a, b, how="inner", **kw):
+        st = _plan_join_stats(a, b, "k", 4, 1024, "pj", "portable")
+        advice = _join_advice(
+            st, kw.get("broadcast_threshold_rows", 1_000_000), kw.get("skew_factor", 16)
+        )
+        got = {tuple(r) for r in advised_join(a, b, "k", how=how, **kw).collect()}
+        cols = ["k"] + [c for c in a.columns if c != "k"] + [c for c in b.columns if c != "k"]
+        want = {tuple(r) for r in a.join(b, "k", how).select(*cols).collect()}
+        assert got == want and want, (advice, len(got), len(want))
+        return advice
+
+    small = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 2).alias("sv"))
+    big = spark.range(5000).select(
+        (F.col("id") % 1000).alias("k"), F.col("id").alias("bv")
+    )
+    skew_l = spark.range(4000).select(
+        F.when(F.col("id") < 2000, 7).otherwise(F.col("id") % 500).alias("k"),
+        F.col("id").alias("lv"),
+    )
+    uni_l = spark.range(4000).select(
+        (F.col("id") % 2000).alias("k"), F.col("id").alias("lv")
+    )
+    uni_r = spark.range(4000).select(
+        (F.col("id") % 2000).alias("k"), (F.col("id") * 3).alias("rv")
+    )
+
+    assert check(big, small) == "broadcast_b"
+    assert check(small, big) == "broadcast_a"
+    assert check(skew_l, uni_r, broadcast_threshold_rows=10) == "shuffle_salted"
+    # skew only on the RIGHT side: inner join swaps sides into salted_join
+    assert check(uni_l, skew_l.withColumnRenamed("lv", "rv"),
+                 broadcast_threshold_rows=10) == "shuffle_salted"
+    assert check(uni_l, uni_r, broadcast_threshold_rows=10) == "shuffle"
+    # left join on each strategy family (broadcast + salted-left-skew)
+    assert check(big, small, how="left") == "broadcast_b"
+    assert check(skew_l, uni_r, how="left", broadcast_threshold_rows=10) == "shuffle_salted"
+
+    # guard rails: unsupported how, colliding non-key columns
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="inner/left"):
+        advised_join(big, small, "k", how="full")
+    with _pytest.raises(ValueError, match="both sides"):
+        advised_join(big, small.withColumnRenamed("sv", "bv"), "k")

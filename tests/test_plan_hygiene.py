@@ -102,3 +102,31 @@ def test_query_registry_prefix_stable():
     assert list(QUERIES)[:50] == first50
     # every registered query keeps a full-strength oracle
     assert set(QUERIES) == set(ORACLES)
+
+
+def test_plan_join_scans_each_side_exactly_once(spark):
+    """VERDICT r5 task 5: the advisory's cost contract.  The declarative
+    form re-derived each CM sketch under three differently-shaped
+    aggregates and Catalyst does NOT insert ReusedExchange across them —
+    measured 3 scans per side.  plan_join now builds one sketch per side
+    (one scan each, pinned here) and collects it (bounded ≤ depth·width by
+    construction); the returned advisory row is a local relation carrying
+    NO deferred rescan of either input."""
+    from pyspark.sql import functions as F
+
+    from cassandra_util_spark.operators.sketches import count_min_build, plan_join
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        F.col("o_custkey").alias("k")
+    )
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        F.col("c_custkey").alias("k")
+    )
+    # the one scan each side pays: its sketch build
+    sketch_plan = _physical(count_min_build(o, "k"))
+    # formatted explain lists each node in the tree AND a detail section —
+    # count the numbered detail entries
+    assert len(re.findall(r"\(\d+\) Scan parquet", sketch_plan)) == 1, sketch_plan[:1500]
+    # the advisory result re-scans nothing
+    advisory_plan = _physical(plan_join(o, c, "k"))
+    assert "Scan parquet" not in advisory_plan, advisory_plan[:1500]

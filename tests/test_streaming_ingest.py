@@ -315,3 +315,51 @@ def test_foreign_or_legacy_sketch_tags(spark, tmp_path):
     with pytest.raises(RuntimeError, match="refusing to compare"):
         _last_applied(other, "me")
     assert _last_applied(other, "someone-else") == 3
+
+
+def test_heavy_hitters_from_store_equals_rebuild(spark, tmp_path):
+    """VERDICT r5 task 7: heavy hitters gated by the STREAM-MAINTAINED CM
+    sketch must equal the gate-from-rebuild answer over the drained stream
+    — the sketch build pass (a second full input scan) disappears for
+    consumers.  A parameter-shape mismatch must raise, not mis-hash."""
+    import pytest
+
+    from cassandra_util_spark.operators.sketches import (
+        heavy_hitters_exact,
+        heavy_hitters_from_store,
+    )
+    from cassandra_util_spark.sources.snapshots import SnapshotStore
+    from cassandra_util_spark.streaming.sketches import stream_count_min_to_store
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "user_id", "event_id"
+    )
+    src = str(tmp_path / "src")
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    store = SnapshotStore(str(tmp_path / "cm"))
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = stream_count_min_to_store(
+        stream, store, str(tmp_path / "cp"), "user_id", depth=4, width=64
+    )
+    q.awaitTermination(120)
+
+    phi = 0.004
+    got = {
+        tuple(r)
+        for r in heavy_hitters_from_store(
+            store, ev, "user_id", phi, depth=4, width=64
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in heavy_hitters_exact(ev, "user_id", phi, depth=4, width=64).collect()
+    }
+    assert got == want and got
+
+    with pytest.raises(ValueError, match="different parameters"):
+        heavy_hitters_from_store(store, ev, "user_id", phi, depth=4, width=32)
