@@ -6283,3 +6283,66 @@ def advised_join_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("price").cast("double").alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Driver-window rotation, round 6 (VERDICT r5, task 1).
+#
+# Certification rotates: ten rows that are now DRIVER-certified twice
+# (CORRECTNESS_r04 ∩ r05) move just past the window — keeping their
+# full-strength local oracles and tests — in favor of the highest-value
+# queries the driver has never checked: the reference's actual deletion
+# life-cycle (tombstone_compaction, FilteringOnDiskAtomIterator.java:69-111),
+# CDC apply, the biggest new TPC-H join shape (q9), retrieval fusion,
+# DSIR selection, the leakage-proof cluster split, the Bloom incremental
+# dedup path, incremental rollup maintenance, the join advisory, and
+# Unicode-normalized fingerprints.  Window family coverage is preserved:
+# retention keeps rules/ttl/configurable, text keeps text_quality, events
+# keeps hourly/sessionize/funnel, dedup keeps ngram/minhash/winnowing/
+# incremental-LSH/clusters, embeddings keep neardup/resolve/ivf/semantic.
+# The pinned prefix snapshot in tests/test_plan_hygiene.py is updated in
+# the same commit, as that test's docstring sanctions.
+_WINDOW_ROTATE_OUT_R6 = [
+    "dedup_exact",               # certified r4+r5; dedup family still 5-deep
+    "dedup_simhash",             # certified r4+r5
+    "doc_fingerprint",           # certified r4+r5 (VERDICT-named)
+    "lang_id",                   # certified r4+r5 (VERDICT-named)
+    "embedding_quantize",        # certified r4+r5 (VERDICT-named)
+    "ann_cosine_topk",           # certified r4+r5; ann_ivf_topk stays
+    "set_ops_except_intersect",  # certified r4+r5 (VERDICT-named)
+    "retention_rules_antijoin",  # certified r4+r5; 3 retention rows stay
+    "retention_ttl_mixed_keys",  # certified r4+r5 (variant of retention_ttl)
+    "events_user_gaps",          # certified r4+r5; 3 events rows stay
+]
+_WINDOW_ROTATE_IN_R6 = [
+    "cdc_apply",
+    "tombstone_compaction",
+    "q9_product_type_profit",
+    "hybrid_retrieval_rrf",
+    "dsir_select",
+    "cluster_aware_split",
+    "dedup_incremental",
+    "events_incremental_rollup",
+    "join_plan_advisory",
+    "unicode_nfc_fingerprints",
+]
+
+
+def _rotate_driver_window_r6() -> None:
+    names = list(QUERIES)
+    missing = [
+        n for n in _WINDOW_ROTATE_IN_R6 + _WINDOW_ROTATE_OUT_R6 if n not in QUERIES
+    ]
+    if missing:
+        raise AssertionError(f"window rotation references unknown queries: {missing}")
+    prefix = [n for n in names[:50] if n not in set(_WINDOW_ROTATE_OUT_R6)]
+    prefix += _WINDOW_ROTATE_IN_R6
+    assert len(prefix) == 50, len(prefix)
+    order = prefix + [n for n in names if n not in set(prefix)]
+    for reg in (QUERIES, ORACLES):
+        snapshot = dict(reg)
+        reg.clear()
+        reg.update({n: snapshot[n] for n in order if n in snapshot})
+
+
+_rotate_driver_window_r6()

@@ -76,7 +76,20 @@ def test_query_registry_prefix_stable():
     (heavy hitters), LSM run store (leveled view), incremental LSH, BM25,
     sequence packing, winnowing, CEP funnel, and decontamination report.
     The reorder is entry_queries._curate_driver_window; displaced queries
-    keep full-strength local oracles and unit tests."""
+    keep full-strength local oracles and unit tests.
+
+    Round-6 intentional rotation (VERDICT r5, task 1): certification
+    rotates — ten rows driver-certified in BOTH r4 and r5 (dedup_exact,
+    dedup_simhash, doc_fingerprint, lang_id, embedding_quantize,
+    ann_cosine_topk, set_ops_except_intersect, retention_rules_antijoin,
+    retention_ttl_mixed_keys, events_user_gaps) move just past the window
+    in favor of ten never-driver-checked queries (cdc_apply,
+    tombstone_compaction, q9_product_type_profit, hybrid_retrieval_rrf,
+    dsir_select, cluster_aware_split, dedup_incremental,
+    events_incremental_rollup, join_plan_advisory,
+    unicode_nfc_fingerprints).  The rotation is
+    entry_queries._rotate_driver_window_r6; family coverage in the window
+    is preserved (see that block's comment)."""
     from cassandra_util_spark.entry_queries import ORACLES, QUERIES
 
     first50 = [
@@ -84,20 +97,21 @@ def test_query_registry_prefix_stable():
         "token_range_filter", "lww_merge", "counter_merge",
         "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
         "top_orders_per_customer", "events_hourly_rollup", "text_quality",
-        "lang_id", "doc_fingerprint", "dedup_exact", "dedup_ngram_jaccard",
-        "dedup_minhash_lsh", "dedup_simhash", "embedding_neardup",
-        "embedding_dedup_resolve", "embedding_quantize", "ann_cosine_topk",
-        "ann_ivf_topk", "semantic_dedup", "retention_rules_antijoin",
-        "events_sessionize", "set_ops_except_intersect",
-        "retention_ttl_mixed_keys", "asof_join_clicks_purchases",
+        "dedup_ngram_jaccard", "dedup_minhash_lsh", "embedding_neardup",
+        "embedding_dedup_resolve", "ann_ivf_topk", "semantic_dedup",
+        "events_sessionize", "asof_join_clicks_purchases",
         "range_join_incidents", "q10_returned_items", "parts_above_avg_price",
         "q4_order_priority", "q6_forecast_revenue", "orders_pivot_priority",
-        "events_user_gaps", "acctbal_percentiles", "media_features",
-        "media_dedup", "salted_event_rollup", "dedup_clusters_star",
+        "acctbal_percentiles", "media_features", "media_dedup",
+        "salted_event_rollup", "dedup_clusters_star",
         "training_corpus_assembly", "sketch_heavy_hitters",
         "runstore_leveled_view", "dedup_incremental_lsh", "bm25_search",
         "sequence_packing", "dedup_winnowing", "events_funnel",
-        "contamination_report",
+        "contamination_report", "cdc_apply", "tombstone_compaction",
+        "q9_product_type_profit", "hybrid_retrieval_rrf", "dsir_select",
+        "cluster_aware_split", "dedup_incremental",
+        "events_incremental_rollup", "join_plan_advisory",
+        "unicode_nfc_fingerprints",
     ]
     assert list(QUERIES)[:50] == first50
     # every registered query keeps a full-strength oracle
