@@ -5,13 +5,27 @@ from cassandra_util_spark.streaming.events import (
     streaming_retention,
     windowed_rollup,
 )
-from cassandra_util_spark.streaming.ingest import stream_to_runstore
+from cassandra_util_spark.streaming.ingest import (
+    applied_batch_hwm,
+    applied_txn_app_id,
+    resolve_txn_app_id,
+    stream_to_runstore,
+)
+from cassandra_util_spark.streaming.sketches import (
+    stream_count_min_to_store,
+    stream_hll_to_store,
+)
 
 __all__ = [
+    "applied_batch_hwm",
+    "applied_txn_app_id",
     "continuous_rollup",
+    "resolve_txn_app_id",
+    "stream_count_min_to_store",
     "stream_events",
+    "stream_hll_to_store",
+    "stream_to_runstore",
     "streaming_dedup",
     "streaming_retention",
-    "stream_to_runstore",
     "windowed_rollup",
 ]

@@ -1,0 +1,209 @@
+"""Scale-ramp measurement for the top-5 pipelines (VERDICT r5, task 4).
+
+Every 100 TB claim in this repo is a plan inspection plus an O() argument;
+this script adds MEASURED scaling curves.  It materializes seeded 1x/3x/10x
+replicas of the sf0.1 ``documents`` and ``embeddings`` tables, runs each
+headline pipeline at each scale, and reports wall time plus the executor-
+measured shuffle write bytes per run, so superlinear stages show up as a
+bend in either curve.
+
+Replica construction (deterministic, no RNG):
+
+- Replica k of a document keeps its statistical shape (same lengths, same
+  intra-replica duplicate structure) but lives in a DISJOINT token space:
+  every whitespace token is prefixed ``r<k>``, and doc_ids shift by
+  k * 10^9.  Cross-replica shingle/minhash/fingerprint matches are
+  therefore impossible BY CONSTRUCTION — scaling input 10x scales the
+  true duplicate-pair count ~10x (each replica contains the original's
+  internal duplicates), which is the honest linear-work regime.  Naively
+  concatenating identical copies would instead grow duplicate GROUPS to
+  size 10 and pair counts quadratically — a data artifact, not an engine
+  property.
+- Replica k of an embedding rotates the vector by k positions (norm and
+  component distribution preserved; cosine to the original drops to
+  ~random), and vec_ids shift the same way — same reasoning for the
+  cosine near-dup graph.
+
+Shuffle bytes come from the Spark UI's REST status API (the session runs
+with ``spark.ui.enabled=true``): the sum of ``shuffleWriteBytes`` over all
+stages, sampled before and after each run — per-run deltas isolate each
+query's traffic.
+
+Usage: python scripts/scale_ramp.py [--scales 1,3,10] [--repeat 2]
+Writes SCALING.md at the repo root.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.1"
+RAMP_ROOT = "/tmp/scale_ramp"
+
+PIPELINES = [
+    "sketch_heavy_hitters",
+    "dedup_minhash_lsh",
+    "training_corpus_assembly",
+    "dedup_clusters_star",
+    "semantic_dedup",
+]
+
+
+def build_ramp(spark, scale: int) -> str:
+    """Materialize the <scale>x replica set (idempotent per scale)."""
+    from pyspark.sql import functions as F
+
+    out = os.path.join(RAMP_ROOT, f"x{scale}")
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    parts = []
+    for k in range(scale):
+        if k == 0:
+            parts.append(docs)
+            continue
+        tag = F.lit(f"r{k}")
+        retok = F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "), lambda w: F.concat(tag, w)
+            ),
+            " ",
+        )
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(k * 1_000_000_000)).alias("doc_id"),
+                retok.alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    ramped_docs = parts[0]
+    for p in parts[1:]:
+        ramped_docs = ramped_docs.unionByName(p)
+    ramped_docs.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    eparts = []
+    for k in range(scale):
+        if k == 0:
+            eparts.append(emb)
+            continue
+        dim = F.size("embedding")
+        rot = F.concat(
+            F.slice(F.col("embedding"), F.lit(k % 16 + 1), dim),
+            F.slice(F.col("embedding"), F.lit(1), F.lit(k % 16)),
+        )
+        eparts.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(k * 1_000_000_000)).alias("vec_id"),
+                rot.alias("embedding"),
+                "label",
+            )
+        )
+    ramped_emb = eparts[0]
+    for p in eparts[1:]:
+        ramped_emb = ramped_emb.unionByName(p)
+    ramped_emb.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+
+    # pipelines above only read documents/embeddings; link the rest so the
+    # ramp dir is a drop-in sf_dir
+    for t in os.listdir(SF_DIR):
+        dst = os.path.join(out, t)
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(SF_DIR, t), dst)
+    open(marker, "w").close()
+    return out
+
+
+def shuffle_bytes_written(spark) -> int:
+    """Total shuffle write bytes across all stages so far (UI REST API)."""
+    import json
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+    with urllib.request.urlopen(f"{ui}/api/v1/applications/{app_id}/stages") as r:
+        stages = json.load(r)
+    return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scales", default="1,3,10")
+    ap.add_argument("--repeat", type=int, default=2)
+    args = ap.parse_args()
+    scales = [int(s) for s in args.scales.split(",")]
+
+    from cassandra_util_spark.core.session import get_spark
+    from cassandra_util_spark.entry_queries import QUERIES
+
+    spark = get_spark("scale-ramp", extra_conf={"spark.ui.enabled": "true"})
+    spark.sparkContext.setLogLevel("ERROR")
+
+    dirs = {}
+    for s in scales:
+        t0 = time.monotonic()
+        dirs[s] = build_ramp(spark, s)
+        print(f"ramp x{s} ready in {time.monotonic() - t0:.1f}s", file=sys.stderr)
+
+    results: dict[str, dict[int, dict]] = {q: {} for q in PIPELINES}
+    for q in PIPELINES:
+        for s in scales:
+            times, shuffles = [], []
+            for _ in range(args.repeat):
+                sb0 = shuffle_bytes_written(spark)
+                t0 = time.monotonic()
+                QUERIES[q](spark, dirs[s]).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                times.append(time.monotonic() - t0)
+                shuffles.append(shuffle_bytes_written(spark) - sb0)
+            results[q][s] = {
+                "sec": round(statistics.median(times), 2),
+                "shuffle_mb": round(statistics.median(shuffles) / 1e6, 1),
+            }
+            print(f"{q} x{s}: {results[q][s]}", file=sys.stderr)
+
+    lines = [
+        "# SCALING — measured ramp curves (sf0.1 base, seeded replicas)",
+        "",
+        "Generated by `scripts/scale_ramp.py` (see its docstring for the",
+        "replica construction that keeps duplicate structure linear).  Medians",
+        f"of {args.repeat} runs on local[32]; shuffle = executor-reported",
+        "shuffle-write bytes for the run's stages.",
+        "",
+        "| pipeline | " + " | ".join(f"x{s} sec" for s in scales)
+        + " | " + " | ".join(f"x{s} shuffle MB" for s in scales)
+        + " | time x{}/x1 | shuffle x{}/x1 |".format(scales[-1], scales[-1]),
+        "|---|" + "---|" * (2 * len(scales) + 2),
+    ]
+    for q in PIPELINES:
+        r = results[q]
+        t_ratio = r[scales[-1]]["sec"] / max(r[scales[0]]["sec"], 1e-9)
+        s_ratio = r[scales[-1]]["shuffle_mb"] / max(r[scales[0]]["shuffle_mb"], 1e-9)
+        lines.append(
+            "| " + q + " | "
+            + " | ".join(str(r[s]["sec"]) for s in scales) + " | "
+            + " | ".join(str(r[s]["shuffle_mb"]) for s in scales)
+            + f" | {t_ratio:.1f}x | {s_ratio:.1f}x |"
+        )
+    lines.append("")
+    out_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md")
+    with open(out_path, "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"appended to {out_path}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
