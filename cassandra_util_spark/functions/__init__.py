@@ -11,8 +11,25 @@ _2_32 = 4294967296
 
 
 def portable_token(col: Column) -> Column:
-    """64-bit-safe multiplicative hash token of a bigint key, in [0, 2^32)."""
-    return F.pmod(col.cast("bigint") * F.lit(_KNUTH), F.lit(_2_32))
+    """Multiplicative hash token of a bigint key, in [0, 2^32) — overflow-
+    free for EVERY bigint key.
+
+    The naive ``pmod(k * K, 2^32)`` overflows signed-64 once |k| exceeds
+    ~3.47e9 (ANSI mode raises ARITHMETIC_OVERFLOW — found by the x10
+    scale ramp, where replica ids sit at k·1e9 offsets; real snowflake-style
+    ids live there too).  Computed instead as a 16-bit-limb modular
+    multiply: with m = pmod(k, 2^32) split into hi·2^16 + lo, the result is
+    ``pmod(pmod(hi·K, 2^32)·2^16 + lo·K, 2^32)`` — every intermediate is
+    < 2^49, and the value is IDENTICAL to (k·K) mod 2^32 in exact
+    arithmetic, so existing oracles (``(key * 2654435761) % 4294967296``
+    on small keys) are unchanged."""
+    m = F.pmod(col.cast("bigint"), F.lit(_2_32))
+    hi = F.floor(m / F.lit(65536)).cast("bigint")
+    lo = m - hi * F.lit(65536)
+    return F.pmod(
+        F.pmod(hi * F.lit(_KNUTH), F.lit(_2_32)) * F.lit(65536) + lo * F.lit(_KNUTH),
+        F.lit(_2_32),
+    )
 
 
 def portable_hash32(col: Column, offset: int = 1) -> Column:

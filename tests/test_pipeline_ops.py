@@ -2517,3 +2517,19 @@ def test_advised_join_every_branch_row_identical(spark):
         advised_join(big, small, "k", how="full")
     with _pytest.raises(ValueError, match="both sides"):
         advised_join(big, small.withColumnRenamed("sv", "bv"), "k")
+
+
+def test_portable_token_no_overflow_for_any_bigint(spark):
+    """Scale-ramp regression (round 6): pmod(k * KNUTH, 2^32) overflows
+    signed-64 for |k| > ~3.47e9 under ANSI — snowflake-scale ids live
+    there.  The limb-decomposed form must equal (k*K) mod 2^32 EXACTLY for
+    every bigint, negatives included."""
+    from cassandra_util_spark.functions import portable_token
+
+    keys = [0, 1, 12345, 2**31, 3_470_000_000, 9_000_000_123, 2**62,
+            2**63 - 1, -5, -9_000_000_000]
+    df = spark.createDataFrame([(k,) for k in keys], "k bigint")
+    rows = df.select("k", portable_token(F.col("k")).alias("t")).collect()
+    K, M = 2654435761, 4294967296
+    for r in rows:
+        assert r.t == (r.k * K) % M, (r.k, r.t)
