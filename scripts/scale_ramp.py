@@ -10,24 +10,30 @@ bend in either curve.
 Replica construction (deterministic, no RNG):
 
 - Replica k of a document keeps its statistical shape (same lengths, same
-  intra-replica duplicate structure) but lives in a DISJOINT token space:
-  every whitespace token is prefixed ``r<k>``, and doc_ids shift by
-  k * 10^9.  Cross-replica shingle/minhash/fingerprint matches are
-  therefore impossible BY CONSTRUCTION — scaling input 10x scales the
-  true duplicate-pair count ~10x (each replica contains the original's
+  intra-replica duplicate structure, and — crucially — the same stopword
+  and language-marker profile, so content-dependent gates keep passing)
+  but moves its CONTENT tokens into a disjoint token space: every token
+  whose normalized form is not a stopword/marker is prefixed ``r<k>``;
+  doc_ids shift by k * 10^9.  Cross-replica 3-gram shingles almost all
+  contain a content token, so cross-replica Jaccard sits far below the
+  0.5 dedup thresholds — scaling input 10x scales the true
+  duplicate-pair count ~10x (each replica contains the original's
   internal duplicates), which is the honest linear-work regime.  Naively
   concatenating identical copies would instead grow duplicate GROUPS to
-  size 10 and pair counts quadratically — a data artifact, not an engine
-  property.
+  size 10 and pair counts quadratically, and prefixing EVERY token (the
+  first version of this script) silently deletes the replicas at the
+  quality/language gates — both data artifacts, not engine properties.
 - Replica k of an embedding rotates the vector by k positions (norm and
   component distribution preserved; cosine to the original drops to
   ~random), and vec_ids shift the same way — same reasoning for the
   cosine near-dup graph.
 
 Shuffle bytes come from the Spark UI's REST status API (the session runs
-with ``spark.ui.enabled=true``): the sum of ``shuffleWriteBytes`` over all
-stages, sampled before and after each run — per-run deltas isolate each
-query's traffic.
+with ``spark.ui.enabled=true`` and a raised stage-retention limit): each
+run sums ``shuffleWriteBytes`` over stages newer than a per-run stage-id
+watermark, which isolates the query's traffic and survives UI store
+eviction (a cumulative before/after delta goes negative once old stages
+are evicted).
 
 Usage: python scripts/scale_ramp.py [--scales 1,3,10] [--repeat 2]
 Writes SCALING.md at the repo root.
@@ -65,6 +71,17 @@ def build_ramp(spark, scale: int) -> str:
         return out
     os.makedirs(out, exist_ok=True)
 
+    from cassandra_util_spark.operators.text import (
+        EN_STOPWORDS,
+        GOPHER_STOPWORDS,
+        LANG_MARKERS,
+    )
+
+    preserve = sorted(
+        set(EN_STOPWORDS)
+        | set(GOPHER_STOPWORDS)
+        | {m for ms in LANG_MARKERS.values() for m in ms}
+    )
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     parts = []
     for k in range(scale):
@@ -74,7 +91,11 @@ def build_ramp(spark, scale: int) -> str:
         tag = F.lit(f"r{k}")
         retok = F.array_join(
             F.transform(
-                F.split(F.col("text"), " "), lambda w: F.concat(tag, w)
+                F.split(F.col("text"), " "),
+                lambda w: F.when(
+                    F.lower(F.regexp_replace(w, "[^a-zA-Z0-9]", "")).isin(*preserve),
+                    w,
+                ).otherwise(F.concat(tag, w)),
             ),
             " ",
         )
@@ -125,16 +146,33 @@ def build_ramp(spark, scale: int) -> str:
     return out
 
 
-def shuffle_bytes_written(spark) -> int:
-    """Total shuffle write bytes across all stages so far (UI REST API)."""
+def _stages(spark) -> list:
     import json
     import urllib.request
 
     ui = spark.sparkContext.uiWebUrl
     app_id = spark.sparkContext.applicationId
     with urllib.request.urlopen(f"{ui}/api/v1/applications/{app_id}/stages") as r:
-        stages = json.load(r)
-    return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+        return json.load(r)
+
+
+def max_stage_id(spark) -> int:
+    return max((s["stageId"] for s in _stages(spark)), default=-1)
+
+
+def shuffle_bytes_after(spark, stage_watermark: int) -> int:
+    """Shuffle-write bytes of stages newer than ``stage_watermark``.
+
+    A cumulative before/after delta breaks once the UI store evicts old
+    stages (the total DROPS and deltas go negative/frozen); summing only
+    stages above a per-run id watermark is eviction-safe as long as the
+    run's own stages fit the retention window (raised via
+    spark.ui.retainedStages)."""
+    return sum(
+        s.get("shuffleWriteBytes", 0)
+        for s in _stages(spark)
+        if s["stageId"] > stage_watermark
+    )
 
 
 def main() -> None:
@@ -147,7 +185,14 @@ def main() -> None:
     from cassandra_util_spark.core.session import get_spark
     from cassandra_util_spark.entry_queries import QUERIES
 
-    spark = get_spark("scale-ramp", extra_conf={"spark.ui.enabled": "true"})
+    spark = get_spark(
+        "scale-ramp",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.retainedStages": "100000",
+            "spark.ui.retainedJobs": "100000",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     dirs = {}
@@ -161,13 +206,13 @@ def main() -> None:
         for s in scales:
             times, shuffles = [], []
             for _ in range(args.repeat):
-                sb0 = shuffle_bytes_written(spark)
+                watermark = max_stage_id(spark)
                 t0 = time.monotonic()
                 QUERIES[q](spark, dirs[s]).write.format("noop").mode(
                     "overwrite"
                 ).save()
                 times.append(time.monotonic() - t0)
-                shuffles.append(shuffle_bytes_written(spark) - sb0)
+                shuffles.append(shuffle_bytes_after(spark, watermark))
             results[q][s] = {
                 "sec": round(statistics.median(times), 2),
                 "shuffle_mb": round(statistics.median(shuffles) / 1e6, 1),
