@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "events_incremental_rollup",
     "join_plan_advisory",
     "advised_join_exec",
+    "counter_store_totals",
     "q2_min_cost_supplier",
     "q9_product_type_profit",
     "q11_important_stock",

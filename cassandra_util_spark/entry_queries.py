@@ -6346,3 +6346,48 @@ def _rotate_driver_window_r6() -> None:
 
 
 _rotate_driver_window_r6()
+
+
+@query(
+    "counter_store_totals",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS DOUBLE) AS hits,
+           CAST(SUM(CAST(event_id AS DECIMAL(28,6))) AS DOUBLE) AS id_sum
+    FROM events GROUP BY user_id
+    """,
+)
+def counter_store_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-writer counter table end to end, hash-certified: three
+    disjoint delta batches (event_id mod 3 splits of the events table,
+    pre-aggregated per user) append to a
+    :class:`~cassandra_util_spark.operators.counters.CounterStore` as
+    additive runs — no writer ever reads a total — with a compaction FOLD
+    interleaved after the second append; the totals view must equal one
+    flat aggregation over all events.  This certifies the whole loss-free
+    counter chain: append-only deltas, decimal merge-on-read, and
+    fold-invariance under compaction (addition's associativity is the
+    whole correctness argument, and the hash pins it).  Reference anchor:
+    CQLBatch.scala:284-336 — Cassandra counter batches ship increments
+    merged server-side per cell; this is that shape on files."""
+    import tempfile
+
+    from cassandra_util_spark.operators.counters import CounterStore
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id")
+    cs = CounterStore(
+        tempfile.mkdtemp(prefix="counters-q-"), ["user_id"], ["hits", "id_sum"]
+    )
+    for i in range(3):
+        batch = (
+            ev.filter(F.col("event_id") % 3 == i)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("hits"),
+                F.sum(F.col("event_id").cast("decimal(28,6)")).alias("id_sum"),
+            )
+        )
+        cs.append_increments(batch)
+        if i == 1:
+            cs.compact(spark)
+    return cs.totals(spark)

@@ -554,20 +554,7 @@ def plan_join(
     st = _plan_join_stats(a, b, key_col, depth, width, seed, hash_fn)
     advice = _join_advice(st, broadcast_threshold_rows, skew_factor)
     spark = a.sparkSession
-    return spark.createDataFrame(
-        [
-            (
-                st["n_a"],
-                st["n_b"],
-                st["join_size_estimate"],
-                st["max_key_est_a"],
-                st["max_key_est_b"],
-                advice,
-            )
-        ],
-        "n_a bigint, n_b bigint, join_size_estimate bigint, "
-        "max_key_est_a bigint, max_key_est_b bigint, advice string",
-    )
+    return _advice_row(spark, st, advice)
 
 
 def _plan_join_stats(
@@ -586,14 +573,34 @@ def _plan_join_stats(
     linear-counting distinct estimate (Whang et al. 1990: d ≈ −w·ln(z/w)
     from the z zero counters of a hash row; saturates to n when no counter
     is zero) used by :func:`advised_join` to size salt buckets."""
-    import math
-
     ca = _collect_cm_counters(
         count_min_build(a, key_col, depth, width, seed, hash_fn), depth, width
     )
     cb = _collect_cm_counters(
         count_min_build(b, key_col, depth, width, seed, hash_fn), depth, width
     )
+    return _stats_from_counters(ca, cb, width)
+
+
+def _advice_row(spark, st: dict, advice: str) -> DataFrame:
+    return spark.createDataFrame(
+        [
+            (
+                st["n_a"],
+                st["n_b"],
+                st["join_size_estimate"],
+                st["max_key_est_a"],
+                st["max_key_est_b"],
+                advice,
+            )
+        ],
+        "n_a bigint, n_b bigint, join_size_estimate bigint, "
+        "max_key_est_a bigint, max_key_est_b bigint, advice string",
+    )
+
+
+def _stats_from_counters(ca: list, cb: list, width: int) -> dict:
+    import math
 
     def side(c: list) -> tuple:
         n = sum(c[0])
@@ -619,6 +626,35 @@ def _plan_join_stats(
         "distinct_est_a": d_a,
         "distinct_est_b": d_b,
     }
+
+
+def plan_join_from_stores(
+    spark,
+    store_a,
+    store_b,
+    depth: int = 4,
+    width: int = 256,
+    broadcast_threshold_rows: int = 1_000_000,
+    skew_factor: int = 16,
+) -> DataFrame:
+    """:func:`plan_join`'s advisory computed from two PERSISTED sketch
+    stores — ZERO scans of either input table.
+
+    The stores are :class:`~cassandra_util_spark.sources.snapshots.
+    SnapshotStore` tables a ``stream_count_min_to_store`` query maintains
+    (or any committed ``count_min_build`` output); both must share
+    (depth, width) — the default mirrors the streaming builder's — and a
+    shape mismatch raises.  This is the actual 100 TB planning pattern:
+    the sketches are maintained incrementally as data lands, and the join
+    decision for tomorrow's pipeline run costs two bounded reads of
+    ≤ depth × width rows, not a pass over either table.  Advice values and
+    semantics are identical to :func:`plan_join` (the stats ladder is
+    shared code), so ``advice`` feeds the same executors."""
+    ca = _collect_cm_counters(store_a.read(spark), depth, width)
+    cb = _collect_cm_counters(store_b.read(spark), depth, width)
+    st = _stats_from_counters(ca, cb, width)
+    advice = _join_advice(st, broadcast_threshold_rows, skew_factor)
+    return _advice_row(spark, st, advice)
 
 
 def _join_advice(st: dict, broadcast_threshold_rows: int, skew_factor: int) -> str:

@@ -363,3 +363,42 @@ def test_heavy_hitters_from_store_equals_rebuild(spark, tmp_path):
 
     with pytest.raises(ValueError, match="different parameters"):
         heavy_hitters_from_store(store, ev, "user_id", phi, depth=4, width=32)
+
+
+def test_plan_join_from_stores_equals_plan_join(spark, tmp_path):
+    """The zero-scan advisory: plan_join computed from two STREAM-MAINTAINED
+    sketch stores must equal plan_join over the raw tables (same sketch
+    params) — the join decision for a pipeline run costs two bounded store
+    reads, not a pass over either table."""
+    from cassandra_util_spark.operators.sketches import (
+        plan_join,
+        plan_join_from_stores,
+    )
+    from cassandra_util_spark.sources.snapshots import SnapshotStore
+    from cassandra_util_spark.streaming.sketches import stream_count_min_to_store
+
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        F.col("o_custkey").alias("k")
+    )
+    c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet").select(
+        F.col("c_custkey").alias("k")
+    )
+    stores = {}
+    for name, df in [("o", o), ("c", c)]:
+        src = str(tmp_path / f"src-{name}")
+        df.coalesce(1).write.parquet(src)
+        store = SnapshotStore(str(tmp_path / f"cm-{name}"))
+        q = stream_count_min_to_store(
+            spark.readStream.schema(df.schema).parquet(src),
+            store,
+            str(tmp_path / f"cp-{name}"),
+            "k",
+            depth=4,
+            width=256,
+        )
+        q.awaitTermination(120)
+        stores[name] = store
+
+    want = plan_join(o, c, "k", depth=4, width=256, seed="cm").collect()[0]
+    got = plan_join_from_stores(spark, stores["o"], stores["c"]).collect()[0]
+    assert tuple(got) == tuple(want) and got.advice == "broadcast_b"
