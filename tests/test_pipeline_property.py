@@ -406,3 +406,49 @@ def test_cohort_retention_matches_reference(spark, events, period):
     for _, c, o in cells:
         expect[(c, o)] = expect.get((c, o), 0) + 1
     assert got == expect
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    left_keys=st.lists(st.integers(0, 30), min_size=1, max_size=120),
+    right_keys=st.lists(st.integers(0, 30), min_size=1, max_size=60),
+    thr=st.sampled_from([1, 10, 1_000_000]),
+    how=st.sampled_from(["inner", "left"]),
+)
+def test_advised_join_always_equals_plain_join(spark, left_keys, right_keys, thr, how):
+    """Round-6 executor property: WHATEVER branch the sketch advisory picks
+    for an arbitrary key distribution and threshold (broadcast either side,
+    salted shuffle on either side's skew, plain shuffle), the result is
+    row-identical to the plain join."""
+    from cassandra_util_spark.operators.sketches import advised_join
+
+    a = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(left_keys)], "k bigint, lv bigint"
+    )
+    b = spark.createDataFrame(
+        [(k, 1000 + i) for i, k in enumerate(right_keys)], "k bigint, rv bigint"
+    )
+    got = sorted(
+        tuple(r)
+        for r in advised_join(
+            a, b, "k", how=how, broadcast_threshold_rows=thr, width=64
+        ).collect()
+    )
+    want = sorted(
+        tuple(r) for r in a.join(b, "k", how).select("k", "lv", "rv").collect()
+    )
+    assert got == want
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(keys=st.lists(st.integers(-(2**63), 2**63 - 1), min_size=1, max_size=40))
+def test_portable_token_matches_exact_arithmetic(spark, keys):
+    """Round-6 overflow-fix property: the limb-decomposed multiplicative
+    hash equals (k * KNUTH) mod 2^32 computed in unbounded Python integers,
+    for ARBITRARY int64 keys."""
+    from cassandra_util_spark.functions import portable_token
+
+    df = spark.createDataFrame([(k,) for k in keys], "k bigint")
+    rows = df.select("k", portable_token(F.col("k")).alias("t")).collect()
+    for r in rows:
+        assert r.t == (r.k * 2654435761) % 4294967296, r.k

@@ -144,3 +144,12 @@ def test_plan_join_scans_each_side_exactly_once(spark):
     # the advisory result re-scans nothing
     advisory_plan = _physical(plan_join(o, c, "k"))
     assert "Scan parquet" not in advisory_plan, advisory_plan[:1500]
+
+
+def test_advised_join_exec_plans_a_broadcast_join(spark):
+    """The executor must not just compute the right rows — the broadcast_b
+    advice has to MATERIALIZE as a BroadcastHashJoin in the physical plan
+    (a silent fall-back to sort-merge would be the 100 TB regression the
+    advisory exists to prevent)."""
+    plan = _physical(QUERIES["advised_join_exec"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
