@@ -9,6 +9,7 @@ from cassandra_util_spark.streaming.ingest import (
     applied_batch_hwm,
     applied_txn_app_id,
     resolve_txn_app_id,
+    stream_counter_deltas,
     stream_to_runstore,
 )
 from cassandra_util_spark.streaming.sketches import (
@@ -22,6 +23,7 @@ __all__ = [
     "continuous_rollup",
     "resolve_txn_app_id",
     "stream_count_min_to_store",
+    "stream_counter_deltas",
     "stream_events",
     "stream_hll_to_store",
     "stream_to_runstore",

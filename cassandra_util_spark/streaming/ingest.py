@@ -195,3 +195,65 @@ def stream_to_runstore(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_counter_deltas(
+    stream: DataFrame,
+    counters,
+    checkpoint_dir: str,
+    compact_every: Optional[int] = None,
+    available_now: bool = True,
+    query_name: str = "counter-delta-ingest",
+    txn_app_id: Optional[str] = None,
+) -> StreamingQuery:
+    """Continuously fold a stream of counter INCREMENTS into a
+    :class:`~cassandra_util_spark.operators.counters.CounterStore`.
+
+    Each micro-batch appends one additive delta run — the streaming face
+    of the multi-writer counter path (reference: Cassandra counter batches
+    ship deltas merged server-side, CQLBatch.scala:284-336; here the merge
+    happens at read/compact time).  The batch DataFrame must already carry
+    the store's key and counter columns (pre-aggregate in the stream if
+    the raw events need rolling up first).
+
+    Exactly-once under at-least-once replay uses BOTH run-store guards:
+    the run name is the batch id (an in-manifest replay is append_run's
+    no-op) and the ``_INGEST_HWM`` (txn identity + batch id, same protocol
+    as :func:`stream_to_runstore`) skips replays whose run a compaction
+    already FOLDED AWAY — for counters that replay would not merely
+    resurrect rows, it would double-count every increment in the batch,
+    the failure additive state cannot absorb.
+
+    ``compact_every=N`` folds the live delta runs after every N-th batch;
+    addition's associativity makes the fold invisible to ``totals()``, so
+    the cadence is purely a read-amplification knob.
+    """
+    if compact_every is not None and compact_every < 1:
+        raise ValueError(f"compact_every must be >= 1, got {compact_every}")
+    store = counters.store
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        app_id = txn_app_id or resolve_txn_app_id(checkpoint_dir, query_name)
+        stored_app, hwm = _read_hwm(store)
+        if stored_app is not None and stored_app != app_id:
+            raise RuntimeError(
+                f"counter store {store.root} was written by stream "
+                f"{stored_app!r}; this stream is {app_id!r} — refusing to "
+                "compare batch ids across streams. Pass txn_app_id="
+                f"{stored_app!r} to continue that sequence deliberately."
+            )
+        if batch_id <= hwm:
+            return  # replay after compaction: appending would double-count
+        counters.append_increments(batch_df, name=run_name_for_batch(batch_id))
+        _advance_batch_hwm(store, batch_id, app_id)
+        if compact_every is not None and (batch_id + 1) % compact_every == 0:
+            counters.compact(batch_df.sparkSession)
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

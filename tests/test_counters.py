@@ -110,3 +110,89 @@ def test_counter_store_validation(spark, tmp_path):
         cs.append_increments(spark.range(3))
     with pytest.raises(ValueError, match="no runs"):
         cs.totals(spark)
+
+
+def test_stream_counter_deltas_exactly_once_with_compaction(spark, tmp_path):
+    """Streaming counter maintenance: per-batch delta appends with an
+    interleaved fold must drain to EXACTLY the flat aggregation, the HWM
+    must carry the stream identity, and a replay of a batch whose run the
+    fold consumed must be skipped (an additive store cannot absorb a
+    double-append)."""
+    import os
+
+    from cassandra_util_spark.streaming.ingest import (
+        applied_batch_hwm,
+        applied_txn_app_id,
+        run_name_for_batch,
+        stream_counter_deltas,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "user_id", "event_id"
+    )
+    src = str(tmp_path / "src")
+    for i in range(3):
+        (
+            ev.filter(F.col("event_id") % 3 == i)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("hits"))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+
+    cs = CounterStore(str(tmp_path / "counters"), ["user_id"], ["hits"])
+    stream = (
+        spark.readStream.schema("user_id bigint, hits bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_counter_deltas(stream, cs, str(tmp_path / "cp"), compact_every=2)
+    q.awaitTermination(120)
+
+    got = {r["user_id"]: r["hits"] for r in cs.totals(spark).collect()}
+    want = {
+        r["user_id"]: float(r["n"])
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want and got
+    assert applied_batch_hwm(cs.store) == 2
+    assert applied_txn_app_id(cs.store) is not None
+
+    # batch 1's run was folded by the compaction after batch 1 (compact_every=2)
+    assert run_name_for_batch(1) not in cs.store.live_runs()
+    # the crash-replay guard: what process_batch checks before re-appending
+    before = dict(want)
+    if 1 > applied_batch_hwm(cs.store):  # replayed batch id 1
+        raise AssertionError("guard failed: replay would double-count")
+    assert {r["user_id"]: r["hits"] for r in cs.totals(spark).collect()} == before
+
+
+def test_counter_compact_crash_leaves_totals_intact(spark, tmp_path):
+    """Compaction crash drill: a fold that writes its output run but dies
+    BEFORE the manifest swap leaves a dead directory and the old delta
+    runs live — totals unchanged, and the next compact converges."""
+    cs = CounterStore(str(tmp_path / "counters"), ["tenant"], ["hits"])
+    for i in range(3):
+        cs.append_increments(
+            spark.createDataFrame([("a", i + 1)], "tenant string, hits bigint")
+        )
+    live_before = list(cs.store.live_runs())
+    want = {r["tenant"]: r["hits"] for r in cs.totals(spark).collect()}
+
+    # simulate the crash: perform compact's write phase only
+    folded = cs._sum_runs(spark, live_before)
+    import os
+
+    from cassandra_util_spark.core.table import KeyedTable
+
+    dead = os.path.join(cs.store.root, "c_deadfold")
+    KeyedTable(folded, cs.store.meta).clustered().write.parquet(dead)
+    # manifest untouched: the dead dir is invisible to every reader
+    assert cs.store.live_runs() == live_before
+    assert {r["tenant"]: r["hits"] for r in cs.totals(spark).collect()} == want
+
+    # recovery: a later compact folds the SAME inputs; totals invariant
+    assert cs.compact(spark) is not None
+    assert {r["tenant"]: r["hits"] for r in cs.totals(spark).collect()} == want
+    assert len(cs.store.live_runs()) == 1
