@@ -162,6 +162,16 @@ BENCH_QUERIES = [
     "join_plan_advisory",
     "advised_join_exec",
     "counter_store_totals",
+    # round 6: complete the sweep — every registered contract query is timed
+    "parts_above_avg_price",
+    "set_ops_except_intersect",
+    "retention_ttl_mixed_keys",
+    "odd_pk_filter",
+    "writetime_projection",
+    "dedup_fingerprint",
+    "paged_fetch",
+    "orders_profile",
+    "token_count_regex",
     "q2_min_cost_supplier",
     "q9_product_type_profit",
     "q11_important_stock",
