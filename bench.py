@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "join_plan_advisory",
     "advised_join_exec",
     "counter_store_totals",
+    "zorder_layout_key",
     # round 6: complete the sweep — every registered contract query is timed
     "parts_above_avg_price",
     "set_ops_except_intersect",

@@ -6391,3 +6391,49 @@ def counter_store_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         if i == 1:
             cs.compact(spark)
     return cs.totals(spark)
+
+
+@query(
+    "zorder_layout_key",
+    oracle="""
+    WITH stats AS (
+      SELECT MIN(l_orderkey) AS mno, MAX(l_orderkey) AS mxo,
+             MIN(l_partkey) AS mnp, MAX(l_partkey) AS mxp
+      FROM lineitem),
+    b AS (
+      SELECT l_orderkey, l_linenumber,
+             ((l_orderkey - mno) * 65535) // GREATEST(mxo - mno, 1) AS ba,
+             ((l_partkey - mnp) * 65535) // GREATEST(mxp - mnp, 1) AS bb
+      FROM lineitem, stats),
+    c1 AS (SELECT l_orderkey, l_linenumber,
+             (ba | (ba << 8)) & 16711935 AS sa, (bb | (bb << 8)) & 16711935 AS sb FROM b),
+    c2 AS (SELECT l_orderkey, l_linenumber,
+             (sa | (sa << 4)) & 252645135 AS sa, (sb | (sb << 4)) & 252645135 AS sb FROM c1),
+    c3 AS (SELECT l_orderkey, l_linenumber,
+             (sa | (sa << 2)) & 858993459 AS sa, (sb | (sb << 2)) & 858993459 AS sb FROM c2),
+    c4 AS (SELECT l_orderkey, l_linenumber,
+             (sa | (sa << 1)) & 1431655765 AS sa, (sb | (sb << 1)) & 1431655765 AS sb FROM c3)
+    SELECT l_orderkey, l_linenumber, CAST(sa | (sb << 1) AS BIGINT) AS zvalue
+    FROM c4
+    """,
+)
+def zorder_layout_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) layout key over (l_orderkey, l_partkey) — the
+    multi-column data-skipping sort key, hash-certified bit for bit: the
+    oracle replays the identical exact-integer bucket arithmetic and
+    shift-mask dilation cascade in SQL, so every interleaved bit of every
+    row is pinned.  ``write_zordered`` range-partitions on this key so each
+    parquet file covers a compact rectangle in (orderkey, partkey) space —
+    footer min/max stats then prune selective filters on EITHER column
+    (test_zorder_layout_prunes_on_every_column measures it against a
+    single-column sort, which cannot prune the second column at all).
+    Pure expressions over one broadcast stats row; no shuffle until the
+    layout write itself."""
+    from cassandra_util_spark.operators.zorder import zorder_key
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+    return zorder_key(li, ["l_orderkey", "l_partkey"], bits=16).select(
+        "l_orderkey", "l_linenumber", "zvalue"
+    )
