@@ -205,19 +205,40 @@ class RunStore:
         return self.meta.partition_keys[0]
 
     def _write_stats(self, spark: SparkSession, run_path: str) -> None:
+        """One column-pruned read-back of the written parquet aggregates
+        min/max for EVERY atomic column (the skip-index a run carries —
+        ClickHouse minmax-index / Iceberg manifest-stats shape) plus the
+        row count.  The legacy top-level {column, min, max} mirror of the
+        first partition key is kept so stores written by newer code stay
+        readable by older readers."""
         from pyspark.sql import functions as F
 
-        c = self._range_col
-        row = (
-            spark.read.parquet(run_path)
-            .agg(F.min(c).alias("lo"), F.max(c).alias("hi"), F.count(F.lit(1)).alias("rows"))
-            .collect()[0]
-        )
+        df = spark.read.parquet(run_path)
+        atomic = [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.typeName()
+            not in ("array", "map", "struct", "binary")
+        ]
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for c in atomic:
+            aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
+        row = df.agg(*aggs).collect()[0]
         import json
 
+        c0 = self._range_col
         with open(os.path.join(run_path, "_STATS.json"), "w") as f:
             json.dump(
-                {"column": c, "min": row["lo"], "max": row["hi"], "rows": row["rows"]},
+                {
+                    "column": c0,
+                    "min": row[f"__mn_{c0}"],
+                    "max": row[f"__mx_{c0}"],
+                    "rows": row["__rows"],
+                    "columns": {
+                        c: {"min": row[f"__mn_{c}"], "max": row[f"__mx_{c}"]}
+                        for c in atomic
+                    },
+                },
                 f,
                 default=str,
             )
@@ -238,17 +259,25 @@ class RunStore:
                 continue
         return out
 
-    def prune_runs(self, lower, upper) -> list[str]:
-        """Live runs whose key range MAY intersect [lower, upper] on the
-        first partition-key column — the leveled-read payoff: L1+ runs are
+    def prune_runs(self, lower, upper, column: Optional[str] = None) -> list[str]:
+        """Live runs whose range on ``column`` (default: the first
+        partition-key column) MAY intersect [lower, upper].  On the
+        partition key this is the leveled-read payoff: L1+ runs are
         non-overlapping, so a bounded read touches at most one run per
-        level plus all of L0.  Runs without stats (or with un-comparable
-        stats types) are kept — pruning is an optimization, never a
-        correctness bet."""
+        level plus all of L0.  On ANY OTHER atomic column it is the
+        skip-index payoff: runs whose per-column min/max excludes the bound
+        are skipped entirely — strongest when the layout correlates with
+        the column (time-ordered ingest, or a ``write_zordered``-style
+        clustered store).  Runs without stats for the column (or with
+        un-comparable stats types) are kept — pruning is an optimization,
+        never a correctness bet."""
         stats = self.run_stats()
+        col = column or self._range_col
         keep: list[str] = []
         for r in self.live_runs():
             s = stats.get(r)
+            if s is not None and col != s.get("column"):
+                s = (s.get("columns") or {}).get(col)
             if s is None or s["min"] is None:
                 keep.append(r)
                 continue
@@ -268,6 +297,7 @@ class RunStore:
         allow_schema_evolution: bool = False,
         key_lower=None,
         key_upper=None,
+        extra_bounds: Optional[dict] = None,
     ) -> DataFrame:
         """The table view: LWW across all live runs (newest writetime per
         key; the lazy merge every LSM read path performs).
@@ -278,13 +308,25 @@ class RunStore:
         column) bound the read: runs outside the range are skipped ENTIRELY
         via their stats (on a leveled store that is ~one run per level),
         and the bound is also applied as a pushed filter so partially
-        overlapping runs scan only matching row groups."""
+        overlapping runs scan only matching row groups.
+
+        ``extra_bounds`` = {column: (lo, hi)} (inclusive; either side may
+        be None) prunes on NON-KEY columns through the per-run skip-index
+        stats, then pushes the same predicates into the scan.  IMPORTANT
+        SEMANTICS: bounds filter the PRE-MERGE rows — a key whose newest
+        version falls outside the bound but whose stale version falls
+        inside would resurface the stale row, so use extra bounds only on
+        columns that are immutable per key (event time, ingest day) or on
+        append-only stores; the key bound has the same caveat and the same
+        established contract."""
         from pyspark.sql import functions as F
 
         from cassandra_util_spark.operators.merge import merge_snapshots
 
         bounded = key_lower is not None or key_upper is not None
         runs = self.prune_runs(key_lower, key_upper) if bounded else self.live_runs()
+        for col, (lo, hi) in (extra_bounds or {}).items():
+            runs = [r for r in runs if r in set(self.prune_runs(lo, hi, column=col))]
         if not runs:
             if self.live_runs():
                 # everything pruned: an empty view with the store's schema
@@ -293,13 +335,16 @@ class RunStore:
                 return empty
             raise ValueError(f"run store at {self.root} has no runs")
         dfs = [spark.read.parquet(os.path.join(self.root, r)) for r in runs]
-        if bounded:
-            c = self._range_col
+        if bounded or extra_bounds:
             cond = F.lit(True)
-            if key_lower is not None:
-                cond = cond & (F.col(c) >= F.lit(key_lower))
-            if key_upper is not None:
-                cond = cond & (F.col(c) <= F.lit(key_upper))
+            all_bounds = dict(extra_bounds or {})
+            if bounded:
+                all_bounds[self._range_col] = (key_lower, key_upper)
+            for c, (lo, hi) in all_bounds.items():
+                if lo is not None:
+                    cond = cond & (F.col(c) >= F.lit(lo))
+                if hi is not None:
+                    cond = cond & (F.col(c) <= F.lit(hi))
             dfs = [d.filter(cond) for d in dfs]
         return merge_snapshots(
             dfs, self.meta, allow_schema_evolution=allow_schema_evolution

@@ -282,3 +282,45 @@ def test_maintenance_cycle_with_retention(spark, tmp_path):
     assert final.filter(F.col("user_id") <= 5).count() == 0
     want = ev.filter(F.col("user_id") > 5).count()
     assert final.count() == want
+
+
+def test_skip_index_prunes_on_non_key_columns(spark, tmp_path):
+    """Round 6: per-run stats now cover EVERY atomic column (the
+    minmax-skip-index shape), so a bounded read on a NON-key column skips
+    disjoint runs entirely — the time-partitioned-ingest payoff where runs
+    arrive in event-time order."""
+    from cassandra_util_spark.core.table import TableMeta
+    from cassandra_util_spark.sources.runs import RunStore
+
+    meta = TableMeta(("user_id",), ("event_id",), "writetime")
+    store = RunStore(str(tmp_path / "runs"), meta)
+    # three "daily" runs: disjoint day column, overlapping user_id ranges
+    for day in (1, 2, 3):
+        df = spark.range(100).selectExpr(
+            "id as user_id",
+            f"id + {day * 1000} as event_id",
+            f"{day}L as day",
+            f"id + {day} as writetime",
+        )
+        store.append_run(df)
+
+    # skip-index stats recorded for every atomic column
+    stats = store.run_stats()
+    assert all("columns" in s and "day" in s["columns"] for s in stats.values())
+
+    # pruning on the non-key column touches exactly one run
+    assert len(store.prune_runs(2, 2, column="day")) == 1
+    assert len(store.prune_runs(None, 1, column="day")) == 1
+    assert len(store.prune_runs(2, None, column="day")) == 2
+    # unknown column: no stats -> nothing pruned (optimization, never a bet)
+    assert len(store.prune_runs(0, 0, column="nope")) == 3
+
+    # the bounded read returns exactly the day-2 rows, merged
+    got = store.read_merged(spark, extra_bounds={"day": (2, 2)})
+    assert got.count() == 100
+    assert {r["day"] for r in got.select("day").distinct().collect()} == {2}
+
+    # combined key + extra bound composes
+    both = store.read_merged(spark, key_lower=10, key_upper=19, extra_bounds={"day": (3, None)})
+    assert both.count() == 10
+    assert {r["event_id"] - r["user_id"] for r in both.collect()} == {3000}
