@@ -163,6 +163,7 @@ BENCH_QUERIES = [
     "advised_join_exec",
     "counter_store_totals",
     "zorder_layout_key",
+    "runstore_skipindex_view",
     # round 6: complete the sweep — every registered contract query is timed
     "parts_above_avg_price",
     "set_ops_except_intersect",

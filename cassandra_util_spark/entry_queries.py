@@ -6437,3 +6437,51 @@ def zorder_layout_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zorder_key(li, ["l_orderkey", "l_partkey"], bits=16).select(
         "l_orderkey", "l_linenumber", "zvalue"
     )
+
+
+@query(
+    "runstore_skipindex_view",
+    oracle="""
+    WITH runs AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(ts) AS writetime,
+             user_id % 4 AS shard
+      FROM events)
+    SELECT user_id, event_id, event_type, writetime, shard FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY user_id, event_id
+               ORDER BY writetime DESC) AS rn
+      FROM runs) WHERE rn = 1 AND shard = 2
+    """,
+)
+def runstore_skipindex_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-run SKIP INDEX read path, hash-certified: events land in
+    the store as four shard-disjoint runs (a non-key column carries the
+    shard id), and a bounded read on that NON-KEY column prunes three of
+    the four runs ENTIRELY via their per-column min/max stats before any
+    scan — the ClickHouse-minmax / Iceberg-manifest data-skipping shape on
+    the LSM store, asserted inside the query (pruning is part of the
+    certified behavior, not just the values).  The surviving run still
+    merges through the normal LWW path.  Reference anchor: the reference
+    prunes sstables by key range before scanning
+    (FilteringSSTableScanner.java:95-124); this extends that elimination
+    to any stats-covered column."""
+    import tempfile
+
+    from cassandra_util_spark.sources.runs import RunStore
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("writetime", writetime_micros(F.col("ts")))
+        .withColumn("shard", F.col("user_id") % 4)
+        .select("user_id", "event_id", "event_type", "writetime", "shard")
+    )
+    store = RunStore(
+        tempfile.mkdtemp(prefix="runstore-skip-"),
+        TableMeta(("user_id",), ("event_id",), "writetime"),
+    )
+    for s in range(4):
+        store.append_run(ev.filter(F.col("shard") == s))
+    pruned = store.prune_runs(2, 2, column="shard")
+    assert len(pruned) == 1, pruned  # the skip index is the contract
+    return store.read_merged(spark, extra_bounds={"shard": (2, 2)})
