@@ -164,6 +164,7 @@ BENCH_QUERIES = [
     "counter_store_totals",
     "zorder_layout_key",
     "runstore_skipindex_view",
+    "twcs_retention_view",
     # round 6: complete the sweep — every registered contract query is timed
     "parts_above_avg_price",
     "set_ops_except_intersect",

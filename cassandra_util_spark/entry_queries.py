@@ -6485,3 +6485,60 @@ def runstore_skipindex_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned = store.prune_runs(2, 2, column="shard")
     assert len(pruned) == 1, pruned  # the skip index is the contract
     return store.read_merged(spark, extra_bounds={"shard": (2, 2)})
+
+
+@query(
+    "twcs_retention_view",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS writetime
+      FROM events),
+    s AS (SELECT MIN(writetime) AS mn,
+                 (MAX(writetime) - MIN(writetime)) // 4 + 1 AS win FROM e)
+    SELECT user_id, event_id, event_type, writetime
+    FROM e, s WHERE (writetime - mn) // win >= 2
+    """,
+)
+def twcs_retention_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-window compaction + whole-window expiry end to end,
+    hash-certified: events land as TWO runs per quarter-span time window
+    (split by event-id parity), one ``maintain(strategy="twcs")`` cycle
+    compacts each closed window with its contemporaries and DROPS the two
+    fully-expired windows manifest-only — zero rows scanned for the
+    expiry, the Cassandra fully-expired-sstable drop that makes TWCS the
+    production pairing for the reference's deleting compaction
+    (DeletingCompactionStrategy.java:102-126 delegates bucketing to the
+    wrapped strategy).  The oracle is the pure time-range filter the
+    surviving windows imply; run/window arithmetic is exact-integer on
+    both sides.  The two span-derived scalars collected to the driver are
+    1-row bounded aggregates (the O(K) discipline)."""
+    import tempfile
+
+    from cassandra_util_spark.sources.runs import RunStore, maintain
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("writetime", writetime_micros(F.col("ts")))
+        .select("user_id", "event_id", "event_type", "writetime")
+    )
+    row = ev.agg(F.min("writetime").alias("mn"), F.max("writetime").alias("mx")).collect()[0]
+    mn, win = row["mn"], (row["mx"] - row["mn"]) // 4 + 1
+    store = RunStore(
+        tempfile.mkdtemp(prefix="runstore-twcs-"),
+        TableMeta(("user_id",), ("event_id",), "writetime"),
+    )
+    for w in range(4):
+        in_window = ev.filter(F.expr(f"(writetime - {mn}) div {win}") == w)
+        store.append_run(in_window.filter(F.col("event_id") % 2 == 0))
+        store.append_run(in_window.filter(F.col("event_id") % 2 == 1))
+    maintain(
+        store,
+        spark,
+        strategy="twcs",
+        time_col="writetime",
+        window_us=win,
+        min_threshold=2,
+        expire_before=mn + 2 * win,
+        vacuum_min_age_s=0.0,
+    )
+    return store.read_merged(spark)

@@ -568,6 +568,106 @@ def leveled_plan(
     return None
 
 
+def time_window_plan(
+    stats: dict,
+    live: list,
+    time_col: str,
+    window_us: int,
+    min_threshold: int = 2,
+) -> list:
+    """TWCS bucketing (Cassandra ``TimeWindowCompactionStrategy``): each
+    run belongs to the window of its NEWEST ``time_col`` value (from the
+    per-run skip-index stats); windows NEVER merge with each other, and the
+    newest window — still receiving flushes — is left to accumulate.
+    Returns the windows (as run-name lists) holding ≥ ``min_threshold``
+    runs, oldest window first.  Runs without stats for ``time_col`` are
+    never planned (same never-a-correctness-bet rule as pruning).
+
+    This is the strategy the reference's deleting compaction typically
+    WRAPS in production (DeletingCompactionStrategy delegates bucketing to
+    its underlying strategy, DeletingCompactionStrategy.java:102-126):
+    time-series runs compact only with their contemporaries, so old
+    windows converge to one run each and retention never rewrites them
+    again."""
+    if window_us < 1:
+        raise ValueError(f"window_us must be >= 1, got {window_us}")
+    windows: dict[int, list[str]] = {}
+    for r in live:
+        s = (stats.get(r, {}).get("columns") or {}).get(time_col)
+        if s is None or s.get("max") is None or not isinstance(s["max"], int):
+            continue
+        windows.setdefault(s["max"] // window_us, []).append(r)
+    if not windows:
+        return []
+    newest = max(windows)
+    return [
+        sorted(runs)
+        for win, runs in sorted(windows.items())
+        if win != newest and len(runs) >= min_threshold
+    ]
+
+
+def compact_time_windowed(
+    store: RunStore,
+    spark: SparkSession,
+    time_col: str,
+    window_us: int,
+    min_threshold: int = 2,
+    keep_expr: Optional[Callable[[DataFrame], DataFrame]] = None,
+) -> list[str]:
+    """One TWCS round: merge each qualifying time window into a single run
+    (LWW winners, ``keep_expr`` retention applied in-merge — the deleting-
+    compaction hook) and atomically replace the inputs.  The merged run's
+    recomputed stats land in the same window, so a second round finds the
+    window at one run and stops — the loop converges per window."""
+    from cassandra_util_spark.core.table import KeyedTable
+    from cassandra_util_spark.operators.merge import merge_snapshots
+
+    plan = time_window_plan(
+        store.run_stats(), store.live_runs(), time_col, window_us, min_threshold
+    )
+    new_runs: list[str] = []
+    for bucket in plan:
+        dfs = [spark.read.parquet(os.path.join(store.root, r)) for r in bucket]
+        merged = merge_snapshots(dfs, store.meta, allow_schema_evolution=True)
+        if keep_expr is not None:
+            merged = keep_expr(merged)
+        run = store._next_run()
+        path = os.path.join(store.root, run)
+        KeyedTable(merged, store.meta).clustered().write.parquet(path)
+        store._write_stats(spark, path)
+        with store.locked():
+            live = [r for r in store.live_runs() if r not in set(bucket)]
+            store._swap_manifest([*live, run])
+        new_runs.append(run)
+    return new_runs
+
+
+def drop_expired_windows(store: RunStore, time_col: str, cutoff: int) -> list[str]:
+    """Remove every run whose ENTIRE ``time_col`` range is older than
+    ``cutoff`` — WITHOUT scanning a row.  This is Cassandra's
+    fully-expired-sstable drop, the reason operators run TWCS under
+    time-based retention: once a window ages out, its (single, compacted)
+    run disappears with a manifest swap, not a rewrite.  Only the
+    skip-index stats are consulted; a run with no stats for ``time_col``
+    (or a max AT/after the cutoff) is kept and left to row-level
+    retention.  Returns the dropped run names; directories remain for
+    :func:`vacuum_dead_runs`, so concurrent readers holding the old
+    manifest stay consistent."""
+    stats = store.run_stats()
+    victims = []
+    for r in store.live_runs():
+        s = (stats.get(r, {}).get("columns") or {}).get(time_col)
+        if s is not None and isinstance(s.get("max"), int) and s["max"] < cutoff:
+            victims.append(r)
+    if victims:
+        with store.locked():
+            store._swap_manifest(
+                [r for r in store.live_runs() if r not in set(victims)]
+            )
+    return victims
+
+
 def _dir_mtime(path: str) -> float:
     return os.path.getmtime(path)
 
@@ -609,31 +709,52 @@ def maintain(
     strategy: str = "stcs",
     run_target_bytes: int = 128 << 20,
     fanout: int = 10,
+    time_col: Optional[str] = None,
+    window_us: int = 86_400_000_000,
+    expire_before: Optional[int] = None,
 ) -> dict:
     """One maintenance cycle — the ops loop the reference runs inside
     Cassandra's compaction daemon: repeat compaction (with the retention
     ``keep_expr`` applied during each merge, exactly where the reference's
     convictors run) until no bucket/level qualifies, then vacuum dead
-    runs.  ``strategy``: "stcs" (size-tiered buckets) or "leveled"
+    runs.  ``strategy``: "stcs" (size-tiered buckets), "leveled"
     (:meth:`RunStore.compact_leveled` — non-overlapping levels, pruned
-    bounded reads).  ``max_rounds`` bounds the loop — both strategies
-    converge (every merge strictly reduces run count at a level), but a
-    bound beats a proof in an ops loop.
+    bounded reads), or "twcs" (:func:`compact_time_windowed` —
+    time-window buckets on ``time_col``/``window_us``; with
+    ``expire_before`` set, fully-expired runs are dropped manifest-only
+    FIRST via :func:`drop_expired_windows`, so aged-out windows cost zero
+    scan).  ``max_rounds`` bounds the loop — every strategy converges
+    (each merge strictly reduces run count in its bucket), but a bound
+    beats a proof in an ops loop.
 
     Returns a summary dict: rounds run, runs merged, runs before/after,
-    dead runs vacuumed.
+    dead runs vacuumed (plus expired-dropped runs for twcs).
     """
-    if strategy not in ("stcs", "leveled"):
-        raise ValueError(f"unknown strategy {strategy!r}: stcs | leveled")
+    if strategy not in ("stcs", "leveled", "twcs"):
+        raise ValueError(f"unknown strategy {strategy!r}: stcs | leveled | twcs")
+    if strategy == "twcs" and time_col is None:
+        raise ValueError("strategy='twcs' requires time_col")
     before = len(store.live_runs())
     rounds = 0
     merged: list[str] = []
+    expired: list[str] = []
+    if strategy == "twcs" and expire_before is not None:
+        expired = drop_expired_windows(store, time_col, expire_before)
     for _ in range(max_rounds):
         if strategy == "stcs":
             new = store.compact(
                 spark,
                 min_threshold=min_threshold,
                 max_threshold=max_threshold,
+                keep_expr=keep_expr,
+            )
+        elif strategy == "twcs":
+            new = compact_time_windowed(
+                store,
+                spark,
+                time_col=time_col,
+                window_us=window_us,
+                min_threshold=min_threshold,
                 keep_expr=keep_expr,
             )
         else:
@@ -649,10 +770,13 @@ def maintain(
         merged.extend(new)
         rounds += 1
     vacuumed = vacuum_dead_runs(store, min_age_s=vacuum_min_age_s)
-    return {
+    out = {
         "rounds": rounds,
         "merged_runs": merged,
         "runs_before": before,
         "runs_after": len(store.live_runs()),
         "vacuumed": vacuumed,
     }
+    if strategy == "twcs":
+        out["expired_dropped"] = expired
+    return out
