@@ -126,8 +126,21 @@ def stream_to_runstore(
     available_now: bool = True,
     query_name: str = "runstore-ingest",
     txn_app_id: Optional[str] = None,
+    time_col: Optional[str] = None,
+    window_us: int = 86_400_000_000,
+    retention_us: Optional[int] = None,
 ) -> StreamingQuery:
     """Continuously flush a stream into ``store`` as L0 runs.
+
+    ``strategy="twcs"`` (requires ``time_col``) is the time-series
+    production shape: maintenance compacts each closed time window with
+    its contemporaries, and with ``retention_us`` set the expiry cutoff
+    TRACKS EVENT TIME — each cycle computes ``max(time_col over run
+    stats) − retention_us`` from the per-run skip index (driver-side
+    metadata, no scan) and drops fully-aged windows manifest-only.  The
+    whole retention life-cycle of an old window is therefore one pointer
+    swap, never a rewrite — Cassandra's TWCS + fully-expired-sstable drop
+    under the reference's deleting wrapper.
 
     ``txn_app_id`` names the logical stream for the replay guard (default:
     the checkpoint's persisted query id via :func:`resolve_txn_app_id`).
@@ -152,6 +165,21 @@ def stream_to_runstore(
     """
     if maintain_every is not None and maintain_every < 1:
         raise ValueError(f"maintain_every must be >= 1, got {maintain_every}")
+    if strategy == "twcs" and time_col is None:
+        raise ValueError("strategy='twcs' requires time_col")
+
+    def _event_time_cutoff() -> Optional[int]:
+        if retention_us is None:
+            return None
+        highs = [
+            s["max"]
+            for s in (
+                (st.get("columns") or {}).get(time_col)
+                for st in store.run_stats().values()
+            )
+            if s is not None and isinstance(s.get("max"), int)
+        ]
+        return max(highs) - retention_us if highs else None
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         app_id = txn_app_id or resolve_txn_app_id(checkpoint_dir, query_name)
@@ -185,6 +213,9 @@ def stream_to_runstore(
                 min_threshold=min_threshold,
                 run_target_bytes=run_target_bytes,
                 vacuum_min_age_s=0.0,
+                time_col=time_col,
+                window_us=window_us,
+                expire_before=_event_time_cutoff(),
             )
 
     writer = (

@@ -114,3 +114,45 @@ def test_maintain_twcs_cycle(spark, tmp_path):
         maintain(store, spark, strategy="twcs")
     with pytest.raises(ValueError, match="stcs | leveled | twcs"):
         maintain(store, spark, strategy="nope")
+
+
+def test_streaming_twcs_event_time_retention(spark, tmp_path):
+    """The streaming production shape: micro-batches flush in event-time
+    order, TWCS maintenance interleaves, and the expiry cutoff follows
+    max-event-time − retention from the skip-index stats — old windows
+    leave by manifest swap with zero rows scanned."""
+    import os
+
+    from cassandra_util_spark.streaming.ingest import stream_to_runstore
+
+    src = str(tmp_path / "src")
+    for h in (0, 1, 2, 7):  # four hourly batches, the last far ahead
+        _run_df(spark, 0, 40, h).coalesce(1).write.mode("append").parquet(src)
+
+    meta = TableMeta(("user_id",), ("event_id",), "writetime")
+    store = RunStore(str(tmp_path / "runs"), meta)
+    stream = (
+        spark.readStream.schema(
+            "user_id bigint, event_id bigint, event_type string, writetime bigint"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    q = stream_to_runstore(
+        stream, store, str(tmp_path / "cp"),
+        maintain_every=2, strategy="twcs", min_threshold=2,
+        time_col="writetime", window_us=HOUR, retention_us=3 * HOUR,
+    )
+    q.awaitTermination(180)
+
+    # after the batch-7 cycle: cutoff = (7*HOUR + 39) - 3*HOUR -> hours
+    # 0..3 fully aged; hours 0,1,2 runs dropped without scan
+    view = store.read_merged(spark)
+    assert view.agg(F.min("writetime")).collect()[0][0] >= 7 * HOUR
+    assert view.count() == 40
+
+    import pytest
+
+    with pytest.raises(ValueError, match="requires time_col"):
+        stream_to_runstore(stream, store, str(tmp_path / "cp2"), strategy="twcs")
