@@ -382,8 +382,12 @@ class RunStore:
             path = os.path.join(self.root, run)
             KeyedTable(merged, self.meta).clustered().write.parquet(path)
             self._write_stats(spark, path)
-            live = [r for r in self.live_runs() if r not in bucket]
-            self._swap_manifest([*live, run])
+            # publish under the manifest lock, re-reading the live set: a
+            # writer appending concurrently with this maintenance pass must
+            # not have its just-published run dropped by a stale-list swap
+            with self.locked():
+                live = [r for r in self.live_runs() if r not in bucket]
+                self._swap_manifest([*live, run])
             new_runs.append(run)
         return new_runs
 
@@ -465,15 +469,25 @@ class RunStore:
         )
         # ONE stats job for every chunk (groupBy the partition column of the
         # staged layout) instead of one read-back job per chunk — at hundreds
-        # of chunks per merge the per-job latency dominated the merge itself
+        # of chunks per merge the per-job latency dominated the merge itself.
+        # Aggregates min/max for EVERY atomic column so leveled chunks carry
+        # the same skip index appends do (round 6).
         c = self._range_col
+        staged = spark.read.option("basePath", stage).parquet(
+            *(os.path.join(stage, d) for d in chunks)
+        )
+        atomic = [
+            f.name
+            for f in staged.schema.fields
+            if f.name != "__chunk"
+            and f.dataType.typeName() not in ("array", "map", "struct", "binary")
+        ]
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for col in atomic:
+            aggs += [F.min(col).alias(f"__mn_{col}"), F.max(col).alias(f"__mx_{col}")]
         stat_rows = {
             int(r["__chunk"]): r
-            for r in spark.read.option("basePath", stage)
-            .parquet(*(os.path.join(stage, d) for d in chunks))
-            .groupBy("__chunk")
-            .agg(F.min(c).alias("lo"), F.max(c).alias("hi"), F.count(F.lit(1)).alias("rows"))
-            .collect()
+            for r in staged.groupBy("__chunk").agg(*aggs).collect()
         }
         import json as _json
 
@@ -484,7 +498,16 @@ class RunStore:
             row = stat_rows[int(d.split("=")[1])]
             with open(os.path.join(path, "_STATS.json"), "w") as f:
                 _json.dump(
-                    {"column": c, "min": row["lo"], "max": row["hi"], "rows": row["rows"]},
+                    {
+                        "column": c,
+                        "min": row[f"__mn_{c}"],
+                        "max": row[f"__mx_{c}"],
+                        "rows": row["__rows"],
+                        "columns": {
+                            col: {"min": row[f"__mn_{col}"], "max": row[f"__mx_{col}"]}
+                            for col in atomic
+                        },
+                    },
                     f,
                     default=str,
                 )
@@ -492,8 +515,10 @@ class RunStore:
             levels[run] = target_level
             # publish incrementally-named runs only after ALL chunks land
         shutil.rmtree(stage, ignore_errors=True)
-        live = [r for r in self.live_runs() if r not in set(inputs)]
-        self._swap_manifest([*live, *new_runs], levels=levels)
+        # manifest lock: see append_run/compact — concurrent appends survive
+        with self.locked():
+            live = [r for r in self.live_runs() if r not in set(inputs)]
+            self._swap_manifest([*live, *new_runs], levels=levels)
         return new_runs
 
 

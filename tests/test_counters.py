@@ -196,3 +196,39 @@ def test_counter_compact_crash_leaves_totals_intact(spark, tmp_path):
     assert cs.compact(spark) is not None
     assert {r["tenant"]: r["hits"] for r in cs.totals(spark).collect()} == want
     assert len(cs.store.live_runs()) == 1
+
+
+def test_compaction_swap_preserves_concurrent_append(spark, tmp_path):
+    """Maintenance passes publish under the same manifest lock as appends:
+    a run published between a compaction's input-read and its swap must
+    survive.  Simulated by appending through a second handle after the
+    compaction inputs are fixed (the lock makes the swap re-read live)."""
+    from cassandra_util_spark.core.table import TableMeta
+    from cassandra_util_spark.sources.runs import RunStore
+
+    meta = TableMeta(("k",), (), "wt")
+    s_maint = RunStore(str(tmp_path / "runs"), meta)
+    s_writer = RunStore(str(tmp_path / "runs"), meta)
+    df = spark.range(50).selectExpr("id as k", "id as wt")
+    for _ in range(4):
+        s_maint.append_run(df)
+
+    # inject the interleaved append INSIDE the compaction, after its plan
+    # fixed the inputs but before its manifest swap: hook the stats write
+    # of the merged output (the last step before publish)
+    late_df = df.selectExpr("k + 100 as k", "wt")
+    orig_write_stats = s_maint._write_stats
+    fired = []
+
+    def hook(spark_arg, path):
+        orig_write_stats(spark_arg, path)
+        if not fired:
+            fired.append(True)
+            s_writer.append_run(late_df, name="late")
+
+    s_maint._write_stats = hook
+    new = s_maint.compact(spark, min_threshold=4)
+    # before the lock fix, the stale-list swap dropped "late" from the
+    # manifest (its data directory orphaned) — now both survive
+    assert new and fired and "late" in s_maint.live_runs()
+    assert s_maint.read_merged(spark).count() == 100  # 50 keys + 50 shifted
