@@ -375,3 +375,32 @@ def test_leveled_merge_crash_mid_stage_is_invisible_and_rerun_converges(
     levels = store.live_levels()
     assert all(lv == 1 for lv in levels.values())
     assert {tuple(r) for r in store.read_merged(spark).collect()} == before
+
+
+def test_leveled_outputs_keep_full_skip_index(spark, tmp_path):
+    """Round 6: leveled chunk runs must carry per-column min/max stats
+    (the skip index) just like appended runs — pruning on a non-key
+    column has to keep working after a store levels."""
+    from cassandra_util_spark.core.table import TableMeta
+    from cassandra_util_spark.sources.runs import RunStore
+
+    meta = TableMeta(("user_id",), ("event_id",), "writetime")
+    store = RunStore(str(tmp_path / "runs"), meta)
+    for day in (1, 2):
+        store.append_run(
+            spark.range(400).selectExpr(
+                "id as user_id",
+                f"id + {day * 1000} as event_id",
+                f"{day}L as day",
+                "id as writetime",
+            )
+        )
+    new = store.compact_leveled(spark, run_target_bytes=8 << 10, min_threshold=2)
+    assert new
+    stats = store.run_stats()
+    for r in new:
+        assert "columns" in stats[r] and "day" in stats[r]["columns"], stats[r]
+    # the non-key-column read path still prunes/filters correctly
+    got = store.read_merged(spark, extra_bounds={"day": (2, 2)})
+    assert got.count() == 400
+    assert {r["day"] for r in got.select("day").distinct().collect()} == {2}
