@@ -713,6 +713,49 @@ def advised_join(
     data shape decided before execution; this routes the join the same
     way.
     """
+    st = _plan_join_stats(a, b, key_col, depth, width, seed, hash_fn)
+    return _execute_advice(a, b, key_col, how, st, skew_factor,
+                           broadcast_threshold_rows, max_salt_buckets)
+
+
+def advised_join_from_stores(
+    a: DataFrame,
+    b: DataFrame,
+    key_col: str,
+    store_a,
+    store_b,
+    how: str = "inner",
+    depth: int = 4,
+    width: int = 256,
+    broadcast_threshold_rows: int = 1_000_000,
+    skew_factor: int = 16,
+    max_salt_buckets: int = 64,
+) -> DataFrame:
+    """:func:`advised_join` with the plan decided from two PERSISTED
+    sketch stores (:func:`plan_join_from_stores`) — the join pays ZERO
+    planning scans: the stream already maintained the sketches, so routing
+    ``a ⨝ b`` costs two bounded store reads plus the join itself.  The
+    stores must hold CM sketches of the SAME key columns this call joins
+    on (and the same depth/width), which the caller owns — a sketch of a
+    different column routes the join suboptimally but never incorrectly
+    (every branch is row-identical by construction)."""
+    ca = _collect_cm_counters(store_a.read(a.sparkSession), depth, width)
+    cb = _collect_cm_counters(store_b.read(b.sparkSession), depth, width)
+    st = _stats_from_counters(ca, cb, width)
+    return _execute_advice(a, b, key_col, how, st, skew_factor,
+                           broadcast_threshold_rows, max_salt_buckets)
+
+
+def _execute_advice(
+    a: DataFrame,
+    b: DataFrame,
+    key_col: str,
+    how: str,
+    st: dict,
+    skew_factor: int,
+    broadcast_threshold_rows: int,
+    max_salt_buckets: int,
+) -> DataFrame:
     import math
 
     from cassandra_util_spark.functions.skew import salted_join
@@ -722,7 +765,6 @@ def advised_join(
     dup = (set(a.columns) & set(b.columns)) - {key_col}
     if dup:
         raise ValueError(f"non-key columns appear on both sides: {sorted(dup)}")
-    st = _plan_join_stats(a, b, key_col, depth, width, seed, hash_fn)
     advice = _join_advice(st, broadcast_threshold_rows, skew_factor)
     out_cols = (
         [key_col]
@@ -751,3 +793,11 @@ def advised_join(
     else:
         out = a.join(b, key_col, how)
     return out.select(*out_cols)
+
+
+def hll_estimate_from_store(store, spark, p: int = 9) -> DataFrame:
+    """Cardinality estimate straight off a stream-maintained HLL register
+    store (``stream_hll_to_store``) — the gate-from-store pattern for
+    distinct counts: consumers never rescan the stream, they read ≤ 2^p
+    register rows and run the exact-integer harmonic estimate."""
+    return hll_estimate(store.read(spark), p)

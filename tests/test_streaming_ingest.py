@@ -402,3 +402,56 @@ def test_plan_join_from_stores_equals_plan_join(spark, tmp_path):
     want = plan_join(o, c, "k", depth=4, width=256, seed="cm").collect()[0]
     got = plan_join_from_stores(spark, stores["o"], stores["c"]).collect()[0]
     assert tuple(got) == tuple(want) and got.advice == "broadcast_b"
+
+
+def test_store_backed_executor_and_hll_estimate(spark, tmp_path):
+    """advised_join_from_stores routes the join from persisted sketches
+    with rows identical to the plain join; hll_estimate_from_store equals
+    the estimate over the freshly-built registers."""
+    from cassandra_util_spark.operators.sketches import (
+        advised_join_from_stores,
+        hll_build,
+        hll_estimate,
+        hll_estimate_from_store,
+    )
+    from cassandra_util_spark.sources.snapshots import SnapshotStore
+    from cassandra_util_spark.streaming.sketches import (
+        stream_count_min_to_store,
+        stream_hll_to_store,
+    )
+
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        F.col("o_custkey").alias("k"), F.col("o_totalprice").alias("price")
+    )
+    c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet").select(
+        F.col("c_custkey").alias("k"), "c_mktsegment"
+    )
+    stores = {}
+    for name, df in [("o", o), ("c", c)]:
+        src = str(tmp_path / f"src-{name}")
+        df.select("k").coalesce(1).write.parquet(src)
+        store = SnapshotStore(str(tmp_path / f"cm-{name}"))
+        stream_count_min_to_store(
+            spark.readStream.schema("k bigint").parquet(src),
+            store, str(tmp_path / f"cp-{name}"), "k", depth=4, width=256,
+        ).awaitTermination(120)
+        stores[name] = store
+
+    got = {
+        tuple(r)
+        for r in advised_join_from_stores(o, c, "k", stores["o"], stores["c"]).collect()
+    }
+    want = {
+        tuple(r)
+        for r in o.join(c, "k").select("k", "price", "c_mktsegment").collect()
+    }
+    assert got == want and got
+
+    hll_store = SnapshotStore(str(tmp_path / "hll"))
+    stream_hll_to_store(
+        spark.readStream.schema("k bigint").parquet(str(tmp_path / "src-o")),
+        hll_store, str(tmp_path / "cp-hll"), "k", p=8,
+    ).awaitTermination(120)
+    got_est = hll_estimate_from_store(hll_store, spark, p=8).collect()[0]
+    want_est = hll_estimate(hll_build(o, "k", p=8), p=8).collect()[0]
+    assert tuple(got_est) == tuple(want_est)
