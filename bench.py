@@ -181,6 +181,11 @@ BENCH_QUERIES = [
     "q16_parts_supplier_relation",
     "q20_potential_promotion",
     "cluster_aware_split",
+    # round 7: z-order-unified run store, scale-safe semantic dedup,
+    # streaming TWCS life-cycle
+    "runstore_zorder_2d",
+    "semantic_dedup_scaled",
+    "twcs_streaming_view",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash
     # swapped to xxhash64 — the production configuration at scale

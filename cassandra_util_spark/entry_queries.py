@@ -6542,3 +6542,234 @@ def twcs_retention_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         vacuum_min_age_s=0.0,
     )
     return store.read_merged(spark)
+
+
+# ---------------------------------------------------------------------------
+# Round 7: z-order unified with the run store, scale-safe semantic dedup,
+# and the streaming TWCS cycle as a certified query (VERDICT r6 tasks 3-5)
+# ---------------------------------------------------------------------------
+
+@query(
+    "runstore_zorder_2d",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS writetime,
+             user_id % 256 AS ux, event_id % 256 AS ex
+      FROM events),
+    s AS (SELECT MIN(writetime) AS mn,
+                 (MAX(writetime) - MIN(writetime)) // 4 + 1 AS win FROM e)
+    SELECT user_id, event_id, event_type, writetime, ux, ex
+    FROM e, s
+    WHERE (writetime - mn) // win >= 2 AND ux <= 63 AND ex <= 63
+    """,
+)
+def runstore_zorder_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout UNIFIED with the run store (VERDICT r6 task 4): four
+    quarter-span time runs land via ``append_run(zorder_by=["ux","ex"])``,
+    and a 3-D bounded read then prunes at BOTH granularities — the
+    per-run skip index eliminates two whole runs on the time bound
+    (driver-side metadata, zero scan), and inside each surviving run the
+    Morton file layout gives every file a compact rectangle in (ux, ex)
+    space, so the 2-D conjunction skips files on EACH dimension
+    independently (asserted from the parquet footer stats — the pruning
+    is part of the certified behavior, not just the values).  The oracle
+    is the pure 3-predicate filter the surviving layout implies; window
+    arithmetic is exact-integer on both sides, and the span scalars are
+    one bounded 1-row aggregate (the O(K) discipline).  Reference anchor:
+    the reference prunes sstables along their single clustering dimension
+    (FilteringSSTableScanner.java:95-124, DeletingCompactionStrategy.java:
+    102-126 delegating scan choice to the layout-aware strategy); the
+    z-ordered run generalizes that elimination to two columns at once."""
+    import tempfile
+
+    from cassandra_util_spark.operators.zorder import zorder_file_stats
+    from cassandra_util_spark.sources.runs import RunStore
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("writetime", writetime_micros(F.col("ts")))
+        .withColumn("ux", F.col("user_id") % 256)
+        .withColumn("ex", F.col("event_id") % 256)
+        .select("user_id", "event_id", "event_type", "writetime", "ux", "ex")
+    )
+    row = ev.agg(F.min("writetime").alias("mn"), F.max("writetime").alias("mx")).collect()[0]
+    mn, win = row["mn"], (row["mx"] - row["mn"]) // 4 + 1
+    store = RunStore(
+        tempfile.mkdtemp(prefix="runstore-z2d-"),
+        TableMeta(("user_id",), ("event_id",), "writetime"),
+    )
+    for w in range(4):
+        store.append_run(
+            ev.filter(F.expr(f"(writetime - {mn}) div {win}") == w),
+            zorder_by=["ux", "ex"],
+            zorder_files=8,
+        )
+    # run-level pruning: the time bound eliminates the two old runs via the
+    # skip index before any scan
+    cut = mn + 2 * win
+    pruned = store.prune_runs(cut, None, column="writetime")
+    assert len(pruned) == 2, pruned
+    # file-level pruning: inside each surviving run the Morton layout must
+    # let EACH z-dimension eliminate files on its own, and the 2-D
+    # conjunction must touch a strict minority of the run's files
+    import os as _os
+
+    for r in pruned:
+        st = zorder_file_stats(_os.path.join(store.root, r), ["ux", "ex"])
+        ux_skip = [f for f in st if f["ux_min"] > 63]
+        ex_skip = [f for f in st if f["ex_min"] > 63]
+        hit = [f for f in st if f["ux_min"] <= 63 and f["ex_min"] <= 63]
+        assert ux_skip and ex_skip, st
+        assert len(hit) < len(st), st
+    return store.read_merged(
+        spark,
+        extra_bounds={"writetime": (cut, None), "ux": (None, 63), "ex": (None, 63)},
+    )
+
+
+@query(
+    "semantic_dedup_scaled",
+    oracle="""
+    WITH RECURSIVE
+    corpus AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    seeds AS (
+      SELECT vec_id AS cell, v AS cv FROM corpus
+      ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+      LIMIT (SELECT greatest(2, count(*) // 16) FROM corpus)),
+    assigned AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT c.vec_id, c.v, s.cell,
+               row_number() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY round(CASE WHEN isnan(list_cosine_similarity(c.v, s.cv))
+                                     THEN 0 ELSE list_cosine_similarity(c.v, s.cv)
+                                END, 4) DESC, s.cell ASC) AS rn
+        FROM corpus c CROSS JOIN seeds s) WHERE rn = 1),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM assigned a JOIN assigned b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs),
+    reach(id, root) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.id),
+    comp AS (SELECT id, min(root) AS comp FROM reach GROUP BY id)
+    SELECT c.vec_id,
+           coalesce(cm.comp, c.vec_id) AS cluster,
+           c.vec_id = coalesce(cm.comp, c.vec_id) AS keep
+    FROM corpus c LEFT JOIN comp cm ON cm.id = c.vec_id
+    """,
+)
+def semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-SAFE semantic-dedup configuration, hash-certified
+    (VERDICT r6 task 3): ``num_centroids`` follows the corpus —
+    K = max(2, N/16) — instead of the fixed K=16 the original contract
+    query pins for its oracle.  SCALING.md measured fixed-K as the one
+    superlinear stage in the suite (Σ|cell|² grows quadratically when K
+    stands still; K∝n restored the linear regime, 2.2× faster at 10×
+    data), so this is the configuration users should actually run at
+    corpus scale, now under the same DuckDB hash oracle as the K=16 row:
+    the oracle's LIMIT is the identical count-derived K (a subquery —
+    exact at every scale factor), and seed selection, argmax assignment,
+    in-cell pair scoring, and transitive closure replay bit-identically.
+    The count that sizes K on the Spark side is one bounded 1-row
+    aggregate."""
+    from cassandra_util_spark.operators.similarity import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings")
+    n = e.count()
+    return semantic_dedup(
+        e, "vec_id", "embedding",
+        num_centroids=max(2, n // 16), threshold=0.4, refine_iters=0,
+    )
+
+
+@query(
+    "twcs_streaming_view",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS writetime
+      FROM events),
+    s AS (SELECT MIN(writetime) AS mn, MAX(writetime) AS mx,
+                 (MAX(writetime) - MIN(writetime)) // 4 + 1 AS win FROM e),
+    w AS (SELECT (writetime - mn) // win AS wid, MAX(writetime) AS wmax
+          FROM e, s GROUP BY 1),
+    live AS (SELECT wid FROM w, s WHERE wmax >= mx - 2 * win)
+    SELECT user_id, event_id, event_type, writetime
+    FROM e, s
+    WHERE (writetime - mn) // win IN (SELECT wid FROM live)
+    """,
+)
+def twcs_streaming_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full streaming TWCS life-cycle as one certified query (VERDICT
+    r6 task 5): events replay through a REAL Structured Streaming source
+    (file source, one quarter-span micro-batch per trigger) into
+    ``stream_to_runstore(strategy="twcs", retention_us=2·win)``;
+    maintenance interleaves every second batch, window-compacts closed
+    windows with their contemporaries, and the expiry cutoff TRACKS EVENT
+    TIME — ``max(writetime over run stats) − retention`` from the per-run
+    skip index, so each aged window leaves by manifest swap with zero
+    rows scanned.  The oracle replays the exact expiry rule: a window
+    survives iff its OBSERVED max event time is ≥ final-cutoff (windows
+    whose data never reaches the cutoff frontier age out even when their
+    nominal span straddles it).  End-state determinism does not depend on
+    batch arrival order: a window's data arrives in exactly one batch, a
+    window dropped at an intermediate cycle satisfies the final rule too
+    (intermediate cutoffs only lag the final one), and the final
+    maintenance cycle applies the global cutoff.  Reference anchor:
+    Cassandra TWCS + fully-expired-sstable drop is the production pairing
+    for the reference's deleting compaction
+    (DeletingCompactionStrategy.java:102-126 delegates bucketing to the
+    wrapped strategy); the streaming drain models its flush cadence."""
+    import tempfile
+
+    from cassandra_util_spark.sources.runs import RunStore
+    from cassandra_util_spark.streaming.ingest import stream_to_runstore
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("writetime", writetime_micros(F.col("ts")))
+        .select("user_id", "event_id", "event_type", "writetime")
+    )
+    row = ev.agg(F.min("writetime").alias("mn"), F.max("writetime").alias("mx")).collect()[0]
+    mn, win = row["mn"], (row["mx"] - row["mn"]) // 4 + 1
+    src = tempfile.mkdtemp(prefix="twcs-stream-src-")
+    for w in range(4):  # one quarter-span file per micro-batch
+        (
+            ev.filter(F.expr(f"(writetime - {mn}) div {win}") == w)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+    store = RunStore(
+        tempfile.mkdtemp(prefix="runstore-twcs-stream-"),
+        TableMeta(("user_id",), ("event_id",), "writetime"),
+    )
+    stream = (
+        spark.readStream.schema(
+            "user_id bigint, event_id bigint, event_type string, writetime bigint"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    q = stream_to_runstore(
+        stream,
+        store,
+        tempfile.mkdtemp(prefix="twcs-stream-cp-"),
+        maintain_every=2,
+        strategy="twcs",
+        min_threshold=2,
+        time_col="writetime",
+        window_us=win,
+        retention_us=2 * win,
+    )
+    q.awaitTermination(300)
+    return store.read_merged(spark)

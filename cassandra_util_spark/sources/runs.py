@@ -169,7 +169,14 @@ class RunStore:
             out[r] = total
         return out
 
-    def append_run(self, df: DataFrame, name: Optional[str] = None) -> str:
+    def append_run(
+        self,
+        df: DataFrame,
+        name: Optional[str] = None,
+        zorder_by: Optional[list[str]] = None,
+        zorder_bits: int = 16,
+        zorder_files: int = 16,
+    ) -> str:
         """Write a new run (clustered by the key layout) and publish it.
         The write is invisible until the manifest swap — a failed job
         leaves a dead directory, never a half-visible run.  Key-range stats
@@ -180,15 +187,42 @@ class RunStore:
         ``name`` makes the append IDEMPOTENT for retrying writers (the
         streaming ingest path names runs by micro-batch id): an already-
         published name is a no-op, and a dead directory from a crashed
-        earlier attempt is overwritten rather than duplicated."""
+        earlier attempt is overwritten rather than duplicated.
+
+        ``zorder_by`` (2 or 3 numeric columns) lays the run's FILES out in
+        Morton order instead of key-clustered order: the run-LEVEL skip
+        index is layout-independent (whole-run min/max per column either
+        way), but each file inside the run becomes a compact rectangle in
+        the z-columns' space, so a ``read_merged(extra_bounds=...)``
+        predicate on ANY z-column — and especially a 2-D conjunction —
+        prunes row groups INSIDE the runs the skip index could not
+        eliminate.  The LWW merge is layout-agnostic (it shuffles on the
+        key), so z-ordered and key-clustered runs coexist in one store.
+        Reference anchor: the reference prunes sstables by their one
+        clustering dimension (DeletingCompactionStrategy.java:102-126
+        delegates the key-range scan choice to the layout-aware strategy);
+        z-order generalizes that elimination to multiple columns."""
         run = name if name is not None else self._next_run()
         if name is not None and run in self.live_runs():
             return run
         path = os.path.join(self.root, run)
-        KeyedTable(df, self.meta).clustered().write.mode(
-            "overwrite" if name is not None else "errorifexists"
-        ).parquet(path)
-        self._write_stats(df.sparkSession, path)
+        mode = "overwrite" if name is not None else "errorifexists"
+        if zorder_by:
+            from pyspark.sql import functions as F
+
+            from cassandra_util_spark.operators.zorder import zorder_key
+
+            keyed = zorder_key(df, list(zorder_by), zorder_bits)
+            (
+                keyed.repartitionByRange(zorder_files, F.col("zvalue"))
+                .sortWithinPartitions("zvalue")
+                .drop("zvalue")
+                .write.mode(mode)
+                .parquet(path)
+            )
+        else:
+            KeyedTable(df, self.meta).clustered().write.mode(mode).parquet(path)
+        self._write_stats(df.sparkSession, path, zorder_by=zorder_by)
         # publish under the manifest lock, re-reading the live set: a second
         # writer may have appended between our read and our swap, and a
         # stale-list swap would silently drop their run from the manifest
@@ -204,13 +238,20 @@ class RunStore:
     def _range_col(self) -> str:
         return self.meta.partition_keys[0]
 
-    def _write_stats(self, spark: SparkSession, run_path: str) -> None:
+    def _write_stats(
+        self,
+        spark: SparkSession,
+        run_path: str,
+        zorder_by: Optional[list[str]] = None,
+    ) -> None:
         """One column-pruned read-back of the written parquet aggregates
         min/max for EVERY atomic column (the skip-index a run carries —
         ClickHouse minmax-index / Iceberg manifest-stats shape) plus the
         row count.  The legacy top-level {column, min, max} mirror of the
         first partition key is kept so stores written by newer code stay
-        readable by older readers."""
+        readable by older readers.  ``zorder_by`` records layout
+        provenance (which columns the run's files are Morton-ordered on)
+        so an operator can see WHY a run prunes well on those columns."""
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(run_path)
@@ -238,6 +279,7 @@ class RunStore:
                         c: {"min": row[f"__mn_{c}"], "max": row[f"__mx_{c}"]}
                         for c in atomic
                     },
+                    **({"zorder": list(zorder_by)} if zorder_by else {}),
                 },
                 f,
                 default=str,

@@ -324,3 +324,60 @@ def test_skip_index_prunes_on_non_key_columns(spark, tmp_path):
     both = store.read_merged(spark, key_lower=10, key_upper=19, extra_bounds={"day": (3, None)})
     assert both.count() == 10
     assert {r["event_id"] - r["user_id"] for r in both.collect()} == {3000}
+
+
+def test_zordered_append_same_view_and_2d_file_pruning(spark, tmp_path):
+    """``append_run(zorder_by=...)`` changes the FILE layout, never the
+    view: the LWW merge over a z-ordered store is row-identical to the
+    key-clustered store, the run stats record layout provenance, and the
+    Morton layout's payoff is measurable — inside a run, files can be
+    eliminated on EACH z-column independently (footer min/max rectangles),
+    which the key-clustered layout cannot do for a non-leading column."""
+    import json
+    import os
+
+    from cassandra_util_spark.operators.zorder import zorder_file_stats
+
+    meta = TableMeta(("user_id",), ("event_id",), "writetime")
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .withColumn("writetime", F.unix_micros(F.col("ts").cast("timestamp")))
+        .withColumn("ux", F.col("user_id") % 256)
+        .withColumn("ex", F.col("event_id") % 256)
+        .select("user_id", "event_id", "event_type", "writetime", "ux", "ex")
+    )
+    plain = RunStore(str(tmp_path / "plain"), meta)
+    plain.append_run(ev)
+    zord = RunStore(str(tmp_path / "zord"), meta)
+    run = zord.append_run(ev, zorder_by=["ux", "ex"], zorder_files=8)
+
+    a = plain.read_merged(spark).orderBy("user_id", "event_id").collect()
+    b = zord.read_merged(spark).orderBy("user_id", "event_id").collect()
+    assert a == b
+
+    with open(os.path.join(zord.root, run, "_STATS.json")) as f:
+        st = json.load(f)
+    assert st["zorder"] == ["ux", "ex"]
+    # whole-run skip index unaffected by layout: same min/max either way
+    assert st["columns"]["ux"] == plain.run_stats()[plain.live_runs()[0]]["columns"]["ux"]
+
+    files = zorder_file_stats(os.path.join(zord.root, run), ["ux", "ex"])
+    assert len(files) > 1
+    # bounds at each column's observed midpoint (the first Morton split —
+    # range-relative so the test holds at any scale factor's id range)
+    cux = st["columns"]["ux"]
+    cex = st["columns"]["ex"]
+    mid_ux = (int(cux["min"]) + int(cux["max"])) // 2
+    mid_ex = (int(cex["min"]) + int(cex["max"])) // 2
+    # each dimension prunes files on its own, and the 2-D corner query
+    # touches a strict minority
+    assert any(f["ux_min"] > mid_ux for f in files)
+    assert any(f["ex_min"] > mid_ex for f in files)
+    hit = [f for f in files if f["ux_min"] <= mid_ux and f["ex_min"] <= mid_ex]
+    assert 0 < len(hit) < len(files)
+    # bounded read through the normal path still merges correctly
+    view = zord.read_merged(
+        spark, extra_bounds={"ux": (None, mid_ux), "ex": (None, mid_ex)}
+    )
+    expect = [r for r in a if r["ux"] <= mid_ux and r["ex"] <= mid_ex]
+    assert sorted(view.collect()) == sorted(expect)
