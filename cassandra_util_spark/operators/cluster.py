@@ -120,12 +120,21 @@ def connected_components_star(
 
     Each half-round is one groupBy shuffle + one co-partitioned join, keyed
     by node id; edges are (bigint, bigint) — no content in the shuffle.
-    Termination: the edge multiset is fixed-point — checked once per full
-    round, AFTER the small-star half (large-star alone never terminates the
-    loop), by one map-side aggregate yielding count + two independently
-    seeded order-insensitive hash sums (no join; collision odds ~2^-128 per
-    round).  At the fixed point every edge is (child → component-min)
-    directly.
+    Termination (round 7): a DIRECT star-forest test — the edge set is
+    converged iff every child node has exactly one distinct root and no
+    node appears as both root and child (one keyed aggregate + isEmpty per
+    check; exact, no hashing).  The test runs BEFORE the loop and after
+    EACH half-round, so convergence is detected the moment it happens: the
+    previous signature-compare needed one extra full round (two contraction
+    halves) just to observe that nothing changed, and a pre-converged input
+    (pair generators that already emit (min → member) stars) paid a full
+    round to learn it was done.  Identity of both halves on a star forest
+    makes the early exit bit-identical to running the loop to the old fixed
+    point (large-star around a root re-emits (child, root); around a child
+    the only neighbor is smaller, emitting nothing; small-star's hi_edge is
+    the star itself and its lo_edges collapse to filtered self-loops) —
+    pinned by the unchanged star-vs-recursive-CTE hash oracle.  At the
+    fixed point every edge is (child → component-min) directly.
 
     Default for dedup stays label propagation (near-dup clusters are shallow
     near-cliques; fewer rounds, one shuffle per round); choose this variant
@@ -147,25 +156,42 @@ def connected_components_star(
         .localCheckpoint(eager=False)
     )
 
-    def _sig(e: DataFrame) -> tuple[int, int, int]:
-        # order-insensitive multiset signature, ONE map-side aggregate with
-        # two independently-seeded hash sums: a single sum could in principle
-        # collide between consecutive different edge sets and silently return
-        # an under-merged clustering; two independent 64-bit sums push that
-        # to ~2^-128 per round.  decimal(38,0) so the ANSI-mode sum of
-        # 64-bit hashes cannot overflow.
-        row = e.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(
-                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
-            ).alias("h"),
-            F.coalesce(
-                F.sum(F.xxhash64(F.lit(1), "u", "v").cast("decimal(38,0)")), F.lit(0)
-            ).alias("h2"),
-        ).collect()[0]
-        return int(row["n"]), int(row["h"]), int(row["h2"])
+    def _is_star_forest(e: DataFrame) -> bool:
+        # exact convergence test, duplicate-tolerant: mark every edge
+        # endpoint once ((u, null) for roots, (v, u) for children), then one
+        # keyed aggregate finds any violation — a child with two distinct
+        # roots, or a node that is both root and child (n_child strictly
+        # between 0 and its appearance count).  No violations ⟺ the edges
+        # are disjoint (root < children) stars, on which both contraction
+        # halves are the identity.
+        marks = e.select(
+            F.col("u").alias("id"), F.lit(None).cast("bigint").alias("root")
+        ).unionByName(e.select(F.col("v").alias("id"), F.col("u").alias("root")))
+        violations = (
+            marks.groupBy("id")
+            .agg(
+                F.count_distinct("root").alias("nr"),
+                F.count(F.lit(1)).alias("n_all"),
+                F.count("root").alias("n_child"),
+            )
+            .filter(
+                (F.col("nr") > 1)
+                | ((F.col("n_child") > 0) & (F.col("n_child") < F.col("n_all")))
+            )
+        )
+        return violations.isEmpty()
 
-    sig = _sig(edges)
+    def _labels(e: DataFrame) -> DataFrame:
+        # star edges are (root=u, child=v); distinct() because the
+        # large-star half does not canonicalize duplicates
+        labels = e.select(F.col("v").alias("id"), F.col("u").alias("comp")).distinct()
+        return (
+            all_nodes.join(labels, "id", "left")
+            .select("id", F.coalesce("comp", "id").alias("comp"))
+        )
+
+    if _is_star_forest(edges):
+        return _labels(edges)
     for _ in range(max_iter):
         # -- large-star: around each node x, connect neighbors y > x to
         #    m(x) = min(neighborhood(x) ∪ {x})
@@ -189,6 +215,8 @@ def connected_components_star(
             .filter(F.col("u") != F.col("v"))
             .localCheckpoint(eager=False)
         )
+        if _is_star_forest(edges):
+            return _labels(edges)  # mid-round exit: skip the small-star half
         # -- small-star: direct edges high→low; collapse each node x and its
         #    smaller neighbors onto m(x) = min of them
         lo_mins = edges.groupBy("v").agg(F.min("u").alias("m"))
@@ -204,15 +232,8 @@ def connected_components_star(
             .distinct()
             .localCheckpoint(eager=False)
         )
-        new_sig = _sig(edges)
-        if new_sig == sig:
-            # fixed point: edges are (root=u, child=v) stars
-            labels = edges.select(F.col("v").alias("id"), F.col("u").alias("comp"))
-            return (
-                all_nodes.join(labels, "id", "left")
-                .select("id", F.coalesce("comp", "id").alias("comp"))
-            )
-        sig = new_sig
+        if _is_star_forest(edges):
+            return _labels(edges)
     raise RuntimeError(
         f"connected_components_star did not converge in {max_iter} rounds "
         "(expected O(log^2 n)); the edge stream may be changing under the "

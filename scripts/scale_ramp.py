@@ -58,6 +58,7 @@ PIPELINES = [
     "training_corpus_assembly",
     "dedup_clusters_star",
     "semantic_dedup",
+    "semantic_dedup_scaled",
 ]
 
 
@@ -179,8 +180,19 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,3,10")
     ap.add_argument("--repeat", type=int, default=2)
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated subset of PIPELINES to ramp (appends to SCALING.md)",
+    )
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
+    pipelines = PIPELINES
+    if args.only:
+        pipelines = [q.strip() for q in args.only.split(",")]
+        unknown = [q for q in pipelines if q not in PIPELINES]
+        if unknown:
+            raise SystemExit(f"--only names not in PIPELINES: {unknown}")
 
     from cassandra_util_spark.core.session import get_spark
     from cassandra_util_spark.entry_queries import QUERIES
@@ -201,8 +213,8 @@ def main() -> None:
         dirs[s] = build_ramp(spark, s)
         print(f"ramp x{s} ready in {time.monotonic() - t0:.1f}s", file=sys.stderr)
 
-    results: dict[str, dict[int, dict]] = {q: {} for q in PIPELINES}
-    for q in PIPELINES:
+    results: dict[str, dict[int, dict]] = {q: {} for q in pipelines}
+    for q in pipelines:
         for s in scales:
             times, shuffles = [], []
             for _ in range(args.repeat):
@@ -232,7 +244,7 @@ def main() -> None:
         + " | time x{}/x1 | shuffle x{}/x1 |".format(scales[-1], scales[-1]),
         "|---|" + "---|" * (2 * len(scales) + 2),
     ]
-    for q in PIPELINES:
+    for q in pipelines:
         r = results[q]
         t_ratio = r[scales[-1]]["sec"] / max(r[scales[0]]["sec"], 1e-9)
         s_ratio = r[scales[-1]]["shuffle_mb"] / max(r[scales[0]]["shuffle_mb"], 1e-9)
