@@ -89,21 +89,33 @@ def test_query_registry_prefix_stable():
     events_incremental_rollup, join_plan_advisory,
     unicode_nfc_fingerprints).  The rotation is
     entry_queries._rotate_driver_window_r6; family coverage in the window
-    is preserved (see that block's comment)."""
+    is preserved (see that block's comment).
+
+    Round-7 intentional rotation (VERDICT r6, task 1): certification keeps
+    rotating — ten rows driver-certified in r4, r5 AND r6
+    (q1_pricing_summary, q3_shipping_priority, q5_region_revenue,
+    top_orders_per_customer, events_hourly_rollup, text_quality,
+    dedup_ngram_jaccard, embedding_neardup, events_sessionize,
+    asof_join_clicks_purchases — exactly the VERDICT's candidate list)
+    move just past the window in favor of the ten highest-value
+    never-driver-checked queries: the round-6 store executors
+    (advised_join_exec, counter_store_totals), the round-6 layout/TWCS
+    rows (zorder_layout_key, runstore_skipindex_view,
+    twcs_retention_view), bucketed_colocated_join, q7_volume_shipping,
+    and the corpus-pipeline suite (corpus_clean_pipeline,
+    gopher_quality_gate, events_cohort_retention).  The rotation is
+    entry_queries._rotate_driver_window_r7; family coverage is preserved
+    (see that block's comment)."""
     from cassandra_util_spark.entry_queries import ORACLES, QUERIES
 
     first50 = [
         "retention_rules_delete", "retention_ttl", "configurable_delete_json",
         "token_range_filter", "lww_merge", "counter_merge",
-        "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
-        "top_orders_per_customer", "events_hourly_rollup", "text_quality",
-        "dedup_ngram_jaccard", "dedup_minhash_lsh", "embedding_neardup",
-        "embedding_dedup_resolve", "ann_ivf_topk", "semantic_dedup",
-        "events_sessionize", "asof_join_clicks_purchases",
-        "range_join_incidents", "q10_returned_items", "parts_above_avg_price",
-        "q4_order_priority", "q6_forecast_revenue", "orders_pivot_priority",
-        "acctbal_percentiles", "media_features", "media_dedup",
-        "salted_event_rollup", "dedup_clusters_star",
+        "dedup_minhash_lsh", "embedding_dedup_resolve", "ann_ivf_topk",
+        "semantic_dedup", "range_join_incidents", "q10_returned_items",
+        "parts_above_avg_price", "q4_order_priority", "q6_forecast_revenue",
+        "orders_pivot_priority", "acctbal_percentiles", "media_features",
+        "media_dedup", "salted_event_rollup", "dedup_clusters_star",
         "training_corpus_assembly", "sketch_heavy_hitters",
         "runstore_leveled_view", "dedup_incremental_lsh", "bm25_search",
         "sequence_packing", "dedup_winnowing", "events_funnel",
@@ -111,7 +123,12 @@ def test_query_registry_prefix_stable():
         "q9_product_type_profit", "hybrid_retrieval_rrf", "dsir_select",
         "cluster_aware_split", "dedup_incremental",
         "events_incremental_rollup", "join_plan_advisory",
-        "unicode_nfc_fingerprints",
+        "unicode_nfc_fingerprints", "advised_join_exec",
+        "counter_store_totals", "zorder_layout_key",
+        "runstore_skipindex_view", "twcs_retention_view",
+        "bucketed_colocated_join", "q7_volume_shipping",
+        "corpus_clean_pipeline", "gopher_quality_gate",
+        "events_cohort_retention",
     ]
     assert list(QUERIES)[:50] == first50
     # every registered query keeps a full-strength oracle
