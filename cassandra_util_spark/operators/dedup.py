@@ -212,6 +212,114 @@ def ngram_jaccard_pairs(
     return jac.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard pairs via PREFIX FILTERING — output is row-identical to
+    uncapped :func:`ngram_jaccard_pairs`, but candidates are generated only
+    from each document's RAREST shingles (the AllPairs/PPJoin prefix filter:
+    Bayardo et al., WWW'07; Chaudhuri et al., ICDE'06).
+
+    Theorem: under any global total order on shingles, two sets with
+    Jaccard >= t must share a shingle within the first
+    ``|A| - ceil(t*|A|) + 1`` elements of EACH side (if every common
+    shingle sat past A's prefix, the overlap would be <= ceil(t*|A|)-1 <
+    t*|A| <= t*|A∪B|).  Ordering by ascending document frequency makes
+    those prefix shingles the rare ones, so hot shingles — the ones whose
+    C(df,2) fan-out melts the plain self-join — never enter candidate
+    generation from both sides.  Unlike ``max_doc_freq`` (which redefines
+    the metric to ignore stop-shingles), the prefix filter is lossless:
+    every surviving candidate is re-verified against the FULL shingle
+    sets, so this is the uncapped semantics at near-capped cost — the
+    exact-mode scale path.
+
+    Candidate volume: sum over shingles of C(prefix_df, 2), where
+    prefix_df counts only documents holding the shingle inside their
+    prefix — bounded by rarity, not corpus size.  A shingle shared by
+    10^6 documents contributes nothing unless it is among the rarest
+    (1-t)*|doc| shingles of two documents at once.
+
+    The per-document sorted shingle array is bounded by document length
+    (the same row-width assumption ``word_shingles`` already makes), and
+    the verification joins touch only surviving candidates.  The length
+    filter (t*max <= min) is applied inside the candidate join; the final
+    threshold filter reproduces ``ngram_jaccard_pairs``'s rounding.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    sh = (
+        df.select(F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), n)).alias("sh"))
+        .distinct()
+    )
+    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    # global total order = (df asc, sh asc); df is a corpus-level property so
+    # the order is identical in every document
+    docs = (
+        sh.join(freq, "sh")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "sh"))).alias("ordered"))
+        .withColumn("n_sh", F.size("ordered"))
+        # alpha = ceil(t*n) with a downward epsilon: fp error may only ever
+        # LENGTHEN the prefix (safe); shortening it would drop true pairs
+        .withColumn(
+            "p",
+            F.col("n_sh")
+            - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9)).cast("int")
+            + F.lit(1),
+        )
+    )
+    prefix = docs.select(
+        "id",
+        "n_sh",
+        F.explode(
+            F.transform(F.slice("ordered", F.lit(1), F.col("p")), lambda s: s["sh"])
+        ).alias("sh"),
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.id") < F.col("b.id"))
+            # J >= t forces t * max(|A|,|B|) <= min(|A|,|B|)
+            & (
+                F.least(F.col("a.n_sh"), F.col("b.n_sh"))
+                >= F.lit(threshold) * F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
+            ),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sets = docs.select(
+        "id", F.transform("ordered", lambda s: s["sh"]).alias("shs"), "n_sh"
+    )
+    verified = (
+        cand.join(
+            sets.select(
+                F.col("id").alias("id_a"), F.col("shs").alias("sh_a"), F.col("n_sh").alias("n_a")
+            ),
+            "id_a",
+        )
+        .join(
+            sets.select(
+                F.col("id").alias("id_b"), F.col("shs").alias("sh_b"), F.col("n_sh").alias("n_b")
+            ),
+            "id_b",
+        )
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id_a", "id_b", "jaccard")
+
+
 def ngram_containment_pairs(
     df: DataFrame,
     id_col: str,

@@ -59,6 +59,8 @@ PIPELINES = [
     "dedup_clusters_star",
     "semantic_dedup",
     "semantic_dedup_scaled",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_prefix",
 ]
 
 

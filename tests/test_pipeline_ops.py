@@ -441,6 +441,45 @@ def test_jaccard_doc_freq_cap_drops_stop_shingles(spark):
     assert cap[(1, 2)] <= unc[(1, 2)]
 
 
+def test_jaccard_prefix_filter_matches_uncapped(spark):
+    """Prefix filtering is LOSSLESS candidate pruning: output must be
+    row-identical to the uncapped self-join at every threshold, including
+    a hot stop-shingle the prefix filter never joins on and thresholds
+    where ceil(t*n) lands exactly on an integer (the fp-epsilon edge)."""
+    from cassandra_util_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    common = "alpha beta gamma"
+    rows = [
+        (1, f"{common} one two three four"),
+        (2, f"{common} one two three five"),
+        (3, f"{common} six seven eight nine"),
+        (4, f"{common} ten eleven twelve thirteen"),
+        (5, "entirely disjoint text with no shared grams at all"),
+        (6, f"{common} one two three four"),  # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    for t in (0.1, 0.25, 0.5, 1.0):
+        unc = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(df, "doc_id", "text", 3, t).collect()
+        }
+        pre = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs_prefix(df, "doc_id", "text", 3, t).collect()
+        }
+        assert pre == unc, f"threshold {t}: {pre} != {unc}"
+    # t=1.0 keeps only the exact duplicate pair (prefix length 1: the single
+    # rarest shingle must still collide)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs_prefix(df, "doc_id", "text", 3, 1.0).collect()
+    }
+    assert exact == {(1, 6)}
+
+
 # ---------------------------------------------------------------------------
 # repetition / boilerplate signals
 # ---------------------------------------------------------------------------

@@ -452,3 +452,49 @@ def test_portable_token_matches_exact_arithmetic(spark, keys):
     rows = df.select("k", portable_token(F.col("k")).alias("t")).collect()
     for r in rows:
         assert r.t == (r.k * 2654435761) % 4294967296, r.k
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    docs=words_strategy,
+    threshold=st.sampled_from([0.2, 0.34, 0.5, 0.75, 1.0]),
+)
+def test_jaccard_prefix_filter_lossless_on_arbitrary_corpora(spark, docs, threshold):
+    """The AllPairs/PPJoin prefix theorem, exercised adversarially: on
+    arbitrary low-entropy corpora (12-word vocabulary forces hot shingles
+    and heavy overlap — the worst case for a candidate pruner) the
+    prefix-filtered pairs must equal BOTH the plain self-join output and a
+    direct Python evaluation of Jaccard over the documented shingle sets."""
+    from cassandra_util_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    texts = [" ".join(ws) for ws in docs]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    unc = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, "doc_id", "text", 3, threshold).collect()
+    }
+    pre = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs_prefix(df, "doc_id", "text", 3, threshold).collect()
+    }
+    assert pre == unc
+
+    # reference fold: shingle sets straight from the docstring semantics
+    def shingles(t):
+        ws = t.split()
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    sets = {i: shingles(t) for i, t in enumerate(texts)}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] and sets[b]:
+                j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+                if round(j, 6) >= threshold:
+                    want[(a, b)] = round(j, 6)
+    assert pre == want
