@@ -6816,6 +6816,95 @@ def dedup_ngram_prefix_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs_prefix(d, "doc_id", "text", n=3, threshold=0.5)
 
 
+@query(
+    "dedup_streaming_lsh",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+    toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    sh AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        FROM toks WHERE len(w) >= 3)),
+    h AS (SELECT doc_id, {_p31('sh')} AS h FROM sh),
+    sig AS (
+      SELECT doc_id, p.j, min((p.a * h.h + p.b) % 2147483647) AS v
+      FROM h CROSS JOIN {_minhash_params_sql(64)}
+      GROUP BY doc_id, p.j),
+    bands AS (
+      SELECT doc_id, j // 4 AS band,
+             string_agg(CAST(v AS VARCHAR), ',' ORDER BY j) AS bucket
+      FROM sig GROUP BY doc_id, j // 4),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS nid, b.doc_id AS rid
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id >= 250 AND b.doc_id < 300),
+    m AS (
+      SELECT c.nid, c.rid, count(*) FILTER (WHERE sa.v = sb.v) AS matches
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.nid
+      JOIN sig sb ON sb.doc_id = c.rid AND sb.j = sa.j
+      GROUP BY 1, 2),
+    dups AS (SELECT DISTINCT nid FROM m WHERE round(matches / 64.0, 6) >= 0.5)
+    SELECT doc_id FROM documents
+    WHERE doc_id >= 250 AND doc_id NOT IN (SELECT nid FROM dups)
+    """,
+)
+def dedup_streaming_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted near-dup index END TO END: historical documents
+    (doc_id < 300) replay through a REAL Structured Streaming source in
+    two micro-batches into ``stream_lsh_index`` (signatures ride
+    ``stream_to_runstore``'s transform hook — same HWM replay guard,
+    locked manifest swap, LWW on re-crawled ids), then the incoming slice
+    (doc_id >= 250) is deduped by ``lsh_dedup_from_store``: band keys
+    re-derived map-side from the STORED signature arrays, full-signature
+    verify, anti-join — historical content is never re-read or
+    re-shingled.  Signature determinism (the bit-identical
+    batch-vs-streaming pytest) is why a DuckDB replay of the batch
+    pipeline is a valid oracle for the streamed store.  Compare
+    ``dedup_incremental_lsh``, which recomputes the reference side from
+    content each call — this query is what that one's docstring promises
+    at warehouse scale.  Reference anchor: per-sstable summaries
+    maintained at flush time, consulted before any data read
+    (SSTableReader key-range/estimated-keys discipline)."""
+    import tempfile
+
+    from cassandra_util_spark.operators.dedup import lsh_dedup_from_store
+    from cassandra_util_spark.sources.runs import RunStore
+    from cassandra_util_spark.streaming.dedup import stream_lsh_index
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    reference = d.filter(F.col("doc_id") < 300)
+    incoming = _t(spark, sf_dir, "documents").filter(F.col("doc_id") >= 250)
+
+    src = tempfile.mkdtemp(prefix="lsh-stream-src-")
+    for lo, hi in ((0, 149), (150, 299)):
+        reference.filter(F.col("doc_id").between(lo, hi)).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    store = RunStore(
+        tempfile.mkdtemp(prefix="runstore-lsh-index-"),
+        TableMeta(("id",), (), "writetime"),
+    )
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    q = stream_lsh_index(
+        stream,
+        store,
+        tempfile.mkdtemp(prefix="lsh-stream-cp-"),
+        id_col="doc_id",
+        text_col="text",
+    )
+    q.awaitTermination(300)
+    return lsh_dedup_from_store(
+        incoming, store, "doc_id", "text", n=3, num_perm=64, bands=16, threshold=0.5
+    ).select("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Round-7 window rotation (VERDICT r6 task 1): ten rows driver-certified in
 # r4+r5+r6 move just past the window in favor of the ten highest-value

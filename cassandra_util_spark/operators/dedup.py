@@ -966,6 +966,23 @@ def lsh_dedup_against(
     sig_ref = minhash_signatures(
         reference, id_col, text_col, n, num_perm, hash_fn
     ).localCheckpoint(eager=False)
+    dup_ids = _lsh_probe_dup_ids(sig_new, sig_ref, num_perm, bands, threshold, hash_fn)
+    return df.join(
+        dup_ids, F.col(id_col) == F.col("__dup_id"), "left_anti"
+    )
+
+
+def _lsh_probe_dup_ids(
+    sig_new: DataFrame,
+    sig_ref: DataFrame,
+    num_perm: int,
+    bands: int,
+    threshold: float,
+    hash_fn: str,
+) -> DataFrame:
+    """The probe half of incremental LSH dedup, over (id, sig) tables from
+    ANY provenance (freshly computed or read back from a persisted index):
+    band-key candidate join, full-signature verify, distinct offender ids."""
     cand = (
         _banded_ids(sig_new, num_perm, bands, hash_fn)
         .withColumnRenamed("id", "new_id")
@@ -994,14 +1011,50 @@ def lsh_dedup_against(
             ),
         )
     )
-    dup_ids = (
+    return (
         est.filter(F.col("est_jaccard") >= threshold)
         .select(F.col("new_id").alias("__dup_id"))
         .distinct()
     )
-    return df.join(
-        dup_ids, F.col(id_col) == F.col("__dup_id"), "left_anti"
+
+
+def lsh_dedup_from_store(
+    df: DataFrame,
+    store,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    hash_fn: str = "portable",
+) -> DataFrame:
+    """:func:`lsh_dedup_against` with the reference side read from a
+    PERSISTED signature index (a :class:`~cassandra_util_spark.sources.runs.RunStore`
+    of (id, sig, writetime) rows, maintained by
+    :func:`~cassandra_util_spark.streaming.dedup.stream_lsh_index`) — the
+    actual 100 TB consumption pattern: historical CONTENT is never
+    re-read or re-shingled; only its bounded signature table (num_perm
+    bigints per document) participates, band keys are re-derived map-side
+    from the stored arrays, and re-crawled documents hold exactly one
+    live signature thanks to the store's LWW merge on ``id``.
+
+    The store read honors the run store's pruning machinery, so a
+    key-bounded probe (e.g. one shard of the id space) reads only the
+    runs that cover it.
+
+    Reference anchor: the reference never re-reads sstables it has
+    already summarized — scans consult per-sstable summaries first
+    (SSTableReader key-range/estimated-keys metadata); this is that
+    discipline applied to near-dup state.
+    """
+    spark = df.sparkSession
+    sig_ref = store.read_merged(spark).select("id", "sig")
+    sig_new = minhash_signatures(df, id_col, text_col, n, num_perm, hash_fn).localCheckpoint(
+        eager=False
     )
+    dup_ids = _lsh_probe_dup_ids(sig_new, sig_ref, num_perm, bands, threshold, hash_fn)
+    return df.join(dup_ids, F.col(id_col) == F.col("__dup_id"), "left_anti")
 
 
 def edit_distance_pairs(

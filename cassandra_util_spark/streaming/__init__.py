@@ -5,6 +5,7 @@ from cassandra_util_spark.streaming.events import (
     streaming_retention,
     windowed_rollup,
 )
+from cassandra_util_spark.streaming.dedup import stream_lsh_index
 from cassandra_util_spark.streaming.ingest import (
     applied_batch_hwm,
     applied_txn_app_id,
@@ -26,6 +27,7 @@ __all__ = [
     "stream_counter_deltas",
     "stream_events",
     "stream_hll_to_store",
+    "stream_lsh_index",
     "stream_to_runstore",
     "streaming_dedup",
     "streaming_retention",

@@ -129,8 +129,18 @@ def stream_to_runstore(
     time_col: Optional[str] = None,
     window_us: int = 86_400_000_000,
     retention_us: Optional[int] = None,
+    transform: Optional[Callable[[DataFrame, int], DataFrame]] = None,
 ) -> StreamingQuery:
     """Continuously flush a stream into ``store`` as L0 runs.
+
+    ``transform(batch_df, batch_id)``, when given, maps each micro-batch
+    BEFORE it is appended — inside ``foreachBatch`` the batch is a plain
+    DataFrame, so aggregations are allowed (the hook that lets derived
+    tables — signatures, fingerprints, per-key rollups — ride this
+    function's replay guard and maintenance cadence instead of
+    re-implementing them).  The transform must be deterministic per
+    (batch contents, batch_id): a replayed batch re-derives the same run,
+    which the idempotent named append then no-ops.
 
     ``strategy="twcs"`` (requires ``time_col``) is the time-series
     production shape: maintenance compacts each closed time window with
@@ -198,6 +208,8 @@ def stream_to_runstore(
             # replay of an already-applied batch whose run compaction may
             # have folded away — re-appending would resurrect convicted rows
             return
+        if transform is not None:
+            batch_df = transform(batch_df, batch_id)
         store.append_run(batch_df, name=run_name_for_batch(batch_id))
         # advance the mark BEFORE maintenance: a crash between append and
         # this write replays into append_run's manifest no-op (the run is
