@@ -6905,6 +6905,136 @@ def dedup_streaming_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
 
 
+def _corpus_ingest_oracle(nb: int = 3, min_tokens: int = 30) -> str:
+    """Chained-CTE DuckDB replay of stream_corpus_ingest's admission rules:
+    batch k (doc_id % nb == k, processed in order) gates on raw token
+    count, keeps the lowest id per identical text within the batch, drops
+    texts already admitted, then drops LSH near-dups (est >= 0.5 on the
+    shared 64-perm portable family) against the admitted-so-far set."""
+    parts = [
+        f"""gated AS (
+      SELECT doc_id, text, doc_id % {nb} AS b FROM documents
+      WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= {min_tokens})"""
+    ]
+    for k in range(nb):
+        parts.append(
+            f"""surv{k} AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM gated WHERE b = {k}) WHERE rn = 1)"""
+        )
+        if k == 0:
+            parts.append("adm0 AS (SELECT doc_id, text FROM surv0)")
+            continue
+        hist = " UNION ALL ".join(f"SELECT doc_id, text FROM adm{j}" for j in range(k))
+        parts.append(f"hist{k} AS ({hist})")
+        parts.append(
+            f"""ex{k} AS (
+      SELECT s.doc_id, s.text FROM surv{k} s
+      WHERE s.text NOT IN (SELECT text FROM hist{k}))"""
+        )
+        parts.append(
+            f"""cand{k} AS (
+      SELECT DISTINCT a.doc_id AS nid, r.doc_id AS rid
+      FROM bands a
+      JOIN ex{k} e ON e.doc_id = a.doc_id
+      JOIN bands r ON a.band = r.band AND a.bucket = r.bucket
+      JOIN hist{k} m ON m.doc_id = r.doc_id)"""
+        )
+        parts.append(
+            f"""m{k} AS (
+      SELECT c.nid, c.rid, count(*) FILTER (WHERE sa.v = sb.v) AS matches
+      FROM cand{k} c
+      JOIN sig sa ON sa.doc_id = c.nid
+      JOIN sig sb ON sb.doc_id = c.rid AND sb.j = sa.j
+      GROUP BY 1, 2)"""
+        )
+        parts.append(
+            f"dup{k} AS (SELECT DISTINCT nid FROM m{k} WHERE round(matches / 64.0, 6) >= 0.5)"
+        )
+        parts.append(
+            f"""adm{k} AS (
+      SELECT doc_id, text FROM ex{k} WHERE doc_id NOT IN (SELECT nid FROM dup{k}))"""
+        )
+    final = " UNION ALL ".join(f"SELECT doc_id FROM adm{j}" for j in range(nb))
+    return f"""
+    WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+    toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    sh AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        FROM toks WHERE len(w) >= 3)),
+    h AS (SELECT doc_id, {_p31('sh')} AS h FROM sh),
+    sig AS (
+      SELECT doc_id, p.j, min((p.a * h.h + p.b) % 2147483647) AS v
+      FROM h CROSS JOIN {_minhash_params_sql(64)}
+      GROUP BY doc_id, p.j),
+    bands AS (
+      SELECT doc_id, j // 4 AS band,
+             string_agg(CAST(v AS VARCHAR), ',' ORDER BY j) AS bucket
+      FROM sig GROUP BY doc_id, j // 4),
+    {",".join(parts)}
+    {final}
+    """
+
+
+@query("corpus_ingest_streaming", oracle=_corpus_ingest_oracle())
+def corpus_ingest_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental crawl pipeline end to end: documents replay through
+    a real file-source stream in three micro-batches (batch k = doc_id %
+    3 == k) into ``stream_corpus_ingest`` — quality gate (raw token count
+    ≥ 30), within-batch exact dedup (lowest id per text), digest
+    anti-join against everything ever ADMITTED, banded MinHash probe
+    against the maintained index (est ≥ 0.5 vs any admitted doc drops
+    the newcomer) — and the admitted corpus store is the result.  The
+    per-batch cost consults only the bounded index (digest + 64 bigints
+    per admitted doc), never admitted content: the property that lets
+    this pipeline absorb a 100 TB crawl shard-by-shard while
+    ``training_corpus_assembly`` re-derives its corpus per run.  The
+    oracle replays the admission chain batch-by-batch in chained CTEs —
+    order-dependent semantics made deterministic by the modulo batch
+    assignment.  Bench note: this line's cost is per-batch pipeline
+    machinery (3 triggers × [2 locked appends + stats read-back + index
+    read + localCheckpoint]) and is sf-INVARIANT (21s at sf0.01, 22s at
+    sf0.1) — constants that amortize into noise at real crawl-shard
+    sizes, by the same argument the runstore/twcs lifecycle queries make.
+    Reference anchors: CQLBatch.scala's ordered sub-batch application;
+    SSTableReader summary-before-data reads."""
+    import tempfile
+
+    from cassandra_util_spark.sources.runs import RunStore
+    from cassandra_util_spark.streaming.corpus import stream_corpus_ingest
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    src = tempfile.mkdtemp(prefix="corpus-ingest-src-")
+    for k in range(3):
+        d.filter(F.col("doc_id") % 3 == k).coalesce(1).write.mode("append").parquet(src)
+    corpus_store = RunStore(
+        tempfile.mkdtemp(prefix="runstore-corpus-"),
+        TableMeta(("doc_id",), (), "writetime"),
+    )
+    index_store = RunStore(
+        tempfile.mkdtemp(prefix="runstore-corpus-index-"),
+        TableMeta(("id",), (), "writetime"),
+    )
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    q = stream_corpus_ingest(
+        stream,
+        corpus_store,
+        index_store,
+        tempfile.mkdtemp(prefix="corpus-ingest-cp-"),
+        min_tokens=30,
+    )
+    q.awaitTermination(300)
+    return corpus_store.read_merged(spark).select("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Round-7 window rotation (VERDICT r6 task 1): ten rows driver-certified in
 # r4+r5+r6 move just past the window in favor of the ten highest-value

@@ -5,6 +5,7 @@ from cassandra_util_spark.streaming.events import (
     streaming_retention,
     windowed_rollup,
 )
+from cassandra_util_spark.streaming.corpus import stream_corpus_ingest
 from cassandra_util_spark.streaming.dedup import stream_lsh_index
 from cassandra_util_spark.streaming.ingest import (
     applied_batch_hwm,
@@ -23,6 +24,7 @@ __all__ = [
     "applied_txn_app_id",
     "continuous_rollup",
     "resolve_txn_app_id",
+    "stream_corpus_ingest",
     "stream_count_min_to_store",
     "stream_counter_deltas",
     "stream_events",

@@ -1,0 +1,177 @@
+"""The incremental crawl pipeline: stream → quality gate → exact dedup
+(within-batch and against everything ever admitted) → near-dup probe
+against the maintained LSH index → admit survivors to the corpus store
+and index them, one micro-batch at a time.
+
+This is the STREAMING counterpart of `training_corpus_assembly`: where
+that query re-derives the whole corpus per run, this pipeline admits
+documents incrementally with per-batch cost independent of history
+length — the only historical state consulted is the bounded index table
+(one row per admitted doc: content digest + ``num_perm`` MinHash
+bigints), never admitted CONTENT.  At 100 TB that difference is the
+whole ballgame: each arriving crawl shard does one gate scan of itself,
+one digest anti-join and one band-key probe against the index, and two
+clustered run appends.
+
+Admission semantics (deterministic, oracle-replayable):
+
+1. quality gate — raw whitespace token count ≥ ``min_tokens`` (or a
+   caller ``keep_expr``);
+2. within-batch exact dedup — lowest id per identical text survives;
+3. exact-vs-history — digest anti-join against the index (drops
+   re-crawled byte-copies of anything ever admitted);
+4. near-dup-vs-history — banded MinHash probe against the index
+   (``est_jaccard ≥ threshold`` against ANY admitted doc drops the
+   newcomer).  Within-batch NEAR-dups are deliberately not collapsed —
+   both land and the next batch dedups against both, matching
+   ``lsh_dedup_against``'s documented contract; run
+   ``minhash_lsh_pairs`` + ``resolve_duplicates`` over the admitted
+   corpus when intra-batch collapse is wanted.
+
+Admitted docs that are too short to shingle (< n words after
+normalization) carry a NULL signature in the index: they still block
+exact re-crawls by digest, and a null band bucket can never join, so
+they are transparent to the near-dup probe on both sides.
+
+Exactly-once: the corpus store's ``_INGEST_HWM`` carries the txn
+identity + batch high-water mark (the ``stream_to_runstore`` protocol);
+both appends are idempotent named runs, so a replay after a crash
+between the two appends re-derives byte-stable runs and no-ops into the
+manifest.  Document ids are assumed unique across the stream — same-id
+re-crawl UPDATE semantics belong to :func:`stream_lsh_index`'s LWW
+index, not to an admission pipeline (an edited re-crawl is usually a
+near-dup of its own predecessor and would be dropped here by rule 4).
+
+Reference anchor: the reference's write path batches mutations and
+consults per-sstable summaries before reads (CQLBatch concurrent
+sub-batches; SSTableReader key-range metadata); this composes those
+disciplines into the corpus-building workload the engine targets.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from cassandra_util_spark.operators.dedup import (
+    _digest_for,
+    _lsh_probe_dup_ids,
+    exact_dedup,
+    minhash_signatures,
+)
+from cassandra_util_spark.operators.text import whitespace_token_count
+from cassandra_util_spark.sources.runs import RunStore
+from cassandra_util_spark.streaming.ingest import (
+    _advance_batch_hwm,
+    _read_hwm,
+    resolve_txn_app_id,
+    run_name_for_batch,
+)
+
+
+def stream_corpus_ingest(
+    stream: DataFrame,
+    corpus_store: RunStore,
+    index_store: RunStore,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 30,
+    keep_expr: Optional[Callable[[DataFrame], DataFrame]] = None,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    hash_fn: str = "portable",
+    available_now: bool = True,
+    query_name: str = "corpus-ingest",
+    txn_app_id: Optional[str] = None,
+) -> StreamingQuery:
+    """Run the admission pipeline over a document stream.
+
+    ``corpus_store`` receives the admitted documents (plus ``writetime``
+    = batch id); ``index_store`` receives one (id, digest, sig,
+    writetime) row per admitted doc and must be keyed on ``('id',)``
+    with writetime ``'writetime'``.  ``keep_expr(batch_df) -> DataFrame``
+    replaces the default token-count gate when given.
+    """
+    if index_store.meta.partition_keys != ("id",) or (
+        index_store.meta.writetime_col != "writetime"
+    ):
+        raise ValueError(
+            "corpus index stores are keyed on ('id',) with writetime "
+            f"'writetime'; got keys={index_store.meta.partition_keys} "
+            f"writetime={index_store.meta.writetime_col}"
+        )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        app_id = txn_app_id or resolve_txn_app_id(checkpoint_dir, query_name)
+        stored_app, hwm = _read_hwm(corpus_store)
+        if stored_app is not None and stored_app != app_id:
+            raise RuntimeError(
+                f"corpus store {corpus_store.root} was written by stream "
+                f"{stored_app!r}; this stream is {app_id!r} — refusing to "
+                "compare batch ids across streams. Pass txn_app_id="
+                f"{stored_app!r} to continue that sequence deliberately."
+            )
+        if batch_id <= hwm:
+            return
+        kept = keep_expr(batch_df) if keep_expr is not None else batch_df.filter(
+            whitespace_token_count(F.col(text_col)) >= min_tokens
+        )
+        kept = exact_dedup(kept, id_col, [text_col])
+        if index_store.live_runs():
+            idx = index_store.read_merged(spark)
+            kept = (
+                kept.withColumn("__digest", _digest_for(kept, [text_col]))
+                .join(
+                    idx.select(F.col("digest").alias("__digest")).distinct(),
+                    "__digest",
+                    "left_anti",
+                )
+                .drop("__digest")
+            )
+            # computed on the exact-surviving superset and reused below for
+            # the index rows (dropped candidates filter out by the id join)
+            sig_new = minhash_signatures(
+                kept, id_col, text_col, n, num_perm, hash_fn
+            ).localCheckpoint(eager=False)
+            dup_ids = _lsh_probe_dup_ids(
+                sig_new, idx.select("id", "sig"), num_perm, bands, threshold, hash_fn
+            )
+            kept = kept.join(dup_ids, F.col(id_col) == F.col("__dup_id"), "left_anti")
+        else:
+            sig_new = minhash_signatures(kept, id_col, text_col, n, num_perm, hash_fn)
+        # freeze the survivors once: two store appends consume them, and the
+        # lineage above reads the index store's CURRENT manifest, which the
+        # second append is about to advance
+        kept = kept.localCheckpoint()
+        corpus_store.append_run(
+            kept.withColumn("writetime", F.lit(batch_id).cast("long")),
+            name=run_name_for_batch(batch_id),
+        )
+        idx_rows = (
+            kept.select(
+                F.col(id_col).alias("id"),
+                _digest_for(kept, [text_col]).alias("digest"),
+            )
+            # LEFT join: sub-n-word docs have no signature but must still
+            # hold their digest slot in the index
+            .join(sig_new, "id", "left")
+            .withColumn("writetime", F.lit(batch_id).cast("long"))
+        )
+        index_store.append_run(idx_rows, name=run_name_for_batch(batch_id))
+        _advance_batch_hwm(corpus_store, batch_id, app_id)
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -153,3 +153,130 @@ def test_wrong_store_layout_raises(spark, tmp_path):
         raise AssertionError("expected ValueError for wrong index keys")
     except ValueError as e:
         assert "keyed on ('id',)" in str(e)
+
+
+# ---------------------------------------------------------------------------
+# stream_corpus_ingest — the incremental crawl pipeline
+# ---------------------------------------------------------------------------
+
+from cassandra_util_spark.streaming.corpus import stream_corpus_ingest
+
+
+def _corpus_stores(tmp_path):
+    corpus = RunStore(
+        str(tmp_path / "corpus"), TableMeta(("doc_id",), (), "writetime")
+    )
+    index = RunStore(str(tmp_path / "index"), TableMeta(("id",), (), "writetime"))
+    return corpus, index
+
+
+def _ingest(spark, tmp_path, files, cp="cp", **kw):
+    """files: list of row-lists; each list becomes one micro-batch."""
+    src = str(tmp_path / "src")
+    for rows in files:
+        spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    corpus, index = _corpus_stores(tmp_path)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    q = stream_corpus_ingest(stream, corpus, index, str(tmp_path / cp), **kw)
+    q.awaitTermination(120)
+    return corpus, index
+
+
+LONG_A = "the quick brown fox jumps over the lazy dog near the quiet river bank today"
+LONG_B = "an entirely different document about compaction strategies in distributed storage systems"
+
+
+def test_corpus_ingest_admission_rules(spark, tmp_path):
+    """One test, all four rules: the short doc gates out, the within-batch
+    exact copy collapses to the lowest id, the cross-batch exact copy
+    drops by digest, the cross-batch NEAR-dup (one word changed) drops by
+    LSH probe, and the genuinely new doc is admitted."""
+    near_a = LONG_A.replace("today", "tonight")
+    batches = [
+        [(1, LONG_A), (2, LONG_A), (3, "too short")],   # b0: 2 collapses into 1, 3 gates out
+        [(4, LONG_A), (5, near_a), (6, LONG_B)],        # b1: 4 exact-drops, 5 near-drops, 6 admits
+    ]
+    corpus, index = _ingest(spark, tmp_path, batches, min_tokens=5)
+    got = {r["doc_id"] for r in corpus.read_merged(spark).collect()}
+    assert got == {1, 6}
+    idx = {r["id"] for r in index.read_merged(spark).collect()}
+    assert idx == {1, 6}  # index rows exactly the admitted docs
+
+
+def test_corpus_ingest_within_batch_neardups_both_admit(spark, tmp_path):
+    """Documented contract: near-dups arriving in the SAME batch both land
+    (only exact within-batch copies collapse); a later batch dedups
+    against both."""
+    near_a = LONG_A.replace("today", "tonight")
+    near_a2 = LONG_A.replace("today", "yesterday")
+    corpus, _ = _ingest(
+        spark, tmp_path, [[(1, LONG_A), (2, near_a)], [(3, near_a2)]], min_tokens=5
+    )
+    got = {r["doc_id"] for r in corpus.read_merged(spark).collect()}
+    assert got == {1, 2}  # 3 is a near-dup of both admitted docs
+
+
+def test_corpus_ingest_replay_is_idempotent(spark, tmp_path):
+    """A fresh checkpoint replaying the same batch ids with the SAME txn
+    identity skips every batch instead of re-admitting (the HWM guard on
+    the corpus store)."""
+    batches = [[(1, LONG_A)], [(2, LONG_B)]]
+    corpus, index = _ingest(
+        spark, tmp_path, batches, min_tokens=5, txn_app_id="crawl-1"
+    )
+    before = sorted(
+        tuple(r) for r in corpus.read_merged(spark).collect()
+    )
+    runs_before = sorted(corpus.live_runs())
+    src = str(tmp_path / "src")
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_corpus_ingest(
+        stream,
+        corpus,
+        index,
+        str(tmp_path / "cp2"),
+        min_tokens=5,
+        txn_app_id="crawl-1",
+    )
+    q.awaitTermination(120)
+    assert sorted(corpus.live_runs()) == runs_before
+    assert sorted(tuple(r) for r in corpus.read_merged(spark).collect()) == before
+
+
+def test_corpus_ingest_custom_keep_expr(spark, tmp_path):
+    corpus, _ = _ingest(
+        spark,
+        tmp_path,
+        [[(1, LONG_A), (7, LONG_B)]],
+        keep_expr=lambda b: b.filter(F.col("doc_id") < 5),
+    )
+    assert {r["doc_id"] for r in corpus.read_merged(spark).collect()} == {1}
+
+
+def test_corpus_ingest_wrong_index_layout_raises(spark, tmp_path):
+    corpus = RunStore(
+        str(tmp_path / "c"), TableMeta(("doc_id",), (), "writetime")
+    )
+    bad_index = RunStore(
+        str(tmp_path / "i"), TableMeta(("doc_id",), (), "writetime")
+    )
+    (tmp_path / "nosrc").mkdir()
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(
+        str(tmp_path / "nosrc")
+    )
+    try:
+        stream_corpus_ingest(stream, corpus, bad_index, str(tmp_path / "cp"))
+        raise AssertionError("expected ValueError for wrong index keys")
+    except ValueError as e:
+        assert "keyed on ('id',)" in str(e)
