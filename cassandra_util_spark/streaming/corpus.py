@@ -63,7 +63,7 @@ from cassandra_util_spark.operators.dedup import (
     minhash_signatures,
 )
 from cassandra_util_spark.operators.text import whitespace_token_count
-from cassandra_util_spark.sources.runs import RunStore
+from cassandra_util_spark.sources.runs import RunStore, maintain
 from cassandra_util_spark.streaming.ingest import (
     _advance_batch_hwm,
     _read_hwm,
@@ -89,6 +89,8 @@ def stream_corpus_ingest(
     available_now: bool = True,
     query_name: str = "corpus-ingest",
     txn_app_id: Optional[str] = None,
+    maintain_every: Optional[int] = None,
+    min_threshold: int = 4,
 ) -> StreamingQuery:
     """Run the admission pipeline over a document stream.
 
@@ -97,7 +99,17 @@ def stream_corpus_ingest(
     writetime) row per admitted doc and must be keyed on ``('id',)``
     with writetime ``'writetime'``.  ``keep_expr(batch_df) -> DataFrame``
     replaces the default token-count gate when given.
+
+    ``maintain_every=N`` compacts BOTH stores after every N-th
+    micro-batch (STCS, threshold ``min_threshold``) — without it a
+    long-running crawl accretes one run per batch per store and the
+    per-batch index read degrades with run count, the exact failure mode
+    ``stream_to_runstore`` documents.  Admission results are unaffected:
+    compaction only folds runs, and since ids are unique across the
+    stream the LWW fold is a pure concatenation.
     """
+    if maintain_every is not None and maintain_every < 1:
+        raise ValueError(f"maintain_every must be >= 1, got {maintain_every}")
     if index_store.meta.partition_keys != ("id",) or (
         index_store.meta.writetime_col != "writetime"
     ):
@@ -166,6 +178,14 @@ def stream_corpus_ingest(
         )
         index_store.append_run(idx_rows, name=run_name_for_batch(batch_id))
         _advance_batch_hwm(corpus_store, batch_id, app_id)
+        if maintain_every is not None and (batch_id + 1) % maintain_every == 0:
+            for store in (corpus_store, index_store):
+                maintain(
+                    store,
+                    spark,
+                    min_threshold=min_threshold,
+                    vacuum_min_age_s=0.0,
+                )
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)

@@ -280,3 +280,39 @@ def test_corpus_ingest_wrong_index_layout_raises(spark, tmp_path):
         raise AssertionError("expected ValueError for wrong index keys")
     except ValueError as e:
         assert "keyed on ('id',)" in str(e)
+
+
+def test_corpus_ingest_interleaved_maintenance(spark, tmp_path):
+    """maintain_every compacts both stores without changing admissions:
+    four batches with maintenance every second batch end at a bounded run
+    count and the same admitted set as the unmaintained run."""
+    near_a = LONG_A.replace("today", "tonight")
+    batches = [
+        [(1, LONG_A)],
+        [(2, LONG_B), (3, near_a)],          # 3 near-drops vs 1
+        [(4, LONG_A + " extra trailing words here")],
+        [(5, LONG_B)],                       # exact-drops vs 2
+    ]
+    corpus, index = _ingest(
+        spark, tmp_path, batches, min_tokens=5, maintain_every=2, min_threshold=2
+    )
+    got = {r["doc_id"] for r in corpus.read_merged(spark).collect()}
+    # replay the same stream without maintenance in fresh stores
+    corpus2 = RunStore(str(tmp_path / "c2"), TableMeta(("doc_id",), (), "writetime"))
+    index2 = RunStore(str(tmp_path / "i2"), TableMeta(("id",), (), "writetime"))
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(tmp_path / "src"))
+    )
+    q = stream_corpus_ingest(
+        stream, corpus2, index2, str(tmp_path / "cp-nomaint"), min_tokens=5
+    )
+    q.awaitTermination(120)
+    want = {r["doc_id"] for r in corpus2.read_merged(spark).collect()}
+    assert got == want
+    assert len(corpus.live_runs()) < len(corpus2.live_runs())
+    assert len(index.live_runs()) < len(index2.live_runs())
+    idx_rows = {r["id"] for r in index.read_merged(spark).collect()}
+    assert idx_rows == got
