@@ -316,3 +316,47 @@ def test_corpus_ingest_interleaved_maintenance(spark, tmp_path):
     assert len(index.live_runs()) < len(index2.live_runs())
     idx_rows = {r["id"] for r in index.read_merged(spark).collect()}
     assert idx_rows == got
+
+
+def test_corpus_ingest_crash_replay_after_index_append(spark, tmp_path):
+    """The worst crash window: batch N's corpus AND index runs are live but
+    the HWM never advanced.  The replay recomputes the batch against an
+    index that already contains the batch's own digests — every doc
+    re-reads as 'already admitted', kept is EMPTY, and the replay must
+    resolve to live-name no-ops on both stores (append_run checks the
+    manifest BEFORE writing, so the empty recompute can never overwrite
+    the original data).  Simulated by rewinding _INGEST_HWM one batch and
+    re-draining under the same txn identity."""
+    import os
+
+    from cassandra_util_spark.streaming.ingest import _hwm_path, applied_batch_hwm
+
+    batches = [[(1, LONG_A)], [(2, LONG_B)]]
+    corpus, index = _ingest(
+        spark, tmp_path, batches, min_tokens=5, txn_app_id="crawl-x"
+    )
+    assert applied_batch_hwm(corpus) == 1
+    before_corpus = sorted(tuple(r) for r in corpus.read_merged(spark).collect())
+    before_index = sorted(tuple(r) for r in index.read_merged(spark).collect())
+    # rewind the HWM to batch 0: batch 1 is now "in the crash window"
+    with open(_hwm_path(corpus) + ".tmp", "w") as f:
+        f.write("crawl-x\n0")
+    os.replace(_hwm_path(corpus) + ".tmp", _hwm_path(corpus))
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(tmp_path / "src"))
+    )
+    q = stream_corpus_ingest(
+        stream,
+        corpus,
+        index,
+        str(tmp_path / "cp-replay"),
+        min_tokens=5,
+        txn_app_id="crawl-x",
+    )
+    q.awaitTermination(120)
+    assert sorted(tuple(r) for r in corpus.read_merged(spark).collect()) == before_corpus
+    assert sorted(tuple(r) for r in index.read_merged(spark).collect()) == before_index
+    assert applied_batch_hwm(corpus) == 1
