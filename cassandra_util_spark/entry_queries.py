@@ -7035,6 +7035,89 @@ def corpus_ingest_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_store.read_merged(spark).select("doc_id")
 
 
+@query(
+    "stream_interval_join_view",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+               FROM events),
+    c AS (SELECT user_id, event_id AS click_id, us AS click_us
+          FROM e WHERE event_type = 'click'),
+    p AS (SELECT user_id, event_id AS purchase_id, us AS purchase_us
+          FROM e WHERE event_type = 'purchase')
+    SELECT c.user_id, click_id, purchase_id, click_us, purchase_us
+    FROM c JOIN p USING (user_id)
+    WHERE purchase_us >= click_us
+      AND purchase_us <= click_us + 14400000000
+    """,
+)
+def stream_interval_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join, hash-certified end to end:
+    events replay through a real file source (quarter-span micro-batches,
+    the twcs_streaming_view cadence), split into a click stream and a
+    purchase stream, and joined same-user within the following 4 hours —
+    the attribution-window shape.  The event-time bound in the join
+    condition plus both-side watermarks is what makes stream-stream join
+    state BOUNDED (Spark can prove when a buffered click can never match
+    again and evict it); here the watermark delay is set beyond the replay
+    span so zero rows are at risk from replay ordering and the drained
+    result is row-identical to the batch range join the oracle runs —
+    eviction-under-tight-watermark behavior is pinned separately in
+    test_streaming.py.  Reference anchor: the reference's retrospective
+    deletion pairs late-arriving data against standing state
+    (DeletingCompactionStrategy.java:45-58 motivation); this is the
+    two-stream generalization."""
+    import tempfile
+
+    from cassandra_util_spark.streaming.events import (
+        stream_events,
+        streaming_interval_join,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "ts")
+    row = ev.select(writetime_micros(F.col("ts")).alias("wt")).agg(
+        F.min("wt").alias("mn"), F.max("wt").alias("mx")
+    ).collect()[0]
+    mn_us, win = row["mn"], (row["mx"] - row["mn"]) // 4 + 1
+    src = tempfile.mkdtemp(prefix="sij-src-")
+    stamped = ev.withColumn("wt", writetime_micros(F.col("ts")))
+    for w in range(4):
+        (
+            stamped.filter(F.expr(f"(wt - {mn_us}) div {win}") == w)
+            .drop("wt")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+    schema = ev.schema
+    clicks = stream_events(spark, src, schema).filter(F.col("event_type") == "click")
+    purch = stream_events(spark, src, schema).filter(F.col("event_type") == "purchase")
+    joined = streaming_interval_join(
+        clicks.select("user_id", "event_id", "ts"),
+        purch.select("user_id", "event_id", "ts"),
+        "user_id",
+        max_delay="4 hours",
+        watermark="3650 days",
+    ).select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("event_id_r").alias("purchase_id"),
+        writetime_micros(F.col("ts")).alias("click_us"),
+        writetime_micros(F.col("ts_r")).alias("purchase_us"),
+    )
+    out = tempfile.mkdtemp(prefix="sij-out-")
+    cp = tempfile.mkdtemp(prefix="sij-cp-")
+    q = (
+        joined.writeStream.outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out)
+
+
 # ---------------------------------------------------------------------------
 # Product quantization ANN (ADC + re-rank)
 # ---------------------------------------------------------------------------
