@@ -7035,6 +7035,118 @@ def corpus_ingest_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_store.read_merged(spark).select("doc_id")
 
 
+# ---------------------------------------------------------------------------
+# BPE vocabulary learning (tokenizer training)
+# ---------------------------------------------------------------------------
+
+
+def _bpe_sql(num_merges: int, final_select: str) -> str:
+    """DuckDB replay of operators/bpe.py: per merge step, count adjacent
+    symbol pairs, take the (count desc, lhs, rhs) argmax, and re-segment
+    every word with the greedy left-to-right non-overlapping merge —
+    positionally, as match-islands keeping even offsets (equivalent to the
+    Spark fold; equivalence pinned in tests/test_bpe.py)."""
+    ctes = [
+        f"""w0 AS MATERIALIZED (
+      SELECT word, cnt, list_concat(regexp_extract_all(word, '.'), ['{END_SYM}']) AS s
+      FROM (SELECT x AS word, count(*) AS cnt FROM
+            (SELECT unnest(list_filter(string_split({_NORM_SQL}, ' '),
+                                       x -> x <> '')) AS x FROM documents) t
+            GROUP BY x) wf)"""
+    ]
+    for i in range(1, num_merges + 1):
+        p = i - 1
+        ctes.append(f"""p{i} AS MATERIALIZED (
+      SELECT s[j] AS lhs, s[j+1] AS rhs, CAST(sum(cnt) AS BIGINT) AS c
+      FROM w{p}, UNNEST(range(1, len(s))) t(j) GROUP BY 1, 2)""")
+        ctes.append(f"""b{i} AS MATERIALIZED (
+      SELECT lhs, rhs, c FROM p{i} ORDER BY c DESC, lhs ASC, rhs ASC LIMIT 1)""")
+        ctes.append(f"""e{i} AS MATERIALIZED (
+      SELECT w.word, w.cnt, t.j, w.s[t.j] AS sym,
+             CASE WHEN t.j < len(w.s) AND w.s[t.j] = b.lhs AND w.s[t.j+1] = b.rhs
+                  THEN 1 ELSE 0 END AS m
+      FROM w{p} w CROSS JOIN b{i} b, UNNEST(range(1, len(w.s) + 1)) t(j))""")
+        ctes.append(f"""i{i} AS MATERIALIZED (
+      SELECT word, cnt, j, sym, m,
+             CASE WHEN m = 1 THEN j - row_number() OVER
+               (PARTITION BY word, m ORDER BY j) END AS grp
+      FROM e{i})""")
+        ctes.append(f"""k{i} AS MATERIALIZED (
+      SELECT word, j FROM (
+        SELECT word, j, min(j) OVER (PARTITION BY word, grp) AS j0
+        FROM i{i} WHERE m = 1) q
+      WHERE (j - j0) % 2 = 0)""")
+        ctes.append(f"""a{i} AS MATERIALIZED (
+      SELECT e.word, e.cnt, e.j,
+             CASE WHEN k.j IS NOT NULL THEN e.sym || b.rhs ELSE e.sym END AS sym,
+             CASE WHEN k2.j IS NOT NULL THEN 1 ELSE 0 END AS dropped
+      FROM e{i} e CROSS JOIN b{i} b
+      LEFT JOIN k{i} k ON k.word = e.word AND k.j = e.j
+      LEFT JOIN k{i} k2 ON k2.word = e.word AND k2.j = e.j - 1)""")
+        ctes.append(f"""w{i} AS MATERIALIZED (
+      SELECT word, any_value(cnt) AS cnt, list(sym ORDER BY j) AS s
+      FROM a{i} WHERE dropped = 0 GROUP BY word)""")
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + final_select
+
+
+END_SYM = "</w>"
+_BPE_N = 10
+
+_BPE_MERGES_SELECT = "\nUNION ALL\n".join(
+    f"SELECT {i - 1} AS step, lhs, rhs, lhs || rhs AS merged, c AS cnt FROM b{i}"
+    for i in range(1, _BPE_N + 1)
+)
+
+
+@query("bpe_learned_merges", oracle=_bpe_sql(_BPE_N, _BPE_MERGES_SELECT))
+def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary learning (Sennrich et al. 2016), 10 merge steps over
+    the document corpus: each step is one pair-count shuffle over the
+    VOCABULARY-sized word-frequency table plus a 1-row argmax collect and
+    a map-only greedy fold re-segmentation — the standard trick that makes
+    BPE training tractable at web scale (the corpus is scanned once; the
+    merge loop never rereads it).  The oracle replays every step in SQL,
+    so the learned merge sequence — including count-tie resolution and the
+    adjacent-repeat greedy semantics the naive string-replace gets wrong —
+    is hash-certified end to end."""
+    from cassandra_util_spark.operators.bpe import bpe_merge_table, bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    merges, _ = bpe_train(d, "text", num_merges=_BPE_N)
+    return bpe_merge_table(spark, merges)
+
+
+@query(
+    "bpe_token_profile",
+    oracle=_bpe_sql(
+        _BPE_N,
+        f"""
+    , dw AS (SELECT doc_id,
+               unnest(list_filter(string_split({_NORM_SQL}, ' '), x -> x <> ''))
+                 AS word
+             FROM documents)
+    SELECT d.doc_id, count(*) AS n_words,
+           CAST(sum(len(w.s)) AS BIGINT) AS n_bpe_tokens
+    FROM dw d JOIN w{_BPE_N} w USING (word)
+    GROUP BY d.doc_id
+    """,
+    ),
+)
+def bpe_token_profile_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenized under the learned BPE vocabulary: per document the
+    word count and the exact BPE token count, computed by JOINING words to
+    their final segmentations (BPE is word-local, so the trained word
+    table is the tokenizer — no per-document re-segmentation ever runs).
+    This is the real token-budget input for a training pipeline: the
+    text.bpe_token_estimate regex is the cheap static guess, this is the
+    learned-vocab truth."""
+    from cassandra_util_spark.operators.bpe import bpe_token_profile, bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    _, words = bpe_train(d, "text", num_merges=_BPE_N)
+    return bpe_token_profile(d, "doc_id", "text", words)
+
+
 @query(
     "stream_interval_join_view",
     oracle="""
