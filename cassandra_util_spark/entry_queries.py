@@ -7061,11 +7061,19 @@ def _bpe_sql(num_merges: int, final_select: str) -> str:
       FROM w{p}, UNNEST(range(1, len(s))) t(j) GROUP BY 1, 2)""")
         ctes.append(f"""b{i} AS MATERIALIZED (
       SELECT lhs, rhs, c FROM p{i} ORDER BY c DESC, lhs ASC, rhs ASC LIMIT 1)""")
+        # g{i}: b{i} padded with a never-matching sentinel ('' is not a
+        # symbol) when the pair table runs dry, so each re-segmentation step
+        # degrades to a no-op — mirroring bpe_train's early break — instead
+        # of the empty CROSS JOIN annihilating w{i} and every later step.
+        ctes.append(f"""g{i} AS MATERIALIZED (
+      SELECT lhs, rhs FROM b{i}
+      UNION ALL
+      SELECT '', '' WHERE NOT EXISTS (SELECT 1 FROM b{i}))""")
         ctes.append(f"""e{i} AS MATERIALIZED (
       SELECT w.word, w.cnt, t.j, w.s[t.j] AS sym,
              CASE WHEN t.j < len(w.s) AND w.s[t.j] = b.lhs AND w.s[t.j+1] = b.rhs
                   THEN 1 ELSE 0 END AS m
-      FROM w{p} w CROSS JOIN b{i} b, UNNEST(range(1, len(w.s) + 1)) t(j))""")
+      FROM w{p} w CROSS JOIN g{i} b, UNNEST(range(1, len(w.s) + 1)) t(j))""")
         ctes.append(f"""i{i} AS MATERIALIZED (
       SELECT word, cnt, j, sym, m,
              CASE WHEN m = 1 THEN j - row_number() OVER
@@ -7080,7 +7088,7 @@ def _bpe_sql(num_merges: int, final_select: str) -> str:
       SELECT e.word, e.cnt, e.j,
              CASE WHEN k.j IS NOT NULL THEN e.sym || b.rhs ELSE e.sym END AS sym,
              CASE WHEN k2.j IS NOT NULL THEN 1 ELSE 0 END AS dropped
-      FROM e{i} e CROSS JOIN b{i} b
+      FROM e{i} e CROSS JOIN g{i} b
       LEFT JOIN k{i} k ON k.word = e.word AND k.j = e.j
       LEFT JOIN k{i} k2 ON k2.word = e.word AND k2.j = e.j - 1)""")
         ctes.append(f"""w{i} AS MATERIALIZED (
@@ -7402,7 +7410,8 @@ _CLS_BASE_SQL = f"""
               FROM cls CROSS JOIN tot),
     sc AS (SELECT c.doc_id,
             CAST(sum(c.c) AS BIGINT) AS n_toks,
-            CAST(sum(c.c * COALESCE(m.lam9, 1000000000)) AS BIGINT) AS num9
+            CAST(sum(CAST(c.c AS HUGEINT) * COALESCE(m.lam9, 1000000000))
+                 AS HUGEINT) AS num9
            FROM cnt c LEFT JOIN model m ON m.k = c.k
            WHERE c.doc_id % 2 = 1
            GROUP BY c.doc_id),

@@ -88,8 +88,12 @@ def merge_pair_expr(syms: Column, left: str, right: str) -> Column:
 
 
 def _pair_counts(words: DataFrame) -> DataFrame:
+    # fully-merged single-symbol words have no pairs; without the filter,
+    # sequence(1, 0) yields the DESCENDING [1, 0] (not empty) and
+    # element_at(syms, 2) faults on the 1-element array
     return (
-        words.select(
+        words.filter(F.size("syms") >= 2)
+        .select(
             "cnt",
             F.explode(
                 F.transform(

@@ -126,7 +126,17 @@ def score_with_classifier(
         .groupBy("id")
         .agg(
             F.sum("c").alias("n_toks"),
-            F.sum(F.col("c") * F.col("lam9")).alias("num9"),
+            # lam9 can reach ~2N*1e9 when a bucket has zero negatives in a
+            # skewed seed; a bigint accumulator would wrap SILENTLY in
+            # non-ANSI mode while the DuckDB oracle's HUGEINT fails loudly.
+            # decimal(38,0) makes the sum exact on both engines (the per-row
+            # product c*lam9 <= n_toks * 2(N+1)*1e9 << 1e38, and any sum
+            # that somehow exceeded 38 digits nulls out loudly, not wraps).
+            F.sum(
+                (F.col("c").cast("decimal(19,0)") * F.col("lam9")).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("num9"),
         )
         .select(
             F.col("id").alias(id_col),

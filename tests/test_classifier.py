@@ -121,6 +121,20 @@ def test_pareto_acceptance_monotone_in_score(spark):
     assert len(kept_low) < len(kept_high)
 
 
+def test_skewed_model_score_exact_no_int64_wrap(spark):
+    # lam9 can reach ~2N*1e9 on a skewed seed (a bucket with zero negatives);
+    # a bigint num9 accumulator would wrap silently.  Synthetic model with
+    # every bucket at lam9 = 6e18: a 2-token doc sums to 1.2e19 > int64 max.
+    lam = 6_000_000_000_000_000_000
+    model = spark.createDataFrame([(k, lam) for k in range(B)], "k int, lam9 bigint")
+    doc = spark.createDataFrame([(1, "two tokens")], "id bigint, text string")
+    [row] = score_with_classifier(doc, model, "id", "text", num_buckets=B).collect()
+    assert row["n_toks"] == 2
+    # exact: (2 * 6e18) / 2 / 1e9 = 6e9 — wrap would give a negative score
+    assert row["score"] == pytest.approx(6.0e9)
+    assert row["predicted"]
+
+
 def test_pareto_shape_validation(spark):
     with pytest.raises(ValueError, match="shape"):
         pareto_keep_expr("id", "score", shape=10)
