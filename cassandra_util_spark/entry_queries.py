@@ -7581,3 +7581,65 @@ def _rotate_driver_window_r7() -> None:
 
 
 _rotate_driver_window_r7()
+
+
+# ---------------------------------------------------------------------------
+# Round-8 window rotation (VERDICT r7 task 2): ten rows in the window since
+# round 5 and driver-certified three times (r5+r6+r7, 50/50 green each) move
+# just past the window in favor of the ten never-driver-checked round-7
+# additions — exactly the VERDICT's candidate list.  Family coverage in the
+# window is preserved: TPC-H keeps q4/q7/q9/acctbal after q6/q10/
+# parts_above_avg_price/orders_pivot move out; counters keep
+# counter_store_totals after counter_merge; merge/LSM keeps the runstore/
+# TWCS views after lww_merge; dedup keeps clusters_star/incremental_lsh/
+# winnowing/incremental and GAINS the lossless prefix-Jaccard and the
+# streaming LSH index; embeddings keep dedup_resolve/ann_ivf and trade
+# semantic_dedup for its certified scale-safe K-proportional variant plus
+# PQ ANN; events keep funnel/cohort/incremental_rollup after
+# salted_event_rollup; media keeps media_dedup after media_features.  The
+# pinned prefix snapshot in tests/test_plan_hygiene.py is updated in the
+# same commit, as that test's docstring sanctions.
+_WINDOW_ROTATE_OUT_R8 = [
+    "counter_merge",            # certified r5+r6+r7
+    "lww_merge",                # certified r5+r6+r7
+    "dedup_minhash_lsh",        # certified r5+r6+r7
+    "semantic_dedup",           # certified r5+r6+r7 (scaled variant enters)
+    "q10_returned_items",       # certified r5+r6+r7
+    "q6_forecast_revenue",      # certified r5+r6+r7
+    "parts_above_avg_price",    # certified r5+r6+r7
+    "orders_pivot_priority",    # certified r5+r6+r7
+    "media_features",           # certified r5+r6+r7
+    "salted_event_rollup",      # certified r5+r6+r7
+]
+_WINDOW_ROTATE_IN_R8 = [
+    "semantic_dedup_scaled",
+    "twcs_streaming_view",
+    "dedup_streaming_lsh",
+    "corpus_ingest_streaming",
+    "dedup_ngram_prefix",
+    "ann_pq_adc_topk",
+    "bpe_learned_merges",
+    "quality_classifier_scores",
+    "pareto_document_selection",
+    "stream_interval_join_view",
+]
+
+
+def _rotate_driver_window_r8() -> None:
+    names = list(QUERIES)
+    missing = [
+        n for n in _WINDOW_ROTATE_IN_R8 + _WINDOW_ROTATE_OUT_R8 if n not in QUERIES
+    ]
+    if missing:
+        raise AssertionError(f"window rotation references unknown queries: {missing}")
+    prefix = [n for n in names[:50] if n not in set(_WINDOW_ROTATE_OUT_R8)]
+    prefix += _WINDOW_ROTATE_IN_R8
+    assert len(prefix) == 50, len(prefix)
+    order = prefix + [n for n in names if n not in set(prefix)]
+    for reg in (QUERIES, ORACLES):
+        snapshot = dict(reg)
+        reg.clear()
+        reg.update({n: snapshot[n] for n in order if n in snapshot})
+
+
+_rotate_driver_window_r8()

@@ -105,30 +105,43 @@ def test_query_registry_prefix_stable():
     and the corpus-pipeline suite (corpus_clean_pipeline,
     gopher_quality_gate, events_cohort_retention).  The rotation is
     entry_queries._rotate_driver_window_r7; family coverage is preserved
-    (see that block's comment)."""
+    (see that block's comment).
+
+    Round-8 intentional rotation (VERDICT r7 task 2): ten rows in the
+    window since round 5 and certified three times (counter_merge,
+    lww_merge, dedup_minhash_lsh, semantic_dedup, q10_returned_items,
+    q6_forecast_revenue, parts_above_avg_price, orders_pivot_priority,
+    media_features, salted_event_rollup) move just past the window in
+    favor of the ten never-driver-checked round-7 additions the VERDICT
+    named: the certified scale-safe semantic dedup, the streaming
+    TWCS/LSH/crawl pipelines, the lossless prefix-filtered Jaccard, PQ
+    ANN, BPE training, the trained quality classifier with Pareto
+    selection, and the watermarked stream-stream interval join.  The
+    rotation is entry_queries._rotate_driver_window_r8; family coverage
+    is preserved (see that block's comment)."""
     from cassandra_util_spark.entry_queries import ORACLES, QUERIES
 
     first50 = [
         "retention_rules_delete", "retention_ttl", "configurable_delete_json",
-        "token_range_filter", "lww_merge", "counter_merge",
-        "dedup_minhash_lsh", "embedding_dedup_resolve", "ann_ivf_topk",
-        "semantic_dedup", "range_join_incidents", "q10_returned_items",
-        "parts_above_avg_price", "q4_order_priority", "q6_forecast_revenue",
-        "orders_pivot_priority", "acctbal_percentiles", "media_features",
-        "media_dedup", "salted_event_rollup", "dedup_clusters_star",
-        "training_corpus_assembly", "sketch_heavy_hitters",
-        "runstore_leveled_view", "dedup_incremental_lsh", "bm25_search",
-        "sequence_packing", "dedup_winnowing", "events_funnel",
-        "contamination_report", "cdc_apply", "tombstone_compaction",
-        "q9_product_type_profit", "hybrid_retrieval_rrf", "dsir_select",
-        "cluster_aware_split", "dedup_incremental",
-        "events_incremental_rollup", "join_plan_advisory",
-        "unicode_nfc_fingerprints", "advised_join_exec",
-        "counter_store_totals", "zorder_layout_key",
+        "token_range_filter", "embedding_dedup_resolve", "ann_ivf_topk",
+        "range_join_incidents", "q4_order_priority", "acctbal_percentiles",
+        "media_dedup", "dedup_clusters_star", "training_corpus_assembly",
+        "sketch_heavy_hitters", "runstore_leveled_view",
+        "dedup_incremental_lsh", "bm25_search", "sequence_packing",
+        "dedup_winnowing", "events_funnel", "contamination_report",
+        "cdc_apply", "tombstone_compaction", "q9_product_type_profit",
+        "hybrid_retrieval_rrf", "dsir_select", "cluster_aware_split",
+        "dedup_incremental", "events_incremental_rollup",
+        "join_plan_advisory", "unicode_nfc_fingerprints",
+        "advised_join_exec", "counter_store_totals", "zorder_layout_key",
         "runstore_skipindex_view", "twcs_retention_view",
         "bucketed_colocated_join", "q7_volume_shipping",
         "corpus_clean_pipeline", "gopher_quality_gate",
-        "events_cohort_retention",
+        "events_cohort_retention", "semantic_dedup_scaled",
+        "twcs_streaming_view", "dedup_streaming_lsh",
+        "corpus_ingest_streaming", "dedup_ngram_prefix", "ann_pq_adc_topk",
+        "bpe_learned_merges", "quality_classifier_scores",
+        "pareto_document_selection", "stream_interval_join_view",
     ]
     assert list(QUERIES)[:50] == first50
     # every registered query keeps a full-strength oracle
