@@ -186,6 +186,21 @@ BENCH_QUERIES = [
     "runstore_zorder_2d",
     "semantic_dedup_scaled",
     "twcs_streaming_view",
+    # round-7 tail additions (registered after r7's final sweep — VERDICT r7
+    # item 1): PQ ANN, BPE training, trained quality classifier + Pareto,
+    # prefix-filtered Jaccard, streaming LSH index / crawl pipeline /
+    # stream-stream interval join
+    "ann_pq_adc_topk",
+    "ann_pq_rerank_topk",
+    "bpe_learned_merges",
+    "bpe_token_profile",
+    "quality_classifier_scores",
+    "quality_classifier_eval",
+    "pareto_document_selection",
+    "dedup_ngram_prefix",
+    "dedup_streaming_lsh",
+    "corpus_ingest_streaming",
+    "stream_interval_join_view",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash
     # swapped to xxhash64 — the production configuration at scale
@@ -194,6 +209,11 @@ BENCH_QUERIES = [
     "dedup_winnowing_fast",
     "sketch_heavy_hitters_fast",
 ]
+
+# Registered queries deliberately NOT benched (scripts/release_check.py
+# requires every registry entry to be either in BENCH_QUERIES or here,
+# with a reason).  Currently empty: the whole registry is timed.
+BENCH_EXCLUDED: tuple = ()
 
 
 def _minhash_fast(spark, sf_dir):
