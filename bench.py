@@ -279,6 +279,8 @@ def main() -> None:
     ap.add_argument("--repeat", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3")),
                     help="runs per query; the reported time is the median")
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="time only these queries (skips BENCH_FULL.json write)")
     args = ap.parse_args()
     repeat = max(1, args.repeat)
 
@@ -294,6 +296,12 @@ def main() -> None:
 
     runnable = {**QUERIES, **EXTRA_QUERIES}
     names = [n for n in BENCH_QUERIES if n in runnable]
+    if args.only is not None:
+        unknown = [n for n in args.only if n not in runnable]
+        if unknown:
+            print(f"bench: unknown queries: {unknown}", file=sys.stderr)
+            raise SystemExit(2)
+        names = list(args.only)
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     # Per-query error isolation: one broken query must never erase the
@@ -340,12 +348,13 @@ def main() -> None:
     # it parses must stay small no matter how many queries the suite grows to.
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_FULL.json")
-    try:
-        with open(full_path, "w") as f:
-            json.dump(out, f, indent=1)
-            f.write("\n")
-    except OSError as exc:  # read-only checkout: the stdout copy still exists
-        print(f"bench: could not write {full_path}: {exc}", file=sys.stderr)
+    if args.only is None:  # a partial --only run must not clobber the record
+        try:
+            with open(full_path, "w") as f:
+                json.dump(out, f, indent=1)
+                f.write("\n")
+        except OSError as exc:  # read-only checkout: the stdout copy still exists
+            print(f"bench: could not write {full_path}: {exc}", file=sys.stderr)
     print(json.dumps(out))
 
     # Bounded by construction: start from the 12 slowest queries and DROP

@@ -25,6 +25,11 @@ _DEFAULTS = {
     # driver testdata stores event time as TIMESTAMP(NANOS); read as raw int64
     # nanos and convert explicitly (Spark's timestamp type is microseconds)
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Spark still defaults to deprecated INT96 timestamps, which carry NO
+    # parquet column statistics — every engine the run store interoperates
+    # with (and its own footer-derived skip index, RunStore._footer_stats)
+    # needs the stats-bearing modern physical type
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     # Spark 4's default, pinned explicitly so a deployment override can't

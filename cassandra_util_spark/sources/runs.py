@@ -244,14 +244,141 @@ class RunStore:
         run_path: str,
         zorder_by: Optional[list[str]] = None,
     ) -> None:
-        """One column-pruned read-back of the written parquet aggregates
-        min/max for EVERY atomic column (the skip-index a run carries —
-        ClickHouse minmax-index / Iceberg manifest-stats shape) plus the
-        row count.  The legacy top-level {column, min, max} mirror of the
-        first partition key is kept so stores written by newer code stay
-        readable by older readers.  ``zorder_by`` records layout
-        provenance (which columns the run's files are Morton-ordered on)
-        so an operator can see WHY a run prunes well on those columns."""
+        """Aggregate min/max for EVERY atomic column (the skip-index a run
+        carries — ClickHouse minmax-index / Iceberg manifest-stats shape)
+        plus the row count, from the WRITTEN parquet's FOOTERS: a
+        driver-side metadata walk, no Spark job (the Iceberg-manifest
+        consumption pattern — the writer already computed these bounds).
+        This took a column-pruned read-back job per append before; on the
+        streaming ingest path that job was a fixed per-batch cost paid
+        twice per micro-batch (VERDICT r7 item 3).  A column whose footer
+        stats are missing/unreliable in any row group is OMITTED from the
+        columns map — consumers already treat a missing column as
+        non-prunable, so degraded stats can only lose pruning, never rows.
+        A float column whose stats contain NaN is likewise omitted:
+        Spark's parquet writer records NaN as a bound, and folding NaN
+        through ``>``/``<`` (always false) could UNDERSTATE a run's max
+        and wrongly prune it — omission is the only NaN handling that can
+        never lose rows.  The Spark agg
+        survives as the fallback when footers can't be walked.  The legacy
+        top-level {column, min, max} mirror of the first partition key is
+        kept so stores written by newer code stay readable by older
+        readers.  ``zorder_by`` records layout provenance (which columns
+        the run's files are Morton-ordered on) so an operator can see WHY
+        a run prunes well on those columns."""
+        stats = self._footer_stats(run_path)
+        if stats is None:  # unreadable footers — pay the read-back job
+            stats = self._spark_stats(spark, run_path)
+        rows, cols = stats
+        import json
+
+        c0 = self._range_col
+        b0 = cols.get(c0, {"min": None, "max": None})
+        with open(os.path.join(run_path, "_STATS.json"), "w") as f:
+            json.dump(
+                {
+                    "column": c0,
+                    "min": b0["min"],
+                    "max": b0["max"],
+                    "rows": rows,
+                    "columns": cols,
+                    **({"zorder": list(zorder_by)} if zorder_by else {}),
+                },
+                f,
+                default=str,
+            )
+
+    def _footer_stats(self, run_path: str):
+        """(rows, {col: {min, max}}) from the parquet footers, or None when
+        the directory holds no readable parquet parts.  Values are
+        normalized to what the Spark-agg path produced (timestamps to
+        naive UTC datetimes, int64 as int) so _STATS.json is byte-
+        compatible either way — pinned by tests/test_runstore.py."""
+        import datetime
+
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:  # pragma: no cover — pyarrow ships with pyspark
+            return None
+        parts = sorted(
+            os.path.join(run_path, p)
+            for p in os.listdir(run_path)
+            if p.endswith(".parquet") and not p.startswith((".", "_"))
+        )
+        if not parts:
+            return None
+        try:
+            import pyarrow.types as patypes
+
+            schema = pq.read_schema(parts[0])
+        except (OSError, ValueError):
+            return None
+        rows = 0
+        # seed every atomic column with null bounds so an empty or all-null
+        # run records {min: None, max: None} exactly like the agg path did
+        bounds: dict[str, list] = {
+            f.name: [None, None]
+            for f in schema
+            if not (
+                patypes.is_nested(f.type)
+                or patypes.is_binary(f.type)
+                or patypes.is_large_binary(f.type)
+            )
+        }
+        bad: set[str] = set()
+        for part in parts:
+            try:
+                md = pq.ParquetFile(part).metadata
+            except (OSError, ValueError):
+                return None
+            rows += md.num_rows
+            for gi in range(md.num_row_groups):
+                rg = md.row_group(gi)
+                for ci in range(rg.num_columns):
+                    col = rg.column(ci)
+                    name = col.path_in_schema
+                    if name not in bounds or name in bad or rg.num_rows == 0:
+                        continue
+                    st = col.statistics
+                    if st is None:
+                        bad.add(name)
+                        continue
+                    if not st.has_min_max:
+                        # all-null groups legitimately carry no bounds —
+                        # they contribute nothing, like Spark's null-skipping
+                        # min/max; anything else is an unreliable column
+                        if st.null_count != rg.num_rows:
+                            bad.add(name)
+                        continue
+                    mn, mx = st.min, st.max
+                    if isinstance(mn, bytes) or isinstance(mx, bytes):
+                        bad.add(name)  # raw binary — the agg path skipped these
+                        continue
+                    if any(
+                        isinstance(v, float) and v != v for v in (mn, mx)
+                    ):
+                        # NaN bound: folding it through </> (always false)
+                        # could understate the run max and lose rows to
+                        # pruning — omit the column instead
+                        bad.add(name)
+                        continue
+                    if isinstance(mn, datetime.datetime) and mn.tzinfo is not None:
+                        mn = mn.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+                        mx = mx.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+                    cur = bounds[name]
+                    if cur[0] is None or (mn is not None and mn < cur[0]):
+                        cur[0] = mn
+                    if cur[1] is None or (mx is not None and mx > cur[1]):
+                        cur[1] = mx
+        return rows, {
+            c: {"min": v[0], "max": v[1]}
+            for c, v in bounds.items()
+            if c not in bad
+        }
+
+    def _spark_stats(self, spark: SparkSession, run_path: str):
+        """The original read-back job: one column-pruned scan aggregating
+        min/max over every atomic column.  Fallback only."""
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(run_path)
@@ -265,25 +392,9 @@ class RunStore:
         for c in atomic:
             aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
         row = df.agg(*aggs).collect()[0]
-        import json
-
-        c0 = self._range_col
-        with open(os.path.join(run_path, "_STATS.json"), "w") as f:
-            json.dump(
-                {
-                    "column": c0,
-                    "min": row[f"__mn_{c0}"],
-                    "max": row[f"__mx_{c0}"],
-                    "rows": row["__rows"],
-                    "columns": {
-                        c: {"min": row[f"__mn_{c}"], "max": row[f"__mx_{c}"]}
-                        for c in atomic
-                    },
-                    **({"zorder": list(zorder_by)} if zorder_by else {}),
-                },
-                f,
-                default=str,
-            )
+        return row["__rows"], {
+            c: {"min": row[f"__mn_{c}"], "max": row[f"__mx_{c}"]} for c in atomic
+        }
 
     def run_stats(self) -> dict[str, dict]:
         """Run → {column, min, max, rows} for every live run that has a

@@ -136,8 +136,12 @@ def stream_corpus_ingest(
             whitespace_token_count(F.col(text_col)) >= min_tokens
         )
         kept = exact_dedup(kept, id_col, [text_col])
+        idx = None
         if index_store.live_runs():
-            idx = index_store.read_merged(spark)
+            # both historical probes (digest anti-join, banded sig probe)
+            # consume the merged index; persist so the LWW merge over the
+            # index runs computes once per batch, not once per probe
+            idx = index_store.read_merged(spark).persist()
             kept = (
                 kept.withColumn("__digest", _digest_for(kept, [text_col]))
                 .join(
@@ -162,6 +166,10 @@ def stream_corpus_ingest(
         # lineage above reads the index store's CURRENT manifest, which the
         # second append is about to advance
         kept = kept.localCheckpoint()
+        if idx is not None:
+            # the eager checkpoint just materialized every idx consumer
+            # (sig_new rides along via its lazy checkpoint) — release the blocks
+            idx.unpersist()
         corpus_store.append_run(
             kept.withColumn("writetime", F.lit(batch_id).cast("long")),
             name=run_name_for_batch(batch_id),

@@ -381,3 +381,67 @@ def test_zordered_append_same_view_and_2d_file_pruning(spark, tmp_path):
     )
     expect = [r for r in a if r["ux"] <= mid_ux and r["ex"] <= mid_ex]
     assert sorted(view.collect()) == sorted(expect)
+
+
+def test_footer_stats_byte_compatible_with_spark_agg(spark, tmp_path):
+    """_write_stats now derives the skip index from parquet FOOTERS (a
+    driver-side metadata walk — no Spark job per append); the Spark agg
+    survives as the fallback for unreadable footers.  The two paths must
+    produce byte-identical _STATS.json payloads across every atomic type
+    the store carries (long, double, string, timestamp, date, boolean,
+    all-null) or old stores and new stores would prune differently."""
+    import datetime
+    import json
+    import os
+
+    meta = TableMeta(("user_id",), ("event_id",), "writetime")
+    store = RunStore(str(tmp_path / "runs"), meta)
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .withColumn("writetime", F.unix_micros(F.col("ts").cast("timestamp")))
+        .withColumn("dbl", F.col("user_id") / 7.0)
+        .withColumn("tstamp", F.col("ts").cast("timestamp"))
+        .withColumn("dt", F.to_date(F.col("ts").cast("timestamp")))
+        .withColumn("flag", F.col("user_id") % 2 == 0)
+        .withColumn("allnull", F.lit(None).cast("string"))
+        .withColumn("payload", F.encode(F.col("event_type"), "utf-8"))  # binary
+        .select(
+            "user_id", "event_id", "event_type", "writetime",
+            "dbl", "tstamp", "dt", "flag", "allnull", "payload",
+        )
+    )
+    run = store.append_run(ev)
+    path = os.path.join(store.root, run)
+
+    footer = store._footer_stats(path)
+    assert footer is not None, "testdata parquet must have readable footers"
+    agg = store._spark_stats(spark, path)
+
+    # normalize exactly like _write_stats does (json with default=str)
+    norm = lambda s: json.loads(json.dumps(
+        {"rows": s[0], "columns": s[1]}, default=str))
+    nf, na = norm(footer), norm(agg)
+    assert nf["rows"] == na["rows"] == ev.count()
+    # binary columns appear on neither path; all-null columns on both
+    assert "payload" not in nf["columns"] and "payload" not in na["columns"]
+    assert nf["columns"]["allnull"] == {"min": None, "max": None}
+    assert nf["columns"] == na["columns"]
+    # the published _STATS.json is the footer-derived payload
+    with open(os.path.join(path, "_STATS.json")) as f:
+        st = json.load(f)
+    assert st["columns"] == nf["columns"] and st["rows"] == nf["rows"]
+
+    # NaN-bearing float column: Spark's parquet writer records NaN as a
+    # stat bound, and folding NaN through </> (always false) could
+    # UNDERSTATE the run max and wrongly prune it — the footer path must
+    # OMIT the column (omitted = never pruned = never loses rows)
+    nan_ev = ev.withColumn(
+        "dbl", F.when(F.col("user_id") == 1, float("nan")).otherwise(F.col("dbl"))
+    )
+    run2 = store.append_run(nan_ev)
+    st2 = store.run_stats()[run2]
+    assert "dbl" not in st2["columns"]
+    assert "user_id" in st2["columns"]  # other columns unaffected
+    # a bound far above the data prunes the clean run via its dbl stats
+    # but must KEEP the NaN run (no stats = non-prunable)
+    assert store.prune_runs(1e12, 2e12, column="dbl") == [run2]
