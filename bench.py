@@ -201,6 +201,8 @@ BENCH_QUERIES = [
     "dedup_streaming_lsh",
     "corpus_ingest_streaming",
     "stream_interval_join_view",
+    "jaccard_route_advisory",
+    "dedup_jaccard_routed",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash
     # swapped to xxhash64 — the production configuration at scale

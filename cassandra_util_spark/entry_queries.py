@@ -6817,6 +6817,103 @@ def dedup_ngram_prefix_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "jaccard_route_advisory",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+    toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    sh AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        FROM toks WHERE len(w) >= 3)),
+    d(i) AS (VALUES (0), (1), (2), (3)),
+    cells AS (
+      SELECT i AS row,
+             CAST(('0x' || substring(md5('jacroute:' || CAST(i AS VARCHAR)
+                                         || ':' || sh), 1, 8)) AS BIGINT)
+               % 65536 AS idx,
+             count(*) AS c
+      FROM sh, d GROUP BY 1, 2),
+    per_row AS (
+      SELECT row, SUM(c) AS nr, SUM(CAST(c AS HUGEINT) * c) AS f2r
+      FROM cells GROUP BY row),
+    est AS (SELECT CAST(MAX(nr) AS BIGINT) AS shingle_rows,
+                   CAST(MIN(f2r) AS DOUBLE) AS f2_raw FROM per_row),
+    blow AS (
+      SELECT shingle_rows,
+             round(greatest((f2_raw - CAST(shingle_rows AS DOUBLE)
+                                       * shingle_rows / 65536.0)
+                              / (1.0 - 1.0 / 65536.0),
+                            CAST(shingle_rows AS DOUBLE))
+                   / shingle_rows, 6) AS selfjoin_blowup
+      FROM est)
+    SELECT shingle_rows, selfjoin_blowup,
+           CASE WHEN selfjoin_blowup > 24.0 THEN 'prefix'
+                ELSE 'selfjoin' END AS route
+    FROM blow
+    """,
+)
+def jaccard_route_advisory_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-Jaccard pair-generator ROUTER's advisory, hash-certified:
+    one Count-Min sketch build over the shingle stream (4×65536 counters,
+    portable md5 hashes — every counter reproducible in any engine), then
+    the compensated AMS/CM self-join size estimate ``F2_est / N`` =
+    candidate rows per shingle row.  SCALING.md measures a two-regime
+    world (self-join wins bounded-df corpora, prefix filtering wins
+    Zipf/boilerplate by 3.4x-and-growing); this advisory decides the
+    regime BEFORE any pair is generated — the sketch-advisory→executor
+    pattern of ``advised_join``, applied to dedup.  The driver corpus
+    profiles at blowup 2.06 (sf0.01) / 10.64 (sf0.1) → ``selfjoin``; the
+    routing pytest pins a boilerplate fixture switching to ``prefix``
+    with the identical output hash either way."""
+    from cassandra_util_spark.operators.dedup import jaccard_route_advice
+
+    d = _t(spark, sf_dir, "documents")
+    return jaccard_route_advice(d, "doc_id", "text", n=3)
+
+
+@query(
+    "dedup_jaccard_routed",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+    toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    sh AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        FROM toks WHERE len(w) >= 3)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.5
+    """,
+)
+def dedup_jaccard_routed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard with the pair generator CHOSEN by the measured
+    shingle-df profile (``ngram_jaccard_pairs_auto``): the 1-row CM
+    advisory above is collected (bounded by construction) and dispatches
+    to the shingle self-join or the prefix filter.  The oracle is the
+    uncapped Jaccard SQL verbatim — identical to ``dedup_ngram_prefix``'s
+    — because BOTH routes compute the same lossless metric; together the
+    two queries hash-certify both physical routes.  On the driver corpus
+    this takes the self-join route (blowup 2.06 < 24); the pytest pins
+    the switch.  A user no longer needs to know their corpus's shingle
+    skew to get the fast exact-dedup plan — the engine measures it."""
+    from cassandra_util_spark.operators.dedup import ngram_jaccard_pairs_auto
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs_auto(d, "doc_id", "text", n=3, threshold=0.5)
+
+
+@query(
     "dedup_streaming_lsh",
     oracle=f"""
     WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),

@@ -320,6 +320,127 @@ def ngram_jaccard_pairs_prefix(
     return verified.select("id_a", "id_b", "jaccard")
 
 
+def jaccard_route_advice(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    blowup_threshold: float = 24.0,
+    depth: int = 4,
+    width: int = 65536,
+    seed: str = "jacroute",
+    hash_fn: str = "portable",
+) -> DataFrame:
+    """1-row advisory for EXACT Jaccard pair generation: the estimated
+    self-join blow-up (candidate rows per shingle row) measured from a
+    Count-Min sketch of the shingle table, and the route the executor
+    takes (the advisory-made-an-executor discipline of ``advised_join``).
+
+    SCALING.md measures a two-regime world for exact Jaccard: the plain
+    shingle self-join wins bounded-df corpora (prefix filtering's
+    freq-join + per-doc sort overhead buys nothing), while prefix
+    filtering wins Zipf/boilerplate corpora by 3.4x-and-growing at 50k
+    docs — the self-join's candidate volume is Σ_sh C(df_sh, 2),
+    quadratic in hot shingles.  This advisory measures which regime the
+    corpus is in BEFORE any pair is generated: one CM sketch build over
+    the shingle stream (bounded depth×width output, map-side combinable,
+    one shuffle of counter cells), then integer arithmetic on counters.
+
+    Estimator: per hash row, sum(c) = N exactly (total shingle rows) and
+    sum(c²) ≥ F2 = Σ_sh df² (the AMS/CM inner-product self-estimate,
+    Cormode & Muthukrishnan 2005 §4.2 — collisions only inflate, min
+    over rows tightens).  The expected collision term (N²-F2)/width is
+    compensated out and the result clamped to ≥ N (F2 ≥ N always).
+    ``selfjoin_blowup = F2_est / N`` is the document frequency a random
+    shingle ROW sees — the factor by which self-join candidate rows
+    exceed linear.  Counter squares accumulate in decimal(38,0)
+    (HUGEINT in the oracle) so a 100 TB corpus cannot wrap int64.
+
+    Route ladder: ``blowup > blowup_threshold → "prefix"`` else
+    ``"selfjoin"``.  Both routes compute the SAME uncapped metric, so a
+    wrong route is a performance mistake, never a correctness one.  The
+    default threshold (24) sits between the measured regimes: the driver
+    corpus profiles at blowup 2.06 (sf0.01) and 10.64 (sf0.1) — where
+    the self-join is the faster generator — while a 30%-boilerplate
+    fixture profiles at 75+ and climbs with corpus size, the regime
+    where prefix filtering wins by multiples (3.4x at 50k docs,
+    SCALING.md) and the gap grows with scale.
+
+    Output: (shingle_rows, selfjoin_blowup, route).
+    """
+    from cassandra_util_spark.operators.sketches import count_min_build
+
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(word_shingles(F.col(text_col), n)).alias("sh"),
+        )
+        .distinct()
+    )
+    sketch = count_min_build(sh, "sh", depth, width, seed, hash_fn)
+    dec = "decimal(38,0)"
+    per_row = sketch.groupBy("row").agg(
+        F.sum("c").alias("nr"),
+        F.sum(F.col("c").cast(dec) * F.col("c").cast(dec)).alias("f2r"),
+    )
+    est = per_row.agg(
+        F.max("nr").alias("shingle_rows"),
+        F.min("f2r").cast("double").alias("f2_raw"),
+    )
+    w = float(width)
+    nd = F.col("shingle_rows").cast("double")
+    return est.select(
+        "shingle_rows",
+        F.round(
+            F.greatest(
+                (F.col("f2_raw") - nd * nd / F.lit(w)) / F.lit(1.0 - 1.0 / w),
+                nd,
+            )
+            / nd,
+            6,
+        ).alias("selfjoin_blowup"),
+    ).withColumn(
+        "route",
+        F.when(
+            F.col("selfjoin_blowup") > F.lit(blowup_threshold), F.lit("prefix")
+        ).otherwise(F.lit("selfjoin")),
+    )
+
+
+def ngram_jaccard_pairs_auto(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    blowup_threshold: float = 24.0,
+    depth: int = 4,
+    width: int = 65536,
+    seed: str = "jacroute",
+    hash_fn: str = "portable",
+) -> DataFrame:
+    """Exact Jaccard pairs with the pair GENERATOR chosen by the measured
+    shingle-df profile: collect :func:`jaccard_route_advice`'s single row
+    (bounded by construction — loud failure on shape violation) and
+    dispatch to :func:`ngram_jaccard_pairs` (bounded-df regime) or
+    :func:`ngram_jaccard_pairs_prefix` (Zipf/boilerplate regime).  Output
+    is row-identical either way — the uncapped metric — so the oracle is
+    the plain Jaccard SQL regardless of route.  The sketch pass costs one
+    extra scan of the shingle derivation with a depth×width-bounded
+    output; at corpus scale that is noise against the quadratic blow-up
+    the wrong generator risks.  Reference anchor: the sketch-advised join
+    router (CQLBatch.scala:56-67 routes work by data shape decided before
+    execution)."""
+    adv = jaccard_route_advice(
+        df, id_col, text_col, n, blowup_threshold, depth, width, seed, hash_fn
+    ).collect()
+    if len(adv) != 1:
+        raise ValueError(f"route advisory must be exactly 1 row, got {len(adv)}")
+    if adv[0]["route"] == "prefix":
+        return ngram_jaccard_pairs_prefix(df, id_col, text_col, n=n, threshold=threshold)
+    return ngram_jaccard_pairs(df, id_col, text_col, n=n, threshold=threshold)
+
+
 def ngram_containment_pairs(
     df: DataFrame,
     id_col: str,

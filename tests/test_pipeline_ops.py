@@ -480,6 +480,63 @@ def test_jaccard_prefix_filter_matches_uncapped(spark):
     assert exact == {(1, 6)}
 
 
+def test_jaccard_route_switches_on_df_profile(spark):
+    """The dispatcher routes by the MEASURED shingle-df profile: a
+    bounded-df corpus (every shingle rare) routes to the self-join; a
+    boilerplate-heavy corpus (one template shared by many docs — the
+    quadratic-candidate regime) routes to the prefix filter.  The routed
+    output is row-identical to the uncapped metric on BOTH fixtures —
+    a wrong route could only ever cost time, never rows."""
+    from cassandra_util_spark.operators.dedup import (
+        jaccard_route_advice,
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_auto,
+    )
+
+    # bounded-df: 60 documents, each with its own disjoint vocabulary
+    bounded = spark.createDataFrame(
+        [(i, " ".join(f"tok{i}_{j}" for j in range(12))) for i in range(60)],
+        "doc_id bigint, text string",
+    )
+    # boilerplate: 48 of 60 docs share one 40-word template verbatim
+    # (29 distinct trigram types per template doc, df=48 each; the 12
+    # unique docs contribute 22 df=1 shingles apiece after the
+    # underscore-splitting tokenizer): true blowup = Σdf²/N =
+    # (29·48² + 264)/(48·29 + 264) ≈ 40 — solidly in the prefix regime
+    template = " ".join(f"footer{j} legal notice quad" for j in range(10))
+    boiler = spark.createDataFrame(
+        [
+            (i, template if i % 5 < 4 else " ".join(f"u{i}_{j}" for j in range(12)))
+            for i in range(60)
+        ],
+        "doc_id bigint, text string",
+    )
+    a = jaccard_route_advice(bounded, "doc_id", "text").collect()[0]
+    b = jaccard_route_advice(boiler, "doc_id", "text").collect()[0]
+    assert a["route"] == "selfjoin", a
+    assert b["route"] == "prefix", b
+    assert b["selfjoin_blowup"] > a["selfjoin_blowup"]
+    # the compensated CM estimate sits near the true blowup (≈40); it must
+    # never understate it past the compensation's own noise floor
+    assert b["selfjoin_blowup"] >= 35.0
+
+    for df in (bounded, boiler):
+        unc = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.5).collect()
+        }
+        auto = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs_auto(df, "doc_id", "text", 3, 0.5).collect()
+        }
+        assert auto == unc
+
+    # degenerate corpus: no shingles at all → advisory is empty-safe and
+    # the executor still returns an empty, correctly-shaped result
+    tiny = spark.createDataFrame([(1, "one two")], "doc_id bigint, text string")
+    assert ngram_jaccard_pairs_auto(tiny, "doc_id", "text").count() == 0
+
+
 # ---------------------------------------------------------------------------
 # repetition / boilerplate signals
 # ---------------------------------------------------------------------------
