@@ -925,8 +925,9 @@ def pq_encode(
     dim: int = 64,
     m: int = 8,
     num_codes: int = 16,
+    keep: tuple = (),
 ) -> DataFrame:
-    """(id, codes array<bigint> length m): each subvector's nearest codebook
+    """(id, *keep, codes array<bigint> length m): each subvector's nearest codebook
     entry under squared L2 rounded to 4dp, ties to the smallest code id —
     the same argmin discipline as ivf_assign, replayable in SQL.
 
@@ -959,8 +960,38 @@ def pq_encode(
 
     return corpus.select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         F.array(*[code_for(j) for j in range(m)]).alias("codes"),
     )
+
+
+def _adc9_expr(q_vec: Column, codes: Column, by_sub, code_ids, sub: int, m: int) -> Column:
+    """Integer ADC score: per subspace j the (code -> round(round(l2sq(q_sub,
+    cvec), 4) * 1e4) bigint) lookup table is a plan literal; the stored code
+    picks its entry and the m per-sub terms sum exactly (bigint, any order).
+    ``q_vec`` is whatever the caller scores against — the raw query for plain
+    ADC, the per-probed-cell query residual for IVFADC."""
+
+    def lit_vec(v):
+        return F.array(*[F.lit(float(x)) for x in v])
+
+    def d9_for(j: int) -> Column:
+        sl = F.slice(q_vec, j * sub + 1, sub)
+        cands = F.array(
+            *[
+                F.struct(
+                    F.lit(code_ids[i]).cast("bigint").alias("code"),
+                    F.round(F.round(_l2sq(sl, lit_vec(by_sub[j][i])), 4) * 1e4)
+                    .cast("bigint")
+                    .alias("d9"),
+                )
+                for i in range(len(code_ids))
+            ]
+        )
+        stored = F.element_at(codes, j + 1)
+        return F.filter(cands, lambda s: s["code"] == stored)[0]["d9"]
+
+    return sum([d9_for(j) for j in range(1, m)], d9_for(0))
 
 
 def pq_topk(
@@ -999,30 +1030,8 @@ def pq_topk(
     paired = c.crossJoin(F.broadcast(q)).filter(
         F.col("neighbor_id") != F.col("query_id")
     )
-
-    def lit_vec(v):
-        return F.array(*[F.lit(float(x)) for x in v])
-
-    def d9_for(j: int) -> Column:
-        sl = F.slice(F.col("q_vec"), j * sub + 1, sub)
-        # lookup table for sub j as a literal struct array ordered by code
-        # position; element picked by matching the stored code id
-        cands = F.array(
-            *[
-                F.struct(
-                    F.lit(code_ids[i]).cast("bigint").alias("code"),
-                    F.round(F.round(_l2sq(sl, lit_vec(by_sub[j][i])), 4) * 1e4)
-                    .cast("bigint")
-                    .alias("d9"),
-                )
-                for i in range(num_codes)
-            ]
-        )
-        stored = F.element_at(F.col("codes"), j + 1)
-        return F.filter(cands, lambda s: s["code"] == stored)[0]["d9"]
-
     scored = paired.withColumn(
-        "adc9", sum([d9_for(j) for j in range(1, m)], d9_for(0))
+        "adc9", _adc9_expr(F.col("q_vec"), F.col("codes"), by_sub, code_ids, sub, m)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc9").asc(), F.col("neighbor_id").asc()
@@ -1084,6 +1093,138 @@ def pq_topk_rerank(
     )
     return (
         exact.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "d4", "rank")
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    coarse_k: int = 16,
+    nprobe: int = 4,
+    dim: int = 64,
+    m: int = 8,
+    num_codes: int = 16,
+    rerank: int | None = None,
+    refine_iters: int = 0,
+) -> DataFrame:
+    """IVFADC (Jégou et al., TPAMI 2011 §IV): the composed 100 TB ANN
+    architecture — coarse IVF cell pruning, then an asymmetric-distance scan
+    over PQ codes of the RESIDUALS (x − centroid) within only the probed
+    cells, optionally followed by exact re-rank of the shortlist.
+
+    Why residuals: after subtracting the cell centroid, the vectors a
+    codebook must cover live in a ball around the origin instead of spread
+    across the whole space, so the same ``num_codes`` buys materially lower
+    quantization error — that is what makes IVF×PQ more than the sum of its
+    parts.  The query is re-expressed per probed cell as q − centroid and
+    scored against the residual codes with the same integer lookup-table sum
+    as :func:`pq_topk` (round(d4·1e4) bigint — exact under any order).
+
+    Scale shape, stage by stage:
+    - centroids are K rows (config-bounded collect, the ivf_assign
+      discipline); assignment is a map-only Arrow pass;
+    - residual computation is a broadcast join on cell + zip_with — map-only;
+    - codebooks are m·num_codes rows, a plan literal in the encode/scan;
+    - the scan touches ONLY probed cells (N·nprobe/K rows) and reads 8·m-byte
+      codes, never vectors — write the codes table partitioned by cell and
+      partition pruning makes the probe join file-skipping, the inverted-list
+      read pattern of a native ANN index;
+    - re-rank reads rerank×|queries| original vectors through a
+      broadcast-size id join.
+
+    ``refine_iters=0`` keeps seed centroids/codebooks so an independent SQL
+    engine replays every step (the ann_ivf_topk / ann_pq_* certification
+    split); Lloyd-refined recall is pytest territory (tests/test_ivfpq.py).
+    Output: (query_id, neighbor_id, adc9, rank) for the pure scan, or
+    (query_id, neighbor_id, d4, rank) when ``rerank`` is set.
+    """
+    cents = ivf_seeds(corpus, id_col, vec_col, coarse_k)
+    if refine_iters:
+        cents = kmeans_refine(
+            corpus, cents, id_col, vec_col, refine_iters
+        ).localCheckpoint()
+    assigned = ivf_assign(corpus, cents, id_col, vec_col)
+    cent = cents.select(
+        F.col(id_col).alias("cell"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cent_vec"),
+    )
+    res = assigned.join(F.broadcast(cent), "cell").select(
+        F.col(id_col),
+        F.col("cell"),
+        F.zip_with(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")),
+            F.col("cent_vec"),
+            lambda a, b: a - b,
+        ).alias("__res"),
+    )
+    cb = pq_codebooks(res, id_col, "__res", dim, m, num_codes)
+    by_sub, code_ids = _collect_codebooks(cb, m, num_codes)
+    sub = dim // m
+    codes = pq_encode(res, cb, id_col, "__res", dim, m, num_codes, keep=("cell",))
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("q_vec"),
+    )
+    qcells = q.crossJoin(F.broadcast(cent)).withColumn(
+        "cscore", cosine(F.col("q_vec"), F.col("cent_vec"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cscore").desc(), F.col("cell").asc()
+    )
+    probes = (
+        qcells.withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= nprobe)
+        .select(
+            "query_id",
+            "cell",
+            F.zip_with("q_vec", "cent_vec", lambda a, b: a - b).alias("q_res"),
+        )
+    )
+
+    scored = (
+        codes.join(F.broadcast(probes), "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn(
+            "adc9", _adc9_expr(F.col("q_res"), F.col("codes"), by_sub, code_ids, sub, m)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc9").asc(), F.col(id_col).asc()
+    )
+    short = (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= (rerank if rerank is not None else k))
+    )
+    if rerank is None:
+        return short.select(
+            "query_id", F.col(id_col).alias("neighbor_id"), "adc9", "rank"
+        )
+
+    short_ids = short.select("query_id", F.col(id_col).alias("neighbor_id"))
+    qd = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
+    )
+    cd = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
+    )
+    exact = (
+        cd.join(F.broadcast(short_ids), "neighbor_id")
+        .join(F.broadcast(qd), "query_id")
+        .withColumn("d4", F.round(_l2sq(F.col("qv"), F.col("cv")), 4))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("d4").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "d4", "rank")
     )

@@ -1,0 +1,138 @@
+"""IVFADC (coarse IVF pruning × residual PQ × exact re-rank,
+operators/similarity.py ivfpq_topk): plumbing degeneracy, determinism,
+the recall ladder vs brute force, and the residual-quantization claim.
+
+Recall context on this corpus: sf0.001 embeddings are near-random 64-dim
+vectors — the known worst case for IVF (true neighbors are barely closer
+than random points, so they scatter across cells).  Full-probe IVFPQ
+matches the plain-PQ rerank bar (test_pq.py: >= 40/50); pruned probes
+trade recall for scan exactly as the curse of dimensionality predicts
+(measured: nprobe=8/16 cells + refine=2 + rerank=128 -> 38/50 while
+scanning ~half the corpus).  On real embedding corpora with cluster
+structure the trade is far kinder — the operator exposes every knob.
+"""
+
+import numpy as np
+import pyarrow.parquet as pq_parquet
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from cassandra_util_spark.operators.similarity import _l2sq, ivfpq_topk
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df.cache().count()
+    return df
+
+
+def _exact_l2_topk(emb, queries, k=10):
+    q = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    d = (
+        c.crossJoin(F.broadcast(q))
+        .filter("neighbor_id != query_id")
+        .withColumn(
+            "d",
+            _l2sq(
+                F.transform("qv", lambda x: x.cast("double")),
+                F.transform("cv", lambda x: x.cast("double")),
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("d").asc(), F.col("neighbor_id").asc())
+    return (
+        d.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id")
+    )
+
+
+def test_full_probe_full_width_is_exact(emb):
+    """nprobe=K (no cell is pruned) + rerank >= corpus degenerates to the
+    exact scan: the IVF and ADC stages only order candidates, the exact
+    pass rescores all of them — pins the three-stage plumbing end to end."""
+    n = emb.count()
+    q = emb.filter(F.col("vec_id") < 2)
+    r = ivfpq_topk(emb, q, k=10, coarse_k=16, nprobe=16, rerank=n).select(
+        "query_id", "neighbor_id"
+    )
+    exact = _exact_l2_topk(emb, q, k=10)
+    assert r.join(exact, ["query_id", "neighbor_id"]).count() == 20
+
+
+def test_certified_config_deterministic(emb):
+    q = emb.filter(F.col("vec_id") < 5)
+    a = ivfpq_topk(emb, q, k=10, coarse_k=16, nprobe=4, rerank=64).collect()
+    b = ivfpq_topk(emb, q, k=10, coarse_k=16, nprobe=4, rerank=64).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted(a, key=key) == sorted(b, key=key)
+    by_q = {}
+    for r in a:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert len(by_q) == 5
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, 11))
+        pairs = [(r["d4"], r["neighbor_id"]) for r in rows]
+        assert pairs == sorted(pairs)
+
+
+def test_recall_ladder_vs_brute_force(emb):
+    """Full-probe IVFPQ (residual codes, rerank=128) must match the plain-PQ
+    rerank recall bar from test_pq.py (>= 40/50; measured 43).  The pruned
+    config scans ~half the corpus and must stay >= 35/50 (measured 38)."""
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = _exact_l2_topk(emb, q, k=10)
+    exact.cache().count()
+    full = ivfpq_topk(
+        emb, q, k=10, coarse_k=16, nprobe=16, rerank=128, refine_iters=2
+    ).select("query_id", "neighbor_id")
+    pruned = ivfpq_topk(
+        emb, q, k=10, coarse_k=16, nprobe=8, rerank=128, refine_iters=2
+    ).select("query_id", "neighbor_id")
+    full_hits = full.join(exact, ["query_id", "neighbor_id"]).count()
+    pruned_hits = pruned.join(exact, ["query_id", "neighbor_id"]).count()
+    assert full_hits >= 40
+    assert pruned_hits >= 35
+
+
+def test_residual_quantization_error_below_raw():
+    """The reason IVF x PQ composes: after subtracting the cell centroid the
+    codebook covers a ball around the origin, so the same m x num_codes
+    budget yields strictly lower quantization MSE than PQ on raw vectors
+    (measured 0.632 vs 0.756 on this corpus).  Pure-numpy replay of the
+    seed/assign/encode pipeline — no Spark needed for the structural claim."""
+    t = pq_parquet.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    ids = t["vec_id"].to_numpy()
+    V = np.array(t["embedding"].tolist(), dtype=np.float64)
+    order = np.lexsort((ids, (ids * 2654435761) % 4294967296))
+    m, nc, K = 8, 16, 16
+    cb_idx = order[:nc]
+
+    def mse(X):
+        err = 0.0
+        for j in range(m):
+            sl = slice(j * 8, (j + 1) * 8)
+            CB = X[cb_idx][:, sl]
+            code = (((X[:, None, sl] - CB[None, :, :]) ** 2).sum(-1)).argmin(1)
+            err += ((X[:, sl] - CB[code]) ** 2).sum()
+        return err / len(X)
+
+    C = V[order[:K]]
+    Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
+    # two Lloyd refinements (the refine_iters=2 recall configs): centroids
+    # must sit at cell means for the residual ball to shrink — raw hash-order
+    # seeds leave residuals as spread as the data
+    for _ in range(2):
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
+        a = (Vn @ Cn.T).argmax(1)
+        C = np.array([V[a == j].mean(0) if (a == j).any() else C[j] for j in range(K)])
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-30)
+    a = (Vn @ Cn.T).argmax(1)
+    R = V - C[a]
+    assert mse(R) < mse(V)
