@@ -206,3 +206,85 @@ def test_bpe_train_rejects_zero_merges(spark):
     df = spark.createDataFrame([(0, "a")], "doc_id bigint, text string")
     with pytest.raises(ValueError, match="num_merges"):
         bpe_train(df, "text", num_merges=0)
+
+
+# ---------------------------------------------------------------------------
+# Batched training (symbol-disjoint rounds, merge_pairs_expr single pass)
+# ---------------------------------------------------------------------------
+
+
+def test_merge_pairs_expr_equals_sequential_application(spark):
+    """One map-lookup fold over a disjoint pair set must equal applying the
+    pairs one by one (py_merge), including same-symbol runs and multi-char
+    symbols — the exactness claim batching rests on."""
+    from cassandra_util_spark.operators.bpe import merge_pairs_expr
+
+    cases = [
+        (["a", "a", "a", "b", "c", "b"], [("a", "a"), ("b", "c")]),
+        (["l", "o", "w", END], [("l", "o"), ("w", END)]),
+        (["ab", "c", "x", "y", "ab", "c"], [("ab", "c"), ("x", "y")]),
+        (["a", "a", "a", "a", "a"], [("a", "a")]),
+        (["q"], [("a", "b")]),
+        ([], [("a", "b")]),
+    ]
+    rows = [(i, syms) for i, (syms, _) in enumerate(cases)]
+    df = spark.createDataFrame(rows, "i int, syms array<string>")
+    for i, (syms, pairs) in enumerate(cases):
+        ref = list(syms)
+        for l, r in pairs:
+            ref = py_merge(ref, l, r)
+        [got] = (
+            df.filter(F.col("i") == i)
+            .select(merge_pairs_expr(F.col("syms"), pairs).alias("m"))
+            .collect()
+        )
+        assert got["m"] == ref, (syms, pairs)
+
+
+def test_select_disjoint_blocks_symbol_and_merged_collisions():
+    from cassandra_util_spark.operators.bpe import _select_disjoint
+
+    rows = [
+        {"lhs": "a", "rhs": "b", "c": 9},   # taken
+        {"lhs": "b", "rhs": "c", "c": 8},   # shares b -> skipped
+        {"lhs": "x", "rhs": "ab", "c": 7},  # rhs == merged('a','b') -> skipped
+        {"lhs": "a", "rhs": "bc", "c": 7},  # merged 'abc'... shares a -> skipped
+        {"lhs": "d", "rhs": "e", "c": 6},   # taken
+        {"lhs": "de", "rhs": "f", "c": 5},  # lhs == merged('d','e') -> skipped
+        {"lhs": "g", "rhs": "h", "c": 4},   # taken (hits m=3)
+        {"lhs": "i", "rhs": "j", "c": 3},
+    ]
+    assert _select_disjoint(rows, 3) == [("a", "b", 9), ("d", "e", 6), ("g", "h", 4)]
+
+
+def test_batched_trainer_replays_sequentially(spark):
+    """The batched trainer's RETURNED merge list, replayed one pair at a
+    time through the plain-Python reference, must land on exactly the same
+    final segmentation Spark produced — within a round disjointness makes
+    batch application equal sequential application, across rounds the loop
+    is sequential anyway."""
+    df = spark.createDataFrame(CORPUS, "doc_id bigint, text string")
+    merges, words = bpe_train(df, "text", num_merges=12, batch=4)
+    segs = {w: list(w) + [END] for w in _py_word_cnt()}
+    for _, lhs, rhs, _ in merges:
+        for w in segs:
+            segs[w] = py_merge(segs[w], lhs, rhs)
+    got = {r["word"]: list(r["syms"]) for r in words.collect()}
+    assert got == segs
+    assert len(merges) == 12
+
+
+def test_batch_one_is_the_certified_sequential_path(spark):
+    df = spark.createDataFrame(CORPUS, "doc_id bigint, text string")
+    a, wa = bpe_train(df, "text", num_merges=6)
+    b, wb = bpe_train(df, "text", num_merges=6, batch=1)
+    assert a == b
+    assert {r["word"]: list(r["syms"]) for r in wa.collect()} == {
+        r["word"]: list(r["syms"]) for r in wb.collect()
+    }
+
+
+def test_batched_trainer_rejects_bad_batch(spark):
+    df = spark.createDataFrame([(0, "a")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="batch"):
+        bpe_train(df, "text", num_merges=1, batch=0)
