@@ -7092,10 +7092,14 @@ def corpus_ingest_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays the admission chain batch-by-batch in chained CTEs —
     order-dependent semantics made deterministic by the modulo batch
     assignment.  Bench note: this line's cost is per-batch pipeline
-    machinery (3 triggers × [2 locked appends + stats read-back + index
-    read + localCheckpoint]) and is sf-INVARIANT (21s at sf0.01, 22s at
-    sf0.1) — constants that amortize into noise at real crawl-shard
-    sizes, by the same argument the runstore/twcs lifecycle queries make.
+    machinery, profiled at sf0.1 (SCALING.md r8): per batch ≈ 3.0 s
+    gate/dedup/probe compute materialized at the survivor checkpoint
+    (linear in shard size — real work), 2.1 s for the two locked store
+    appends, 2.7 s trigger/source machinery; run-stats read-back is gone
+    (parquet-footer walk, r8) — invisible at this sf but O(shard)→O(#files)
+    at real shard sizes.  Constants amortize into noise at real
+    crawl-shard sizes, by the same argument the runstore/twcs lifecycle
+    queries make.
     Reference anchors: CQLBatch.scala's ordered sub-batch application;
     SSTableReader summary-before-data reads."""
     import tempfile
