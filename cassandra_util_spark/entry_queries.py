@@ -7566,6 +7566,37 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ivfpq_persisted_probe", oracle=None)
+def ivfpq_persisted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted IVFADC index end to end: write the layout to a temp
+    dir — centroids (16 rows), residual codebooks (m·num_codes rows), and
+    a codes/ table partitioned by cell holding ONLY (id, 8 bigint codes),
+    no vectors — then probe it with the same parameters as ann_ivfpq_topk
+    and hash-match the SAME oracle.  Proves the on-disk partition-pruned
+    path (cell IN (...) reaching PartitionFilters at file-listing time,
+    pinned in tests/test_runstore.py's pruning asserts for the IVF layout
+    and test_ivfpq.py for this one) returns byte-identical neighbors to
+    the in-memory IVFADC plan, and that the index directory carries the
+    64-of-512-bytes-per-vector memory contract physically."""
+    import tempfile
+
+    from cassandra_util_spark.sources.ivf_index import (
+        probe_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="ivfpq-") + "/idx"
+    write_ivfpq_index(e, path, coarse_k=16, m=8, num_codes=16, refine_iters=0)
+    return probe_ivfpq_index(
+        spark, path, e.filter(F.col("vec_id") < 5), corpus=e,
+        k=10, nprobe=4, m=8, num_codes=16, rerank=64,
+    )
+
+
+ORACLES["ivfpq_persisted_probe"] = ORACLES["ann_ivfpq_topk"]
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline: trained quality classifier (CCNet / GPT-3 stage)
 # ---------------------------------------------------------------------------

@@ -115,3 +115,163 @@ def probe_ivf_index(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col(id_col).alias("neighbor_id"), "rank")
     )
+
+
+def write_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    coarse_k: int = 16,
+    dim: int = 64,
+    m: int = 8,
+    num_codes: int = 16,
+    refine_iters: int = 0,
+) -> None:
+    """Persist the IVFADC layout: ``centroids/`` (coarse_k rows),
+    ``codebooks/`` (m·num_codes residual codebook rows), and ``codes/``
+    partitioned by cell holding ONLY (id, codes array<bigint>) — 8·m bytes
+    per vector, no embeddings.  This is the 100 TB memory contract made
+    physical: the index directory is ~64/512 of the corpus bytes at the
+    default config, probes prune to nprobe cell directories at file-listing
+    time, and the original vectors are only ever touched by the caller's
+    exact re-rank against the corpus table itself."""
+    from cassandra_util_spark.operators.similarity import (
+        ivf_assign,
+        ivf_seeds,
+        kmeans_refine,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    cents = ivf_seeds(corpus, id_col, vec_col, coarse_k)
+    if refine_iters:
+        cents = kmeans_refine(corpus, cents, id_col, vec_col, refine_iters).localCheckpoint()
+    cents.write.parquet(os.path.join(path, "centroids"))
+    assigned = ivf_assign(corpus, cents, id_col, vec_col)
+    cent = cents.select(
+        F.col(id_col).alias("cell"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cent_vec"),
+    )
+    res = assigned.join(F.broadcast(cent), "cell").select(
+        F.col(id_col),
+        F.col("cell"),
+        F.zip_with(
+            F.transform(F.col(vec_col), lambda x: x.cast("double")),
+            F.col("cent_vec"),
+            lambda a, b: a - b,
+        ).alias("__res"),
+    )
+    cb = pq_codebooks(res, id_col, "__res", dim, m, num_codes)
+    cb.write.parquet(os.path.join(path, "codebooks"))
+    codes = pq_encode(res, cb, id_col, "__res", dim, m, num_codes, keep=("cell",))
+    codes.repartition("cell").write.partitionBy("cell").parquet(
+        os.path.join(path, "codes")
+    )
+
+
+def probe_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    corpus: DataFrame = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+    dim: int = 64,
+    m: int = 8,
+    num_codes: int = 16,
+    rerank: int = None,
+) -> DataFrame:
+    """IVFADC probe against the persisted layout: centroids (coarse_k rows)
+    rank cells per query; the probed-cell set becomes a literal ``cell IN``
+    predicate so parquet partition pruning skips every other codes/
+    directory at file-listing time; the pruned 8·m-byte code rows are
+    ADC-scored against the per-cell query residuals (codebooks loaded as a
+    plan literal).  ``rerank`` re-scores the shortlist exactly from the
+    caller-supplied ``corpus`` table — the index itself holds no vectors."""
+    from pyspark.sql import Window
+
+    from cassandra_util_spark.operators.similarity import (
+        _adc9_expr,
+        _collect_codebooks,
+        _l2sq,
+        cosine,
+    )
+
+    if rerank is not None and corpus is None:
+        raise ValueError("rerank requires the corpus table (the index holds no vectors)")
+    sub = dim // m
+    cents = spark.read.parquet(os.path.join(path, "centroids"))
+    cent = cents.select(
+        F.col(id_col).alias("cell"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cent_vec"),
+    )
+    cb = spark.read.parquet(os.path.join(path, "codebooks"))
+    by_sub, code_ids = _collect_codebooks(cb, m, num_codes)
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("q_vec"),
+    )
+    qcells = q.crossJoin(F.broadcast(cent)).withColumn(
+        "cscore", cosine(F.col("q_vec"), F.col("cent_vec"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cscore").desc(), F.col("cell").asc()
+    )
+    probes = (
+        qcells.withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= nprobe)
+        .select(
+            "query_id",
+            "cell",
+            F.zip_with("q_vec", "cent_vec", lambda a, b: a - b).alias("q_res"),
+        )
+    )
+    # bounded driver-side literal (≤ coarse_k values): an IN over literals
+    # reaches PartitionFilters; a join would not prune at listing time
+    cells = sorted({r.cell for r in probes.select("cell").distinct().collect()})
+    codes = spark.read.parquet(os.path.join(path, "codes")).filter(
+        F.col("cell").isin(cells)
+    )
+    scored = (
+        codes.join(F.broadcast(probes), "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn(
+            "adc9", _adc9_expr(F.col("q_res"), F.col("codes"), by_sub, code_ids, sub, m)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc9").asc(), F.col(id_col).asc()
+    )
+    short = scored.withColumn("rank", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rank") <= (rerank if rerank is not None else k)
+    )
+    if rerank is None:
+        return short.select(
+            "query_id", F.col(id_col).alias("neighbor_id"), "adc9", "rank"
+        )
+    short_ids = short.select("query_id", F.col(id_col).alias("neighbor_id"))
+    qd = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
+    )
+    cd = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
+    )
+    exact = (
+        cd.join(F.broadcast(short_ids), "neighbor_id")
+        .join(F.broadcast(qd), "query_id")
+        .withColumn("d4", F.round(_l2sq(F.col("qv"), F.col("cv")), 4))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("d4").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "d4", "rank")
+    )

@@ -61,6 +61,11 @@ PIPELINES = [
     "semantic_dedup_scaled",
     "dedup_ngram_jaccard",
     "dedup_ngram_prefix",
+    # streaming stores (r8 task 7): each replays the ramped corpus through
+    # a FIXED 3-micro-batch stream into fresh run stores, so the ramp holds
+    # batch count constant while shard size (and admitted history) scale
+    "corpus_ingest_streaming",
+    "dedup_streaming_lsh",
 ]
 
 

@@ -136,3 +136,71 @@ def test_residual_quantization_error_below_raw():
     a = (Vn @ Cn.T).argmax(1)
     R = V - C[a]
     assert mse(R) < mse(V)
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVFADC index (sources/ivf_index.py write_ivfpq_index/probe)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ivfpq_index_dir(spark, emb, tmp_path_factory):
+    from cassandra_util_spark.sources.ivf_index import write_ivfpq_index
+
+    path = str(tmp_path_factory.mktemp("ivfpq") / "idx")
+    write_ivfpq_index(emb, path, coarse_k=16, m=8, num_codes=16, refine_iters=0)
+    return path
+
+
+def test_persisted_probe_matches_in_memory(spark, emb, ivfpq_index_dir):
+    from cassandra_util_spark.sources.ivf_index import probe_ivfpq_index
+
+    q = emb.filter(F.col("vec_id") < 3)
+    want = {
+        (r.query_id, r.neighbor_id, r.d4, r.rank)
+        for r in ivfpq_topk(
+            emb, q, k=5, coarse_k=16, nprobe=4, rerank=32
+        ).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id, r.d4, r.rank)
+        for r in probe_ivfpq_index(
+            spark, ivfpq_index_dir, q, corpus=emb, k=5, nprobe=4, rerank=32
+        ).collect()
+    }
+    assert got == want and got
+
+
+def test_persisted_probe_plan_prunes_partitions(spark, emb, ivfpq_index_dir):
+    """The codes scan must carry a cell PartitionFilter enumerating exactly
+    the probed cells — pruning at file listing is the index's point."""
+    import re
+
+    from cassandra_util_spark.sources.ivf_index import probe_ivfpq_index
+
+    q = emb.filter(F.col("vec_id") == 0)
+    df = probe_ivfpq_index(spark, ivfpq_index_dir, q, k=5, nprobe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    seg = plan.split("PartitionFilters", 1)
+    assert len(seg) == 2 and "cell" in seg[1][:200], plan[:1500]
+    m = re.search(r"cell#\d+L? IN \(([^)]*)\)", plan)
+    assert m and len(m.group(1).split(",")) == 2, m.group(0) if m else plan[:800]
+
+
+def test_index_holds_codes_not_vectors(spark, ivfpq_index_dir):
+    """The memory contract: codes/ rows are (id, codes) only — the 8·m-byte
+    representation; any vector column in the index would defeat it."""
+    codes = spark.read.parquet(f"{ivfpq_index_dir}/codes")
+    assert set(codes.columns) == {"vec_id", "codes", "cell"}
+    assert dict(codes.dtypes)["codes"] == "array<bigint>"
+    [r] = codes.limit(1).collect()
+    assert len(r["codes"]) == 8
+
+
+def test_persisted_probe_requires_corpus_for_rerank(spark, ivfpq_index_dir, emb):
+    from cassandra_util_spark.sources.ivf_index import probe_ivfpq_index
+
+    with pytest.raises(ValueError, match="corpus"):
+        probe_ivfpq_index(
+            spark, ivfpq_index_dir, emb.filter(F.col("vec_id") < 1), rerank=8
+        )
