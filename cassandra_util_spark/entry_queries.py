@@ -7597,6 +7597,77 @@ def ivfpq_persisted_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["ivfpq_persisted_probe"] = ORACLES["ann_ivfpq_topk"]
 
 
+@query("ivfpq_streaming_index", oracle=None)
+def ivfpq_streaming_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN index maintenance end to end: the IVFADC model
+    (seed centroids + residual codebooks, the exact ann_ivfpq_topk
+    derivation) is frozen up front, the embedding corpus replays through
+    a real file-source stream in three micro-batches (vec_id % 3), each
+    batch PQ-encodes map-only against the frozen model and appends its
+    8·m-byte code rows to a run store under the locked idempotent-ingest
+    protocol, and the final probe reads the LWW-merged store — returning
+    byte-identical neighbors to the static index and the in-memory plan,
+    hash-matched against the SAME oracle.  Encoding is row-local under a
+    frozen model, so the streamed store converges to the batch index
+    regardless of batch boundaries — the property that lets a 100 TB
+    embedding store grow shard-by-shard without ever re-encoding
+    history."""
+    import tempfile
+
+    from cassandra_util_spark.operators.similarity import (
+        ivf_assign,
+        ivf_seeds,
+        pq_codebooks,
+    )
+    from cassandra_util_spark.sources.runs import RunStore
+    from cassandra_util_spark.streaming.ann import (
+        probe_ivfpq_store,
+        stream_ivfpq_index,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = ivf_seeds(e, "vec_id", "embedding", 16)
+    cent_sel = cents.select(
+        F.col("vec_id").alias("cell"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("cent_vec"),
+    )
+    res = (
+        ivf_assign(e, cents)
+        .join(F.broadcast(cent_sel), "cell")
+        .select(
+            "vec_id",
+            F.zip_with(
+                F.transform(F.col("embedding"), lambda x: x.cast("double")),
+                F.col("cent_vec"),
+                lambda a, b: a - b,
+            ).alias("__res"),
+        )
+    )
+    cb = pq_codebooks(res, "vec_id", "__res", 64, 8, 16).localCheckpoint()
+
+    src = tempfile.mkdtemp(prefix="ivfpq-stream-src-")
+    for k in range(3):
+        e.filter(F.col("vec_id") % 3 == k).coalesce(1).write.mode("append").parquet(src)
+    store = RunStore(
+        tempfile.mkdtemp(prefix="runstore-ivfpq-"),
+        TableMeta(("vec_id",), (), "writetime"),
+    )
+    stream = spark.readStream.schema(e.schema).option("maxFilesPerTrigger", 1).option(
+        "latestFirst", "false"
+    ).parquet(src)
+    q = stream_ivfpq_index(
+        stream, store, tempfile.mkdtemp(prefix="ivfpq-stream-cp-"), cents, cb
+    )
+    q.awaitTermination(300)
+    return probe_ivfpq_store(
+        spark, store, cents, cb, e.filter(F.col("vec_id") < 5), corpus=e,
+        k=10, nprobe=4, m=8, num_codes=16, rerank=64,
+    )
+
+
+ORACLES["ivfpq_streaming_index"] = ORACLES["ann_ivfpq_topk"]
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline: trained quality classifier (CCNet / GPT-3 stage)
 # ---------------------------------------------------------------------------

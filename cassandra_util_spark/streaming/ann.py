@@ -1,0 +1,221 @@
+"""Streaming ANN index maintenance: arriving embedding vectors are PQ-encoded
+against a FROZEN IVFADC model (centroids + residual codebooks) and appended to
+a persisted RunStore codes table that probes read WITHOUT ever touching the
+original vectors.
+
+This is the ANN member of the streaming-maintenance family
+(``streaming/sketches.py`` for algebraic state, ``streaming/dedup.py`` for
+LWW per-key signatures): the index rows here are per-key and LWW (a
+re-delivered vector id's newest codes win), and encoding is a pure function
+of (vector, frozen model) — which is what makes the replayed-batch no-op
+safe, exactly the ``stream_lsh_index`` argument.
+
+Freezing the model is the production contract, not a shortcut: IVF/PQ
+deployments train the coarse quantizer and codebooks on a bootstrap corpus
+and hold them fixed while the inverted lists grow — re-training codebooks
+re-encodes the whole index, so it is an offline rebuild
+(:func:`~cassandra_util_spark.sources.ivf_index.write_ivfpq_index`), never a
+per-batch step.  Because encoding is row-local under a frozen model, the
+streamed store converges to byte-identical contents with the batch-built
+index over the same rows — certified by ``ivfpq_streaming_index`` hashing
+against the SAME oracle as ``ann_ivfpq_topk``.
+
+Scale shape per micro-batch: one map-only Arrow pass for cell assignment
+(centroid matrix is a config-bounded literal), one broadcast join + zip_with
+for residuals, one map-only encode against the codebook plan literal, one
+clustered locked run append of 8·m-byte rows.  Nothing consults history;
+the store's run count is bounded by ``maintain_every`` compaction.
+
+Reference anchor: per-sstable summaries maintained at flush time
+(SSTableReader estimated-keys metadata) — the index is updated where the
+data lands, not recomputed at read time.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from cassandra_util_spark.sources.runs import RunStore
+from cassandra_util_spark.streaming.ingest import stream_to_runstore
+
+
+def stream_ivfpq_index(
+    stream: DataFrame,
+    store: RunStore,
+    checkpoint_dir: str,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    num_codes: int = 16,
+    maintain_every: Optional[int] = None,
+    min_threshold: int = 4,
+    available_now: bool = True,
+    query_name: str = "ivfpq-index-ingest",
+    txn_app_id: Optional[str] = None,
+) -> StreamingQuery:
+    """Maintain a persisted IVFADC codes store over an embedding stream.
+
+    ``centroids`` (coarse_k rows) and ``codebooks`` (m·num_codes rows) are
+    the frozen model — build them once with
+    :func:`~cassandra_util_spark.sources.ivf_index.write_ivfpq_index` or
+    the ``ivf_seeds``/``pq_codebooks`` operators and hold them constant for
+    the stream's lifetime.  Both are localCheckpointed here so every
+    micro-batch closes over materialized K-row tables instead of replaying
+    their lineage per trigger.
+
+    The store must key on ``(id_col,)`` with writetime ``'writetime'``
+    (micro-batch id): LWW keeps the newest codes per vector id across
+    re-deliveries, and the idempotent named append makes at-least-once
+    replays no-op.  Probing is :func:`probe_ivfpq_store`.
+    """
+    if store.meta.partition_keys != (id_col,) or (
+        store.meta.writetime_col != "writetime"
+    ):
+        raise ValueError(
+            f"ivfpq index stores are keyed on ('{id_col}',) with writetime "
+            f"'writetime'; got keys={store.meta.partition_keys} "
+            f"writetime={store.meta.writetime_col}"
+        )
+    from cassandra_util_spark.operators.similarity import ivf_assign, pq_encode
+
+    cents = centroids.localCheckpoint()
+    cb = codebooks.localCheckpoint()
+    cent_sel = cents.select(
+        F.col(id_col).alias("cell"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cent_vec"),
+    )
+
+    def to_codes(batch_df: DataFrame, batch_id: int) -> DataFrame:
+        assigned = ivf_assign(batch_df, cents, id_col, vec_col)
+        res = assigned.join(F.broadcast(cent_sel), "cell").select(
+            F.col(id_col),
+            F.col("cell"),
+            F.zip_with(
+                F.transform(F.col(vec_col), lambda x: x.cast("double")),
+                F.col("cent_vec"),
+                lambda a, b: a - b,
+            ).alias("__res"),
+        )
+        codes = pq_encode(res, cb, id_col, "__res", dim, m, num_codes, keep=("cell",))
+        return codes.withColumn("writetime", F.lit(batch_id).cast("long"))
+
+    return stream_to_runstore(
+        stream,
+        store,
+        checkpoint_dir,
+        maintain_every=maintain_every,
+        min_threshold=min_threshold,
+        available_now=available_now,
+        query_name=query_name,
+        txn_app_id=txn_app_id,
+        transform=to_codes,
+    )
+
+
+def probe_ivfpq_store(
+    spark: SparkSession,
+    store: RunStore,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+    dim: int = 64,
+    m: int = 8,
+    num_codes: int = 16,
+    rerank: int = None,
+) -> DataFrame:
+    """IVFADC probe against the streamed codes store: identical scoring to
+    :func:`~cassandra_util_spark.sources.ivf_index.probe_ivfpq_index`, with
+    the LWW-merged store view standing in for the partitioned codes table.
+    The probed-cell filter lands after the merge here; when probe latency
+    matters more than ingest simplicity, compact the store and rewrite it
+    through ``write_ivfpq_index`` to regain file-level cell pruning — the
+    two layouts hold the same rows by construction."""
+    from pyspark.sql import Window
+
+    from cassandra_util_spark.operators.similarity import (
+        _adc9_expr,
+        _collect_codebooks,
+        _l2sq,
+        cosine,
+    )
+
+    if rerank is not None and corpus is None:
+        raise ValueError("rerank requires the corpus table (the index holds no vectors)")
+    sub = dim // m
+    by_sub, code_ids = _collect_codebooks(codebooks, m, num_codes)
+    cent = centroids.select(
+        F.col(id_col).alias("cell"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cent_vec"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("q_vec"),
+    )
+    qcells = q.crossJoin(F.broadcast(cent)).withColumn(
+        "cscore", cosine(F.col("q_vec"), F.col("cent_vec"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cscore").desc(), F.col("cell").asc()
+    )
+    probes = (
+        qcells.withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= nprobe)
+        .select(
+            "query_id",
+            "cell",
+            F.zip_with("q_vec", "cent_vec", lambda a, b: a - b).alias("q_res"),
+        )
+    )
+    cells = sorted({r.cell for r in probes.select("cell").distinct().collect()})
+    codes = store.read_merged(spark).filter(F.col("cell").isin(cells))
+    scored = (
+        codes.join(F.broadcast(probes), "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn(
+            "adc9", _adc9_expr(F.col("q_res"), F.col("codes"), by_sub, code_ids, sub, m)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc9").asc(), F.col(id_col).asc()
+    )
+    short = scored.withColumn("rank", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rank") <= (rerank if rerank is not None else k)
+    )
+    if rerank is None:
+        return short.select(
+            "query_id", F.col(id_col).alias("neighbor_id"), "adc9", "rank"
+        )
+    short_ids = short.select("query_id", F.col(id_col).alias("neighbor_id"))
+    qd = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
+    )
+    cd = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
+    )
+    exact = (
+        cd.join(F.broadcast(short_ids), "neighbor_id")
+        .join(F.broadcast(qd), "query_id")
+        .withColumn("d4", F.round(_l2sq(F.col("qv"), F.col("cv")), 4))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("d4").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "d4", "rank")
+    )
