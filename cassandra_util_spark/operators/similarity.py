@@ -931,67 +931,93 @@ def pq_encode(
     entry under squared L2 rounded to 4dp, ties to the smallest code id —
     the same argmin discipline as ivf_assign, replayable in SQL.
 
-    Map-only at any scale: the codebook enters the plan as a literal
-    (bounded m*num_codes*dim/m doubles), the argmin is an array_min over a
-    struct array inside whole-stage codegen, and the output row is 8·m
-    bytes in place of the original vector — the 100 TB index memory lever
-    (64-dim float64 = 512 B -> 64 B at m=8).
+    Map-only at any scale: the codebook is collected once (bounded
+    m·num_codes rows) and closed over by an Arrow-batched pandas UDF —
+    each batch is m (batch × sub) − (num_codes × sub) broadcasted squared
+    distances + an argmin.  The first cut built the argmin as an
+    array_min over m×num_codes literal fold expressions; Catalyst
+    analysis + codegen of that plan (MB-scale task binaries) cost ~15 s
+    per query at ANY data size, the same pathology the nested BPE folds
+    hit — the Arrow pass is the ivf_assign solution applied to encoding.
+    Distances round to 4dp HALF-AWAY before the argmin (the
+    engine-exactness frontier: numpy's pairwise summation kicks in above
+    8-element rows, so the per-subspace sums match a sequential-fold
+    oracle bit-for-bit at 4dp) and ties break toward the smallest code id
+    (codebook columns ordered by code id; argmin returns the first
+    minimum).  Output rows are 8·m bytes in place of the original vector —
+    the 100 TB index memory lever (64-dim float64 = 512 B -> 64 B at m=8).
     """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
     by_sub, code_ids = _collect_codebooks(codebooks, m, num_codes)
     sub = dim // m
+    CB = np.array(by_sub, dtype=np.float64)  # (m, num_codes, sub)
+    codes_np = np.array(code_ids, dtype=np.int64)  # ascending
 
-    def lit_vec(v):
-        return F.array(*[F.lit(float(x)) for x in v])
+    def _encode(vecs):
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        V = np.array(vecs.tolist(), dtype=np.float64)
+        out = np.empty((len(V), m), dtype=np.int64)
+        for j in range(m):
+            X = V[:, j * sub : (j + 1) * sub]
+            d = ((X[:, None, :] - CB[j][None, :, :]) ** 2).sum(-1)
+            out[:, j] = codes_np[np.argmin(_round_half_away(d, 4), axis=1)]
+        return pd.Series(list(out))
 
-    def code_for(j: int) -> Column:
-        sl = F.transform(
-            F.slice(F.col(vec_col), j * sub + 1, sub), lambda x: x.cast("double")
-        )
-        cands = F.array(
-            *[
-                F.struct(
-                    F.round(_l2sq(sl, lit_vec(by_sub[j][i])), 4).alias("d"),
-                    F.lit(code_ids[i]).cast("bigint").alias("code"),
-                )
-                for i in range(num_codes)
-            ]
-        )
-        return F.array_min(cands)["code"]
-
+    encode = pandas_udf(_encode, ArrayType(LongType()))
     return corpus.select(
         F.col(id_col),
         *[F.col(c) for c in keep],
-        F.array(*[code_for(j) for j in range(m)]).alias("codes"),
+        encode(F.col(vec_col)).alias("codes"),
     )
 
 
 def _adc9_expr(q_vec: Column, codes: Column, by_sub, code_ids, sub: int, m: int) -> Column:
-    """Integer ADC score: per subspace j the (code -> round(round(l2sq(q_sub,
-    cvec), 4) * 1e4) bigint) lookup table is a plan literal; the stored code
-    picks its entry and the m per-sub terms sum exactly (bigint, any order).
-    ``q_vec`` is whatever the caller scores against — the raw query for plain
-    ADC, the per-probed-cell query residual for IVFADC."""
+    """Integer ADC score: per subspace j, d9 = round(round(l2sq(q_sub,
+    cvec), 4) · 1e4) as bigint for the STORED code, summed over the m
+    subspaces (exact under any order).  ``q_vec`` is whatever the caller
+    scores against — the raw query for plain ADC, the per-probed-cell query
+    residual for IVFADC.
 
-    def lit_vec(v):
-        return F.array(*[F.lit(float(x)) for x in v])
+    Executed as an Arrow-batched pandas UDF closing over the codebook
+    array (bounded m·num_codes·sub doubles): per batch, m broadcasted
+    squared-distance tables + an integer gather on the stored codes.  The
+    first cut built this as m×num_codes literal fold expressions —
+    correct, but Catalyst analysis/codegen of the MB-scale plan cost
+    ~15 s per query at any data size (the pq_encode docstring tells the
+    same story).  Rounding is the certified two-step: 4dp HALF-AWAY on
+    the double distance, then half-away to integer after the 1e4 scale —
+    bit-matched against DuckDB's round()/list_reduce replay by every
+    query that certifies this path."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
 
-    def d9_for(j: int) -> Column:
-        sl = F.slice(q_vec, j * sub + 1, sub)
-        cands = F.array(
-            *[
-                F.struct(
-                    F.lit(code_ids[i]).cast("bigint").alias("code"),
-                    F.round(F.round(_l2sq(sl, lit_vec(by_sub[j][i])), 4) * 1e4)
-                    .cast("bigint")
-                    .alias("d9"),
-                )
-                for i in range(len(code_ids))
-            ]
-        )
-        stored = F.element_at(codes, j + 1)
-        return F.filter(cands, lambda s: s["code"] == stored)[0]["d9"]
+    CB = np.array(by_sub, dtype=np.float64)  # (m, num_codes, sub)
+    codes_np = np.array(code_ids, dtype=np.int64)  # ascending
 
-    return sum([d9_for(j) for j in range(1, m)], d9_for(0))
+    def _score(qv, stored):
+        if len(qv) == 0:
+            return pd.Series([], dtype="int64")
+        Q = np.array(qv.tolist(), dtype=np.float64)
+        S = np.array(stored.tolist(), dtype=np.int64)  # (B, m)
+        total = np.zeros(len(Q), dtype=np.int64)
+        rows = np.arange(len(Q))
+        for j in range(m):
+            X = Q[:, j * sub : (j + 1) * sub]
+            d = ((X[:, None, :] - CB[j][None, :, :]) ** 2).sum(-1)  # (B, K)
+            d9 = _round_half_away(_round_half_away(d, 4) * 1e4, 0).astype(np.int64)
+            pos = np.searchsorted(codes_np, S[:, j])
+            total += d9[rows, pos]
+        return pd.Series(total)
+
+    score = pandas_udf(_score, LongType())
+    return score(q_vec, codes)
 
 
 def pq_topk(
@@ -1162,6 +1188,10 @@ def ivfpq_topk(
             lambda a, b: a - b,
         ).alias("__res"),
     )
+    # the codebook collect below is an action over res's lineage (seed sort,
+    # Arrow assign pass, residual join); without a materialization point the
+    # encode/scan would replay that whole chain a second time
+    res = res.localCheckpoint()
     cb = pq_codebooks(res, id_col, "__res", dim, m, num_codes)
     by_sub, code_ids = _collect_codebooks(cb, m, num_codes)
     sub = dim // m
