@@ -203,6 +203,9 @@ BENCH_QUERIES = [
     "stream_interval_join_view",
     "jaccard_route_advisory",
     "dedup_jaccard_routed",
+    "ann_ivfpq_topk",
+    "ivfpq_persisted_probe",
+    "ivfpq_streaming_index",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash
     # swapped to xxhash64 — the production configuration at scale

@@ -1013,6 +1013,20 @@ def _adc9_expr(q_vec: Column, codes: Column, by_sub, code_ids, sub: int, m: int)
             d = ((X[:, None, :] - CB[j][None, :, :]) ** 2).sum(-1)  # (B, K)
             d9 = _round_half_away(_round_half_away(d, 4) * 1e4, 0).astype(np.int64)
             pos = np.searchsorted(codes_np, S[:, j])
+            # Membership check (ADVICE r8): probing a store with codebooks
+            # from a DIFFERENT model would otherwise return silently-wrong
+            # ADC distances (searchsorted maps an unknown id to its
+            # insertion point) or an opaque IndexError past the max id.
+            # Fail loud, naming the foreign ids — the same discipline as
+            # _collect_codebooks' shape assert.
+            pos = np.minimum(pos, len(codes_np) - 1)
+            bad = codes_np[pos] != S[:, j]
+            if bad.any():
+                unknown = sorted(set(S[bad, j].tolist()))[:8]
+                raise ValueError(
+                    f"stored PQ code ids absent from the supplied codebook "
+                    f"(model/store mismatch) in subspace {j}: {unknown}"
+                )
             total += d9[rows, pos]
         return pd.Series(total)
 

@@ -162,6 +162,12 @@ def write_ivfpq_index(
             lambda a, b: a - b,
         ).alias("__res"),
     )
+    # Materialize once (ADVICE r8): the residual lineage (seed sort + Arrow
+    # cell assignment over the full corpus) feeds THREE consumers below —
+    # the codebook fit, the codebook collect inside pq_encode, and the codes
+    # write.  Without this checkpoint each consumer replays the full scan;
+    # same pattern as ivfpq_topk's materialization point.
+    res = res.localCheckpoint()
     cb = pq_codebooks(res, id_col, "__res", dim, m, num_codes)
     cb.write.parquet(os.path.join(path, "codebooks"))
     codes = pq_encode(res, cb, id_col, "__res", dim, m, num_codes, keep=("cell",))

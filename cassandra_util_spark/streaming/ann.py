@@ -93,6 +93,14 @@ def stream_ivfpq_index(
     )
 
     def to_codes(batch_df: DataFrame, batch_id: int) -> DataFrame:
+        # Intra-batch dedup (ADVICE r8): writetime is the batch id, so two
+        # deliveries of the same vec_id WITHIN one micro-batch would get
+        # identical writetimes and the store's LWW merge would have no
+        # deterministic tie-break.  Collapse to one row per id first —
+        # lexicographic max of the embedding array is a stable pick that
+        # doesn't depend on partition order — so the batch is per-id unique
+        # before encoding (also avoids paying the PQ encode for duplicates).
+        batch_df = batch_df.groupBy(id_col).agg(F.max(F.col(vec_col)).alias(vec_col))
         assigned = ivf_assign(batch_df, cents, id_col, vec_col)
         res = assigned.join(F.broadcast(cent_sel), "cell").select(
             F.col(id_col),

@@ -125,3 +125,18 @@ def test_rerank_with_full_width_is_exact(emb):
     )
     exact = _exact_l2_topk(emb, q, k=10)
     assert rr.join(exact, ["query_id", "neighbor_id"]).count() == 20
+
+
+def test_foreign_codebook_fails_loud(emb):
+    """Scoring stored codes against codebooks from a DIFFERENT model must
+    raise naming the unknown code ids, not silently return wrong ADC
+    distances (ADVICE r8: searchsorted would otherwise map a foreign id to
+    its insertion point).  probe_ivfpq_store/probe_ivfpq_index take the
+    model as independent arguments, so this mismatch is reachable."""
+    cb = pq_codebooks(emb)
+    codes = pq_encode(emb, cb)
+    # same shape, shifted code ids — a codebook from "another model"
+    foreign = cb.withColumn("code", (F.col("code") + F.lit(10_000)).cast("long"))
+    q = emb.filter(F.col("vec_id") < 2)
+    with pytest.raises(Exception, match="model/store mismatch"):
+        pq_topk(codes, foreign, q, k=5).collect()

@@ -155,3 +155,39 @@ def test_wrongly_keyed_store_rejected(spark, emb, model, tmp_path):
     )
     with pytest.raises(ValueError, match="keyed"):
         stream_ivfpq_index(stream, bad, str(tmp_path / "cp-bad"), cents, cb)
+
+
+def test_intra_batch_duplicate_id_is_deterministic(spark, emb, model, tmp_path):
+    """Two deliveries of the same vec_id INSIDE one micro-batch share a
+    writetime (the batch id), so without a pre-append dedup the LWW merge
+    would have no tie-break (ADVICE r8).  to_codes collapses the batch to
+    one row per id — lexicographic max of the embedding array — so the
+    surviving codes are defined and match the batch encoding of the
+    winning vector."""
+    cents, cb, res = model
+    vecs = {r["vec_id"]: list(r["embedding"]) for r in emb.filter(F.col("vec_id").isin(7, 8)).collect()}
+    winner = 7 if vecs[7] > vecs[8] else 8  # same elementwise order Spark uses
+    first = emb.filter(F.col("vec_id") < 20)
+    dup = emb.filter(F.col("vec_id") == 8).select(
+        F.lit(7).cast("bigint").alias("vec_id"), "embedding"
+    )
+    src = str(tmp_path / "src-dup")
+    # ONE parquet file -> ONE micro-batch containing both rows for id 7
+    first.unionByName(dup).coalesce(1).write.mode("append").parquet(src)
+    store = _store(tmp_path, "dup-runs")
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_ivfpq_index(stream, store, str(tmp_path / "cp-dup"), cents, cb)
+    q.awaitTermination(120)
+    merged = {r["vec_id"]: list(r["codes"]) for r in store.read_merged(spark).collect()}
+    assert len(merged) == 20  # per-id unique despite the duplicate delivery
+    batch = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode(res, cb, "vec_id", "__res", 64, 8, 16).collect()
+    }
+    # codes depend only on the vector, so the survivor must carry the
+    # winning id's batch codes
+    assert merged[7] == batch[winner]
