@@ -7944,3 +7944,97 @@ def _rotate_driver_window_r8() -> None:
 
 
 _rotate_driver_window_r8()
+
+
+# ---------------------------------------------------------------------------
+# Round-9 window rotation (VERDICT r8 task 2): rotate HARDER — 24 fresh rows,
+# not 10.  Every swapped-out row is driver-certified at least three times
+# (the retention/ANN/TPC-H core 7-8 times, the r5 family representatives 4
+# times, cdc/tombstone/bucketed/q9 three times); every swapped-in row has
+# NEVER been driver-checked: the 8 rows the r8 judge certified locally
+# (IVFADC trio, Jaccard router pair, bpe_token_profile, ann_pq_rerank_topk,
+# quality_classifier_eval), the entire TPC-H tail (q8, q11-q22 — thirteen
+# rows with zero driver coverage), the PII pair, and retention_rule_impact.
+# Family coverage in the window is preserved: retention keeps
+# retention_rule_impact (plus the driver's own entry() smoke on
+# retention_rules_delete) after the four-row retention core moves out; ANN
+# trades ann_ivf_topk for the three IVFADC paths + PQ rerank; dedup keeps
+# incremental/ngram_prefix/streaming_lsh/semantic_scaled and GAINS the
+# routed-Jaccard pair after clusters_star/incremental_lsh/winnowing move
+# out; retrieval keeps hybrid_retrieval_rrf after bm25_search moves out;
+# TPC-H trades q4/q9/acctbal for the thirteen-row tail; streaming keeps all
+# five streaming rows.  The pinned prefix snapshot in
+# tests/test_plan_hygiene.py is updated in the same commit, as that test's
+# docstring sanctions.
+_WINDOW_ROTATE_OUT_R9 = [
+    "retention_rules_delete",    # certified 8x (r1-r8); still the entry() smoke
+    "retention_ttl",             # certified 7x
+    "configurable_delete_json",  # certified 8x
+    "token_range_filter",        # certified 8x
+    "embedding_dedup_resolve",   # certified 7x
+    "ann_ivf_topk",              # certified 7x
+    "range_join_incidents",      # certified 7x
+    "q4_order_priority",         # certified 8x
+    "acctbal_percentiles",       # certified 8x
+    "media_dedup",               # certified 7x
+    "dedup_clusters_star",       # certified 4x (r5-r8)
+    "training_corpus_assembly",  # certified 4x
+    "sketch_heavy_hitters",      # certified 4x
+    "runstore_leveled_view",     # certified 4x
+    "dedup_incremental_lsh",     # certified 4x
+    "bm25_search",               # certified 4x
+    "sequence_packing",          # certified 4x
+    "dedup_winnowing",           # certified 4x
+    "events_funnel",             # certified 4x
+    "contamination_report",      # certified 4x
+    "cdc_apply",                 # certified 3x (r6-r8)
+    "tombstone_compaction",      # certified 3x
+    "bucketed_colocated_join",   # certified 3x (r2, r7, r8)
+    "q9_product_type_profit",    # certified 3x
+]
+_WINDOW_ROTATE_IN_R9 = [
+    "ann_ivfpq_topk",
+    "ivfpq_persisted_probe",
+    "ivfpq_streaming_index",
+    "dedup_jaccard_routed",
+    "jaccard_route_advisory",
+    "bpe_token_profile",
+    "ann_pq_rerank_topk",
+    "quality_classifier_eval",
+    "q8_market_share",
+    "q11_important_stock",
+    "q12_late_shipment_priority",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_parts_supplier_relation",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_potential_promotion",
+    "q21_waiting_supplier",
+    "q22_idle_balances",
+    "pii_redaction",
+    "pii_audit_report",
+    "retention_rule_impact",
+]
+
+
+def _rotate_driver_window_r9() -> None:
+    names = list(QUERIES)
+    missing = [
+        n for n in _WINDOW_ROTATE_IN_R9 + _WINDOW_ROTATE_OUT_R9 if n not in QUERIES
+    ]
+    if missing:
+        raise AssertionError(f"window rotation references unknown queries: {missing}")
+    prefix = [n for n in names[:50] if n not in set(_WINDOW_ROTATE_OUT_R9)]
+    prefix += _WINDOW_ROTATE_IN_R9
+    assert len(prefix) == 50, len(prefix)
+    order = prefix + [n for n in names if n not in set(prefix)]
+    for reg in (QUERIES, ORACLES):
+        snapshot = dict(reg)
+        reg.clear()
+        reg.update({n: snapshot[n] for n in order if n in snapshot})
+
+
+_rotate_driver_window_r9()

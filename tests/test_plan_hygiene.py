@@ -118,30 +118,55 @@ def test_query_registry_prefix_stable():
     ANN, BPE training, the trained quality classifier with Pareto
     selection, and the watermarked stream-stream interval join.  The
     rotation is entry_queries._rotate_driver_window_r8; family coverage
+    is preserved (see that block's comment).
+
+    Round-9 intentional rotation (VERDICT r8 task 2, "rotate harder"):
+    twenty-four rows all driver-certified at least three times — the
+    retention/ANN/TPC-H core (7-8 certifications each:
+    retention_rules_delete, retention_ttl, configurable_delete_json,
+    token_range_filter, embedding_dedup_resolve, ann_ivf_topk,
+    range_join_incidents, q4_order_priority, acctbal_percentiles,
+    media_dedup), the r5 family representatives (4 each:
+    dedup_clusters_star, training_corpus_assembly, sketch_heavy_hitters,
+    runstore_leveled_view, dedup_incremental_lsh, bm25_search,
+    sequence_packing, dedup_winnowing, events_funnel,
+    contamination_report), and four thrice-certified rows (cdc_apply,
+    tombstone_compaction, bucketed_colocated_join,
+    q9_product_type_profit) — move just past the window in favor of
+    twenty-four never-driver-checked rows: the eight the r8 judge
+    certified locally (the IVFADC trio, the Jaccard-router pair,
+    bpe_token_profile, ann_pq_rerank_topk, quality_classifier_eval), the
+    entire TPC-H tail (q8_market_share, q11-q22), the PII pair, and
+    retention_rule_impact (keeping the retention family in the window;
+    retention_rules_delete stays the driver's entry() smoke).  The
+    rotation is entry_queries._rotate_driver_window_r9; family coverage
     is preserved (see that block's comment)."""
     from cassandra_util_spark.entry_queries import ORACLES, QUERIES
 
     first50 = [
-        "retention_rules_delete", "retention_ttl", "configurable_delete_json",
-        "token_range_filter", "embedding_dedup_resolve", "ann_ivf_topk",
-        "range_join_incidents", "q4_order_priority", "acctbal_percentiles",
-        "media_dedup", "dedup_clusters_star", "training_corpus_assembly",
-        "sketch_heavy_hitters", "runstore_leveled_view",
-        "dedup_incremental_lsh", "bm25_search", "sequence_packing",
-        "dedup_winnowing", "events_funnel", "contamination_report",
-        "cdc_apply", "tombstone_compaction", "q9_product_type_profit",
         "hybrid_retrieval_rrf", "dsir_select", "cluster_aware_split",
         "dedup_incremental", "events_incremental_rollup",
         "join_plan_advisory", "unicode_nfc_fingerprints",
         "advised_join_exec", "counter_store_totals", "zorder_layout_key",
         "runstore_skipindex_view", "twcs_retention_view",
-        "bucketed_colocated_join", "q7_volume_shipping",
-        "corpus_clean_pipeline", "gopher_quality_gate",
-        "events_cohort_retention", "semantic_dedup_scaled",
-        "twcs_streaming_view", "dedup_streaming_lsh",
-        "corpus_ingest_streaming", "dedup_ngram_prefix", "ann_pq_adc_topk",
-        "bpe_learned_merges", "quality_classifier_scores",
-        "pareto_document_selection", "stream_interval_join_view",
+        "q7_volume_shipping", "corpus_clean_pipeline",
+        "gopher_quality_gate", "events_cohort_retention",
+        "semantic_dedup_scaled", "twcs_streaming_view",
+        "dedup_streaming_lsh", "corpus_ingest_streaming",
+        "dedup_ngram_prefix", "ann_pq_adc_topk", "bpe_learned_merges",
+        "quality_classifier_scores", "pareto_document_selection",
+        "stream_interval_join_view", "ann_ivfpq_topk",
+        "ivfpq_persisted_probe", "ivfpq_streaming_index",
+        "dedup_jaccard_routed", "jaccard_route_advisory",
+        "bpe_token_profile", "ann_pq_rerank_topk",
+        "quality_classifier_eval", "q8_market_share",
+        "q11_important_stock", "q12_late_shipment_priority",
+        "q13_customer_distribution", "q14_promo_revenue",
+        "q15_top_supplier", "q16_parts_supplier_relation",
+        "q17_small_quantity_revenue", "q18_large_orders",
+        "q19_disjunctive_revenue", "q20_potential_promotion",
+        "q21_waiting_supplier", "q22_idle_balances", "pii_redaction",
+        "pii_audit_report", "retention_rule_impact",
     ]
     assert list(QUERIES)[:50] == first50
     # every registered query keeps a full-strength oracle
