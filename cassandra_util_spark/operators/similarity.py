@@ -1083,6 +1083,53 @@ def pq_topk(
     )
 
 
+def _exact_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    short_ids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Exact L2 re-rank of a bounded (query_id, neighbor_id) shortlist
+    against the full-width vectors in ``corpus``: d4 = round(l2sq, 4),
+    ties to the smaller neighbor id, top-k per query.
+
+    The r8 shape scanned the WHOLE corpus and broadcast-joined the
+    shortlist — correct, but the scan's bytes grew with corpus size, not
+    with the shortlist, which broke the probe-cost contract at scale (the
+    x30 ramp measured it: rerank bytes ~linear in corpus).  The shortlist
+    is bounded by construction (≤ |queries| · rerank rows), so its ids are
+    collected once (after a localCheckpoint — one materialization serves
+    both the collect and the broadcast) into an ``isin`` literal: the IN
+    predicate reaches the parquet scan (PushedFilters), so only row groups
+    whose id range intersects the shortlist decompress the vector column —
+    probe bytes follow the shortlist, not the table."""
+    short_ids = short_ids.localCheckpoint()
+    nbr = sorted(r["neighbor_id"] for r in short_ids.select("neighbor_id").distinct().collect())
+    qd = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
+    )
+    cd = corpus.filter(F.col(id_col).isin(nbr)).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
+    )
+    exact = (
+        cd.join(F.broadcast(short_ids), "neighbor_id")
+        .join(F.broadcast(qd), "query_id")
+        .withColumn("d4", F.round(_l2sq(F.col("qv"), F.col("cv")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d4").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "d4", "rank")
+    )
+
+
 def pq_topk_rerank(
     codes_df: DataFrame,
     codebooks: DataFrame,
@@ -1115,27 +1162,7 @@ def pq_topk_rerank(
         codes_df, codebooks, queries, id_col, vec_col,
         k=rerank, dim=dim, m=m, num_codes=num_codes,
     ).select("query_id", "neighbor_id")
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("q_vec"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("c_vec"),
-    )
-    exact = (
-        c.join(F.broadcast(short), "neighbor_id")
-        .join(F.broadcast(q), "query_id")
-        .withColumn("d4", F.round(_l2sq(F.col("q_vec"), F.col("c_vec")), 4))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("d4").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        exact.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "d4", "rank")
-    )
+    return _exact_rerank(corpus, queries, short, id_col, vec_col, k)
 
 
 def ivfpq_topk(
@@ -1251,24 +1278,4 @@ def ivfpq_topk(
         )
 
     short_ids = short.select("query_id", F.col(id_col).alias("neighbor_id"))
-    qd = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
-    )
-    cd = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
-    )
-    exact = (
-        cd.join(F.broadcast(short_ids), "neighbor_id")
-        .join(F.broadcast(qd), "query_id")
-        .withColumn("d4", F.round(_l2sq(F.col("qv"), F.col("cv")), 4))
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("d4").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        exact.withColumn("rank", F.row_number().over(w2).cast("bigint"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "d4", "rank")
-    )
+    return _exact_rerank(corpus, queries, short_ids, id_col, vec_col, k)

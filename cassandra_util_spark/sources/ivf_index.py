@@ -24,6 +24,37 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _read_probed_cells(
+    spark: SparkSession, root: str, cells: list, cell_col: str = "cell"
+) -> DataFrame:
+    """Read ONLY the probed cells' directories of a cell-partitioned layout.
+
+    ``spark.read.parquet(root)`` discovers the WHOLE partition tree before
+    PartitionFilters prune — above 32 directories that discovery becomes a
+    distributed listing job over every cell (the r9 x30 probe ramp measured
+    it: a 480-task listing stage dominating a probe that then read 0.2 MB).
+    Passing the probed directories as explicit paths (with ``basePath`` so
+    the cell column survives) keeps the probe's metadata work proportional
+    to nprobe · |queries|, not coarse_k — file-listing-time pruning in the
+    literal sense.  Cells with no directory (possible when a cell received
+    no vectors) are skipped via bounded driver-side existence checks
+    through the Hadoop FileSystem API, which follows the table's actual
+    scheme (file://, hdfs://, s3a://...)."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    root_path = jvm.org.apache.hadoop.fs.Path(root)
+    fs = root_path.getFileSystem(hconf)
+    dirs = []
+    for c in cells:
+        p = jvm.org.apache.hadoop.fs.Path(os.path.join(root, f"{cell_col}={c}"))
+        if fs.exists(p):
+            dirs.append(os.path.join(root, f"{cell_col}={c}"))
+    if not dirs:
+        # preserve schema for the degenerate no-cell case
+        return spark.read.option("basePath", root).parquet(root).limit(0)
+    return spark.read.option("basePath", root).parquet(*dirs)
+
+
 def write_ivf_index(
     corpus: DataFrame,
     path: str,
@@ -96,12 +127,10 @@ def probe_ivf_index(
         .select("query_id", "q_vec", "cell")
     )
     # the probed-cell set is at most |queries| * nprobe values (bounded by
-    # the K centroids) — a driver-side literal list is the partition-pruning
-    # lever: an IN over a literal set reaches PartitionFilters, a join does not
+    # the K centroids) — reading those directories DIRECTLY keeps even the
+    # file listing proportional to the probe, not to coarse_k
     cells = sorted({r.cell for r in probes.select("cell").distinct().collect()})
-    indexed = spark.read.parquet(os.path.join(path, "cells")).filter(
-        F.col("cell").isin(cells)
-    )
+    indexed = _read_probed_cells(spark, os.path.join(path, "cells"), cells)
     scored = (
         indexed.join(F.broadcast(probes), "cell")
         .filter(F.col(id_col) != F.col("query_id"))
@@ -202,7 +231,6 @@ def probe_ivfpq_index(
     from cassandra_util_spark.operators.similarity import (
         _adc9_expr,
         _collect_codebooks,
-        _l2sq,
         cosine,
     )
 
@@ -236,12 +264,10 @@ def probe_ivfpq_index(
             F.zip_with("q_vec", "cent_vec", lambda a, b: a - b).alias("q_res"),
         )
     )
-    # bounded driver-side literal (≤ coarse_k values): an IN over literals
-    # reaches PartitionFilters; a join would not prune at listing time
+    # bounded driver-side cell set (≤ |queries| · nprobe values), read as
+    # DIRECT directory paths: listing work follows the probe, not coarse_k
     cells = sorted({r.cell for r in probes.select("cell").distinct().collect()})
-    codes = spark.read.parquet(os.path.join(path, "codes")).filter(
-        F.col("cell").isin(cells)
-    )
+    codes = _read_probed_cells(spark, os.path.join(path, "codes"), cells)
     scored = (
         codes.join(F.broadcast(probes), "cell")
         .filter(F.col(id_col) != F.col("query_id"))
@@ -259,25 +285,7 @@ def probe_ivfpq_index(
         return short.select(
             "query_id", F.col(id_col).alias("neighbor_id"), "adc9", "rank"
         )
+    from cassandra_util_spark.operators.similarity import _exact_rerank
+
     short_ids = short.select("query_id", F.col(id_col).alias("neighbor_id"))
-    qd = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
-    )
-    cd = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
-    )
-    exact = (
-        cd.join(F.broadcast(short_ids), "neighbor_id")
-        .join(F.broadcast(qd), "query_id")
-        .withColumn("d4", F.round(_l2sq(F.col("qv"), F.col("cv")), 4))
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("d4").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        exact.withColumn("rank", F.row_number().over(w2).cast("bigint"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "d4", "rank")
-    )
+    return _exact_rerank(corpus, queries, short_ids, id_col, vec_col, k)

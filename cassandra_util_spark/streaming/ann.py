@@ -155,7 +155,6 @@ def probe_ivfpq_store(
     from cassandra_util_spark.operators.similarity import (
         _adc9_expr,
         _collect_codebooks,
-        _l2sq,
         cosine,
     )
 
@@ -205,25 +204,7 @@ def probe_ivfpq_store(
         return short.select(
             "query_id", F.col(id_col).alias("neighbor_id"), "adc9", "rank"
         )
+    from cassandra_util_spark.operators.similarity import _exact_rerank
+
     short_ids = short.select("query_id", F.col(id_col).alias("neighbor_id"))
-    qd = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
-    )
-    cd = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
-    )
-    exact = (
-        cd.join(F.broadcast(short_ids), "neighbor_id")
-        .join(F.broadcast(qd), "query_id")
-        .withColumn("d4", F.round(_l2sq(F.col("qv"), F.col("cv")), 4))
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("d4").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        exact.withColumn("rank", F.row_number().over(w2).cast("bigint"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "d4", "rank")
-    )
+    return _exact_rerank(corpus, queries, short_ids, id_col, vec_col, k)

@@ -163,21 +163,24 @@ def test_persisted_probe_matches_inmemory_ivf(spark, ivf_index_dir):
 
 
 def test_probe_plan_prunes_partitions(spark, ivf_index_dir):
-    """The probe scan must carry a cell PartitionFilter — pruning happens
-    at file listing, the whole point of the persisted layout."""
+    """The probe's file index must hold EXACTLY the probed cells'
+    directories — pruning happens at (and now BEFORE) file listing, the
+    whole point of the persisted layout.  r8 pruned via a cell-IN
+    PartitionFilter after a full partition-tree discovery; the probe now
+    reads the probed directories directly (_read_probed_cells), so the
+    scan's own root paths enumerate the nprobe cells and unprobed cells
+    are never even listed."""
+    import re
+
     from cassandra_util_spark.sources.ivf_index import probe_ivf_index
 
     corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     queries = corpus.filter(F.col("vec_id") == 0)
     df = probe_ivf_index(spark, ivf_index_dir, queries, k=5, nprobe=2)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    seg = plan.split("PartitionFilters", 1)
-    assert len(seg) == 2 and "cell" in seg[1][:200], plan[:1500]
-    # nprobe=2 of 16 cells: the filter must enumerate exactly 2 values
-    import re
-
-    m = re.search(r"cell#\d+L? IN \(([^)]*)\)", plan)
-    assert m and len(m.group(1).split(",")) == 2, m.group(0) if m else plan[:800]
+    # nprobe=2 of 16 cells: the scanned files must span exactly 2 cell dirs
+    cell_files = [f for f in df.inputFiles() if "/cells/" in f]
+    cells = {re.search(r"cell=(\d+)", f).group(1) for f in cell_files}
+    assert len(cells) == 2, sorted(cell_files)
 
 
 # property tests: the STCS planner's structural invariants
