@@ -52,8 +52,10 @@ def main() -> None:
     t0 = time.monotonic()
     seq_merges, seq_words = bpe_train(docs, "text", num_merges=args.merges, batch=1)
     t_seq = time.monotonic() - t0
-    print(f"sequential: {args.merges} merges in {t_seq:.1f}s "
-          f"({args.merges / t_seq:.1f}/s)", file=sys.stderr)
+    print(f"sequential: {len(seq_merges)} merges in {t_seq:.1f}s "
+          f"({len(seq_merges) / t_seq:.1f}/s)"
+          + (" [corpus exhausted]" if len(seq_merges) < args.merges else ""),
+          file=sys.stderr)
 
     t0 = time.monotonic()
     bat_merges, bat_words = bpe_train(
@@ -94,8 +96,10 @@ def main() -> None:
 
     out = {
         "merges": n,
+        "seq_merges_total": len(seq_merges),
+        "batch_merges_total": len(bat_merges),
         "batch": args.batch,
-        "seq_merges_per_sec": round(args.merges / t_seq, 2),
+        "seq_merges_per_sec": round(len(seq_merges) / t_seq, 2),
         "batch_merges_per_sec": round(len(bat_merges) / t_bat, 2),
         "merge_set_overlap": round(set_overlap, 4),
         "positional_agreement": round(positional, 4),
