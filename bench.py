@@ -206,6 +206,10 @@ BENCH_QUERIES = [
     "ann_ivfpq_topk",
     "ivfpq_persisted_probe",
     "ivfpq_streaming_index",
+    "bottomk_sample_docs",
+    "bottomk_shard_merge",
+    "quantile_sketch_doclen",
+    "bottomk_streaming_sample",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash
     # swapped to xxhash64 — the production configuration at scale

@@ -8068,3 +8068,130 @@ def _rotate_driver_window_r9() -> None:
 
 
 _rotate_driver_window_r9()
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k (KMV) sample sketch, round 9 additions (append-only AFTER the r9
+# rotation: new registrations land past the driver window and enter a future
+# rotation once locally certified)
+# ---------------------------------------------------------------------------
+
+_BK_HASH_SQL = (
+    "CAST(('0x' || substring(md5('bk:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+)
+_BK_SAMPLE_SQL = f"""
+    SELECT {_BK_HASH_SQL} AS h, doc_id, n_chars
+    FROM documents
+    ORDER BY h ASC, doc_id ASC LIMIT 256
+"""
+
+
+@query("bottomk_sample_docs", oracle=_BK_SAMPLE_SQL)
+def bottomk_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic bottom-k (K-minimum-values) row sample over the
+    corpus: the 256 documents with the smallest portable keyed hash.
+    This is the distribution-shape member of the sketch-table family
+    (CM = frequency, HLL = cardinality, bottom-k = quantiles): a fixed
+    256-row object that any consumer reads instead of the 100 TB table,
+    uniform because md5 is uniform over keys, replayable because the hash
+    is portable, and MERGEABLE — shard-local bottom-k's roll up losslessly
+    (hash-certified by bottomk_shard_merge sharing this oracle).  Scale:
+    orderBy+limit compiles to TakeOrderedAndProject — per-partition O(k)
+    heaps, only #partitions·k rows move.  Reference anchor: the
+    reference's key-count estimates ride sstable metadata
+    (SSTableReader.getEstimatedKeys analog) — fixed-size summaries
+    maintained where the data lives, consulted instead of the data."""
+    from cassandra_util_spark.operators.sketches import bottomk_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return bottomk_sample(d, "doc_id", k=256, payload=("n_chars",))
+
+
+@query("bottomk_shard_merge", oracle=_BK_SAMPLE_SQL)
+def bottomk_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeability certified: the corpus splits into three disjoint
+    shards (doc_id % 3 — the incremental-ingest shape), each shard keeps
+    only its own bottom-256, and the merge of the three 256-row sketches
+    hash-matches the direct whole-corpus sample (the SAME oracle as
+    bottomk_sample_docs).  This closure property is the entire point of
+    the sketch: per-shard/per-batch maintenance never rescans history,
+    and a 1000-shard corpus rolls up through 1000·k rows, not N."""
+    from cassandra_util_spark.operators.sketches import bottomk_merge, bottomk_sample
+
+    d = _t(spark, sf_dir, "documents")
+    shards = [
+        bottomk_sample(d.filter(F.col("doc_id") % 3 == i), "doc_id", k=256,
+                       payload=("n_chars",))
+        for i in range(3)
+    ]
+    return bottomk_merge(*shards, k=256, key_col="doc_id")
+
+
+@query(
+    "quantile_sketch_doclen",
+    oracle=f"""
+    WITH s AS ({_BK_SAMPLE_SQL}),
+    r AS (
+      SELECT n_chars,
+             row_number() OVER (ORDER BY n_chars ASC, doc_id ASC) AS rn,
+             count(*) OVER () AS n
+      FROM s)
+    SELECT p, CAST(n_chars AS BIGINT) AS estimate
+    FROM r JOIN (VALUES (0.1),(0.25),(0.5),(0.75),(0.9),(0.99)) t(p)
+      ON rn = CAST(floor(p * (n - 1)) AS INT) + 1
+    """,
+)
+def quantile_sketch_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length quantiles estimated from the 256-row bottom-k
+    sample — P10..P99 of a 100 TB table for the cost of reading 256 rows.
+    The estimate rule is exact-integer (rank = floor(p·(n−1))+1 under the
+    total (value, key) order), so the sketch-derived quantiles replay
+    bit-identically in SQL; accuracy vs the exact distribution is pinned
+    in tests/test_bottomk.py (rank error ~ O(1/sqrt(k))).  This is the
+    sketch the adaptive-length-bound and shard-planning operators would
+    consult at scale instead of their exact percentile scans."""
+    from cassandra_util_spark.operators.sketches import (
+        bottomk_sample,
+        sample_quantiles,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    s = bottomk_sample(d, "doc_id", k=256, payload=("n_chars",))
+    return sample_quantiles(s, "n_chars", key_col="doc_id").select(
+        "p", F.col("estimate").cast("bigint").alias("estimate")
+    )
+
+
+@query("bottomk_streaming_sample", oracle=None)
+def bottomk_streaming_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming bottom-k maintenance end to end: the corpus replays
+    through a real file-source stream in three micro-batches (doc_id % 3),
+    each batch contributes its own 256-row bottom-k, the persisted sample
+    store merges k-vs-k under the exactly-once snapshot protocol
+    (replayed batch ids skip; fresh-checkpoint identity mismatch raises),
+    and the drained store hash-matches the SAME oracle as the direct
+    whole-corpus sample — the KMV closure property through the streaming
+    path, the same triple-certification shape as the IVFADC family
+    (in-memory / sharded / streamed, one oracle)."""
+    import tempfile
+
+    from cassandra_util_spark.sources.snapshots import SnapshotStore
+    from cassandra_util_spark.streaming.sketches import stream_bottomk_to_store
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    src = tempfile.mkdtemp(prefix="bk-stream-src-")
+    for i in range(3):
+        d.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode("append").parquet(src)
+    store = SnapshotStore(tempfile.mkdtemp(prefix="bk-store-"))
+    stream = (
+        spark.readStream.schema(d.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = stream_bottomk_to_store(
+        stream, store, tempfile.mkdtemp(prefix="bk-cp-"), "doc_id",
+        k=256, payload=("n_chars",),
+    )
+    q.awaitTermination(300)
+    return store.read(spark).select("h", "doc_id", "n_chars")
+
+
+ORACLES["bottomk_streaming_sample"] = _BK_SAMPLE_SQL

@@ -801,3 +801,97 @@ def hll_estimate_from_store(store, spark, p: int = 9) -> DataFrame:
     distinct counts: consumers never rescan the stream, they read ≤ 2^p
     register rows and run the exact-integer harmonic estimate."""
     return hll_estimate(store.read(spark), p)
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k (KMV) row sample: deterministic mergeable uniform sample +
+# quantile estimation — the distribution-shape member of the sketch family
+# (CM = frequency, HLL = cardinality, bottom-k = quantiles/moments)
+# ---------------------------------------------------------------------------
+
+def bottomk_sample(
+    df: DataFrame,
+    key_col: str,
+    k: int = 256,
+    payload: tuple = (),
+    seed: str = "bk",
+    hash_fn: str = "portable",
+) -> DataFrame:
+    """K-minimum-values row sample: the ``k`` rows whose keyed hash is
+    smallest, with deterministic ties ((h, key) ascending).  Because the
+    hash is a pure function of the key, the sample is (a) DETERMINISTIC —
+    the same table yields the same sample on any cluster, so an external
+    engine can replay it exactly (portable md5 hash, the CM/HLL
+    convention); (b) UNIFORM — md5 is uniform over keys, so the sampled
+    rows are an unbiased size-k row sample; (c) MERGEABLE — the bottom-k
+    of a union is the bottom-k of the parts' bottom-k's
+    (:func:`bottomk_merge`), which is what makes per-shard/per-batch
+    maintenance work without ever rescanning history.
+
+    Scale shape: ``orderBy(h).limit(k)`` compiles to TakeOrderedAndProject
+    — each partition keeps its own k smallest rows (O(k) heap, map-side),
+    and only #partitions·k rows ever move.  ``hash_fn="xxhash64"`` is the
+    JVM-native fast path (same pattern as the LSH/simhash twins); the
+    portable default is what the DuckDB oracle certifies.
+    """
+    key = F.col(key_col).cast("string")
+    salted = F.concat(F.lit(f"{seed}:"), key)
+    if hash_fn == "portable":
+        h = portable_hash32(salted)
+    elif hash_fn == "xxhash64":
+        h = F.xxhash64(salted)
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    cols = [F.col(key_col), *[F.col(c) for c in payload]]
+    return (
+        df.select(h.alias("h"), *cols)
+        .orderBy(F.col("h").asc(), F.col(key_col).asc())
+        .limit(k)
+    )
+
+
+def bottomk_merge(*samples: DataFrame, k: int = 256, key_col: str = "doc_id") -> DataFrame:
+    """Merge bottom-k samples (same seed/key domain): union, keep the k
+    smallest — the closure property that lets shard-local samples roll up
+    to the corpus sample without touching the corpus again.  Inputs carry
+    their hash in ``h`` (the :func:`bottomk_sample` layout)."""
+    out = samples[0]
+    for s in samples[1:]:
+        out = out.unionByName(s)
+    return out.dropDuplicates([key_col]).orderBy(
+        F.col("h").asc(), F.col(key_col).asc()
+    ).limit(k)
+
+
+def sample_quantiles(
+    sample: DataFrame,
+    value_col: str,
+    probs: tuple = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99),
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Quantile estimates from a bottom-k sample: for each probability p,
+    the sample value at rank ``floor(p · (n-1)) + 1`` under a TOTAL order
+    ((value, key) ascending — the deterministic-tiebreak rule every top-k
+    in this repo follows).  With a uniform size-k sample the estimate's
+    rank error is O(1/sqrt(k)) of the population — k=256 gives ~6%
+    rank error, plenty for shard planning, length-bound fitting, and skew
+    alerts, at a fixed 256-row cost per 100 TB table.  Exact-integer rank
+    arithmetic, so the estimate replays bit-identically in SQL."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col(value_col).asc(), F.col(key_col).asc())
+    ranked = sample.withColumn("__r", F.row_number().over(w)).withColumn(
+        "__n", F.count("*").over(Window.partitionBy())
+    )
+    probs_df = ranked.sparkSession.createDataFrame(
+        [(float(p),) for p in probs], "p double"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(probs_df))
+        .filter(
+            F.col("__r")
+            == F.floor(F.col("p") * (F.col("__n") - 1)).cast("int") + F.lit(1)
+        )
+        .select("p", F.col(value_col).alias("estimate"))
+        .orderBy("p")
+    )

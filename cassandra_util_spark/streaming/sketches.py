@@ -173,3 +173,52 @@ def stream_hll_to_store(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_bottomk_to_store(
+    stream: DataFrame,
+    store: SnapshotStore,
+    checkpoint_dir: str,
+    key_col: str,
+    k: int = 256,
+    payload: tuple = (),
+    seed: str = "bk",
+    hash_fn: str = "portable",
+    available_now: bool = True,
+    query_name: str = "bottomk-sketch-ingest",
+    txn_app_id: Optional[str] = None,
+    retain_versions: int = 2,
+) -> StreamingQuery:
+    """Maintain a persisted bottom-k (KMV) row sample over a stream — the
+    distribution-shape member of the streaming sketch family.
+
+    Per micro-batch: one TakeOrderedAndProject over the batch (per-partition
+    O(k) heaps), one k-vs-k merge against the persisted sample (both inputs
+    sketch-sized — per-batch cost independent of history), one atomic
+    snapshot commit.  Bottom-k's merge is idempotent (dropDuplicates + keep
+    the k smallest absorbs a replayed batch, like HLL's register max), but
+    the tag skip is kept for the one uniform exactly-once protocol.  The
+    drained store is IDENTICAL to :func:`bottomk_sample` over the batches'
+    union — the closure property `bottomk_shard_merge` hash-certifies."""
+    from cassandra_util_spark.operators.sketches import bottomk_merge, bottomk_sample
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        app_id = txn_app_id or resolve_txn_app_id(checkpoint_dir, query_name)
+        if batch_id <= _last_applied(store, app_id):
+            return
+        delta = bottomk_sample(batch_df, key_col, k, payload, seed, hash_fn)
+        current = store.current_path()
+        if current is not None:
+            state = batch_df.sparkSession.read.parquet(current)
+            delta = bottomk_merge(state, delta, k=k, key_col=key_col)
+        store.commit(delta, tag=f"{app_id}:{batch_id}")
+        store.vacuum(keep_last=retain_versions)
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(query_name)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

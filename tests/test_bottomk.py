@@ -1,0 +1,102 @@
+"""Bottom-k (KMV) sample sketch (operators/sketches.py): determinism,
+mergeability, plan shape (TakeOrderedAndProject — per-partition heaps, no
+full sort), and quantile-estimate accuracy vs the exact distribution."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_util_spark.operators.sketches import (
+    bottomk_merge,
+    bottomk_sample,
+    sample_quantiles,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    df.cache().count()
+    return df
+
+
+def test_sample_deterministic_and_sized(docs):
+    a = bottomk_sample(docs, "doc_id", k=256, payload=("n_chars",)).collect()
+    b = bottomk_sample(docs, "doc_id", k=256, payload=("n_chars",)).collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+    assert len(a) == 256
+    # ascending by (h, doc_id): the k smallest under the total order
+    hs = [(r["h"], r["doc_id"]) for r in a]
+    assert hs == sorted(hs)
+
+
+def test_merge_equals_direct(docs):
+    """The closure property: shard-local bottom-k's merged == whole-table
+    bottom-k (also hash-certified against the shared DuckDB oracle by
+    bottomk_shard_merge)."""
+    direct = {(r["h"], r["doc_id"]) for r in
+              bottomk_sample(docs, "doc_id", k=64, payload=("n_chars",)).collect()}
+    shards = [
+        bottomk_sample(docs.filter(F.col("doc_id") % 4 == i), "doc_id", k=64,
+                       payload=("n_chars",))
+        for i in range(4)
+    ]
+    merged = {(r["h"], r["doc_id"]) for r in
+              bottomk_merge(*shards, k=64, key_col="doc_id").collect()}
+    assert merged == direct
+
+
+def test_plan_is_take_ordered_not_full_sort(docs):
+    """orderBy+limit must compile to TakeOrderedAndProject (per-partition
+    O(k) heaps) — a global Sort before the limit would be the
+    single-partition scale bug this operator exists to avoid."""
+    s = bottomk_sample(docs, "doc_id", k=256)
+    plan = s._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:800]
+
+
+def test_quantile_estimates_track_exact_cdf(docs):
+    """Rank accuracy: the CDF position of each k=256 estimate must sit
+    within ±0.10 of its target probability (O(1/sqrt(k)) ~ 6% expected)."""
+    s = bottomk_sample(docs, "doc_id", k=256, payload=("n_chars",))
+    est = {r["p"]: r["estimate"] for r in
+           sample_quantiles(s, "n_chars", key_col="doc_id").collect()}
+    n = docs.count()
+    for p, v in est.items():
+        cdf = docs.filter(F.col("n_chars") <= v).count() / n
+        assert abs(cdf - p) <= 0.10, (p, v, cdf)
+
+
+def test_fast_hash_variant_same_machinery(docs):
+    """xxhash64 twin: same shape, same size, different (engine-native)
+    order — the production fast path, certified by the portable twin."""
+    s = bottomk_sample(docs, "doc_id", k=64, hash_fn="xxhash64").collect()
+    assert len(s) == 64
+    with pytest.raises(ValueError, match="unknown hash_fn"):
+        bottomk_sample(docs, "doc_id", hash_fn="sha1")
+
+
+def test_streaming_bottomk_equals_batch_sample(spark, docs, tmp_path):
+    """The streamed store after draining N micro-batches must hold EXACTLY
+    the whole-corpus bottom-k (the closure property through the
+    exactly-once snapshot protocol)."""
+    from cassandra_util_spark.sources.snapshots import SnapshotStore
+    from cassandra_util_spark.streaming.sketches import stream_bottomk_to_store
+
+    d = docs.select("doc_id", "n_chars")
+    src = str(tmp_path / "src")
+    for i in range(3):
+        d.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode("append").parquet(src)
+    store = SnapshotStore(str(tmp_path / "bk"))
+    stream = (
+        spark.readStream.schema(d.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = stream_bottomk_to_store(
+        stream, store, str(tmp_path / "cp"), "doc_id", k=64, payload=("n_chars",)
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in store.read(spark).collect()}
+    want = {tuple(r) for r in
+            bottomk_sample(d, "doc_id", k=64, payload=("n_chars",)).collect()}
+    assert got == want and len(got) == 64
