@@ -8195,3 +8195,45 @@ def bottomk_streaming_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["bottomk_streaming_sample"] = _BK_SAMPLE_SQL
+
+
+@query(
+    "quantile_sketch_by_lang",
+    oracle=f"""
+    WITH s AS (
+      SELECT * FROM (
+        SELECT lang, {_BK_HASH_SQL} AS h, doc_id, n_chars,
+               row_number() OVER (
+                 PARTITION BY lang
+                 ORDER BY {_BK_HASH_SQL} ASC, doc_id ASC) AS rn
+        FROM documents) WHERE rn <= 64),
+    r AS (
+      SELECT lang, n_chars,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY n_chars ASC, doc_id ASC) AS vr,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM s)
+    SELECT lang, p, CAST(n_chars AS BIGINT) AS estimate
+    FROM r JOIN (VALUES (0.25),(0.5),(0.75),(0.9)) t(p)
+      ON vr = CAST(floor(p * (n - 1)) AS INT) + 1
+    """,
+)
+def quantile_sketch_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length quantiles from per-group bottom-64
+    samples — the per-domain distribution monitor: a corpus with hundreds
+    of languages reduces to a groups·k-row sketch, and each group's
+    P25/P50/P75/P90 replays bit-identically in SQL (grouped KMV sample +
+    exact-integer rank rule).  One shuffle on the group key; per-group
+    window state is O(k).  At 100 TB this is how per-domain length gates
+    (adaptive_length_bounds) and mixture planning consult distribution
+    shape without per-domain percentile scans."""
+    from cassandra_util_spark.operators.sketches import (
+        bottomk_sample_grouped,
+        sample_quantiles_grouped,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    s = bottomk_sample_grouped(d, "lang", "doc_id", k=64, payload=("n_chars",))
+    return sample_quantiles_grouped(s, "lang", "n_chars", key_col="doc_id").select(
+        "lang", "p", F.col("estimate").cast("bigint").alias("estimate")
+    )

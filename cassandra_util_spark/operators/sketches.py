@@ -895,3 +895,72 @@ def sample_quantiles(
         .select("p", F.col(value_col).alias("estimate"))
         .orderBy("p")
     )
+
+
+def bottomk_sample_grouped(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 64,
+    payload: tuple = (),
+    seed: str = "bk",
+    hash_fn: str = "portable",
+) -> DataFrame:
+    """Per-group bottom-k: each group keeps its own k hash-smallest rows —
+    the grouped form of :func:`bottomk_sample` (same determinism,
+    uniformity-within-group, and shard-merge closure, now per group key).
+    One shuffle on the group key; the rank window's per-partition state is
+    O(k) per group.  This is the sketch behind per-domain / per-language
+    distribution monitoring: a 100 TB corpus with 200 languages reduces to
+    a 200·k-row table any planner can read."""
+    from pyspark.sql import Window
+
+    key = F.col(key_col).cast("string")
+    salted = F.concat(F.lit(f"{seed}:"), key)
+    if hash_fn == "portable":
+        h = portable_hash32(salted)
+    elif hash_fn == "xxhash64":
+        h = F.xxhash64(salted)
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    w = Window.partitionBy(group_col).orderBy(F.col("h").asc(), F.col(key_col).asc())
+    return (
+        df.select(F.col(group_col), h.alias("h"), F.col(key_col),
+                  *[F.col(c) for c in payload])
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .drop("__r")
+    )
+
+
+def sample_quantiles_grouped(
+    sample: DataFrame,
+    group_col: str,
+    value_col: str,
+    probs: tuple = (0.25, 0.5, 0.75, 0.9),
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group quantile estimates from a grouped bottom-k sample: the
+    :func:`sample_quantiles` rank rule applied within each group (rank =
+    floor(p·(n_g−1))+1 under the (value, key) total order, n_g = the
+    group's sample size).  Exact-integer arithmetic — replays
+    bit-identically in SQL."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(value_col).asc(), F.col(key_col).asc()
+    )
+    ranked = sample.withColumn("__r", F.row_number().over(w)).withColumn(
+        "__n", F.count("*").over(Window.partitionBy(group_col))
+    )
+    probs_df = ranked.sparkSession.createDataFrame(
+        [(float(p),) for p in probs], "p double"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(probs_df))
+        .filter(
+            F.col("__r")
+            == F.floor(F.col("p") * (F.col("__n") - 1)).cast("int") + F.lit(1)
+        )
+        .select(F.col(group_col), "p", F.col(value_col).alias("estimate"))
+    )

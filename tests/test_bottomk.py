@@ -100,3 +100,27 @@ def test_streaming_bottomk_equals_batch_sample(spark, docs, tmp_path):
     want = {tuple(r) for r in
             bottomk_sample(d, "doc_id", k=64, payload=("n_chars",)).collect()}
     assert got == want and len(got) == 64
+
+
+def test_grouped_sample_and_quantiles(docs):
+    """Per-group bottom-k: each group holds exactly min(k, |group|) rows,
+    every group of the input is represented, and the grouped quantile
+    estimates track each group's exact CDF within the k=64 rank error."""
+    from cassandra_util_spark.operators.sketches import (
+        bottomk_sample_grouped,
+        sample_quantiles_grouped,
+    )
+
+    s = bottomk_sample_grouped(docs, "lang", "doc_id", k=64, payload=("n_chars",))
+    sizes = {r["lang"]: r["n"] for r in
+             s.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    pops = {r["lang"]: r["n"] for r in
+            docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert set(sizes) == set(pops)
+    for lang, n in sizes.items():
+        assert n == min(64, pops[lang]), (lang, n, pops[lang])
+    est = sample_quantiles_grouped(s, "lang", "n_chars", key_col="doc_id").collect()
+    for r in est:
+        grp = docs.filter(F.col("lang") == r["lang"])
+        cdf = grp.filter(F.col("n_chars") <= r["estimate"]).count() / pops[r["lang"]]
+        assert abs(cdf - r["p"]) <= 0.2, (r, cdf)  # k=64 -> ~12.5% rank error
