@@ -6989,6 +6989,11 @@ def dedup_streaming_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("latestFirst", "false")
         .parquet(src)
     )
+    # NOT _scoped_shuffle_partitions-wrapped (r9): unlike the other
+    # streaming drains, the LSH batch work is CPU-bound signature hashing
+    # whose shuffle stages carry real rows — measured 5.1 s at 8 partitions
+    # vs 4.9 s at the session's 32; the lever only pays when per-task
+    # overhead dominates.
     q = stream_lsh_index(
         stream,
         store,
@@ -7125,14 +7130,22 @@ def corpus_ingest_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("latestFirst", "false")
         .parquet(src)
     )
-    q = stream_corpus_ingest(
-        stream,
-        corpus_store,
-        index_store,
-        tempfile.mkdtemp(prefix="corpus-ingest-cp-"),
-        min_tokens=30,
-    )
-    q.awaitTermination(300)
+    # State-partition sizing, the stream_interval_join_view lever (r9): the
+    # admission chain's per-batch joins/windows inherit the session's
+    # shuffle partitioning; at contract-query shard sizes 32 partitions are
+    # pure per-task overhead across ~6 shuffles x 3 batches.  Scoped +
+    # restored; admission semantics are partition-count-invariant (hash
+    # unchanged), and a production deployment sizes this to shard
+    # throughput the same way.
+    with _scoped_shuffle_partitions(spark, 8):
+        q = stream_corpus_ingest(
+            stream,
+            corpus_store,
+            index_store,
+            tempfile.mkdtemp(prefix="corpus-ingest-cp-"),
+            min_tokens=30,
+        )
+        q.awaitTermination(300)
     return corpus_store.read_merged(spark).select("doc_id")
 
 
@@ -7685,10 +7698,11 @@ def ivfpq_streaming_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema(e.schema).option("maxFilesPerTrigger", 1).option(
         "latestFirst", "false"
     ).parquet(src)
-    q = stream_ivfpq_index(
-        stream, store, tempfile.mkdtemp(prefix="ivfpq-stream-cp-"), cents, cb
-    )
-    q.awaitTermination(300)
+    with _scoped_shuffle_partitions(spark, 8):
+        q = stream_ivfpq_index(
+            stream, store, tempfile.mkdtemp(prefix="ivfpq-stream-cp-"), cents, cb
+        )
+        q.awaitTermination(300)
     return probe_ivfpq_store(
         spark, store, cents, cb, e.filter(F.col("vec_id") < 5), corpus=e,
         k=10, nprobe=4, m=8, num_codes=16, rerank=64,
@@ -8186,11 +8200,12 @@ def bottomk_streaming_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = (
         spark.readStream.schema(d.schema).option("maxFilesPerTrigger", 1).parquet(src)
     )
-    q = stream_bottomk_to_store(
-        stream, store, tempfile.mkdtemp(prefix="bk-cp-"), "doc_id",
-        k=256, payload=("n_chars",),
-    )
-    q.awaitTermination(300)
+    with _scoped_shuffle_partitions(spark, 8):
+        q = stream_bottomk_to_store(
+            stream, store, tempfile.mkdtemp(prefix="bk-cp-"), "doc_id",
+            k=256, payload=("n_chars",),
+        )
+        q.awaitTermination(300)
     return store.read(spark).select("h", "doc_id", "n_chars")
 
 
@@ -8237,3 +8252,22 @@ def quantile_sketch_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_quantiles_grouped(s, "lang", "n_chars", key_col="doc_id").select(
         "lang", "p", F.col("estimate").cast("bigint").alias("estimate")
     )
+
+
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def _scoped_shuffle_partitions(spark: SparkSession, n: int):
+    """Scope spark.sql.shuffle.partitions to a streaming drain and restore
+    it after — the state/shuffle-partition sizing lever (r9): per-batch
+    joins/windows at contract-query shard sizes pay pure per-task overhead
+    under the session's 32 partitions, and state partitioning is a
+    per-checkpoint runtime knob, not an operator property.  Results are
+    partition-count-invariant (every consumer hash-verifies unchanged)."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

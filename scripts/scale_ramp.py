@@ -66,6 +66,10 @@ PIPELINES = [
     # batch count constant while shard size (and admitted history) scale
     "corpus_ingest_streaming",
     "dedup_streaming_lsh",
+    # bottom-k sketch family (r9): the claim is O(k) output and
+    # per-partition O(k) heap work — wall and shuffle should stay ~flat
+    "bottomk_sample_docs",
+    "quantile_sketch_by_lang",
 ]
 
 

@@ -124,3 +124,22 @@ def test_grouped_sample_and_quantiles(docs):
         grp = docs.filter(F.col("lang") == r["lang"])
         cdf = grp.filter(F.col("n_chars") <= r["estimate"]).count() / pops[r["lang"]]
         assert abs(cdf - r["p"]) <= 0.2, (r, cdf)  # k=64 -> ~12.5% rank error
+
+
+def test_probed_cells_reader_handles_missing_and_empty(spark, tmp_path):
+    """_read_probed_cells (sources/ivf_index.py): cells with no directory
+    are skipped via bounded existence checks, and an all-missing probe
+    returns an empty frame with the layout's schema instead of raising —
+    the degenerate paths a probe against a sparse index hits."""
+    from cassandra_util_spark.sources.ivf_index import _read_probed_cells
+
+    root = str(tmp_path / "codes")
+    df = spark.createDataFrame(
+        [(1, [1, 2], 0), (2, [3, 4], 2)], "vec_id bigint, codes array<bigint>, cell int"
+    )
+    df.write.partitionBy("cell").parquet(root)
+    got = _read_probed_cells(spark, root, [0, 1, 2])  # cell=1 has no dir
+    assert {r["vec_id"] for r in got.collect()} == {1, 2}
+    empty = _read_probed_cells(spark, root, [7, 8])
+    assert empty.count() == 0
+    assert set(empty.columns) == {"vec_id", "codes", "cell"}
