@@ -211,6 +211,7 @@ BENCH_QUERIES = [
     "quantile_sketch_doclen",
     "bottomk_streaming_sample",
     "quantile_sketch_by_lang",
+    "ann_ivfpq_filtered",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash
     # swapped to xxhash64 — the production configuration at scale

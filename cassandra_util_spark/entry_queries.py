@@ -7511,79 +7511,92 @@ def ann_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfpq_oracle_sql(cand_join: str = "", cand_where: str = "TRUE") -> str:
+    """The full IVFADC replay (seed centroids -> residual codebooks ->
+    per-cell ADC -> exact rerank) as DuckDB SQL.  ``cand_join`` /
+    ``cand_where`` inject a FILTERED-search candidate predicate into the
+    ADC CTE — the filter lands before scoring, exactly where the Spark
+    operator's candidates semi-join lands, so filtered and unfiltered
+    oracles share every other stage."""
+    return (
+        """
+        WITH corpus AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        cents AS (
+          SELECT vec_id AS cell, v AS cv FROM corpus
+          ORDER BY (vec_id * 2654435761) % 4294967296, vec_id LIMIT 16),
+        assigned AS (
+          SELECT vec_id, cell FROM (
+            SELECT c.vec_id, s.cell,
+                   row_number() OVER (
+                     PARTITION BY c.vec_id
+                     ORDER BY round(CASE WHEN isnan(list_cosine_similarity(c.v, s.cv))
+                                         THEN 0 ELSE list_cosine_similarity(c.v, s.cv)
+                                    END, 4) DESC, s.cell ASC) AS rn
+            FROM corpus c CROSS JOIN cents s) WHERE rn = 1),
+        res AS (
+          SELECT a.vec_id, a.cell,
+                 list_transform(range(1, 65), i -> c.v[i] - s.cv[i]) AS rv
+          FROM assigned a JOIN corpus c ON c.vec_id = a.vec_id
+                          JOIN cents s ON s.cell = a.cell),
+        cb AS (
+          SELECT vec_id AS code, rv FROM res
+          ORDER BY (vec_id * 2654435761) % 4294967296, vec_id LIMIT 16),
+        enc AS (
+          SELECT vec_id, cell, sub, code FROM (
+            SELECT r.vec_id, r.cell, t.j AS sub, s.code,
+                   row_number() OVER (PARTITION BY r.vec_id, t.j
+                     ORDER BY round("""
+        + _pq_l2sq_sql("r.rv[t.j*8 + i]", "s.rv[t.j*8 + i]", 8)
+        + """, 4) ASC, s.code ASC) AS rn
+            FROM res r CROSS JOIN range(8) t(j) CROSS JOIN cb s) WHERE rn = 1),
+        queries AS (SELECT vec_id AS query_id, v AS qv FROM corpus WHERE vec_id < 5),
+        probes AS (
+          SELECT query_id, cell, list_transform(range(1, 65), i -> qv[i] - cv[i]) AS qr
+          FROM (
+            SELECT q.query_id, q.qv, s.cell, s.cv,
+                   row_number() OVER (
+                     PARTITION BY q.query_id
+                     ORDER BY list_cosine_similarity(q.qv, s.cv) DESC, s.cell ASC) AS rn
+            FROM queries q CROSS JOIN cents s) WHERE rn <= 4),
+        dtab AS (
+          SELECT p.query_id, p.cell, t.j AS sub, s.code,
+                 CAST(round(round("""
+        + _pq_l2sq_sql("p.qr[t.j*8 + i]", "s.rv[t.j*8 + i]", 8)
+        + """, 4) * 10000.0::DOUBLE) AS BIGINT) AS d9
+          FROM probes p CROSS JOIN range(8) t(j) CROSS JOIN cb s),
+        adc AS (
+          SELECT d.query_id, e.vec_id AS neighbor_id, CAST(sum(d.d9) AS BIGINT) AS adc9
+          FROM enc e JOIN dtab d ON d.cell = e.cell AND d.sub = e.sub AND d.code = e.code
+          """ + cand_join + """
+          WHERE e.vec_id <> d.query_id AND (""" + cand_where + """)
+          GROUP BY d.query_id, e.vec_id),
+        short AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY adc9 ASC, neighbor_id ASC) AS rank
+            FROM adc) WHERE rank <= 64),
+        ex AS (
+          SELECT s.query_id, s.neighbor_id,
+                 round("""
+        + _pq_l2sq_sql("q.v[i]", "c.v[i]", 64)
+        + """, 4) AS d4
+          FROM short s JOIN corpus q ON q.vec_id = s.query_id
+                       JOIN corpus c ON c.vec_id = s.neighbor_id)
+        SELECT query_id, neighbor_id, d4, CAST(rank AS BIGINT) AS rank FROM (
+          SELECT query_id, neighbor_id, d4,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY d4 ASC, neighbor_id ASC) AS rank
+          FROM ex) WHERE rank <= 10
+        """
+    )
+
+
 @query(
     "ann_ivfpq_topk",
-    oracle="""
-    WITH corpus AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings),
-    cents AS (
-      SELECT vec_id AS cell, v AS cv FROM corpus
-      ORDER BY (vec_id * 2654435761) % 4294967296, vec_id LIMIT 16),
-    assigned AS (
-      SELECT vec_id, cell FROM (
-        SELECT c.vec_id, s.cell,
-               row_number() OVER (
-                 PARTITION BY c.vec_id
-                 ORDER BY round(CASE WHEN isnan(list_cosine_similarity(c.v, s.cv))
-                                     THEN 0 ELSE list_cosine_similarity(c.v, s.cv)
-                                END, 4) DESC, s.cell ASC) AS rn
-        FROM corpus c CROSS JOIN cents s) WHERE rn = 1),
-    res AS (
-      SELECT a.vec_id, a.cell,
-             list_transform(range(1, 65), i -> c.v[i] - s.cv[i]) AS rv
-      FROM assigned a JOIN corpus c ON c.vec_id = a.vec_id
-                      JOIN cents s ON s.cell = a.cell),
-    cb AS (
-      SELECT vec_id AS code, rv FROM res
-      ORDER BY (vec_id * 2654435761) % 4294967296, vec_id LIMIT 16),
-    enc AS (
-      SELECT vec_id, cell, sub, code FROM (
-        SELECT r.vec_id, r.cell, t.j AS sub, s.code,
-               row_number() OVER (PARTITION BY r.vec_id, t.j
-                 ORDER BY round("""
-    + _pq_l2sq_sql("r.rv[t.j*8 + i]", "s.rv[t.j*8 + i]", 8)
-    + """, 4) ASC, s.code ASC) AS rn
-        FROM res r CROSS JOIN range(8) t(j) CROSS JOIN cb s) WHERE rn = 1),
-    queries AS (SELECT vec_id AS query_id, v AS qv FROM corpus WHERE vec_id < 5),
-    probes AS (
-      SELECT query_id, cell, list_transform(range(1, 65), i -> qv[i] - cv[i]) AS qr
-      FROM (
-        SELECT q.query_id, q.qv, s.cell, s.cv,
-               row_number() OVER (
-                 PARTITION BY q.query_id
-                 ORDER BY list_cosine_similarity(q.qv, s.cv) DESC, s.cell ASC) AS rn
-        FROM queries q CROSS JOIN cents s) WHERE rn <= 4),
-    dtab AS (
-      SELECT p.query_id, p.cell, t.j AS sub, s.code,
-             CAST(round(round("""
-    + _pq_l2sq_sql("p.qr[t.j*8 + i]", "s.rv[t.j*8 + i]", 8)
-    + """, 4) * 10000.0::DOUBLE) AS BIGINT) AS d9
-      FROM probes p CROSS JOIN range(8) t(j) CROSS JOIN cb s),
-    adc AS (
-      SELECT d.query_id, e.vec_id AS neighbor_id, CAST(sum(d.d9) AS BIGINT) AS adc9
-      FROM enc e JOIN dtab d ON d.cell = e.cell AND d.sub = e.sub AND d.code = e.code
-      WHERE e.vec_id <> d.query_id
-      GROUP BY d.query_id, e.vec_id),
-    short AS (
-      SELECT query_id, neighbor_id FROM (
-        SELECT query_id, neighbor_id,
-               row_number() OVER (PARTITION BY query_id
-                 ORDER BY adc9 ASC, neighbor_id ASC) AS rank
-        FROM adc) WHERE rank <= 64),
-    ex AS (
-      SELECT s.query_id, s.neighbor_id,
-             round("""
-    + _pq_l2sq_sql("q.v[i]", "c.v[i]", 64)
-    + """, 4) AS d4
-      FROM short s JOIN corpus q ON q.vec_id = s.query_id
-                   JOIN corpus c ON c.vec_id = s.neighbor_id)
-    SELECT query_id, neighbor_id, d4, CAST(rank AS BIGINT) AS rank FROM (
-      SELECT query_id, neighbor_id, d4,
-             row_number() OVER (PARTITION BY query_id
-               ORDER BY d4 ASC, neighbor_id ASC) AS rank
-      FROM ex) WHERE rank <= 10
-    """,
+    oracle=_ivfpq_oracle_sql(),
 )
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC end to end (Jégou et al., TPAMI 2011 §IV) — the composed
@@ -8271,3 +8284,32 @@ def _scoped_shuffle_partitions(spark: SparkSession, n: int):
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+@query(
+    "ann_ivfpq_filtered",
+    oracle=_ivfpq_oracle_sql(
+        cand_join="JOIN embeddings el ON el.vec_id = e.vec_id",
+        cand_where="el.label % 2 = 0",
+    ),
+)
+def ann_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search: IVFADC top-k among only the vectors whose
+    metadata matches a predicate (label % 2 = 0 — the lang/date/source-
+    scoped retrieval shape).  The allowed-id set semi-joins the 8·m-byte
+    codes BEFORE ADC scoring, so predicate selectivity cuts scan work
+    instead of recall — a post-shortlist filter would return fewer than k
+    under selective predicates, the classic filtered-ANN failure mode.
+    The model (centroids + codebooks) still trains on the full corpus, so
+    filtered and unfiltered searches share one index; the oracle replays
+    the identical chain with the same filter injected at the same stage.
+    """
+    from cassandra_util_spark.operators.similarity import ivfpq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    allowed = e.filter(F.col("label") % 2 == 0).select("vec_id")
+    return ivfpq_topk(
+        e, e.filter(F.col("vec_id") < 5),
+        k=10, coarse_k=16, nprobe=4, m=8, num_codes=16, rerank=64,
+        candidates=allowed,
+    )

@@ -1178,11 +1178,22 @@ def ivfpq_topk(
     num_codes: int = 16,
     rerank: int | None = None,
     refine_iters: int = 0,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """IVFADC (Jégou et al., TPAMI 2011 §IV): the composed 100 TB ANN
     architecture — coarse IVF cell pruning, then an asymmetric-distance scan
     over PQ codes of the RESIDUALS (x − centroid) within only the probed
     cells, optionally followed by exact re-rank of the shortlist.
+
+    ``candidates`` (optional): a one-column (``id_col``) DataFrame of
+    allowed neighbor ids — FILTERED vector search (top-k among documents
+    matching a metadata predicate, the lang/date/source-scoped retrieval
+    shape).  The filter semi-joins the 8·m-byte codes BEFORE ADC scoring,
+    so selectivity cuts scan work instead of recall: a post-shortlist
+    filter would silently return fewer than k when the predicate is
+    selective, the classic filtered-ANN failure.  The model (centroids +
+    codebooks) still trains on the FULL corpus, so filtered and unfiltered
+    searches share one index.
 
     Why residuals: after subtracting the cell centroid, the vectors a
     codebook must cover live in a ball around the origin instead of spread
@@ -1237,6 +1248,13 @@ def ivfpq_topk(
     by_sub, code_ids = _collect_codebooks(cb, m, num_codes)
     sub = dim // m
     codes = pq_encode(res, cb, id_col, "__res", dim, m, num_codes, keep=("cell",))
+    if candidates is not None:
+        # semi-join the codes against the allowed-id set before any scoring:
+        # AQE broadcasts a small candidate table; a corpus-scale one shuffles
+        # on the 8-byte id — either way unqualified rows never reach the ADC
+        codes = codes.join(
+            candidates.select(F.col(id_col)).distinct(), id_col, "left_semi"
+        )
 
     q = queries.select(
         F.col(id_col).alias("query_id"),

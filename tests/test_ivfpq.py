@@ -213,3 +213,30 @@ def test_persisted_probe_requires_corpus_for_rerank(spark, ivfpq_index_dir, emb)
         probe_ivfpq_index(
             spark, ivfpq_index_dir, emb.filter(F.col("vec_id") < 1), rerank=8
         )
+
+
+def test_filtered_search_correctness_and_full_k(spark, emb):
+    """Filtered IVFADC (candidates semi-join BEFORE the ADC scan): every
+    neighbor satisfies the predicate, every query still gets its full k
+    under a selective predicate (a post-shortlist filter would come up
+    short), and at full probe + full rerank the result IS the exact top-k
+    over the filtered subset."""
+    from cassandra_util_spark.operators.similarity import ivfpq_topk
+
+    n = emb.count()
+    allowed = emb.filter(F.col("vec_id") % 5 == 0)  # 20% selectivity
+    q = emb.filter(F.col("vec_id") < 3)
+    got = ivfpq_topk(
+        emb, q, k=5, coarse_k=16, nprobe=16, rerank=n,
+        candidates=allowed.select("vec_id"),
+    )
+    rows = got.collect()
+    assert len(rows) == 15  # 3 queries x full k despite 20% selectivity
+    assert all(r["neighbor_id"] % 5 == 0 for r in rows)
+    exact = _exact_l2_topk(
+        allowed.unionByName(q).dropDuplicates(["vec_id"]), q, k=5
+    ).filter(F.col("neighbor_id") % 5 == 0)
+    # full probe + full-width rerank over the allowed set degenerates to
+    # the exact filtered scan
+    want = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    assert {(r["query_id"], r["neighbor_id"]) for r in rows} == want
