@@ -218,14 +218,17 @@ def probe_ivfpq_index(
     m: int = 8,
     num_codes: int = 16,
     rerank: int = None,
+    candidates: DataFrame = None,
 ) -> DataFrame:
     """IVFADC probe against the persisted layout: centroids (coarse_k rows)
-    rank cells per query; the probed-cell set becomes a literal ``cell IN``
-    predicate so parquet partition pruning skips every other codes/
-    directory at file-listing time; the pruned 8·m-byte code rows are
-    ADC-scored against the per-cell query residuals (codebooks loaded as a
-    plan literal).  ``rerank`` re-scores the shortlist exactly from the
-    caller-supplied ``corpus`` table — the index itself holds no vectors."""
+    rank cells per query; the probed cells' directories are read DIRECTLY
+    (listing work follows the probe, not coarse_k); the pruned 8·m-byte
+    code rows are ADC-scored against the per-cell query residuals
+    (codebooks loaded as a plan literal).  ``rerank`` re-scores the
+    shortlist exactly from the caller-supplied ``corpus`` table — the
+    index itself holds no vectors.  ``candidates`` (one-column allowed-id
+    frame) makes this a FILTERED search: the predicate semi-joins the
+    codes before scoring, the ivfpq_topk semantics."""
     from pyspark.sql import Window
 
     from cassandra_util_spark.operators.similarity import (
@@ -268,6 +271,10 @@ def probe_ivfpq_index(
     # DIRECT directory paths: listing work follows the probe, not coarse_k
     cells = sorted({r.cell for r in probes.select("cell").distinct().collect()})
     codes = _read_probed_cells(spark, os.path.join(path, "codes"), cells)
+    if candidates is not None:
+        codes = codes.join(
+            candidates.select(F.col(id_col)).distinct(), id_col, "left_semi"
+        )
     scored = (
         codes.join(F.broadcast(probes), "cell")
         .filter(F.col(id_col) != F.col("query_id"))

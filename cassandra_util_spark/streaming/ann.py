@@ -142,6 +142,7 @@ def probe_ivfpq_store(
     m: int = 8,
     num_codes: int = 16,
     rerank: int = None,
+    candidates: DataFrame = None,
 ) -> DataFrame:
     """IVFADC probe against the streamed codes store: identical scoring to
     :func:`~cassandra_util_spark.sources.ivf_index.probe_ivfpq_index`, with
@@ -187,6 +188,12 @@ def probe_ivfpq_store(
     )
     cells = sorted({r.cell for r in probes.select("cell").distinct().collect()})
     codes = store.read_merged(spark).filter(F.col("cell").isin(cells))
+    if candidates is not None:
+        # filtered search, the ivfpq_topk semantics: the allowed-id set
+        # semi-joins the codes before any scoring
+        codes = codes.join(
+            candidates.select(F.col(id_col)).distinct(), id_col, "left_semi"
+        )
     scored = (
         codes.join(F.broadcast(probes), "cell")
         .filter(F.col(id_col) != F.col("query_id"))

@@ -240,3 +240,28 @@ def test_filtered_search_correctness_and_full_k(spark, emb):
     # the exact filtered scan
     want = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
     assert {(r["query_id"], r["neighbor_id"]) for r in rows} == want
+
+
+def test_filtered_probe_all_three_paths_agree(spark, emb, ivfpq_index_dir):
+    """Filtered search through the persisted index and the streamed store
+    must return exactly the in-memory filtered result — the same
+    triple-path agreement the unfiltered family certifies."""
+    from cassandra_util_spark.sources.ivf_index import probe_ivfpq_index
+
+    allowed = emb.filter(F.col("vec_id") % 5 == 0).select("vec_id")
+    q = emb.filter(F.col("vec_id") < 3)
+    want = {
+        (r.query_id, r.neighbor_id, r.d4, r.rank)
+        for r in ivfpq_topk(
+            emb, q, k=5, coarse_k=16, nprobe=4, rerank=32, candidates=allowed
+        ).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id, r.d4, r.rank)
+        for r in probe_ivfpq_index(
+            spark, ivfpq_index_dir, q, corpus=emb, k=5, nprobe=4, rerank=32,
+            candidates=allowed,
+        ).collect()
+    }
+    assert got == want and got
+    assert all(nid % 5 == 0 for (_, nid, _, _) in got)
