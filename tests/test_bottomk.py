@@ -143,3 +143,36 @@ def test_probed_cells_reader_handles_missing_and_empty(spark, tmp_path):
     empty = _read_probed_cells(spark, root, [7, 8])
     assert empty.count() == 0
     assert set(empty.columns) == {"vec_id", "codes", "cell"}
+
+
+# property test: merge closure holds for ANY shard partitioning and k —
+# pure-python model of the operator's (hash, key) total order
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import hashlib
+
+    def _h(key: int) -> int:
+        return int(hashlib.md5(f"bk:{key}".encode()).hexdigest()[:8], 16)
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        keys=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1,
+                      max_size=200, unique=True),
+        n_shards=st.integers(min_value=1, max_value=7),
+        k=st.integers(min_value=1, max_value=50),
+    )
+    def test_property_merge_closure(keys, n_shards, k):
+        """bottom-k of the union == bottom-k of the shards' bottom-k's,
+        for any disjoint shard split — the law that makes per-shard and
+        per-micro-batch maintenance lossless.  Modeled on the exact
+        (md5-word hash, key) order the operator uses."""
+        order = sorted(keys, key=lambda d: (_h(d), d))
+        direct = order[:k]
+        shards = [[d for d in keys if d % n_shards == i] for i in range(n_shards)]
+        locals_ = [sorted(s, key=lambda d: (_h(d), d))[:k] for s in shards]
+        merged = sorted({d for s in locals_ for d in s}, key=lambda d: (_h(d), d))[:k]
+        assert merged == direct
+except ImportError:  # pragma: no cover
+    pass
