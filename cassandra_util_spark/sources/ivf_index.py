@@ -97,9 +97,12 @@ def probe_ivf_index(
     vec_col: str = "embedding",
     k: int = 10,
     nprobe: int = 8,
+    candidates: DataFrame = None,
 ) -> DataFrame:
     """Top-k per query against a persisted index, touching only ``nprobe``
-    cells' files per query.
+    cells' files per query.  ``candidates`` (one-column allowed-id frame)
+    makes this a FILTERED search — the predicate semi-joins the indexed
+    rows before scoring, the ivfpq_topk semantics.
 
     The centroid table (K rows) broadcasts to rank cells per query; the
     union of all queries' probed cells becomes ONE ``cell IN (...)``
@@ -131,6 +134,10 @@ def probe_ivf_index(
     # file listing proportional to the probe, not to coarse_k
     cells = sorted({r.cell for r in probes.select("cell").distinct().collect()})
     indexed = _read_probed_cells(spark, os.path.join(path, "cells"), cells)
+    if candidates is not None:
+        indexed = indexed.join(
+            candidates.select(F.col(id_col)).distinct(), id_col, "left_semi"
+        )
     scored = (
         indexed.join(F.broadcast(probes), "cell")
         .filter(F.col(id_col) != F.col("query_id"))

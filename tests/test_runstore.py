@@ -183,6 +183,22 @@ def test_probe_plan_prunes_partitions(spark, ivf_index_dir):
     assert len(cells) == 2, sorted(cell_files)
 
 
+def test_probe_filtered_candidates(spark, ivf_index_dir):
+    """Filtered search through the plain IVF index: every neighbor
+    satisfies the predicate and each query keeps its full k under a
+    selective candidate set (the predicate lands before scoring)."""
+    from cassandra_util_spark.sources.ivf_index import probe_ivf_index
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = corpus.filter(F.col("vec_id") < 2)
+    allowed = corpus.filter(F.col("vec_id") % 5 == 0).select("vec_id")
+    got = probe_ivf_index(
+        spark, ivf_index_dir, queries, k=5, nprobe=16, candidates=allowed
+    ).collect()
+    assert len(got) == 10  # 2 queries x full k at 20% selectivity
+    assert all(r["neighbor_id"] % 5 == 0 for r in got)
+
+
 # property tests: the STCS planner's structural invariants
 try:
     from hypothesis import given, settings
