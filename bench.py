@@ -212,6 +212,7 @@ BENCH_QUERIES = [
     "bottomk_streaming_sample",
     "quantile_sketch_by_lang",
     "ann_ivfpq_filtered",
+    "weighted_sample_docs",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash
     # swapped to xxhash64 — the production configuration at scale

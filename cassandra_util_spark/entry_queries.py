@@ -8313,3 +8313,39 @@ def ann_ivfpq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10, coarse_k=16, nprobe=4, m=8, num_codes=16, rerank=64,
         candidates=allowed,
     )
+
+
+@query(
+    "weighted_sample_docs",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, n_chars, CAST(n_chars // 16 + 1 AS INT) AS wt
+      FROM documents),
+    p AS (
+      SELECT doc_id, wt, n_chars,
+             list_min(list_transform(range(1, wt + 1),
+               i -> CAST(('0x' || substring(md5('wbk:' || CAST(doc_id AS VARCHAR)
+                          || ':' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT))) AS pri
+      FROM w)
+    SELECT pri, doc_id, wt, n_chars FROM p ORDER BY pri ASC, doc_id ASC LIMIT 128
+    """,
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic length-weighted document sample WITHOUT replacement
+    (Efraimidis-Spirakis 2006, exact integer form): each document's
+    priority is the min of (n_chars/16 + 1) keyed hashes — min of w
+    uniforms ~ u^(1/w), the E-S priority — and the 128 smallest win.
+    This is the curation sampler: longer documents are proportionally
+    likelier, the draw replays bit-for-bit in SQL (integer hash minima,
+    no pow/ln priorities whose last ulp differs across engines), and
+    shard samples merge losslessly like every bottom-k.  The weight
+    bucketing (div 16 + 1) is the documented cost control: priority cost
+    is ∝ sum(weights), so unbounded raw weights get bucketed upstream."""
+    from cassandra_util_spark.operators.sketches import weighted_bottomk_sample
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "wt", (F.col("n_chars") / F.lit(16)).cast("int") + F.lit(1)
+    )
+    return weighted_bottomk_sample(
+        d, "doc_id", "wt", k=128, payload=("n_chars",), seed="wbk"
+    )

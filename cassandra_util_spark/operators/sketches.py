@@ -964,3 +964,60 @@ def sample_quantiles_grouped(
         )
         .select(F.col(group_col), "p", F.col(value_col).alias("estimate"))
     )
+
+
+def weighted_bottomk_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int = 256,
+    payload: tuple = (),
+    seed: str = "wbk",
+    max_weight: int = 10_000,
+) -> DataFrame:
+    """Weighted bottom-k: a deterministic weighted sample WITHOUT
+    replacement — each row's priority is the MINIMUM of ``weight`` keyed
+    hashes, and the k smallest priorities win.
+
+    Why that is exact: the minimum of w iid uniforms is distributed as
+    u^(1/w), which is precisely the Efraimidis-Spirakis (2006) priority
+    for weight w — so integer weights get the textbook weighted
+    without-replacement sample with NO floating-point priorities to
+    replay (pow/ln differ in the last ulp across engines; a min over
+    integer hash words replays bit-for-bit in SQL).  Same closure as
+    :func:`bottomk_sample`: priorities are pure per-key functions, so
+    shard/batch samples merge losslessly.
+
+    Scale shape: priority is a map-only ``array_min`` over a
+    weight-length hash array — cost ∝ sum(weights), the honest E-S cost.
+    ``max_weight`` fails loudly on weights that would make the per-row
+    array pathological; cap or bucket weights upstream (and say so) when
+    sampling by unbounded quantities.  Weights < 1 raise: a zero-weight
+    row has no replica and silently vanishing rows is the failure mode a
+    sampler must not have.
+    """
+    key = F.col(key_col).cast("string")
+    w = F.col(weight_col).cast("int")
+    guard = F.when(
+        (w >= 1) & (w <= max_weight), w
+    ).otherwise(
+        F.raise_error(F.concat(
+            F.lit(f"weighted_bottomk_sample: weight out of [1, {max_weight}] "
+                  f"for {key_col}="), key,
+            F.lit(f" ({weight_col}="), F.col(weight_col).cast("string"), F.lit(")"),
+        ))
+    )
+    pri = F.array_min(
+        F.transform(
+            F.sequence(F.lit(1), guard),
+            lambda i: portable_hash32(
+                F.concat(F.lit(f"{seed}:"), key, F.lit(":"), i.cast("string"))
+            ),
+        )
+    )
+    cols = [F.col(key_col), F.col(weight_col), *[F.col(c) for c in payload]]
+    return (
+        df.select(pri.alias("pri"), *cols)
+        .orderBy(F.col("pri").asc(), F.col(key_col).asc())
+        .limit(k)
+    )

@@ -176,3 +176,36 @@ try:
         assert merged == direct
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_weighted_sample_bias_determinism_and_guard(docs):
+    """Weighted bottom-k: deterministic, biased toward heavier rows
+    (mean n_chars of the length-weighted sample must exceed the uniform
+    sample's), closed under shard merge, and loud on out-of-range
+    weights."""
+    from cassandra_util_spark.operators.sketches import weighted_bottomk_sample
+
+    d = docs.withColumn("wt", (F.col("n_chars") / F.lit(16)).cast("int") + F.lit(1))
+    a = weighted_bottomk_sample(d, "doc_id", "wt", k=128, payload=("n_chars",)).collect()
+    b = weighted_bottomk_sample(d, "doc_id", "wt", k=128, payload=("n_chars",)).collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b] and len(a) == 128
+    uni = bottomk_sample(docs, "doc_id", k=128, payload=("n_chars",)).collect()
+    mean_w = sum(r["n_chars"] for r in a) / len(a)
+    mean_u = sum(r["n_chars"] for r in uni) / len(uni)
+    assert mean_w > mean_u, (mean_w, mean_u)
+    # shard-merge closure: union of shard samples re-limited == direct
+    direct = [(r["pri"], r["doc_id"]) for r in a]
+    parts = []
+    for i in range(3):
+        parts.extend(
+            (r["pri"], r["doc_id"])
+            for r in weighted_bottomk_sample(
+                d.filter(F.col("doc_id") % 3 == i), "doc_id", "wt", k=128,
+                payload=("n_chars",),
+            ).collect()
+        )
+    assert sorted(set(parts))[:128] == direct
+    # zero/negative/oversized weights must raise, not silently vanish
+    bad = docs.withColumn("wt", F.lit(0))
+    with pytest.raises(Exception, match="weight out of"):
+        weighted_bottomk_sample(bad, "doc_id", "wt", k=8).collect()
