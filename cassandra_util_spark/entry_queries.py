@@ -8349,3 +8349,81 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_bottomk_sample(
         d, "doc_id", "wt", k=128, payload=("n_chars",), seed="wbk"
     )
+
+
+@query(
+    "adaptive_length_bounds_sketch",
+    oracle=f"""
+    WITH s AS (
+      SELECT * FROM (
+        SELECT lang, {_BK_HASH_SQL} AS h, doc_id, n_chars,
+               row_number() OVER (
+                 PARTITION BY lang
+                 ORDER BY {_BK_HASH_SQL} ASC, doc_id ASC) AS rn
+        FROM documents) WHERE rn <= 64),
+    r AS (
+      SELECT lang, n_chars,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY n_chars ASC, doc_id ASC) AS vr,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM s),
+    q AS (
+      SELECT lang, p, CAST(n_chars AS BIGINT) AS est
+      FROM r JOIN (VALUES (0.05),(0.95)) t(p)
+        ON vr = CAST(floor(p * (n - 1)) AS INT) + 1),
+    b AS (
+      SELECT lang,
+             max(CASE WHEN p = 0.05 THEN est END) AS lo,
+             max(CASE WHEN p = 0.95 THEN est END) AS hi
+      FROM q GROUP BY lang),
+    stats AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+    k AS (
+      SELECT d.lang, count(*) AS n_kept
+      FROM documents d JOIN b ON b.lang = d.lang
+      WHERE d.n_chars BETWEEN b.lo AND b.hi
+      GROUP BY d.lang)
+    SELECT b.lang, b.lo, b.hi, s.n_docs,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+    FROM b JOIN stats s USING (lang) LEFT JOIN k ON k.lang = b.lang
+    """,
+)
+def adaptive_length_bounds_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The adaptive_length_bounds gate driven by the bottom-k quantile
+    SKETCH instead of exact per-group percentile scans: per-language
+    [p05, p95] estimated from each language's 64-row KMV sample
+    (exact-integer rank rule, so the sketch-derived bounds replay
+    bit-identically in SQL), then the same broadcast gate join counts
+    what each band keeps.  This is the sketch-consumer path at 100 TB: the
+    bounds cost groups·k rows regardless of corpus size, and
+    tests/test_bottomk.py pins the estimates' rank accuracy against the
+    exact CDF.  The exact-percentile variant stays certified alongside
+    (adaptive_length_bounds) — pick by whether the stratum is scan-cheap."""
+    from cassandra_util_spark.operators.sketches import (
+        bottomk_sample_grouped,
+        sample_quantiles_grouped,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    s = bottomk_sample_grouped(d, "lang", "doc_id", k=64, payload=("n_chars",))
+    est = sample_quantiles_grouped(
+        s, "lang", "n_chars", probs=(0.05, 0.95), key_col="doc_id"
+    )
+    b = est.groupBy("lang").agg(
+        F.max(F.when(F.col("p") == 0.05, F.col("estimate"))).cast("bigint").alias("lo"),
+        F.max(F.when(F.col("p") == 0.95, F.col("estimate"))).cast("bigint").alias("hi"),
+    )
+    stats = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    kept = (
+        d.join(F.broadcast(b), "lang")
+        .filter(F.col("n_chars").between(F.col("lo"), F.col("hi")))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return (
+        b.join(stats, "lang")
+        .join(kept, "lang", "left")
+        .select(
+            "lang", "lo", "hi", "n_docs",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+        )
+    )
