@@ -850,16 +850,24 @@ def bottomk_sample(
     )
 
 
-def bottomk_merge(*samples: DataFrame, k: int = 256, key_col: str = "doc_id") -> DataFrame:
+def bottomk_merge(
+    *samples: DataFrame,
+    k: int = 256,
+    key_col: str = "doc_id",
+    priority_col: str = "h",
+) -> DataFrame:
     """Merge bottom-k samples (same seed/key domain): union, keep the k
     smallest — the closure property that lets shard-local samples roll up
-    to the corpus sample without touching the corpus again.  Inputs carry
-    their hash in ``h`` (the :func:`bottomk_sample` layout)."""
+    to the corpus sample without touching the corpus again.  Works for
+    both the uniform layout (``priority_col="h"``, :func:`bottomk_sample`)
+    and the weighted layout (``priority_col="pri"``,
+    :func:`weighted_bottomk_sample`) — the Efraimidis-Spirakis priority is
+    a pure per-key function too, so the same closure law holds."""
     out = samples[0]
     for s in samples[1:]:
         out = out.unionByName(s)
     return out.dropDuplicates([key_col]).orderBy(
-        F.col("h").asc(), F.col(key_col).asc()
+        F.col(priority_col).asc(), F.col(key_col).asc()
     ).limit(k)
 
 

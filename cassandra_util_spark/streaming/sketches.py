@@ -184,6 +184,7 @@ def stream_bottomk_to_store(
     payload: tuple = (),
     seed: str = "bk",
     hash_fn: str = "portable",
+    weight_col: Optional[str] = None,
     available_now: bool = True,
     query_name: str = "bottomk-sketch-ingest",
     txn_app_id: Optional[str] = None,
@@ -191,6 +192,13 @@ def stream_bottomk_to_store(
 ) -> StreamingQuery:
     """Maintain a persisted bottom-k (KMV) row sample over a stream — the
     distribution-shape member of the streaming sketch family.
+
+    ``weight_col`` switches the per-batch sample (and the store's merge)
+    to the WEIGHTED form (:func:`weighted_bottomk_sample` — exact integer
+    Efraimidis-Spirakis priorities): a crawl stream maintaining a
+    length- or quality-weighted training sample without ever rescanning
+    admitted history.  Both priorities are pure per-key functions, so the
+    k-vs-k merge closure is identical.
 
     Per micro-batch: one TakeOrderedAndProject over the batch (per-partition
     O(k) heaps), one k-vs-k merge against the persisted sample (both inputs
@@ -200,17 +208,30 @@ def stream_bottomk_to_store(
     the tag skip is kept for the one uniform exactly-once protocol.  The
     drained store is IDENTICAL to :func:`bottomk_sample` over the batches'
     union — the closure property `bottomk_shard_merge` hash-certifies."""
-    from cassandra_util_spark.operators.sketches import bottomk_merge, bottomk_sample
+    from cassandra_util_spark.operators.sketches import (
+        bottomk_merge,
+        bottomk_sample,
+        weighted_bottomk_sample,
+    )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         app_id = txn_app_id or resolve_txn_app_id(checkpoint_dir, query_name)
         if batch_id <= _last_applied(store, app_id):
             return
-        delta = bottomk_sample(batch_df, key_col, k, payload, seed, hash_fn)
+        if weight_col is not None:
+            delta = weighted_bottomk_sample(
+                batch_df, key_col, weight_col, k, payload, seed
+            )
+            pri = "pri"
+        else:
+            delta = bottomk_sample(batch_df, key_col, k, payload, seed, hash_fn)
+            pri = "h"
         current = store.current_path()
         if current is not None:
             state = batch_df.sparkSession.read.parquet(current)
-            delta = bottomk_merge(state, delta, k=k, key_col=key_col)
+            delta = bottomk_merge(
+                state, delta, k=k, key_col=key_col, priority_col=pri
+            )
         store.commit(delta, tag=f"{app_id}:{batch_id}")
         store.vacuum(keep_last=retain_versions)
 

@@ -209,3 +209,33 @@ def test_weighted_sample_bias_determinism_and_guard(docs):
     bad = docs.withColumn("wt", F.lit(0))
     with pytest.raises(Exception, match="weight out of"):
         weighted_bottomk_sample(bad, "doc_id", "wt", k=8).collect()
+
+
+def test_streaming_weighted_sample_equals_batch(spark, docs, tmp_path):
+    """weight_col on the streaming store: the drained store holds EXACTLY
+    the whole-corpus weighted bottom-k (E-S priorities are per-key pure
+    functions, so the k-vs-k merge closure is the uniform one)."""
+    from cassandra_util_spark.operators.sketches import weighted_bottomk_sample
+    from cassandra_util_spark.sources.snapshots import SnapshotStore
+    from cassandra_util_spark.streaming.sketches import stream_bottomk_to_store
+
+    d = docs.withColumn(
+        "wt", (F.col("n_chars") / F.lit(16)).cast("int") + F.lit(1)
+    ).select("doc_id", "wt", "n_chars")
+    src = str(tmp_path / "src-w")
+    for i in range(3):
+        d.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode("append").parquet(src)
+    store = SnapshotStore(str(tmp_path / "wbk"))
+    stream = (
+        spark.readStream.schema(d.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = stream_bottomk_to_store(
+        stream, store, str(tmp_path / "cp-w"), "doc_id", k=64,
+        payload=("n_chars",), seed="wbk", weight_col="wt",
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in store.read(spark).collect()}
+    want = {tuple(r) for r in
+            weighted_bottomk_sample(d, "doc_id", "wt", k=64,
+                                    payload=("n_chars",), seed="wbk").collect()}
+    assert got == want and len(got) == 64
