@@ -70,6 +70,9 @@ PIPELINES = [
     # per-partition O(k) heap work — wall and shuffle should stay ~flat
     "bottomk_sample_docs",
     "quantile_sketch_by_lang",
+    # weighted sampler (r9): priority cost is ~ sum(weights) map-side;
+    # wall should ramp near-linearly in corpus bytes, shuffle stays k rows
+    "weighted_sample_docs",
 ]
 
 
