@@ -61,6 +61,11 @@ def main() -> None:
     ap.add_argument("--repeat", type=int, default=3)
     ap.add_argument("--nprobe", type=int, default=4)
     ap.add_argument("--rerank", type=int, default=32)
+    ap.add_argument("--filtered", action="store_true",
+                    help="probe with a 50%%-selectivity candidate set "
+                         "(vec_id %% 2 = 0): pins that the filter semi-join "
+                         "adds only a narrow metadata-column scan, not "
+                         "vector/code bytes")
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
 
@@ -99,13 +104,14 @@ def main() -> None:
         # fixed probe load: 3 base-replica queries at every scale
         q = emb.filter(F.col("vec_id") < 3)
         q.cache().count()
+        cand = emb.filter(F.col("vec_id") % 2 == 0).select("vec_id") if args.filtered else None
         times, inputs, shuffles = [], [], []
         for _ in range(args.repeat):
             wm = max_stage_id(spark)
             t0 = time.monotonic()
             probe_ivfpq_index(
                 spark, idx, q, corpus=emb, k=10,
-                nprobe=args.nprobe, rerank=args.rerank,
+                nprobe=args.nprobe, rerank=args.rerank, candidates=cand,
             ).write.format("noop").mode("overwrite").save()
             times.append(time.monotonic() - t0)
             inp, sh = io_after(spark, wm)
