@@ -208,3 +208,20 @@ def test_advised_join_exec_plans_a_broadcast_join(spark):
     advisory exists to prevent)."""
     plan = _physical(QUERIES["advised_join_exec"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_scoped_shuffle_partitions_restores_on_error(spark):
+    """The streaming-drain partition-sizing helper must restore the
+    session conf even when the drain raises — a leaked tiny shuffle
+    partition count would silently de-parallelize every later query in
+    the driver's shared session."""
+    import pytest
+
+    from cassandra_util_spark.entry_queries import _scoped_shuffle_partitions
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    with pytest.raises(RuntimeError, match="boom"):
+        with _scoped_shuffle_partitions(spark, 3):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "3"
+            raise RuntimeError("boom")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
