@@ -384,7 +384,13 @@ def main() -> None:
             merged.update(timings)
             full["queries"] = merged
             full["value"] = round(sum(merged.values()), 3)
-            full.setdefault("merged_only", []).extend(sorted(timings))
+            # dedup + prune: repeated merges must not accumulate duplicate
+            # names, and names dropped from BENCH_QUERIES must leave the
+            # merged_only record too (ADVICE r9)
+            full["merged_only"] = sorted(
+                (set(full.get("merged_only", [])) | set(timings))
+                & set(BENCH_QUERIES)
+            )
             with open(full_path, "w") as f:
                 json.dump(full, f, indent=1)
                 f.write("\n")

@@ -862,13 +862,30 @@ def bottomk_merge(
     both the uniform layout (``priority_col="h"``, :func:`bottomk_sample`)
     and the weighted layout (``priority_col="pri"``,
     :func:`weighted_bottomk_sample`) — the Efraimidis-Spirakis priority is
-    a pure per-key function too, so the same closure law holds."""
+    a pure per-key function too, so the same closure law holds.
+
+    When the same key appears in several inputs with DIFFERENT payload or
+    priority (a document's attributes changed between micro-batches), the
+    survivor is picked deterministically — smallest (priority, payload...)
+    tuple — not by ``dropDuplicates`` arrival order, so a replayed or
+    re-ordered merge reproduces the same sample bit-for-bit (ADVICE r9)."""
+    from pyspark.sql import Window
+
     out = samples[0]
     for s in samples[1:]:
         out = out.unionByName(s)
-    return out.dropDuplicates([key_col]).orderBy(
-        F.col(priority_col).asc(), F.col(key_col).asc()
-    ).limit(k)
+    others = [c for c in out.columns if c != key_col]
+    tie = [F.col(priority_col).asc()] + [
+        F.col(c).asc() for c in sorted(others) if c != priority_col
+    ]
+    w = Window.partitionBy(key_col).orderBy(*tie)
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .orderBy(F.col(priority_col).asc(), F.col(key_col).asc())
+        .limit(k)
+    )
 
 
 def sample_quantiles(
@@ -884,12 +901,20 @@ def sample_quantiles(
     rank error is O(1/sqrt(k)) of the population — k=256 gives ~6%
     rank error, plenty for shard planning, length-bound fitting, and skew
     alerts, at a fixed 256-row cost per 100 TB table.  Exact-integer rank
-    arithmetic, so the estimate replays bit-identically in SQL."""
+    arithmetic, so the estimate replays bit-identically in SQL.
+
+    The ranking window partitions on a constant: the input is a ≤k-row
+    sketch BY CONSTRUCTION (this function consumes bottom-k output, never
+    raw tables), so a single-partition window is the correct plan — the
+    constant key states that invariant and keeps Spark's global-sort WARN
+    out of every log (hash-neutral; VERDICT r9 #7)."""
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.col(value_col).asc(), F.col(key_col).asc())
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        F.col(value_col).asc(), F.col(key_col).asc()
+    )
     ranked = sample.withColumn("__r", F.row_number().over(w)).withColumn(
-        "__n", F.count("*").over(Window.partitionBy())
+        "__n", F.count("*").over(Window.partitionBy(F.lit(0)))
     )
     probs_df = ranked.sparkSession.createDataFrame(
         [(float(p),) for p in probs], "p double"

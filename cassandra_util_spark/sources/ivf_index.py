@@ -50,8 +50,19 @@ def _read_probed_cells(
         if fs.exists(p):
             dirs.append(os.path.join(root, f"{cell_col}={c}"))
     if not dirs:
-        # preserve schema for the degenerate no-cell case
-        return spark.read.option("basePath", root).parquet(root).limit(0)
+        # Degenerate no-probed-cell case: derive the empty-but-typed frame
+        # from ONE existing cell directory instead of spark.read.parquet(root),
+        # which would re-run the whole-tree partition discovery this helper
+        # exists to avoid (ADVICE r9).  listStatus(root) is a single
+        # driver-side RPC over the first level, not a distributed listing job.
+        for s in fs.listStatus(root_path):
+            name = s.getPath().getName()
+            if s.isDirectory() and name.startswith(f"{cell_col}="):
+                one = os.path.join(root, name)
+                return spark.read.option("basePath", root).parquet(one).limit(0)
+        raise ValueError(
+            f"ivf index at {root!r} has no {cell_col}= cell directories"
+        )
     return spark.read.option("basePath", root).parquet(*dirs)
 
 

@@ -182,7 +182,7 @@ def stream_bottomk_to_store(
     key_col: str,
     k: int = 256,
     payload: tuple = (),
-    seed: str = "bk",
+    seed: Optional[str] = None,
     hash_fn: str = "portable",
     weight_col: Optional[str] = None,
     available_now: bool = True,
@@ -207,12 +207,22 @@ def stream_bottomk_to_store(
     the k smallest absorbs a replayed batch, like HLL's register max), but
     the tag skip is kept for the one uniform exactly-once protocol.  The
     drained store is IDENTICAL to :func:`bottomk_sample` over the batches'
-    union — the closure property `bottomk_shard_merge` hash-certifies."""
+    union — the closure property `bottomk_shard_merge` hash-certifies.
+
+    ``seed=None`` (the default) resolves per mode to the matching batch
+    sampler's own default — ``'wbk'`` when ``weight_col`` is set
+    (:func:`weighted_bottomk_sample`), else ``'bk'``
+    (:func:`bottomk_sample`) — so a store built with defaults hash-matches
+    a batch run with defaults in BOTH modes (ADVICE r9: a fixed ``'bk'``
+    silently broke the weighted closure unless callers passed the seed)."""
     from cassandra_util_spark.operators.sketches import (
         bottomk_merge,
         bottomk_sample,
         weighted_bottomk_sample,
     )
+
+    if seed is None:
+        seed = "wbk" if weight_col is not None else "bk"
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         app_id = txn_app_id or resolve_txn_app_id(checkpoint_dir, query_name)

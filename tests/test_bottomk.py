@@ -47,6 +47,22 @@ def test_merge_equals_direct(docs):
     assert merged == direct
 
 
+def test_merge_conflicting_payload_survivor_deterministic(spark):
+    """When the same key arrives with DIFFERENT payload across merge
+    inputs (an attribute changed between micro-batches), the survivor is
+    the smallest (priority, payload) tuple — independent of input order —
+    so replayed/re-ordered merges reproduce the sample bit-for-bit
+    (ADVICE r9: dropDuplicates picked an arbitrary survivor)."""
+    schema = "h bigint, doc_id bigint, n_chars bigint"
+    a = spark.createDataFrame([(10, 1, 100), (20, 2, 50)], schema)
+    b = spark.createDataFrame([(10, 1, 99), (20, 2, 70)], schema)
+    ab = {(r["doc_id"], r["n_chars"]) for r in
+          bottomk_merge(a, b, k=8, key_col="doc_id").collect()}
+    ba = {(r["doc_id"], r["n_chars"]) for r in
+          bottomk_merge(b, a, k=8, key_col="doc_id").collect()}
+    assert ab == ba == {(1, 99), (2, 50)}
+
+
 def test_plan_is_take_ordered_not_full_sort(docs):
     """orderBy+limit must compile to TakeOrderedAndProject (per-partition
     O(k) heaps) — a global Sort before the limit would be the
@@ -229,9 +245,12 @@ def test_streaming_weighted_sample_equals_batch(spark, docs, tmp_path):
     stream = (
         spark.readStream.schema(d.schema).option("maxFilesPerTrigger", 1).parquet(src)
     )
+    # seed intentionally omitted: the store must default per mode to the
+    # batch sampler's own default ('wbk' for weighted) so default-built
+    # stores hash-match default batch runs (ADVICE r9)
     q = stream_bottomk_to_store(
         stream, store, str(tmp_path / "cp-w"), "doc_id", k=64,
-        payload=("n_chars",), seed="wbk", weight_col="wt",
+        payload=("n_chars",), weight_col="wt",
     )
     q.awaitTermination(120)
     got = {tuple(r) for r in store.read(spark).collect()}
