@@ -8427,3 +8427,101 @@ def adaptive_length_bounds_sketch(spark: SparkSession, sf_dir: str) -> DataFrame
             F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-11 driver-window rotation (VERDICT r10 task 1): certification
+# stalled at 114/175 because round 10 skipped the rotation; two rounds of
+# candidates queue behind one window.  Rotate OUT 24 rows all driver-
+# certified at least three times (the r6/r7 cohort at 4-5 certifications
+# plus eight thrice-certified r8 rows), rotate IN the 24 highest-value
+# never-driver-checked rows: the eight r9 sketch/weighted/filtered-ANN
+# additions (all hash-certified locally in r9 AND re-certified by the r10
+# judge after the seed/survivor fixes), the six corpus planners, and the
+# ten oldest tail rows the verdict names.  Family coverage in the window is
+# preserved: retention (retention_rule_impact stays), streaming
+# (ivfpq_streaming_index + bottomk_streaming_sample + corpus planners'
+# batch forms), dedup (dedup_jaccard_routed + dedup_edit_distance),
+# ANN (IVFPQ trio + ann_rp_rerank + ann_ivfpq_filtered), sketches
+# (HLL/CM/bottom-k now all driver-checked for the first time), TPC-H
+# (q2 joins the q8-q22 block), LSM layout (runstore_compaction_view,
+# runstore_zorder_2d).  Registrations after this block are APPEND-ONLY:
+# they land past the window and enter a future rotation once locally
+# certified (same rule as r9; tests/test_plan_hygiene.py pins the prefix).
+# ---------------------------------------------------------------------------
+
+_WINDOW_ROTATE_OUT_R11 = [
+    "hybrid_retrieval_rrf",       # certified 5x (r6-r10)
+    "dsir_select",                # certified 5x
+    "cluster_aware_split",        # certified 5x
+    "dedup_incremental",          # certified 5x
+    "events_incremental_rollup",  # certified 5x
+    "join_plan_advisory",         # certified 5x
+    "unicode_nfc_fingerprints",   # certified 5x
+    "advised_join_exec",          # certified 4x (r7-r10)
+    "counter_store_totals",       # certified 4x
+    "zorder_layout_key",          # certified 4x
+    "runstore_skipindex_view",    # certified 4x
+    "twcs_retention_view",        # certified 4x
+    "q7_volume_shipping",         # certified 4x
+    "corpus_clean_pipeline",      # certified 4x
+    "gopher_quality_gate",        # certified 4x
+    "events_cohort_retention",    # certified 4x
+    "semantic_dedup_scaled",      # certified 3x (r8-r10)
+    "twcs_streaming_view",        # certified 3x
+    "dedup_streaming_lsh",        # certified 3x
+    "corpus_ingest_streaming",    # certified 3x
+    "dedup_ngram_prefix",         # certified 3x
+    "ann_pq_adc_topk",            # certified 3x
+    "bpe_learned_merges",         # certified 3x
+    "quality_classifier_scores",  # certified 3x
+]
+_WINDOW_ROTATE_IN_R11 = [
+    # the eight r9 additions, never driver-checked
+    "bottomk_sample_docs",
+    "bottomk_shard_merge",
+    "quantile_sketch_doclen",
+    "bottomk_streaming_sample",
+    "quantile_sketch_by_lang",
+    "weighted_sample_docs",
+    "adaptive_length_bounds_sketch",
+    "ann_ivfpq_filtered",
+    # the oldest never-driver-checked tail (VERDICT r10 task 1 list)
+    "sketch_hll_registers",
+    "sketch_hll_per_type",
+    "sketch_count_min_users",
+    "ivf_persisted_probe",
+    "runstore_compaction_view",
+    "runstore_zorder_2d",
+    "embedding_rp_project",
+    "ann_rp_rerank",
+    "q2_min_cost_supplier",
+    "dedup_edit_distance",
+    # the corpus planners
+    "corpus_gate_report",
+    "corpus_shard_plan",
+    "corpus_lang_profile",
+    "corpus_split_assignment",
+    "corpus_token_budget",
+    "corpus_zipf_audit",
+]
+
+
+def _rotate_driver_window_r11() -> None:
+    names = list(QUERIES)
+    missing = [
+        n for n in _WINDOW_ROTATE_IN_R11 + _WINDOW_ROTATE_OUT_R11 if n not in QUERIES
+    ]
+    if missing:
+        raise AssertionError(f"window rotation references unknown queries: {missing}")
+    prefix = [n for n in names[:50] if n not in set(_WINDOW_ROTATE_OUT_R11)]
+    prefix += _WINDOW_ROTATE_IN_R11
+    assert len(prefix) == 50, len(prefix)
+    order = prefix + [n for n in names if n not in set(prefix)]
+    for reg in (QUERIES, ORACLES):
+        snapshot = dict(reg)
+        reg.clear()
+        reg.update({n: snapshot[n] for n in order if n in snapshot})
+
+
+_rotate_driver_window_r11()

@@ -140,33 +140,50 @@ def test_query_registry_prefix_stable():
     retention_rule_impact (keeping the retention family in the window;
     retention_rules_delete stays the driver's entry() smoke).  The
     rotation is entry_queries._rotate_driver_window_r9; family coverage
-    is preserved (see that block's comment)."""
+    is preserved (see that block's comment).
+
+    Round-11 intentional rotation (VERDICT r10 task 1 — the rotation
+    round 10 skipped, so two rounds of candidates queued): twenty-four
+    rows all driver-certified at least three times (the r6 cohort at 5
+    certifications, the r7 cohort at 4, and eight thrice-certified r8
+    rows) move just past the window in favor of the twenty-four
+    highest-value never-driver-checked rows: the eight r9
+    sketch/weighted/filtered-ANN additions (bottom-k family, weighted
+    sampling, quantile sketches, ann_ivfpq_filtered — all locally
+    hash-certified in r9 and re-certified by the r10 judge after the
+    seed/survivor fixes), the ten oldest tail rows the verdict names
+    (HLL/CM sketch tables, ivf_persisted_probe, the runstore
+    compaction/z-order views, the RP projection pair,
+    q2_min_cost_supplier, dedup_edit_distance), and the six corpus
+    planners.  The rotation is entry_queries._rotate_driver_window_r11;
+    family coverage is preserved (see that block's comment)."""
     from cassandra_util_spark.entry_queries import ORACLES, QUERIES
 
     first50 = [
-        "hybrid_retrieval_rrf", "dsir_select", "cluster_aware_split",
-        "dedup_incremental", "events_incremental_rollup",
-        "join_plan_advisory", "unicode_nfc_fingerprints",
-        "advised_join_exec", "counter_store_totals", "zorder_layout_key",
-        "runstore_skipindex_view", "twcs_retention_view",
-        "q7_volume_shipping", "corpus_clean_pipeline",
-        "gopher_quality_gate", "events_cohort_retention",
-        "semantic_dedup_scaled", "twcs_streaming_view",
-        "dedup_streaming_lsh", "corpus_ingest_streaming",
-        "dedup_ngram_prefix", "ann_pq_adc_topk", "bpe_learned_merges",
-        "quality_classifier_scores", "pareto_document_selection",
-        "stream_interval_join_view", "ann_ivfpq_topk",
-        "ivfpq_persisted_probe", "ivfpq_streaming_index",
-        "dedup_jaccard_routed", "jaccard_route_advisory",
-        "bpe_token_profile", "ann_pq_rerank_topk",
-        "quality_classifier_eval", "q8_market_share",
-        "q11_important_stock", "q12_late_shipment_priority",
-        "q13_customer_distribution", "q14_promo_revenue",
-        "q15_top_supplier", "q16_parts_supplier_relation",
-        "q17_small_quantity_revenue", "q18_large_orders",
-        "q19_disjunctive_revenue", "q20_potential_promotion",
-        "q21_waiting_supplier", "q22_idle_balances", "pii_redaction",
-        "pii_audit_report", "retention_rule_impact",
+        "pareto_document_selection", "stream_interval_join_view",
+        "ann_ivfpq_topk", "ivfpq_persisted_probe",
+        "ivfpq_streaming_index", "dedup_jaccard_routed",
+        "jaccard_route_advisory", "bpe_token_profile",
+        "ann_pq_rerank_topk", "quality_classifier_eval",
+        "q8_market_share", "q11_important_stock",
+        "q12_late_shipment_priority", "q13_customer_distribution",
+        "q14_promo_revenue", "q15_top_supplier",
+        "q16_parts_supplier_relation", "q17_small_quantity_revenue",
+        "q18_large_orders", "q19_disjunctive_revenue",
+        "q20_potential_promotion", "q21_waiting_supplier",
+        "q22_idle_balances", "pii_redaction", "pii_audit_report",
+        "retention_rule_impact", "bottomk_sample_docs",
+        "bottomk_shard_merge", "quantile_sketch_doclen",
+        "bottomk_streaming_sample", "quantile_sketch_by_lang",
+        "weighted_sample_docs", "adaptive_length_bounds_sketch",
+        "ann_ivfpq_filtered", "sketch_hll_registers",
+        "sketch_hll_per_type", "sketch_count_min_users",
+        "ivf_persisted_probe", "runstore_compaction_view",
+        "runstore_zorder_2d", "embedding_rp_project", "ann_rp_rerank",
+        "q2_min_cost_supplier", "dedup_edit_distance",
+        "corpus_gate_report", "corpus_shard_plan", "corpus_lang_profile",
+        "corpus_split_assignment", "corpus_token_budget",
+        "corpus_zipf_audit",
     ]
     assert list(QUERIES)[:50] == first50
     # every registered query keeps a full-strength oracle
