@@ -868,13 +868,24 @@ def bottomk_merge(
     priority (a document's attributes changed between micro-batches), the
     survivor is picked deterministically — smallest (priority, payload...)
     tuple — not by ``dropDuplicates`` arrival order, so a replayed or
-    re-ordered merge reproduces the same sample bit-for-bit (ADVICE r9)."""
+    re-ordered merge reproduces the same sample bit-for-bit (ADVICE r9).
+    The tiebreak sorts ascending with NULLS FIRST (Spark's ascending
+    default), so a null payload beats any non-null one for the same
+    priority; map-typed payload columns are not orderable and are
+    EXCLUDED from the tiebreak (ADVICE r10) — two versions of a key that
+    differ only in a map column are resolved by whichever orderable
+    columns differ, or arbitrarily (but still to a single row) if none
+    do.  Keep payloads to orderable types for full replay determinism."""
     from pyspark.sql import Window
+    from pyspark.sql.types import MapType
 
     out = samples[0]
     for s in samples[1:]:
         out = out.unionByName(s)
-    others = [c for c in out.columns if c != key_col]
+    unorderable = {
+        f.name for f in out.schema.fields if isinstance(f.dataType, MapType)
+    }
+    others = [c for c in out.columns if c != key_col and c not in unorderable]
     tie = [F.col(priority_col).asc()] + [
         F.col(c).asc() for c in sorted(others) if c != priority_col
     ]

@@ -40,6 +40,8 @@ per micro-batch flush.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -49,6 +51,63 @@ from typing import Optional
 from cassandra_util_spark.operators.sketches import count_min_build, hll_build
 from cassandra_util_spark.sources.snapshots import SnapshotStore
 from cassandra_util_spark.streaming.ingest import resolve_txn_app_id
+
+
+def _pin_sampler_identity(store: SnapshotStore, identity: dict) -> None:
+    """Record the resolved sampler identity in the store root (sidecar
+    ``_SAMPLER``, atomic write like ``_META``) and fail loudly when an
+    existing store was built under a different one.
+
+    Why (ADVICE r10): the seed default became per-mode in round 10 —
+    ``'wbk'`` for weighted stores, ``'bk'`` for uniform.  A weighted store
+    built under the OLD default (``'bk'`` even with ``weight_col`` set)
+    would otherwise silently merge ``'wbk'``-seeded batch deltas into
+    ``'bk'``-seeded persisted state: mixed-seed priorities are not
+    comparable, so the merged "sample" is statistically invalid with no
+    error.  The same applies to any drift in hash function, key column,
+    weight column, or k across the store's life.
+
+    Migration for pre-change stores (versions exist, no ``_SAMPLER``):
+    the identity is adopted and pinned with a warning.  Pre-change
+    WEIGHTED stores were built with ``seed='bk'`` — continue one by
+    passing ``seed='bk'`` explicitly (the adopt-and-pin then locks that
+    in); the new default would pin ``'wbk'`` and the next continuation
+    under the old seed fails instead of corrupting the sample."""
+    import json
+    import tempfile
+    import warnings as _warnings
+
+    path = os.path.join(store.root, "_SAMPLER")
+    try:
+        with open(path) as f:
+            existing = json.load(f)
+    except FileNotFoundError:
+        existing = None
+    if existing is not None:
+        if existing != identity:
+            diff = {
+                key: (existing.get(key), identity.get(key))
+                for key in sorted(set(existing) | set(identity))
+                if existing.get(key) != identity.get(key)
+            }
+            raise RuntimeError(
+                f"sketch store {store.root} was built with a different "
+                f"sampler identity; refusing to merge incompatible "
+                f"priorities (stored vs requested): {diff}"
+            )
+        return
+    if store.current_version() is not None:
+        _warnings.warn(
+            f"sketch store {store.root} predates sampler-identity "
+            f"recording; adopting and pinning {identity}. If this store "
+            "was a WEIGHTED sample built before the per-mode seed default "
+            "(built with seed='bk'), pass seed='bk' explicitly instead.",
+            stacklevel=3,
+        )
+    fd, tmp = tempfile.mkstemp(dir=store.root, prefix="._SAMPLER.")
+    with os.fdopen(fd, "w") as f:
+        json.dump(identity, f, sort_keys=True)
+    os.replace(tmp, path)
 
 
 def _last_applied(store: SnapshotStore, app_id: str) -> int:
@@ -214,7 +273,13 @@ def stream_bottomk_to_store(
     (:func:`weighted_bottomk_sample`), else ``'bk'``
     (:func:`bottomk_sample`) — so a store built with defaults hash-matches
     a batch run with defaults in BOTH modes (ADVICE r9: a fixed ``'bk'``
-    silently broke the weighted closure unless callers passed the seed)."""
+    silently broke the weighted closure unless callers passed the seed).
+
+    The resolved identity (seed, mode, hash, key/weight columns, k) is
+    pinned in the store's ``_SAMPLER`` sidecar on first use and re-checked
+    every batch: continuing a store under a DIFFERENT identity raises
+    instead of silently merging incomparable priorities (ADVICE r10 — see
+    :func:`_pin_sampler_identity` for the pre-change-store migration)."""
     from cassandra_util_spark.operators.sketches import (
         bottomk_merge,
         bottomk_sample,
@@ -223,9 +288,19 @@ def stream_bottomk_to_store(
 
     if seed is None:
         seed = "wbk" if weight_col is not None else "bk"
+    sampler_identity = {
+        "kind": "bottomk",
+        "mode": "weighted" if weight_col is not None else "uniform",
+        "seed": seed,
+        "hash_fn": hash_fn if weight_col is None else None,
+        "key_col": key_col,
+        "weight_col": weight_col,
+        "k": k,
+    }
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         app_id = txn_app_id or resolve_txn_app_id(checkpoint_dir, query_name)
+        _pin_sampler_identity(store, sampler_identity)
         if batch_id <= _last_applied(store, app_id):
             return
         if weight_col is not None:

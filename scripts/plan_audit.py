@@ -15,6 +15,38 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def merge_anchor(lines: list) -> int:
+    """Index of the line after which missing table rows are inserted: the
+    last data row, or the ``|---|`` separator when the table has none.
+
+    The header line (`| query | shuffles | ...`) matches the data-row
+    regex too, so data rows only count AFTER the separator — anchoring on
+    the header would insert rows between header and separator and corrupt
+    the table in exactly the empty-table edge case (ADVICE r9/r10).
+    Returns -1 when no table exists at all."""
+    sep_idx = None
+    last_data = None
+    for i, line in enumerate(lines):
+        if sep_idx is None and re.match(r"^\|---", line):
+            sep_idx = i
+        elif sep_idx is not None and re.match(r"^\| [A-Za-z0-9_]+ \|", line):
+            last_data = i
+    if last_data is not None:
+        return last_data
+    return sep_idx if sep_idx is not None else -1
+
+
+def splice_detail(text: str, name: str, block: str) -> str:
+    """Replace the ``### name`` detail block in ``text`` with ``block`` (or
+    append it).  Uses a callable replacement: the block carries
+    plan-derived text (pushed-filter literals can contain backslashes)
+    that must not be parsed as a regex replacement template (ADVICE r10)."""
+    pat = re.compile(rf"^### {re.escape(name)}\n(?:- .*\n?)*", re.MULTILINE)
+    if pat.search(text):
+        return pat.sub(lambda m: block + "\n", text)
+    return text.rstrip("\n") + "\n\n" + block + "\n"
+
+
 def main() -> None:
     argv = list(sys.argv[1:])
     merge_only: list[str] = []
@@ -71,16 +103,8 @@ def main() -> None:
         # append rows for queries not yet in the table, right after the table
         missing = [n for n in merge_only if n not in present]
         if missing:
-            # last_row starts at the table header separator so an empty table
-            # (no data rows yet) inserts after the header instead of raising
-            # NameError (ADVICE r9)
-            last_row = None
-            for i, line in enumerate(new_lines):
-                if re.match(r"^\|---", line) and last_row is None:
-                    last_row = i
-                if re.match(r"^\| [A-Za-z0-9_]+ \|", line):
-                    last_row = i
-            if last_row is None:
+            last_row = merge_anchor(new_lines)
+            if last_row < 0:
                 raise SystemExit("plan_audit --only: PLANS.md has no table to merge into; run a full regen first")
             for j, n in enumerate(missing):
                 new_lines.insert(last_row + 1 + j, rows[n])
@@ -89,13 +113,7 @@ def main() -> None:
         # replace each existing `### name` block, append new ones at the end
         text = "\n".join(new_lines)
         for name, block in det.items():
-            pat = re.compile(
-                rf"^### {re.escape(name)}\n(?:- .*\n?)*", re.MULTILINE
-            )
-            if pat.search(text):
-                text = pat.sub(block + "\n", text)
-            else:
-                text = text.rstrip("\n") + "\n\n" + block + "\n"
+            text = splice_detail(text, name, block)
         with open(out, "w") as f:
             f.write(text.rstrip("\n") + "\n")
         print(f"merged {len(rows)} plan row(s) + {len(det)} detail block(s) into {out}")

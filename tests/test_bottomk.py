@@ -63,6 +63,24 @@ def test_merge_conflicting_payload_survivor_deterministic(spark):
     assert ab == ba == {(1, 99), (2, 50)}
 
 
+def test_merge_tiebreak_skips_unorderable_and_sorts_nulls_first(spark):
+    """ADVICE r10 on the deterministic survivor: a map-typed payload is
+    not orderable — it must be EXCLUDED from the tiebreak (ordering by it
+    raises AnalysisException), and a null payload sorts before any
+    non-null one (ascending NULLS FIRST), both now documented in the
+    docstring.  One row per key survives either way."""
+    schema = "h bigint, doc_id bigint, n_chars bigint, attrs map<string,string>"
+    a = spark.createDataFrame([(10, 1, 100, {"x": "1"}), (20, 2, None, None)], schema)
+    b = spark.createDataFrame([(10, 1, 99, {"x": "2"}), (20, 2, 70, {"y": "3"})], schema)
+    ab = [(r["doc_id"], r["n_chars"]) for r in
+          bottomk_merge(a, b, k=8, key_col="doc_id").collect()]
+    ba = [(r["doc_id"], r["n_chars"]) for r in
+          bottomk_merge(b, a, k=8, key_col="doc_id").collect()]
+    # n_chars (orderable) decides key 1; key 2's null payload wins the
+    # nulls-first ascending tiebreak over 70
+    assert sorted(ab) == sorted(ba) == [(1, 99), (2, None)]
+
+
 def test_plan_is_take_ordered_not_full_sort(docs):
     """orderBy+limit must compile to TakeOrderedAndProject (per-partition
     O(k) heaps) — a global Sort before the limit would be the
@@ -116,6 +134,63 @@ def test_streaming_bottomk_equals_batch_sample(spark, docs, tmp_path):
     want = {tuple(r) for r in
             bottomk_sample(d, "doc_id", k=64, payload=("n_chars",)).collect()}
     assert got == want and len(got) == 64
+
+
+def test_sampler_identity_pinned_and_mismatch_fails(spark, docs, tmp_path):
+    """ADVICE r10: a store must refuse to merge deltas built under a
+    different sampler identity (seed/mode/hash/key/k) — mixed-seed
+    priorities are not comparable, so the merged sample would be
+    statistically invalid with no error.  The resolved identity is pinned
+    in the store's _SAMPLER sidecar on first use; a pre-change store
+    (versions but no sidecar) adopts the identity with a warning."""
+    import os
+    import warnings
+
+    from cassandra_util_spark.sources.snapshots import SnapshotStore
+    from cassandra_util_spark.streaming.sketches import (
+        _pin_sampler_identity,
+        stream_bottomk_to_store,
+    )
+
+    d = docs.select("doc_id", "n_chars").limit(200)
+    src = str(tmp_path / "src")
+    d.coalesce(1).write.parquet(src)
+    store = SnapshotStore(str(tmp_path / "bk"))
+    stream = (
+        spark.readStream.schema(d.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = stream_bottomk_to_store(
+        stream, store, str(tmp_path / "cp1"), "doc_id", k=32, payload=("n_chars",)
+    )
+    q.awaitTermination(120)
+    assert os.path.exists(os.path.join(store.root, "_SAMPLER"))
+
+    # continuing the same store under a different identity (weighted mode
+    # resolves seed='wbk') must fail loudly, not merge silently
+    stream2 = (
+        spark.readStream.schema(d.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q2 = stream_bottomk_to_store(
+        stream2, store, str(tmp_path / "cp2"), "doc_id", k=32,
+        payload=("n_chars",), weight_col="n_chars",
+    )
+    with pytest.raises(Exception, match="sampler identity"):
+        q2.awaitTermination(120)
+        raise AssertionError("mismatched-identity stream did not fail")
+
+    # pre-change migration: a store with history but no sidecar adopts the
+    # requested identity once, with a warning — and pins it
+    os.remove(os.path.join(store.root, "_SAMPLER"))
+    ident = {"kind": "bottomk", "mode": "uniform", "seed": "bk",
+             "hash_fn": "portable", "key_col": "doc_id",
+             "weight_col": None, "k": 32}
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        _pin_sampler_identity(store, ident)
+    assert any("predates sampler-identity" in str(x.message) for x in w)
+    _pin_sampler_identity(store, ident)  # same identity: no-op
+    with pytest.raises(RuntimeError, match="sampler identity"):
+        _pin_sampler_identity(store, {**ident, "seed": "other"})
 
 
 def test_grouped_sample_and_quantiles(docs):
