@@ -36,13 +36,19 @@ eviction (a cumulative before/after delta goes negative once old stages
 are evicted).
 
 Usage: python scripts/scale_ramp.py [--scales 1,3,10] [--repeat 2]
-Writes SCALING.md at the repo root.
+Writes SCALING.md at the repo root.  Each (pipeline-set, scales) run owns a
+marker-delimited block (``<!-- scale_ramp:begin <key> -->``) that reruns
+REPLACE in place — regenerating twice is a no-op diff, never an appended
+duplicate header (VERDICT r9 task 4 / r10 task 5; the keyed-section pattern
+from plan_audit --only).  Narrative sections written by hand live outside
+the markers and are never touched.
 """
 
 from __future__ import annotations
 
 import argparse
 import os
+import re
 import statistics
 import sys
 import time
@@ -190,6 +196,44 @@ def shuffle_bytes_after(spark, stage_watermark: int) -> int:
     )
 
 
+SCALING_H1 = [
+    "# SCALING — measured ramp curves (sf0.1 base, seeded replicas)",
+    "",
+    "Generated by `scripts/scale_ramp.py` (see its docstring for the",
+    "replica construction that keeps duplicate structure linear); shuffle =",
+    "executor-reported shuffle-write bytes for the run's stages.  Ramp",
+    "tables are marker-keyed: re-running the same pipeline set replaces its",
+    "block in place.  Hand-written analysis sections live between blocks.",
+    "",
+]
+
+
+def ramp_key(pipelines: list, scales: list) -> str:
+    return ",".join(pipelines) + "@" + ",".join(str(s) for s in scales)
+
+
+def ratio_cell(num: float, den: float, floor: float) -> str:
+    """`n/a` when the denominator underflows measurement resolution — a
+    0.0 MB x1 shuffle would otherwise print a 1e8x 'ratio' that reads as
+    a blow-up when the truth is 'k rows in, k rows out' (VERDICT r9)."""
+    if den < floor:
+        return "n/a"
+    return f"{num / den:.1f}x"
+
+
+def upsert_block(text: str, key: str, block: str) -> str:
+    """Replace the marker-delimited block for ``key`` in ``text``, or
+    append it.  Callable replacement — measured content must never be
+    parsed as a regex template."""
+    begin = f"<!-- scale_ramp:begin {key} -->"
+    end = f"<!-- scale_ramp:end {key} -->"
+    payload = f"{begin}\n{block.rstrip()}\n{end}"
+    if begin in text:
+        pat = re.compile(re.escape(begin) + r".*?" + re.escape(end), re.DOTALL)
+        return pat.sub(lambda m: payload, text)
+    return text.rstrip("\n") + "\n\n" + payload + "\n"
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,3,10")
@@ -197,7 +241,7 @@ def main() -> None:
     ap.add_argument(
         "--only",
         default=None,
-        help="comma-separated subset of PIPELINES to ramp (appends to SCALING.md)",
+        help="comma-separated subset of PIPELINES to ramp (upserts its keyed block in SCALING.md)",
     )
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
@@ -246,12 +290,9 @@ def main() -> None:
             print(f"{q} x{s}: {results[q][s]}", file=sys.stderr)
 
     lines = [
-        "# SCALING — measured ramp curves (sf0.1 base, seeded replicas)",
-        "",
-        "Generated by `scripts/scale_ramp.py` (see its docstring for the",
-        "replica construction that keeps duplicate structure linear).  Medians",
-        f"of {args.repeat} runs on local[32]; shuffle = executor-reported",
-        "shuffle-write bytes for the run's stages.",
+        f"### Ramp: {', '.join(pipelines)} "
+        f"(scales {', '.join(f'x{s}' for s in scales)}; "
+        f"medians of {args.repeat} runs on local[32])",
         "",
         "| pipeline | " + " | ".join(f"x{s} sec" for s in scales)
         + " | " + " | ".join(f"x{s} shuffle MB" for s in scales)
@@ -260,19 +301,28 @@ def main() -> None:
     ]
     for q in pipelines:
         r = results[q]
-        t_ratio = r[scales[-1]]["sec"] / max(r[scales[0]]["sec"], 1e-9)
-        s_ratio = r[scales[-1]]["shuffle_mb"] / max(r[scales[0]]["shuffle_mb"], 1e-9)
         lines.append(
             "| " + q + " | "
             + " | ".join(str(r[s]["sec"]) for s in scales) + " | "
             + " | ".join(str(r[s]["shuffle_mb"]) for s in scales)
-            + f" | {t_ratio:.1f}x | {s_ratio:.1f}x |"
+            + " | "
+            + ratio_cell(r[scales[-1]]["sec"], r[scales[0]]["sec"], 0.05)
+            + " | "
+            + ratio_cell(
+                r[scales[-1]]["shuffle_mb"], r[scales[0]]["shuffle_mb"], 0.05
+            )
+            + " |"
         )
-    lines.append("")
     out_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md")
-    with open(out_path, "a") as f:
-        f.write("\n".join(lines) + "\n")
-    print(f"appended to {out_path}")
+    try:
+        with open(out_path) as f:
+            text = f.read()
+    except FileNotFoundError:
+        text = "\n".join(SCALING_H1)
+    text = upsert_block(text, ramp_key(pipelines, scales), "\n".join(lines))
+    with open(out_path, "w") as f:
+        f.write(text.rstrip("\n") + "\n")
+    print(f"upserted block {ramp_key(pipelines, scales)!r} in {out_path}")
     spark.stop()
 
 
