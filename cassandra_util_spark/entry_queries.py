@@ -28,6 +28,7 @@ from cassandra_util_spark.functions import (
     portable_token,
     writetime_micros,
 )
+from cassandra_util_spark.functions.windows import constant_partition_key as _cpk
 from cassandra_util_spark.operators.convictors import (
     ConfigurableDeleter,
     RuleBasedDeletionConvictor,
@@ -4673,7 +4674,9 @@ def ann_rp_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
     )
     # rank over the already-limited 10 rows — the window is trivial here
-    we = Window.orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    we = Window.partitionBy(_cpk(F.col("vec_id"))).orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
     return top10.withColumn("rank", F.row_number().over(we).cast("bigint")).select(
         F.col("vec_id").alias("neighbor_id"), "rank"
     )
@@ -5371,7 +5374,7 @@ def corpus_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("freq").desc(), F.col("term").asc())
         .limit(30)
     )
-    w = Window.orderBy(F.col("freq").desc(), F.col("term").asc())
+    w = Window.partitionBy(_cpk(F.col("term"))).orderBy(F.col("freq").desc(), F.col("term").asc())
     return freq.withColumn("rank", F.row_number().over(w).cast("bigint")).select(
         "rank", "term", "freq", (F.col("rank") * F.col("freq")).cast("bigint").alias("rank_freq")
     )

@@ -15,6 +15,8 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from cassandra_util_spark.functions.windows import constant_partition_key
+
 
 def salted_agg(
     df: DataFrame,
@@ -119,7 +121,9 @@ def skew_report(
         .limit(top_k)
         .crossJoin(F.broadcast(total))
     )
-    w = Window.orderBy(F.col("n").desc(), F.col(key_col).asc())
+    w = Window.partitionBy(constant_partition_key(F.col(key_col))).orderBy(
+        F.col("n").desc(), F.col(key_col).asc()
+    )
     return top.select(
         F.row_number().over(w).cast("bigint").alias("rank"),
         F.col(key_col),

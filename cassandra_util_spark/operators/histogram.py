@@ -21,6 +21,8 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from cassandra_util_spark.functions.windows import constant_partition_key
+
 
 def equi_width_histogram(
     df: DataFrame,
@@ -78,7 +80,13 @@ def histogram_percentiles(
         if not 0.0 < p < 1.0:
             raise ValueError(f"percentiles must be in (0,1), got {p}")
     width = (hi - lo) / bins
-    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    # the frame is <=bins rows by construction; constant-key partition
+    # (non-foldable, functions/windows.py) keeps WindowExec quiet
+    w = (
+        Window.partitionBy(constant_partition_key(F.col("bin")))
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     cum = hist.select(
         "bin",
         "cnt",

@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from cassandra_util_spark.functions import portable_hash32
+from cassandra_util_spark.functions.windows import constant_partition_key
 
 # fixed-point scale for HLL's alpha constants (driver-side literals)
 _ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
@@ -921,11 +922,12 @@ def sample_quantiles(
     out of every log (hash-neutral; VERDICT r9 #7)."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(F.lit(0)).orderBy(
+    cpk = constant_partition_key(F.col(key_col))
+    w = Window.partitionBy(cpk).orderBy(
         F.col(value_col).asc(), F.col(key_col).asc()
     )
     ranked = sample.withColumn("__r", F.row_number().over(w)).withColumn(
-        "__n", F.count("*").over(Window.partitionBy(F.lit(0)))
+        "__n", F.count("*").over(Window.partitionBy(cpk))
     )
     probs_df = ranked.sparkSession.createDataFrame(
         [(float(p),) for p in probs], "p double"

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from cassandra_util_spark.functions.windows import constant_partition_key
+
 # small marker-stopword sets per language; ordered precedence for ties
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "en": ("the", "a", "and", "of", "to", "in", "is"),
@@ -331,7 +333,12 @@ def bm25_topk(
     # top-k per partition and merges k rows on the driver (scale-safe); the
     # unpartitioned rank window then runs over k rows only, never the corpus
     top = scored.orderBy(F.col("score").desc(), F.col("id").asc()).limit(k)
-    w = Window.orderBy(F.col("score").desc(), F.col("id").asc())
+    # constant-key partitionBy (non-foldable; see functions/windows.py):
+    # same single-partition frame over the <=k post-limit rows, without
+    # the WindowExec no-partition WARN
+    w = Window.partitionBy(constant_partition_key(F.col("id"))).orderBy(
+        F.col("score").desc(), F.col("id").asc()
+    )
     return top.withColumn("rank", F.row_number().over(w)).select(
         F.col("id").alias(id_col), "score", "rank"
     )
@@ -467,7 +474,9 @@ def rrf_fuse(
         )
     )
     top = fused.orderBy(F.col("rrf_score").desc(), F.col("id").asc()).limit(k)
-    w = Window.orderBy(F.col("rrf_score").desc(), F.col("id").asc())
+    w = Window.partitionBy(constant_partition_key(F.col("id"))).orderBy(
+        F.col("rrf_score").desc(), F.col("id").asc()
+    )
     return top.withColumn("rank", F.row_number().over(w)).select(
         F.col("id").alias(id_col), "n_runs", "rrf_score", "rank"
     )
