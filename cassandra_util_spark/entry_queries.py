@@ -8528,3 +8528,147 @@ def _rotate_driver_window_r11() -> None:
 
 
 _rotate_driver_window_r11()
+
+
+# --- Round-12 window rotation (VERDICT r11 task 1: finish certification) ---
+#
+# The r11 verdict counted 138 of 175 queries ever driver-certified and named
+# the 37-query tail that has NEVER been in a driver window.  The window holds
+# 50, so ALL 37 fit in one rotation alongside 13 re-certification rows — the
+# 13 least-recently-certified queries in the registry (ten last certified in
+# round 4, plus the alphabetically-first three of the round-5 cohort as the
+# tiebreak).  Every current window row was certified in r11, so the entire
+# 50-row window rotates out; each rotates out multiply-certified.
+_WINDOW_ROTATE_OUT_R12 = [
+    # r11-certified (every row below was green in CORRECTNESS_r11.json)
+    "pareto_document_selection",
+    "stream_interval_join_view",
+    "ann_ivfpq_topk",
+    "ivfpq_persisted_probe",
+    "ivfpq_streaming_index",
+    "dedup_jaccard_routed",
+    "jaccard_route_advisory",
+    "bpe_token_profile",
+    "ann_pq_rerank_topk",
+    "quality_classifier_eval",
+    "q8_market_share",
+    "q11_important_stock",
+    "q12_late_shipment_priority",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_parts_supplier_relation",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_potential_promotion",
+    "q21_waiting_supplier",
+    "q22_idle_balances",
+    "pii_redaction",
+    "pii_audit_report",
+    "retention_rule_impact",
+    "bottomk_sample_docs",
+    "bottomk_shard_merge",
+    "quantile_sketch_doclen",
+    "bottomk_streaming_sample",
+    "quantile_sketch_by_lang",
+    "weighted_sample_docs",
+    "adaptive_length_bounds_sketch",
+    "ann_ivfpq_filtered",
+    "sketch_hll_registers",
+    "sketch_hll_per_type",
+    "sketch_count_min_users",
+    "ivf_persisted_probe",
+    "runstore_compaction_view",
+    "runstore_zorder_2d",
+    "embedding_rp_project",
+    "ann_rp_rerank",
+    "q2_min_cost_supplier",
+    "dedup_edit_distance",
+    "corpus_gate_report",
+    "corpus_shard_plan",
+    "corpus_lang_profile",
+    "corpus_split_assignment",
+    "corpus_token_budget",
+    "corpus_zipf_audit",
+]
+_WINDOW_ROTATE_IN_R12 = [
+    # 13 re-certification rows: least-recently driver-certified
+    "dedup_fingerprint",  # last certified r4
+    "dedup_ngram_jaccard_capped",  # r4
+    "events_json_props",  # r4
+    "media_frame_plan",  # r4
+    "odd_pk_filter",  # r4
+    "orders_profile",  # r4
+    "orders_status_rollup",  # r4
+    "paged_fetch",  # r4
+    "token_count_regex",  # r4
+    "writetime_projection",  # r4
+    "ann_cosine_topk",  # r5 (alphabetical tiebreak within the r5 cohort)
+    "dedup_exact",  # r5
+    "dedup_simhash",  # r5
+    # the complete 37-query never-driver-checked tail (VERDICT r11 list)
+    "acctbal_histogram_percentiles",
+    "adaptive_length_bounds",
+    "bigram_lm_quality",
+    "bm25_batch_search",
+    "commonness_buckets",
+    "decontamination",
+    "dedup_cluster_sizes",
+    "dedup_clusters",
+    "dedup_fingerprint_longest",
+    "dedup_incremental_bloom",
+    "dedup_ngram_containment",
+    "dedup_soft_keep",
+    "dedup_span_removal",
+    "dedup_within_doc_spans",
+    "doc_chunks",
+    "doc_commonness",
+    "doc_length_histogram",
+    "doc_repetition_filter",
+    "doc_top_terms",
+    "embedding_mean_pool",
+    "embedding_prototypes",
+    "events_activity_anomalies",
+    "events_cube_profile",
+    "events_skew_report",
+    "events_sliding_window_sum",
+    "events_zorder_layout",
+    "hard_negatives",
+    "lang_confusion_matrix",
+    "mixture_temperature_plan",
+    "orders_ledger_reconciliation",
+    "orders_rollup_totals",
+    "passage_dup_share",
+    "passage_retrieval",
+    "retrieval_eval",
+    "stratified_sample_docs",
+    "stratified_topk_docs",
+    "weighted_repeat_docs",
+]
+
+
+def _rotate_driver_window_r12() -> None:
+    names = list(QUERIES)
+    missing = [
+        n for n in _WINDOW_ROTATE_IN_R12 + _WINDOW_ROTATE_OUT_R12 if n not in QUERIES
+    ]
+    if missing:
+        raise AssertionError(f"window rotation references unknown queries: {missing}")
+    prefix = [n for n in names[:50] if n not in set(_WINDOW_ROTATE_OUT_R12)]
+    prefix += _WINDOW_ROTATE_IN_R12
+    # explicit raise, not a bare assert: under `python -O` an assert is
+    # stripped and a rotate-in already inside the kept prefix would corrupt
+    # the window silently at import (r11 ADVICE finding).
+    if len(prefix) != 50:
+        raise AssertionError(
+            f"window rotation must produce exactly 50 names, got {len(prefix)}"
+        )
+    order = prefix + [n for n in names if n not in set(prefix)]
+    for reg in (QUERIES, ORACLES):
+        snapshot = dict(reg)
+        reg.clear()
+        reg.update({n: snapshot[n] for n in order if n in snapshot})
+
+
+_rotate_driver_window_r12()

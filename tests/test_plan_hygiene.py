@@ -156,34 +156,41 @@ def test_query_registry_prefix_stable():
     compaction/z-order views, the RP projection pair,
     q2_min_cost_supplier, dedup_edit_distance), and the six corpus
     planners.  The rotation is entry_queries._rotate_driver_window_r11;
-    family coverage is preserved (see that block's comment)."""
+    family coverage is preserved (see that block's comment).
+
+    Round-12 intentional rotation (VERDICT r11 task 1 — finish
+    certification): the r11 verdict counted 138/175 queries ever
+    driver-certified and named the 37-query never-driver-checked tail;
+    all 37 fit in one window alongside 13 re-certification rows (the 13
+    least-recently-certified: ten last certified in round 4 plus the
+    alphabetically-first three of the round-5 cohort).  Every rotated-out
+    row was certified in round 11, so the whole 50-row window turns over;
+    a green CORRECTNESS_r12 makes cumulative driver certification
+    175/175.  The rotation is entry_queries._rotate_driver_window_r12."""
     from cassandra_util_spark.entry_queries import ORACLES, QUERIES
 
     first50 = [
-        "pareto_document_selection", "stream_interval_join_view",
-        "ann_ivfpq_topk", "ivfpq_persisted_probe",
-        "ivfpq_streaming_index", "dedup_jaccard_routed",
-        "jaccard_route_advisory", "bpe_token_profile",
-        "ann_pq_rerank_topk", "quality_classifier_eval",
-        "q8_market_share", "q11_important_stock",
-        "q12_late_shipment_priority", "q13_customer_distribution",
-        "q14_promo_revenue", "q15_top_supplier",
-        "q16_parts_supplier_relation", "q17_small_quantity_revenue",
-        "q18_large_orders", "q19_disjunctive_revenue",
-        "q20_potential_promotion", "q21_waiting_supplier",
-        "q22_idle_balances", "pii_redaction", "pii_audit_report",
-        "retention_rule_impact", "bottomk_sample_docs",
-        "bottomk_shard_merge", "quantile_sketch_doclen",
-        "bottomk_streaming_sample", "quantile_sketch_by_lang",
-        "weighted_sample_docs", "adaptive_length_bounds_sketch",
-        "ann_ivfpq_filtered", "sketch_hll_registers",
-        "sketch_hll_per_type", "sketch_count_min_users",
-        "ivf_persisted_probe", "runstore_compaction_view",
-        "runstore_zorder_2d", "embedding_rp_project", "ann_rp_rerank",
-        "q2_min_cost_supplier", "dedup_edit_distance",
-        "corpus_gate_report", "corpus_shard_plan", "corpus_lang_profile",
-        "corpus_split_assignment", "corpus_token_budget",
-        "corpus_zipf_audit",
+        "dedup_fingerprint", "dedup_ngram_jaccard_capped",
+        "events_json_props", "media_frame_plan", "odd_pk_filter",
+        "orders_profile", "orders_status_rollup", "paged_fetch",
+        "token_count_regex", "writetime_projection", "ann_cosine_topk",
+        "dedup_exact", "dedup_simhash", "acctbal_histogram_percentiles",
+        "adaptive_length_bounds", "bigram_lm_quality",
+        "bm25_batch_search", "commonness_buckets", "decontamination",
+        "dedup_cluster_sizes", "dedup_clusters",
+        "dedup_fingerprint_longest", "dedup_incremental_bloom",
+        "dedup_ngram_containment", "dedup_soft_keep",
+        "dedup_span_removal", "dedup_within_doc_spans", "doc_chunks",
+        "doc_commonness", "doc_length_histogram",
+        "doc_repetition_filter", "doc_top_terms", "embedding_mean_pool",
+        "embedding_prototypes", "events_activity_anomalies",
+        "events_cube_profile", "events_skew_report",
+        "events_sliding_window_sum", "events_zorder_layout",
+        "hard_negatives", "lang_confusion_matrix",
+        "mixture_temperature_plan", "orders_ledger_reconciliation",
+        "orders_rollup_totals", "passage_dup_share",
+        "passage_retrieval", "retrieval_eval", "stratified_sample_docs",
+        "stratified_topk_docs", "weighted_repeat_docs",
     ]
     assert list(QUERIES)[:50] == first50
     # every registered query keeps a full-strength oracle
