@@ -8672,3 +8672,45 @@ def _rotate_driver_window_r12() -> None:
 
 
 _rotate_driver_window_r12()
+
+
+# --- Round-12 additions (registered after the rotation: appended past the
+# --- window, so the certified 50-name prefix is untouched) ---------------
+
+def _weighted_logcost_oracle() -> str:
+    from cassandra_util_spark.operators.sketches import (
+        weighted_logcost_priority_sql,
+    )
+
+    pri = weighted_logcost_priority_sql("doc_id", "wt", seed="wlc")
+    return f"""
+    WITH w AS (
+      SELECT doc_id, n_chars, CAST(n_chars AS BIGINT) * 1811 AS wt
+      FROM documents)
+    SELECT {pri} AS pri, doc_id, wt, n_chars
+    FROM w ORDER BY pri ASC, doc_id ASC LIMIT 128
+    """
+
+
+@query("weighted_sample_logcost", oracle=_weighted_logcost_oracle())
+def weighted_sample_logcost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count-weighted document sample at REALISTIC weights
+    (n_chars·1811 ≈ 10^5-10^6 — the range the replica-form sampler's
+    10,000 guard rejects by design): Efraimidis-Spirakis without
+    replacement via the log-cost binary-block priority, the 128 smallest
+    win.  Each weight bit contributes one block minimum drawn exactly by
+    j nested IEEE-correctly-rounded sqrts, so per-row cost is O(log²w)
+    regardless of the weight's magnitude and the draw still replays
+    bit-for-bit in SQL (the oracle's unrolled priority is generated from
+    the same loop).  This closes the engine's last 100 TB cost caveat:
+    sampling by token counts no longer costs ∝ sum(weights)."""
+    from cassandra_util_spark.operators.sketches import (
+        weighted_bottomk_sample_logcost,
+    )
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "wt", F.col("n_chars").cast("bigint") * F.lit(1811)
+    )
+    return weighted_bottomk_sample_logcost(
+        d, "doc_id", "wt", k=128, payload=("n_chars",), seed="wlc"
+    )

@@ -1035,12 +1035,13 @@ def weighted_bottomk_sample(
     shard/batch samples merge losslessly.
 
     Scale shape: priority is a map-only ``array_min`` over a
-    weight-length hash array — cost ∝ sum(weights), the honest E-S cost.
-    ``max_weight`` fails loudly on weights that would make the per-row
-    array pathological; cap or bucket weights upstream (and say so) when
-    sampling by unbounded quantities.  Weights < 1 raise: a zero-weight
-    row has no replica and silently vanishing rows is the failure mode a
-    sampler must not have.
+    weight-length hash array — cost ∝ sum(weights), the honest E-S cost
+    OF THIS FORM.  ``max_weight`` fails loudly on weights that would make
+    the per-row array pathological; for larger weights (token counts,
+    byte sizes — 10^4-10^6) use :func:`weighted_bottomk_sample_logcost`,
+    which draws the same E-S distribution at O(log²w) per row.  Weights
+    < 1 raise: a zero-weight row has no replica and silently vanishing
+    rows is the failure mode a sampler must not have.
     """
     key = F.col(key_col).cast("string")
     w = F.col(weight_col).cast("int")
@@ -1067,3 +1068,117 @@ def weighted_bottomk_sample(
         .orderBy(F.col("pri").asc(), F.col(key_col).asc())
         .limit(k)
     )
+
+
+def weighted_bottomk_sample_logcost(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int = 256,
+    payload: tuple = (),
+    seed: str = "wbk",
+    max_weight_bits: int = 21,
+) -> DataFrame:
+    """Log-cost weighted bottom-k: the Efraimidis-Spirakis weighted
+    sample WITHOUT replacement at O(log²w) per row instead of
+    :func:`weighted_bottomk_sample`'s O(w) — the path for realistic
+    token-count weights (10^4-10^6), which blow past the replica form's
+    ``max_weight`` guard.
+
+    Construction (exact binary-block decomposition): write the weight in
+    binary, w = Σ_{j∈bits(w)} 2^j.  The min of w iid uniforms is then the
+    min over set bits of INDEPENDENT block minima, where block j's
+    minimum — the min of 2^j iid uniforms — is drawn exactly from ONE
+    keyed uniform by inverse CDF:
+
+        M_j = 1 - (1 - U_j)^(2^-j)   with   P(M_j ≤ x) = 1-(1-x)^(2^j)
+
+    and the dyadic exponent makes the power j NESTED SQUARE ROOTS.  That
+    is the whole trick: IEEE-754 requires sqrt to be CORRECTLY ROUNDED,
+    so — unlike pow/ln, whose last ulp differs across libms — every
+    engine computes bit-identical priorities.  The full chain is
+    bit-exact everywhere: (h + 0.5) and /2^32 are exact in binary64,
+    subtraction and sqrt are correctly rounded, and least() compares
+    exactly, so the draw replays bit-for-bit in DuckDB SQL just like the
+    integer replica form.
+
+    Exactness: the DISTRIBUTION is E-S exact up to (a) the 2^-32
+    discretization of each U_j — identical granularity to the replica
+    form's 32-bit hashes — and (b) ≤ j ulps (≈ j·2^-52 relative) of sqrt
+    composition rounding per block.  Both are quantified in
+    ``tests/test_weighted_logcost.py`` by a KS test against the exact
+    min-of-w CDF.
+
+    Scale shape: map-only, ≤ ``max_weight_bits`` branches of ≤ j sqrts
+    each (Σ ≈ 210 flops at 21 bits) regardless of the weight's value, so
+    per-row cost is O(log²w) and sum(weights) never appears.  Same
+    closure as every bottom-k: priorities are pure functions of
+    (seed, key, weight), so shard/batch samples merge losslessly.
+    Weights outside [1, 2^max_weight_bits) raise — silently vanishing
+    rows (w < 1) or silently truncated bits are the failure modes a
+    sampler must not have.
+
+    Reference anchor: the reference's deletion sampling is uniform
+    (``DeletingCompactionStrategy`` keeps/drops whole rows); weighted
+    curation sampling is this repo's training-data extension
+    (Efraimidis & Spirakis 2006, "Weighted random sampling with a
+    reservoir").
+    """
+    key = F.col(key_col).cast("string")
+    w = F.col(weight_col).cast("bigint")
+    limit = 1 << max_weight_bits
+    guarded = F.when((w >= 1) & (w < limit), w).otherwise(
+        F.raise_error(F.concat(
+            F.lit(f"weighted_bottomk_sample_logcost: weight out of "
+                  f"[1, {limit}) for {key_col}="), key,
+            F.lit(f" ({weight_col}="), F.col(weight_col).cast("string"),
+            F.lit(")"),
+        ))
+    )
+    terms = []
+    for j in range(max_weight_bits):
+        u = (
+            portable_hash32(
+                F.concat(F.lit(f"{seed}:"), key, F.lit(f":b{j}"))
+            ).cast("double")
+            + F.lit(0.5)
+        ) / F.lit(4294967296.0)
+        x = F.lit(1.0) - u
+        for _ in range(j):
+            x = F.sqrt(x)
+        block_min = F.lit(1.0) - x
+        terms.append(
+            F.when(
+                F.shiftright(guarded, j).bitwiseAND(F.lit(1)) == 1, block_min
+            ).otherwise(F.lit(9.0))
+        )
+    pri = F.least(*terms)
+    cols = [F.col(key_col), F.col(weight_col), *[F.col(c) for c in payload]]
+    return (
+        df.select(pri.alias("pri"), *cols)
+        .orderBy(F.col("pri").asc(), F.col(key_col).asc())
+        .limit(k)
+    )
+
+
+def weighted_logcost_priority_sql(
+    key_expr: str, weight_expr: str, seed: str = "wbk", max_weight_bits: int = 21
+) -> str:
+    """DuckDB SQL computing exactly :func:`weighted_bottomk_sample_logcost`'s
+    priority — the same unrolled binary-block decomposition, generated from
+    the same loop so the two engines cannot drift."""
+    from cassandra_util_spark.functions import portable_hash32_sql
+
+    terms = []
+    for j in range(max_weight_bits):
+        h = portable_hash32_sql(
+            f"'{seed}:' || CAST({key_expr} AS VARCHAR) || ':b{j}'"
+        )
+        x = f"(1.0 - (CAST({h} AS DOUBLE) + 0.5) / 4294967296.0)"
+        for _ in range(j):
+            x = f"sqrt({x})"
+        terms.append(
+            f"CASE WHEN (({weight_expr}) >> {j}) & 1 = 1 "
+            f"THEN 1.0 - {x} ELSE 9.0 END"
+        )
+    return "LEAST(" + ", ".join(terms) + ")"

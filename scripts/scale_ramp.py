@@ -79,6 +79,10 @@ PIPELINES = [
     # weighted sampler (r9): priority cost is ~ sum(weights) map-side;
     # wall should ramp near-linearly in corpus bytes, shuffle stays k rows
     "weighted_sample_docs",
+    # log-cost weighted sampler (r12): realistic token-count weights
+    # (n_chars*1811 ≈ 10^5-10^6) at O(log²w) per row — wall should stay
+    # flat-in-weights and near-flat in corpus bytes, shuffle stays k rows
+    "weighted_sample_logcost",
 ]
 
 
