@@ -5898,7 +5898,10 @@ def _curate_driver_window() -> None:
         raise AssertionError(f"window curation references unknown queries: {missing}")
     prefix = [n for n in names[:50] if n not in set(_WINDOW_SWAP_OUT)]
     prefix += _WINDOW_SWAP_IN
-    assert len(prefix) == 50, len(prefix)
+    if len(prefix) != 50:
+        raise AssertionError(
+            f"window rotation must produce exactly 50 names, got {len(prefix)}"
+        )
     # displaced queries land immediately after the window, keeping their
     # relative order; all other queries keep registration order
     order = prefix + [n for n in names if n not in set(prefix)]
@@ -6340,7 +6343,10 @@ def _rotate_driver_window_r6() -> None:
         raise AssertionError(f"window rotation references unknown queries: {missing}")
     prefix = [n for n in names[:50] if n not in set(_WINDOW_ROTATE_OUT_R6)]
     prefix += _WINDOW_ROTATE_IN_R6
-    assert len(prefix) == 50, len(prefix)
+    if len(prefix) != 50:
+        raise AssertionError(
+            f"window rotation must produce exactly 50 names, got {len(prefix)}"
+        )
     order = prefix + [n for n in names if n not in set(prefix)]
     for reg in (QUERIES, ORACLES):
         snapshot = dict(reg)
@@ -7933,7 +7939,10 @@ def _rotate_driver_window_r7() -> None:
         raise AssertionError(f"window rotation references unknown queries: {missing}")
     prefix = [n for n in names[:50] if n not in set(_WINDOW_ROTATE_OUT_R7)]
     prefix += _WINDOW_ROTATE_IN_R7
-    assert len(prefix) == 50, len(prefix)
+    if len(prefix) != 50:
+        raise AssertionError(
+            f"window rotation must produce exactly 50 names, got {len(prefix)}"
+        )
     order = prefix + [n for n in names if n not in set(prefix)]
     for reg in (QUERIES, ORACLES):
         snapshot = dict(reg)
@@ -7995,7 +8004,10 @@ def _rotate_driver_window_r8() -> None:
         raise AssertionError(f"window rotation references unknown queries: {missing}")
     prefix = [n for n in names[:50] if n not in set(_WINDOW_ROTATE_OUT_R8)]
     prefix += _WINDOW_ROTATE_IN_R8
-    assert len(prefix) == 50, len(prefix)
+    if len(prefix) != 50:
+        raise AssertionError(
+            f"window rotation must produce exactly 50 names, got {len(prefix)}"
+        )
     order = prefix + [n for n in names if n not in set(prefix)]
     for reg in (QUERIES, ORACLES):
         snapshot = dict(reg)
@@ -8089,7 +8101,10 @@ def _rotate_driver_window_r9() -> None:
         raise AssertionError(f"window rotation references unknown queries: {missing}")
     prefix = [n for n in names[:50] if n not in set(_WINDOW_ROTATE_OUT_R9)]
     prefix += _WINDOW_ROTATE_IN_R9
-    assert len(prefix) == 50, len(prefix)
+    if len(prefix) != 50:
+        raise AssertionError(
+            f"window rotation must produce exactly 50 names, got {len(prefix)}"
+        )
     order = prefix + [n for n in names if n not in set(prefix)]
     for reg in (QUERIES, ORACLES):
         snapshot = dict(reg)
@@ -8519,7 +8534,10 @@ def _rotate_driver_window_r11() -> None:
         raise AssertionError(f"window rotation references unknown queries: {missing}")
     prefix = [n for n in names[:50] if n not in set(_WINDOW_ROTATE_OUT_R11)]
     prefix += _WINDOW_ROTATE_IN_R11
-    assert len(prefix) == 50, len(prefix)
+    if len(prefix) != 50:
+        raise AssertionError(
+            f"window rotation must produce exactly 50 names, got {len(prefix)}"
+        )
     order = prefix + [n for n in names if n not in set(prefix)]
     for reg in (QUERIES, ORACLES):
         snapshot = dict(reg)

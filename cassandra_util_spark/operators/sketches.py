@@ -872,19 +872,30 @@ def bottomk_merge(
     re-ordered merge reproduces the same sample bit-for-bit (ADVICE r9).
     The tiebreak sorts ascending with NULLS FIRST (Spark's ascending
     default), so a null payload beats any non-null one for the same
-    priority; map-typed payload columns are not orderable and are
-    EXCLUDED from the tiebreak (ADVICE r10) — two versions of a key that
-    differ only in a map column are resolved by whichever orderable
+    priority; payload columns whose type transitively contains a map
+    (map itself, array<map>, struct with a map field, ...) are not
+    orderable — Spark's ``TypeUtils`` ordering rule — and are EXCLUDED
+    from the tiebreak (ADVICE r10/r11): two versions of a key that
+    differ only in such a column are resolved by whichever orderable
     columns differ, or arbitrarily (but still to a single row) if none
     do.  Keep payloads to orderable types for full replay determinism."""
     from pyspark.sql import Window
-    from pyspark.sql.types import MapType
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    def _contains_map(dt) -> bool:
+        if isinstance(dt, MapType):
+            return True
+        if isinstance(dt, ArrayType):
+            return _contains_map(dt.elementType)
+        if isinstance(dt, StructType):
+            return any(_contains_map(f.dataType) for f in dt.fields)
+        return False
 
     out = samples[0]
     for s in samples[1:]:
         out = out.unionByName(s)
     unorderable = {
-        f.name for f in out.schema.fields if isinstance(f.dataType, MapType)
+        f.name for f in out.schema.fields if _contains_map(f.dataType)
     }
     others = [c for c in out.columns if c != key_col and c not in unorderable]
     tie = [F.col(priority_col).asc()] + [

@@ -68,46 +68,68 @@ def _pin_sampler_identity(store: SnapshotStore, identity: dict) -> None:
     weight column, or k across the store's life.
 
     Migration for pre-change stores (versions exist, no ``_SAMPLER``):
-    the identity is adopted and pinned with a warning.  Pre-change
-    WEIGHTED stores were built with ``seed='bk'`` — continue one by
-    passing ``seed='bk'`` explicitly (the adopt-and-pin then locks that
-    in); the new default would pin ``'wbk'`` and the next continuation
-    under the old seed fails instead of corrupting the sample."""
+    the identity is adopted and pinned with a warning.  The sidecar only
+    prevents FUTURE mixing — it cannot detect whether mixed-seed batches
+    were already merged before identity recording existed, so the warning
+    tells the operator to rebuild; adoption merely stops the bleeding.
+
+    Concurrency (ADVICE r11): creation is first-writer-wins ATOMIC — the
+    fully-written temp file is ``os.link``-ed to the sidecar path, which
+    fails with ``FileExistsError`` instead of overwriting, and the loser
+    re-reads the winner's identity and runs the mismatch check.  The old
+    check-then-``os.replace`` form let two streams first-using a fresh
+    store both observe "no sidecar" and pin DIFFERENT identities, last
+    write silently winning — exactly the corruption the sidecar exists
+    to prevent."""
     import json
     import tempfile
     import warnings as _warnings
 
     path = os.path.join(store.root, "_SAMPLER")
-    try:
-        with open(path) as f:
-            existing = json.load(f)
-    except FileNotFoundError:
-        existing = None
-    if existing is not None:
-        if existing != identity:
-            diff = {
-                key: (existing.get(key), identity.get(key))
-                for key in sorted(set(existing) | set(identity))
-                if existing.get(key) != identity.get(key)
-            }
-            raise RuntimeError(
-                f"sketch store {store.root} was built with a different "
-                f"sampler identity; refusing to merge incompatible "
-                f"priorities (stored vs requested): {diff}"
+    while True:
+        try:
+            with open(path) as f:
+                existing = json.load(f)
+        except FileNotFoundError:
+            existing = None
+        if existing is not None:
+            if existing != identity:
+                diff = {
+                    key: (existing.get(key), identity.get(key))
+                    for key in sorted(set(existing) | set(identity))
+                    if existing.get(key) != identity.get(key)
+                }
+                raise RuntimeError(
+                    f"sketch store {store.root} was built with a different "
+                    f"sampler identity; refusing to merge incompatible "
+                    f"priorities (stored vs requested): {diff}"
+                )
+            return
+        if store.current_version() is not None:
+            _warnings.warn(
+                f"sketch store {store.root} predates sampler-identity "
+                f"recording; adopting and pinning {identity}. This pin "
+                "prevents future seed mixing but CANNOT detect past "
+                "mixing: if this store may have merged batches under "
+                "more than one identity before recording existed (in "
+                "particular a WEIGHTED store continued across the "
+                "per-mode seed-default change), REBUILD it from source — "
+                "an already-mixed sample is statistically invalid and "
+                "nothing can repair it in place. To continue a "
+                "pre-change weighted store that was consistently built "
+                "with seed='bk', pass seed='bk' explicitly.",
+                stacklevel=3,
             )
+        fd, tmp = tempfile.mkstemp(dir=store.root, prefix="._SAMPLER.")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(identity, f, sort_keys=True)
+            os.link(tmp, path)  # atomic create; EEXIST = lost the race
+        except FileExistsError:
+            continue  # re-read the winner's identity and mismatch-check it
+        finally:
+            os.unlink(tmp)
         return
-    if store.current_version() is not None:
-        _warnings.warn(
-            f"sketch store {store.root} predates sampler-identity "
-            f"recording; adopting and pinning {identity}. If this store "
-            "was a WEIGHTED sample built before the per-mode seed default "
-            "(built with seed='bk'), pass seed='bk' explicitly instead.",
-            stacklevel=3,
-        )
-    fd, tmp = tempfile.mkstemp(dir=store.root, prefix="._SAMPLER.")
-    with os.fdopen(fd, "w") as f:
-        json.dump(identity, f, sort_keys=True)
-    os.replace(tmp, path)
 
 
 def _last_applied(store: SnapshotStore, app_id: str) -> int:

@@ -23,14 +23,21 @@ def merge_anchor(lines: list) -> int:
     regex too, so data rows only count AFTER the separator — anchoring on
     the header would insert rows between header and separator and corrupt
     the table in exactly the empty-table edge case (ADVICE r9/r10).
+    Scanning STOPS at the first non-table line after the separator
+    (ADVICE r11): the anchor must stay inside the summary table, not
+    latch onto a row of some later table (e.g. a detail or appendix
+    section) and splice new rows into it.
     Returns -1 when no table exists at all."""
     sep_idx = None
     last_data = None
     for i, line in enumerate(lines):
-        if sep_idx is None and re.match(r"^\|---", line):
-            sep_idx = i
-        elif sep_idx is not None and re.match(r"^\| [A-Za-z0-9_]+ \|", line):
+        if sep_idx is None:
+            if re.match(r"^\|---", line):
+                sep_idx = i
+        elif re.match(r"^\| [A-Za-z0-9_]+ \|", line):
             last_data = i
+        else:
+            break  # first non-data line after the separator ends the table
     if last_data is not None:
         return last_data
     return sep_idx if sep_idx is not None else -1

@@ -81,6 +81,29 @@ def test_merge_tiebreak_skips_unorderable_and_sorts_nulls_first(spark):
     assert sorted(ab) == sorted(ba) == [(1, 99), (2, None)]
 
 
+def test_merge_tiebreak_skips_nested_unorderable_types(spark):
+    """ADVICE r11: orderability is a TRANSITIVE property (Spark's
+    TypeUtils rule) — array<map<...>> and struct-containing-a-map payloads
+    are just as unorderable as a top-level map and must be excluded from
+    the tiebreak too, not raise AnalysisException in the Window.orderBy."""
+    schema = (
+        "h bigint, doc_id bigint, n_chars bigint, "
+        "tags array<map<string,string>>, "
+        "meta struct<name:string, attrs:map<string,string>>"
+    )
+    a = spark.createDataFrame(
+        [(10, 1, 100, [{"x": "1"}], ("n", {"a": "1"}))], schema
+    )
+    b = spark.createDataFrame(
+        [(10, 1, 99, [{"x": "2"}], ("n", {"a": "2"}))], schema
+    )
+    ab = bottomk_merge(a, b, k=8, key_col="doc_id").collect()
+    ba = bottomk_merge(b, a, k=8, key_col="doc_id").collect()
+    # one survivor, decided by the orderable n_chars column, order-insensitive
+    assert len(ab) == len(ba) == 1
+    assert ab[0]["n_chars"] == ba[0]["n_chars"] == 99
+
+
 def test_plan_is_take_ordered_not_full_sort(docs):
     """orderBy+limit must compile to TakeOrderedAndProject (per-partition
     O(k) heaps) — a global Sort before the limit would be the
@@ -187,10 +210,56 @@ def test_sampler_identity_pinned_and_mismatch_fails(spark, docs, tmp_path):
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
         _pin_sampler_identity(store, ident)
-    assert any("predates sampler-identity" in str(x.message) for x in w)
+    adopt_msgs = [str(x.message) for x in w
+                  if "predates sampler-identity" in str(x.message)]
+    assert adopt_msgs
+    # the pin cannot detect PAST mixing — the warning must instruct a
+    # rebuild, not merely note the adoption (VERDICT r11 item 5)
+    assert all("REBUILD" in m for m in adopt_msgs), adopt_msgs
     _pin_sampler_identity(store, ident)  # same identity: no-op
     with pytest.raises(RuntimeError, match="sampler identity"):
         _pin_sampler_identity(store, {**ident, "seed": "other"})
+
+
+def test_sampler_identity_pin_race_is_first_writer_wins(tmp_path, monkeypatch):
+    """ADVICE r11: two streams first-using the same FRESH store must not
+    both pin — creation is atomic (os.link, EEXIST on loss) and the loser
+    re-reads the winner's identity and runs the mismatch check instead of
+    overwriting it.  Simulated by injecting the winner's sidecar at the
+    moment the loser links."""
+    import json
+    import os
+
+    from cassandra_util_spark.sources.snapshots import SnapshotStore
+    from cassandra_util_spark.streaming.sketches import _pin_sampler_identity
+
+    store = SnapshotStore(str(tmp_path / "race"))
+    winner = {"kind": "bottomk", "mode": "uniform", "seed": "bk", "k": 32}
+    loser = {"kind": "bottomk", "mode": "weighted", "seed": "wbk", "k": 32}
+    sidecar = os.path.join(store.root, "_SAMPLER")
+
+    real_link = os.link
+    state = {"injected": False}
+
+    def racing_link(src, dst, **kw):
+        if dst == sidecar and not state["injected"]:
+            state["injected"] = True  # the concurrent winner lands first
+            with open(sidecar, "w") as f:
+                json.dump(winner, f, sort_keys=True)
+        return real_link(src, dst, **kw)
+
+    monkeypatch.setattr(os, "link", racing_link)
+    with pytest.raises(RuntimeError, match="sampler identity"):
+        _pin_sampler_identity(store, loser)
+    # the winner's pin survives untouched
+    with open(sidecar) as f:
+        assert json.load(f) == winner
+    # and a SAME-identity loser converges silently on the winner's pin
+    state["injected"] = False
+    os.remove(sidecar)
+    with pytest.raises(RuntimeError, match="sampler identity"):
+        _pin_sampler_identity(store, loser)  # winner re-injected, mismatch
+    _pin_sampler_identity(store, winner)  # matching identity: clean return
 
 
 def test_grouped_sample_and_quantiles(docs):

@@ -36,6 +36,24 @@ def test_anchor_no_table():
     assert plan_audit.merge_anchor(["# PLANS", "", "prose only"]) == -1
 
 
+def test_anchor_stops_at_first_table_even_with_later_tables():
+    """ADVICE r11: if PLANS.md ever gains a SECOND table (a detail or
+    appendix section), the anchor must stay inside the summary table —
+    the old scan anchored on the last data-row-shaped line anywhere in
+    the file and would splice new rows into the appendix."""
+    lines = [HEADER, SEP, "| q_one | 0 | 1 | 0 | 1 | 2 |", "",
+             "## appendix", "| col | note |", "|---|---|",
+             "| appendix_row | x |"]
+    assert plan_audit.merge_anchor(lines) == 2  # q_one, not appendix_row
+
+
+def test_anchor_empty_table_with_later_table():
+    lines = [HEADER, SEP, "", "## appendix", "| col | note |", "|---|---|",
+             "| appendix_row | x |"]
+    i = plan_audit.merge_anchor(lines)
+    assert lines[i] == SEP
+
+
 def test_insert_into_empty_table_keeps_structure():
     lines = [HEADER, SEP, ""]
     i = plan_audit.merge_anchor(lines)
