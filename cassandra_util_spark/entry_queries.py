@@ -8732,3 +8732,45 @@ def weighted_sample_logcost(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_bottomk_sample_logcost(
         d, "doc_id", "wt", k=128, payload=("n_chars",), seed="wlc"
     )
+
+
+@query("logcost_streaming_sample", oracle=None)
+def logcost_streaming_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the LOG-COST weighted sample end to end:
+    the corpus replays through a real file-source stream in three
+    micro-batches at token-count-scale weights (n_chars·1811 ≈ 10^5-10^6
+    — past the replica form's guard), each batch contributes its own
+    O(log²w)-priority bottom-k, the persisted store merges k-vs-k under
+    the exactly-once snapshot protocol with the weight FORM pinned in the
+    sampler identity, and the drained store hash-matches the SAME oracle
+    as the direct whole-corpus `weighted_sample_logcost` — the E-S
+    closure through the streaming path, the triple-certification shape
+    of the bottom-k family (batch / shard-merge / streamed, one oracle)."""
+    import tempfile
+
+    from cassandra_util_spark.sources.snapshots import SnapshotStore
+    from cassandra_util_spark.streaming.sketches import stream_bottomk_to_store
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("n_chars").cast("bigint") * F.lit(1811)).alias("wt"),
+        "n_chars",
+    )
+    src = tempfile.mkdtemp(prefix="lc-stream-src-")
+    for i in range(3):
+        d.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode("append").parquet(src)
+    store = SnapshotStore(tempfile.mkdtemp(prefix="lc-store-"))
+    stream = (
+        spark.readStream.schema(d.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    with _scoped_shuffle_partitions(spark, 8):
+        q = stream_bottomk_to_store(
+            stream, store, tempfile.mkdtemp(prefix="lc-cp-"), "doc_id",
+            k=128, payload=("n_chars",), weight_col="wt",
+            weight_form="logcost", seed="wlc",
+        )
+        q.awaitTermination(300)
+    return store.read(spark).select("pri", "doc_id", "wt", "n_chars")
+
+
+ORACLES["logcost_streaming_sample"] = _weighted_logcost_oracle()

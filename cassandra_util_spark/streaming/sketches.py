@@ -266,6 +266,7 @@ def stream_bottomk_to_store(
     seed: Optional[str] = None,
     hash_fn: str = "portable",
     weight_col: Optional[str] = None,
+    weight_form: str = "replica",
     available_now: bool = True,
     query_name: str = "bottomk-sketch-ingest",
     txn_app_id: Optional[str] = None,
@@ -280,6 +281,14 @@ def stream_bottomk_to_store(
     length- or quality-weighted training sample without ever rescanning
     admitted history.  Both priorities are pure per-key functions, so the
     k-vs-k merge closure is identical.
+
+    ``weight_form="logcost"`` swaps the per-batch sampler to
+    :func:`weighted_bottomk_sample_logcost` — the same E-S distribution
+    at O(log²w) per row, for realistic token-count weights (10^4-10^6)
+    that the replica form's guard rejects.  The two forms draw from
+    DIFFERENT priority streams (replica: min of w keyed hash words;
+    logcost: binary-block sqrt chain), so the form is part of the pinned
+    sampler identity and a store never mixes them.
 
     Per micro-batch: one TakeOrderedAndProject over the batch (per-partition
     O(k) heaps), one k-vs-k merge against the persisted sample (both inputs
@@ -306,13 +315,24 @@ def stream_bottomk_to_store(
         bottomk_merge,
         bottomk_sample,
         weighted_bottomk_sample,
+        weighted_bottomk_sample_logcost,
     )
 
+    if weight_form not in ("replica", "logcost"):
+        raise ValueError(f"unknown weight_form {weight_form!r}")
+    if weight_form == "logcost" and weight_col is None:
+        raise ValueError("weight_form='logcost' requires weight_col")
     if seed is None:
         seed = "wbk" if weight_col is not None else "bk"
+    if weight_col is None:
+        mode = "uniform"
+    elif weight_form == "logcost":
+        mode = "weighted_logcost"
+    else:
+        mode = "weighted"
     sampler_identity = {
         "kind": "bottomk",
-        "mode": "weighted" if weight_col is not None else "uniform",
+        "mode": mode,
         "seed": seed,
         "hash_fn": hash_fn if weight_col is None else None,
         "key_col": key_col,
@@ -326,9 +346,12 @@ def stream_bottomk_to_store(
         if batch_id <= _last_applied(store, app_id):
             return
         if weight_col is not None:
-            delta = weighted_bottomk_sample(
-                batch_df, key_col, weight_col, k, payload, seed
+            sampler = (
+                weighted_bottomk_sample_logcost
+                if weight_form == "logcost"
+                else weighted_bottomk_sample
             )
+            delta = sampler(batch_df, key_col, weight_col, k, payload, seed)
             pri = "pri"
         else:
             delta = bottomk_sample(batch_df, key_col, k, payload, seed, hash_fn)

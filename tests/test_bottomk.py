@@ -402,3 +402,63 @@ def test_streaming_weighted_sample_equals_batch(spark, docs, tmp_path):
             weighted_bottomk_sample(d, "doc_id", "wt", k=64,
                                     payload=("n_chars",), seed="wbk").collect()}
     assert got == want and len(got) == 64
+
+
+def test_streaming_logcost_weighted_store_equals_batch(spark, docs, tmp_path):
+    """weight_form='logcost' on the streaming store: realistic
+    token-count-scale weights (n_chars·1811 ≈ 10^5-10^6, past the replica
+    form's guard) stream into a persisted store that drains to EXACTLY
+    the whole-corpus log-cost sample — and the form is part of the pinned
+    identity, so continuing the store with the replica form raises
+    instead of merging priorities from a different stream."""
+    from cassandra_util_spark.operators.sketches import (
+        weighted_bottomk_sample_logcost,
+    )
+    from cassandra_util_spark.sources.snapshots import SnapshotStore
+    from cassandra_util_spark.streaming.sketches import stream_bottomk_to_store
+
+    d = docs.withColumn(
+        "wt", F.col("n_chars").cast("bigint") * F.lit(1811)
+    ).select("doc_id", "wt", "n_chars")
+    src = str(tmp_path / "src-lc")
+    for i in range(3):
+        d.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode("append").parquet(src)
+    store = SnapshotStore(str(tmp_path / "lc"))
+    stream = (
+        spark.readStream.schema(d.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = stream_bottomk_to_store(
+        stream, store, str(tmp_path / "cp-lc"), "doc_id", k=64,
+        payload=("n_chars",), weight_col="wt", weight_form="logcost",
+    )
+    q.awaitTermination(120)
+    got = {tuple(r) for r in store.read(spark).collect()}
+    want = {tuple(r) for r in
+            weighted_bottomk_sample_logcost(
+                d, "doc_id", "wt", k=64, payload=("n_chars",), seed="wbk"
+            ).collect()}
+    assert got == want and len(got) == 64
+
+    # replica-form continuation must fail the identity check (mode differs)
+    stream2 = (
+        spark.readStream.schema(d.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q2 = stream_bottomk_to_store(
+        stream2, store, str(tmp_path / "cp-lc2"), "doc_id", k=64,
+        payload=("n_chars",), weight_col="wt", weight_form="replica",
+    )
+    with pytest.raises(Exception, match="sampler identity"):
+        q2.awaitTermination(120)
+        raise AssertionError("replica-form continuation did not fail")
+
+    # invalid forms fail at call time, not mid-stream
+    with pytest.raises(ValueError, match="unknown weight_form"):
+        stream_bottomk_to_store(
+            stream2, store, str(tmp_path / "cp-bad"), "doc_id",
+            weight_col="wt", weight_form="bogus",
+        )
+    with pytest.raises(ValueError, match="requires weight_col"):
+        stream_bottomk_to_store(
+            stream2, store, str(tmp_path / "cp-bad2"), "doc_id",
+            weight_form="logcost",
+        )
