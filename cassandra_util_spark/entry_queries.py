@@ -8774,3 +8774,47 @@ def logcost_streaming_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["logcost_streaming_sample"] = _weighted_logcost_oracle()
+
+
+def _weighted_grouped_oracle() -> str:
+    from cassandra_util_spark.operators.sketches import (
+        weighted_logcost_priority_sql,
+    )
+
+    pri = weighted_logcost_priority_sql("doc_id", "wt", seed="wlc")
+    return f"""
+    WITH w AS (
+      SELECT lang, doc_id, n_chars, CAST(n_chars AS BIGINT) * 1811 AS wt
+      FROM documents),
+    p AS (
+      SELECT lang, {pri} AS pri, doc_id, wt, n_chars,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {pri} ASC, doc_id ASC) AS rn
+      FROM w)
+    SELECT lang, pri, doc_id, wt, n_chars FROM p WHERE rn <= 16
+    """
+
+
+@query("weighted_sample_by_lang", oracle=_weighted_grouped_oracle())
+def weighted_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified token-weighted curation sample: each language keeps its
+    own 16 Efraimidis-Spirakis winners at token-count-scale weights
+    (n_chars·1811, the log-cost priority) in ONE pass — the per-domain
+    form of `weighted_sample_logcost`, and the weighted form of
+    `quantile_sketch_by_lang`'s grouped KMV machinery.  Priorities are
+    pure (seed, key, weight) functions, so each stratum's sample is
+    bit-identical to a filtered global run and replays exactly in SQL.
+    One shuffle on the group key, O(k) window state per group: 200
+    languages at 100 TB reduce to a 200·k-row weighted sample without
+    200 filtered passes."""
+    from cassandra_util_spark.operators.sketches import (
+        weighted_bottomk_sample_grouped,
+    )
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "wt", F.col("n_chars").cast("bigint") * F.lit(1811)
+    )
+    return weighted_bottomk_sample_grouped(
+        d, "lang", "doc_id", "wt", k=16, payload=("n_chars",), seed="wlc"
+    )

@@ -1135,6 +1135,21 @@ def weighted_bottomk_sample_logcost(
     (Efraimidis & Spirakis 2006, "Weighted random sampling with a
     reservoir").
     """
+    pri = _logcost_priority(key_col, weight_col, seed, max_weight_bits)
+    cols = [F.col(key_col), F.col(weight_col), *[F.col(c) for c in payload]]
+    return (
+        df.select(pri.alias("pri"), *cols)
+        .orderBy(F.col("pri").asc(), F.col(key_col).asc())
+        .limit(k)
+    )
+
+
+def _logcost_priority(
+    key_col: str, weight_col: str, seed: str, max_weight_bits: int
+):
+    """The binary-block E-S priority expression shared by the global and
+    grouped log-cost samplers (see :func:`weighted_bottomk_sample_logcost`
+    for the construction and the bit-exactness argument)."""
     key = F.col(key_col).cast("string")
     w = F.col(weight_col).cast("bigint")
     limit = 1 << max_weight_bits
@@ -1163,12 +1178,52 @@ def weighted_bottomk_sample_logcost(
                 F.shiftright(guarded, j).bitwiseAND(F.lit(1)) == 1, block_min
             ).otherwise(F.lit(9.0))
         )
-    pri = F.least(*terms)
-    cols = [F.col(key_col), F.col(weight_col), *[F.col(c) for c in payload]]
+    return F.least(*terms)
+
+
+def weighted_bottomk_sample_grouped(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    weight_col: str,
+    k: int = 64,
+    payload: tuple = (),
+    seed: str = "wbk",
+    max_weight_bits: int = 21,
+) -> DataFrame:
+    """Per-group weighted bottom-k WITHOUT replacement: each group keeps
+    its own k Efraimidis-Spirakis winners under the LOG-COST priority —
+    the stratified curation sampler (a per-language / per-source /
+    per-domain token-count-weighted sample in one pass).  The uniform
+    twin is :func:`bottomk_sample_grouped`; this is its weighted form,
+    built for realistic weights (the log-cost priority, so 10^4-10^6
+    token counts cost O(log²w) per row, not O(w)).
+
+    Same laws as every bottom-k in this family, now per group:
+    DETERMINISTIC (priority is a pure (seed, key, weight) function — the
+    same draw as :func:`weighted_bottomk_sample_logcost`, so a group's
+    sample is independent of which other groups share the pass and
+    replays bit-for-bit in SQL), length-BIASED exactly ∝ weight within
+    each group, and MERGEABLE shard-wise (union + re-rank per group).
+
+    Scale shape: one shuffle on the group key; the rank window's
+    per-partition state is O(k) per group — a 100 TB corpus with 200
+    languages reduces to a 200·k-row weighted sample in one pass instead
+    of 200 filtered global samples."""
+    from pyspark.sql import Window
+
+    pri = _logcost_priority(key_col, weight_col, seed, max_weight_bits)
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("pri").asc(), F.col(key_col).asc()
+    )
     return (
-        df.select(pri.alias("pri"), *cols)
-        .orderBy(F.col("pri").asc(), F.col(key_col).asc())
-        .limit(k)
+        df.select(
+            F.col(group_col), pri.alias("pri"), F.col(key_col),
+            F.col(weight_col), *[F.col(c) for c in payload],
+        )
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .drop("__r")
     )
 
 

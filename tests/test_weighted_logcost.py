@@ -20,6 +20,7 @@ import hashlib
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from cassandra_util_spark.operators.sketches import (
     weighted_bottomk_sample,
@@ -158,5 +159,68 @@ def test_shard_merge_is_lossless(spark):
         for r in weighted_bottomk_sample_logcost(
             s1.unionByName(s2).drop("pri"), "key", "wt", k=25
         ).collect()
+    }
+    assert merged == whole
+
+
+def test_grouped_sample_sizes_and_group_independence(spark):
+    """Per-group weighted bottom-k: every group holds exactly
+    min(k, |group|) rows, and — because the priority is a pure
+    (seed, key, weight) function — a group's sample equals the GLOBAL
+    log-cost sampler run on that group alone (stratification changes
+    which rows compete, never their priorities)."""
+    from cassandra_util_spark.operators.sketches import (
+        weighted_bottomk_sample_grouped,
+    )
+
+    rows = [
+        (f"g{i % 3}", f"k{i}", 1 + (i * 7919) % 900_000) for i in range(300)
+    ] + [("tiny", f"t{i}", 5) for i in range(4)]
+    df = spark.createDataFrame(rows, "grp string, key string, wt long")
+    out = weighted_bottomk_sample_grouped(df, "grp", "key", "wt", k=10)
+    by_group: dict = {}
+    for r in out.collect():
+        by_group.setdefault(r["grp"], set()).add(r["key"])
+    assert {g: len(ks) for g, ks in by_group.items()} == {
+        "g0": 10, "g1": 10, "g2": 10, "tiny": 4
+    }
+    for g in ("g0", "g1", "g2"):
+        solo = {
+            r["key"]
+            for r in weighted_bottomk_sample_logcost(
+                df.filter(F.col("grp") == g), "key", "wt", k=10
+            ).collect()
+        }
+        assert by_group[g] == solo, g
+
+
+def test_grouped_sample_shard_merge_per_group(spark):
+    """Shard closure, per group: union of shard-local grouped samples
+    re-ranked per group equals the grouped sample of the whole."""
+    from pyspark.sql import Window
+
+    from cassandra_util_spark.operators.sketches import (
+        weighted_bottomk_sample_grouped,
+    )
+
+    rows = [(f"g{i % 2}", f"k{i}", 1 + (i * 101) % 50_000) for i in range(400)]
+    df = spark.createDataFrame(rows, "grp string, key string, wt long")
+    whole = {
+        (r["grp"], r["key"])
+        for r in weighted_bottomk_sample_grouped(df, "grp", "key", "wt", k=8).collect()
+    }
+    s1 = weighted_bottomk_sample_grouped(
+        df.filter("hash(key) % 2 = 0"), "grp", "key", "wt", k=8
+    )
+    s2 = weighted_bottomk_sample_grouped(
+        df.filter("hash(key) % 2 != 0"), "grp", "key", "wt", k=8
+    )
+    u = s1.unionByName(s2)
+    w = Window.partitionBy("grp").orderBy(F.col("pri").asc(), F.col("key").asc())
+    merged = {
+        (r["grp"], r["key"])
+        for r in u.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= 8)
+        .collect()
     }
     assert merged == whole
