@@ -967,9 +967,14 @@ def bottomk_sample_grouped(
     the grouped form of :func:`bottomk_sample` (same determinism,
     uniformity-within-group, and shard-merge closure, now per group key).
     One shuffle on the group key; the rank window's per-partition state is
-    O(k) per group.  This is the sketch behind per-domain / per-language
-    distribution monitoring: a 100 TB corpus with 200 languages reduces to
-    a 200·k-row table any planner can read."""
+    O(k) per group.  Group SKEW is handled by Catalyst's rank pushdown:
+    rank ≤ k over a per-group window compiles to a PARTIAL
+    WindowGroupLimit before the exchange (each map task pre-keeps its own
+    k per group), so a hot group ships ≤ maps·k rows instead of its whole
+    volume into one task — pinned in tests/test_weighted_logcost.py.
+    This is the sketch behind per-domain / per-language distribution
+    monitoring: a 100 TB corpus with 200 languages reduces to a 200·k-row
+    table any planner can read."""
     from pyspark.sql import Window
 
     key = F.col(key_col).cast("string")
@@ -1207,9 +1212,11 @@ def weighted_bottomk_sample_grouped(
     each group, and MERGEABLE shard-wise (union + re-rank per group).
 
     Scale shape: one shuffle on the group key; the rank window's
-    per-partition state is O(k) per group — a 100 TB corpus with 200
-    languages reduces to a 200·k-row weighted sample in one pass instead
-    of 200 filtered global samples."""
+    per-partition state is O(k) per group, and group skew is absorbed by
+    Catalyst's PARTIAL WindowGroupLimit (map-side per-group top-k before
+    the exchange, test-pinned) — a 100 TB corpus with 200 languages
+    reduces to a 200·k-row weighted sample in one pass instead of 200
+    filtered global samples, even when one language dominates."""
     from pyspark.sql import Window
 
     pri = _logcost_priority(key_col, weight_col, seed, max_weight_bits)

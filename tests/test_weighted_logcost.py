@@ -224,3 +224,27 @@ def test_grouped_sample_shard_merge_per_group(spark):
         .collect()
     }
     assert merged == whole
+
+
+def test_grouped_sampler_plans_map_side_group_limit(spark):
+    """The 100 TB skew property of every grouped bottom-k: rank ≤ k over a
+    per-group window must compile to a PARTIAL WindowGroupLimit BEFORE the
+    exchange (each map task pre-keeps its own k per group, so a hot group
+    ships ≤ maps·k rows instead of its whole volume into one task) plus
+    the Final pass after.  A change that breaks the rank-pushdown pattern
+    (e.g. a filter Catalyst cannot see through) would silently reintroduce
+    the single-task hot-group bottleneck."""
+    from cassandra_util_spark.operators.sketches import (
+        bottomk_sample_grouped,
+        weighted_bottomk_sample_grouped,
+    )
+
+    rows = [(f"g{i % 3}", f"k{i}", 1 + i % 1000) for i in range(100)]
+    df = spark.createDataFrame(rows, "grp string, key string, wt long")
+    for out in (
+        weighted_bottomk_sample_grouped(df, "grp", "key", "wt", k=8),
+        bottomk_sample_grouped(df, "grp", "key", k=8),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan and "Partial" in plan, plan[:1500]
+        assert "Final" in plan, plan[:1500]
