@@ -730,9 +730,18 @@ def commonness_buckets(
     """
     from pyspark.sql import Window
 
+    from cassandra_util_spark.functions.windows import constant_partition_key
+
     scored = commonness_score(df, id_col, text_col)
     if mode == "exact":
-        w = Window.orderBy(F.col("commonness").desc(), F.col(id_col).asc())
+        # exact mode IS a global sort by design (the approx branch is the
+        # 100 TB path); the non-foldable key keeps ntile's single group
+        # semantically identical while giving WindowExec a real partition
+        # spec (same treatment as every bounded global window — r11,
+        # functions/windows.py)
+        w = Window.partitionBy(constant_partition_key(F.col(id_col))).orderBy(
+            F.col("commonness").desc(), F.col(id_col).asc()
+        )
         out = scored.select(
             id_col,
             "commonness",
