@@ -3008,9 +3008,14 @@ def mixture_temperature_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass over the corpus; everything after runs on |sources| rows."""
     from pyspark.sql import Window
 
+    from cassandra_util_spark.functions.windows import constant_partition_key
+
     d = _t(spark, sf_dir, "documents")
     c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
-    everything = Window.partitionBy()
+    # frame bounded by construction: |sources| rows post-aggregate — the
+    # non-foldable key silences WindowExec's single-partition WARN without
+    # changing the (single-group) semantics (functions/windows.py)
+    everything = Window.partitionBy(constant_partition_key(F.col("source")))
     wd = F.round(
         F.sqrt(F.col("n_docs") / F.sum("n_docs").over(everything).cast("double")), 6
     )
@@ -3231,7 +3236,11 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("toks").cast("bigint").alias("n_tokens"),
     )
-    everything = Window.partitionBy()
+    # |sources|-row frame post-aggregate: bounded by construction, so the
+    # single-group key treatment applies (functions/windows.py)
+    from cassandra_util_spark.functions.windows import constant_partition_key
+
+    everything = Window.partitionBy(constant_partition_key(F.col("source")))
     return agg.select(
         "source",
         "n_docs",
