@@ -216,6 +216,7 @@ BENCH_QUERIES = [
     "weighted_sample_logcost",
     "logcost_streaming_sample",
     "weighted_sample_by_lang",
+    "corpus_budget_cut",
     "adaptive_length_bounds_sketch",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash

@@ -8827,3 +8827,44 @@ def weighted_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_bottomk_sample_grouped(
         d, "lang", "doc_id", "wt", k=16, payload=("n_chars",), seed="wlc"
     )
+
+
+@query(
+    "corpus_budget_cut",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text,
+                  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS toks
+      FROM documents),
+    c AS (
+      SELECT doc_id, toks,
+             CAST(sum(toks) OVER (
+               ORDER BY doc_id ASC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_tokens
+      FROM t)
+    SELECT doc_id, toks, cum_tokens FROM c WHERE cum_tokens - toks < 20000
+    """,
+)
+def corpus_budget_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget cut WITHOUT the single-task global window: keep
+    documents in doc_id order while the running token total before each
+    stays under 20,000 — the assembly pipeline's budget semantics (the
+    crossing document is the last one kept), computed by the two-phase
+    distributed prefix sum (`functions/cumsum.py`: range partition →
+    per-partition local cumsum in N parallel groups → N-row offset table
+    broadcast back).  The oracle replays the same cut with a plain SQL
+    running sum, certifying that the distributed decomposition is
+    bit-equal to the single-task form it replaces at scale."""
+    from cassandra_util_spark.functions.cumsum import token_budget_cut
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.size(
+        F.regexp_extract_all(
+            F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)
+        )
+    ).cast("bigint")
+    return token_budget_cut(
+        d.select("doc_id", toks.alias("toks")), ["doc_id"], "toks",
+        budget=20_000,
+    )

@@ -1,0 +1,89 @@
+"""Distributed exact cumsum / token-budget cut (the scale path for the
+engine's global-order operations).
+
+Pins: bit-equality with the single-task global window on integers, the
+no-global-window plan property, partition-count invariance, the budget
+cut's crossing-document semantics, and the bounded driver collect."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from cassandra_util_spark.functions.cumsum import (
+    distributed_cumsum,
+    token_budget_cut,
+)
+
+
+def _toy(spark, n=5000):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.hash(F.col("id")), F.lit(997)) + F.lit(1)).alias("toks"),
+    )
+
+
+def test_matches_single_task_global_window_exactly(spark):
+    df = _toy(spark)
+    got = {
+        r["doc_id"]: r["cumsum"]
+        for r in distributed_cumsum(df, ["doc_id"], "toks").collect()
+    }
+    w = Window.orderBy(F.col("doc_id").asc())
+    want = {
+        r["doc_id"]: r["want"]
+        for r in df.withColumn("want", F.sum("toks").over(w)).collect()
+    }
+    assert got == want and len(got) == 5000
+
+
+def test_partition_count_invariance(spark):
+    df = _toy(spark, 2000)
+    a = {r["doc_id"]: r["cumsum"]
+         for r in distributed_cumsum(df, ["doc_id"], "toks",
+                                     num_partitions=3).collect()}
+    b = {r["doc_id"]: r["cumsum"]
+         for r in distributed_cumsum(df, ["doc_id"], "toks",
+                                     num_partitions=17).collect()}
+    assert a == b
+
+
+def test_plan_has_no_single_task_global_window(spark):
+    """The reason this module exists: the window in the plan must be
+    partitioned (by __pid), never a no-partition-spec global sort."""
+    df = _toy(spark, 100)
+    plan = (
+        distributed_cumsum(df, ["doc_id"], "toks")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # Spark renders an unpartitioned window's exchange as
+    # SinglePartition; the pid window hashes instead
+    assert "SinglePartition" not in plan, plan[:2000]
+    assert "hashpartitioning(__pid" in plan, plan[:2000]
+
+
+def test_budget_cut_keeps_the_crossing_document(spark):
+    """sum-before < budget: the document that crosses the budget line is
+    the LAST one kept (assembly semantics), and everything after it is
+    cut."""
+    rows = [(1, 10), (2, 10), (3, 10), (4, 10)]
+    df = spark.createDataFrame(rows, "doc_id long, toks long")
+    kept = sorted(
+        r["doc_id"]
+        for r in token_budget_cut(df, ["doc_id"], "toks", budget=25).collect()
+    )
+    # cum before: doc1=0, doc2=10, doc3=20 (<25, kept, crosses), doc4=30
+    assert kept == [1, 2, 3]
+    # budget 0 keeps nothing; negative raises
+    assert token_budget_cut(df, ["doc_id"], "toks", budget=0).count() == 0
+    with pytest.raises(ValueError, match="non-negative"):
+        token_budget_cut(df, ["doc_id"], "toks", budget=-1)
+    with pytest.raises(ValueError, match="total order"):
+        distributed_cumsum(df, [], "toks")
+
+
+def test_empty_input(spark):
+    df = spark.createDataFrame([], "doc_id long, toks long")
+    assert distributed_cumsum(df, ["doc_id"], "toks").count() == 0
+    assert token_budget_cut(df, ["doc_id"], "toks", budget=10).count() == 0
