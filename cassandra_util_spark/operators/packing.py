@@ -38,6 +38,7 @@ def pack_sequences(
     capacity: int,
     order_col: str | None = None,
     shard_col: str | None = None,
+    distributed: bool = False,
 ) -> DataFrame:
     """Concat-and-chunk packing: (id, n_tokens, bin, bin_offset) where
     ``bin`` is the window holding the document's FIRST token and
@@ -46,11 +47,38 @@ def pack_sequences(
 
     ``order_col`` (default ``id_col``) fixes the concatenation order — the
     determinism contract.  With ``shard_col``, bins restart per shard and
-    the computation parallelizes; without, one global stream (oracle mode).
+    the computation parallelizes; without, one global stream.
+
+    ``distributed=True`` (global form only) computes the SAME global
+    stream through the two-phase prefix sum
+    (:func:`~cassandra_util_spark.functions.cumsum.distributed_cumsum`)
+    instead of the single-task global window — bit-identical output
+    (integer token sums are exact under any grouping; test-pinned), no
+    serialization point.  This is the scale path when windows genuinely
+    must not restart (one unbroken token stream across the corpus);
+    prefer ``shard_col`` when per-shard streams are acceptable.
     """
     if capacity <= 0:
         raise ValueError(f"capacity must be positive, got {capacity}")
     order = order_col or id_col
+    out = [F.col(id_col), F.col(token_col).alias("n_tokens")]
+    if shard_col:
+        out.append(F.col(shard_col))
+    if distributed:
+        if shard_col:
+            raise ValueError(
+                "distributed=True is the GLOBAL-stream scale path; with "
+                "shard_col the per-shard windows already parallelize"
+            )
+        from cassandra_util_spark.functions.cumsum import distributed_cumsum
+
+        cum = distributed_cumsum(df, [order], token_col, out_col="__cum")
+        cum_before = F.col("__cum") - F.col(token_col)
+        return cum.select(
+            *out,
+            F.floor(cum_before / F.lit(capacity)).alias("bin"),
+            F.pmod(cum_before, F.lit(capacity)).alias("bin_offset"),
+        )
     w = (
         Window.partitionBy(shard_col).orderBy(order)
         if shard_col
@@ -60,9 +88,6 @@ def pack_sequences(
         F.sum(token_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
         F.lit(0),
     )
-    out = [F.col(id_col), F.col(token_col).alias("n_tokens")]
-    if shard_col:
-        out.append(F.col(shard_col))
     return df.select(
         *out,
         F.floor(cum_before / F.lit(capacity)).alias("bin"),

@@ -87,3 +87,29 @@ def test_empty_input(spark):
     df = spark.createDataFrame([], "doc_id long, toks long")
     assert distributed_cumsum(df, ["doc_id"], "toks").count() == 0
     assert token_budget_cut(df, ["doc_id"], "toks", budget=10).count() == 0
+
+
+def test_pack_sequences_distributed_matches_global_window(spark):
+    """pack_sequences(distributed=True): the two-phase prefix sum yields
+    bit-identical bins/offsets to the single-task global window it
+    replaces, and rejects the shard_col combination (per-shard windows
+    already parallelize)."""
+    from cassandra_util_spark.operators.packing import pack_sequences
+
+    df = _toy(spark, 3000).withColumnRenamed("toks", "n_tok")
+    want = {
+        r["doc_id"]: (r["bin"], r["bin_offset"])
+        for r in pack_sequences(df, "doc_id", "n_tok", capacity=4096).collect()
+    }
+    got = {
+        r["doc_id"]: (r["bin"], r["bin_offset"])
+        for r in pack_sequences(
+            df, "doc_id", "n_tok", capacity=4096, distributed=True
+        ).collect()
+    }
+    assert got == want and len(got) == 3000
+    with pytest.raises(ValueError, match="GLOBAL-stream"):
+        pack_sequences(
+            df.withColumn("shard", F.lit(1)), "doc_id", "n_tok",
+            capacity=4096, shard_col="shard", distributed=True,
+        )
