@@ -83,6 +83,10 @@ PIPELINES = [
     # (n_chars*1811 ≈ 10^5-10^6) at O(log²w) per row — wall should stay
     # flat-in-weights and near-flat in corpus bytes, shuffle stays k rows
     "weighted_sample_logcost",
+    # distributed prefix sum (r12): the two-phase budget cut — wall should
+    # ramp ~linearly in corpus bytes with NO single-task stage; the naive
+    # global-window form it replaces serializes the whole corpus
+    "corpus_budget_cut",
 ]
 
 
