@@ -2458,10 +2458,21 @@ def training_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors = deduped.join(
         resolved.filter(F.col("keep")).select("doc_id"), "doc_id"
     )
-    sampled = hash_sample(survivors, 0.8, "doc_id", seed="asm").select(
-        "doc_id", bpe_token_estimate(F.col("text")).alias("n_tokens")
+    # materialize the 2-column packing input once: the distributed prefix
+    # sum makes three passes over it (boundary aggregate, bucket totals,
+    # local window), and without this pin each pass would re-execute the
+    # pair-generation/resolve chain above (~1.1 s measured at sf0.1)
+    sampled = (
+        hash_sample(survivors, 0.8, "doc_id", seed="asm")
+        .select("doc_id", bpe_token_estimate(F.col("text")).alias("n_tokens"))
+        .localCheckpoint(eager=False)
     )
-    return pack_sequences(sampled, "doc_id", "n_tokens", capacity=512)
+    # distributed=True: bit-identical packing through the two-phase prefix
+    # sum (functions/cumsum.py) instead of a single-task global window —
+    # the flagship pipeline's last serialization point, removed r12
+    return pack_sequences(
+        sampled, "doc_id", "n_tokens", capacity=512, distributed=True
+    )
 
 
 @query(

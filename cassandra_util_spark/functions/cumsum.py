@@ -8,34 +8,36 @@ the token-budget cut and global packing do not — their frames are
 corpus-sized.  This module implements the classic two-phase prefix sum as
 a composition of DataFrame ops, exact for integer values:
 
-1. ``repartitionByRange`` on the total order + ``sortWithinPartitions`` —
-   each of N partitions holds one contiguous, locally-sorted range;
-2. a per-partition LOCAL cumsum (window partitioned by
-   ``spark_partition_id()`` — N independent groups, parallel across the
-   cluster);
-3. per-partition totals (N rows — bounded by construction) collected,
-   prefix-summed on the driver with exact Python integers, and broadcast
-   back as each partition's OFFSET;
-4. ``cumsum = local_cumsum + offset`` — map-side.
-
-Cost: two full-data exchanges (the range shuffle, then the pid-hash
-shuffle the window inserts because Catalyst cannot see that rows are
-already pid-clustered) plus an N-row aggregate — versus the single-task
-serialization of the naive global window.  At 100 TB the second exchange
-is the price of staying JVM-side/whole-stage-codegen; an
-``applyInPandas`` local cumsum would trade it for a full Arrow round
-trip into Python.
+1. BUCKET: ~equi-depth boundaries of the leading order column (ONE
+   ``approx_percentile`` aggregate, collected once) turn the total order
+   into N ordered buckets via a PURE expression — ``pid = #{boundaries <
+   key}``.  Purity is the load-bearing property: an earlier draft used
+   ``repartitionByRange`` + ``spark_partition_id()``, whose boundaries
+   come from a nondeterministic sample, so the totals pass and the cumsum
+   pass could disagree on partition assignment (~75% of rows came back
+   wrong; caught by the bit-equality test) unless the layout was pinned
+   with a localCheckpoint.  A pure bucket function needs no pinning, no
+   checkpoint I/O, and one less full-data exchange.
+2. LOCAL: per-bucket running sum (window partitioned by bucket — N
+   independent groups, parallel across the cluster; its exchange is the
+   ONE full-data shuffle).
+3. OFFSET: per-bucket totals (≤ N rows — bounded by construction)
+   collected, prefix-summed on the driver with exact Python integers, and
+   broadcast back; ``cumsum = local + offset`` is map-side.
 
 Determinism contract: ``order_cols`` must be a TOTAL order (include a
-unique tiebreak).  Range partitioning may split equal keys across
-partition boundaries, so a non-total order would make the running sum
-assignment nondeterministic between runs — the same rule every top-k in
-this repo follows.
+unique tiebreak).  The leading order column must be numeric/temporal
+(``approx_percentile``'s domain) and non-null.  Rows with EQUAL leading
+keys always land in the same bucket (strict ``<`` against boundaries), so
+a heavily repeated leading key serializes its own rows within one bucket
+— supply a higher-cardinality leading column if that is your shape.
+Approximate boundaries only skew bucket SIZES, never correctness: the
+bucket function is evaluated identically in both passes.
 
 Exactness: integer values sum exactly under any grouping, so the result
 is bit-identical to the single-task global window (test-pinned).  For
-doubles the per-partition regrouping changes addition order; use
-decimals if cross-run bit-equality of float sums matters.
+doubles the per-bucket regrouping changes addition order; use decimals if
+cross-run bit-equality of float sums matters.
 """
 
 from __future__ import annotations
@@ -61,41 +63,45 @@ def distributed_cumsum(
         raise ValueError("order_cols must name a total order")
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    first = order_cols[0]
     order = [F.col(c).asc() for c in order_cols]
 
-    # localCheckpoint PINS the range layout: repartitionByRange derives its
-    # boundaries from a RANDOM sample, so two executions of the same lineage
-    # can split the order at different rows — the totals pass and the cumsum
-    # pass MUST observe the same __pid assignment or offsets are garbage
-    # (measured: ~75% of rows off by one boundary's worth without this).
-    # The same one-materialization-many-consumers pattern as the assembly
-    # pipeline's gated-survivor checkpoint.
-    ranged = (
-        df.repartitionByRange(n, *order)
-        .sortWithinPartitions(*order)
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
-    )
-    # the window's exchange re-clusters by __pid: N parallel groups, never
-    # a single global task
-    w = Window.partitionBy("__pid").orderBy(*order)
-    local = ranged.withColumn("__local", F.sum(value_col).over(w))
+    # one aggregate pass; boundaries become literals, so the bucket id is a
+    # pure function of the row and both downstream passes agree by
+    # construction
+    qs = [i / n for i in range(1, n)]
+    bounds_row = df.agg(
+        F.percentile_approx(F.col(first), F.array(*[F.lit(q) for q in qs]),
+                            F.lit(10_000)).alias("b")
+    ).collect()[0]["b"]
+    bounds = sorted(set(bounds_row)) if bounds_row else []
+    if bounds:
+        barr = F.array(*[F.lit(b) for b in bounds])
+        pid = F.size(F.filter(barr, lambda b: b < F.col(first)))
+    else:
+        pid = F.lit(0)
+    tagged = df.withColumn("__pid", pid)
 
-    # N-row total table: bounded by construction (≤ num_partitions rows),
-    # so the driver-side prefix sum is the same class of collect as every
-    # rule/centroid table in this repo — and Python ints are exact
+    w = Window.partitionBy("__pid").orderBy(*order)
+    local = tagged.withColumn("__local", F.sum(value_col).over(w))
+
+    # ≤ N+1-row total table: bounded by construction, the same class of
+    # driver collect as every rule/centroid table in this repo — and
+    # Python ints are exact
     totals = {
         r["__pid"]: r["__t"]
-        for r in ranged.groupBy("__pid")
+        for r in tagged.groupBy("__pid")
         .agg(F.sum(value_col).alias("__t"))
         .collect()
     }
     offsets, acc = {}, 0
-    for pid in sorted(totals):
-        offsets[pid] = acc
-        acc += totals[pid] or 0
+    for bucket in sorted(totals):
+        offsets[bucket] = acc
+        acc += totals[bucket] or 0
+    if not offsets:
+        return df.withColumn(out_col, F.col(value_col))  # empty input
     offset_df = spark.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()], "__pid int, __off bigint"
+        [(b, off) for b, off in offsets.items()], "__pid int, __off bigint"
     )
     return (
         local.join(F.broadcast(offset_df), "__pid")
