@@ -1239,9 +1239,21 @@ def weighted_logcost_priority_sql(
 ) -> str:
     """DuckDB SQL computing exactly :func:`weighted_bottomk_sample_logcost`'s
     priority — the same unrolled binary-block decomposition, generated from
-    the same loop so the two engines cannot drift."""
+    the same loop so the two engines cannot drift.
+
+    The seed is inlined as a SQL string literal, so it is restricted to a
+    quote-free charset (raise, don't escape: a seed is an identifier-like
+    constant everywhere else in this family, and silently escaping here
+    would let Spark and SQL disagree on the hash input)."""
+    import re as _re
+
     from cassandra_util_spark.functions import portable_hash32_sql
 
+    if not _re.fullmatch(r"[A-Za-z0-9_.:-]+", seed):
+        raise ValueError(
+            f"seed {seed!r} must match [A-Za-z0-9_.:-]+ (it is inlined "
+            "into a SQL string literal and a hash input)"
+        )
     terms = []
     for j in range(max_weight_bits):
         h = portable_hash32_sql(

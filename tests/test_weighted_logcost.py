@@ -248,3 +248,39 @@ def test_grouped_sampler_plans_map_side_group_limit(spark):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "WindowGroupLimit" in plan and "Partial" in plan, plan[:1500]
         assert "Final" in plan, plan[:1500]
+
+
+def test_sql_generator_property_matches_python_reference():
+    """Hypothesis sweep (no Spark needed): for random (key, weight, seed)
+    the generated DuckDB SQL evaluates bit-identically to the pure-Python
+    IEEE reference — the SQL generator has no weight-bit, seed, or key
+    edge cases.  Runs on the binary64 contract alone, so it also guards
+    the generator against a refactor that drifts from the Spark
+    expression (both are pinned to the same reference)."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    key_st = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz0123456789_-", min_size=1, max_size=24
+    )
+    seed_st = st.sampled_from(["wbk", "wlc", "a.b:c-9", "X_1"])
+
+    @settings(max_examples=60, deadline=None)
+    @given(key=key_st, w=st.integers(min_value=1, max_value=(1 << 21) - 1),
+           seed=seed_st)
+    def check(key, w, seed):
+        con = duckdb.connect()
+        sql = weighted_logcost_priority_sql("k", "w", seed=seed)
+        got = con.execute(
+            f"SELECT {sql} FROM (SELECT ? AS k, CAST(? AS BIGINT) AS w)",
+            [key, w],
+        ).fetchone()[0]
+        assert got == _py_priority(key, w, seed=seed), (key, w, seed)
+
+    check()
+
+
+def test_sql_generator_rejects_quotable_seed():
+    with pytest.raises(ValueError, match="inlined"):
+        weighted_logcost_priority_sql("k", "w", seed="bad'seed")
