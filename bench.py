@@ -217,6 +217,7 @@ BENCH_QUERIES = [
     "logcost_streaming_sample",
     "weighted_sample_by_lang",
     "corpus_budget_cut",
+    "padding_waste_report",
     "adaptive_length_bounds_sketch",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash

@@ -8879,3 +8879,52 @@ def corpus_budget_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", toks.alias("toks")), ["doc_id"], "toks",
         budget=20_000,
     )
+
+
+@query(
+    "padding_waste_report",
+    oracle=r"""
+    WITH t AS (
+      SELECT CAST(len(regexp_extract_all(text,
+                  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS toks
+      FROM documents),
+    b AS (
+      SELECT toks,
+             CASE WHEN toks > 8192 THEN -1
+                  ELSE list_min(list_filter(
+                         [64,128,256,512,1024,2048,4096,8192],
+                         v -> v >= toks)) END AS bucket
+      FROM t),
+    agg AS (
+      SELECT bucket, count(*) AS n_docs,
+             CAST(sum(toks) AS BIGINT) AS n_tokens
+      FROM b GROUP BY bucket)
+    SELECT bucket, n_docs, n_tokens,
+           CASE WHEN bucket > 0 THEN bucket * n_docs END AS padded_slots,
+           CASE WHEN bucket > 0 THEN bucket * n_docs - n_tokens END
+             AS wasted_slots,
+           round((bucket * n_docs - n_tokens)
+                 / CAST(bucket * n_docs AS DOUBLE), 6) AS waste_share
+    FROM agg
+    """,
+)
+def padding_waste_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-cost accounting for fixed-length batching: every document
+    assigned to the smallest power-of-two bucket ≥ its token count (64 to
+    8192; longer goes to the oversize bucket) with per-bucket document
+    count, real tokens, padded slots, wasted slots, and waste share — the
+    evidence behind choosing a bucket ladder (or switching to packing)
+    for SFT/eval workloads where documents must stay whole.  Bucket
+    selection is exact INTEGER comparison over the candidate ladder —
+    never ceil(log2(double)), whose last ulp differs between engines on
+    exact powers — so the whole report replays bit-identically in SQL.
+    One partial-aggregate pass; ≤ 9 output rows at any corpus size."""
+    from cassandra_util_spark.operators.packing import padding_waste_report
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.size(
+        F.regexp_extract_all(
+            F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)
+        )
+    ).cast("bigint")
+    return padding_waste_report(d.select(toks.alias("toks")), "toks")

@@ -212,3 +212,66 @@ def pack_greedy(
         return pd.DataFrame(cols)
 
     return work.groupBy("__shard").applyInPandas(fold, out_schema)
+
+
+def padding_waste_report(
+    df: DataFrame,
+    token_col: str,
+    min_bucket: int = 64,
+    max_bucket: int = 8192,
+) -> DataFrame:
+    """Padding-cost accounting for fixed-length batching: assign each
+    document to the smallest power-of-two bucket ≥ its token count
+    (floored at ``min_bucket``; longer-than-``max_bucket`` documents go to
+    an ``oversize`` bucket that a truncation/chunking policy must handle)
+    and report, per bucket: document count, real tokens, padded slots
+    (count·bucket), wasted slots, and waste share.
+
+    This is the measurement behind length-bucketed batch shaping — the
+    standard alternative to packing when documents must stay whole (SFT,
+    eval): without bucketing every batch pads to its longest member; the
+    report quantifies exactly how many FLOPs padding burns at each bucket
+    size so the bucket ladder (or a switch to :func:`pack_sequences`) is
+    chosen on evidence.  One partial-aggregate pass, |buckets| output rows
+    (≤ log2(max/min)+2 — bounded by construction); every column is exact
+    integer arithmetic except the one rounded share, so the report
+    replays bit-identically in SQL.
+    """
+    if min_bucket <= 0 or max_bucket < min_bucket:
+        raise ValueError(f"bad bucket range [{min_bucket}, {max_bucket}]")
+    t = F.col(token_col).cast("bigint")
+    # smallest power-of-two bucket >= t, by exact INTEGER selection over the
+    # <= log2(max/min)+1 candidates — never ceil(log2(double)), whose last
+    # ulp differs between engines on exact powers and would flip a document
+    # one bucket up in one engine only
+    ladder = []
+    b = 1
+    while b < min_bucket:
+        b <<= 1
+    while b <= max_bucket:
+        ladder.append(b)
+        b <<= 1
+    candidates = F.array(*[F.lit(v) for v in ladder])
+    bucket = F.when(t > max_bucket, F.lit(-1)).otherwise(
+        F.array_min(F.filter(candidates, lambda v: v >= t))
+    )
+    return (
+        df.select(bucket.alias("bucket"), t.alias("t"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("t").alias("n_tokens"),
+        )
+        .withColumn(
+            "padded_slots",
+            F.when(F.col("bucket") > 0, F.col("bucket") * F.col("n_docs")),
+        )
+        .withColumn("wasted_slots", F.col("padded_slots") - F.col("n_tokens"))
+        .withColumn(
+            "waste_share",
+            F.round(
+                F.col("wasted_slots") / F.col("padded_slots").cast("double"), 6
+            ),
+        )
+        .orderBy(F.col("bucket").asc())
+    )

@@ -141,3 +141,24 @@ def test_chunk_documents_empty_text(spark):
     assert [(r["doc_id"], r["chunk_id"], r["chunk_text"], r["n_words"]) for r in rows] == [
         (1, 0, "", 0), (2, 0, "", 0), (3, 0, "", 0),
     ]
+
+
+def test_padding_waste_report_buckets_and_arithmetic(spark):
+    """Bucket edges: exactly-at-power stays in that bucket (integer >=,
+    no float log), below-min floors to the min bucket, above-max goes to
+    the oversize row with NULL slot accounting; waste arithmetic exact."""
+    from cassandra_util_spark.operators.packing import padding_waste_report
+
+    rows = [(64,), (65,), (10,), (8192,), (8193,), (100,)]
+    df = spark.createDataFrame(rows, "toks long")
+    got = {r["bucket"]: r for r in padding_waste_report(df, "toks").collect()}
+    assert set(got) == {64, 128, 8192, -1}
+    assert got[64]["n_docs"] == 2 and got[64]["n_tokens"] == 74
+    assert got[64]["padded_slots"] == 128 and got[64]["wasted_slots"] == 54
+    assert got[128]["n_docs"] == 2  # 65 and 100
+    assert got[8192]["n_docs"] == 1 and got[8192]["wasted_slots"] == 0
+    assert got[-1]["padded_slots"] is None and got[-1]["wasted_slots"] is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bucket range"):
+        padding_waste_report(df, "toks", min_bucket=0)
