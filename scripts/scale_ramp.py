@@ -87,6 +87,10 @@ PIPELINES = [
     # ramp ~linearly in corpus bytes with NO single-task stage; the naive
     # global-window form it replaces serializes the whole corpus
     "corpus_budget_cut",
+    # stratified weighted sampler (r12): per-language E-S winners at
+    # log-cost priority — map-side WindowGroupLimit pre-prune, so shuffle
+    # stays ~groups·maps·k rows and wall near-flat
+    "weighted_sample_by_lang",
 ]
 
 
