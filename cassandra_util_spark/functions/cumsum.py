@@ -75,11 +75,21 @@ def distributed_cumsum(
                             F.lit(10_000)).alias("b")
     ).collect()[0]["b"]
     bounds = sorted(set(bounds_row)) if bounds_row else []
+    # a NULL leading key would silently land in bucket 0 (NULL comparisons
+    # drop out of the filter) and corrupt the order — fail loudly instead;
+    # the total-order contract requires non-null keys
+    key = F.when(
+        F.col(first).isNull(),
+        F.raise_error(
+            F.lit(f"distributed_cumsum: NULL in leading order column "
+                  f"{first!r} — the total order must be non-null")
+        ).cast(df.schema[first].dataType),
+    ).otherwise(F.col(first))
     if bounds:
         barr = F.array(*[F.lit(b) for b in bounds])
-        pid = F.size(F.filter(barr, lambda b: b < F.col(first)))
+        pid = F.size(F.filter(barr, lambda b: b < key))
     else:
-        pid = F.lit(0)
+        pid = F.when(key.isNotNull(), F.lit(0))
     tagged = df.withColumn("__pid", pid)
 
     w = Window.partitionBy("__pid").orderBy(*order)

@@ -113,3 +113,46 @@ def test_pack_sequences_distributed_matches_global_window(spark):
             df.withColumn("shard", F.lit(1)), "doc_id", "n_tok",
             capacity=4096, shard_col="shard", distributed=True,
         )
+
+
+def test_null_order_key_fails_loudly(spark):
+    """A NULL leading key would silently land in bucket 0 and corrupt the
+    order — the total-order contract requires non-null keys, enforced at
+    eval."""
+    df = spark.createDataFrame([(1, 5), (None, 7)], "doc_id long, toks long")
+    with pytest.raises(Exception, match="NULL in leading order"):
+        distributed_cumsum(df, ["doc_id"], "toks").collect()
+
+
+def test_cumsum_property_random_values(spark):
+    """Hypothesis sweep: random (possibly negative) values and random key
+    spacings match a plain Python prefix sum exactly — bucket-boundary
+    placement can never change an integer sum."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        vals=st.lists(
+            st.integers(min_value=-(10**6), max_value=10**6),
+            min_size=1, max_size=80,
+        ),
+        gap=st.integers(min_value=1, max_value=1000),
+        parts=st.sampled_from([2, 5, 13]),
+    )
+    def check(vals, gap, parts):
+        rows = [(i * gap, v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "k long, v long")
+        got = {
+            r["k"]: r["cumsum"]
+            for r in distributed_cumsum(
+                df, ["k"], "v", num_partitions=parts
+            ).collect()
+        }
+        acc, want = 0, {}
+        for k, v in rows:
+            acc += v
+            want[k] = acc
+        assert got == want
+
+    check()
