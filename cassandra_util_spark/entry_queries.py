@@ -8928,3 +8928,63 @@ def padding_waste_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).cast("bigint")
     return padding_waste_report(d.select(toks.alias("toks")), "toks")
+
+
+@query(
+    "mixture_budget_execution",
+    oracle=r"""
+    WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+    w AS (
+      SELECT source, n_docs,
+             round(sqrt(n_docs / CAST((SELECT sum(n_docs) FROM c) AS DOUBLE)), 6) AS wd
+      FROM c),
+    z AS (
+      SELECT source,
+             round(wd / CAST((SELECT sum(CAST(wd AS DECIMAL(18,6))) FROM w) AS DOUBLE),
+                   6) AS weight
+      FROM w),
+    budgets AS (
+      SELECT source, CAST(floor(weight * 18000) AS BIGINT) AS budget FROM z),
+    t AS (
+      SELECT source, doc_id,
+             CAST(len(regexp_extract_all(text,
+                  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS toks
+      FROM documents),
+    cum AS (
+      SELECT source, doc_id, toks,
+             CAST(sum(toks) OVER (
+               PARTITION BY source ORDER BY doc_id ASC
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM t)
+    SELECT cum.source, doc_id, toks, cum_tokens, budget
+    FROM cum JOIN budgets ON cum.source = budgets.source
+    WHERE cum_tokens - toks < budget
+    """,
+)
+def mixture_budget_execution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The planner → executor link for mixture building: the
+    temperature-mixture advisory says WHAT share each source gets
+    (`mixture_temperature_plan`'s 6dp weights); this turns those shares
+    into per-source token budgets (weight × an 18k-token target, floored)
+    and materializes exactly WHICH documents realize them — per-source
+    running token totals in doc_id order, keep while the total before
+    each document is under its source's budget (the crossing document is
+    the last kept, the `token_budget_cut` rule per group).  Same pattern
+    as join_plan_advisory → advised_join_exec: advice certified, then
+    the execution of that advice certified on the same data.  One
+    shuffle on the source key; per-source windows parallelize; the plan
+    table is |sources| rows, broadcast."""
+    from cassandra_util_spark.functions.cumsum import apply_token_budgets
+
+    plan = QUERIES["mixture_temperature_plan"](spark, sf_dir)
+    budgets = plan.select(
+        "source", F.floor(F.col("weight") * F.lit(18_000)).cast("bigint").alias("budget")
+    )
+    d = _t(spark, sf_dir, "documents")
+    toks = F.size(
+        F.regexp_extract_all(
+            F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)
+        )
+    ).cast("bigint")
+    docs = d.select("source", "doc_id", toks.alias("toks"))
+    return apply_token_budgets(docs, budgets, "source", ["doc_id"], "toks")

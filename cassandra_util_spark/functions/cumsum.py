@@ -141,3 +141,39 @@ def token_budget_cut(
         num_partitions=num_partitions,
     )
     return cum.filter((F.col("cum_tokens") - F.col(token_col)) < budget)
+
+
+def apply_token_budgets(
+    df: DataFrame,
+    budgets: DataFrame,
+    group_col: str,
+    order_cols: Sequence[str],
+    token_col: str,
+) -> DataFrame:
+    """Execute a per-group token-budget plan: within each group, keep
+    documents in ``order_cols`` order while the group's running token
+    total BEFORE each document is under its budget (same crossing rule as
+    :func:`token_budget_cut`, per group).  ``budgets`` is a tiny plan
+    table — ``(group_col, budget)``, one row per group, e.g. the output
+    of the temperature-mixture planner times a total token target — and
+    is broadcast.  Groups absent from the plan contribute nothing
+    (inner join): an unplanned source is excluded, not unlimited.
+
+    This is the planner → executor link for mixture building: the
+    advisory (`mixture_temperature_plan`) says WHAT share each source
+    gets; this materializes WHICH documents that is, deterministically.
+
+    Scale shape: one shuffle on the group key; per-group running sums
+    parallelize across groups (the per-group window).  A single group
+    holding most of the corpus serializes its own running sum — route
+    such a group through :func:`distributed_cumsum` on its slice if that
+    is your shape; for mixture plans (tens to thousands of sources) the
+    grouped window is the right plan.  Output: the kept rows plus
+    ``cum_tokens``; exact integers, replays bit-identically in SQL."""
+    w = Window.partitionBy(group_col).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    cum = df.withColumn("cum_tokens", F.sum(token_col).over(w))
+    return cum.join(F.broadcast(budgets), group_col).filter(
+        (F.col("cum_tokens") - F.col(token_col)) < F.col("budget")
+    )

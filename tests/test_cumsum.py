@@ -156,3 +156,43 @@ def test_cumsum_property_random_values(spark):
         assert got == want
 
     check()
+
+
+def test_apply_token_budgets_per_group_semantics(spark):
+    """Per-group budget execution: each group's crossing document is its
+    last kept; unplanned groups are EXCLUDED (inner join), not unlimited;
+    a zero budget keeps nothing from its group."""
+    from cassandra_util_spark.functions.cumsum import apply_token_budgets
+
+    rows = [
+        ("a", 1, 10), ("a", 2, 10), ("a", 3, 10),
+        ("b", 1, 5), ("b", 2, 5),
+        ("c", 1, 7),  # no budget row -> excluded
+        ("d", 1, 3),  # zero budget -> excluded
+    ]
+    df = spark.createDataFrame(rows, "src string, doc_id long, toks long")
+    budgets = spark.createDataFrame(
+        [("a", 15), ("b", 100), ("d", 0)], "src string, budget long"
+    )
+    kept = sorted(
+        (r["src"], r["doc_id"])
+        for r in apply_token_budgets(df, budgets, "src", ["doc_id"], "toks").collect()
+    )
+    # a: cum-before 0,10 (<15) keep docs 1,2; doc3 cum-before 20 cut
+    # b: all kept; c: unplanned; d: zero budget
+    assert kept == [("a", 1), ("a", 2), ("b", 1), ("b", 2)]
+
+
+def test_apply_token_budgets_plans_broadcast_and_group_parallel(spark):
+    from cassandra_util_spark.functions.cumsum import apply_token_budgets
+
+    df = spark.createDataFrame(
+        [("a", i, 5) for i in range(50)], "src string, doc_id long, toks long"
+    )
+    budgets = spark.createDataFrame([("a", 100)], "src string, budget long")
+    plan = (
+        apply_token_budgets(df, budgets, "src", ["doc_id"], "toks")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "SinglePartition" not in plan, plan[:1500]
