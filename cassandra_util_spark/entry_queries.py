@@ -1392,14 +1392,7 @@ def token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish regex tokenization: alpha runs, digit runs, and lone symbols
     each count as one token (the pre-tokenizer shape BPE vocabularies use)."""
     d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.size(
-            F.regexp_extract_all(
-                F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)
-            )
-        ).cast("bigint").alias("n_regex_tokens"),
-    )
+    return d.select("doc_id", _tokcount(F.col("text")).alias("n_regex_tokens"))
 
 
 # ---------------------------------------------------------------------------
@@ -2947,6 +2940,10 @@ def corpus_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from cassandra_util_spark.functions import portable_hash32_sql as _h32_sql  # noqa: E402
+from cassandra_util_spark.operators.text import (  # noqa: E402
+    regex_token_count as _tokcount,
+    regex_token_count_sql as _tokcount_sql,
+)
 
 _SHARD_SEED = "ep0"
 _N_SHARDS = 8
@@ -3238,11 +3235,7 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = _t(spark, sf_dir, "documents")
-    toks = F.size(
-        F.regexp_extract_all(
-            F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)
-        )
-    ).cast("bigint")
+    toks = _tokcount(F.col("text"))
     agg = d.select("source", toks.alias("toks")).groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("toks").cast("bigint").alias("n_tokens"),
@@ -8870,11 +8863,7 @@ def corpus_budget_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_util_spark.functions.cumsum import token_budget_cut
 
     d = _t(spark, sf_dir, "documents")
-    toks = F.size(
-        F.regexp_extract_all(
-            F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)
-        )
-    ).cast("bigint")
+    toks = _tokcount(F.col("text"))
     return token_budget_cut(
         d.select("doc_id", toks.alias("toks")), ["doc_id"], "toks",
         budget=20_000,
@@ -8903,8 +8892,8 @@ def corpus_budget_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN bucket > 0 THEN bucket * n_docs END AS padded_slots,
            CASE WHEN bucket > 0 THEN bucket * n_docs - n_tokens END
              AS wasted_slots,
-           round((bucket * n_docs - n_tokens)
-                 / CAST(bucket * n_docs AS DOUBLE), 6) AS waste_share
+           CASE WHEN bucket > 0 THEN round((bucket * n_docs - n_tokens)
+                 / CAST(bucket * n_docs AS DOUBLE), 6) END AS waste_share
     FROM agg
     """,
 )
@@ -8922,11 +8911,7 @@ def padding_waste_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_util_spark.operators.packing import padding_waste_report
 
     d = _t(spark, sf_dir, "documents")
-    toks = F.size(
-        F.regexp_extract_all(
-            F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)
-        )
-    ).cast("bigint")
+    toks = _tokcount(F.col("text"))
     return padding_waste_report(d.select(toks.alias("toks")), "toks")
 
 
@@ -8981,10 +8966,6 @@ def mixture_budget_execution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.floor(F.col("weight") * F.lit(18_000)).cast("bigint").alias("budget")
     )
     d = _t(spark, sf_dir, "documents")
-    toks = F.size(
-        F.regexp_extract_all(
-            F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)
-        )
-    ).cast("bigint")
+    toks = _tokcount(F.col("text"))
     docs = d.select("source", "doc_id", toks.alias("toks"))
     return apply_token_budgets(docs, budgets, "source", ["doc_id"], "toks")

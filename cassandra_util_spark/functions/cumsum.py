@@ -170,6 +170,23 @@ def apply_token_budgets(
     is your shape; for mixture plans (tens to thousands of sources) the
     grouped window is the right plan.  Output: the kept rows plus
     ``cum_tokens``; exact integers, replays bit-identically in SQL."""
+    # the plan table's one-row-per-group contract is load-bearing: a
+    # duplicate group row would fan every document of that group out
+    # through the join and silently over-realize its share.  The table is
+    # |groups| rows by construction, so checking is one cheap job — every
+    # other contract violation in this module fails loudly too.
+    dup = (
+        budgets.groupBy(group_col)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(3)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            "apply_token_budgets: budgets must have exactly one row per "
+            f"group; duplicated: {[r[group_col] for r in dup]}"
+        )
     w = Window.partitionBy(group_col).orderBy(
         *[F.col(c).asc() for c in order_cols]
     )

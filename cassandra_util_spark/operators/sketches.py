@@ -1093,7 +1093,7 @@ def weighted_bottomk_sample_logcost(
     k: int = 256,
     payload: tuple = (),
     seed: str = "wbk",
-    max_weight_bits: int = 21,
+    max_weight_bits: int = 31,
 ) -> DataFrame:
     """Log-cost weighted bottom-k: the Efraimidis-Spirakis weighted
     sample WITHOUT replacement at O(log²w) per row instead of
@@ -1126,8 +1126,11 @@ def weighted_bottomk_sample_logcost(
     min-of-w CDF.
 
     Scale shape: map-only, ≤ ``max_weight_bits`` branches of ≤ j sqrts
-    each (Σ ≈ 210 flops at 21 bits) regardless of the weight's value, so
-    per-row cost is O(log²w) and sum(weights) never appears.  Same
+    each (Σ ≈ 465 flops at the default 31 bits — raised from 21 in r12
+    for guard headroom; the extra branches are sentinel-valued for any
+    weight below 2^21, so priorities for in-range weights are unchanged)
+    regardless of the weight's value, so per-row cost is O(log²w) and
+    sum(weights) never appears.  Same
     closure as every bottom-k: priorities are pure functions of
     (seed, key, weight), so shard/batch samples merge losslessly.
     Weights outside [1, 2^max_weight_bits) raise — silently vanishing
@@ -1194,7 +1197,7 @@ def weighted_bottomk_sample_grouped(
     k: int = 64,
     payload: tuple = (),
     seed: str = "wbk",
-    max_weight_bits: int = 21,
+    max_weight_bits: int = 31,
 ) -> DataFrame:
     """Per-group weighted bottom-k WITHOUT replacement: each group keeps
     its own k Efraimidis-Spirakis winners under the LOG-COST priority —
@@ -1235,7 +1238,7 @@ def weighted_bottomk_sample_grouped(
 
 
 def weighted_logcost_priority_sql(
-    key_expr: str, weight_expr: str, seed: str = "wbk", max_weight_bits: int = 21
+    key_expr: str, weight_expr: str, seed: str = "wbk", max_weight_bits: int = 31
 ) -> str:
     """DuckDB SQL computing exactly :func:`weighted_bottomk_sample_logcost`'s
     priority — the same unrolled binary-block decomposition, generated from

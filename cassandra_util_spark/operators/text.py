@@ -51,6 +51,29 @@ def bpe_token_estimate(col: Column) -> Column:
     return F.ceil(F.length(col) / F.lit(4)).cast("bigint")
 
 
+# the BPE pre-tokenizer shape: alpha runs, digit runs, and lone symbols each
+# count as one token.  ONE definition, with a generated SQL twin, shared by
+# every token-counting query (token_count_regex, corpus_token_budget,
+# corpus_budget_cut, padding_waste_report, mixture_budget_execution) so a
+# regex tweak can never silently desynchronize their tokenization.
+BPE_TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def regex_token_count(col: Column) -> Column:
+    """Exact regex token count (bigint) under :data:`BPE_TOKEN_REGEX`."""
+    return F.size(
+        F.regexp_extract_all(col, F.lit(BPE_TOKEN_REGEX), F.lit(0))
+    ).cast("bigint")
+
+
+def regex_token_count_sql(expr: str) -> str:
+    """DuckDB SQL computing exactly :func:`regex_token_count`."""
+    return (
+        f"CAST(len(regexp_extract_all({expr}, "
+        f"'{BPE_TOKEN_REGEX}')) AS BIGINT)"
+    )
+
+
 def fingerprint(col: Column) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text.
     Robust to case/punctuation/whitespace jitter — the 'same document,

@@ -196,3 +196,17 @@ def test_apply_token_budgets_plans_broadcast_and_group_parallel(spark):
     )
     assert "BroadcastHashJoin" in plan, plan[:1500]
     assert "SinglePartition" not in plan, plan[:1500]
+
+
+def test_apply_token_budgets_rejects_duplicate_plan_rows(spark):
+    """r12 review: a duplicate group row in the plan table would fan the
+    group's documents out through the join and silently over-realize its
+    share — the one-row-per-group contract is enforced, not assumed."""
+    from cassandra_util_spark.functions.cumsum import apply_token_budgets
+
+    df = spark.createDataFrame([("a", 1, 5)], "src string, doc_id long, toks long")
+    budgets = spark.createDataFrame(
+        [("a", 10), ("a", 20)], "src string, budget long"
+    )
+    with pytest.raises(ValueError, match="one row per"):
+        apply_token_budgets(df, budgets, "src", ["doc_id"], "toks")

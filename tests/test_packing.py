@@ -162,3 +162,50 @@ def test_padding_waste_report_buckets_and_arithmetic(spark):
 
     with _pytest.raises(ValueError, match="bucket range"):
         padding_waste_report(df, "toks", min_bucket=0)
+
+
+def test_padding_waste_oracle_matches_spark_on_oversize_docs(spark):
+    """r12 review: the oracle's waste_share lacked the bucket>0 guard, so
+    an oversize document (>8192 tokens) made DuckDB emit a meaningless
+    positive share where Spark emits NULL.  Pin the two engines on a
+    corpus that actually exercises the oversize bucket."""
+    import duckdb
+    import pandas as pd
+
+    from cassandra_util_spark.entry_queries import ORACLES
+    from cassandra_util_spark.operators.packing import padding_waste_report
+
+    texts = ["word " * 9000, "word " * 50, "word " * 120]
+    pdf = pd.DataFrame({
+        "doc_id": range(len(texts)), "text": texts,
+        "lang": ["en"] * 3, "source": ["s"] * 3,
+        "n_chars": [len(t) for t in texts],
+    })
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = con.execute(ORACLES["padding_waste_report"]).df()
+
+    from pyspark.sql import functions as F
+
+    from cassandra_util_spark.operators.text import regex_token_count
+
+    d = spark.createDataFrame(pdf)
+    got = (
+        padding_waste_report(
+            d.select(regex_token_count(F.col("text")).alias("toks")), "toks"
+        )
+        .toPandas()
+    )
+    want = want.sort_values("bucket").reset_index(drop=True)
+    got = got.sort_values("bucket").reset_index(drop=True)
+    assert list(got["bucket"]) == list(want["bucket"])
+    # the oversize row's slot accounting is NULL in BOTH engines now
+    over_g = got[got.bucket == -1].iloc[0]
+    over_w = want[want.bucket == -1].iloc[0]
+    assert pd.isna(over_g["waste_share"]) and pd.isna(over_w["waste_share"])
+    assert pd.isna(over_g["padded_slots"]) and pd.isna(over_w["padded_slots"])
+    # and the real buckets agree exactly
+    for c in ("n_docs", "n_tokens", "padded_slots", "wasted_slots", "waste_share"):
+        a = got[got.bucket > 0][c].tolist()
+        b = want[want.bucket > 0][c].tolist()
+        assert a == b, (c, a, b)

@@ -31,7 +31,7 @@ from cassandra_util_spark.operators.sketches import (
 SF_DIR = "/root/testdata/sf0.001"
 
 
-def _py_priority(key: str, w: int, seed: str = "wbk", bits: int = 21) -> float:
+def _py_priority(key: str, w: int, seed: str = "wbk", bits: int = 31) -> float:
     """Pure-Python reference: same md5 word, same binary64 sqrt chain.
     Python floats ARE IEEE binary64 and math.sqrt is correctly rounded,
     so this must equal the JVM result bit-for-bit."""
@@ -114,7 +114,7 @@ def test_no_weight_length_array_in_plan(spark):
 
 
 def test_out_of_range_weights_raise(spark):
-    for bad in (0, -3, 1 << 21):
+    for bad in (0, -3, 1 << 31):
         df = spark.createDataFrame([("a", bad)], "key string, wt long")
         with pytest.raises(Exception, match="weight out of"):
             weighted_bottomk_sample_logcost(df, "key", "wt", k=1).collect()
