@@ -91,6 +91,10 @@ PIPELINES = [
     # log-cost priority — map-side WindowGroupLimit pre-prune, so shuffle
     # stays ~groups·maps·k rows and wall near-flat
     "weighted_sample_by_lang",
+    # mixture executor (r12): per-source budget cut — one group-key
+    # shuffle, per-group windows parallel across sources; wall ~linear
+    # in corpus bytes, budgets table broadcast
+    "mixture_budget_execution",
 ]
 
 
