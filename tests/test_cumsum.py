@@ -210,3 +210,52 @@ def test_apply_token_budgets_rejects_duplicate_plan_rows(spark):
     )
     with pytest.raises(ValueError, match="one row per"):
         apply_token_budgets(df, budgets, "src", ["doc_id"], "toks")
+
+
+def test_apply_token_budgets_property_matches_python_reference(spark):
+    """Hypothesis sweep: random groups, token lists, and budgets match a
+    plain per-group Python prefix-sum cut exactly — the join/window
+    composition introduces no group crosstalk at any shape."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cassandra_util_spark.functions.cumsum import apply_token_budgets
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        data=st.lists(
+            st.tuples(
+                st.sampled_from(["g0", "g1", "g2", "g3"]),
+                st.integers(min_value=1, max_value=200),
+            ),
+            min_size=1, max_size=60,
+        ),
+        budgets=st.fixed_dictionaries({
+            "g0": st.integers(min_value=0, max_value=2000),
+            "g1": st.integers(min_value=0, max_value=2000),
+            "g2": st.integers(min_value=0, max_value=2000),
+        }),
+    )
+    def check(data, budgets):
+        rows = [(g, i, t) for i, (g, t) in enumerate(data)]
+        df = spark.createDataFrame(rows, "src string, doc_id long, toks long")
+        bdf = spark.createDataFrame(
+            list(budgets.items()), "src string, budget long"
+        )
+        got = sorted(
+            (r["src"], r["doc_id"])
+            for r in apply_token_budgets(
+                df, bdf, "src", ["doc_id"], "toks"
+            ).collect()
+        )
+        want, run = [], {}
+        for g, i, t in sorted(rows, key=lambda r: r[1]):
+            if g not in budgets:
+                continue  # unplanned group: excluded ("g3")
+            before = run.get(g, 0)
+            if before < budgets[g]:
+                want.append((g, i))
+            run[g] = before + t
+        assert got == sorted(want)
+
+    check()
