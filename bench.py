@@ -219,6 +219,7 @@ BENCH_QUERIES = [
     "corpus_budget_cut",
     "padding_waste_report",
     "mixture_budget_execution",
+    "dedup_token_spans",
     "adaptive_length_bounds_sketch",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash

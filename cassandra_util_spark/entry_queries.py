@@ -8969,3 +8969,43 @@ def mixture_budget_execution(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _tokcount(F.col("text"))
     docs = d.select("source", "doc_id", toks.alias("toks"))
     return apply_token_budgets(docs, budgets, "source", ["doc_id"], "toks")
+
+
+@query(
+    "dedup_token_spans",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents),
+    grams AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(list_slice(w, i, i + 7), ' ') AS g
+      FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i
+            FROM toks WHERE len(w) >= 8)),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+    anchors AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+    islands AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (
+               PARTITION BY doc_id ORDER BY pos) AS island
+      FROM anchors)
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 7 AS BIGINT) AS span_end,
+           CAST(max(pos) + 8 - min(pos) AS BIGINT) AS span_tokens
+    FROM islands GROUP BY doc_id, island
+    """,
+)
+def dedup_token_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated spans at TOKEN granularity (the Lee et al. 2022
+    excision shape): for each document, the maximal token ranges whose
+    every 8-gram occurs more than once in the corpus — exact 0-based
+    offsets via the gaps-and-islands integer trick, finer than the
+    32-word chunk grid of `dedup_span_removal`/`dedup_within_doc_spans`
+    (catches spans straddling chunk boundaries, reports true extents).
+    One n-gram explode into a combiner-reduced gram count, anchors
+    semi-joined back (∝ duplicated volume only), per-document islands
+    parallel across documents."""
+    from cassandra_util_spark.operators.dedup import duplicated_token_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return duplicated_token_spans(d, "doc_id", "text", n=8)

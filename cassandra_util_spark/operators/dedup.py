@@ -1581,3 +1581,98 @@ def contamination_overlap(
             .alias("overlap"),
         )
     )
+
+
+def duplicated_token_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    scope: str = "global",
+) -> DataFrame:
+    """Maximal duplicated spans at TOKEN granularity: for each document,
+    the maximal token ranges in which EVERY n-gram occurs more than once
+    in the corpus — the fine-grained form of the chunk-grid span
+    operators (`remove_repeated_spans_within` / the cross-document
+    excision work on a fixed 32-word grid; this reports exact token
+    offsets and catches spans straddling chunk boundaries, the
+    Lee et al. 2022 "Deduplicating Training Data" excision shape).
+
+    Construction: a substring of length L ≥ n duplicated elsewhere makes
+    every one of its L−n+1 n-gram start positions duplicated, so maximal
+    duplicated regions are exactly the maximal RUNS of duplicated
+    anchor positions (gaps-and-islands: island = pos − rank(pos), a pure
+    integer trick), extended by n−1 trailing tokens.  Runs can chain
+    through anchors duplicated against DIFFERENT documents — the
+    standard excision criterion ("every token is inside some ≥n-token
+    duplicated region"), deliberately coarser than whole-substring
+    duplication.
+
+    ``scope="global"`` counts an n-gram duplicated when it occurs ≥2
+    times anywhere (including twice in one document);
+    ``scope="cross_doc"`` requires ≥2 distinct documents.
+
+    Scale shape: one n-gram explode (∝ corpus tokens) into a
+    combiner-reduced gram count, anchors semi-joined back (∝ duplicated
+    volume only), then per-document islands — a window partitioned by
+    document, parallel across documents, state ∝ doc length.  Grams
+    join on their exact text (no hash collisions to reason about); swap
+    to a hashed key upstream if gram strings dominate the shuffle.
+    Output: (id, span_start, span_end, span_tokens) in 0-based token
+    offsets of the NORMALIZED token stream, spans ≥ n tokens only.
+    """
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    if scope not in ("global", "cross_doc"):
+        raise ValueError(f"unknown scope {scope!r}")
+    from pyspark.sql import Window
+
+    from cassandra_util_spark.operators.text import _norm_tokens
+
+    toks = F.transform(F.array(_norm_tokens(F.col(text_col))), lambda t: t)[0]
+    grams = (
+        df.select(F.col(id_col).alias("id"), toks.alias("w"))
+        .filter(F.size("w") >= n)
+        .select(
+            "id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - F.lit(n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("w"), i, n)),
+                )
+            ).alias("pos", "g"),
+        )
+    )
+    if scope == "global":
+        dup = (
+            grams.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") >= 2)
+            .select("g")
+        )
+    else:
+        dup = (
+            grams.groupBy("g")
+            .agg(F.count_distinct("id").alias("c"))
+            .filter(F.col("c") >= 2)
+            .select("g")
+        )
+    anchors = grams.join(dup, "g").select("id", "pos")
+    w = Window.partitionBy("id").orderBy(F.col("pos").asc())
+    islands = anchors.withColumn(
+        "island", F.col("pos") - F.row_number().over(w)
+    )
+    # posexplode's pos is the 0-based index into the gram-start sequence,
+    # which IS the gram's 0-based token offset
+    return (
+        islands.groupBy("id", "island")
+        .agg(F.min("pos").alias("first_anchor"), F.max("pos").alias("last_anchor"))
+        .select(
+            F.col("id").alias(id_col),
+            F.col("first_anchor").cast("bigint").alias("span_start"),
+            (F.col("last_anchor") + F.lit(n - 1)).cast("bigint").alias("span_end"),
+            (F.col("last_anchor") + F.lit(n) - F.col("first_anchor"))
+            .cast("bigint")
+            .alias("span_tokens"),
+        )
+    )
