@@ -10,9 +10,13 @@ construction (``orderBy().limit(k)`` → TakeOrderedAndProject feeding the
 window — the skew_report / bm25 / rp-rerank shape).  What this audit
 exists to catch is the third case: a rank ≤ k FILTER over an unbounded
 per-group window that Catalyst failed to push down — the single-task
-hot-group bottleneck.  r12 audit result: zero such cases across 178
-queries (every no-WGL window triaged as (a) or (b)); the grouped
-samplers' pushdown is pinned in tests/test_weighted_logcost.py.
+hot-group bottleneck.  r12 final audit: zero such cases across 182
+queries — 20 no-WGL windows, every one triaged as (a) or (b); the r12
+additions are all (a): corpus_budget_cut / mixture_budget_execution
+carry running-sum windows (per-bucket / per-source prefix sums, no rank
+filter) and dedup_token_spans' islands row_number is a rank ASSIGNMENT
+feeding integer arithmetic, never filtered.  The grouped samplers'
+pushdown is pinned in tests/test_weighted_logcost.py.
 
 A planner fact worth knowing (measured on Spark 4.1): an EMPTY partition
 spec (bare global window) does NOT trigger InferWindowGroupLimit, but
