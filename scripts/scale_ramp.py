@@ -95,6 +95,10 @@ PIPELINES = [
     # shuffle, per-group windows parallel across sources; wall ~linear
     # in corpus bytes, budgets table broadcast
     "mixture_budget_execution",
+    # token-granular span detector (r12): gram explode into a combiner-
+    # reduced count, anchors ∝ duplicated volume, per-doc islands — wall
+    # and shuffle should ramp ~linearly in corpus bytes
+    "dedup_token_spans",
 ]
 
 
