@@ -166,31 +166,44 @@ def test_query_registry_prefix_stable():
     alphabetically-first three of the round-5 cohort).  Every rotated-out
     row was certified in round 11, so the whole 50-row window turns over;
     a green CORRECTNESS_r12 makes cumulative driver certification
-    175/175.  The rotation is entry_queries._rotate_driver_window_r12."""
+    175/175.  The rotation is entry_queries._rotate_driver_window_r12.
+
+    Round-13 intentional rotation (VERDICT r12 task 1 — finish cumulative
+    certification at 182/182): the entire round-12 window rotates out
+    (all 50 rows green in CORRECTNESS_r12 — rows + schema + value-hash —
+    and green in the committed 182/182 local oracle; the r12 verdict
+    explicitly directs the full turnover) in favor of the 7
+    never-driver-checked round-12 additions (the log-cost weighted
+    sampler family, corpus budget cut, padding-waste report, mixture
+    executor, token-granular duplicated spans) plus the 43
+    least-recently-certified rows (last certified r5-r8, computed from
+    CORRECTNESS_r01..r12).  A green CORRECTNESS_r13 makes cumulative
+    driver certification 182/182.  The rotation is
+    entry_queries._rotate_driver_window_r13; family coverage is preserved
+    (see that block's comment)."""
     from cassandra_util_spark.entry_queries import ORACLES, QUERIES
 
     first50 = [
-        "dedup_fingerprint", "dedup_ngram_jaccard_capped",
-        "events_json_props", "media_frame_plan", "odd_pk_filter",
-        "orders_profile", "orders_status_rollup", "paged_fetch",
-        "token_count_regex", "writetime_projection", "ann_cosine_topk",
-        "dedup_exact", "dedup_simhash", "acctbal_histogram_percentiles",
-        "adaptive_length_bounds", "bigram_lm_quality",
-        "bm25_batch_search", "commonness_buckets", "decontamination",
-        "dedup_cluster_sizes", "dedup_clusters",
-        "dedup_fingerprint_longest", "dedup_incremental_bloom",
-        "dedup_ngram_containment", "dedup_soft_keep",
-        "dedup_span_removal", "dedup_within_doc_spans", "doc_chunks",
-        "doc_commonness", "doc_length_histogram",
-        "doc_repetition_filter", "doc_top_terms", "embedding_mean_pool",
-        "embedding_prototypes", "events_activity_anomalies",
-        "events_cube_profile", "events_skew_report",
-        "events_sliding_window_sum", "events_zorder_layout",
-        "hard_negatives", "lang_confusion_matrix",
-        "mixture_temperature_plan", "orders_ledger_reconciliation",
-        "orders_rollup_totals", "passage_dup_share",
-        "passage_retrieval", "retrieval_eval", "stratified_sample_docs",
-        "stratified_topk_docs", "weighted_repeat_docs",
+        "weighted_sample_logcost", "logcost_streaming_sample",
+        "weighted_sample_by_lang", "corpus_budget_cut",
+        "padding_waste_report", "mixture_budget_execution",
+        "dedup_token_spans", "embedding_quantize", "lang_id",
+        "doc_fingerprint", "retention_rules_antijoin",
+        "set_ops_except_intersect", "retention_ttl_mixed_keys",
+        "events_user_gaps", "q1_pricing_summary", "q3_shipping_priority",
+        "q5_region_revenue", "top_orders_per_customer",
+        "events_hourly_rollup", "text_quality", "dedup_ngram_jaccard",
+        "embedding_neardup", "events_sessionize",
+        "asof_join_clicks_purchases", "semantic_dedup", "lww_merge",
+        "counter_merge", "dedup_minhash_lsh", "q10_returned_items",
+        "parts_above_avg_price", "q6_forecast_revenue",
+        "orders_pivot_priority", "media_features", "salted_event_rollup",
+        "cdc_apply", "tombstone_compaction", "q9_product_type_profit",
+        "bucketed_colocated_join", "dedup_clusters_star",
+        "training_corpus_assembly", "sketch_heavy_hitters",
+        "runstore_leveled_view", "dedup_incremental_lsh", "bm25_search",
+        "sequence_packing", "dedup_winnowing", "events_funnel",
+        "contamination_report", "embedding_dedup_resolve", "media_dedup",
     ]
     assert list(QUERIES)[:50] == first50
     # every registered query keeps a full-strength oracle
