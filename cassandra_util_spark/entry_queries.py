@@ -36,7 +36,17 @@ from cassandra_util_spark.operators.convictors import (
     create_convictor,
 )
 from cassandra_util_spark.operators.merge import counter_merge, lww_merge, merge_snapshots
+from cassandra_util_spark.operators.text import (
+    regex_token_count as _tokcount,
+    regex_token_count_sql as _tokcount_sql,
+)
 from cassandra_util_spark.plans.rules import Range, Rule
+
+# ONE tokenization definition on both engines (ADVICE r12): every
+# token-counting oracle interpolates this generated fragment instead of
+# hand-inlining the regex, so a BPE_TOKEN_REGEX tweak can never
+# desynchronize the oracle side from the Spark side.
+_REGEX_TOKS_SQL = _tokcount_sql("text")
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
@@ -1382,9 +1392,9 @@ def orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "token_count_regex",
-    oracle=r"""
+    oracle=f"""
     SELECT doc_id,
-           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_regex_tokens
+           {_REGEX_TOKS_SQL} AS n_regex_tokens
     FROM documents
     """,
 )
@@ -3207,10 +3217,10 @@ def corpus_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "corpus_token_budget",
-    oracle=r"""
+    oracle=f"""
     WITH t AS (
       SELECT source,
-             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS toks
+             {_REGEX_TOKS_SQL} AS toks
       FROM documents),
     agg AS (
       SELECT source, count(*) AS n_docs,
@@ -8835,11 +8845,10 @@ def weighted_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "corpus_budget_cut",
-    oracle=r"""
+    oracle=f"""
     WITH t AS (
       SELECT doc_id,
-             CAST(len(regexp_extract_all(text,
-                  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS toks
+             {_REGEX_TOKS_SQL} AS toks
       FROM documents),
     c AS (
       SELECT doc_id, toks,
@@ -8872,10 +8881,9 @@ def corpus_budget_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "padding_waste_report",
-    oracle=r"""
+    oracle=f"""
     WITH t AS (
-      SELECT CAST(len(regexp_extract_all(text,
-                  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS toks
+      SELECT {_REGEX_TOKS_SQL} AS toks
       FROM documents),
     b AS (
       SELECT toks,
@@ -8917,7 +8925,7 @@ def padding_waste_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "mixture_budget_execution",
-    oracle=r"""
+    oracle=f"""
     WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
     w AS (
       SELECT source, n_docs,
@@ -8932,8 +8940,7 @@ def padding_waste_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT source, CAST(floor(weight * 18000) AS BIGINT) AS budget FROM z),
     t AS (
       SELECT source, doc_id,
-             CAST(len(regexp_extract_all(text,
-                  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS toks
+             {_REGEX_TOKS_SQL} AS toks
       FROM documents),
     cum AS (
       SELECT source, doc_id, toks,

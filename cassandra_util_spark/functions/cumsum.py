@@ -32,7 +32,14 @@ keys always land in the same bucket (strict ``<`` against boundaries), so
 a heavily repeated leading key serializes its own rows within one bucket
 — supply a higher-cardinality leading column if that is your shape.
 Approximate boundaries only skew bucket SIZES, never correctness: the
-bucket function is evaluated identically in both passes.
+bucket function is evaluated identically in both passes.  The INPUT plan
+must be deterministic too (ADVICE r12): the three passes (boundary
+aggregate, bucket totals, local cumsum) re-execute the input
+independently, so a nondeterministic source — ``rand()``-based sampling,
+a non-deterministic UDF, ``shuffle()`` — can make the passes disagree
+and silently corrupt the running sum.  ``localCheckpoint()`` (or
+persist) such an input first; the assembly pipeline call site does
+exactly that.
 
 Exactness: integer values sum exactly under any grouping, so the result
 is bit-identical to the single-task global window (test-pinned).  For
@@ -58,7 +65,12 @@ def distributed_cumsum(
     """Exact global running total of ``value_col`` under the total order
     ``order_cols``, with no single-task window.  Output: the input columns
     plus ``out_col`` (the INCLUSIVE running sum; subtract ``value_col``
-    for the exclusive form)."""
+    for the exclusive form).
+
+    Precondition (module determinism contract): ``df``'s plan must be
+    deterministic — it is executed three times (boundaries, totals, local
+    pass) and a nondeterministic source would let them disagree.
+    ``localCheckpoint()`` a nondeterministic input first."""
     if not order_cols:
         raise ValueError("order_cols must name a total order")
     spark = df.sparkSession
@@ -149,6 +161,7 @@ def apply_token_budgets(
     group_col: str,
     order_cols: Sequence[str],
     token_col: str,
+    dominant_share: float = 0.5,
 ) -> DataFrame:
     """Execute a per-group token-budget plan: within each group, keep
     documents in ``order_cols`` order while the group's running token
@@ -165,32 +178,94 @@ def apply_token_budgets(
 
     Scale shape: one shuffle on the group key; per-group running sums
     parallelize across groups (the per-group window).  A single group
-    holding most of the corpus serializes its own running sum — route
-    such a group through :func:`distributed_cumsum` on its slice if that
-    is your shape; for mixture plans (tens to thousands of sources) the
-    grouped window is the right plan.  Output: the kept rows plus
-    ``cum_tokens``; exact integers, replays bit-identically in SQL."""
+    holding most of the corpus would serialize its own running sum inside
+    the grouped window, so the executor AUTO-ROUTES (VERDICT r12 task 3):
+    any planned group holding ≥ ``dominant_share`` of the input rows —
+    measured by a bounded one-row-per-group count aggregate, the same
+    class of driver collect as the plan table itself — is cut from the
+    grouped window and computed through :func:`distributed_cumsum` on its
+    slice instead (two-phase prefix sum, no single-task stage), then
+    union'd back.  Routing requires a numeric/temporal leading order
+    column (``distributed_cumsum``'s bucket domain); other dtypes keep
+    the grouped window with its documented serialization.  Results are
+    bit-identical either way (exact integer sums under any grouping); for
+    balanced mixture plans (tens to thousands of sources, no group at
+    50%) nothing routes and the plan is unchanged.  Output: the kept rows
+    plus ``cum_tokens`` and ``budget``; exact integers, replays
+    bit-identically in SQL."""
     # the plan table's one-row-per-group contract is load-bearing: a
     # duplicate group row would fan every document of that group out
     # through the join and silently over-realize its share.  The table is
-    # |groups| rows by construction, so checking is one cheap job — every
-    # other contract violation in this module fails loudly too.
-    dup = (
-        budgets.groupBy(group_col)
-        .count()
-        .filter(F.col("count") > 1)
-        .limit(3)
-        .collect()
-    )
+    # |groups| rows by construction, so collecting it is one cheap job —
+    # and the collected values double as the routed groups' budget
+    # literals below.
+    plan_rows = budgets.collect()
+    seen: dict = {}
+    dup = []
+    for r in plan_rows:
+        g = r[group_col]
+        if g in seen and len(dup) < 3:
+            dup.append(g)
+        seen[g] = r["budget"]
     if dup:
         raise ValueError(
             "apply_token_budgets: budgets must have exactly one row per "
-            f"group; duplicated: {[r[group_col] for r in dup]}"
+            f"group; duplicated: {dup}"
         )
+
+    out_cols = (
+        [group_col]
+        + [c for c in df.columns if c != group_col]
+        + ["cum_tokens", "budget"]
+    )
+
+    # dominant-group detection: one bounded count aggregate (≤ |groups|
+    # rows).  Only planned groups matter — unplanned ones are dropped by
+    # the inner join regardless of size — and routing needs a bucketable
+    # leading order key.
+    first = order_cols[0]
+    routable = str(df.schema[first].dataType.typeName()) in (
+        "byte", "short", "integer", "long", "float", "double",
+        "decimal", "date", "timestamp", "timestamp_ntz",
+    )
+    dominant: list = []
+    if routable and plan_rows:
+        counts = {
+            r[group_col]: r["__n"]
+            for r in df.groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .collect()
+        }
+        total = sum(counts.values())
+        if total:
+            dominant = [
+                g
+                for g, c in counts.items()
+                if g in seen and c / total >= dominant_share
+            ]
+
+    rest = df
+    if dominant:
+        rest = df.filter(~F.col(group_col).isin(dominant))
     w = Window.partitionBy(group_col).orderBy(
         *[F.col(c).asc() for c in order_cols]
     )
-    cum = df.withColumn("cum_tokens", F.sum(token_col).over(w))
-    return cum.join(F.broadcast(budgets), group_col).filter(
-        (F.col("cum_tokens") - F.col(token_col)) < F.col("budget")
+    cum = rest.withColumn("cum_tokens", F.sum(token_col).over(w))
+    result = (
+        cum.join(F.broadcast(budgets), group_col)
+        .filter((F.col("cum_tokens") - F.col(token_col)) < F.col("budget"))
+        .select(*out_cols)
     )
+    budget_type = budgets.schema["budget"].dataType
+    for g in dominant:
+        routed = distributed_cumsum(
+            df.filter(F.col(group_col) == g),
+            order_cols,
+            token_col,
+            out_col="cum_tokens",
+        ).withColumn("budget", F.lit(seen[g]).cast(budget_type))
+        routed = routed.filter(
+            (F.col("cum_tokens") - F.col(token_col)) < F.col("budget")
+        ).select(*out_cols)
+        result = result.unionByName(routed)
+    return result

@@ -1634,7 +1634,7 @@ def duplicated_token_spans(
 
     from cassandra_util_spark.operators.text import _norm_tokens
 
-    toks = F.transform(F.array(_norm_tokens(F.col(text_col))), lambda t: t)[0]
+    toks = _norm_tokens(F.col(text_col))
 
     def gram_key(i):
         g = F.concat_ws(" ", F.slice(F.col("w"), i, n))

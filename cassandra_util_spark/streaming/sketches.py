@@ -73,25 +73,42 @@ def _pin_sampler_identity(store: SnapshotStore, identity: dict) -> None:
     were already merged before identity recording existed, so the warning
     tells the operator to rebuild; adoption merely stops the bleeding.
 
-    Concurrency (ADVICE r11): creation is first-writer-wins ATOMIC — the
-    fully-written temp file is ``os.link``-ed to the sidecar path, which
+    Concurrency (ADVICE r11, mechanism revised per ADVICE r12): creation
+    is first-writer-wins ATOMIC — ``os.open(path, O_CREAT|O_EXCL)``
     fails with ``FileExistsError`` instead of overwriting, and the loser
     re-reads the winner's identity and runs the mismatch check.  The old
     check-then-``os.replace`` form let two streams first-using a fresh
     store both observe "no sidecar" and pin DIFFERENT identities, last
     write silently winning — exactly the corruption the sidecar exists
-    to prevent."""
+    to prevent.  ``O_EXCL`` rather than the previous ``os.link`` trick:
+    hard links are unsupported on some filesystems (certain NFS/FUSE/
+    object-store mounts) while exclusive create is universal.  The one
+    property ``os.link`` had that ``O_EXCL`` lacks — the sidecar
+    appearing with its content already complete — is recovered on the
+    read side: the payload lands in a single small ``write`` and a
+    reader that catches the in-flight window (``JSONDecodeError``)
+    simply re-reads, bounded so a genuinely corrupt sidecar still
+    raises."""
     import json
-    import tempfile
+    import time as _time
     import warnings as _warnings
 
     path = os.path.join(store.root, "_SAMPLER")
+    decode_retries = 0
     while True:
         try:
             with open(path) as f:
                 existing = json.load(f)
         except FileNotFoundError:
             existing = None
+        except json.JSONDecodeError:
+            # a concurrent winner created the sidecar but its single
+            # small write is still in flight; re-read after a beat
+            decode_retries += 1
+            if decode_retries > 100:
+                raise
+            _time.sleep(0.01)
+            continue
         if existing is not None:
             if existing != identity:
                 diff = {
@@ -120,15 +137,13 @@ def _pin_sampler_identity(store: SnapshotStore, identity: dict) -> None:
                 "with seed='bk', pass seed='bk' explicitly.",
                 stacklevel=3,
             )
-        fd, tmp = tempfile.mkstemp(dir=store.root, prefix="._SAMPLER.")
         try:
-            with os.fdopen(fd, "w") as f:
-                json.dump(identity, f, sort_keys=True)
-            os.link(tmp, path)  # atomic create; EEXIST = lost the race
+            # atomic exclusive create; EEXIST = lost the race
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
             continue  # re-read the winner's identity and mismatch-check it
-        finally:
-            os.unlink(tmp)
+        with os.fdopen(fd, "w") as f:
+            f.write(json.dumps(identity, sort_keys=True))  # one small write
         return
 
 

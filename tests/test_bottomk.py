@@ -222,11 +222,13 @@ def test_sampler_identity_pinned_and_mismatch_fails(spark, docs, tmp_path):
 
 
 def test_sampler_identity_pin_race_is_first_writer_wins(tmp_path, monkeypatch):
-    """ADVICE r11: two streams first-using the same FRESH store must not
-    both pin — creation is atomic (os.link, EEXIST on loss) and the loser
-    re-reads the winner's identity and runs the mismatch check instead of
-    overwriting it.  Simulated by injecting the winner's sidecar at the
-    moment the loser links."""
+    """ADVICE r11 (mechanism revised per ADVICE r12): two streams
+    first-using the same FRESH store must not both pin — creation is an
+    atomic exclusive create (os.open O_CREAT|O_EXCL, EEXIST on loss; more
+    portable than the previous os.link trick, which some NFS/FUSE mounts
+    reject) and the loser re-reads the winner's identity and runs the
+    mismatch check instead of overwriting it.  Simulated by injecting the
+    winner's sidecar at the moment the loser creates."""
     import json
     import os
 
@@ -238,17 +240,17 @@ def test_sampler_identity_pin_race_is_first_writer_wins(tmp_path, monkeypatch):
     loser = {"kind": "bottomk", "mode": "weighted", "seed": "wbk", "k": 32}
     sidecar = os.path.join(store.root, "_SAMPLER")
 
-    real_link = os.link
+    real_open = os.open
     state = {"injected": False}
 
-    def racing_link(src, dst, **kw):
-        if dst == sidecar and not state["injected"]:
+    def racing_open(p, flags, *a, **kw):
+        if p == sidecar and flags & os.O_EXCL and not state["injected"]:
             state["injected"] = True  # the concurrent winner lands first
             with open(sidecar, "w") as f:
                 json.dump(winner, f, sort_keys=True)
-        return real_link(src, dst, **kw)
+        return real_open(p, flags, *a, **kw)
 
-    monkeypatch.setattr(os, "link", racing_link)
+    monkeypatch.setattr(os, "open", racing_open)
     with pytest.raises(RuntimeError, match="sampler identity"):
         _pin_sampler_identity(store, loser)
     # the winner's pin survives untouched

@@ -198,6 +198,71 @@ def test_apply_token_budgets_plans_broadcast_and_group_parallel(spark):
     assert "SinglePartition" not in plan, plan[:1500]
 
 
+def test_apply_token_budgets_routes_dominant_group(spark):
+    """VERDICT r12 task 3: a single group holding most of the corpus must
+    not serialize its own running sum in the grouped window — the
+    executor detects it (row share ≥ dominant_share) and routes its slice
+    through the two-phase distributed_cumsum, union'd back.  Pins: under
+    a 95%-one-group fixture the executed plan contains the __pid-bucketed
+    window (the distributed path) and excludes the dominant group from
+    the grouped window; results are bit-identical to the plain
+    Python per-group prefix-sum reference; and the output includes
+    cum_tokens + budget for routed rows exactly as for grouped ones."""
+    from cassandra_util_spark.functions.cumsum import apply_token_budgets
+
+    rows = [("big", i, 7) for i in range(95)] + [
+        ("small", i, 7) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "src string, doc_id long, toks long")
+    budgets = spark.createDataFrame(
+        [("big", 300), ("small", 20)], "src string, budget long"
+    )
+    out = apply_token_budgets(df, budgets, "src", ["doc_id"], "toks")
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(__pid" in plan, plan[:2500]
+    assert "SinglePartition" not in plan, plan[:2500]
+    # the dominant group is cut from the grouped window's input
+    assert "big" in plan and ("NOT" in plan or "isnotnull" in plan), plan[:2500]
+
+    got = sorted(
+        (r["src"], r["doc_id"], r["cum_tokens"], r["budget"])
+        for r in out.collect()
+    )
+    want, run = [], {}
+    lim = {"big": 300, "small": 20}
+    for g, i, t in sorted(rows, key=lambda r: (r[0], r[1])):
+        before = run.get(g, 0)
+        run[g] = before + t
+        if before < lim[g]:
+            want.append((g, i, before + t, lim[g]))
+    assert got == sorted(want)
+
+    # a balanced plan routes nothing: the grouped-window plan is unchanged
+    bal = spark.createDataFrame(
+        [(g, i, 3) for g in ("a", "b", "c") for i in range(33)],
+        "src string, doc_id long, toks long",
+    )
+    bal_plan = (
+        apply_token_budgets(
+            bal,
+            spark.createDataFrame(
+                [("a", 50), ("b", 50), ("c", 50)], "src string, budget long"
+            ),
+            "src", ["doc_id"], "toks",
+        )._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "hashpartitioning(__pid" not in bal_plan, bal_plan[:2000]
+
+    # a non-bucketable (string) leading order key keeps the grouped window
+    s = df.withColumn("doc_id", F.col("doc_id").cast("string"))
+    s_plan = (
+        apply_token_budgets(s, budgets, "src", ["doc_id"], "toks")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "hashpartitioning(__pid" not in s_plan, s_plan[:2000]
+
+
 def test_apply_token_budgets_rejects_duplicate_plan_rows(spark):
     """r12 review: a duplicate group row in the plan table would fan the
     group's documents out through the join and silently over-realize its
