@@ -221,6 +221,7 @@ BENCH_QUERIES = [
     "mixture_budget_execution",
     "dedup_token_spans",
     "adaptive_length_bounds_sketch",
+    "bpe_learned_merges_batched",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash
     # swapped to xxhash64 — the production configuration at scale

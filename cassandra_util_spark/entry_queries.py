@@ -7186,20 +7186,63 @@ def corpus_ingest_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _bpe_sql(num_merges: int, final_select: str) -> str:
-    """DuckDB replay of operators/bpe.py: per merge step, count adjacent
-    symbol pairs, take the (count desc, lhs, rhs) argmax, and re-segment
-    every word with the greedy left-to-right non-overlapping merge —
-    positionally, as match-islands keeping even offsets (equivalent to the
-    Spark fold; equivalence pinned in tests/test_bpe.py)."""
-    ctes = [
-        f"""w0 AS MATERIALIZED (
+def _bpe_w0_cte() -> str:
+    """Initial word-frequency table with character segmentation."""
+    return f"""w0 AS MATERIALIZED (
       SELECT word, cnt, list_concat(regexp_extract_all(word, '.'), ['{END_SYM}']) AS s
       FROM (SELECT x AS word, count(*) AS cnt FROM
             (SELECT unnest(list_filter(string_split({_NORM_SQL}, ' '),
                                        x -> x <> '')) AS x FROM documents) t
             GROUP BY x) wf)"""
+
+
+def _bpe_apply_ctes(i: int, prev: int) -> list:
+    """CTE chain applying merge ``b{i}`` to word table ``w{prev}``,
+    producing ``w{i}`` — the greedy left-to-right non-overlapping merge,
+    positionally as match-islands keeping even offsets (equivalent to the
+    Spark fold; equivalence pinned in tests/test_bpe.py).  ``g{i}`` pads
+    an empty ``b{i}`` with a never-matching sentinel ('' is not a symbol)
+    so a dry step degrades to a no-op — mirroring bpe_train's early break
+    — instead of the empty CROSS JOIN annihilating ``w{i}`` and every
+    later step."""
+    return [
+        f"""g{i} AS MATERIALIZED (
+      SELECT lhs, rhs FROM b{i}
+      UNION ALL
+      SELECT '', '' WHERE NOT EXISTS (SELECT 1 FROM b{i}))""",
+        f"""e{i} AS MATERIALIZED (
+      SELECT w.word, w.cnt, t.j, w.s[t.j] AS sym,
+             CASE WHEN t.j < len(w.s) AND w.s[t.j] = b.lhs AND w.s[t.j+1] = b.rhs
+                  THEN 1 ELSE 0 END AS m
+      FROM w{prev} w CROSS JOIN g{i} b, UNNEST(range(1, len(w.s) + 1)) t(j))""",
+        f"""i{i} AS MATERIALIZED (
+      SELECT word, cnt, j, sym, m,
+             CASE WHEN m = 1 THEN j - row_number() OVER
+               (PARTITION BY word, m ORDER BY j) END AS grp
+      FROM e{i})""",
+        f"""k{i} AS MATERIALIZED (
+      SELECT word, j FROM (
+        SELECT word, j, min(j) OVER (PARTITION BY word, grp) AS j0
+        FROM i{i} WHERE m = 1) q
+      WHERE (j - j0) % 2 = 0)""",
+        f"""a{i} AS MATERIALIZED (
+      SELECT e.word, e.cnt, e.j,
+             CASE WHEN k.j IS NOT NULL THEN e.sym || b.rhs ELSE e.sym END AS sym,
+             CASE WHEN k2.j IS NOT NULL THEN 1 ELSE 0 END AS dropped
+      FROM e{i} e CROSS JOIN g{i} b
+      LEFT JOIN k{i} k ON k.word = e.word AND k.j = e.j
+      LEFT JOIN k{i} k2 ON k2.word = e.word AND k2.j = e.j - 1)""",
+        f"""w{i} AS MATERIALIZED (
+      SELECT word, any_value(cnt) AS cnt, list(sym ORDER BY j) AS s
+      FROM a{i} WHERE dropped = 0 GROUP BY word)""",
     ]
+
+
+def _bpe_sql(num_merges: int, final_select: str) -> str:
+    """DuckDB replay of operators/bpe.py (batch=1): per merge step, count
+    adjacent symbol pairs, take the (count desc, lhs, rhs) argmax, and
+    re-segment every word via :func:`_bpe_apply_ctes`."""
+    ctes = [_bpe_w0_cte()]
     for i in range(1, num_merges + 1):
         p = i - 1
         ctes.append(f"""p{i} AS MATERIALIZED (
@@ -7207,39 +7250,50 @@ def _bpe_sql(num_merges: int, final_select: str) -> str:
       FROM w{p}, UNNEST(range(1, len(s))) t(j) GROUP BY 1, 2)""")
         ctes.append(f"""b{i} AS MATERIALIZED (
       SELECT lhs, rhs, c FROM p{i} ORDER BY c DESC, lhs ASC, rhs ASC LIMIT 1)""")
-        # g{i}: b{i} padded with a never-matching sentinel ('' is not a
-        # symbol) when the pair table runs dry, so each re-segmentation step
-        # degrades to a no-op — mirroring bpe_train's early break — instead
-        # of the empty CROSS JOIN annihilating w{i} and every later step.
-        ctes.append(f"""g{i} AS MATERIALIZED (
-      SELECT lhs, rhs FROM b{i}
-      UNION ALL
-      SELECT '', '' WHERE NOT EXISTS (SELECT 1 FROM b{i}))""")
-        ctes.append(f"""e{i} AS MATERIALIZED (
-      SELECT w.word, w.cnt, t.j, w.s[t.j] AS sym,
-             CASE WHEN t.j < len(w.s) AND w.s[t.j] = b.lhs AND w.s[t.j+1] = b.rhs
-                  THEN 1 ELSE 0 END AS m
-      FROM w{p} w CROSS JOIN g{i} b, UNNEST(range(1, len(w.s) + 1)) t(j))""")
-        ctes.append(f"""i{i} AS MATERIALIZED (
-      SELECT word, cnt, j, sym, m,
-             CASE WHEN m = 1 THEN j - row_number() OVER
-               (PARTITION BY word, m ORDER BY j) END AS grp
-      FROM e{i})""")
-        ctes.append(f"""k{i} AS MATERIALIZED (
-      SELECT word, j FROM (
-        SELECT word, j, min(j) OVER (PARTITION BY word, grp) AS j0
-        FROM i{i} WHERE m = 1) q
-      WHERE (j - j0) % 2 = 0)""")
-        ctes.append(f"""a{i} AS MATERIALIZED (
-      SELECT e.word, e.cnt, e.j,
-             CASE WHEN k.j IS NOT NULL THEN e.sym || b.rhs ELSE e.sym END AS sym,
-             CASE WHEN k2.j IS NOT NULL THEN 1 ELSE 0 END AS dropped
-      FROM e{i} e CROSS JOIN g{i} b
-      LEFT JOIN k{i} k ON k.word = e.word AND k.j = e.j
-      LEFT JOIN k{i} k2 ON k2.word = e.word AND k2.j = e.j - 1)""")
-        ctes.append(f"""w{i} AS MATERIALIZED (
-      SELECT word, any_value(cnt) AS cnt, list(sym ORDER BY j) AS s
-      FROM a{i} WHERE dropped = 0 GROUP BY word)""")
+        ctes += _bpe_apply_ctes(i, p)
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + final_select
+
+
+def _bpe_batched_sql(num_merges: int, batch: int, final_select: str) -> str:
+    """DuckDB replay of operators/bpe.py with ``batch`` > 1 — the
+    production fast-trainer path.  Per ROUND: one pair count over the
+    word table, one top-(4·batch) candidate pool in (count desc, lhs,
+    rhs) order, then the greedy SYMBOL-DISJOINT prefix (_select_disjoint:
+    slot j takes the pool's best row colliding with none of the round's
+    earlier slots on lhs/rhs/merged), applied SEQUENTIALLY — which equals
+    Spark's one composed fold exactly because the pairs are disjoint
+    (pinned in tests/test_bpe.py).  A thin round (pool exhausted by
+    collisions) pads with the no-op sentinel, so Spark's
+    keep-looping-until-num_merges semantics would then SHOW UP as a
+    row-count mismatch rather than silently diverging — the fixture has
+    no thin rounds (probed: 2 rounds × 4 taken at sf0.01)."""
+    ctes = [_bpe_w0_cte()]
+    n_rounds = (num_merges + batch - 1) // batch
+    for r in range(1, n_rounds + 1):
+        base = (r - 1) * batch
+        want = min(batch, num_merges - base)
+        pool = want if want == 1 else 4 * want
+        ctes.append(f"""p_r{r} AS MATERIALIZED (
+      SELECT s[j] AS lhs, s[j+1] AS rhs, CAST(sum(cnt) AS BIGINT) AS c
+      FROM w{base}, UNNEST(range(1, len(s))) t(j) GROUP BY 1, 2)""")
+        ctes.append(f"""t_r{r} AS MATERIALIZED (
+      SELECT lhs, rhs, c FROM p_r{r}
+      ORDER BY c DESC, lhs ASC, rhs ASC LIMIT {pool})""")
+        for j in range(1, want + 1):
+            i = base + j
+            excl = "".join(
+                f"""
+        AND NOT EXISTS (SELECT 1 FROM b{base + q} pb
+          WHERE t.lhs IN (pb.lhs, pb.rhs, pb.lhs || pb.rhs)
+             OR t.rhs IN (pb.lhs, pb.rhs, pb.lhs || pb.rhs)
+             OR (t.lhs || t.rhs) IN (pb.lhs, pb.rhs, pb.lhs || pb.rhs))"""
+                for q in range(1, j)
+            )
+            ctes.append(f"""b{i} AS MATERIALIZED (
+      SELECT lhs, rhs, c FROM t_r{r} t
+      WHERE 1 = 1{excl}
+      ORDER BY c DESC, lhs ASC, rhs ASC LIMIT 1)""")
+            ctes += _bpe_apply_ctes(i, i - 1)
     return "WITH " + ",\n    ".join(ctes) + "\n    " + final_select
 
 
@@ -9126,3 +9180,37 @@ def _rotate_driver_window_r13() -> None:
 
 
 _rotate_driver_window_r13()
+
+
+# --- Round-13 additions (registered after the rotation: appended past the
+# --- window, so the certified 50-name prefix is untouched) ----------------
+
+_BPE_BATCHED_N, _BPE_BATCH = 8, 4
+
+_BPE_BATCHED_SELECT = "\nUNION ALL\n".join(
+    f"SELECT {i - 1} AS step, lhs, rhs, lhs || rhs AS merged, c AS cnt FROM b{i}"
+    for i in range(1, _BPE_BATCHED_N + 1)
+)
+
+
+@query(
+    "bpe_learned_merges_batched",
+    oracle=_bpe_batched_sql(_BPE_BATCHED_N, _BPE_BATCH, _BPE_BATCHED_SELECT),
+)
+def bpe_learned_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BPE training (VERDICT r12 task 6) — the production
+    fast-trainer path (batch=16 measured 13× sequential throughput,
+    SCALING.md), here at batch=4 over 8 merges so the full round
+    structure (candidate pool, symbol-disjoint greedy selection, composed
+    one-pass fold) is value-hash-certified against a DuckDB replay of the
+    SAME batched algorithm — not just the batch=1 twin.  Within a round
+    the composed fold equals sequential application because the taken
+    pairs are symbol-disjoint; the oracle applies them sequentially and
+    derives the selection independently (top-4·batch pool, exclusion
+    joins), so a drift in pool sizing, tie order, or disjointness
+    semantics breaks the hash."""
+    from cassandra_util_spark.operators.bpe import bpe_merge_table, bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    merges, _ = bpe_train(d, "text", num_merges=_BPE_BATCHED_N, batch=_BPE_BATCH)
+    return bpe_merge_table(spark, merges)
