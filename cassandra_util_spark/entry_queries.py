@@ -9019,7 +9019,10 @@ def mixture_budget_execution(spark: SparkSession, sf_dir: str) -> DataFrame:
     as join_plan_advisory → advised_join_exec: advice certified, then
     the execution of that advice certified on the same data.  One
     shuffle on the source key; per-source windows parallelize; the plan
-    table is |sources| rows, broadcast."""
+    table is |sources| rows, broadcast.  A source holding ≥50% of the
+    corpus auto-routes through the distributed prefix sum instead of
+    serializing its own window (r13; balanced plans like this one are
+    plan-unchanged, pinned in tests/test_cumsum.py)."""
     from cassandra_util_spark.functions.cumsum import apply_token_budgets
 
     plan = QUERIES["mixture_temperature_plan"](spark, sf_dir)
@@ -9214,3 +9217,51 @@ def bpe_learned_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     merges, _ = bpe_train(d, "text", num_merges=_BPE_BATCHED_N, batch=_BPE_BATCH)
     return bpe_merge_table(spark, merges)
+
+
+@query(
+    "dedup_token_spans_cross_doc",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents),
+    grams AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(list_slice(w, i, i + 7), ' ') AS g
+      FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i
+            FROM toks WHERE len(w) >= 8)),
+    dup AS (SELECT g FROM grams GROUP BY g
+            HAVING count(DISTINCT doc_id) >= 2),
+    anchors AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+    islands AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (
+               PARTITION BY doc_id ORDER BY pos) AS island
+      FROM anchors)
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 7 AS BIGINT) AS span_end,
+           CAST(max(pos) + 8 - min(pos) AS BIGINT) AS span_tokens
+    FROM islands GROUP BY doc_id, island
+    """,
+)
+def dedup_token_spans_cross_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-granular duplicated spans under the CROSS-DOCUMENT criterion:
+    an n-gram anchors a span only when it occurs in ≥2 DISTINCT documents
+    — the contamination/decontamination flavor of `dedup_token_spans`
+    (within-document repetition, e.g. boilerplate chant or a chorus, is
+    NOT excised; text shared with any other document is).  Same explode →
+    combiner-reduced count → semi-join → gaps-and-islands shape; the only
+    delta is count_distinct(doc_id) in the duplicate gate, which keeps
+    the same one-shuffle scale profile (count_distinct over the gram key
+    is a two-level partial aggregate, not a second shuffle of the corpus).
+    Previously unit-tested only; this gives the scope its own value-hash
+    contract.  On the sf0.01 fixture every duplicated 8-gram happens to
+    be cross-document, so this hash equals `dedup_token_spans`' — the
+    BEHAVIORAL divergence of the two scopes (within-doc repeats anchored
+    by global, ignored by cross_doc) is pinned on a constructed corpus in
+    tests/test_dedup_spans.py; this contract certifies that both engines
+    flip the criterion consistently."""
+    from cassandra_util_spark.operators.dedup import duplicated_token_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return duplicated_token_spans(d, "doc_id", "text", n=8, scope="cross_doc")
