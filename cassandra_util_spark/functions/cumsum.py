@@ -70,9 +70,20 @@ def distributed_cumsum(
     Precondition (module determinism contract): ``df``'s plan must be
     deterministic — it is executed three times (boundaries, totals, local
     pass) and a nondeterministic source would let them disagree.
-    ``localCheckpoint()`` a nondeterministic input first."""
+    Defense in depth (ADVICE r12): when Catalyst flags the analyzed plan
+    nondeterministic (rand-based sampling, a non-deterministic UDF), the
+    input is pinned with an eager ``localCheckpoint`` here so the three
+    passes read one materialization; deterministic inputs pay nothing."""
     if not order_cols:
         raise ValueError("order_cols must name a total order")
+    try:
+        flagged_nondet = not df._jdf.queryExecution().analyzed().deterministic()
+    except Exception:
+        # internal-API surface (py4j): if the accessor ever moves, fall
+        # back to the documented caller contract rather than failing
+        flagged_nondet = False
+    if flagged_nondet:
+        df = df.localCheckpoint(eager=True)
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     first = order_cols[0]

@@ -115,6 +115,28 @@ def test_pack_sequences_distributed_matches_global_window(spark):
         )
 
 
+def test_nondeterministic_input_is_pinned(spark):
+    """ADVICE r12 defense in depth: a rand-based input plan is executed
+    three times (boundaries, totals, local pass); without pinning, the
+    passes can disagree on values and silently corrupt the running sum
+    (historically ~75% of rows wrong under repartitionByRange).  The
+    guard localCheckpoints a Catalyst-flagged nondeterministic input, so
+    the running-sum recurrence must hold exactly over the output."""
+    df = spark.range(2000).select(
+        F.col("id").alias("k"),
+        (F.rand(7) * 100).cast("long").alias("v"),
+    )
+    rows = sorted(
+        (r["k"], r["v"], r["cumsum"])
+        for r in distributed_cumsum(df, ["k"], "v", num_partitions=7).collect()
+    )
+    assert len(rows) == 2000
+    acc = 0
+    for _, v, c in rows:
+        acc += v
+        assert c == acc  # totals pass and local pass agreed on every row
+
+
 def test_null_order_key_fails_loudly(spark):
     """A NULL leading key would silently land in bucket 0 and corrupt the
     order — the total-order contract requires non-null keys, enforced at
