@@ -9265,3 +9265,70 @@ def dedup_token_spans_cross_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return duplicated_token_spans(d, "doc_id", "text", n=8, scope="cross_doc")
+
+
+@query(
+    "token_spans_streaming_view",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents),
+    grams AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(list_slice(w, i, i + 7), ' ') AS g
+      FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i
+            FROM toks WHERE len(w) >= 8)),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+    anchors AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+    islands AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (
+               PARTITION BY doc_id ORDER BY pos) AS island
+      FROM anchors)
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 7 AS BIGINT) AS span_end,
+           CAST(max(pos) + 8 - min(pos) AS BIGINT) AS span_tokens
+    FROM islands GROUP BY doc_id, island
+    """,
+)
+def token_spans_streaming_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental token-span excision end to end, hash-certified: the
+    corpus replays through a real file-source stream in three
+    micro-batches (batch k = doc_id % 3 == k) into a persisted GRAM-COUNT
+    CounterStore (`stream_token_span_index`: each batch appends one
+    additive delta run of its combiner-reduced gram counts, under the
+    counter HWM replay guard), a compaction FOLD runs after the drain,
+    and the full corpus probed against the store
+    (`token_spans_from_store`) must hash-equal the single-job batch
+    operator — the same streaming-equals-batch claim as
+    `twcs_streaming_view`, here for ADDITIVE cross-batch state: a gram
+    seen once in batch 0 and once in batch 2 counts as duplicated exactly
+    like a same-batch repeat.  Per-shard production cost is the shard's
+    grams plus a merge-on-read of the bounded count runs — historical
+    CONTENT is never re-read, which is what lets a 100 TB crawl excise
+    incrementally while the batch operator re-counts the corpus per run."""
+    import tempfile
+
+    from cassandra_util_spark.operators.counters import CounterStore
+    from cassandra_util_spark.operators.dedup import token_spans_from_store
+    from cassandra_util_spark.streaming.dedup import stream_token_span_index
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    src = tempfile.mkdtemp(prefix="spanstream-src-")
+    for k in range(3):
+        d.filter(F.col("doc_id") % 3 == k).coalesce(1).write.mode("append").parquet(src)
+    cs = CounterStore(tempfile.mkdtemp(prefix="spanstore-"), ["g"], ["c"])
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    with _scoped_shuffle_partitions(spark, 8):
+        q = stream_token_span_index(
+            stream, cs, tempfile.mkdtemp(prefix="spanstream-cp-"),
+            id_col="doc_id", text_col="text", n=8,
+        )
+        q.awaitTermination(300)
+    cs.compact(spark)  # fold-invariance exercised on the certified path
+    return token_spans_from_store(cs, d, "doc_id", "text", n=8)

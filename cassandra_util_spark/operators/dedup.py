@@ -1630,29 +1630,7 @@ def duplicated_token_spans(
         raise ValueError(f"n must be >= 2, got {n}")
     if scope not in ("global", "cross_doc"):
         raise ValueError(f"unknown scope {scope!r}")
-    from pyspark.sql import Window
-
-    from cassandra_util_spark.operators.text import _norm_tokens
-
-    toks = _norm_tokens(F.col(text_col))
-
-    def gram_key(i):
-        g = F.concat_ws(" ", F.slice(F.col("w"), i, n))
-        return F.xxhash64(g) if hash_grams else g
-
-    grams = (
-        df.select(F.col(id_col).alias("id"), toks.alias("w"))
-        .filter(F.size("w") >= n)
-        .select(
-            "id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("w") - F.lit(n - 1)),
-                    gram_key,
-                )
-            ).alias("pos", "g"),
-        )
-    )
+    grams = _gram_positions(df, id_col, text_col, n, hash_grams)
     if scope == "global":
         dup = (
             grams.groupBy("g")
@@ -1668,12 +1646,50 @@ def duplicated_token_spans(
             .select("g")
         )
     anchors = grams.join(dup, "g").select("id", "pos")
+    return _anchor_spans(anchors, id_col, n)
+
+
+def _gram_positions(
+    df: DataFrame, id_col: str, text_col: str, n: int, hash_grams: bool
+) -> DataFrame:
+    """(id, pos, g): every n-gram start position of every document —
+    ``pos`` is the 0-based token offset (posexplode's index into the
+    gram-start sequence IS the offset), ``g`` the gram's exact text or
+    its xxhash64 word (``hash_grams``).  The shared leaf of the batch
+    span detector and the gram-count index."""
+    from cassandra_util_spark.operators.text import _norm_tokens
+
+    toks = _norm_tokens(F.col(text_col))
+
+    def gram_key(i):
+        g = F.concat_ws(" ", F.slice(F.col("w"), i, n))
+        return F.xxhash64(g) if hash_grams else g
+
+    return (
+        df.select(F.col(id_col).alias("id"), toks.alias("w"))
+        .filter(F.size("w") >= n)
+        .select(
+            "id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - F.lit(n - 1)),
+                    gram_key,
+                )
+            ).alias("pos", "g"),
+        )
+    )
+
+
+def _anchor_spans(anchors: DataFrame, id_col: str, n: int) -> DataFrame:
+    """Maximal runs of duplicated anchor positions → (id, span_start,
+    span_end, span_tokens) via gaps-and-islands (island = pos − rank),
+    extended by the gram's n−1 trailing tokens."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("id").orderBy(F.col("pos").asc())
     islands = anchors.withColumn(
         "island", F.col("pos") - F.row_number().over(w)
     )
-    # posexplode's pos is the 0-based index into the gram-start sequence,
-    # which IS the gram's 0-based token offset
     return (
         islands.groupBy("id", "island")
         .agg(F.min("pos").alias("first_anchor"), F.max("pos").alias("last_anchor"))
@@ -1686,3 +1702,65 @@ def duplicated_token_spans(
             .alias("span_tokens"),
         )
     )
+
+
+def gram_count_deltas(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8,
+    hash_grams: bool = False,
+) -> DataFrame:
+    """(g, c): one batch's n-gram occurrence counts — the ADDITIVE delta a
+    gram-count :class:`~cassandra_util_spark.operators.counters.CounterStore`
+    absorbs (keys ``("g",)``, counter ``("c",)``).  Counts are algebraic,
+    so batches merge by summation exactly like counter cells; the
+    combiner-reduced groupBy keeps each delta run at one row per distinct
+    gram in the batch."""
+    return (
+        _gram_positions(df, id_col, text_col, n, hash_grams)
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def token_spans_from_store(
+    counters,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    hash_grams: bool = False,
+) -> DataFrame:
+    """Token-granular duplicated spans for ``df``'s documents judged
+    against a MAINTAINED gram-count store instead of a same-job corpus
+    count — the incremental face of :func:`duplicated_token_spans`
+    (global scope): a crawl pipeline streams gram-count deltas into the
+    store (:func:`~cassandra_util_spark.streaming.dedup.stream_token_span_index`)
+    and probes each new shard's spans against the ENTIRE ingested history
+    without re-reading historical content — per-probe cost is the probe
+    documents' grams plus one merge-on-read of the bounded count runs.
+
+    ``counters`` is a CounterStore keyed ``("g",)`` with counter
+    ``("c",)``; ``n``/``hash_grams`` must match what the index was built
+    with (mismatched grams silently miss — same parameter-family
+    discipline as the LSH/sampler stores).  Cross-document scope is a
+    documented non-goal of the store form: occurrence counts merge
+    additively across batches, distinct-document counts do not (they
+    would need a per-gram doc-id sketch); use the batch operator for
+    cross_doc.  When ``df`` IS the full ingested corpus, the result is
+    bit-equal to the batch operator (hash-certified:
+    `token_spans_streaming_view`)."""
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    if list(counters.keys) != ["g"] or list(counters.counters) != ["c"]:
+        raise ValueError(
+            "token-span stores are keyed ('g',) with counter ('c',); got "
+            f"keys={counters.keys} counters={counters.counters}"
+        )
+    spark = df.sparkSession
+    dup = (
+        counters.totals(spark)
+        .filter(F.col("c") >= 2)
+        .select("g")
+    )
+    grams = _gram_positions(df, id_col, text_col, n, hash_grams)
+    anchors = grams.join(dup, "g").select("id", "pos")
+    return _anchor_spans(anchors, id_col, n)

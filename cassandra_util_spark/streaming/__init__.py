@@ -6,7 +6,10 @@ from cassandra_util_spark.streaming.events import (
     windowed_rollup,
 )
 from cassandra_util_spark.streaming.corpus import stream_corpus_ingest
-from cassandra_util_spark.streaming.dedup import stream_lsh_index
+from cassandra_util_spark.streaming.dedup import (
+    stream_lsh_index,
+    stream_token_span_index,
+)
 from cassandra_util_spark.streaming.ingest import (
     applied_batch_hwm,
     applied_txn_app_id,
@@ -31,6 +34,7 @@ __all__ = [
     "stream_hll_to_store",
     "stream_lsh_index",
     "stream_to_runstore",
+    "stream_token_span_index",
     "streaming_dedup",
     "streaming_retention",
     "windowed_rollup",

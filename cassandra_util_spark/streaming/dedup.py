@@ -110,3 +110,61 @@ def stream_lsh_index(
         txn_app_id=txn_app_id,
         transform=to_signatures,
     )
+
+
+def stream_token_span_index(
+    stream: DataFrame,
+    counters,
+    checkpoint_dir: str,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    hash_grams: bool = False,
+    compact_every: Optional[int] = None,
+    available_now: bool = True,
+    query_name: str = "token-span-index-ingest",
+    txn_app_id: Optional[str] = None,
+):
+    """Maintain a persisted GRAM-COUNT index over a document stream — the
+    state behind incremental token-granular span excision
+    (:func:`~cassandra_util_spark.operators.dedup.token_spans_from_store`).
+
+    Gram occurrence counts are ALGEBRAIC (they merge by summation), so
+    the index is a :class:`~cassandra_util_spark.operators.counters.CounterStore`
+    rather than an LWW signature store: each micro-batch contributes one
+    additive delta run of its combiner-reduced gram counts
+    (:func:`~cassandra_util_spark.operators.dedup.gram_count_deltas` —
+    a pure function of batch content and parameters, so a replayed batch
+    re-derives the same delta and the counter HWM guard's no-op is safe),
+    and a gram duplicated ACROSS batches — once in Monday's shard, once
+    in Friday's — counts as duplicated exactly like a same-shard repeat:
+    probing the full ingested corpus is bit-equal to the batch operator
+    (hash-certified, `token_spans_streaming_view`).
+
+    ``compact_every=N`` folds delta runs on the usual counter cadence
+    (read-invariant); ``hash_grams=True`` stores 8-byte xxhash64 words
+    instead of gram text — the production index layout (2.8× fewer
+    shuffle/store bytes, the `dedup_token_spans_fast` trade).
+
+    Store layout: keys ``("g",)``, counter ``("c",)``."""
+    if list(counters.keys) != ["g"] or list(counters.counters) != ["c"]:
+        raise ValueError(
+            "token-span stores are keyed ('g',) with counter ('c',); got "
+            f"keys={counters.keys} counters={counters.counters}"
+        )
+    from cassandra_util_spark.operators.dedup import gram_count_deltas
+    from cassandra_util_spark.streaming.ingest import stream_counter_deltas
+
+    def to_gram_counts(batch_df: DataFrame, batch_id: int) -> DataFrame:
+        return gram_count_deltas(batch_df, id_col, text_col, n, hash_grams)
+
+    return stream_counter_deltas(
+        stream,
+        counters,
+        checkpoint_dir,
+        compact_every=compact_every,
+        available_now=available_now,
+        query_name=query_name,
+        txn_app_id=txn_app_id,
+        transform=to_gram_counts,
+    )

@@ -248,6 +248,7 @@ def stream_counter_deltas(
     available_now: bool = True,
     query_name: str = "counter-delta-ingest",
     txn_app_id: Optional[str] = None,
+    transform=None,
 ) -> StreamingQuery:
     """Continuously fold a stream of counter INCREMENTS into a
     :class:`~cassandra_util_spark.operators.counters.CounterStore`.
@@ -255,7 +256,11 @@ def stream_counter_deltas(
     Each micro-batch appends one additive delta run — the streaming face
     of the multi-writer counter path (reference: Cassandra counter batches
     ship deltas merged server-side, CQLBatch.scala:284-336; here the merge
-    happens at read/compact time).  The batch DataFrame must already carry
+    happens at read/compact time).  ``transform(batch_df, batch_id)``, when
+    given, derives the increments from the raw batch (the
+    :func:`stream_to_runstore` hook, same contract: a pure function of the
+    batch content and parameters, so a replayed batch re-derives the same
+    delta).  Otherwise the batch DataFrame must already carry
     the store's key and counter columns (pre-aggregate in the stream if
     the raw events need rolling up first).
 
@@ -287,6 +292,8 @@ def stream_counter_deltas(
             )
         if batch_id <= hwm:
             return  # replay after compaction: appending would double-count
+        if transform is not None:
+            batch_df = transform(batch_df, batch_id)
         counters.append_increments(batch_df, name=run_name_for_batch(batch_id))
         _advance_batch_hwm(store, batch_id, app_id)
         if compact_every is not None and (batch_id + 1) % compact_every == 0:
