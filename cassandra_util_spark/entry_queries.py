@@ -9332,3 +9332,62 @@ def token_spans_streaming_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination(300)
     cs.compact(spark)  # fold-invariance exercised on the certified path
     return token_spans_from_store(cs, d, "doc_id", "text", n=8)
+
+
+@query(
+    "dedup_token_spans_excised",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents),
+    grams AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(list_slice(w, i, i + 7), ' ') AS g
+      FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i
+            FROM toks WHERE len(w) >= 8)),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+    anchors AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+    islands AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (
+               PARTITION BY doc_id ORDER BY pos) AS island
+      FROM anchors),
+    spans AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+      FROM islands GROUP BY doc_id, island),
+    pos AS (
+      SELECT doc_id, j - 1 AS pos, w[j] AS word
+      FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS j FROM toks)),
+    kept AS (
+      SELECT p.doc_id, p.pos, p.word FROM pos p
+      WHERE NOT EXISTS (SELECT 1 FROM spans s
+                        WHERE s.doc_id = p.doc_id
+                          AND p.pos BETWEEN s.s AND s.e)),
+    agg AS (
+      SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id),
+    tot AS (SELECT doc_id, len(w) AS n_tokens FROM toks)
+    SELECT t.doc_id,
+           coalesce(a.text, '') AS text,
+           CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           CAST(t.n_tokens - coalesce(a.n_kept, 0) AS BIGINT)
+             AS n_tokens_removed
+    FROM tot t LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def dedup_token_spans_excised(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXCISION completing the token-span detector (Lee et al. 2022):
+    every token inside a ≥8-token duplicated region is dropped and the
+    surviving normalized token stream re-joined — the actual
+    training-text output of token-granular dedup, with per-document
+    removal accounting.  Spans aggregate to one array per affected
+    document (∝ duplicated volume) and LEFT-join back; the token filter
+    is a single map-side array pass (zip positions, drop covered), so
+    the only costs beyond detection are the span join and codegen'd
+    array work.  Documents with no duplicated spans pass through intact;
+    a fully-duplicated document survives as empty text with
+    n_tokens_removed = n_tokens."""
+    from cassandra_util_spark.operators.dedup import excise_token_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return excise_token_spans(d, "doc_id", "text", n=8)

@@ -15,6 +15,8 @@ Scale design (the part that matters at 100 TB):
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1701,6 +1703,77 @@ def _anchor_spans(anchors: DataFrame, id_col: str, n: int) -> DataFrame:
             .cast("bigint")
             .alias("span_tokens"),
         )
+    )
+
+
+def excise_token_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    scope: str = "global",
+    hash_grams: bool = False,
+    spans: Optional[DataFrame] = None,
+) -> DataFrame:
+    """REMOVE the duplicated token spans from every document — the
+    excision step completing :func:`duplicated_token_spans`' detection
+    (Lee et al. 2022: drop every token inside a ≥n-token duplicated
+    region; what remains is the deduplicated training text).
+
+    ``spans`` defaults to ``duplicated_token_spans(df, ...)`` with the
+    same parameters; pass the output of
+    :func:`token_spans_from_store`-style probes to excise a shard against
+    a maintained index instead.
+
+    Scale shape: spans aggregate to one array per AFFECTED document
+    (∝ duplicated volume), LEFT-join back on the id — a hash join on the
+    document key, broadcastable while the affected set is small — then
+    the token filter is one map-side array pass per document (zip tokens
+    with positions, drop positions covered by any span).  No shuffle
+    beyond the detection itself and the span join.
+
+    Output: (id, text, n_tokens, n_tokens_removed) — ``text`` is the
+    space-joined surviving NORMALIZED tokens (the same token stream the
+    span offsets index), empty when a document is excised entirely."""
+    from cassandra_util_spark.operators.text import _norm_tokens
+
+    if spans is None:
+        spans = duplicated_token_spans(
+            df, id_col, text_col, n=n, scope=scope, hash_grams=hash_grams
+        )
+    slist = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    toks = _norm_tokens(F.col(text_col))
+    joined = (
+        df.select(F.col(id_col), toks.alias("__w"))
+        .join(slist, id_col, "left")
+        .withColumn("__spans", F.coalesce(
+            F.col("__spans"),
+            F.array().cast("array<struct<span_start:bigint,span_end:bigint>>"),
+        ))
+    )
+    # sequence(0, -1) yields the DESCENDING [0, -1], not empty (the
+    # _pair_counts footgun) — empty token streams short-circuit
+    idx = F.when(
+        F.size("__w") > 0, F.sequence(F.lit(0), F.size("__w") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = F.zip_with(
+        F.col("__w"), idx,
+        lambda w, i: F.struct(w.alias("w"), i.cast("long").alias("i")),
+    )
+    kept = F.filter(
+        pairs,
+        lambda s: ~F.exists(
+            F.col("__spans"),
+            lambda sp: (s["i"] >= sp["span_start"]) & (s["i"] <= sp["span_end"]),
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.array_join(F.transform(kept, lambda s: s["w"]), " ").alias(text_col),
+        F.size("__w").cast("bigint").alias("n_tokens"),
+        (F.size("__w") - F.size(kept)).cast("bigint").alias("n_tokens_removed"),
     )
 
 

@@ -54,3 +54,51 @@ def test_duplicated_token_spans_cover_whole_duplicate(spark):
     assert len(out) == 2
     for r in out:
         assert (r["span_start"], r["span_end"], r["span_tokens"]) == (0, 29, 30)
+
+
+def test_excise_token_spans_semantics(spark):
+    """Excision drops exactly the spanned tokens: a fully duplicated
+    document survives as empty text (everything removed), a document with
+    one duplicated region keeps its unique prefix/suffix, and a clean
+    document passes through intact with zero removals.  The surviving
+    text is the NORMALIZED token stream re-joined — the same stream the
+    span offsets index."""
+    from cassandra_util_spark.operators.dedup import excise_token_spans
+
+    dup = " ".join(f"d{i}" for i in range(12))
+    uniq_a = "aa0 aa1 aa2 aa3 aa4"
+    uniq_b = "bb0 bb1 bb2 bb3 bb4"
+    rows = [
+        (0, dup),                              # whole doc duplicated
+        (1, dup),                              # its twin
+        (2, f"{uniq_a} {dup} {uniq_b}"),       # dup island mid-document
+        (3, "cc0 cc1 cc2 cc3 cc4 cc5 cc6 cc7 cc8 cc9"),  # clean
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_tokens"], r["n_tokens_removed"])
+        for r in excise_token_spans(df, "doc_id", "text", n=8).collect()
+    }
+    assert set(got) == {0, 1, 2, 3}  # every document is in the output
+    assert got[0] == ("", 12, 12)
+    assert got[1] == ("", 12, 12)
+    assert got[2] == (f"{uniq_a} {uniq_b}", 22, 12)
+    assert got[3][1:] == (10, 0) and got[3][0].startswith("cc0")
+
+
+def test_excise_accepts_store_probed_spans(spark):
+    """The spans= hook: excising a shard against an externally detected
+    span set (e.g. a token_spans_from_store probe) uses those spans
+    verbatim — the incremental-excision composition."""
+    from cassandra_util_spark.operators.dedup import excise_token_spans
+
+    df = spark.createDataFrame(
+        [(7, "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9")], "doc_id long, text string"
+    )
+    spans = spark.createDataFrame(
+        [(7, 2, 5, 4)],
+        "doc_id long, span_start long, span_end long, span_tokens long",
+    )
+    got = excise_token_spans(df, "doc_id", "text", spans=spans).collect()[0]
+    assert got["text"] == "w0 w1 w6 w7 w8 w9"
+    assert (got["n_tokens"], got["n_tokens_removed"]) == (10, 4)
