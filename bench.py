@@ -225,6 +225,7 @@ BENCH_QUERIES = [
     "dedup_token_spans_cross_doc",
     "token_spans_streaming_view",
     "dedup_token_spans_excised",
+    "token_spans_incremental_excision",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash
     # swapped to xxhash64 — the production configuration at scale

@@ -9391,3 +9391,94 @@ def dedup_token_spans_excised(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return excise_token_spans(d, "doc_id", "text", n=8)
+
+
+@query(
+    "token_spans_incremental_excision",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents),
+    grams AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(list_slice(w, i, i + 7), ' ') AS g
+      FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i
+            FROM toks WHERE len(w) >= 8)),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+    anchors AS (
+      SELECT doc_id, pos FROM grams JOIN dup USING (g)
+      WHERE doc_id % 3 = 2),
+    islands AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (
+               PARTITION BY doc_id ORDER BY pos) AS island
+      FROM anchors),
+    spans AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+      FROM islands GROUP BY doc_id, island),
+    shard AS (SELECT doc_id, w FROM toks WHERE doc_id % 3 = 2),
+    pos AS (
+      SELECT doc_id, j - 1 AS pos, w[j] AS word
+      FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS j FROM shard)),
+    kept AS (
+      SELECT p.doc_id, p.pos, p.word FROM pos p
+      WHERE NOT EXISTS (SELECT 1 FROM spans s
+                        WHERE s.doc_id = p.doc_id
+                          AND p.pos BETWEEN s.s AND s.e)),
+    agg AS (
+      SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id),
+    tot AS (SELECT doc_id, len(w) AS n_tokens FROM shard)
+    SELECT t.doc_id,
+           coalesce(a.text, '') AS text,
+           CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           CAST(t.n_tokens - coalesce(a.n_kept, 0) AS BIGINT)
+             AS n_tokens_removed
+    FROM tot t LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def token_spans_incremental_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-dedup composition end to end, hash-certified:
+    batches 0 and 1 (doc_id % 3) stream into the gram-count store as
+    HISTORY, the arriving shard (batch 2) is ingested and then ONLY the
+    shard is probed (`token_spans_from_store`) and excised
+    (`excise_token_spans(spans=...)`) against the full accumulated
+    counts — historical content is never re-read, and the shard's
+    cleaned text must equal what a full batch recompute would produce
+    for those documents (the oracle computes spans over the WHOLE corpus
+    and excises the shard's slice).  This is the per-shard production
+    loop of a 100 TB crawl: per arrival, cost ∝ shard grams + one
+    merge-on-read of the bounded count runs."""
+    import tempfile
+
+    from cassandra_util_spark.operators.counters import CounterStore
+    from cassandra_util_spark.operators.dedup import (
+        excise_token_spans,
+        gram_count_deltas,
+        token_spans_from_store,
+    )
+    from cassandra_util_spark.streaming.dedup import stream_token_span_index
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    src = tempfile.mkdtemp(prefix="increx-src-")
+    for k in range(2):  # HISTORY: batches 0 and 1
+        d.filter(F.col("doc_id") % 3 == k).coalesce(1).write.mode("append").parquet(src)
+    cs = CounterStore(tempfile.mkdtemp(prefix="increx-store-"), ["g"], ["c"])
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    with _scoped_shuffle_partitions(spark, 8):
+        q = stream_token_span_index(
+            stream, cs, tempfile.mkdtemp(prefix="increx-cp-"),
+            id_col="doc_id", text_col="text", n=8,
+        )
+        q.awaitTermination(300)
+    shard = d.filter(F.col("doc_id") % 3 == 2)
+    # the shard ingests first (its within-shard duplicates count too),
+    # then only IT is probed and excised
+    cs.append_increments(gram_count_deltas(shard, "doc_id", "text", n=8), name="b2")
+    spans = token_spans_from_store(cs, shard, "doc_id", "text", n=8)
+    return excise_token_spans(shard, "doc_id", "text", n=8, spans=spans)

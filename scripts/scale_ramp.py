@@ -99,6 +99,17 @@ PIPELINES = [
     # reduced count, anchors ∝ duplicated volume, per-doc islands — wall
     # and shuffle should ramp ~linearly in corpus bytes
     "dedup_token_spans",
+    # excision (r13): detection + one span join + a map-side array pass —
+    # the delta over dedup_token_spans should stay ~flat in scale
+    "dedup_token_spans_excised",
+    # streamed gram-count index (r13): 3 fixed micro-batches of additive
+    # deltas + full-corpus store probe — per-batch delta cost ∝ shard
+    # grams, probe ∝ corpus grams + bounded count-run merge
+    "token_spans_streaming_view",
+    # batched BPE (r13): per-ROUND pair-count shuffle over the
+    # vocabulary-sized word table — wall near-flat in corpus bytes after
+    # the one corpus scan that builds the frequency table
+    "bpe_learned_merges_batched",
 ]
 
 
