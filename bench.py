@@ -226,6 +226,10 @@ BENCH_QUERIES = [
     "token_spans_streaming_view",
     "dedup_token_spans_excised",
     "token_spans_incremental_excision",
+    "bpe_encode_corpus",
+    "bpe_vocab_ids",
+    "bpe_encode_ids_corpus",
+    "tokenized_packing_plan",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash
     # swapped to xxhash64 — the production configuration at scale

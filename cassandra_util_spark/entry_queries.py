@@ -9482,3 +9482,202 @@ def token_spans_incremental_excision(spark: SparkSession, sf_dir: str) -> DataFr
     cs.append_increments(gram_count_deltas(shard, "doc_id", "text", n=8), name="b2")
     spans = token_spans_from_store(cs, shard, "doc_id", "text", n=8)
     return excise_token_spans(shard, "doc_id", "text", n=8, spans=spans)
+
+
+@query(
+    "bpe_encode_corpus",
+    oracle=_bpe_sql(
+        _BPE_N,
+        f"""
+    , dw AS (SELECT doc_id, j - 1 AS pos, w[j] AS word
+             FROM (SELECT doc_id,
+                          list_filter(string_split({_NORM_SQL}, ' '),
+                                      x -> x <> '') AS w
+                   FROM documents) t, UNNEST(range(1, len(w) + 1)) u(j)),
+    enc AS (
+      SELECT d.doc_id,
+             string_agg(array_to_string(s.s, ' '), ' ' ORDER BY d.pos)
+               AS tokens,
+             CAST(sum(len(s.s)) AS BIGINT) AS n_tokens
+      FROM dw d JOIN w{_BPE_N} s ON s.word = d.word
+      GROUP BY d.doc_id)
+    SELECT doc.doc_id,
+           coalesce(e.tokens, '') AS tokens,
+           CAST(coalesce(e.n_tokens, 0) AS BIGINT) AS n_tokens
+    FROM documents doc LEFT JOIN enc e USING (doc_id)
+    """,
+    ),
+)
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ORDERED BPE token stream per document under the learned
+    vocabulary — the actual tokenizer output a training pipeline feeds to
+    packing, completing the train → count → ENCODE family
+    (`bpe_learned_merges` certifies the merges, `bpe_token_profile` the
+    budget counts; this certifies the stream itself, rendered as the
+    space-joined token text plus its length).  Encoding stays
+    vocabulary-local: the corpus's distinct words join to their trained
+    segmentation (no per-document re-segmentation), the position-indexed
+    word stream re-assembles ordered in one (id)-keyed shuffle ∝ corpus
+    tokens — the information floor for producing the stream — and
+    documents with no tokens survive as empty streams.  The
+    out-of-vocabulary half (`segment_words`: learned merges replayed in
+    order via contiguous symbol-disjoint composed folds, exactly the
+    semantics the trainer left in the word table) is exercised and
+    reference-pinned in tests/test_bpe_encode.py; here train and encode
+    share the corpus, so the oracle replays the trained table."""
+    from cassandra_util_spark.operators.bpe import bpe_encode, bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    _, words = bpe_train(d, "text", num_merges=_BPE_N)
+    enc = bpe_encode(d, "doc_id", "text", words=words)
+    return enc.select(
+        "doc_id",
+        F.concat_ws(" ", "tokens").alias("tokens"),
+        "n_tokens",
+    )
+
+
+_BPE_VOCAB_CTES = """
+    , basec AS (SELECT DISTINCT unnest(s) AS sym FROM w0),
+    mrg AS ({merges}),
+    vocab AS (
+      SELECT sym, CAST(row_number() OVER (ORDER BY sym) - 1 AS INT) AS id,
+             'base' AS kind FROM basec
+      UNION ALL
+      SELECT sym,
+             CAST((SELECT count(*) FROM basec) + min(step) AS INT) AS id,
+             'merge' AS kind
+      FROM mrg GROUP BY sym)""".format(
+    merges="\nUNION ALL\n".join(
+        f"SELECT {i - 1} AS step, lhs || rhs AS sym FROM b{i}"
+        for i in range(1, _BPE_N + 1)
+    )
+)
+
+
+@query(
+    "bpe_vocab_ids",
+    oracle=_bpe_sql(
+        _BPE_N,
+        _BPE_VOCAB_CTES + "\n    SELECT id, sym, kind FROM vocab",
+    ),
+)
+def bpe_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The token-id VOCABULARY induced by BPE training — base symbols
+    (observed characters + ``</w>``) at ids 0..B-1 in binary-lexicographic
+    order, each learned merge at B+step, duplicates first-writer-wins —
+    i.e. the vocab file a tokenizer ships.  B is bounded by the normalized
+    charset (≤37), so the id assignment is a bounded driver-side step over
+    an alphabet, never a corpus scan; the oracle replays the training CTE
+    chain and re-derives the same ids in SQL."""
+    from cassandra_util_spark.operators.bpe import bpe_train, bpe_vocab
+
+    d = _t(spark, sf_dir, "documents")
+    merges, words = bpe_train(d, "text", num_merges=_BPE_N)
+    return bpe_vocab(spark, words, merges)
+
+
+@query(
+    "bpe_encode_ids_corpus",
+    oracle=_bpe_sql(
+        _BPE_N,
+        _BPE_VOCAB_CTES
+        + f"""
+    , segids AS (
+      SELECT word, list(id ORDER BY j) AS ids
+      FROM (SELECT w.word, t.j, w.s[t.j] AS sym
+            FROM w{_BPE_N} w, UNNEST(range(1, len(w.s) + 1)) t(j)) q
+      JOIN vocab v USING (sym)
+      GROUP BY word),
+    dw AS (SELECT doc_id, j - 1 AS pos, w[j] AS word
+           FROM (SELECT doc_id,
+                        list_filter(string_split({_NORM_SQL}, ' '),
+                                    x -> x <> '') AS w
+                 FROM documents) t, UNNEST(range(1, len(w) + 1)) u(j)),
+    enc AS (
+      SELECT d.doc_id,
+             string_agg(array_to_string(s.ids, ' '), ' ' ORDER BY d.pos)
+               AS token_ids,
+             CAST(sum(len(s.ids)) AS BIGINT) AS n_tokens
+      FROM dw d JOIN segids s USING (word)
+      GROUP BY d.doc_id)
+    SELECT doc.doc_id,
+           coalesce(e.token_ids, '') AS token_ids,
+           CAST(coalesce(e.n_tokens, 0) AS BIGINT) AS n_tokens
+    FROM documents doc LEFT JOIN enc e USING (doc_id)
+    """,
+    ),
+)
+def bpe_encode_ids_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-document TOKEN-ID stream under the learned vocabulary —
+    what a training pipeline actually materializes for packing
+    (`bpe_encode_corpus` is the readable-symbol twin).  The symbol→id
+    mapping happens vocabulary-side (each trained word's segment array
+    maps to an int array once, via a broadcast vocab join over |vocab|
+    words), so the corpus-sized assembly shuffles ints, not symbol
+    strings; the oracle re-derives the ids and streams in SQL from the
+    same training replay.  Rendered as the space-joined id text for the
+    cross-engine hash."""
+    from cassandra_util_spark.operators.bpe import (
+        bpe_encode_ids,
+        bpe_train,
+        bpe_vocab,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    merges, words = bpe_train(d, "text", num_merges=_BPE_N)
+    enc = bpe_encode_ids(
+        d, "doc_id", "text", words, bpe_vocab(spark, words, merges)
+    )
+    return enc.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.transform("token_ids", lambda x: x.cast("string"))
+        ).alias("token_ids"),
+        "n_tokens",
+    )
+
+
+@query(
+    "tokenized_packing_plan",
+    oracle=_bpe_sql(
+        _BPE_N,
+        f"""
+    , dwc AS (SELECT doc_id,
+                unnest(list_filter(string_split({_NORM_SQL}, ' '),
+                                   x -> x <> '')) AS word
+              FROM documents),
+    tok AS (SELECT d.doc_id, CAST(sum(len(w.s)) AS BIGINT) AS n_tokens
+            FROM dwc d JOIN w{_BPE_N} w USING (word)
+            GROUP BY d.doc_id),
+    c AS (SELECT doc_id, n_tokens,
+            coalesce(CAST(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS BIGINT), 0) AS cb
+          FROM tok)
+    SELECT doc_id, n_tokens, cb // 1024 AS bin, cb % 1024 AS bin_offset
+    FROM c
+    """,
+    ),
+)
+def tokenized_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize → pack, end to end under the LEARNED vocabulary: the
+    1024-token training-window assignment computed from the true BPE
+    token counts (`sequence_packing` is the same window arithmetic over
+    the cheap regex estimate — this is the production form once a
+    tokenizer exists).  Runs the distributed two-phase prefix sum
+    (`pack_sequences(distributed=True)`) — one unbroken global token
+    stream with NO single-task window stage — and the oracle replays
+    both the tokenizer and the window arithmetic in SQL, so the
+    composition is hash-certified through both halves."""
+    from cassandra_util_spark.operators.bpe import bpe_token_profile, bpe_train
+    from cassandra_util_spark.operators.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    _, words = bpe_train(d, "text", num_merges=_BPE_N)
+    prof = bpe_token_profile(d, "doc_id", "text", words).select(
+        "doc_id", F.col("n_bpe_tokens").alias("n_tokens")
+    )
+    return pack_sequences(
+        prof, "doc_id", "n_tokens", capacity=1024, distributed=True
+    )

@@ -231,6 +231,228 @@ def bpe_merge_table(spark: SparkSession, merges) -> DataFrame:
     )
 
 
+def _ordered_disjoint_batches(
+    pairs: List[Tuple[str, str]], batch: int
+) -> List[List[Tuple[str, str]]]:
+    """Group a learned merge SEQUENCE into contiguous batches of mutually
+    symbol-disjoint pairs (same collision rule as ``_select_disjoint``:
+    lhs, rhs, and the merged string must all be fresh within the batch).
+    Contiguity preserves the learned order across batches, and within a
+    batch disjointness makes one composed fold equal to sequential
+    application — so replaying the batches in order is EXACTLY the
+    sequential replay of the full merge list."""
+    batches: List[List[Tuple[str, str]]] = []
+    cur: List[Tuple[str, str]] = []
+    used: set = set()
+    for l, r in pairs:
+        if len(cur) >= batch or l in used or r in used or (l + r) in used:
+            batches.append(cur)
+            cur, used = [], set()
+        cur.append((l, r))
+        used.update((l, r, l + r))
+    if cur:
+        batches.append(cur)
+    return batches
+
+
+def segment_words(
+    vocab: DataFrame,
+    merges: List[Tuple[int, str, str, int]],
+    batch: int = 16,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """(word, syms) — segment ARBITRARY words under a learned merge list
+    by replaying the merges in learned order over the word table: the
+    out-of-vocabulary half of the tokenizer (a trained word table only
+    covers words seen at training time; a crawl shard always brings new
+    ones).  One greedy left-to-right pass per merge, each over the state
+    left by the previous merges — the same semantics ``bpe_train`` used
+    to build the trained table, so an in-vocabulary word re-segmented
+    here lands on its trained segmentation exactly (pinned in tests).
+
+    Scale: the input is a DISTINCT-word table (vocabulary-sized, not
+    corpus-sized) and every merge is a map-only fold; contiguous
+    symbol-disjoint batching (``_ordered_disjoint_batches``) collapses
+    the ~M folds to ~M/batch composed passes, and a localCheckpoint
+    every ``checkpoint_every`` batches keeps the plan flat in M."""
+    words = vocab.select(
+        "word",
+        F.concat(
+            F.expr("regexp_extract_all(word, '.', 0)"), F.array(F.lit(END))
+        ).alias("syms"),
+    )
+    pairs = [(l, r) for (_, l, r, _) in merges]
+    for i, grp in enumerate(_ordered_disjoint_batches(pairs, batch), 1):
+        if len(grp) == 1:
+            col = merge_pair_expr(F.col("syms"), grp[0][0], grp[0][1])
+        else:
+            col = merge_pairs_expr(F.col("syms"), grp)
+        words = words.withColumn("syms", col)
+        if i % checkpoint_every == 0:
+            words = words.localCheckpoint()
+    return words
+
+
+def bpe_encode(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    words: DataFrame | None = None,
+    merges: List[Tuple[int, str, str, int]] | None = None,
+    batch: int = 16,
+) -> DataFrame:
+    """(id, tokens, n_tokens) — the ORDERED BPE token stream per document,
+    the actual tokenizer output a training pipeline feeds to packing
+    (``bpe_token_profile`` is the count-only budget view).
+
+    Tokenization stays word-local, so the heavy lifting is vocabulary-
+    sized: the document stream's DISTINCT words are segmented once —
+    reusing the trained table ``words`` where available, replaying
+    ``merges`` via :func:`segment_words` for out-of-vocabulary words —
+    then the position-indexed word stream joins to its segmentation
+    (broadcast for small vocabularies, word-key shuffle at web scale)
+    and per-document streams re-assemble ordered.  The output and its
+    one (id)-keyed shuffle are ∝ corpus tokens — the information floor
+    for producing the stream itself; nothing here is quadratic.
+
+    Documents with no tokens survive as an empty array.  At least one of
+    ``words`` / ``merges`` is required; with both, the trained table
+    serves in-vocabulary words and the replay covers only the rest."""
+    if words is None and merges is None:
+        raise ValueError("bpe_encode needs a trained word table or a merge list")
+    doc_words = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(_norm_tokens(F.col(text_col))).alias("pos", "word"),
+    )
+    vocab = doc_words.select("word").distinct()
+    if words is not None:
+        seg = vocab.join(words.select("word", "syms"), "word")
+        if merges is not None:
+            oov = vocab.join(words.select("word"), "word", "left_anti")
+            seg = seg.unionByName(segment_words(oov, merges, batch=batch))
+    else:
+        seg = segment_words(vocab, merges, batch=batch)
+    assembled = (
+        doc_words.join(seg, "word")
+        .groupBy("id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "syms"))
+                    ),
+                    lambda s: s["syms"],
+                )
+            ).alias("tokens")
+        )
+    )
+    toks = F.coalesce("tokens", F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(assembled, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            toks.alias("tokens"),
+            F.size(toks).cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+def bpe_vocab(
+    spark: SparkSession,
+    words: DataFrame,
+    merges: List[Tuple[int, str, str, int]],
+) -> DataFrame:
+    """(id, sym, kind) — the token-id vocabulary induced by training.
+
+    Base symbols (the single characters observed across the trained word
+    table, plus the terminal ``</w>``) take ids 0..B-1 in lexicographic
+    order; each learned merge takes id B+step.  Normalized text is
+    [a-z0-9 ], so merged symbols (length ≥ 2, alphanumeric) can never
+    collide with a base symbol or with ``</w>``; two DIFFERENT merges can
+    in principle produce the same string (``a``+``bc`` vs ``ab``+``c``) —
+    such a duplicate keeps its FIRST id (min), matching the
+    first-writer-wins convention of tokenizer vocab files.
+
+    B is a bounded collect: the base alphabet of normalized text is at
+    most 37 symbols regardless of corpus size."""
+    syms = sorted(
+        r["sym"]
+        for r in words.select(
+            F.explode(
+                F.concat(
+                    F.expr("regexp_extract_all(word, '.', 0)"),
+                    F.array(F.lit(END)),
+                )
+            ).alias("sym")
+        )
+        .distinct()
+        .collect()
+    )
+    b = len(syms)
+    first_id: dict = {}
+    for s, l, r, _ in merges:
+        first_id.setdefault(l + r, b + s)
+    rows = [(i, s, "base") for i, s in enumerate(syms)] + [
+        (i, s, "merge") for s, i in first_id.items()
+    ]
+    return spark.createDataFrame(rows, "id int, sym string, kind string")
+
+
+def bpe_encode_ids(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    words: DataFrame,
+    vocab: DataFrame,
+) -> DataFrame:
+    """(id, token_ids, n_tokens) — the per-document TOKEN-ID stream, the
+    form a training pipeline actually materializes (``bpe_encode`` is the
+    readable-symbol twin).  The symbol→id mapping happens VOCABULARY-side:
+    each trained word's segment array maps to an int array once (posexplode
+    → broadcast vocab join → ordered re-collect over a table of |vocab|
+    words), and only then does the corpus-sized stream assemble — so the
+    per-document work and the one (id)-keyed shuffle carry ints, not
+    symbol strings."""
+    seg_ids = (
+        words.select("word", F.posexplode("syms").alias("j", "sym"))
+        .join(F.broadcast(vocab.select("sym", "id")), "sym")
+        .groupBy("word")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "id"))),
+                lambda s: s["id"],
+            ).alias("syms")
+        )
+    )
+    doc_words = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(_norm_tokens(F.col(text_col))).alias("pos", "word"),
+    )
+    assembled = (
+        doc_words.join(seg_ids, "word")
+        .groupBy("id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "syms"))),
+                    lambda s: s["syms"],
+                )
+            ).alias("token_ids")
+        )
+    )
+    toks = F.coalesce("token_ids", F.array().cast("array<int>"))
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(assembled, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            toks.alias("token_ids"),
+            F.size(toks).cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
 def bpe_token_profile(
     df: DataFrame,
     id_col: str,

@@ -1,0 +1,215 @@
+"""BPE corpus encoding (operators/bpe.py bpe_encode / segment_words): the
+ordered per-document token stream vs a plain-Python sequential-replay
+reference, trained-table vs merge-replay equivalence for in-vocabulary
+words (the docstring's exactness claim), the out-of-vocabulary path on a
+train/encode split, empty-document survival, count consistency with
+bpe_token_profile, and the ordered-disjoint-batch grouping invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_util_spark.operators.bpe import (
+    END,
+    _ordered_disjoint_batches,
+    bpe_encode,
+    bpe_token_profile,
+    bpe_train,
+    segment_words,
+)
+from test_bpe import py_bpe_train, py_merge
+
+CORPUS = [
+    (0, "low low low lower lowest"),
+    (1, "new newer newest newest"),
+    (2, "aaa aaa aa banana bananas"),
+    (3, "low new aaa banana"),
+    (4, ""),  # must survive as an empty token stream
+]
+
+
+def _py_encode(texts, merges):
+    """Reference encoder: per word, character split + END, then one greedy
+    left-to-right pass PER MERGE in learned order — the same semantics
+    bpe_train leaves in its trained table."""
+    seg_cache: dict = {}
+
+    def seg(word):
+        if word not in seg_cache:
+            s = list(word) + [END]
+            for _, lhs, rhs, _ in merges:
+                s = py_merge(s, lhs, rhs)
+            seg_cache[word] = s
+        return seg_cache[word]
+
+    return {
+        i: [t for w in text.split() for t in seg(w)] for i, text in texts
+    }
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    return spark.createDataFrame(CORPUS, "doc_id int, text string")
+
+
+@pytest.fixture(scope="module")
+def trained(corpus_df):
+    return bpe_train(corpus_df, "text", num_merges=8)
+
+
+def _collect_streams(df):
+    return {r["doc_id"]: list(r["tokens"]) for r in df.collect()}
+
+
+def test_encode_matches_python_reference(corpus_df, trained):
+    merges, words = trained
+    got = _collect_streams(bpe_encode(corpus_df, "doc_id", "text", words=words))
+    want = _py_encode(CORPUS, merges)
+    assert got == want
+
+
+def test_merge_replay_equals_trained_table(corpus_df, trained):
+    # an in-vocabulary word re-segmented by segment_words must land on its
+    # trained segmentation exactly — the OOV path and the trained table are
+    # the same tokenizer
+    merges, words = trained
+    via_table = _collect_streams(
+        bpe_encode(corpus_df, "doc_id", "text", words=words)
+    )
+    via_replay = _collect_streams(
+        bpe_encode(corpus_df, "doc_id", "text", merges=merges, batch=3)
+    )
+    assert via_table == via_replay
+
+
+def test_oov_split(spark, trained):
+    # train on the CORPUS, encode a document holding both known and unseen
+    # words: both halves must match the python reference under the same merges
+    merges, words = trained
+    new = spark.createDataFrame(
+        [(10, "lowest bananafana"), (11, "zzz")], "doc_id int, text string"
+    )
+    got = _collect_streams(
+        bpe_encode(new, "doc_id", "text", words=words, merges=merges)
+    )
+    want = _py_encode([(10, "lowest bananafana"), (11, "zzz")], merges)
+    assert got == want
+
+
+def test_empty_document_and_counts(corpus_df, trained):
+    merges, words = trained
+    rows = {
+        r["doc_id"]: r
+        for r in bpe_encode(corpus_df, "doc_id", "text", words=words).collect()
+    }
+    assert rows[4]["tokens"] == [] and rows[4]["n_tokens"] == 0
+    for r in rows.values():
+        assert r["n_tokens"] == len(r["tokens"])
+    # count consistency with the budget view (which drops token-less docs)
+    prof = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_token_profile(corpus_df, "doc_id", "text", words).collect()
+    }
+    for i, n in prof.items():
+        assert rows[i]["n_tokens"] == n
+
+
+def test_requires_words_or_merges(corpus_df):
+    with pytest.raises(ValueError, match="trained word table or a merge list"):
+        bpe_encode(corpus_df, "doc_id", "text")
+
+
+def test_ordered_disjoint_batches_invariants():
+    merges, _ = py_bpe_train(
+        {"low": 5, "lower": 2, "newest": 6, "banana": 4, "aaa": 3}, 12
+    )
+    pairs = [(l, r) for (_, l, r, _) in merges]
+    for batch in (1, 2, 3, 16):
+        groups = _ordered_disjoint_batches(pairs, batch)
+        # order preserved exactly and nothing dropped
+        assert [p for g in groups for p in g] == pairs
+        for g in groups:
+            assert 1 <= len(g) <= batch
+            used: set = set()
+            for l, r in g:
+                # mutual symbol-disjointness within a batch (the exactness
+                # precondition of the composed fold)
+                assert l not in used and r not in used and (l + r) not in used
+                used.update((l, r, l + r))
+
+
+def test_segment_words_on_unseen_vocab(spark, trained):
+    merges, _ = trained
+    vocab = spark.createDataFrame([("lowestest",), ("qqq",)], "word string")
+    got = {
+        r["word"]: list(r["syms"])
+        for r in segment_words(vocab, merges, batch=2).collect()
+    }
+    for w in got:
+        s = list(w) + [END]
+        for _, lhs, rhs, _ in merges:
+            s = py_merge(s, lhs, rhs)
+        assert got[w] == s, w
+
+
+# ---------------------------------------------------------------------------
+# Token-id vocabulary and id streams
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_ids(spark, corpus_df, trained):
+    from cassandra_util_spark.operators.bpe import bpe_vocab
+
+    merges, words = trained
+    v = {r["sym"]: (r["id"], r["kind"]) for r in
+         bpe_vocab(spark, words, merges).collect()}
+    # base alphabet: every character of every corpus word, plus END,
+    # lexicographic from 0
+    chars = sorted({c for _, t in CORPUS for w in t.split() for c in w} | {END})
+    for i, s in enumerate(chars):
+        assert v[s] == (i, "base"), s
+    # merges: id = B + step, first-writer-wins on duplicates
+    for step, l, r, _ in merges:
+        got_id, kind = v[l + r]
+        assert kind == "merge"
+        assert got_id <= len(chars) + step
+    # ids are unique
+    ids = [i for i, _ in v.values()]
+    assert len(ids) == len(set(ids))
+
+
+def test_encode_ids_matches_symbol_stream(spark, corpus_df, trained):
+    from cassandra_util_spark.operators.bpe import bpe_encode_ids, bpe_vocab
+
+    merges, words = trained
+    vocab = bpe_vocab(spark, words, merges)
+    v = {r["sym"]: r["id"] for r in vocab.collect()}
+    sym_streams = _collect_streams(
+        bpe_encode(corpus_df, "doc_id", "text", words=words)
+    )
+    got = {
+        r["doc_id"]: (list(r["token_ids"]), r["n_tokens"])
+        for r in bpe_encode_ids(
+            corpus_df, "doc_id", "text", words, vocab
+        ).collect()
+    }
+    for i, syms in sym_streams.items():
+        ids, n = got[i]
+        assert ids == [v[s] for s in syms], i
+        assert n == len(syms)
+    assert got[4] == ([], 0)  # the empty document survives
+
+
+def test_vocab_duplicate_merge_first_writer_wins(spark, corpus_df):
+    from cassandra_util_spark.operators.bpe import bpe_vocab
+
+    _, words = bpe_train(corpus_df, "text", num_merges=2)
+    # synthesize a duplicate merged string from two different pairs
+    merges = [(0, "a", "bc", 9), (1, "ab", "c", 9)]
+    v = [r for r in bpe_vocab(spark, words, merges).collect()
+         if r["sym"] == "abc"]
+    assert len(v) == 1 and v[0]["kind"] == "merge"
+    b = sum(1 for r in bpe_vocab(spark, words, merges).collect()
+            if r["kind"] == "base")
+    assert v[0]["id"] == b  # step 0 won
