@@ -230,6 +230,7 @@ BENCH_QUERIES = [
     "bpe_vocab_ids",
     "bpe_encode_ids_corpus",
     "tokenized_packing_plan",
+    "packed_training_windows",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash
     # swapped to xxhash64 — the production configuration at scale

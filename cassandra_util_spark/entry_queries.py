@@ -9681,3 +9681,88 @@ def tokenized_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(
         prof, "doc_id", "n_tokens", capacity=1024, distributed=True
     )
+
+
+@query(
+    "packed_training_windows",
+    oracle=_bpe_sql(
+        _BPE_N,
+        _BPE_VOCAB_CTES
+        + f"""
+    , segids AS (
+      SELECT word, list(id ORDER BY j) AS ids
+      FROM (SELECT w.word, t.j, w.s[t.j] AS sym
+            FROM w{_BPE_N} w, UNNEST(range(1, len(w.s) + 1)) t(j)) q
+      JOIN vocab v USING (sym)
+      GROUP BY word),
+    dw AS (SELECT doc_id, j - 1 AS pos, w[j] AS word
+           FROM (SELECT doc_id,
+                        list_filter(string_split({_NORM_SQL}, ' '),
+                                    x -> x <> '') AS w
+                 FROM documents) t, UNNEST(range(1, len(w) + 1)) u(j)),
+    dstream AS (
+      SELECT d.doc_id, d.pos, s.ids
+      FROM dw d JOIN segids s USING (word)),
+    dtok AS (
+      SELECT doc_id, CAST(sum(len(ids)) AS BIGINT) AS n
+      FROM dstream GROUP BY doc_id),
+    cum AS (
+      SELECT doc_id,
+             coalesce(CAST(sum(n) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS BIGINT), 0) AS cb
+      FROM dtok),
+    flat AS (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY doc_id ORDER BY pos, k) - 1 AS i,
+             tok
+      FROM (SELECT doc_id, pos, k, ids[k] AS tok
+            FROM dstream, UNNEST(range(1, len(ids) + 1)) u(k))),
+    post AS (
+      SELECT f.doc_id, c.cb + f.i AS gpos, f.tok
+      FROM flat f JOIN cum c USING (doc_id))
+    SELECT CAST(gpos // 1024 AS BIGINT) AS bin,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           string_agg(CAST(tok AS VARCHAR), ' ' ORDER BY gpos) AS token_ids
+    FROM post GROUP BY 1
+    """,
+    ),
+)
+def packed_training_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MATERIALIZED training windows, end to end: train the vocab,
+    encode every document to its token-id stream, and emit the actual
+    1024-token windows a trainer consumes — documents spilling across
+    window boundaries, the final window partial
+    (`tokenized_packing_plan` certifies the assignment arithmetic; this
+    certifies the windows' contents).  The global running count runs
+    through the distributed two-phase prefix sum (no single-task window),
+    the token-level explode is ∝ corpus tokens — the information floor
+    for emitting windows at all — and reassembly is ONE (bin)-keyed
+    shuffle.  Window contents rendered as space-joined id text for the
+    cross-engine hash."""
+    from cassandra_util_spark.operators.bpe import (
+        bpe_encode_ids,
+        bpe_train,
+        bpe_vocab,
+    )
+    from cassandra_util_spark.operators.packing import (
+        materialize_packed_windows,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    merges, words = bpe_train(d, "text", num_merges=_BPE_N)
+    enc = bpe_encode_ids(
+        d, "doc_id", "text", words, bpe_vocab(spark, words, merges)
+    )
+    win = materialize_packed_windows(
+        enc, "doc_id", "token_ids", capacity=1024, distributed=True
+    )
+    return win.select(
+        "bin",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        "n_tokens",
+        F.concat_ws(
+            " ", F.transform("token_ids", lambda x: x.cast("string"))
+        ).alias("token_ids"),
+    )

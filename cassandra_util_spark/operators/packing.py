@@ -95,6 +95,79 @@ def pack_sequences(
     )
 
 
+def materialize_packed_windows(
+    df: DataFrame,
+    id_col: str,
+    ids_col: str,
+    capacity: int,
+    order_col: str | None = None,
+    shard_col: str | None = None,
+    distributed: bool = False,
+) -> DataFrame:
+    """(bin, n_docs, n_tokens, token_ids[, shard]) — the MATERIALIZED
+    training windows: every document's token-id array concatenated in
+    ``order_col`` order and sliced every ``capacity`` tokens, documents
+    spilling across window boundaries (the concat-and-chunk windows
+    :func:`pack_sequences` only PLANS).  The final window of a stream is
+    partial (``n_tokens < capacity``) — padding is the consumer's choice,
+    accounted separately by :func:`padding_waste_report`.
+
+    Shape: one token-level explode (∝ corpus tokens — the information
+    floor for emitting the windows at all), window arithmetic as pure
+    expressions on the exclusive running count, and ONE (bin)-keyed
+    shuffle reassembling windows from ordered (position, id) pairs.
+    ``shard_col`` restarts bins per shard and parallelizes the running
+    count; ``distributed=True`` (global form) computes it via the
+    two-phase prefix sum instead of the single-task window — same output,
+    no serialization point."""
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+    order = order_col or id_col
+    n_tok = F.size(ids_col)
+    keys = [shard_col] if shard_col else []
+    if distributed:
+        if shard_col:
+            raise ValueError(
+                "distributed=True is the GLOBAL-stream scale path; with "
+                "shard_col the per-shard running counts already parallelize"
+            )
+        from cassandra_util_spark.functions.cumsum import distributed_cumsum
+
+        cum = distributed_cumsum(
+            df.withColumn("__n", n_tok), [order], "__n", out_col="__cum"
+        )
+        staged = cum.withColumn("__cb", F.col("__cum") - F.col("__n"))
+    else:
+        w = (
+            Window.partitionBy(shard_col).orderBy(order)
+            if shard_col
+            else Window.orderBy(order)
+        )
+        cb = F.coalesce(
+            F.sum(n_tok).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+        staged = df.withColumn("__cb", cb)
+    toks = staged.select(
+        *keys,
+        F.col(id_col).alias("__doc"),
+        F.col("__cb"),
+        F.posexplode(ids_col).alias("__i", "__tok"),
+    ).withColumn("__pos", F.col("__cb") + F.col("__i"))
+    return (
+        toks.groupBy(*keys, F.floor(F.col("__pos") / capacity).alias("bin"))
+        .agg(
+            F.countDistinct("__doc").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__tok"))),
+                lambda s: s["__tok"],
+            ).alias("token_ids"),
+        )
+        .select(*keys, "bin", "n_docs", "n_tokens", "token_ids")
+    )
+
+
 def chunk_structs(toks: Column, chunk_words: int, overlap: int = 0) -> Column:
     """Array of (chunk_id, chunk_text, n_words) structs over a token-array
     Column — the ONE source of the fixed-window chunk arithmetic, shared by

@@ -110,6 +110,12 @@ PIPELINES = [
     # vocabulary-sized word table — wall near-flat in corpus bytes after
     # the one corpus scan that builds the frequency table
     "bpe_learned_merges_batched",
+    # tokenizer family (r13): encode is vocab-local segmentation + one
+    # (id)-keyed assembly shuffle ∝ corpus tokens; the packing composition
+    # adds the distributed prefix sum — both should ramp ~linearly in
+    # corpus bytes with shuffle ∝ tokens
+    "bpe_encode_corpus",
+    "tokenized_packing_plan",
 ]
 
 

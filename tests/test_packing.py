@@ -209,3 +209,110 @@ def test_padding_waste_oracle_matches_spark_on_oversize_docs(spark):
         a = got[got.bucket > 0][c].tolist()
         b = want[want.bucket > 0][c].tolist()
         assert a == b, (c, a, b)
+
+
+# ---------------------------------------------------------------------------
+# materialize_packed_windows: the actual training windows
+# ---------------------------------------------------------------------------
+
+_DOCS = [
+    (1, [10, 11, 12]),
+    (2, [20, 21, 22, 23, 24]),  # spills across the bin-0/bin-1 boundary
+    (3, []),                    # empty stream contributes nothing
+    (4, [40]),
+    (5, [50, 51, 52, 53]),      # final window stays partial
+]
+
+
+def _py_windows(docs, capacity):
+    stream = [(i, t) for i, ids in sorted(docs) for t in ids]
+    bins: dict = {}
+    for pos, (i, t) in enumerate(stream):
+        b = bins.setdefault(pos // capacity, {"docs": set(), "ids": []})
+        b["docs"].add(i)
+        b["ids"].append(t)
+    return {
+        k: (len(v["docs"]), len(v["ids"]), v["ids"]) for k, v in bins.items()
+    }
+
+
+@pytest.mark.parametrize("distributed", [False, True])
+def test_materialize_packed_windows_global(spark, distributed):
+    from cassandra_util_spark.operators.packing import (
+        materialize_packed_windows,
+    )
+
+    df = spark.createDataFrame(_DOCS, "doc_id int, ids array<int>")
+    got = {
+        r["bin"]: (r["n_docs"], r["n_tokens"], list(r["token_ids"]))
+        for r in materialize_packed_windows(
+            df, "doc_id", "ids", capacity=4, distributed=distributed
+        ).collect()
+    }
+    assert got == _py_windows(_DOCS, 4)
+    # the final window is partial, every other is full
+    bins = sorted(got)
+    assert all(got[b][1] == 4 for b in bins[:-1])
+    assert got[bins[-1]][1] == 13 - 4 * (len(bins) - 1)
+
+
+def test_materialize_packed_windows_sharded(spark):
+    from cassandra_util_spark.operators.packing import (
+        materialize_packed_windows,
+    )
+
+    rows = [(s, i, ids) for s in (0, 1) for i, ids in _DOCS]
+    df = spark.createDataFrame(rows, "shard int, doc_id int, ids array<int>")
+    got = materialize_packed_windows(
+        df, "doc_id", "ids", capacity=4, shard_col="shard"
+    ).collect()
+    want = _py_windows(_DOCS, 4)
+    for s in (0, 1):
+        per = {
+            r["bin"]: (r["n_docs"], r["n_tokens"], list(r["token_ids"]))
+            for r in got
+            if r["shard"] == s
+        }
+        assert per == want, s
+
+
+def test_materialize_packed_windows_capacity_validation(spark):
+    from cassandra_util_spark.operators.packing import (
+        materialize_packed_windows,
+    )
+
+    df = spark.createDataFrame(_DOCS, "doc_id int, ids array<int>")
+    with pytest.raises(ValueError, match="capacity must be positive"):
+        materialize_packed_windows(df, "doc_id", "ids", capacity=0)
+    with pytest.raises(ValueError, match="GLOBAL-stream scale path"):
+        materialize_packed_windows(
+            df, "doc_id", "ids", capacity=4, shard_col="doc_id",
+            distributed=True,
+        )
+
+
+def test_materialized_windows_agree_with_pack_plan(spark):
+    # the windows' (doc -> first bin) must equal pack_sequences' plan
+    from cassandra_util_spark.operators.packing import (
+        materialize_packed_windows,
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame(_DOCS, "doc_id int, ids array<int>")
+    plan = {
+        r["doc_id"]: (r["bin"], r["bin_offset"])
+        for r in pack_sequences(
+            df.select("doc_id", F.size("ids").alias("n")),
+            "doc_id", "n", capacity=4,
+        ).collect()
+        if r["n_tokens"] > 0
+    }
+    win = {
+        r["bin"]: list(r["token_ids"])
+        for r in materialize_packed_windows(
+            df, "doc_id", "ids", capacity=4
+        ).collect()
+    }
+    first_tok = {i: ids[0] for i, ids in _DOCS if ids}
+    for doc, (b, off) in plan.items():
+        assert win[b][off] == first_tok[doc], doc
