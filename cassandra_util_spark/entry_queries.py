@@ -9766,3 +9766,61 @@ def packed_training_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.transform("token_ids", lambda x: x.cast("string"))
         ).alias("token_ids"),
     )
+
+
+@query("bpe_streaming_encode", oracle=None)
+def bpe_streaming_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tokenization end to end: the tokenizer model (word table
+    + merges + id vocab) is trained once and FROZEN, the document corpus
+    replays through a real file-source stream in three micro-batches
+    (doc_id % 3), each batch's id streams append to a RunStore under the
+    locked idempotent-ingest protocol (out-of-vocabulary words would
+    segment via the frozen-merge replay; unseen symbols map to unk, never
+    dropped), and the final LWW-merged view must hash-match ONE batch
+    encode of the same corpus — `bpe_encode_ids_corpus`'s oracle, shared
+    below.  Encoding is word-local under a frozen model, so the streamed
+    store converges to the batch result regardless of batch boundaries —
+    the property that lets a 100 TB corpus tokenize shard-by-shard
+    without ever re-encoding history."""
+    import tempfile
+
+    from cassandra_util_spark.core.table import TableMeta
+    from cassandra_util_spark.operators.bpe import bpe_train, bpe_vocab
+    from cassandra_util_spark.sources.runs import RunStore
+    from cassandra_util_spark.streaming.corpus import stream_encode
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    merges, words = bpe_train(d, "text", num_merges=_BPE_N)
+    vocab = bpe_vocab(spark, words, merges)
+    src = tempfile.mkdtemp(prefix="bpe-stream-src-")
+    for k in range(3):
+        d.filter(F.col("doc_id") % 3 == k).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    store = RunStore(
+        tempfile.mkdtemp(prefix="runstore-bpe-enc-"),
+        TableMeta(("doc_id",), (), "writetime"),
+    )
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    with _scoped_shuffle_partitions(spark, 8):
+        q = stream_encode(
+            stream, store, tempfile.mkdtemp(prefix="bpe-enc-cp-"),
+            words, vocab, merges=merges,
+        )
+        q.awaitTermination(300)
+    view = store.read_merged(spark)
+    return view.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.transform("token_ids", lambda x: x.cast("string"))
+        ).alias("token_ids"),
+        "n_tokens",
+    )
+
+
+ORACLES["bpe_streaming_encode"] = ORACLES["bpe_encode_ids_corpus"]

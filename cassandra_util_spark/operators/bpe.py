@@ -317,7 +317,11 @@ def bpe_encode(
 
     Documents with no tokens survive as an empty array.  At least one of
     ``words`` / ``merges`` is required; with both, the trained table
-    serves in-vocabulary words and the replay covers only the rest."""
+    serves in-vocabulary words and the replay covers only the rest.
+    With ``words`` ALONE, out-of-vocabulary words are DROPPED by the
+    inner segmentation join — only safe when the input is the training
+    corpus itself; any input that may contain unseen words needs
+    ``merges`` so the replay path can segment them."""
     if words is None and merges is None:
         raise ValueError("bpe_encode needs a trained word table or a merge list")
     doc_words = df.select(
@@ -405,6 +409,7 @@ def bpe_encode_ids(
     text_col: str,
     words: DataFrame,
     vocab: DataFrame,
+    unk_id: int = -1,
 ) -> DataFrame:
     """(id, token_ids, n_tokens) — the per-document TOKEN-ID stream, the
     form a training pipeline actually materializes (``bpe_encode`` is the
@@ -413,14 +418,25 @@ def bpe_encode_ids(
     → broadcast vocab join → ordered re-collect over a table of |vocab|
     words), and only then does the corpus-sized stream assemble — so the
     per-document work and the one (id)-keyed shuffle carry ints, not
-    symbol strings."""
+    symbol strings.
+
+    A segment symbol absent from ``vocab`` (a character never seen at
+    training time, surfaced when ``words`` came from
+    :func:`segment_words` over an unseen shard) maps to ``unk_id`` —
+    the standard UNK convention; silently dropping it would desync the
+    stream from the document (same contract as every tokenizer's
+    unk_token).  Words absent from ``words`` are dropped by the inner
+    join — segment them first (:func:`segment_words`) if the input may
+    contain out-of-vocabulary words."""
     seg_ids = (
         words.select("word", F.posexplode("syms").alias("j", "sym"))
-        .join(F.broadcast(vocab.select("sym", "id")), "sym")
+        .join(F.broadcast(vocab.select("sym", "id")), "sym", "left")
         .groupBy("word")
         .agg(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("j", "id"))),
+                F.array_sort(F.collect_list(
+                    F.struct("j", F.coalesce("id", F.lit(unk_id)).alias("id"))
+                )),
                 lambda s: s["id"],
             ).alias("syms")
         )

@@ -5,7 +5,7 @@ from cassandra_util_spark.streaming.events import (
     streaming_retention,
     windowed_rollup,
 )
-from cassandra_util_spark.streaming.corpus import stream_corpus_ingest
+from cassandra_util_spark.streaming.corpus import stream_corpus_ingest, stream_encode
 from cassandra_util_spark.streaming.dedup import (
     stream_lsh_index,
     stream_token_span_index,
@@ -28,6 +28,7 @@ __all__ = [
     "continuous_rollup",
     "resolve_txn_app_id",
     "stream_corpus_ingest",
+    "stream_encode",
     "stream_count_min_to_store",
     "stream_counter_deltas",
     "stream_events",

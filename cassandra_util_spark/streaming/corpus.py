@@ -62,7 +62,10 @@ from cassandra_util_spark.operators.dedup import (
     exact_dedup,
     minhash_signatures,
 )
-from cassandra_util_spark.operators.text import whitespace_token_count
+from cassandra_util_spark.operators.text import (
+    _norm_tokens,
+    whitespace_token_count,
+)
 from cassandra_util_spark.sources.runs import RunStore, maintain
 from cassandra_util_spark.streaming.ingest import (
     _advance_batch_hwm,
@@ -203,3 +206,87 @@ def stream_corpus_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_encode(
+    stream: DataFrame,
+    store: RunStore,
+    checkpoint_dir: str,
+    words: DataFrame,
+    vocab: DataFrame,
+    merges=None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    unk_id: int = -1,
+    merge_batch: int = 16,
+    maintain_every: Optional[int] = None,
+    min_threshold: int = 4,
+    available_now: bool = True,
+    query_name: str = "bpe-encode-ingest",
+    txn_app_id: Optional[str] = None,
+) -> StreamingQuery:
+    """Tokenize arriving documents under a FROZEN vocabulary and append
+    their token-id streams to a persisted RunStore — the streaming member
+    of the tokenizer family (`streaming/ann.py` is the same pattern for
+    PQ codes): production pipelines tokenize shard-by-shard as a crawl
+    lands, they never re-encode history, and the tokenizer model (trained
+    word table + merge list + id vocab) is trained once on a bootstrap
+    corpus and held fixed — retraining changes every document's stream,
+    so it is an offline rebuild by construction.
+
+    Encoding is word-local under the frozen model, so the streamed store
+    converges to byte-identical contents with one batch encode over the
+    same rows regardless of batch boundaries (hash-certified:
+    `bpe_streaming_encode` shares `bpe_encode_ids_corpus`'s oracle).
+    Per batch: the shard's out-of-vocabulary words (if ``merges`` is
+    given) segment via the in-order merge replay
+    (:func:`~cassandra_util_spark.operators.bpe.segment_words` —
+    vocabulary-sized, map-only folds), then
+    :func:`~cassandra_util_spark.operators.bpe.bpe_encode_ids` assembles
+    the shard's streams; symbols outside the id vocab (unseen characters)
+    map to ``unk_id``, never dropped.  The transform is a pure function
+    of (batch contents, frozen model), so a replayed batch re-derives the
+    same run and the idempotent named append no-ops — the
+    ``stream_to_runstore`` replay guard.
+
+    ``store`` must key on ``(id_col,)`` with writetime ``'writetime'``:
+    LWW keeps the newest stream per document across re-deliveries."""
+    from cassandra_util_spark.operators.bpe import bpe_encode_ids, segment_words
+    from cassandra_util_spark.streaming.ingest import stream_to_runstore
+
+    if store.meta.partition_keys != (id_col,) or (
+        store.meta.writetime_col != "writetime"
+    ):
+        raise ValueError(
+            f"encode stores are keyed ({id_col!r},) with writetime "
+            f"'writetime'; got keys={store.meta.partition_keys} "
+            f"writetime={store.meta.writetime_col!r}"
+        )
+    words = words.select("word", "syms").localCheckpoint()
+    vocab = vocab.select("sym", "id").localCheckpoint()
+
+    def encode_batch(batch_df: DataFrame, batch_id: int) -> DataFrame:
+        seg = words
+        if merges is not None:
+            batch_vocab = batch_df.select(
+                F.explode(_norm_tokens(F.col(text_col))).alias("word")
+            ).distinct()
+            oov = batch_vocab.join(words.select("word"), "word", "left_anti")
+            seg = words.unionByName(
+                segment_words(oov, merges, batch=merge_batch)
+            )
+        return bpe_encode_ids(
+            batch_df, id_col, text_col, seg, vocab, unk_id=unk_id
+        ).withColumn("writetime", F.lit(batch_id).cast("long"))
+
+    return stream_to_runstore(
+        stream,
+        store,
+        checkpoint_dir,
+        maintain_every=maintain_every,
+        min_threshold=min_threshold,
+        available_now=available_now,
+        query_name=query_name,
+        txn_app_id=txn_app_id,
+        transform=encode_batch,
+    )

@@ -1,0 +1,134 @@
+"""Streaming tokenization (streaming/corpus.py stream_encode): the streamed
+store must converge to the batch encode regardless of batch boundaries —
+including when later shards carry words (and characters) the frozen model
+never saw — plus the UNK contract of bpe_encode_ids."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_util_spark.core.table import TableMeta
+from cassandra_util_spark.operators.bpe import (
+    bpe_encode_ids,
+    bpe_train,
+    bpe_vocab,
+    segment_words,
+)
+from cassandra_util_spark.sources.runs import RunStore
+from cassandra_util_spark.streaming.corpus import stream_encode
+
+CORPUS = [
+    (0, "low low low lower lowest"),
+    (1, "new newer newest newest"),
+    (2, "aaa aaa aa banana bananas"),
+    (3, "low new aaa banana"),
+    (4, ""),                      # empty stream
+    (5, "lowest bananafana zzz"),  # OOV words for a batch-0-trained model
+]
+
+
+@pytest.fixture(scope="module")
+def frozen(spark):
+    """Model trained on SHARD 0 ONLY (doc_id % 3 == 0) — shards 1/2 carry
+    out-of-vocabulary words, including the unseen character 'z'."""
+    d = spark.createDataFrame(CORPUS, "doc_id bigint, text string")
+    boot = d.filter(F.col("doc_id") % 3 == 0)
+    merges, words = bpe_train(boot, "text", num_merges=6)
+    return d, merges, words, bpe_vocab(spark, words, merges)
+
+
+def _batch_reference(spark, d, merges, words, vocab):
+    """One batch encode under the SAME frozen model: trained table plus the
+    in-order merge replay over every word the corpus holds."""
+    from cassandra_util_spark.operators.text import _norm_tokens
+
+    all_words = d.select(
+        F.explode(_norm_tokens(F.col("text"))).alias("word")
+    ).distinct()
+    oov = all_words.join(words.select("word"), "word", "left_anti")
+    seg = words.select("word", "syms").unionByName(segment_words(oov, merges))
+    return bpe_encode_ids(d, "doc_id", "text", seg, vocab)
+
+
+def test_streamed_store_equals_batch_encode_with_oov(spark, frozen):
+    d, merges, words, vocab = frozen
+    src = tempfile.mkdtemp(prefix="enc-src-")
+    for k in range(3):
+        d.filter(F.col("doc_id") % 3 == k).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    store = RunStore(
+        tempfile.mkdtemp(prefix="enc-store-"),
+        TableMeta(("doc_id",), (), "writetime"),
+    )
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    q = stream_encode(
+        stream, store, tempfile.mkdtemp(prefix="enc-cp-"),
+        words, vocab, merges=merges,
+    )
+    q.awaitTermination(300)
+    got = {
+        r["doc_id"]: (list(r["token_ids"]), r["n_tokens"])
+        for r in store.read_merged(spark)
+        .select("doc_id", "token_ids", "n_tokens")
+        .collect()
+    }
+    want = {
+        r["doc_id"]: (list(r["token_ids"]), r["n_tokens"])
+        for r in _batch_reference(spark, d, merges, words, vocab).collect()
+    }
+    assert got == want
+    # the unseen character 'z' must surface as UNK (-1), not vanish:
+    # doc 5 is 'lowest bananafana zzz' -> its stream ends with z-derived ids
+    ids5 = got[5][0]
+    assert -1 in ids5
+    assert got[4] == ([], 0)
+
+
+def test_unk_never_shortens_the_stream(spark, frozen):
+    d, merges, words, vocab = frozen
+    enc = _batch_reference(spark, d, merges, words, vocab)
+    # every document's id stream length equals its symbol-count under the
+    # same segmentation — UNK substitution preserves positions
+    from cassandra_util_spark.operators.text import _norm_tokens
+
+    all_words = d.select(
+        F.explode(_norm_tokens(F.col("text"))).alias("word")
+    ).distinct()
+    oov = all_words.join(words.select("word"), "word", "left_anti")
+    seg = words.select("word", "syms").unionByName(segment_words(oov, merges))
+    n_syms = (
+        d.select("doc_id", F.explode(_norm_tokens(F.col("text"))).alias("word"))
+        .join(seg, "word")
+        .groupBy("doc_id")
+        .agg(F.sum(F.size("syms")).alias("n"))
+    )
+    want = {r["doc_id"]: r["n"] for r in n_syms.collect()}
+    got = {r["doc_id"]: r["n_tokens"] for r in enc.collect()}
+    for i, n in want.items():
+        assert got[i] == n
+
+
+def test_store_key_contract(spark, frozen):
+    d, merges, words, vocab = frozen
+    bad = RunStore(
+        tempfile.mkdtemp(prefix="enc-bad-"),
+        TableMeta(("other",), (), "writetime"),
+    )
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tempfile.mkdtemp(prefix="enc-empty-"))
+    )
+    with pytest.raises(ValueError, match="encode stores are keyed"):
+        stream_encode(
+            stream, bad, tempfile.mkdtemp(), words, vocab, merges=merges
+        )
