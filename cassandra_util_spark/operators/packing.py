@@ -103,6 +103,7 @@ def materialize_packed_windows(
     order_col: str | None = None,
     shard_col: str | None = None,
     distributed: bool = False,
+    eod_id: int | None = None,
 ) -> DataFrame:
     """(bin, n_docs, n_tokens, token_ids[, shard]) — the MATERIALIZED
     training windows: every document's token-id array concatenated in
@@ -111,6 +112,12 @@ def materialize_packed_windows(
     :func:`pack_sequences` only PLANS).  The final window of a stream is
     partial (``n_tokens < capacity``) — padding is the consumer's choice,
     accounted separately by :func:`padding_waste_report`.
+
+    ``eod_id`` appends that token after every NON-EMPTY document before
+    packing — the end-of-document delimiter real trainers use so the
+    model can learn document boundaries inside a window (GPT-style
+    ``<|endoftext|>``).  Empty documents stay invisible: they carry no
+    content to delimit, and a run of them must not stutter the stream.
 
     Shape: one token-level explode (∝ corpus tokens — the information
     floor for emitting the windows at all), window arithmetic as pure
@@ -123,6 +130,13 @@ def materialize_packed_windows(
     if capacity <= 0:
         raise ValueError(f"capacity must be positive, got {capacity}")
     order = order_col or id_col
+    if eod_id is not None:
+        elem = df.schema[ids_col].dataType.elementType
+        delimited = F.when(
+            F.size(ids_col) > 0,
+            F.concat(F.col(ids_col), F.array(F.lit(eod_id).cast(elem))),
+        ).otherwise(F.col(ids_col))
+        df = df.withColumn(ids_col, delimited)
     n_tok = F.size(ids_col)
     keys = [shard_col] if shard_col else []
     if distributed:

@@ -116,6 +116,11 @@ PIPELINES = [
     # corpus bytes with shuffle ∝ tokens
     "bpe_encode_corpus",
     "tokenized_packing_plan",
+    # materialized windows pay the token-linear shuffle twice (stream
+    # assembly + bin regroup); streaming encode adds the per-shard store
+    # appends — both should stay ∝ corpus tokens with no quadratic term
+    "packed_training_windows",
+    "bpe_streaming_encode",
 ]
 
 

@@ -316,3 +316,26 @@ def test_materialized_windows_agree_with_pack_plan(spark):
     first_tok = {i: ids[0] for i, ids in _DOCS if ids}
     for doc, (b, off) in plan.items():
         assert win[b][off] == first_tok[doc], doc
+
+
+def test_materialize_packed_windows_eod(spark):
+    from cassandra_util_spark.operators.packing import (
+        materialize_packed_windows,
+    )
+
+    df = spark.createDataFrame(_DOCS, "doc_id int, ids array<int>")
+    got = {
+        r["bin"]: list(r["token_ids"])
+        for r in materialize_packed_windows(
+            df, "doc_id", "ids", capacity=4, eod_id=99
+        ).collect()
+    }
+    # reference: every non-empty doc gets the delimiter; empty docs do not
+    delimited = [(i, ids + [99] if ids else ids) for i, ids in _DOCS]
+    assert got == {
+        k: v[2] for k, v in _py_windows(delimited, 4).items()
+    }
+    stream = [t for b in sorted(got) for t in got[b]]
+    # one EOD per non-empty doc, each directly after its content
+    assert stream.count(99) == sum(1 for _, ids in _DOCS if ids)
+    assert stream[-1] == 99  # the final doc is closed too
