@@ -213,3 +213,37 @@ def test_vocab_duplicate_merge_first_writer_wins(spark, corpus_df):
     b = sum(1 for r in bpe_vocab(spark, words, merges).collect()
             if r["kind"] == "base")
     assert v[0]["id"] == b  # step 0 won
+
+
+def test_encode_property_random_corpora(spark):
+    """Hypothesis sweep: random tiny corpora — train a few merges, encode
+    the corpus, and match the plain-Python sequential-replay reference
+    end to end (both the trained-table path and the merge-replay path)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(alphabet="ab", min_size=1, max_size=5)
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        docs=st.lists(
+            st.lists(word, min_size=0, max_size=6).map(" ".join),
+            min_size=1, max_size=6,
+        ),
+        n_merges=st.sampled_from([1, 3, 5]),
+    )
+    def check(docs, n_merges):
+        rows = list(enumerate(docs))
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        merges, words = bpe_train(df, "text", num_merges=n_merges)
+        want = _py_encode(rows, merges)
+        got_table = _collect_streams(
+            bpe_encode(df, "doc_id", "text", words=words)
+        )
+        assert got_table == want
+        got_replay = _collect_streams(
+            bpe_encode(df, "doc_id", "text", merges=merges, batch=2)
+        )
+        assert got_replay == want
+
+    check()

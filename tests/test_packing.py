@@ -339,3 +339,43 @@ def test_materialize_packed_windows_eod(spark):
     # one EOD per non-empty doc, each directly after its content
     assert stream.count(99) == sum(1 for _, ids in _DOCS if ids)
     assert stream[-1] == 99  # the final doc is closed too
+
+
+def test_materialize_packed_windows_property_random(spark):
+    """Hypothesis sweep: random id streams (empty docs, odd capacities,
+    both count paths) match the plain-Python reference window-for-window,
+    with and without an EOD delimiter."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cassandra_util_spark.operators.packing import (
+        materialize_packed_windows,
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        docs=st.lists(
+            st.lists(st.integers(min_value=0, max_value=9),
+                     min_size=0, max_size=12),
+            min_size=1, max_size=12,
+        ),
+        capacity=st.sampled_from([1, 3, 7]),
+        distributed=st.booleans(),
+        eod=st.sampled_from([None, 99]),
+    )
+    def check(docs, capacity, distributed, eod):
+        rows = [(i, ids) for i, ids in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id int, ids array<int>")
+        got = {
+            r["bin"]: (r["n_docs"], r["n_tokens"], list(r["token_ids"]))
+            for r in materialize_packed_windows(
+                df, "doc_id", "ids", capacity=capacity,
+                distributed=distributed, eod_id=eod,
+            ).collect()
+        }
+        ref = rows if eod is None else [
+            (i, ids + [eod] if ids else ids) for i, ids in rows
+        ]
+        assert got == _py_windows(ref, capacity)
+
+    check()
