@@ -232,6 +232,7 @@ BENCH_QUERIES = [
     "tokenized_packing_plan",
     "packed_training_windows",
     "bpe_streaming_encode",
+    "bpe_roundtrip_text",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash
     # swapped to xxhash64 — the production configuration at scale

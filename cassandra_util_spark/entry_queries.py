@@ -9824,3 +9824,32 @@ def bpe_streaming_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["bpe_streaming_encode"] = ORACLES["bpe_encode_ids_corpus"]
+
+
+@query(
+    "bpe_roundtrip_text",
+    oracle=f"SELECT doc_id, {_NORM_SQL} AS text FROM documents",
+)
+def bpe_roundtrip_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer's LOSSLESSNESS contract, cross-engine: Spark runs the
+    whole loop — train the vocab, encode every document to token IDS,
+    decode the id streams back through the id→symbol map — while the
+    oracle computes the normalized text DIRECTLY; the value hash matches
+    only if ``decode(encode(text)) == normalize_text(text)`` for every
+    document, which is the property the entire id-stream representation
+    (packing, windows, streaming stores) rests on.  BPE merges only
+    concatenate, so decode is pure string surgery; the ``</w>`` terminal
+    is the word boundary and cannot collide with normalized [a-z0-9]
+    content."""
+    from cassandra_util_spark.operators.bpe import (
+        bpe_decode,
+        bpe_encode_ids,
+        bpe_train,
+        bpe_vocab,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    merges, words = bpe_train(d, "text", num_merges=_BPE_N)
+    vocab = bpe_vocab(spark, words, merges)
+    ids = bpe_encode_ids(d, "doc_id", "text", words, vocab)
+    return bpe_decode(ids, "doc_id", "token_ids", vocab=vocab)

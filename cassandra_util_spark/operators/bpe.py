@@ -469,6 +469,72 @@ def bpe_encode_ids(
     )
 
 
+def bpe_decode(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    vocab: DataFrame | None = None,
+    unk_sym: str = "�",
+) -> DataFrame:
+    """(id, text) — invert the encoder: concatenate the token stream and
+    turn every ``</w>`` terminal back into a word boundary.  BPE merges
+    only ever concatenate symbols, so decoding is pure string surgery —
+    no vocabulary state beyond the optional id→symbol map — and
+    ``decode(encode(text)) == normalize_text(text)`` exactly (the
+    lossless-round-trip contract, hash-certified by `bpe_roundtrip_text`
+    and the property the whole id-stream representation rests on).
+
+    With ``vocab``, ``tokens_col`` holds token IDS and the map applies
+    via one broadcast join over the exploded stream; an id without a
+    vocab row (the encoder's ``unk_id``) renders as ``unk_sym`` — kept
+    visibly distinct rather than dropped, mirroring the encode-side UNK
+    contract.  Without ``vocab``, ``tokens_col`` holds symbol strings
+    and decoding is one map-side expression."""
+    if vocab is not None:
+        exploded = df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(tokens_col).alias("j", "tid"),
+        )
+        mapped = (
+            exploded.join(
+                F.broadcast(vocab.select(F.col("id").alias("tid"), "sym")),
+                "tid",
+                "left",
+            )
+            .groupBy("id")
+            .agg(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    "j",
+                                    F.coalesce(
+                                        "sym", F.lit(unk_sym)
+                                    ).alias("sym"),
+                                )
+                            )
+                        ),
+                        lambda s: s["sym"],
+                    ),
+                ).alias("joined")
+            )
+        )
+        base = df.select(F.col(id_col).alias("id")).join(mapped, "id", "left")
+        joined = F.coalesce("joined", F.lit(""))
+    else:
+        base = df.select(
+            F.col(id_col).alias("id"),
+            F.concat_ws("", F.col(tokens_col)).alias("joined"),
+        )
+        joined = F.col("joined")
+    return base.select(
+        F.col("id").alias(id_col),
+        F.trim(F.replace(joined, F.lit(END), F.lit(" "))).alias("text"),
+    )
+
+
 def bpe_token_profile(
     df: DataFrame,
     id_col: str,

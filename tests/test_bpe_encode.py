@@ -247,3 +247,50 @@ def test_encode_property_random_corpora(spark):
         assert got_replay == want
 
     check()
+
+
+def test_decode_roundtrip(spark, corpus_df, trained):
+    from cassandra_util_spark.operators.bpe import (
+        bpe_decode,
+        bpe_encode_ids,
+        bpe_vocab,
+    )
+
+    merges, words = trained
+    # symbol path
+    enc = bpe_encode(corpus_df, "doc_id", "text", words=words)
+    dec = {
+        r["doc_id"]: r["text"]
+        for r in bpe_decode(enc, "doc_id", "tokens").collect()
+    }
+    assert dec == {i: t for i, t in CORPUS}  # corpus is already normalized
+    # id path through the vocab map
+    vocab = bpe_vocab(spark, words, merges)
+    ids = bpe_encode_ids(corpus_df, "doc_id", "text", words, vocab)
+    dec2 = {
+        r["doc_id"]: r["text"]
+        for r in bpe_decode(ids, "doc_id", "token_ids", vocab=vocab).collect()
+    }
+    assert dec2 == dec
+
+
+def test_decode_renders_unk_visibly(spark, trained):
+    from cassandra_util_spark.operators.bpe import (
+        bpe_decode,
+        bpe_encode_ids,
+        bpe_vocab,
+        segment_words,
+    )
+
+    merges, words = trained
+    vocab = bpe_vocab(spark, words, merges)
+    d = spark.createDataFrame([(0, "zzz low")], "doc_id int, text string")
+    seg = words.select("word", "syms").unionByName(
+        segment_words(
+            d.sparkSession.createDataFrame([("zzz",)], "word string"), merges
+        )
+    )
+    ids = bpe_encode_ids(d, "doc_id", "text", seg, vocab)
+    [r] = bpe_decode(ids, "doc_id", "token_ids", vocab=vocab).collect()
+    # 'z' was never seen at training -> three UNK marks, then the known word
+    assert r["text"] == "��� low"
