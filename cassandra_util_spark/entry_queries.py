@@ -9483,17 +9483,30 @@ def token_spans_incremental_excision(spark: SparkSession, sf_dir: str) -> DataFr
     spans = token_spans_from_store(cs, shard, "doc_id", "text", n=8)
     return excise_token_spans(shard, "doc_id", "text", n=8, spans=spans)
 
+# Shared oracle fragments for the tokenizer-family queries (review r13:
+# the dw position-stream and segids word->id-list CTEs were hand-duplicated
+# across three oracles -- the exact desync hazard the r12 ADVICE recorded
+# for hand-inlined oracle SQL; one definition, interpolated everywhere).
+_BPE_DW_CTE = f"""dw AS (SELECT doc_id, j - 1 AS pos, w[j] AS word
+           FROM (SELECT doc_id,
+                        list_filter(string_split({_NORM_SQL}, ' '),
+                                    x -> x <> '') AS w
+                 FROM documents) t, UNNEST(range(1, len(w) + 1)) u(j))"""
+
+_BPE_SEGIDS_CTE = f"""segids AS (
+      SELECT word, list(id ORDER BY j) AS ids
+      FROM (SELECT w.word, t.j, w.s[t.j] AS sym
+            FROM w{_BPE_N} w, UNNEST(range(1, len(w.s) + 1)) t(j)) q
+      JOIN vocab v USING (sym)
+      GROUP BY word)"""
+
 
 @query(
     "bpe_encode_corpus",
     oracle=_bpe_sql(
         _BPE_N,
         f"""
-    , dw AS (SELECT doc_id, j - 1 AS pos, w[j] AS word
-             FROM (SELECT doc_id,
-                          list_filter(string_split({_NORM_SQL}, ' '),
-                                      x -> x <> '') AS w
-                   FROM documents) t, UNNEST(range(1, len(w) + 1)) u(j)),
+    , {_BPE_DW_CTE},
     enc AS (
       SELECT d.doc_id,
              string_agg(array_to_string(s.s, ' '), ' ' ORDER BY d.pos)
@@ -9583,17 +9596,8 @@ def bpe_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         _BPE_N,
         _BPE_VOCAB_CTES
         + f"""
-    , segids AS (
-      SELECT word, list(id ORDER BY j) AS ids
-      FROM (SELECT w.word, t.j, w.s[t.j] AS sym
-            FROM w{_BPE_N} w, UNNEST(range(1, len(w.s) + 1)) t(j)) q
-      JOIN vocab v USING (sym)
-      GROUP BY word),
-    dw AS (SELECT doc_id, j - 1 AS pos, w[j] AS word
-           FROM (SELECT doc_id,
-                        list_filter(string_split({_NORM_SQL}, ' '),
-                                    x -> x <> '') AS w
-                 FROM documents) t, UNNEST(range(1, len(w) + 1)) u(j)),
+    , {_BPE_SEGIDS_CTE},
+    {_BPE_DW_CTE},
     enc AS (
       SELECT d.doc_id,
              string_agg(array_to_string(s.ids, ' '), ' ' ORDER BY d.pos)
@@ -9689,17 +9693,8 @@ def tokenized_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         _BPE_N,
         _BPE_VOCAB_CTES
         + f"""
-    , segids AS (
-      SELECT word, list(id ORDER BY j) AS ids
-      FROM (SELECT w.word, t.j, w.s[t.j] AS sym
-            FROM w{_BPE_N} w, UNNEST(range(1, len(w.s) + 1)) t(j)) q
-      JOIN vocab v USING (sym)
-      GROUP BY word),
-    dw AS (SELECT doc_id, j - 1 AS pos, w[j] AS word
-           FROM (SELECT doc_id,
-                        list_filter(string_split({_NORM_SQL}, ' '),
-                                    x -> x <> '') AS w
-                 FROM documents) t, UNNEST(range(1, len(w) + 1)) u(j)),
+    , {_BPE_SEGIDS_CTE},
+    {_BPE_DW_CTE},
     dstream AS (
       SELECT d.doc_id, d.pos, s.ids
       FROM dw d JOIN segids s USING (word)),

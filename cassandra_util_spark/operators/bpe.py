@@ -275,6 +275,8 @@ def segment_words(
     symbol-disjoint batching (``_ordered_disjoint_batches``) collapses
     the ~M folds to ~M/batch composed passes, and a localCheckpoint
     every ``checkpoint_every`` batches keeps the plan flat in M."""
+    if batch < 1:
+        raise ValueError(f"batch must be >= 1, got {batch}")
     words = vocab.select(
         "word",
         F.concat(
@@ -324,11 +326,9 @@ def bpe_encode(
     ``merges`` so the replay path can segment them."""
     if words is None and merges is None:
         raise ValueError("bpe_encode needs a trained word table or a merge list")
-    doc_words = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(_norm_tokens(F.col(text_col))).alias("pos", "word"),
-    )
-    vocab = doc_words.select("word").distinct()
+    vocab = df.select(
+        F.explode(_norm_tokens(F.col(text_col))).alias("word")
+    ).distinct()
     if words is not None:
         seg = vocab.join(words.select("word", "syms"), "word")
         if merges is not None:
@@ -336,21 +336,40 @@ def bpe_encode(
             seg = seg.unionByName(segment_words(oov, merges, batch=batch))
     else:
         seg = segment_words(vocab, merges, batch=batch)
+    return _assemble_streams(df, id_col, text_col, seg, "string")
+
+
+def _assemble_streams(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seg: DataFrame,
+    elem_type: str,
+) -> DataFrame:
+    """(id, tokens, n_tokens) — the ONE stream assembler behind both the
+    symbol and id encoders: position-indexed word stream ⨝ per-word
+    segment arrays (``seg``: (word, syms array<elem_type>)), ordered
+    flatten per document, and a left join back to the base so token-less
+    documents survive as empty streams.  The (id)-keyed collect is the
+    single corpus-sized shuffle of the encode path — a fix here fixes
+    both twins (review r13: the two copies had already begun to drift)."""
+    doc_words = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(_norm_tokens(F.col(text_col))).alias("pos", "word"),
+    )
     assembled = (
         doc_words.join(seg, "word")
         .groupBy("id")
         .agg(
             F.flatten(
                 F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("pos", "syms"))
-                    ),
+                    F.array_sort(F.collect_list(F.struct("pos", "syms"))),
                     lambda s: s["syms"],
                 )
             ).alias("tokens")
         )
     )
-    toks = F.coalesce("tokens", F.array().cast("array<string>"))
+    toks = F.coalesce("tokens", F.array().cast(f"array<{elem_type}>"))
     return (
         df.select(F.col(id_col).alias("id"))
         .join(assembled, "id", "left")
@@ -441,32 +460,9 @@ def bpe_encode_ids(
             ).alias("syms")
         )
     )
-    doc_words = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(_norm_tokens(F.col(text_col))).alias("pos", "word"),
-    )
-    assembled = (
-        doc_words.join(seg_ids, "word")
-        .groupBy("id")
-        .agg(
-            F.flatten(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "syms"))),
-                    lambda s: s["syms"],
-                )
-            ).alias("token_ids")
-        )
-    )
-    toks = F.coalesce("token_ids", F.array().cast("array<int>"))
-    return (
-        df.select(F.col(id_col).alias("id"))
-        .join(assembled, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            toks.alias("token_ids"),
-            F.size(toks).cast("bigint").alias("n_tokens"),
-        )
-    )
+    return _assemble_streams(
+        df, id_col, text_col, seg_ids, "int"
+    ).withColumnRenamed("tokens", "token_ids")
 
 
 def bpe_decode(

@@ -64,6 +64,26 @@ def pack_sequences(
     out = [F.col(id_col), F.col(token_col).alias("n_tokens")]
     if shard_col:
         out.append(F.col(shard_col))
+    staged = _exclusive_running_count(df, token_col, order, shard_col, distributed)
+    return staged.select(
+        *out,
+        F.floor(F.col("__cb") / F.lit(capacity)).alias("bin"),
+        F.pmod(F.col("__cb"), F.lit(capacity)).alias("bin_offset"),
+    )
+
+
+def _exclusive_running_count(
+    df: DataFrame,
+    token_col: str,
+    order: str,
+    shard_col: str | None,
+    distributed: bool,
+) -> DataFrame:
+    """The input plus ``__cb`` — the EXCLUSIVE running sum of ``token_col``
+    under ``order`` (restarting per ``shard_col``) — the one place the
+    packing family computes its concatenation offsets, shared by
+    :func:`pack_sequences` (the certified window arithmetic) and
+    :func:`materialize_packed_windows` so the two can never drift."""
     if distributed:
         if shard_col:
             raise ValueError(
@@ -73,25 +93,20 @@ def pack_sequences(
         from cassandra_util_spark.functions.cumsum import distributed_cumsum
 
         cum = distributed_cumsum(df, [order], token_col, out_col="__cum")
-        cum_before = F.col("__cum") - F.col(token_col)
-        return cum.select(
-            *out,
-            F.floor(cum_before / F.lit(capacity)).alias("bin"),
-            F.pmod(cum_before, F.lit(capacity)).alias("bin_offset"),
-        )
+        return cum.withColumn(
+            "__cb", F.col("__cum") - F.col(token_col)
+        ).drop("__cum")
     w = (
         Window.partitionBy(shard_col).orderBy(order)
         if shard_col
         else Window.orderBy(order)
     )
-    cum_before = F.coalesce(
-        F.sum(token_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
-        F.lit(0),
-    )
-    return df.select(
-        *out,
-        F.floor(cum_before / F.lit(capacity)).alias("bin"),
-        F.pmod(cum_before, F.lit(capacity)).alias("bin_offset"),
+    return df.withColumn(
+        "__cb",
+        F.coalesce(
+            F.sum(token_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
     )
 
 
@@ -137,31 +152,11 @@ def materialize_packed_windows(
             F.concat(F.col(ids_col), F.array(F.lit(eod_id).cast(elem))),
         ).otherwise(F.col(ids_col))
         df = df.withColumn(ids_col, delimited)
-    n_tok = F.size(ids_col)
     keys = [shard_col] if shard_col else []
-    if distributed:
-        if shard_col:
-            raise ValueError(
-                "distributed=True is the GLOBAL-stream scale path; with "
-                "shard_col the per-shard running counts already parallelize"
-            )
-        from cassandra_util_spark.functions.cumsum import distributed_cumsum
-
-        cum = distributed_cumsum(
-            df.withColumn("__n", n_tok), [order], "__n", out_col="__cum"
-        )
-        staged = cum.withColumn("__cb", F.col("__cum") - F.col("__n"))
-    else:
-        w = (
-            Window.partitionBy(shard_col).orderBy(order)
-            if shard_col
-            else Window.orderBy(order)
-        )
-        cb = F.coalesce(
-            F.sum(n_tok).over(w.rowsBetween(Window.unboundedPreceding, -1)),
-            F.lit(0),
-        )
-        staged = df.withColumn("__cb", cb)
+    staged = _exclusive_running_count(
+        df.withColumn("__n", F.size(ids_col)), "__n", order, shard_col,
+        distributed,
+    )
     toks = staged.select(
         *keys,
         F.col(id_col).alias("__doc"),

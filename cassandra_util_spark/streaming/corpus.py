@@ -266,15 +266,32 @@ def stream_encode(
     vocab = vocab.select("sym", "id").localCheckpoint()
 
     def encode_batch(batch_df: DataFrame, batch_id: int) -> DataFrame:
-        seg = words
+        # Intra-batch dedup (the streaming/ann.py ADVICE-r8 contract):
+        # writetime is the batch id, so two deliveries of the same doc_id
+        # WITHIN one micro-batch would interleave into one garbled stream
+        # in the per-id collect AND tie on writetime in the store's LWW
+        # merge.  Collapse to one row per id first — lexicographic max of
+        # the text is a stable pick independent of partition order.
+        batch_df = batch_df.groupBy(id_col).agg(
+            F.max(F.col(text_col)).alias(text_col)
+        )
+        # Per-batch work must be ∝ BATCH vocabulary, not the frozen global
+        # table: restrict the segmentation join to the shard's distinct
+        # words, and replay the merge folds only when the shard actually
+        # carries out-of-vocabulary words (the common steady-state shard
+        # has none, and the replay's composed folds + checkpoint jobs are
+        # merge-list-sized — a per-trigger fixed cost worth one tiny
+        # isEmpty probe on the anti-join to avoid).
+        batch_vocab = batch_df.select(
+            F.explode(_norm_tokens(F.col(text_col))).alias("word")
+        ).distinct()
+        seg = words.join(batch_vocab, "word", "left_semi")
         if merges is not None:
-            batch_vocab = batch_df.select(
-                F.explode(_norm_tokens(F.col(text_col))).alias("word")
-            ).distinct()
             oov = batch_vocab.join(words.select("word"), "word", "left_anti")
-            seg = words.unionByName(
-                segment_words(oov, merges, batch=merge_batch)
-            )
+            if not oov.isEmpty():
+                seg = seg.unionByName(
+                    segment_words(oov, merges, batch=merge_batch)
+                )
         return bpe_encode_ids(
             batch_df, id_col, text_col, seg, vocab, unk_id=unk_id
         ).withColumn("writetime", F.lit(batch_id).cast("long"))

@@ -294,3 +294,10 @@ def test_decode_renders_unk_visibly(spark, trained):
     [r] = bpe_decode(ids, "doc_id", "token_ids", vocab=vocab).collect()
     # 'z' was never seen at training -> three UNK marks, then the known word
     assert r["text"] == "��� low"
+
+
+def test_segment_words_batch_validation(spark, trained):
+    merges, _ = trained
+    vocab = spark.createDataFrame([("x",)], "word string")
+    with pytest.raises(ValueError, match="batch must be >= 1"):
+        segment_words(vocab, merges, batch=0)

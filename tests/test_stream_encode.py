@@ -132,3 +132,32 @@ def test_store_key_contract(spark, frozen):
         stream_encode(
             stream, bad, tempfile.mkdtemp(), words, vocab, merges=merges
         )
+
+
+def test_intra_batch_duplicate_delivery(spark, frozen):
+    # two deliveries of the same doc inside ONE micro-batch must collapse
+    # to a single clean stream (review r13: writetime is the batch id, so
+    # without the per-id collapse the per-doc collect interleaves the two
+    # copies into one garbled stream and LWW has no tie-break)
+    d, merges, words, vocab = frozen
+    src = tempfile.mkdtemp(prefix="encdup-src-")
+    one = d.filter(F.col("doc_id") == 0)
+    one.unionAll(one).coalesce(1).write.mode("append").parquet(src)
+    store = RunStore(
+        tempfile.mkdtemp(prefix="encdup-store-"),
+        TableMeta(("doc_id",), (), "writetime"),
+    )
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_encode(
+        stream, store, tempfile.mkdtemp(prefix="encdup-cp-"),
+        words, vocab, merges=merges,
+    )
+    q.awaitTermination(300)
+    rows = store.read_merged(spark).collect()
+    assert len(rows) == 1
+    [want] = bpe_encode_ids(one, "doc_id", "text", words, vocab).collect()
+    assert list(rows[0]["token_ids"]) == list(want["token_ids"])
