@@ -10,13 +10,17 @@ construction (``orderBy().limit(k)`` → TakeOrderedAndProject feeding the
 window — the skew_report / bm25 / rp-rerank shape).  What this audit
 exists to catch is the third case: a rank ≤ k FILTER over an unbounded
 per-group window that Catalyst failed to push down — the single-task
-hot-group bottleneck.  r12 final audit: zero such cases across 182
-queries — 20 no-WGL windows, every one triaged as (a) or (b); the r12
+hot-group bottleneck.  r13 final audit: zero such cases across 194
+queries — 25 no-WGL windows, every one triaged as (a) or (b).  The r12
 additions are all (a): corpus_budget_cut / mixture_budget_execution
 carry running-sum windows (per-bucket / per-source prefix sums, no rank
 filter) and dedup_token_spans' islands row_number is a rank ASSIGNMENT
-feeding integer arithmetic, never filtered.  The grouped samplers'
-pushdown is pinned in tests/test_weighted_logcost.py.
+feeding integer arithmetic, never filtered; the five r13 additions are
+likewise (a) — the token-span trio reuses the islands rank-assignment
+shape, and tokenized_packing_plan / packed_training_windows carry only
+distributed_cumsum's per-bucket running sums (partitioned by __pid, N
+parallel groups, no rank filter).  The grouped samplers' pushdown is
+pinned in tests/test_weighted_logcost.py.
 
 A planner fact worth knowing (measured on Spark 4.1): an EMPTY partition
 spec (bare global window) does NOT trigger InferWindowGroupLimit, but
