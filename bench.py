@@ -233,6 +233,7 @@ BENCH_QUERIES = [
     "packed_training_windows",
     "bpe_streaming_encode",
     "bpe_roundtrip_text",
+    "semantic_decontamination",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash
     # swapped to xxhash64 — the production configuration at scale

@@ -9848,3 +9848,54 @@ def bpe_roundtrip_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = bpe_vocab(spark, words, merges)
     ids = bpe_encode_ids(d, "doc_id", "text", words, vocab)
     return bpe_decode(ids, "doc_id", "token_ids", vocab=vocab)
+
+
+@query(
+    "semantic_decontamination",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id % 25 = 0),
+    t AS (SELECT * FROM e WHERE vec_id % 25 <> 0),
+    scored AS (
+      SELECT q.vec_id AS eval_id, t.vec_id AS best_train_id,
+             round(CASE WHEN isnan(list_cosine_similarity(q.v, t.v)) THEN 0
+                        ELSE list_cosine_similarity(q.v, t.v) END, 4)
+               AS best_cosine
+      FROM q CROSS JOIN t),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY eval_id
+        ORDER BY best_cosine DESC, best_train_id ASC) AS rn
+      FROM scored)
+    SELECT eval_id, best_train_id, best_cosine,
+           best_cosine >= 0.40 AS contaminated
+    FROM r WHERE rn = 1
+    """,
+)
+def semantic_decontamination_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SEMANTIC half of train/eval decontamination: per evaluation
+    vector (the held-out slice vec_id % 25 == 0), its best cosine match
+    in the training slice and a flag when the rounded score clears 0.40
+    (just under this corpus's natural max ~0.46 — both outcomes
+    exercised).  The n-gram `decontamination` / `contamination_report`
+    queries catch verbatim leakage; this catches paraphrased or
+    re-rendered duplicates sharing no surface n-grams.  Eval side
+    broadcasts (benchmark suites are small — the asymmetry is the
+    design), the training corpus streams map-side, and the rank-1 filter
+    is a map-side WindowGroupLimit prune, so shuffled rows are ∝ |eval|,
+    never ∝ |train|; cosines round to 4 digits before ranking so the
+    report and its tie-breaks replay bit-identically in SQL."""
+    from cassandra_util_spark.operators.similarity import (
+        semantic_decontamination,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    return semantic_decontamination(
+        e.filter(F.col("vec_id") % 25 != 0),
+        e.filter(F.col("vec_id") % 25 == 0),
+        "vec_id",
+        "embedding",
+        threshold=0.40,
+    )

@@ -85,6 +85,58 @@ def cosine_topk(
     )
 
 
+def semantic_decontamination(
+    train: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    round_digits: int = 4,
+) -> DataFrame:
+    """(eval_id, best_train_id, best_cosine, contaminated) — the SEMANTIC
+    half of train/eval decontamination: for every evaluation vector, its
+    single best cosine match in the training corpus and a flag when that
+    match clears ``threshold``.  The n-gram operators
+    (``dedup.decontaminate`` / ``contamination_report``) catch verbatim
+    and near-verbatim leakage; this catches paraphrased or re-rendered
+    duplicates that share no surface n-grams — the standard second check
+    before trusting an eval score.
+
+    Scale shape: the EVAL side broadcasts (benchmark suites are small by
+    construction — the asymmetry is the point), the training corpus
+    streams map-side, and the rank-1 filter over the (eval_id)-keyed
+    window is a map-side WindowGroupLimit prune, so shuffled rows are
+    ∝ |eval| · maps, never ∝ |train|.  Cosines are rounded to
+    ``round_digits`` BEFORE ranking and thresholding so the report —
+    including its tie-breaks — is engine-reproducible (the
+    semantic_dedup discipline); ties on the rounded score break to the
+    smallest train id.  Every eval row appears exactly once; an empty
+    training corpus yields an empty report."""
+    q = eval_set.select(
+        F.col(id_col).alias("eval_id"), F.col(vec_col).alias("__qv")
+    )
+    t = train.select(
+        F.col(id_col).alias("best_train_id"), F.col(vec_col).alias("__tv")
+    )
+    scored = t.crossJoin(F.broadcast(q)).withColumn(
+        "best_cosine",
+        F.round(cosine(F.col("__qv"), F.col("__tv")), round_digits),
+    )
+    w = Window.partitionBy("eval_id").orderBy(
+        F.col("best_cosine").desc(), F.col("best_train_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "eval_id",
+            "best_train_id",
+            "best_cosine",
+            (F.col("best_cosine") >= threshold).alias("contaminated"),
+        )
+    )
+
+
 def quantize_embedding(vec: Column) -> Column:
     """Symmetric per-vector int8 quantization:
     struct(q: array<int>, scale: double).
