@@ -60,7 +60,7 @@ def pack_sequences(
     """
     if capacity <= 0:
         raise ValueError(f"capacity must be positive, got {capacity}")
-    order = order_col or id_col
+    order = _order_chain(order_col, id_col)
     out = [F.col(id_col), F.col(token_col).alias("n_tokens")]
     if shard_col:
         out.append(F.col(shard_col))
@@ -72,18 +72,35 @@ def pack_sequences(
     )
 
 
+def _order_chain(order_col: str | None, id_col: str) -> list[str]:
+    """The packing family's concatenation-order key chain: the user's
+    ``order_col`` (default ``id_col``) with ``id_col`` appended as the
+    final tie-break, making the chain a total order whenever ``id_col``
+    is unique — a tied ``order_col`` alone would leave the running count
+    partition-order-nondeterministic and window contents could silently
+    vary between runs (ADVICE r13)."""
+    order = order_col or id_col
+    return [order] if order == id_col else [order, id_col]
+
+
 def _exclusive_running_count(
     df: DataFrame,
     token_col: str,
-    order: str,
+    order: list[str],
     shard_col: str | None,
     distributed: bool,
 ) -> DataFrame:
     """The input plus ``__cb`` — the EXCLUSIVE running sum of ``token_col``
-    under ``order`` (restarting per ``shard_col``) — the one place the
-    packing family computes its concatenation offsets, shared by
-    :func:`pack_sequences` (the certified window arithmetic) and
-    :func:`materialize_packed_windows` so the two can never drift."""
+    under the ``order`` column chain (restarting per ``shard_col``) — the
+    one place the packing family computes its concatenation offsets, shared
+    by :func:`pack_sequences` (the certified window arithmetic) and
+    :func:`materialize_packed_windows` so the two can never drift.
+
+    ``order`` must be a TOTAL order (the distributed_cumsum contract: a
+    tied prefix sum is partition-order-nondeterministic) — callers append
+    ``id_col`` as the final tie-break key so a non-unique user
+    ``order_col`` cannot silently vary window contents between runs
+    (ADVICE r13)."""
     if distributed:
         if shard_col:
             raise ValueError(
@@ -92,14 +109,14 @@ def _exclusive_running_count(
             )
         from cassandra_util_spark.functions.cumsum import distributed_cumsum
 
-        cum = distributed_cumsum(df, [order], token_col, out_col="__cum")
+        cum = distributed_cumsum(df, order, token_col, out_col="__cum")
         return cum.withColumn(
             "__cb", F.col("__cum") - F.col(token_col)
         ).drop("__cum")
     w = (
-        Window.partitionBy(shard_col).orderBy(order)
+        Window.partitionBy(shard_col).orderBy(*order)
         if shard_col
-        else Window.orderBy(order)
+        else Window.orderBy(*order)
     )
     return df.withColumn(
         "__cb",
@@ -144,7 +161,7 @@ def materialize_packed_windows(
     no serialization point."""
     if capacity <= 0:
         raise ValueError(f"capacity must be positive, got {capacity}")
-    order = order_col or id_col
+    order = _order_chain(order_col, id_col)
     if eod_id is not None:
         elem = df.schema[ids_col].dataType.elementType
         delimited = F.when(

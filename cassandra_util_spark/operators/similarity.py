@@ -110,12 +110,16 @@ def semantic_decontamination(
     ``round_digits`` BEFORE ranking and thresholding so the report —
     including its tie-breaks — is engine-reproducible (the
     semantic_dedup discipline); ties on the rounded score break to the
-    smallest train id.  Every eval row appears exactly once; an empty
-    training corpus yields an empty report."""
-    q = eval_set.select(
+    smallest train id.  Rows with a NULL vector are excluded on BOTH
+    sides (a missing embedding has no direction, and engines disagree on
+    how NULL scores rank — Spark's cosine() would fold them to 0.0 while
+    a SQL CASE leaves them NULL, ranking NULLS LAST; ADVICE r13):
+    every eval row WITH a vector appears exactly once; an empty training
+    corpus yields an empty report."""
+    q = eval_set.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("eval_id"), F.col(vec_col).alias("__qv")
     )
-    t = train.select(
+    t = train.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("best_train_id"), F.col(vec_col).alias("__tv")
     )
     scored = t.crossJoin(F.broadcast(q)).withColumn(

@@ -272,6 +272,13 @@ def stream_encode(
         # in the per-id collect AND tie on writetime in the store's LWW
         # merge.  Collapse to one row per id first — lexicographic max of
         # the text is a stable pick independent of partition order.
+        # NOTE (ADVICE r13): within one micro-batch there is NO version
+        # order — the source hands us an unordered set, so "newest" is
+        # undefined at this granularity and max(text) is an arbitrary but
+        # deterministic tie-break, NOT a recency rule.  Across batches the
+        # store's writetime LWW still picks the newest batch.  A source
+        # that carries its own version/offset column should dedup on that
+        # column upstream (max_by(text, version)) before reaching here.
         batch_df = batch_df.groupBy(id_col).agg(
             F.max(F.col(text_col)).alias(text_col)
         )

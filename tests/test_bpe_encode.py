@@ -169,11 +169,16 @@ def test_vocab_ids(spark, corpus_df, trained):
     chars = sorted({c for _, t in CORPUS for w in t.split() for c in w} | {END})
     for i, s in enumerate(chars):
         assert v[s] == (i, "base"), s
-    # merges: id = B + step, first-writer-wins on duplicates
+    # merges: id = EXACTLY B + step, first-writer-wins on duplicates —
+    # replay the setdefault convention here so a systematic downward id
+    # shift cannot hide behind an inequality (ADVICE r13)
+    expected_id: dict = {}
+    for step, l, r, _ in merges:
+        expected_id.setdefault(l + r, len(chars) + step)
     for step, l, r, _ in merges:
         got_id, kind = v[l + r]
         assert kind == "merge"
-        assert got_id <= len(chars) + step
+        assert got_id == expected_id[l + r], (l + r, got_id, expected_id[l + r])
     # ids are unique
     ids = [i for i, _ in v.values()]
     assert len(ids) == len(set(ids))

@@ -276,6 +276,50 @@ def test_materialize_packed_windows_sharded(spark):
         assert per == want, s
 
 
+@pytest.mark.parametrize("distributed", [False, True])
+def test_tied_order_col_breaks_ties_on_id(spark, distributed):
+    """ADVICE r13: a non-unique ``order_col`` alone leaves the running
+    count partition-order-nondeterministic; the packing family appends
+    ``id_col`` as the final tie-break, so window contents are the unique
+    (order, id)-sorted stream regardless of how the input is partitioned.
+    Pinned against the Python reference under an ALL-TIES order column,
+    over a shuffled, repartitioned input."""
+    from cassandra_util_spark.operators.packing import (
+        materialize_packed_windows,
+        pack_sequences,
+    )
+
+    rows = [(i, 7, list(range(10 * i, 10 * i + n)))
+            for i, n in [(3, 2), (0, 3), (2, 1), (4, 4), (1, 3)]]
+    df = spark.createDataFrame(
+        rows, "doc_id int, grp int, ids array<int>"
+    ).repartition(5)
+    got = {
+        r["bin"]: (r["n_docs"], r["n_tokens"], list(r["token_ids"]))
+        for r in materialize_packed_windows(
+            df, "doc_id", "ids", capacity=4, order_col="grp",
+            distributed=distributed,
+        ).collect()
+    }
+    docs = sorted((i, ids) for i, _, ids in rows)
+    assert got == _py_windows(docs, 4)
+    # pack_sequences shares the same chain: first-token bins must agree
+    plan = {
+        r["doc_id"]: r["bin"]
+        for r in pack_sequences(
+            df.withColumn("n_tokens", F.size("ids")),
+            "doc_id", "n_tokens", 4, order_col="grp",
+            distributed=distributed,
+        ).collect()
+    }
+    stream_bin = {}
+    pos = 0
+    for i, ids in docs:
+        stream_bin[i] = pos // 4
+        pos += len(ids)
+    assert plan == stream_bin
+
+
 def test_materialize_packed_windows_capacity_validation(spark):
     from cassandra_util_spark.operators.packing import (
         materialize_packed_windows,

@@ -180,30 +180,47 @@ def test_query_registry_prefix_stable():
     CORRECTNESS_r01..r12).  A green CORRECTNESS_r13 makes cumulative
     driver certification 182/182.  The rotation is
     entry_queries._rotate_driver_window_r13; family coverage is preserved
+    (see that block's comment).
+
+    Round-14 intentional rotation (VERDICT r13 task 1 — finish cumulative
+    certification at 195/195): the entire round-13 window rotates out
+    (all 50 rows green in CORRECTNESS_r13 and in the committed 195/195
+    local oracle) in favor of the 13 never-driver-checked round-13
+    additions (the BPE tokenizer family, the token-span excision family,
+    materialized packed windows, semantic decontamination) plus the 37
+    least-recently-certified rows (last certified r8-r11, computed from
+    CORRECTNESS_r01..r13; every rotate-in re-verified against its local
+    oracle at sf0.01 immediately before the rotation commit, 50/50
+    green).  A green CORRECTNESS_r14 makes cumulative driver
+    certification 195/195.  The rotation is
+    entry_queries._rotate_driver_window_r14; family coverage is preserved
     (see that block's comment)."""
     from cassandra_util_spark.entry_queries import ORACLES, QUERIES
 
     first50 = [
-        "weighted_sample_logcost", "logcost_streaming_sample",
-        "weighted_sample_by_lang", "corpus_budget_cut",
-        "padding_waste_report", "mixture_budget_execution",
-        "dedup_token_spans", "embedding_quantize", "lang_id",
-        "doc_fingerprint", "retention_rules_antijoin",
-        "set_ops_except_intersect", "retention_ttl_mixed_keys",
-        "events_user_gaps", "q1_pricing_summary", "q3_shipping_priority",
-        "q5_region_revenue", "top_orders_per_customer",
-        "events_hourly_rollup", "text_quality", "dedup_ngram_jaccard",
-        "embedding_neardup", "events_sessionize",
-        "asof_join_clicks_purchases", "semantic_dedup", "lww_merge",
-        "counter_merge", "dedup_minhash_lsh", "q10_returned_items",
-        "parts_above_avg_price", "q6_forecast_revenue",
-        "orders_pivot_priority", "media_features", "salted_event_rollup",
-        "cdc_apply", "tombstone_compaction", "q9_product_type_profit",
-        "bucketed_colocated_join", "dedup_clusters_star",
-        "training_corpus_assembly", "sketch_heavy_hitters",
-        "runstore_leveled_view", "dedup_incremental_lsh", "bm25_search",
-        "sequence_packing", "dedup_winnowing", "events_funnel",
-        "contamination_report", "embedding_dedup_resolve", "media_dedup",
+        "bpe_learned_merges_batched", "dedup_token_spans_cross_doc",
+        "token_spans_streaming_view", "dedup_token_spans_excised",
+        "token_spans_incremental_excision", "bpe_encode_corpus",
+        "bpe_vocab_ids", "bpe_encode_ids_corpus", "tokenized_packing_plan",
+        "packed_training_windows", "bpe_streaming_encode",
+        "bpe_roundtrip_text", "semantic_decontamination",
+        "retention_ttl", "ann_ivf_topk", "range_join_incidents",
+        "retention_rules_delete", "configurable_delete_json",
+        "token_range_filter", "q4_order_priority", "acctbal_percentiles",
+        "semantic_dedup_scaled", "twcs_streaming_view",
+        "dedup_streaming_lsh", "corpus_ingest_streaming",
+        "dedup_ngram_prefix", "ann_pq_adc_topk", "bpe_learned_merges",
+        "quality_classifier_scores", "advised_join_exec",
+        "counter_store_totals", "zorder_layout_key",
+        "runstore_skipindex_view", "twcs_retention_view",
+        "q7_volume_shipping", "corpus_clean_pipeline",
+        "gopher_quality_gate", "events_cohort_retention",
+        "hybrid_retrieval_rrf", "dsir_select", "cluster_aware_split",
+        "dedup_incremental", "events_incremental_rollup",
+        "join_plan_advisory", "unicode_nfc_fingerprints",
+        "bottomk_sample_docs", "bottomk_shard_merge",
+        "quantile_sketch_doclen", "bottomk_streaming_sample",
+        "quantile_sketch_by_lang",
     ]
     assert list(QUERIES)[:50] == first50
     # every registered query keeps a full-strength oracle

@@ -59,6 +59,31 @@ def test_report_matches_python_reference(spark):
     assert got[103] == (1, 0.0, False)
 
 
+def test_null_vectors_excluded_both_sides(spark):
+    """ADVICE r13: engines disagree on NULL-score ranking (Spark's
+    when/otherwise folds a NULL norm product to 0.0, a SQL CASE leaves it
+    NULL and ranks it last), so NULL-vector rows are excluded by
+    construction — the report over an input WITH NULL rows must be
+    byte-identical to the report over the same input without them."""
+    tr_rows = TRAIN + [(9, None)]
+    ev_rows = EVALS + [(109, None)]
+    tr = spark.createDataFrame(tr_rows, "vec_id long, embedding array<float>")
+    ev = spark.createDataFrame(ev_rows, "vec_id long, embedding array<float>")
+    got = sorted(
+        tuple(r) for r in semantic_decontamination(tr, ev, threshold=0.9).collect()
+    )
+    clean = sorted(
+        tuple(r)
+        for r in semantic_decontamination(
+            spark.createDataFrame(TRAIN, "vec_id long, embedding array<float>"),
+            spark.createDataFrame(EVALS, "vec_id long, embedding array<float>"),
+            threshold=0.9,
+        ).collect()
+    )
+    assert got == clean
+    assert all(r[0] != 109 and r[1] != 9 for r in got)
+
+
 def test_empty_train_yields_empty_report(spark):
     tr = spark.createDataFrame([], "vec_id long, embedding array<float>")
     ev = spark.createDataFrame(EVALS, "vec_id long, embedding array<float>")
