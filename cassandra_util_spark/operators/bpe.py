@@ -320,10 +320,11 @@ def bpe_encode(
     Documents with no tokens survive as an empty array.  At least one of
     ``words`` / ``merges`` is required; with both, the trained table
     serves in-vocabulary words and the replay covers only the rest.
-    With ``words`` ALONE, out-of-vocabulary words are DROPPED by the
-    inner segmentation join — only safe when the input is the training
-    corpus itself; any input that may contain unseen words needs
-    ``merges`` so the replay path can segment them."""
+    With ``words`` ALONE, an out-of-vocabulary word RAISES at action
+    time (the `_assemble_streams` guard — it used to be silently
+    dropped, a data-loss footgun on any input beyond the training
+    corpus; VERDICT r13 task 2): inputs that may contain unseen words
+    need ``merges`` so the replay path can segment them."""
     if words is None and merges is None:
         raise ValueError("bpe_encode needs a trained word table or a merge list")
     vocab = df.select(
@@ -352,13 +353,40 @@ def _assemble_streams(
     flatten per document, and a left join back to the base so token-less
     documents survive as empty streams.  The (id)-keyed collect is the
     single corpus-sized shuffle of the encode path — a fix here fixes
-    both twins (review r13: the two copies had already begun to drift)."""
+    both twins (review r13: the two copies had already begun to drift).
+
+    OOV guard (VERDICT r13 task 2): a word with no row in ``seg`` used to
+    vanish through the inner join — silent data loss that desyncs the
+    stream from its document on any input beyond the training corpus.
+    The join is LEFT with a ``raise_error`` on the uncovered side, so an
+    out-of-vocabulary word fails the job LOUDLY, naming the word (the
+    spooked-ladder treatment: never silently drop).  Structural, not a
+    pre-pass: zero extra jobs, a null-check per row inside codegen, and
+    callers with guaranteed coverage (the training corpus itself, the
+    streaming encoder's semi-join + replay seg) pay nothing and can
+    never fire it."""
     doc_words = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(_norm_tokens(F.col(text_col))).alias("pos", "word"),
     )
+    guarded = doc_words.join(seg, "word", "left").withColumn(
+        "syms",
+        F.when(F.col("syms").isNotNull(), F.col("syms")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("bpe encode: out-of-vocabulary word '"),
+                    F.col("word"),
+                    F.lit(
+                        "' has no segmentation — pass merges= so the "
+                        "replay path can segment unseen words, or "
+                        "segment_words() the input's vocabulary first"
+                    ),
+                )
+            )
+        ),
+    )
     assembled = (
-        doc_words.join(seg, "word")
+        guarded
         .groupBy("id")
         .agg(
             F.flatten(
@@ -444,9 +472,10 @@ def bpe_encode_ids(
     :func:`segment_words` over an unseen shard) maps to ``unk_id`` —
     the standard UNK convention; silently dropping it would desync the
     stream from the document (same contract as every tokenizer's
-    unk_token).  Words absent from ``words`` are dropped by the inner
-    join — segment them first (:func:`segment_words`) if the input may
-    contain out-of-vocabulary words."""
+    unk_token).  A WORD absent from ``words`` raises at action time
+    (the `_assemble_streams` guard; VERDICT r13 task 2) — segment the
+    input's vocabulary first (:func:`segment_words`) if it may contain
+    out-of-vocabulary words."""
     seg_ids = (
         words.select("word", F.posexplode("syms").alias("j", "sym"))
         .join(F.broadcast(vocab.select("sym", "id")), "sym", "left")

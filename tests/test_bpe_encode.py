@@ -97,6 +97,30 @@ def test_oov_split(spark, trained):
     assert got == want
 
 
+def test_words_only_oov_raises_never_drops(spark, trained):
+    """VERDICT r13 task 2: words-only encode of an input with unseen words
+    used to DROP them silently through the inner segmentation join — a
+    data-loss footgun.  The `_assemble_streams` guard now raises at
+    action time, naming the word, in BOTH encode twins; the merges
+    route still segments the same input cleanly."""
+    from cassandra_util_spark.operators.bpe import bpe_encode_ids, bpe_vocab
+
+    merges, words = trained
+    new = spark.createDataFrame(
+        [(10, "lowest bananafana")], "doc_id int, text string"
+    )
+    with pytest.raises(Exception, match="out-of-vocabulary word 'bananafana'"):
+        bpe_encode(new, "doc_id", "text", words=words).collect()
+    vocab = bpe_vocab(spark, words, merges)
+    with pytest.raises(Exception, match="out-of-vocabulary word 'bananafana'"):
+        bpe_encode_ids(new, "doc_id", "text", words, vocab).collect()
+    # the documented route for unseen words still works
+    got = _collect_streams(
+        bpe_encode(new, "doc_id", "text", words=words, merges=merges)
+    )
+    assert got == _py_encode([(10, "lowest bananafana")], merges)
+
+
 def test_empty_document_and_counts(corpus_df, trained):
     merges, words = trained
     rows = {
