@@ -151,14 +151,23 @@ def materialize_packed_windows(
     ``<|endoftext|>``).  Empty documents stay invisible: they carry no
     content to delimit, and a run of them must not stutter the stream.
 
-    Shape: one token-level explode (∝ corpus tokens — the information
-    floor for emitting the windows at all), window arithmetic as pure
-    expressions on the exclusive running count, and ONE (bin)-keyed
-    shuffle reassembling windows from ordered (position, id) pairs.
-    ``shard_col`` restarts bins per shard and parallelizes the running
-    count; ``distributed=True`` (global form) computes it via the
-    two-phase prefix sum instead of the single-task window — same output,
-    no serialization point."""
+    Shape: window arithmetic as pure expressions on the exclusive running
+    count, then ONE (bin)-keyed shuffle reassembling windows from SLICE
+    PIECES — each document contributes one row per window it touches
+    (``1 + floor(tokens/capacity)`` rows, NOT one row per token), carrying
+    the array slice of its ids that lands in that window plus the slice's
+    in-window offset.  Within a window the pieces tile [0, capacity)
+    disjointly, so ordering by offset and flattening rebuilds the exact
+    token stream.  The shuffle payload is therefore the packed id arrays
+    themselves (~4 bytes/token) — the information floor — instead of a
+    per-token (doc, base, index, token, position) row, whose framing
+    costs ~40 bytes/token whenever map-side partial aggregation stops
+    combining (measured: the r13 ramp's 39.4× shuffle growth for 30×
+    data was exactly this; the slice form is linear by construction —
+    see SCALING.md).  ``shard_col`` restarts bins per shard and
+    parallelizes the running count; ``distributed=True`` (global form)
+    computes it via the two-phase prefix sum instead of the single-task
+    window — same output, no serialization point."""
     if capacity <= 0:
         raise ValueError(f"capacity must be positive, got {capacity}")
     order = _order_chain(order_col, id_col)
@@ -174,20 +183,57 @@ def materialize_packed_windows(
         df.withColumn("__n", F.size(ids_col)), "__n", order, shard_col,
         distributed,
     )
-    toks = staged.select(
-        *keys,
-        F.col(id_col).alias("__doc"),
-        F.col("__cb"),
-        F.posexplode(ids_col).alias("__i", "__tok"),
-    ).withColumn("__pos", F.col("__cb") + F.col("__i"))
+    n = F.size(ids_col)
+    pieces = (
+        staged.filter(n > 0)
+        .select(
+            *keys,
+            F.col(id_col).alias("__doc"),
+            F.col("__cb"),
+            F.col(ids_col).alias("__ids"),
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("__cb") / capacity),
+                    F.floor((F.col("__cb") + n - 1) / capacity),
+                )
+            ).alias("bin"),
+        )
+        # the document's token span clipped to this window, as 0-based
+        # [start, end) offsets into its own id array
+        .withColumn(
+            "__start",
+            F.greatest(F.col("bin") * capacity - F.col("__cb"), F.lit(0)),
+        )
+        .withColumn(
+            "__end",
+            F.least((F.col("bin") + 1) * capacity - F.col("__cb"), F.size("__ids")),
+        )
+        .select(
+            *keys,
+            "bin",
+            "__doc",
+            # where this piece starts inside the window: pieces from
+            # different documents tile [0, capacity) disjointly, so this
+            # offset is a total order within the (keys, bin) group
+            (F.col("__cb") + F.col("__start") - F.col("bin") * capacity).alias(
+                "__off"
+            ),
+            F.slice(
+                "__ids", (F.col("__start") + 1).cast("int"),
+                (F.col("__end") - F.col("__start")).cast("int"),
+            ).alias("__piece"),
+        )
+    )
     return (
-        toks.groupBy(*keys, F.floor(F.col("__pos") / capacity).alias("bin"))
+        pieces.groupBy(*keys, "bin")
         .agg(
             F.countDistinct("__doc").alias("n_docs"),
-            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("__pos", "__tok"))),
-                lambda s: s["__tok"],
+            F.sum(F.size("__piece")).cast("bigint").alias("n_tokens"),
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__off", "__piece"))),
+                    lambda s: s["__piece"],
+                )
             ).alias("token_ids"),
         )
         .select(*keys, "bin", "n_docs", "n_tokens", "token_ids")
