@@ -234,6 +234,9 @@ BENCH_QUERIES = [
     "bpe_streaming_encode",
     "bpe_roundtrip_text",
     "semantic_decontamination",
+    "packed_window_attribution",
+    "packed_shard_manifest",
+    "curriculum_stage_schedule",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash
     # swapped to xxhash64 — the production configuration at scale

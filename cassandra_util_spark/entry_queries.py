@@ -9687,12 +9687,15 @@ def tokenized_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "packed_training_windows",
-    oracle=_bpe_sql(
-        _BPE_N,
-        _BPE_VOCAB_CTES
-        + f"""
+# Shared oracle chain for the materialized-window family (r14: the
+# dstream→cum→flat→post replay was about to be hand-duplicated into the
+# attribution and manifest oracles — the same desync hazard the r13
+# review fixed for dw/segids; one definition, interpolated everywhere).
+# `post` is the global token stream: (doc_id, gpos, tok) with gpos the
+# token's position in the doc_id-ordered concatenation.
+_BPE_POST_CTES = (
+    _BPE_VOCAB_CTES
+    + f"""
     , {_BPE_SEGIDS_CTE},
     {_BPE_DW_CTE},
     dstream AS (
@@ -9715,7 +9718,16 @@ def tokenized_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM dstream, UNNEST(range(1, len(ids) + 1)) u(k))),
     post AS (
       SELECT f.doc_id, c.cb + f.i AS gpos, f.tok
-      FROM flat f JOIN cum c USING (doc_id))
+      FROM flat f JOIN cum c USING (doc_id))"""
+)
+
+
+@query(
+    "packed_training_windows",
+    oracle=_bpe_sql(
+        _BPE_N,
+        _BPE_POST_CTES
+        + """
     SELECT CAST(gpos // 1024 AS BIGINT) AS bin,
            CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
            CAST(count(*) AS BIGINT) AS n_tokens,
@@ -10014,3 +10026,244 @@ def _rotate_driver_window_r14() -> None:
 
 
 _rotate_driver_window_r14()
+
+
+# --- Round-14 additions (registered after the rotation: appended past the
+# --- window, so the certified 50-name prefix is untouched) ----------------
+#
+# The window family gains its trainer-facing surface: per-window document
+# attribution (the attention-mask / provenance map), and the deterministic
+# shard manifest with portable content checksums (what a training loader
+# actually mounts).  Both derive from already-certified chains — the
+# attribution from the same slice pieces the reassembly ships, the
+# manifest from the certified window contents + the corpus_shard_plan
+# hash-shard discipline — and both replay end-to-end in SQL.
+
+
+@query(
+    "packed_window_attribution",
+    oracle=_bpe_sql(
+        _BPE_N,
+        _BPE_POST_CTES
+        + """
+    , pb AS (SELECT doc_id, gpos, CAST(gpos // 1024 AS BIGINT) AS bin
+             FROM post),
+    sp AS (
+      SELECT bin, doc_id,
+             CAST(min(gpos) - bin * 1024 AS BIGINT) AS off,
+             CAST(count(*) AS BIGINT) AS len
+      FROM pb GROUP BY bin, doc_id)
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           string_agg(CAST(doc_id AS VARCHAR) || ':' ||
+                      CAST(off AS VARCHAR) || ':' ||
+                      CAST(len AS VARCHAR), ' ' ORDER BY off) AS spans
+    FROM sp GROUP BY bin
+    """,
+    ),
+)
+def packed_window_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window DOCUMENT ATTRIBUTION for the materialized 1024-token
+    training windows: which document owns tokens [off, off+len) of each
+    window, ordered by in-window offset — exactly the map a trainer
+    needs to build block-diagonal attention masks (no cross-document
+    attention inside a packed window; the Llama/GPT-NeoX packing
+    convention) and to trace any training token back to its source
+    document.  The spans ARE the reassembly's slice pieces
+    (`materialize_packed_windows(with_spans=True)`), so the map costs
+    the windows' own shuffle and nothing more; a document contributes
+    one span per window it touches, spans tile [0, capacity) disjointly,
+    and the oracle re-derives every span as (min position, count) of the
+    document's tokens inside the window.  Rendered doc:off:len for the
+    cross-engine hash."""
+    from cassandra_util_spark.operators.bpe import (
+        bpe_encode_ids,
+        bpe_train,
+        bpe_vocab,
+    )
+    from cassandra_util_spark.operators.packing import (
+        materialize_packed_windows,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    merges, words = bpe_train(d, "text", num_merges=_BPE_N)
+    enc = bpe_encode_ids(
+        d, "doc_id", "text", words, bpe_vocab(spark, words, merges)
+    )
+    win = materialize_packed_windows(
+        enc, "doc_id", "token_ids", capacity=1024, distributed=True,
+        with_spans=True,
+    )
+    return win.select(
+        "bin",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                "doc_spans",
+                lambda s: F.concat_ws(
+                    ":",
+                    s["doc"].cast("string"),
+                    s["off"].cast("string"),
+                    s["len"].cast("string"),
+                ),
+            ),
+        ).alias("spans"),
+    )
+
+
+_WSHARD_SEED = "wshard"
+_N_WSHARDS = 4
+
+
+@query(
+    "packed_shard_manifest",
+    oracle=_bpe_sql(
+        _BPE_N,
+        _BPE_POST_CTES
+        + f"""
+    , win AS (
+      SELECT CAST(gpos // 1024 AS BIGINT) AS bin,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             string_agg(CAST(tok AS VARCHAR), ' ' ORDER BY gpos) AS content
+      FROM post GROUP BY 1)
+    SELECT CAST({_h32_sql(f"'{_WSHARD_SEED}:' || CAST(bin AS VARCHAR)")}
+                % {_N_WSHARDS} AS INT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum({_h32_sql("content")}) AS BIGINT) AS checksum
+    FROM win GROUP BY 1
+    """,
+    ),
+)
+def packed_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-shard MANIFEST over the materialized windows: windows
+    deal into shards by the portable hash of their bin (the
+    `corpus_shard_plan` epoch-shuffle discipline lifted from documents to
+    windows — shard membership is a pure function of (seed, bin), so
+    re-runs, repartitions, and engine swaps mount identical shards), and
+    each shard row carries the integrity triple a loader verifies before
+    training: window count, token count, and an order-insensitive
+    content checksum (the SUM of each window's portable md5 word — any
+    dropped, duplicated, or corrupted window changes it, and an external
+    engine reproduces it exactly).  One extra aggregate over the
+    certified window contents; at 100 TB the manifest is |shards| rows
+    and the checksum folds map-side."""
+    from cassandra_util_spark.functions import portable_hash32
+    from cassandra_util_spark.operators.bpe import (
+        bpe_encode_ids,
+        bpe_train,
+        bpe_vocab,
+    )
+    from cassandra_util_spark.operators.packing import (
+        materialize_packed_windows,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    merges, words = bpe_train(d, "text", num_merges=_BPE_N)
+    enc = bpe_encode_ids(
+        d, "doc_id", "text", words, bpe_vocab(spark, words, merges)
+    )
+    win = materialize_packed_windows(
+        enc, "doc_id", "token_ids", capacity=1024, distributed=True
+    )
+    content = F.concat_ws(
+        " ", F.transform("token_ids", lambda x: x.cast("string"))
+    )
+    shard = F.pmod(
+        portable_hash32(
+            F.concat(F.lit(f"{_WSHARD_SEED}:"), F.col("bin").cast("string"))
+        ),
+        F.lit(_N_WSHARDS),
+    ).cast("int")
+    return (
+        win.select(
+            shard.alias("shard"),
+            "n_tokens",
+            portable_hash32(content).alias("__ck"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum("__ck").cast("bigint").alias("checksum"),
+        )
+    )
+
+
+_CUR_SEED = "cur0"
+_CUR_SHARDS = 4
+_CUR_QUALITY_SQL = f"""round(0.4 * least(len({_TOKS_SQL}) / 100.0, 1.0)
+               + 0.3 * least((len(list_filter(list_transform({_TOKS_SQL}, x -> lower(x)),
+                                              x -> list_contains({_STOPS_SQL}, x)))
+                              / greatest(len({_TOKS_SQL}), 1)) * 4.0, 1.0)
+               + 0.3 * (1.0 - least(((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+                                     / greatest(length(text), 1)) * 5.0, 1.0)), 6)"""
+
+
+@query(
+    "curriculum_stage_schedule",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id,
+             {_CUR_QUALITY_SQL} AS quality,
+             {_h32_sql(f"'{_CUR_SEED}:' || CAST(doc_id AS VARCHAR)")} AS gate,
+             {_h32_sql(f"'{_CUR_SEED}:' || CAST(doc_id AS VARCHAR)", offset=9)} AS ord
+      FROM documents),
+    s AS (
+      SELECT doc_id, quality,
+             CASE WHEN quality >= 0.7 THEN 0
+                  WHEN quality >= 0.6 THEN 1
+                  WHEN quality >= 0.5 THEN 2
+                  ELSE 3 END AS stage,
+             CAST(gate % {_CUR_SHARDS} AS INT) AS shard,
+             ord
+      FROM q)
+    SELECT doc_id, quality, CAST(stage AS INT) AS stage, shard,
+           CAST(row_number() OVER (
+             PARTITION BY stage, shard
+             ORDER BY ord ASC, doc_id ASC) AS BIGINT) AS pos
+    FROM s
+    """,
+)
+def curriculum_stage_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: every document assigned a quality STAGE
+    (cleanest first — the easy→hard schedule curriculum training
+    consumes; fixed score thresholds inlined into both engines, never
+    engine-specific quantiles), a deterministic SHARD within its stage,
+    and a reproducible within-(stage, shard) position from an
+    independent hash word — the `corpus_shard_plan` epoch-shuffle
+    discipline nested under a curriculum stage.  The loader reads stages
+    in ascending order, shards in parallel; stage/shard are map-only
+    expressions that fold into the scan, and the only exchange is the
+    (stage, shard) hash partition + per-group sort — no global range
+    sort at any scale (raise the shard count to raise sort parallelism;
+    membership stays a pure function of (seed, doc_id))."""
+    from pyspark.sql import Window
+
+    from cassandra_util_spark.functions import portable_hash32
+    from cassandra_util_spark.operators.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    q = quality_score(F.col("text"))
+    key = F.concat(F.lit(f"{_CUR_SEED}:"), F.col("doc_id").cast("string"))
+    stage = (
+        F.when(q >= 0.7, 0)
+        .when(q >= 0.6, 1)
+        .when(q >= 0.5, 2)
+        .otherwise(3)
+        .cast("int")
+    )
+    staged = d.select(
+        "doc_id",
+        q.alias("quality"),
+        stage.alias("stage"),
+        F.pmod(portable_hash32(key), F.lit(_CUR_SHARDS)).cast("int").alias("shard"),
+        portable_hash32(key, offset=9).alias("__ord"),
+    )
+    w = Window.partitionBy("stage", "shard").orderBy(
+        F.col("__ord").asc(), F.col("doc_id").asc()
+    )
+    return staged.withColumn(
+        "pos", F.row_number().over(w).cast("bigint")
+    ).drop("__ord")

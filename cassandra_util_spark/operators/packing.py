@@ -136,14 +136,25 @@ def materialize_packed_windows(
     shard_col: str | None = None,
     distributed: bool = False,
     eod_id: int | None = None,
+    with_spans: bool = False,
 ) -> DataFrame:
-    """(bin, n_docs, n_tokens, token_ids[, shard]) — the MATERIALIZED
-    training windows: every document's token-id array concatenated in
-    ``order_col`` order and sliced every ``capacity`` tokens, documents
-    spilling across window boundaries (the concat-and-chunk windows
-    :func:`pack_sequences` only PLANS).  The final window of a stream is
-    partial (``n_tokens < capacity``) — padding is the consumer's choice,
-    accounted separately by :func:`padding_waste_report`.
+    """(bin, n_docs, n_tokens, token_ids[, doc_spans][, shard]) — the
+    MATERIALIZED training windows: every document's token-id array
+    concatenated in ``order_col`` order and sliced every ``capacity``
+    tokens, documents spilling across window boundaries (the
+    concat-and-chunk windows :func:`pack_sequences` only PLANS).  The
+    final window of a stream is partial (``n_tokens < capacity``) —
+    padding is the consumer's choice, accounted separately by
+    :func:`padding_waste_report`.
+
+    ``with_spans`` adds ``doc_spans: array<struct<doc,off,len>>`` — the
+    per-window DOCUMENT ATTRIBUTION map, ordered by in-window offset:
+    which document owns tokens [off, off+len) of the window.  Trainers
+    need exactly this to build block-diagonal attention masks (no
+    cross-document attention inside a packed window) and to trace any
+    training token back to its source document; it is derived from the
+    same slice pieces the reassembly already ships, so the map costs no
+    extra shuffle — the spans ARE the pieces.
 
     ``eod_id`` appends that token after every NON-EMPTY document before
     packing — the end-of-document delimiter real trainers use so the
@@ -224,20 +235,36 @@ def materialize_packed_windows(
             ).alias("__piece"),
         )
     )
-    return (
-        pieces.groupBy(*keys, "bin")
-        .agg(
-            F.countDistinct("__doc").alias("n_docs"),
-            F.sum(F.size("__piece")).cast("bigint").alias("n_tokens"),
-            F.flatten(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("__off", "__piece"))),
-                    lambda s: s["__piece"],
-                )
-            ).alias("token_ids"),
+    aggs = [
+        F.countDistinct("__doc").alias("n_docs"),
+        F.sum(F.size("__piece")).cast("bigint").alias("n_tokens"),
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__off", "__piece"))),
+                lambda s: s["__piece"],
+            )
+        ).alias("token_ids"),
+    ]
+    out = [*keys, "bin", "n_docs", "n_tokens", "token_ids"]
+    if with_spans:
+        aggs.append(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "__off", "__doc", F.size("__piece").alias("__len")
+                        )
+                    )
+                ),
+                lambda s: F.struct(
+                    s["__doc"].alias("doc"),
+                    s["__off"].alias("off"),
+                    s["__len"].cast("bigint").alias("len"),
+                ),
+            ).alias("doc_spans")
         )
-        .select(*keys, "bin", "n_docs", "n_tokens", "token_ids")
-    )
+        out.append("doc_spans")
+    return pieces.groupBy(*keys, "bin").agg(*aggs).select(*out)
 
 
 def chunk_structs(toks: Column, chunk_words: int, overlap: int = 0) -> Column:

@@ -320,6 +320,38 @@ def test_tied_order_col_breaks_ties_on_id(spark, distributed):
     assert plan == stream_bin
 
 
+@pytest.mark.parametrize("distributed", [False, True])
+def test_with_spans_attribution_tiles_each_window(spark, distributed):
+    """with_spans: the doc_spans map must tile [0, n_tokens) disjointly in
+    offset order, name every contributing document exactly once per
+    window, and agree with slicing the window's token_ids — i.e. the
+    spans really are the reassembly's pieces."""
+    from cassandra_util_spark.operators.packing import (
+        materialize_packed_windows,
+    )
+
+    df = spark.createDataFrame(_DOCS, "doc_id int, ids array<int>")
+    rows = materialize_packed_windows(
+        df, "doc_id", "ids", capacity=4, distributed=distributed,
+        with_spans=True,
+    ).collect()
+    doc_ids = {i: ids for i, ids in _DOCS}
+    for r in rows:
+        spans = [(s["doc"], s["off"], s["len"]) for s in r["doc_spans"]]
+        assert len({d for d, _, _ in spans}) == len(spans) == r["n_docs"]
+        pos = 0
+        for doc, off, ln in spans:  # ordered by off, tiling exactly
+            assert off == pos
+            piece = list(r["token_ids"])[off : off + ln]
+            # the piece is a contiguous run of THAT document's ids
+            flat = doc_ids[doc]
+            assert any(
+                flat[i : i + ln] == piece for i in range(len(flat) - ln + 1)
+            ), (r["bin"], doc)
+            pos += ln
+        assert pos == r["n_tokens"]
+
+
 def test_materialize_packed_windows_capacity_validation(spark):
     from cassandra_util_spark.operators.packing import (
         materialize_packed_windows,
