@@ -237,6 +237,7 @@ BENCH_QUERIES = [
     "packed_window_attribution",
     "packed_shard_manifest",
     "curriculum_stage_schedule",
+    "fim_token_streams",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash
     # swapped to xxhash64 — the production configuration at scale

