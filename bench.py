@@ -238,6 +238,8 @@ BENCH_QUERIES = [
     "packed_shard_manifest",
     "curriculum_stage_schedule",
     "fim_token_streams",
+    "manifest_incremental_totals",
+    "span_corruption_pairs",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash
     # swapped to xxhash64 — the production configuration at scale

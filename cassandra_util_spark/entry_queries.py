@@ -10115,13 +10115,13 @@ def packed_window_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WSHARD_SEED = "wshard"
 _N_WSHARDS = 4
 
-
-@query(
-    "packed_shard_manifest",
-    oracle=_bpe_sql(
-        _BPE_N,
-        _BPE_POST_CTES
-        + f"""
+# One oracle for BOTH manifest queries (batch and incremental): the
+# incremental counter-store totals must equal the from-scratch manifest —
+# sharing the string IS the contract (the dedup_incremental discipline).
+_WMANIFEST_ORACLE = _bpe_sql(
+    _BPE_N,
+    _BPE_POST_CTES
+    + f"""
     , win AS (
       SELECT CAST(gpos // 1024 AS BIGINT) AS bin,
              CAST(count(*) AS BIGINT) AS n_tokens,
@@ -10134,8 +10134,10 @@ _N_WSHARDS = 4
            CAST(sum({_h32_sql("content")}) AS BIGINT) AS checksum
     FROM win GROUP BY 1
     """,
-    ),
 )
+
+
+@query("packed_shard_manifest", oracle=_WMANIFEST_ORACLE)
 def packed_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-shard MANIFEST over the materialized windows: windows
     deal into shards by the portable hash of their bin (the
@@ -10149,7 +10151,6 @@ def packed_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine reproduces it exactly).  One extra aggregate over the
     certified window contents; at 100 TB the manifest is |shards| rows
     and the checksum folds map-side."""
-    from cassandra_util_spark.functions import portable_hash32
     from cassandra_util_spark.operators.bpe import (
         bpe_encode_ids,
         bpe_train,
@@ -10157,6 +10158,7 @@ def packed_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from cassandra_util_spark.operators.packing import (
         materialize_packed_windows,
+        shard_manifest,
     )
 
     d = _t(spark, sf_dir, "documents")
@@ -10167,28 +10169,7 @@ def packed_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     win = materialize_packed_windows(
         enc, "doc_id", "token_ids", capacity=1024, distributed=True
     )
-    content = F.concat_ws(
-        " ", F.transform("token_ids", lambda x: x.cast("string"))
-    )
-    shard = F.pmod(
-        portable_hash32(
-            F.concat(F.lit(f"{_WSHARD_SEED}:"), F.col("bin").cast("string"))
-        ),
-        F.lit(_N_WSHARDS),
-    ).cast("int")
-    return (
-        win.select(
-            shard.alias("shard"),
-            "n_tokens",
-            portable_hash32(content).alias("__ck"),
-        )
-        .groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
-            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
-            F.sum("__ck").cast("bigint").alias("checksum"),
-        )
-    )
+    return shard_manifest(win, num_shards=_N_WSHARDS, seed=_WSHARD_SEED)
 
 
 _CUR_SEED = "cur0"
@@ -10348,4 +10329,164 @@ def fim_token_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.transform("token_ids", lambda x: x.cast("string"))
         ).alias("token_ids"),
         "n_tokens",
+    )
+
+
+@query("manifest_incremental_totals", oracle=_WMANIFEST_ORACLE)
+def manifest_incremental_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shard manifest maintained INCREMENTALLY, hash-certified against
+    the from-scratch oracle it shares with `packed_shard_manifest`: the
+    materialized windows arrive in three batches (bin mod 3), each
+    batch's manifest — every column a SUM, so the manifest of a union is
+    the column-wise sum of manifests — appends to a
+    :class:`~cassandra_util_spark.operators.counters.CounterStore` as an
+    additive delta run (no writer ever reads a total), with a compaction
+    FOLD interleaved after the second append; the totals view must equal
+    the one-shot manifest.  This is the 100 TB property the manifest
+    exists for: as shards ingest, integrity accounting ships deltas and
+    never recomputes the corpus view — and addition's associativity (the
+    counter store's whole correctness argument) is exactly what makes
+    the checksum fold-invariant."""
+    import tempfile
+
+    from cassandra_util_spark.operators.bpe import (
+        bpe_encode_ids,
+        bpe_train,
+        bpe_vocab,
+    )
+    from cassandra_util_spark.operators.counters import CounterStore
+    from cassandra_util_spark.operators.packing import (
+        materialize_packed_windows,
+        shard_manifest,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    merges, words = bpe_train(d, "text", num_merges=_BPE_N)
+    enc = bpe_encode_ids(
+        d, "doc_id", "text", words, bpe_vocab(spark, words, merges)
+    )
+    # pin the windows once: three batch filters must not re-run the
+    # train+encode chain (the bounded-materialization discipline)
+    win = materialize_packed_windows(
+        enc, "doc_id", "token_ids", capacity=1024, distributed=True
+    ).localCheckpoint()
+    cs = CounterStore(
+        tempfile.mkdtemp(prefix="manifest-inc-"),
+        ["shard"],
+        ["n_windows", "n_tokens", "checksum"],
+    )
+    for i in range(3):
+        batch = win.filter(F.col("bin") % 3 == i)
+        cs.append_increments(
+            shard_manifest(batch, num_shards=_N_WSHARDS, seed=_WSHARD_SEED)
+        )
+        if i == 1:
+            cs.compact(spark)
+    totals = cs.totals(spark)
+    return totals.select(
+        "shard",
+        *[F.col(c).cast("bigint").alias(c)
+          for c in ("n_windows", "n_tokens", "checksum")],
+    )
+
+
+_T5_SEED = "t50"
+_T5_WORD = lambda off: _h32_sql(  # noqa: E731
+    f"'{_T5_SEED}:' || CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)",
+    offset=off,
+)
+
+
+@query(
+    "span_corruption_pairs",
+    oracle=_bpe_sql(
+        _BPE_N,
+        _BPE_VOCAB_CTES
+        + f"""
+    , {_BPE_SEGIDS_CTE},
+    {_BPE_DW_CTE},
+    enc AS (
+      SELECT d.doc_id, flatten(list(s.ids ORDER BY d.pos)) AS ids
+      FROM dw d JOIN segids s USING (word) GROUP BY d.doc_id),
+    base AS (
+      SELECT doc.doc_id, coalesce(e.ids, []) AS ids,
+             CAST(len(coalesce(e.ids, [])) AS BIGINT) AS n
+      FROM documents doc LEFT JOIN enc e USING (doc_id)),
+    par AS (
+      SELECT doc_id, ids, n,
+             greatest(CAST(floor(n * 0.15 / 3 + 0.5) AS INT), 1) AS k
+      FROM base WHERE n >= 16),
+    segd AS (SELECT *, CAST(n // k AS INT) AS seg FROM par),
+    sp AS (
+      SELECT doc_id, ids, n, seg, CAST(j AS INT) AS j,
+             least(1 + CAST({_T5_WORD(9)} % 5 AS INT), seg) AS ln
+      FROM segd, UNNEST(range(k)) u(j)),
+    sp2 AS (
+      SELECT *, j * seg + CAST({_T5_WORD(17)} % (seg - ln + 1) AS INT) AS start
+      FROM sp),
+    sp3 AS (
+      SELECT doc_id, ids, j, start, ln,
+             coalesce(CAST(lag(start + ln) OVER (
+               PARTITION BY doc_id ORDER BY j) AS INT), 0) AS prev
+      FROM sp2),
+    pieces AS (
+      SELECT doc_id,
+             flatten(list(ids[prev + 1:start] || [-201 - j] ORDER BY j))
+               AS inp_head,
+             flatten(list([-201 - j] || ids[start + 1:start + ln] ORDER BY j))
+               AS tgt,
+             CAST(max(start + ln) AS INT) AS last_end
+      FROM sp3 GROUP BY doc_id)
+    SELECT b.doc_id,
+           b.n >= 16 AS corrupted,
+           array_to_string(
+             CASE WHEN b.n >= 16
+                  THEN p.inp_head || b.ids[p.last_end + 1:CAST(b.n AS INT)]
+                  ELSE b.ids END, ' ') AS inputs,
+           CASE WHEN b.n >= 16 THEN array_to_string(p.tgt, ' ') ELSE '' END
+             AS targets
+    FROM base b LEFT JOIN pieces p USING (doc_id)
+    """,
+    ),
+)
+def span_corruption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption denoising pairs over the learned
+    vocabulary (Raffel et al. 2020): per eligible document,
+    ``k ≈ n·0.15/3`` hash-placed spans leave per-span sentinels in
+    ``inputs`` and concatenate sentinel-delimited into ``targets`` —
+    the (inputs, targets) pair an encoder-decoder or prefix-LM
+    objective consumes, with exact reconstruction as the pinned
+    invariant.  Span placement is segment-stratified (one span per
+    equal segment, offset and length from independent portable md5
+    words of (seed, doc_id, span-index)) — non-overlapping BY
+    CONSTRUCTION, no rejection loop, no RNG state, bit-identical across
+    engines; short documents pass through.  The transform itself is
+    map-only array expressions (no shuffle, no UDF); the oracle replays
+    every draw, the lag-stitched inputs, and the target stream in SQL."""
+    from cassandra_util_spark.operators.bpe import (
+        bpe_encode_ids,
+        bpe_train,
+        bpe_vocab,
+    )
+    from cassandra_util_spark.operators.packing import span_corruption
+
+    d = _t(spark, sf_dir, "documents")
+    merges, words = bpe_train(d, "text", num_merges=_BPE_N)
+    enc = bpe_encode_ids(
+        d, "doc_id", "text", words, bpe_vocab(spark, words, merges)
+    )
+    out = span_corruption(
+        enc, "doc_id", "token_ids",
+        noise_density=0.15, mean_span=3, min_tokens=16, seed=_T5_SEED,
+    )
+    joined = F.concat_ws  # noqa: E731 — alias for line width
+    return out.select(
+        "doc_id",
+        "corrupted",
+        joined(" ", F.transform("inputs", lambda x: x.cast("string"))).alias(
+            "inputs"
+        ),
+        joined(" ", F.transform("targets", lambda x: x.cast("string"))).alias(
+            "targets"
+        ),
     )

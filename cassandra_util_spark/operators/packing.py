@@ -523,3 +523,167 @@ def fim_transform(
         out.alias("token_ids"),
         F.size(out).cast("bigint").alias("n_tokens"),
     )
+
+
+def shard_manifest(
+    win: DataFrame,
+    num_shards: int = 4,
+    seed: str = "wshard",
+) -> DataFrame:
+    """(shard, n_windows, n_tokens, checksum) — the training-shard
+    MANIFEST over materialized windows: windows deal into shards by the
+    portable hash of their bin (shard membership a pure function of
+    (seed, bin) — re-runs, repartitions, and engine swaps mount
+    identical shards), and each shard row carries the integrity triple a
+    loader verifies before mounting: window count, token count, and an
+    order-insensitive content checksum (the SUM of each window's
+    portable md5 word — any dropped, duplicated, or corrupted window
+    changes it, and an external engine reproduces it exactly).
+
+    Every manifest column is a SUM over windows, so the manifest is
+    ADDITIVE: the manifest of a union of window batches is the
+    column-wise sum of their manifests — which is what lets a 100 TB
+    ingest maintain it incrementally as counter deltas
+    (`manifest_incremental_totals`) instead of ever recomputing the full
+    corpus view.  Applied to one batch of windows, this function IS the
+    batch's delta."""
+    if num_shards <= 0:
+        raise ValueError(f"num_shards must be positive, got {num_shards}")
+    from cassandra_util_spark.functions import portable_hash32
+
+    content = F.concat_ws(
+        " ", F.transform("token_ids", lambda x: x.cast("string"))
+    )
+    shard = F.pmod(
+        portable_hash32(
+            F.concat(F.lit(f"{seed}:"), F.col("bin").cast("string"))
+        ),
+        F.lit(num_shards),
+    ).cast("int")
+    return (
+        win.select(
+            shard.alias("shard"),
+            "n_tokens",
+            portable_hash32(content).alias("__ck"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum("__ck").cast("bigint").alias("checksum"),
+        )
+    )
+
+
+def span_corruption(
+    df: DataFrame,
+    id_col: str,
+    ids_col: str,
+    noise_density: float = 0.15,
+    mean_span: int = 3,
+    min_tokens: int = 16,
+    sentinel_base: int = -201,
+    seed: str = "t5",
+) -> DataFrame:
+    """(id, corrupted, inputs, targets) — T5-style span-corruption
+    denoising pairs (Raffel et al. 2020): ``k ≈ n·density / mean_span``
+    spans of each eligible document are replaced by per-span sentinels
+    in ``inputs``; ``targets`` is the sentinel-delimited concatenation
+    of the removed spans (the sequence the model learns to emit).
+    Documents shorter than ``min_tokens`` pass through
+    (``corrupted=false``, inputs = the stream, empty targets).
+
+    Span placement is SEGMENT-STRATIFIED: the stream divides into k
+    equal segments and each span draws its offset and length (1 to
+    2·mean_span−1, clipped to its segment) from independent portable
+    md5 words of (seed, id, span-index).  Stratification is what makes
+    the spans non-overlapping BY CONSTRUCTION — no rejection loop, no
+    RNG state, bit-identical across engines and re-runs — at the cost
+    of never corrupting two spans in one segment (documented
+    approximation to the reference's uniform placement; density and
+    mean span length are preserved).  Sentinel ids descend from
+    ``sentinel_base`` (−201, −202, …), outside every learned vocabulary
+    and disjoint from the FIM sentinels.  The whole transform is pure
+    array expressions over the id streams — map-only, no shuffle, no
+    UDF — and reconstruction (splice targets' spans back into inputs'
+    sentinel slots) is exact, the lossless property the pair encodes."""
+    if not 0.0 < noise_density < 1.0:
+        raise ValueError(f"noise_density must be in (0,1), got {noise_density}")
+    if mean_span < 1:
+        raise ValueError(f"mean_span must be >= 1, got {mean_span}")
+    if min_tokens < 2:
+        raise ValueError(f"min_tokens must be >= 2, got {min_tokens}")
+    from cassandra_util_spark.functions import portable_hash32
+
+    elem = df.schema[ids_col].dataType.elementType
+    ids = F.col(ids_col)
+    n = F.size(ids_col)
+    eligible = n >= min_tokens
+    # k spans, each inside its own n/k-token segment
+    k = F.greatest(
+        F.round(n * F.lit(noise_density) / F.lit(mean_span)).cast("int"),
+        F.lit(1),
+    )
+    seg = F.floor(n / k).cast("int")
+
+    def word(i, off):
+        return portable_hash32(
+            F.concat(
+                F.lit(f"{seed}:"),
+                F.col(id_col).cast("string"),
+                F.lit(":"),
+                i.cast("string"),
+            ),
+            offset=off,
+        )
+
+    # per-span (start, len): length 1..2*mean_span-1 clipped to the
+    # segment, offset uniform over the room the length leaves
+    def span(i):
+        base = i * seg
+        ln = F.least(
+            (F.lit(1) + F.pmod(word(i, 9), F.lit(2 * mean_span - 1))).cast("int"),
+            seg,
+        )
+        off = F.pmod(word(i, 17), (seg - ln + 1).cast("int"))
+        return F.struct(
+            (base + off).cast("int").alias("start"), ln.alias("len")
+        )
+
+    spans = F.transform(F.sequence(F.lit(0), k - 1), span)
+    sent = lambda i: F.array(  # noqa: E731
+        (F.lit(sentinel_base) - i).cast(elem)
+    )
+    # previous span's end (0 for the first) — spans are segment-ordered
+    prev_end = lambda i: F.when(i == 0, F.lit(0)).otherwise(  # noqa: E731
+        F.element_at(spans, i)["start"] + F.element_at(spans, i)["len"]
+    )
+    pieces = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.concat(
+            F.slice(ids, prev_end(i) + 1, F.element_at(spans, i + 1)["start"] - prev_end(i)),
+            sent(i),
+        ),
+    )
+    last_end = prev_end(k)
+    inputs = F.concat(F.flatten(pieces), F.slice(ids, last_end + 1, n - last_end))
+    targets = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.concat(
+                sent(i),
+                F.slice(
+                    ids,
+                    F.element_at(spans, i + 1)["start"] + 1,
+                    F.element_at(spans, i + 1)["len"],
+                ),
+            ),
+        )
+    )
+    empty = F.array().cast(f"array<{elem.simpleString()}>")
+    return df.select(
+        F.col(id_col),
+        eligible.alias("corrupted"),
+        F.when(eligible, inputs).otherwise(ids).alias("inputs"),
+        F.when(eligible, targets).otherwise(empty).alias("targets"),
+    )

@@ -500,3 +500,108 @@ def test_fim_transform_matches_python_reference(spark):
     # at least one dealt and one pass-through long doc in the fixture
     assert any(got[i][0] for i, _ in rows)
     assert any(not got[i][0] and len(ids) >= 16 for i, ids in rows) or True
+
+
+def test_shard_manifest_additive_and_deterministic(spark):
+    """shard_manifest: the manifest of a union of window batches equals
+    the column-wise sum of the batches' manifests (the additivity the
+    incremental counter path rests on), membership is repartition-proof,
+    and any content change moves the checksum."""
+    from cassandra_util_spark.operators.packing import (
+        materialize_packed_windows,
+        shard_manifest,
+    )
+
+    df = spark.createDataFrame(_DOCS, "doc_id int, ids array<int>")
+    win = materialize_packed_windows(df, "doc_id", "ids", capacity=4)
+    full = {r["shard"]: (r["n_windows"], r["n_tokens"], r["checksum"])
+            for r in shard_manifest(win, num_shards=2).collect()}
+    summed: dict = {}
+    for i in (0, 1, 2):
+        part = shard_manifest(
+            win.filter(F.col("bin") % 3 == i), num_shards=2
+        ).collect()
+        for r in part:
+            a = summed.setdefault(r["shard"], [0, 0, 0])
+            a[0] += r["n_windows"]; a[1] += r["n_tokens"]; a[2] += r["checksum"]
+    assert {k: tuple(v) for k, v in summed.items()} == full
+    # repartition-proof
+    again = {r["shard"]: (r["n_windows"], r["n_tokens"], r["checksum"])
+             for r in shard_manifest(win.repartition(7), num_shards=2).collect()}
+    assert again == full
+    # a corrupted window content moves its shard's checksum
+    corrupt = win.withColumn(
+        "token_ids",
+        F.when(F.col("bin") == 0,
+               F.concat(F.slice("token_ids", 2, 100), F.array(F.lit(999))))
+        .otherwise(F.col("token_ids")),
+    )
+    moved = {r["shard"]: r["checksum"]
+             for r in shard_manifest(corrupt, num_shards=2).collect()}
+    assert any(moved[s] != full[s][2] for s in full)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="num_shards"):
+        shard_manifest(win, num_shards=0)
+
+
+def test_span_corruption_matches_python_reference(spark):
+    """span_corruption vs a plain-Python replay of the segment-stratified
+    md5 draws: sentinel placement, non-overlap by construction, short-doc
+    pass-through, and exact reconstruction (splicing targets' spans back
+    into inputs' sentinel slots restores the original stream)."""
+    import hashlib
+    import math
+
+    from cassandra_util_spark.operators.packing import span_corruption
+
+    def word(s, off):
+        return int(hashlib.md5(s.encode()).hexdigest()[off - 1 : off + 7], 16)
+
+    rows = [(i, list(range(100 * i, 100 * i + n)))
+            for i, n in [(0, 0), (1, 8), (2, 16), (3, 60), (4, 121), (5, 33)]]
+    df = spark.createDataFrame(rows, "doc_id int, ids array<int>")
+    got = {
+        r["doc_id"]: (r["corrupted"], list(r["inputs"]), list(r["targets"]))
+        for r in span_corruption(
+            df, "doc_id", "ids", noise_density=0.15, mean_span=3,
+            min_tokens=16, seed="t5test",
+        ).collect()
+    }
+    for i, ids in rows:
+        n = len(ids)
+        corrupted, inputs, targets = got[i]
+        if n < 16:
+            assert (corrupted, inputs, targets) == (False, ids, [])
+            continue
+        assert corrupted
+        k = max(1, math.floor(n * 0.15 / 3 + 0.5))
+        seg = n // k
+        want_in, want_tg, prev = [], [], 0
+        for j in range(k):
+            ln = min(1 + word(f"t5test:{i}:{j}", 9) % 5, seg)
+            off = word(f"t5test:{i}:{j}", 17) % (seg - ln + 1)
+            start = j * seg + off
+            assert start >= prev  # non-overlap by construction
+            want_in += ids[prev:start] + [-201 - j]
+            want_tg += [-201 - j] + ids[start : start + ln]
+            prev = start + ln
+        want_in += ids[prev:]
+        assert inputs == want_in, i
+        assert targets == want_tg, i
+        # exact reconstruction from the (inputs, targets) pair
+        span_of = {}
+        t = iter(range(len(targets)))
+        pos = 0
+        while pos < len(targets):
+            s = targets[pos]
+            assert s <= -201
+            end = pos + 1
+            while end < len(targets) and targets[end] > -201:
+                end += 1
+            span_of[s] = targets[pos + 1 : end]
+            pos = end
+        rebuilt = []
+        for tok in inputs:
+            rebuilt += span_of[tok] if tok <= -201 else [tok]
+        assert rebuilt == ids, i
