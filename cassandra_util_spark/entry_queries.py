@@ -2627,10 +2627,10 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicate_spans(d.unionByName(copies), "doc_id", "text", chunk_words=32)
 
 
-@query(
-    "gopher_quality_gate",
-    oracle=r"""
-    WITH base AS (
+# Gopher signal CTEs + pass condition, shared by the gate query and the
+# windowed loss-mask oracle (one definition -- the r13 single-source
+# discipline for hand-inlined oracle fragments).
+_GOPHER_SIG_CTES = r"""gbase AS (
       SELECT doc_id, text,
              list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w,
              list_filter(string_split(text, chr(10)), l -> l <> '') AS lines
@@ -2650,7 +2650,21 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS aw,
         len(list_filter(['the','be','to','of','and','that','have','with'],
             s -> list_contains(list_transform(w, x -> lower(x)), s))) AS sh
-      FROM base)
+      FROM gbase)"""
+
+_GOPHER_PASS_SQL = """(n_words BETWEEN 50 AND 100000)
+        AND (round(wc / d, 6) BETWEEN 3.0 AND 10.0)
+        AND round((nhash + nell) / d, 6) <= 0.1
+        AND round(bl / nl, 6) <= 0.9
+        AND round(el / nl, 6) <= 0.3
+        AND round(aw / d, 6) >= 0.8
+        AND sh >= 2"""
+
+
+@query(
+    "gopher_quality_gate",
+    oracle=f"""
+    WITH {_GOPHER_SIG_CTES}
     SELECT doc_id,
       CAST(n_words AS BIGINT) AS n_words,
       round(wc / d, 6) AS mean_word_len,
@@ -2659,13 +2673,7 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
       round(el / nl, 6) AS ellipsis_line_frac,
       round(aw / d, 6) AS alpha_word_frac,
       CAST(sh AS BIGINT) AS stop_hits,
-      (n_words BETWEEN 50 AND 100000)
-        AND (round(wc / d, 6) BETWEEN 3.0 AND 10.0)
-        AND round((nhash + nell) / d, 6) <= 0.1
-        AND round(bl / nl, 6) <= 0.9
-        AND round(el / nl, 6) <= 0.3
-        AND round(aw / d, 6) >= 0.8
-        AND sh >= 2 AS passes
+      {_GOPHER_PASS_SQL} AS passes
     FROM sig
     """,
 )
@@ -2866,7 +2874,7 @@ def dedup_within_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH base AS (
       SELECT doc_id, source, text,
-             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w,
+             list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w,
              list_filter(string_split(text, chr(10)), l -> l <> '') AS lines
       FROM documents),
     sig AS (
@@ -10490,3 +10498,67 @@ def span_corruption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "targets"
         ),
     )
+
+
+@query(
+    "windowed_loss_masks",
+    oracle=_bpe_sql(
+        _BPE_N,
+        _BPE_POST_CTES
+        + f"""
+    , pb AS (SELECT doc_id, gpos, CAST(gpos // 1024 AS BIGINT) AS bin
+             FROM post),
+    sp AS (
+      SELECT bin, doc_id,
+             CAST(min(gpos) - bin * 1024 AS BIGINT) AS off,
+             CAST(count(*) AS BIGINT) AS len
+      FROM pb GROUP BY bin, doc_id),
+    keepfl AS (
+      SELECT doc_id, {_CUR_QUALITY_SQL} >= 0.5 AS keep FROM documents)
+    SELECT bin,
+           CAST(sum(len) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN keep THEN 0 ELSE len END) AS BIGINT)
+             AS masked_tokens,
+           string_agg(repeat(CASE WHEN keep THEN '1' ELSE '0' END,
+                             CAST(len AS INT)), '' ORDER BY off) AS mask
+    FROM sp JOIN keepfl USING (doc_id) GROUP BY bin
+    """,
+    ),
+)
+def windowed_loss_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-token loss masks over the materialized 1024-token windows: a
+    document-level verdict (here the [0,1] quality score thresholded at
+    0.5 — the `curriculum_stage_schedule` signal, single-sourced) turns
+    into a per-window bitstring where failing documents' tokens stop
+    contributing loss — the SOFT removal a pipeline wants when verdicts
+    change AFTER windows are materialized: stream, window boundaries,
+    and shard manifests all stay byte-identical, no repacking.  Derived
+    entirely from the attribution spans: one explode ∝ spans (two
+    orders below tokens), one (doc)-keyed join, one (bin)-keyed
+    regroup — token content never ships.  The oracle re-derives every
+    span and the keep verdicts and rebuilds each bitstring in SQL."""
+    from cassandra_util_spark.operators.bpe import (
+        bpe_encode_ids,
+        bpe_train,
+        bpe_vocab,
+    )
+    from cassandra_util_spark.operators.packing import (
+        loss_mask_windows,
+        materialize_packed_windows,
+    )
+    from cassandra_util_spark.operators.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    merges, words = bpe_train(d, "text", num_merges=_BPE_N)
+    enc = bpe_encode_ids(
+        d, "doc_id", "text", words, bpe_vocab(spark, words, merges)
+    )
+    win = materialize_packed_windows(
+        enc, "doc_id", "token_ids", capacity=1024, distributed=True,
+        with_spans=True,
+    )
+    keep = d.select(
+        F.col("doc_id").alias("doc"),
+        (quality_score(F.col("text")) >= 0.5).alias("keep"),
+    )
+    return loss_mask_windows(win, keep, doc_col="doc")

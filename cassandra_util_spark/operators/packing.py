@@ -687,3 +687,65 @@ def span_corruption(
         F.when(eligible, inputs).otherwise(ids).alias("inputs"),
         F.when(eligible, targets).otherwise(empty).alias("targets"),
     )
+
+
+def loss_mask_windows(
+    win: DataFrame,
+    keep: DataFrame,
+    doc_col: str = "doc",
+) -> DataFrame:
+    """(bin, n_tokens, masked_tokens, mask) — per-token LOSS MASKS for
+    materialized training windows: ``mask`` is a bitstring as long as the
+    window where position i is '1' iff the document owning token i has
+    ``keep = true`` in the ``keep`` table (columns ``doc_col``, ``keep``).
+
+    This is the SOFT removal a production pipeline wants when a
+    document-level decision (quality gate, dedup verdict, licensing
+    flag) changes AFTER windows are materialized: the token stream and
+    every window boundary stay byte-identical — no repacking, no
+    shifted positions, no invalidated shard manifests — and the flagged
+    documents simply stop contributing loss.  Derived entirely from the
+    attribution spans (`materialize_packed_windows(with_spans=True)`):
+    one explode ∝ spans (documents + tokens/capacity rows, two orders
+    below tokens), one (doc)-keyed join against the keep table, one
+    (bin)-keyed regroup — the mask never ships token content at all."""
+    sp = win.select(
+        "bin",
+        F.explode("doc_spans").alias("s"),
+    ).select(
+        "bin",
+        F.col("s.doc").alias(doc_col),
+        F.col("s.off").alias("__off"),
+        F.col("s.len").alias("__len"),
+    )
+    j = sp.join(keep.select(doc_col, "keep"), doc_col)
+    piece = F.array_join(
+        F.array_repeat(
+            F.when(F.col("keep"), F.lit("1")).otherwise(F.lit("0")),
+            F.col("__len").cast("int"),
+        ),
+        "",
+    )
+    return (
+        j.select(
+            "bin",
+            "__off",
+            "__len",
+            "keep",
+            piece.alias("__piece"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum("__len").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("keep"), 0).otherwise(F.col("__len")))
+            .cast("bigint")
+            .alias("masked_tokens"),
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__off", "__piece"))),
+                    lambda s: s["__piece"],
+                ),
+            ).alias("mask"),
+        )
+    )

@@ -121,6 +121,17 @@ PIPELINES = [
     # appends — both should stay ∝ corpus tokens with no quadratic term
     "packed_training_windows",
     "bpe_streaming_encode",
+    # r14 trainer-facing surface: attribution rides the windows' own
+    # slice-piece shuffle; FIM and span corruption are map-only expression
+    # passes over the encode chain; the incremental manifest adds counter
+    # deltas; curriculum is one (stage, shard) exchange -- all should ramp
+    # ~linearly in corpus tokens with no new superlinear term
+    "packed_window_attribution",
+    "fim_token_streams",
+    "span_corruption_pairs",
+    "manifest_incremental_totals",
+    "curriculum_stage_schedule",
+    "windowed_loss_masks",
 ]
 
 

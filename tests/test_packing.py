@@ -605,3 +605,39 @@ def test_span_corruption_matches_python_reference(spark):
         for tok in inputs:
             rebuilt += span_of[tok] if tok <= -201 else [tok]
         assert rebuilt == ids, i
+
+
+def test_loss_mask_windows_bitstrings(spark):
+    """loss_mask_windows: the mask tiles each window exactly (length ==
+    n_tokens), masked positions are precisely the flagged documents'
+    token runs, and a verdict flip only changes bits — never stream or
+    window boundaries (the soft-removal contract)."""
+    from cassandra_util_spark.operators.packing import (
+        loss_mask_windows,
+        materialize_packed_windows,
+    )
+
+    df = spark.createDataFrame(_DOCS, "doc_id int, ids array<int>")
+    win = materialize_packed_windows(
+        df, "doc_id", "ids", capacity=4, with_spans=True
+    ).localCheckpoint()
+    flagged = {i for i, _ in _DOCS if i % 2 == 0}
+    keep = spark.createDataFrame(
+        [(i, i not in flagged) for i, _ in _DOCS], "doc int, keep boolean"
+    )
+    got = {r["bin"]: r for r in loss_mask_windows(win, keep).collect()}
+    wins = {r["bin"]: r for r in win.collect()}
+    assert set(got) == set(wins)
+    for b, r in got.items():
+        assert len(r["mask"]) == r["n_tokens"] == wins[b]["n_tokens"]
+        want = "".join(
+            ("0" if s["doc"] in flagged else "1") * s["len"]
+            for s in wins[b]["doc_spans"]
+        )
+        assert r["mask"] == want, b
+        assert r["masked_tokens"] == want.count("0")
+    # flipping every verdict inverts the bits, nothing else
+    inv = {r["bin"]: r["mask"] for r in loss_mask_windows(
+        win, keep.withColumn("keep", ~F.col("keep"))).collect()}
+    for b in got:
+        assert inv[b] == got[b]["mask"].translate(str.maketrans("01", "10"))
