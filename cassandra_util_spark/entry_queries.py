@@ -10562,3 +10562,73 @@ def windowed_loss_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
         (quality_score(F.col("text")) >= 0.5).alias("keep"),
     )
     return loss_mask_windows(win, keep, doc_col="doc")
+
+
+@query(
+    "window_leak_audit",
+    oracle=_bpe_sql(
+        _BPE_N,
+        _BPE_POST_CTES
+        + f"""
+    , pb AS (SELECT doc_id, gpos, CAST(gpos // 1024 AS BIGINT) AS bin
+             FROM post),
+    sp AS (
+      SELECT bin, doc_id, CAST(count(*) AS BIGINT) AS len
+      FROM pb GROUP BY bin, doc_id),
+    held AS (
+      SELECT doc_id FROM documents WHERE {_SPLIT_GATE} >= {_SPLIT_T1})
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS leaked_docs,
+           CAST(sum(len) AS BIGINT) AS leaked_tokens
+    FROM sp JOIN held USING (doc_id)
+    GROUP BY bin
+    """,
+    ),
+)
+def window_leak_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-level train/eval LEAK AUDIT — the check that closes the
+    split → pack loop: after packing, which training windows contain
+    tokens owned by held-out (val/test) documents, and how many.  The
+    n-gram and semantic decontamination queries judge CONTENT overlap;
+    this judges MEMBERSHIP — a pipeline that packed the full corpus
+    instead of the train split (the classic silent leak) lights up
+    here window by window, and the `windowed_loss_masks` mechanism is
+    the cheapest remediation (mask the leaked spans, keep the stream).
+    Built from the attribution spans ⨝ the `corpus_split_assignment`
+    hash gate (both already certified): explode ∝ spans, one
+    (doc)-keyed join against the held-out set, one (bin)-keyed rollup —
+    token content never ships, and the audit is reproducible in SQL
+    down to the gate literals."""
+    from cassandra_util_spark.operators.bpe import (
+        bpe_encode_ids,
+        bpe_train,
+        bpe_vocab,
+    )
+    from cassandra_util_spark.operators.packing import (
+        materialize_packed_windows,
+    )
+    from cassandra_util_spark.operators.sampling import corpus_splits
+
+    d = _t(spark, sf_dir, "documents")
+    merges, words = bpe_train(d, "text", num_merges=_BPE_N)
+    enc = bpe_encode_ids(
+        d, "doc_id", "text", words, bpe_vocab(spark, words, merges)
+    )
+    win = materialize_packed_windows(
+        enc, "doc_id", "token_ids", capacity=1024, distributed=True,
+        with_spans=True,
+    )
+    held = corpus_splits(
+        d.select("doc_id"), "doc_id", {"train": 0.90, "val": 0.05, "test": 0.05}
+    ).filter(F.col("split") != "train").select(F.col("doc_id").alias("doc"))
+    sp = win.select("bin", F.explode("doc_spans").alias("s")).select(
+        "bin", F.col("s.doc").alias("doc"), F.col("s.len").alias("len")
+    )
+    return (
+        sp.join(held, "doc")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("leaked_docs"),
+            F.sum("len").cast("bigint").alias("leaked_tokens"),
+        )
+    )

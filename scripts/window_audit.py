@@ -20,7 +20,13 @@ likewise (a) — the token-span trio reuses the islands rank-assignment
 shape, and tokenized_packing_plan / packed_training_windows carry only
 distributed_cumsum's per-bucket running sums (partitioned by __pid, N
 parallel groups, no rank filter).  The grouped samplers' pushdown is
-pinned in tests/test_weighted_logcost.py.
+pinned in tests/test_weighted_logcost.py.  r14 final audit: 29 no-WGL
+windows, all (a) or (b) — the five r14 additions are all (a):
+packed_window_attribution / packed_shard_manifest /
+manifest_incremental_totals / windowed_loss_masks carry only the
+distributed_cumsum running sums of the windows chain they share, and
+curriculum_stage_schedule's per-(stage, shard) row_number is a rank
+ASSIGNMENT (the loader position), never filtered.
 
 A planner fact worth knowing (measured on Spark 4.1): an EMPTY partition
 spec (bare global window) does NOT trigger InferWindowGroupLimit, but
