@@ -9730,20 +9730,23 @@ _BPE_POST_CTES = (
 )
 
 
-@query(
-    "packed_training_windows",
-    oracle=_bpe_sql(
-        _BPE_N,
-        _BPE_POST_CTES
-        + """
+# One oracle for BOTH window-materialization queries (one-shot and
+# incremental): the shard-by-shard carry-forward materialization must
+# equal the from-scratch windows — sharing the string IS the contract.
+_WINDOWS_ORACLE = _bpe_sql(
+    _BPE_N,
+    _BPE_POST_CTES
+    + """
     SELECT CAST(gpos // 1024 AS BIGINT) AS bin,
            CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
            CAST(count(*) AS BIGINT) AS n_tokens,
            string_agg(CAST(tok AS VARCHAR), ' ' ORDER BY gpos) AS token_ids
     FROM post GROUP BY 1
     """,
-    ),
 )
+
+
+@query("packed_training_windows", oracle=_WINDOWS_ORACLE)
 def packed_training_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MATERIALIZED training windows, end to end: train the vocab,
     encode every document to its token-id stream, and emit the actual
@@ -10631,4 +10634,54 @@ def window_leak_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("leaked_docs"),
             F.sum("len").cast("bigint").alias("leaked_tokens"),
         )
+    )
+
+
+@query("windows_incremental_store", oracle=_WINDOWS_ORACLE)
+def windows_incremental_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized training windows built INCREMENTALLY, shard by
+    shard, hash-certified against the SAME oracle as the one-shot
+    `packed_training_windows` (the shared-oracle discipline): the corpus
+    arrives as three ascending doc-id ranges (append order), each shard
+    materializes its windows with the boundary partial window carried
+    forward as doc-attributed pieces, and the union must equal the
+    from-scratch materialization bin for bin.  This is the
+    100 TB maintenance property the window family needed: as the corpus
+    ingests, already-emitted full windows are IMMUTABLE — history never
+    re-packs — and the only cross-shard state is ≤ capacity tokens (the
+    O(1) carry), not the stream."""
+    from cassandra_util_spark.operators.bpe import (
+        bpe_encode_ids,
+        bpe_train,
+        bpe_vocab,
+    )
+    from cassandra_util_spark.operators.packing import (
+        materialize_windows_incremental,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    merges, words = bpe_train(d, "text", num_merges=_BPE_N)
+    # pin the encoded streams once: the three shard filters must not
+    # re-run the train+encode chain (the bounded-materialization
+    # discipline)
+    enc = bpe_encode_ids(
+        d, "doc_id", "text", words, bpe_vocab(spark, words, merges)
+    ).localCheckpoint()
+    mx = enc.agg(F.max("doc_id").alias("m")).first()["m"]
+    c1, c2 = mx // 3, (2 * mx) // 3
+    shards = [
+        enc.filter(F.col("doc_id") <= c1),
+        enc.filter((F.col("doc_id") > c1) & (F.col("doc_id") <= c2)),
+        enc.filter(F.col("doc_id") > c2),
+    ]
+    win = materialize_windows_incremental(
+        shards, "doc_id", "token_ids", capacity=1024
+    )
+    return win.select(
+        "bin",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        "n_tokens",
+        F.concat_ws(
+            " ", F.transform("token_ids", lambda x: x.cast("string"))
+        ).alias("token_ids"),
     )

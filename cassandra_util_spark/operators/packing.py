@@ -749,3 +749,90 @@ def loss_mask_windows(
             ).alias("mask"),
         )
     )
+
+
+def materialize_windows_incremental(
+    shards: "list[DataFrame]",
+    id_col: str,
+    ids_col: str,
+    capacity: int,
+) -> DataFrame:
+    """The SAME windows as :func:`materialize_packed_windows` (global
+    form), materialized shard by shard with carry-forward — the
+    incremental-maintenance property a 100 TB ingest needs: as new
+    documents append, already-emitted full windows are IMMUTABLE
+    (history never re-packs), and the only cross-shard state is the
+    boundary partial window — at most ``capacity`` tokens with their
+    doc attribution, a bounded O(capacity) carry, collected and re-fed
+    as pieces into the next shard's stream.
+
+    Precondition: ``shards`` must partition the corpus into ascending
+    ``id_col`` ranges (append order) — the equivalence target is the
+    one-shot materialization's ``id_col``-ordered stream, so a shard
+    containing ids below a previous shard's would change history.  Each
+    shard pays one distributed materialization plus two bounded driver
+    actions (a max-bin aggregate and the ≤1-row partial-window
+    collect); the equivalence is hash-certified end to end by
+    `windows_incremental_store` against the one-shot oracle."""
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+    if not shards:
+        raise ValueError("need at least one shard")
+    spark = shards[0].sparkSession
+    id_type = dict(shards[0].dtypes)[id_col]
+    elem = shards[0].schema[ids_col].dataType.elementType.simpleString()
+    carry: list = []  # [(doc, off, piece)] — the boundary window's spans
+    bin_base = 0
+    outs = []
+    for sh in shards:
+        carry_df = spark.createDataFrame(
+            [(d, o - capacity, ids) for (d, o, ids) in carry],
+            f"`{id_col}` {id_type}, __ord bigint, __ids array<{elem}>",
+        )
+        inp = carry_df.unionByName(
+            sh.select(
+                F.col(id_col),
+                F.col(id_col).cast("bigint").alias("__ord"),
+                F.col(ids_col).alias("__ids"),
+            )
+        )
+        win = materialize_packed_windows(
+            inp, id_col, "__ids", capacity, order_col="__ord",
+            with_spans=True,
+        ).localCheckpoint()
+        outs.append(
+            win.filter(F.col("n_tokens") == capacity).select(
+                (F.col("bin") + bin_base).alias("bin"),
+                "n_docs",
+                "n_tokens",
+                "token_ids",
+            )
+        )
+        mb = win.agg(F.max("bin").alias("m")).first()["m"]
+        partial = win.filter(F.col("n_tokens") < capacity).collect()
+        if partial:  # by construction only the LAST local bin can be partial
+            p = partial[0]
+            assert p["bin"] == mb, "partial window not last — broken tiling"
+            bin_base += int(mb)
+            toks = list(p["token_ids"])
+            carry = [
+                (s["doc"], int(s["off"]),
+                 toks[int(s["off"]) : int(s["off"]) + int(s["len"])])
+                for s in p["doc_spans"]
+            ]
+        else:
+            bin_base += int(mb) + 1 if mb is not None else 0
+            carry = []
+    if carry:
+        flat = [t for _, _, piece in carry for t in piece]
+        outs.append(
+            spark.createDataFrame(
+                [(bin_base, len({d for d, _, _ in carry}), len(flat), flat)],
+                f"bin bigint, n_docs bigint, n_tokens bigint, "
+                f"token_ids array<{elem}>",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

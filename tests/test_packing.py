@@ -641,3 +641,47 @@ def test_loss_mask_windows_bitstrings(spark):
         win, keep.withColumn("keep", ~F.col("keep"))).collect()}
     for b in got:
         assert inv[b] == got[b]["mask"].translate(str.maketrans("01", "10"))
+
+
+@pytest.mark.parametrize("capacity", [4, 7, 64])
+def test_incremental_windows_equal_one_shot(spark, capacity):
+    """materialize_windows_incremental over ascending doc-id shards must
+    reproduce the one-shot windows exactly — bins, doc counts, contents —
+    including documents spanning shard AND window boundaries; already
+    emitted full windows are immutable by construction (the carry is
+    only ever the boundary partial window)."""
+    from cassandra_util_spark.operators.packing import (
+        materialize_packed_windows,
+        materialize_windows_incremental,
+    )
+
+    df = spark.createDataFrame(_DOCS, "doc_id int, ids array<int>")
+    want = {
+        r["bin"]: (r["n_docs"], r["n_tokens"], list(r["token_ids"]))
+        for r in materialize_packed_windows(
+            df, "doc_id", "ids", capacity=capacity
+        ).collect()
+    }
+    shards = [
+        df.filter(F.col("doc_id") < 2),
+        df.filter((F.col("doc_id") >= 2) & (F.col("doc_id") < 3)),
+        df.filter(F.col("doc_id") >= 3),
+    ]
+    got = {
+        r["bin"]: (r["n_docs"], r["n_tokens"], list(r["token_ids"]))
+        for r in materialize_windows_incremental(
+            shards, "doc_id", "ids", capacity
+        ).collect()
+    }
+    assert got == want
+    # an empty middle shard must be a no-op
+    shards2 = [df.filter(F.col("doc_id") < 3),
+               df.filter(F.lit(False)),
+               df.filter(F.col("doc_id") >= 3)]
+    got2 = {
+        r["bin"]: (r["n_docs"], r["n_tokens"], list(r["token_ids"]))
+        for r in materialize_windows_incremental(
+            shards2, "doc_id", "ids", capacity
+        ).collect()
+    }
+    assert got2 == want
