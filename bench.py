@@ -243,6 +243,7 @@ BENCH_QUERIES = [
     "windowed_loss_masks",
     "window_leak_audit",
     "windows_incremental_store",
+    "sharded_training_windows",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash
     # swapped to xxhash64 — the production configuration at scale

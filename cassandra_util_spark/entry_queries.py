@@ -10685,3 +10685,81 @@ def windows_incremental_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.transform("token_ids", lambda x: x.cast("string"))
         ).alias("token_ids"),
     )
+
+
+@query(
+    "sharded_training_windows",
+    oracle=_bpe_sql(
+        _BPE_N,
+        _BPE_VOCAB_CTES
+        + f"""
+    , {_BPE_SEGIDS_CTE},
+    {_BPE_DW_CTE},
+    dstream AS (
+      SELECT d.doc_id, doc.lang, d.pos, s.ids
+      FROM dw d JOIN segids s USING (word)
+      JOIN documents doc USING (doc_id)),
+    dtok AS (
+      SELECT doc_id, any_value(lang) AS lang,
+             CAST(sum(len(ids)) AS BIGINT) AS n
+      FROM dstream GROUP BY doc_id),
+    cum AS (
+      SELECT doc_id, lang,
+             coalesce(CAST(sum(n) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS BIGINT), 0) AS cb
+      FROM dtok),
+    flat AS (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY doc_id ORDER BY pos, k) - 1 AS i,
+             tok
+      FROM (SELECT doc_id, pos, k, ids[k] AS tok
+            FROM dstream, UNNEST(range(1, len(ids) + 1)) u(k))),
+    post AS (
+      SELECT f.doc_id, c.lang, c.cb + f.i AS gpos, f.tok
+      FROM flat f JOIN cum c USING (doc_id))
+    SELECT lang, CAST(gpos // 1024 AS BIGINT) AS bin,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           string_agg(CAST(tok AS VARCHAR), ' ' ORDER BY gpos) AS token_ids
+    FROM post GROUP BY 1, 2
+    """,
+    ),
+)
+def sharded_training_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION window-materialization path, certified: windows
+    restart per shard (here the language column — petabyte pipelines
+    shard by a stable key exactly so no cross-shard coordination
+    exists), the running count is a per-shard parallel window (never a
+    global stream, no prefix-sum machinery needed), and window ids are
+    (shard, bin).  `packed_training_windows` certifies the global
+    single-stream form; this row certifies the form a 1000-executor
+    deployment actually runs — fully parallel across shards, one
+    (shard, bin)-keyed slice-piece shuffle — against a per-shard SQL
+    replay of the same arithmetic."""
+    from cassandra_util_spark.operators.bpe import (
+        bpe_encode_ids,
+        bpe_train,
+        bpe_vocab,
+    )
+    from cassandra_util_spark.operators.packing import (
+        materialize_packed_windows,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    merges, words = bpe_train(d, "text", num_merges=_BPE_N)
+    enc = bpe_encode_ids(
+        d, "doc_id", "text", words, bpe_vocab(spark, words, merges)
+    ).join(d.select("doc_id", "lang"), "doc_id")
+    win = materialize_packed_windows(
+        enc, "doc_id", "token_ids", capacity=1024, shard_col="lang"
+    )
+    return win.select(
+        "lang",
+        "bin",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        "n_tokens",
+        F.concat_ws(
+            " ", F.transform("token_ids", lambda x: x.cast("string"))
+        ).alias("token_ids"),
+    )
