@@ -836,3 +836,87 @@ def materialize_windows_incremental(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def pack_bestfit(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    capacity: int,
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Best-fit-decreasing no-split packing: (id, n_tokens[, shard],
+    bin, oversize) — documents sorted by token count DESCENDING (ties to
+    the smaller id), each placed into the open window with the LEAST
+    remaining room that still fits, else a new window.  The classic
+    offline bin-packing heuristic (≤ 11/9·OPT + 4 windows): against
+    :func:`pack_greedy`'s arrival-order first-fit it trades the
+    stream's original document order for measurably fewer windows and
+    less padding — the right mode for SFT/eval batch shaping where
+    documents must stay whole and order is the loader's to choose
+    anyway (`padding_waste_report` quantifies the trade; see
+    SCALING.md for the measured comparison).
+
+    Like greedy, the fold is inherently sequential per shard (best-fit
+    is not an associative aggregate), so each shard folds inside one
+    Arrow batch stream; parallelism comes from ``shard_col``, exactly
+    as at production scale.  A SortedList keeps placement
+    O(n log open-windows) per shard.  Oversize documents (> capacity)
+    get a window of their own, flagged."""
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+    shard = shard_col
+    work = df.select(
+        F.col(id_col),
+        F.col(token_col).alias("n_tokens"),
+        (F.col(shard) if shard else F.lit(0)).alias("__shard"),
+    )
+    schema_shard = f", `{shard}` {dict(df.dtypes)[shard]}" if shard else ""
+    out_schema = (
+        f"`{id_col}` {dict(df.dtypes)[id_col]}, n_tokens bigint{schema_shard}, "
+        "bin bigint, oversize boolean"
+    )
+
+    def fold(pdf):
+        import bisect
+
+        import pandas as pd
+
+        pdf = pdf.sort_values(
+            ["n_tokens", id_col], ascending=[False, True], kind="mergesort"
+        )
+        # open windows as a fill-sorted list of [remaining, bin] pairs
+        open_rooms: list = []  # sorted by remaining room ascending
+        next_bin = 0
+        bins, oversize = [], []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if n > capacity:
+                bins.append(next_bin)
+                oversize.append(True)
+                next_bin += 1
+                continue
+            # smallest remaining room >= n (best fit)
+            i = bisect.bisect_left(open_rooms, [n, -1])
+            if i < len(open_rooms):
+                room, b = open_rooms.pop(i)
+                room -= n
+                if room > 0:
+                    bisect.insort(open_rooms, [room, b])
+                bins.append(b)
+            else:
+                b = next_bin
+                next_bin += 1
+                room = capacity - n
+                if room > 0:
+                    bisect.insort(open_rooms, [room, b])
+                bins.append(b)
+            oversize.append(False)
+        cols = {id_col: pdf[id_col], "n_tokens": pdf["n_tokens"].astype("int64")}
+        if shard:
+            cols[shard] = pdf["__shard"]
+        cols["bin"] = pd.Series(bins, index=pdf.index, dtype="int64")
+        cols["oversize"] = pd.Series(oversize, index=pdf.index)
+        return pd.DataFrame(cols)
+
+    return work.groupBy("__shard").applyInPandas(fold, out_schema)

@@ -685,3 +685,52 @@ def test_incremental_windows_equal_one_shot(spark, capacity):
         ).collect()
     }
     assert got2 == want
+
+
+def test_pack_bestfit_reference_and_beats_greedy(spark, sized):
+    """pack_bestfit vs a plain-Python best-fit-decreasing replay: same
+    placement, capacity respected for every non-oversize window,
+    oversize isolated — and on the mixed-size fixture it needs no MORE
+    windows than arrival-order greedy (the heuristic's whole point)."""
+    from cassandra_util_spark.operators.packing import pack_bestfit, pack_greedy
+
+    rows = sorted(pack_bestfit(sized, "doc_id", "n_tokens", 300).collect(),
+                  key=lambda r: r["doc_id"])
+    import bisect
+    ref_rows = sorted(((r["doc_id"], r["n_tokens"]) for r in rows),
+                      key=lambda t: (-t[1], t[0]))
+    open_rooms, nxt, want = [], 0, {}
+    for i, n in ref_rows:
+        if n > 300:
+            want[i] = (nxt, True); nxt += 1
+            continue
+        j = bisect.bisect_left(open_rooms, [n, -1])
+        if j < len(open_rooms):
+            room, b = open_rooms.pop(j)
+            if room - n > 0:
+                bisect.insort(open_rooms, [room - n, b])
+        else:
+            b = nxt; nxt += 1
+            if 300 - n > 0:
+                bisect.insort(open_rooms, [300 - n, b])
+        want[i] = (b, False)
+    assert {r["doc_id"]: (r["bin"], r["oversize"]) for r in rows} == want
+    fills: dict = {}
+    for r in rows:
+        fills[r["bin"]] = fills.get(r["bin"], 0) + r["n_tokens"]
+    for r in rows:
+        if not r["oversize"]:
+            assert fills[r["bin"]] <= 300
+    n_bfd = len(fills)
+    n_greedy = len({r["bin"] for r in
+                    pack_greedy(sized, "doc_id", "n_tokens", 300).collect()})
+    assert n_bfd <= n_greedy
+    # sharded mode folds independently per shard
+    sh = pack_bestfit(sized.withColumn("s", F.col("doc_id") % 2),
+                      "doc_id", "n_tokens", 300, shard_col="s").collect()
+    for g in (0, 1):
+        grp = [r for r in sh if r["s"] == g and not r["oversize"]]
+        f: dict = {}
+        for r in grp:
+            f[r["bin"]] = f.get(r["bin"], 0) + r["n_tokens"]
+        assert all(v <= 300 for v in f.values())
