@@ -650,7 +650,16 @@ def span_corruption(
             (base + off).cast("int").alias("start"), ln.alias("len")
         )
 
-    spans = F.transform(F.sequence(F.lit(0), k - 1), span)
+    # STAGE the span table as a real column: every element_at below then
+    # reads one attribute instead of re-inlining the k-hash construction
+    # (CollapseProject keeps multi-referenced non-cheap expressions
+    # staged, SPARK-36718) — without this the stitching re-evaluates the
+    # md5 draws O(k) times per access, O(k²) per document (measured 2.5×
+    # on the sf0.1 bench; see SCALING.md)
+    staged = df.withColumn(
+        "__spans", F.transform(F.sequence(F.lit(0), k - 1), span)
+    )
+    spans = F.col("__spans")
     sent = lambda i: F.array(  # noqa: E731
         (F.lit(sentinel_base) - i).cast(elem)
     )
@@ -681,7 +690,7 @@ def span_corruption(
         )
     )
     empty = F.array().cast(f"array<{elem.simpleString()}>")
-    return df.select(
+    return staged.select(
         F.col(id_col),
         eligible.alias("corrupted"),
         F.when(eligible, inputs).otherwise(ids).alias("inputs"),
@@ -812,7 +821,12 @@ def materialize_windows_incremental(
         partial = win.filter(F.col("n_tokens") < capacity).collect()
         if partial:  # by construction only the LAST local bin can be partial
             p = partial[0]
-            assert p["bin"] == mb, "partial window not last — broken tiling"
+            if len(partial) > 1 or p["bin"] != mb:
+                # explicit raise — a bare assert vanishes under python -O
+                raise AssertionError(
+                    "partial window not last — broken tiling: "
+                    f"{[(r['bin'], r['n_tokens']) for r in partial]} max={mb}"
+                )
             bin_base += int(mb)
             toks = list(p["token_ids"])
             carry = [
