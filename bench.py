@@ -252,12 +252,25 @@ BENCH_QUERIES = [
     "dedup_winnowing_fast",
     "sketch_heavy_hitters_fast",
     "dedup_token_spans_fast",
+    "pack_bestfit_bins",
 ]
 
 # Registered queries deliberately NOT benched (scripts/release_check.py
 # requires every registry entry to be either in BENCH_QUERIES or here,
 # with a reason).  Currently empty: the whole registry is timed.
 BENCH_EXCLUDED: tuple = ()
+
+
+def _pack_bestfit(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from cassandra_util_spark.operators.packing import pack_bestfit
+    from cassandra_util_spark.operators.text import bpe_token_estimate
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", bpe_token_estimate(F.col("text")).alias("n_tokens")
+    )
+    return pack_bestfit(d, "doc_id", "n_tokens", capacity=2048)
 
 
 def _token_spans_fast(spark, sf_dir):
@@ -323,6 +336,7 @@ EXTRA_QUERIES = {
     "dedup_winnowing_fast": _winnowing_fast,
     "sketch_heavy_hitters_fast": _heavy_hitters_fast,
     "dedup_token_spans_fast": _token_spans_fast,
+    "pack_bestfit_bins": _pack_bestfit,
 }
 
 
