@@ -244,6 +244,7 @@ BENCH_QUERIES = [
     "window_leak_audit",
     "windows_incremental_store",
     "sharded_training_windows",
+    "dataset_datasheet",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash
     # swapped to xxhash64 — the production configuration at scale

@@ -10763,3 +10763,68 @@ def sharded_training_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.transform("token_ids", lambda x: x.cast("string"))
         ).alias("token_ids"),
     )
+
+
+@query(
+    "dataset_datasheet",
+    oracle=f"""
+    WITH q AS (
+      SELECT source, lang, doc_id,
+             {_REGEX_TOKS_SQL} AS toks,
+             CAST(round({_CUR_QUALITY_SQL} * 1000000) AS BIGINT) AS q6,
+             md5({_NORM_SQL}) AS fp
+      FROM documents)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(toks) AS BIGINT) AS n_tokens,
+           round(sum(q6) / CAST(count(*) AS DOUBLE) / 1000000, 6)
+             AS mean_quality,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           round(count(*) FILTER (lang = 'en') / CAST(count(*) AS DOUBLE), 6)
+             AS en_share,
+           CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS dup_docs
+    FROM q GROUP BY source
+    """,
+)
+def dataset_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source DATASET DATASHEET — the release card a corpus ships
+    with (Gebru et al. 2021's datasheet shape, the numeric rows): per
+    source, document and token counts, mean quality score, language
+    spread and English share, and the exact-duplicate count (normalized
+    md5 fingerprints).  Every signal is an already-certified operator
+    (regex token estimator, quality score, fingerprint) rolled into one
+    partial-aggregated pass — |sources| output rows from one scan, no
+    joins; the mean quality sums exact 1e-6-scaled INTEGERS so a
+    1000-executor sum is order-independent and replays bit-identically
+    in SQL (the decimal-counter discipline applied to floats)."""
+    from cassandra_util_spark.operators.text import (
+        fingerprint,
+        quality_score,
+        regex_token_count,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    q6 = F.round(quality_score(t) * 1000000).cast("bigint")
+    staged = d.select(
+        "source", "lang",
+        regex_token_count(t).alias("toks"),
+        q6.alias("q6"),
+        fingerprint(t).alias("fp"),
+    )
+    return staged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("toks").cast("bigint").alias("n_tokens"),
+        F.round(
+            F.sum("q6") / F.count(F.lit(1)).cast("double") / 1000000, 6
+        ).alias("mean_quality"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.round(
+            F.count(F.when(F.col("lang") == "en", 1))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("en_share"),
+        (F.count(F.lit(1)) - F.countDistinct("fp")).cast("bigint").alias(
+            "dup_docs"
+        ),
+    )
