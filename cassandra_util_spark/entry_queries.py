@@ -9754,11 +9754,10 @@ def packed_training_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     window boundaries, the final window partial
     (`tokenized_packing_plan` certifies the assignment arithmetic; this
     certifies the windows' contents).  The global running count runs
-    through the distributed two-phase prefix sum (no single-task window),
-    the token-level explode is ∝ corpus tokens — the information floor
-    for emitting windows at all — and reassembly is ONE (bin)-keyed
-    shuffle.  Window contents rendered as space-joined id text for the
-    cross-engine hash."""
+    through the distributed two-phase prefix sum (no single-task window)
+    and reassembly is ONE (bin)-keyed shuffle of packed SLICE PIECES
+    (~4 bytes/token — r14).  Window contents rendered as space-joined id
+    text for the cross-engine hash."""
     from cassandra_util_spark.operators.bpe import (
         bpe_encode_ids,
         bpe_train,
@@ -9770,9 +9769,15 @@ def packed_training_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     merges, words = bpe_train(d, "text", num_merges=_BPE_N)
+    # pin the encoded streams: distributed_cumsum executes its input
+    # three times (boundaries, totals, local pass) — unpinned, each pass
+    # replays encode's (id)-keyed assembly shuffle, which the r14 ramp
+    # showed dominating the query's shuffle bytes (the incremental form,
+    # which never re-executes encode, moved 320 MB at x30 vs 733 MB
+    # here; see SCALING.md)
     enc = bpe_encode_ids(
         d, "doc_id", "text", words, bpe_vocab(spark, words, merges)
-    )
+    ).localCheckpoint()
     win = materialize_packed_windows(
         enc, "doc_id", "token_ids", capacity=1024, distributed=True
     )

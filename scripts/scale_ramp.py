@@ -132,6 +132,14 @@ PIPELINES = [
     "manifest_incremental_totals",
     "curriculum_stage_schedule",
     "windowed_loss_masks",
+    # r14 tail: the incremental/sharded window forms, the leak audit, and
+    # the datasheet -- the first two share the windows chain (expect the
+    # same token-linear shuffle), the audit is spans-sized, the datasheet
+    # is one partial-aggregated scan with |sources| output rows
+    "windows_incremental_store",
+    "sharded_training_windows",
+    "window_leak_audit",
+    "dataset_datasheet",
 ]
 
 
