@@ -10833,3 +10833,110 @@ def dataset_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_docs"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Driver-window rotation, round 15 (VERDICT r14, task 1).
+#
+# Rotate IN (50): the 11 round-14 additions (the trainer-facing window
+# surface — attribution, masks, shard manifests, FIM, span corruption,
+# curriculum, incremental/sharded windows, leak audit, datasheet)
+# followed by the 39 rows whose last driver certification is oldest
+# (all last certified r11 — 19 once-certified rows in registration
+# order, then 20 thrice-certified rows: the IVF-PQ family, Jaccard
+# routing, BPE profile, classifier eval, and TPC-H q8/q11-q21 —
+# computed from CORRECTNESS_r01..r14; ties broken by certification
+# count then registration order).  Every rotate-in was re-verified
+# against its local oracle at sf0.01 immediately before this commit
+# (50/50 green, FAILURES: 0).  A green CORRECTNESS_r15 completes
+# cumulative driver certification at 206/206.
+#
+# Family coverage in the window is preserved: packing/windows (the 11
+# trainer rows), sampling (weighted, bottom-k family rotated out green
+# in r14), sketches (HLL registers/per-type, count-min, adaptive
+# length bounds), ANN (IVF-PQ topk/filtered/persisted/streaming, RP
+# projection + rerank, PQ rerank), runstore (compaction, z-order 2D),
+# dedup (edit distance, Jaccard routed + advisory), corpus pipeline
+# (gate report, shard plan, lang profile, split assignment, token
+# budget, zipf audit), tokenizer (token profile), quality (classifier
+# eval), TPC-H (q2, q8, q11-q21).
+
+_WINDOW_ROTATE_IN_R15 = [
+    # never driver-checked (round-14 additions, all local-oracle green)
+    "packed_window_attribution",
+    "packed_shard_manifest",
+    "curriculum_stage_schedule",
+    "fim_token_streams",
+    "manifest_incremental_totals",
+    "span_corruption_pairs",
+    "windowed_loss_masks",
+    "window_leak_audit",
+    "windows_incremental_store",
+    "sharded_training_windows",
+    "dataset_datasheet",
+    # least-recently-certified re-certs (last certified r11, count 1)
+    "weighted_sample_docs",
+    "adaptive_length_bounds_sketch",
+    "ann_ivfpq_filtered",
+    "sketch_hll_registers",
+    "sketch_hll_per_type",
+    "sketch_count_min_users",
+    "ivf_persisted_probe",
+    "runstore_compaction_view",
+    "runstore_zorder_2d",
+    "embedding_rp_project",
+    "ann_rp_rerank",
+    "q2_min_cost_supplier",
+    "dedup_edit_distance",
+    "corpus_gate_report",
+    "corpus_shard_plan",
+    "corpus_lang_profile",
+    "corpus_split_assignment",
+    "corpus_token_budget",
+    "corpus_zipf_audit",
+    # last certified r11, count 3 (registration order)
+    "ann_ivfpq_topk",
+    "ivfpq_persisted_probe",
+    "ivfpq_streaming_index",
+    "dedup_jaccard_routed",
+    "jaccard_route_advisory",
+    "bpe_token_profile",
+    "ann_pq_rerank_topk",
+    "quality_classifier_eval",
+    "q8_market_share",
+    "q11_important_stock",
+    "q12_late_shipment_priority",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_parts_supplier_relation",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_potential_promotion",
+    "q21_waiting_supplier",
+]
+
+
+def _rotate_driver_window_r15() -> None:
+    names = list(QUERIES)
+    rotate_out = names[:50]  # the full r14 window turns over (all green in r14)
+    missing = [n for n in _WINDOW_ROTATE_IN_R15 if n not in QUERIES]
+    if missing:
+        raise AssertionError(f"window rotation references unknown queries: {missing}")
+    already = [n for n in _WINDOW_ROTATE_IN_R15 if n in rotate_out]
+    if already:  # explicit raise — a bare assert vanishes under python -O
+        raise AssertionError(f"rotate-in already inside the kept prefix: {already}")
+    prefix = list(_WINDOW_ROTATE_IN_R15)
+    if len(prefix) != 50:
+        raise AssertionError(
+            f"window rotation must produce exactly 50 names, got {len(prefix)}"
+        )
+    order = prefix + [n for n in names if n not in set(prefix)]
+    for reg in (QUERIES, ORACLES):
+        snapshot = dict(reg)
+        reg.clear()
+        reg.update({n: snapshot[n] for n in order if n in snapshot})
+
+
+_rotate_driver_window_r15()
