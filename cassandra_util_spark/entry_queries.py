@@ -2871,7 +2871,7 @@ def dedup_within_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "corpus_gate_report",
-    oracle=f"""
+    oracle=rf"""
     WITH base AS (
       SELECT doc_id, source, text,
              list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w,
@@ -10103,9 +10103,12 @@ def packed_window_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     merges, words = bpe_train(d, "text", num_merges=_BPE_N)
+    # pin the encoded streams: distributed_cumsum executes its input
+    # three times, the shuffle-amplification hazard fixed in
+    # packed_training_windows r14 (ADVICE r14: same pin everywhere)
     enc = bpe_encode_ids(
         d, "doc_id", "text", words, bpe_vocab(spark, words, merges)
-    )
+    ).localCheckpoint()
     win = materialize_packed_windows(
         enc, "doc_id", "token_ids", capacity=1024, distributed=True,
         with_spans=True,
@@ -10179,9 +10182,12 @@ def packed_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     merges, words = bpe_train(d, "text", num_merges=_BPE_N)
+    # pin the encoded streams: distributed_cumsum executes its input
+    # three times, the shuffle-amplification hazard fixed in
+    # packed_training_windows r14 (ADVICE r14: same pin everywhere)
     enc = bpe_encode_ids(
         d, "doc_id", "text", words, bpe_vocab(spark, words, merges)
-    )
+    ).localCheckpoint()
     win = materialize_packed_windows(
         enc, "doc_id", "token_ids", capacity=1024, distributed=True
     )
@@ -10558,9 +10564,12 @@ def windowed_loss_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     merges, words = bpe_train(d, "text", num_merges=_BPE_N)
+    # pin the encoded streams: distributed_cumsum executes its input
+    # three times, the shuffle-amplification hazard fixed in
+    # packed_training_windows r14 (ADVICE r14: same pin everywhere)
     enc = bpe_encode_ids(
         d, "doc_id", "text", words, bpe_vocab(spark, words, merges)
-    )
+    ).localCheckpoint()
     win = materialize_packed_windows(
         enc, "doc_id", "token_ids", capacity=1024, distributed=True,
         with_spans=True,
@@ -10619,9 +10628,12 @@ def window_leak_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     merges, words = bpe_train(d, "text", num_merges=_BPE_N)
+    # pin the encoded streams: distributed_cumsum executes its input
+    # three times, the shuffle-amplification hazard fixed in
+    # packed_training_windows r14 (ADVICE r14: same pin everywhere)
     enc = bpe_encode_ids(
         d, "doc_id", "text", words, bpe_vocab(spark, words, merges)
-    )
+    ).localCheckpoint()
     win = materialize_packed_windows(
         enc, "doc_id", "token_ids", capacity=1024, distributed=True,
         with_spans=True,

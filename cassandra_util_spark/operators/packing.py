@@ -717,7 +717,17 @@ def loss_mask_windows(
     attribution spans (`materialize_packed_windows(with_spans=True)`):
     one explode ∝ spans (documents + tokens/capacity rows, two orders
     below tokens), one (doc)-keyed join against the keep table, one
-    (bin)-keyed regroup — the mask never ships token content at all."""
+    (bin)-keyed regroup — the mask never ships token content at all.
+
+    Coverage guard (ADVICE r14): a windowed document with no row in
+    ``keep`` used to vanish through the inner join — the mask came back
+    shorter than its window and ``n_tokens`` understated, silent data
+    loss contradicting the fail-loud discipline (the bpe OOV guard).
+    The join is LEFT with a ``raise_error`` on the uncovered side, so
+    an incomplete keep table fails LOUDLY, naming the document.  Same
+    structural shape as ``_assemble_streams``: zero extra jobs, one
+    null-check per span row inside codegen, and callers whose keep
+    table covers the corpus (every registered query) pay nothing."""
     sp = win.select(
         "bin",
         F.explode("doc_spans").alias("s"),
@@ -727,7 +737,23 @@ def loss_mask_windows(
         F.col("s.off").alias("__off"),
         F.col("s.len").alias("__len"),
     )
-    j = sp.join(keep.select(doc_col, "keep"), doc_col)
+    j = sp.join(keep.select(doc_col, "keep"), doc_col, "left").withColumn(
+        "keep",
+        F.when(F.col("keep").isNotNull(), F.col("keep")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("loss_mask_windows: document '"),
+                    F.col(doc_col).cast("string"),
+                    F.lit(
+                        "' is windowed but has no verdict in the keep "
+                        "table — the mask would silently drop its "
+                        "tokens; supply a keep row for every windowed "
+                        "document"
+                    ),
+                )
+            )
+        ),
+    )
     piece = F.array_join(
         F.array_repeat(
             F.when(F.col("keep"), F.lit("1")).otherwise(F.lit("0")),
@@ -782,7 +808,16 @@ def materialize_windows_incremental(
     shard pays one distributed materialization plus two bounded driver
     actions (a max-bin aggregate and the ≤1-row partial-window
     collect); the equivalence is hash-certified end to end by
-    `windows_incremental_store` against the one-shot oracle."""
+    `windows_incremental_store` against the one-shot oracle.
+
+    Id precondition guard (ADVICE r14): carry pieces order ahead of the
+    shard's documents via ``__ord = off - capacity`` (strictly negative,
+    ``off < capacity``), so document ids must cast to NON-NEGATIVE
+    bigints — a negative id could interleave real documents among the
+    carry pieces and a non-numeric id would sort as NULL, both silently
+    corrupting the stream order.  The cast is guarded with a per-row
+    ``raise_error`` (fail-loud, inside codegen, zero extra jobs) naming
+    the offending id."""
     if capacity <= 0:
         raise ValueError(f"capacity must be positive, got {capacity}")
     if not shards:
@@ -798,10 +833,29 @@ def materialize_windows_incremental(
             [(d, o - capacity, ids) for (d, o, ids) in carry],
             f"`{id_col}` {id_type}, __ord bigint, __ids array<{elem}>",
         )
+        # try_cast: under ANSI mode a plain cast throws its own (correct
+        # but less actionable) CAST_INVALID_INPUT before the guard runs
+        ord_cast = F.col(id_col).try_cast("bigint")
+        ord_guard = F.when(
+            ord_cast.isNotNull() & (ord_cast >= 0), ord_cast
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("materialize_windows_incremental: id '"),
+                    F.col(id_col).cast("string"),
+                    F.lit(
+                        "' does not cast to a non-negative bigint — the "
+                        "carry protocol orders boundary pieces at "
+                        "negative __ord, so such an id would silently "
+                        "corrupt the stream order"
+                    ),
+                )
+            )
+        )
         inp = carry_df.unionByName(
             sh.select(
                 F.col(id_col),
-                F.col(id_col).cast("bigint").alias("__ord"),
+                ord_guard.alias("__ord"),
                 F.col(ids_col).alias("__ids"),
             )
         )

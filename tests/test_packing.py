@@ -734,3 +734,58 @@ def test_pack_bestfit_reference_and_beats_greedy(spark, sized):
         for r in grp:
             f[r["bin"]] = f.get(r["bin"], 0) + r["n_tokens"]
         assert all(v <= 300 for v in f.values())
+
+
+def test_loss_mask_windows_missing_verdict_raises(spark):
+    """ADVICE r14: a windowed document with no row in the keep table must
+    fail LOUDLY (raise_error on the left join's uncovered side), never
+    silently shorten the mask / understate n_tokens."""
+    from cassandra_util_spark.operators.packing import (
+        loss_mask_windows,
+        materialize_packed_windows,
+    )
+
+    df = spark.createDataFrame(_DOCS, "doc_id int, ids array<int>")
+    win = materialize_packed_windows(
+        df, "doc_id", "ids", capacity=4, with_spans=True
+    ).localCheckpoint()
+    docs = [i for i, _ in _DOCS]
+    keep = spark.createDataFrame(
+        [(i, True) for i in docs if i != docs[0]], "doc int, keep boolean"
+    )
+    with pytest.raises(Exception, match="no verdict in the keep table"):
+        loss_mask_windows(win, keep).collect()
+    # a COMPLETE keep table is untouched by the guard (null-check only)
+    full = spark.createDataFrame(
+        [(i, True) for i in docs], "doc int, keep boolean"
+    )
+    got = loss_mask_windows(win, full).collect()
+    assert all(r["masked_tokens"] == 0 for r in got)
+
+
+def test_incremental_windows_bad_id_raises(spark):
+    """ADVICE r14: the carry protocol orders boundary pieces at negative
+    __ord, so a document id that is negative (or does not cast to
+    bigint) must raise, not silently interleave with carry pieces."""
+    from cassandra_util_spark.operators.packing import (
+        materialize_windows_incremental,
+    )
+
+    neg = spark.createDataFrame(
+        [(-3, [1, 2, 3]), (5, [4, 5])], "doc_id int, ids array<int>"
+    )
+    with pytest.raises(Exception, match="non-negative bigint"):
+        materialize_windows_incremental([neg], "doc_id", "ids", 4).collect()
+
+    alpha = spark.createDataFrame(
+        [("docA", [1, 2, 3])], "doc_id string, ids array<int>"
+    )
+    with pytest.raises(Exception, match="non-negative bigint"):
+        materialize_windows_incremental([alpha], "doc_id", "ids", 4).collect()
+
+    # numeric-string ids still pass (the cast succeeds)
+    num = spark.createDataFrame(
+        [("7", [1, 2, 3]), ("8", [4, 5])], "doc_id string, ids array<int>"
+    )
+    out = materialize_windows_incremental([num], "doc_id", "ids", 4).collect()
+    assert sum(r["n_tokens"] for r in out) == 5
