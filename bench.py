@@ -243,6 +243,7 @@ BENCH_QUERIES = [
     "windowed_loss_masks",
     "window_leak_audit",
     "windows_incremental_store",
+    "windows_streaming_store",
     "sharded_training_windows",
     "dataset_datasheet",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as

@@ -10952,3 +10952,90 @@ def _rotate_driver_window_r15() -> None:
 
 
 _rotate_driver_window_r15()
+
+
+# --- Round-15 additions (registered after the rotation: appended past the
+# --- window, so the certified 50-name prefix is untouched) ----------------
+
+
+@query("windows_streaming_store", oracle=_WINDOWS_ORACLE)
+def windows_streaming_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized training windows built by a STRUCTURED STREAM,
+    hash-certified against the SAME oracle as the one-shot
+    `packed_training_windows` and the batch-incremental
+    `windows_incremental_store` (the shared-oracle discipline — VERDICT
+    r14 task 2, closing the last batch/streaming family asymmetry): the
+    encoded corpus replays through a real file-source stream in three
+    ascending doc-id range micro-batches (append order, pinned file
+    mtimes), each batch materializes its windows under the carry-forward
+    protocol with the boundary partial window reconstructed FROM THE
+    STORE (never driver memory — restart-safe by construction) and
+    appends them as an idempotent named run, and the store's LWW-merged
+    view must equal the from-scratch windows bin for bin.  This is how
+    a 100 TB corpus windows as the crawl lands: already-emitted full
+    windows are immutable, per-batch cost ∝ the batch, and the only
+    cross-batch state is ≤ capacity tokens read back from the store's
+    max-bin row."""
+    import os
+    import tempfile
+    import time
+
+    from cassandra_util_spark.operators.bpe import (
+        bpe_encode_ids,
+        bpe_train,
+        bpe_vocab,
+    )
+    from cassandra_util_spark.sources.runs import RunStore
+    from cassandra_util_spark.streaming.corpus import stream_windows
+
+    d = _t(spark, sf_dir, "documents")
+    merges, words = bpe_train(d, "text", num_merges=_BPE_N)
+    # pin the encoded streams once: the three shard writes must not
+    # re-run the train+encode chain (the bounded-materialization
+    # discipline)
+    enc = bpe_encode_ids(
+        d, "doc_id", "text", words, bpe_vocab(spark, words, merges)
+    ).localCheckpoint()
+    mx = enc.agg(F.max("doc_id").alias("m")).first()["m"]
+    c1, c2 = mx // 3, (2 * mx) // 3
+    shards = [
+        enc.filter(F.col("doc_id") <= c1),
+        enc.filter((F.col("doc_id") > c1) & (F.col("doc_id") <= c2)),
+        enc.filter(F.col("doc_id") > c2),
+    ]
+    src = tempfile.mkdtemp(prefix="win-stream-src-")
+    now = time.time()
+    for k, sh in enumerate(shards):
+        sub = os.path.join(src, f"shard-{k:02d}")
+        sh.select("doc_id", "token_ids").coalesce(1).write.parquet(sub)
+        # ascending mtimes pin the file source's delivery order — the
+        # carry protocol's append-order precondition (shard k+1's ids
+        # all exceed shard k's)
+        for root, _, files in os.walk(sub):
+            for f in files:
+                os.utime(os.path.join(root, f), (now + k, now + k))
+    store = RunStore(
+        tempfile.mkdtemp(prefix="runstore-windows-"),
+        TableMeta(("bin",), (), "writetime"),
+    )
+    stream = (
+        spark.readStream.schema("doc_id bigint, token_ids array<int>")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(os.path.join(src, "shard-*"))
+    )
+    with _scoped_shuffle_partitions(spark, 8):
+        q = stream_windows(
+            stream, store, tempfile.mkdtemp(prefix="win-cp-"),
+            capacity=1024,
+        )
+        q.awaitTermination(300)
+    view = store.read_merged(spark)
+    return view.select(
+        "bin",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        "n_tokens",
+        F.concat_ws(
+            " ", F.transform("token_ids", lambda x: x.cast("string"))
+        ).alias("token_ids"),
+    )

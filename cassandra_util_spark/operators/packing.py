@@ -786,6 +786,82 @@ def loss_mask_windows(
     )
 
 
+def _windows_shard_step(
+    spark,
+    carry: list,
+    sh: DataFrame,
+    id_col: str,
+    ids_col: str,
+    capacity: int,
+    id_type: str,
+    elem: str,
+) -> "tuple[DataFrame, list, int | None]":
+    """ONE shard of the carry-forward window protocol, shared by the batch
+    form (:func:`materialize_windows_incremental`) and the streaming store
+    (`streaming/corpus.py stream_windows`): union the carry pieces (ordered
+    ahead of every document via negative ``__ord``) with the shard's rows
+    (id cast guarded non-negative — see the caller's docstring), materialize
+    with spans, and rebuild the carry from the boundary partial window.
+
+    Returns ``(win, new_carry, max_bin)`` — ``win`` localCheckpointed with
+    LOCAL bins (caller shifts by its own bin base), ``new_carry`` the
+    ``[(doc, off, piece)]`` spans of the partial window ([] if the shard
+    tiled exactly), ``max_bin`` the shard's highest local bin (None when
+    the shard produced no windows)."""
+    carry_df = spark.createDataFrame(
+        [(d, o - capacity, ids) for (d, o, ids) in carry],
+        f"`{id_col}` {id_type}, __ord bigint, __ids array<{elem}>",
+    )
+    # try_cast: under ANSI mode a plain cast throws its own (correct
+    # but less actionable) CAST_INVALID_INPUT before the guard runs
+    ord_cast = F.col(id_col).try_cast("bigint")
+    ord_guard = F.when(
+        ord_cast.isNotNull() & (ord_cast >= 0), ord_cast
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("carry-forward windows: id '"),
+                F.col(id_col).cast("string"),
+                F.lit(
+                    "' does not cast to a non-negative bigint — the "
+                    "carry protocol orders boundary pieces at "
+                    "negative __ord, so such an id would silently "
+                    "corrupt the stream order"
+                ),
+            )
+        )
+    )
+    inp = carry_df.unionByName(
+        sh.select(
+            F.col(id_col),
+            ord_guard.alias("__ord"),
+            F.col(ids_col).alias("__ids"),
+        )
+    )
+    win = materialize_packed_windows(
+        inp, id_col, "__ids", capacity, order_col="__ord",
+        with_spans=True,
+    ).localCheckpoint()
+    mb = win.agg(F.max("bin").alias("m")).first()["m"]
+    partial = win.filter(F.col("n_tokens") < capacity).collect()
+    new_carry: list = []
+    if partial:  # by construction only the LAST local bin can be partial
+        p = partial[0]
+        if len(partial) > 1 or p["bin"] != mb:
+            # explicit raise — a bare assert vanishes under python -O
+            raise AssertionError(
+                "partial window not last — broken tiling: "
+                f"{[(r['bin'], r['n_tokens']) for r in partial]} max={mb}"
+            )
+        toks = list(p["token_ids"])
+        new_carry = [
+            (s["doc"], int(s["off"]),
+             toks[int(s["off"]) : int(s["off"]) + int(s["len"])])
+            for s in p["doc_spans"]
+        ]
+    return win, new_carry, (int(mb) if mb is not None else None)
+
+
 def materialize_windows_incremental(
     shards: "list[DataFrame]",
     id_col: str,
@@ -829,40 +905,9 @@ def materialize_windows_incremental(
     bin_base = 0
     outs = []
     for sh in shards:
-        carry_df = spark.createDataFrame(
-            [(d, o - capacity, ids) for (d, o, ids) in carry],
-            f"`{id_col}` {id_type}, __ord bigint, __ids array<{elem}>",
+        win, carry, mb = _windows_shard_step(
+            spark, carry, sh, id_col, ids_col, capacity, id_type, elem
         )
-        # try_cast: under ANSI mode a plain cast throws its own (correct
-        # but less actionable) CAST_INVALID_INPUT before the guard runs
-        ord_cast = F.col(id_col).try_cast("bigint")
-        ord_guard = F.when(
-            ord_cast.isNotNull() & (ord_cast >= 0), ord_cast
-        ).otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit("materialize_windows_incremental: id '"),
-                    F.col(id_col).cast("string"),
-                    F.lit(
-                        "' does not cast to a non-negative bigint — the "
-                        "carry protocol orders boundary pieces at "
-                        "negative __ord, so such an id would silently "
-                        "corrupt the stream order"
-                    ),
-                )
-            )
-        )
-        inp = carry_df.unionByName(
-            sh.select(
-                F.col(id_col),
-                ord_guard.alias("__ord"),
-                F.col(ids_col).alias("__ids"),
-            )
-        )
-        win = materialize_packed_windows(
-            inp, id_col, "__ids", capacity, order_col="__ord",
-            with_spans=True,
-        ).localCheckpoint()
         outs.append(
             win.filter(F.col("n_tokens") == capacity).select(
                 (F.col("bin") + bin_base).alias("bin"),
@@ -871,26 +916,10 @@ def materialize_windows_incremental(
                 "token_ids",
             )
         )
-        mb = win.agg(F.max("bin").alias("m")).first()["m"]
-        partial = win.filter(F.col("n_tokens") < capacity).collect()
-        if partial:  # by construction only the LAST local bin can be partial
-            p = partial[0]
-            if len(partial) > 1 or p["bin"] != mb:
-                # explicit raise — a bare assert vanishes under python -O
-                raise AssertionError(
-                    "partial window not last — broken tiling: "
-                    f"{[(r['bin'], r['n_tokens']) for r in partial]} max={mb}"
-                )
+        if carry:
             bin_base += int(mb)
-            toks = list(p["token_ids"])
-            carry = [
-                (s["doc"], int(s["off"]),
-                 toks[int(s["off"]) : int(s["off"]) + int(s["len"])])
-                for s in p["doc_spans"]
-            ]
         else:
             bin_base += int(mb) + 1 if mb is not None else 0
-            carry = []
     if carry:
         flat = [t for _, _, piece in carry for t in piece]
         outs.append(

@@ -5,7 +5,11 @@ from cassandra_util_spark.streaming.events import (
     streaming_retention,
     windowed_rollup,
 )
-from cassandra_util_spark.streaming.corpus import stream_corpus_ingest, stream_encode
+from cassandra_util_spark.streaming.corpus import (
+    stream_corpus_ingest,
+    stream_encode,
+    stream_windows,
+)
 from cassandra_util_spark.streaming.dedup import (
     stream_lsh_index,
     stream_token_span_index,
@@ -29,6 +33,7 @@ __all__ = [
     "resolve_txn_app_id",
     "stream_corpus_ingest",
     "stream_encode",
+    "stream_windows",
     "stream_count_min_to_store",
     "stream_counter_deltas",
     "stream_events",

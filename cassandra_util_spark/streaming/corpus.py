@@ -314,3 +314,174 @@ def stream_encode(
         txn_app_id=txn_app_id,
         transform=encode_batch,
     )
+
+
+def _prior_max_bin_runs(store: RunStore, batch_id: int):
+    """``(key_lower,)`` when ``store`` holds rows written BEFORE
+    ``batch_id``, else None — the driver-side (stats-only, no scan)
+    preamble of ``stream_windows``'s carry read.  ``key_lower`` is the
+    global max bin across those runs from the per-run skip index, so the
+    carry read prunes to the run(s) actually holding the boundary window;
+    it degrades to None (unbounded read) when a run lacks bin stats —
+    pruning is an optimization, never a correctness bet.  A run whose
+    writetime-min equals ``batch_id`` is this batch's own run from a
+    crashed attempt (every appended run carries one batch's constant
+    writetime; compaction only ever folds hwm-passed batches, which are
+    strictly older than a replaying one) and is excluded on both counts."""
+    stats = store.run_stats()
+    hi = None
+    have_prior = False
+    missing = False
+    for r in store.live_runs():
+        st = stats.get(r)
+        wt = ((st or {}).get("columns") or {}).get("writetime")
+        if (
+            wt is not None
+            and isinstance(wt.get("min"), int)
+            and wt["min"] > batch_id - 1
+        ):
+            continue  # this batch's own crashed-attempt run
+        b = st if st is not None and st.get("column") == "bin" else None
+        if b is not None and b.get("min") is None and b.get("max") is None:
+            continue  # empty run (an empty micro-batch): no rows to read
+        have_prior = True
+        if b is None or b.get("max") is None:
+            missing = True
+        elif hi is None or b["max"] > hi:
+            hi = b["max"]
+    if not have_prior:
+        return None
+    return (None if missing else hi,)
+
+
+def stream_windows(
+    stream: DataFrame,
+    store: RunStore,
+    checkpoint_dir: str,
+    capacity: int,
+    id_col: str = "doc_id",
+    ids_col: str = "token_ids",
+    maintain_every: Optional[int] = None,
+    min_threshold: int = 4,
+    available_now: bool = True,
+    query_name: str = "window-ingest",
+    txn_app_id: Optional[str] = None,
+) -> StreamingQuery:
+    """Materialize arriving encoded documents into fixed-``capacity``
+    training windows appended to a persisted RunStore — the STREAMING
+    member of the window family, closing the last batch/streaming
+    asymmetry: `materialize_windows_incremental` proves the carry-forward
+    protocol shard-by-shard in one job; this runs the SAME protocol one
+    micro-batch at a time under the locked idempotent-ingest contract,
+    so a 100 TB corpus windows as the crawl lands, with already-emitted
+    full windows IMMUTABLE and per-batch cost ∝ the batch.
+
+    The carry (the boundary partial window, ≤ ``capacity`` tokens with
+    doc attribution) is NOT driver memory — it is reconstructed each
+    batch FROM THE STORE's own max-bin row, read as of the previous
+    batch (``read_merged(extra_bounds={'writetime': (None, batch_id-1)})``
+    — a PRE-merge bound, so a crash-replayed batch that already published
+    its run recomputes from the exact prior state and the named append
+    no-ops; the protocol is restart-safe with zero extra state files).
+    Each batch's run holds its full windows plus the new boundary
+    partial; the superseded partial (same bin, older writetime) loses
+    the store's LWW merge, so the read view is always a consistent
+    window set — hash-certified against the one-shot
+    `packed_training_windows` oracle by `windows_streaming_store`.
+
+    Preconditions (the incremental protocol's, enforced fail-loud):
+    ids must cast to non-negative bigints (the carry orders at negative
+    ``__ord``), and batches must arrive in ascending id order — each
+    batch's minimum id must exceed every carried document's (guarded
+    with a one-row aggregate when a carry exists; a violation would
+    silently re-pack history).  Intra-batch duplicate deliveries of one
+    id collapse to the lexicographically greatest stream first — the
+    same arbitrary-but-deterministic tie-break as ``stream_encode``
+    (within one micro-batch there is no version order).
+
+    ``store`` must key on ``('bin',)`` with writetime ``'writetime'``."""
+    from cassandra_util_spark.operators.packing import _windows_shard_step
+    from cassandra_util_spark.streaming.ingest import stream_to_runstore
+
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+    if store.meta.partition_keys != ("bin",) or (
+        store.meta.writetime_col != "writetime"
+    ):
+        raise ValueError(
+            "window stores are keyed ('bin',) with writetime "
+            f"'writetime'; got keys={store.meta.partition_keys} "
+            f"writetime={store.meta.writetime_col!r}"
+        )
+
+    def window_batch(batch_df: DataFrame, batch_id: int) -> DataFrame:
+        spark = batch_df.sparkSession
+        id_type = dict(batch_df.dtypes)[id_col]
+        elem = batch_df.schema[ids_col].dataType.elementType.simpleString()
+        batch_df = batch_df.groupBy(id_col).agg(
+            F.max(F.col(ids_col)).alias(ids_col)
+        )
+        carry: list = []
+        bin_base = 0
+        prior_runs = _prior_max_bin_runs(store, batch_id)
+        if prior_runs is not None:
+            (key_lower,) = prior_runs
+            # the key bound prunes the read to the run(s) holding the max
+            # bin (driver-side stats, no scan): per-batch carry cost is
+            # O(capacity), NOT an LWW merge of the whole store — the
+            # difference between O(batch) and O(history) per trigger
+            prior = store.read_merged(
+                spark,
+                key_lower=key_lower,
+                extra_bounds={"writetime": (None, batch_id - 1)},
+            )
+            top = prior.orderBy(F.col("bin").desc()).limit(1).collect()
+            if top:
+                p = top[0]
+                if int(p["n_tokens"]) < capacity:
+                    bin_base = int(p["bin"])
+                    toks = list(p["token_ids"])
+                    carry = [
+                        (s["doc"], int(s["off"]),
+                         toks[int(s["off"]) : int(s["off"]) + int(s["len"])])
+                        for s in p["doc_spans"]
+                    ]
+                else:
+                    bin_base = int(p["bin"]) + 1
+        if carry:
+            # append-order guard: a batch id at or below a carried doc's
+            # would re-pack emitted history, not extend it
+            hi = max(int(d) for d, _, _ in carry)
+            mn = batch_df.agg(
+                F.min(F.col(id_col).try_cast("bigint")).alias("m")
+            ).first()["m"]
+            if mn is not None and int(mn) <= hi:
+                raise ValueError(
+                    f"stream_windows: batch {batch_id} carries id {mn} ≤ "
+                    f"already-windowed id {hi} — batches must arrive in "
+                    "ascending id order (the carry-forward precondition); "
+                    "re-deliveries of windowed documents cannot be "
+                    "re-packed without rewriting emitted windows"
+                )
+        win, _, _ = _windows_shard_step(
+            spark, carry, batch_df, id_col, ids_col, capacity, id_type, elem
+        )
+        return win.select(
+            (F.col("bin") + F.lit(bin_base)).cast("bigint").alias("bin"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            "token_ids",
+            "doc_spans",
+        ).withColumn("writetime", F.lit(batch_id).cast("long"))
+
+    return stream_to_runstore(
+        stream,
+        store,
+        checkpoint_dir,
+        maintain_every=maintain_every,
+        min_threshold=min_threshold,
+        available_now=available_now,
+        query_name=query_name,
+        txn_app_id=txn_app_id,
+        transform=window_batch,
+    )

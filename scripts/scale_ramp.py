@@ -137,6 +137,11 @@ PIPELINES = [
     # same token-linear shuffle), the audit is spans-sized, the datasheet
     # is one partial-aggregated scan with |sources| output rows
     "windows_incremental_store",
+    # r15: the STREAMED window store -- same carry protocol as the
+    # incremental form, run through 3 fixed micro-batches with the carry
+    # read back from the store; expect the incremental form's token-linear
+    # shuffle plus the fixed streaming session cost
+    "windows_streaming_store",
     "sharded_training_windows",
     "window_leak_audit",
     "dataset_datasheet",

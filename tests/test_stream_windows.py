@@ -1,0 +1,206 @@
+"""Streaming window materialization (streaming/corpus.py stream_windows):
+the streamed store's merged view must equal the one-shot batch windows
+regardless of micro-batch boundaries — including documents spanning batch
+AND window boundaries — and the carry protocol must be restart-safe (the
+carry is reconstructed from the store, never driver memory)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_util_spark.core.table import TableMeta
+from cassandra_util_spark.operators.packing import materialize_packed_windows
+from cassandra_util_spark.sources.runs import RunStore
+from cassandra_util_spark.streaming.corpus import stream_windows
+
+# Document streams sized so several span window boundaries at capacity=8
+# (doc 3 alone is three windows long) and the final window is partial.
+DOCS = [
+    (0, [1, 2, 3]),
+    (1, [4, 5, 6, 7, 8]),
+    (2, [9]),
+    (3, list(range(10, 35))),   # 25 tokens: spans many windows
+    (4, []),                    # empty stream
+    (5, [35, 36, 37, 38, 39, 40, 41]),
+    (6, [42, 43]),
+    (7, list(range(44, 57))),   # 13 tokens
+    (8, [57, 58, 59]),
+]
+CAPACITY = 8
+
+
+def _write_shards(d, cuts):
+    """Ascending doc-id range shards as separate files with pinned mtimes
+    so the file source delivers them in append order."""
+    src = tempfile.mkdtemp(prefix="win-stream-src-")
+    lo = None
+    now = time.time()
+    for k, hi in enumerate(cuts + [None]):
+        sh = d
+        if lo is not None:
+            sh = sh.filter(F.col("doc_id") > lo)
+        if hi is not None:
+            sh = sh.filter(F.col("doc_id") <= hi)
+        sub = os.path.join(src, f"shard-{k:02d}")
+        sh.coalesce(1).write.parquet(sub)
+        for root, _, files in os.walk(sub):
+            for f in files:
+                os.utime(os.path.join(root, f), (now + k, now + k))
+        lo = hi
+    return [os.path.join(src, p) for p in sorted(os.listdir(src))], src
+
+
+def _new_store():
+    return RunStore(
+        tempfile.mkdtemp(prefix="win-store-"),
+        TableMeta(("bin",), (), "writetime"),
+    )
+
+
+def _drain(spark, paths, store, cp, **kw):
+    stream = (
+        spark.readStream.schema("doc_id bigint, token_ids array<int>")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(*paths) if len(paths) == 1 else None
+    )
+    if stream is None:  # glob over the parent dir
+        parent = os.path.dirname(paths[0])
+        stream = (
+            spark.readStream.schema("doc_id bigint, token_ids array<int>")
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(os.path.join(parent, "shard-*"))
+        )
+    q = stream_windows(stream, store, cp, CAPACITY, **kw)
+    q.awaitTermination(300)
+
+
+def _view(spark, store):
+    return {
+        int(r["bin"]): (int(r["n_docs"]), int(r["n_tokens"]),
+                        list(r["token_ids"]))
+        for r in store.read_merged(spark)
+        .select("bin", "n_docs", "n_tokens", "token_ids")
+        .collect()
+    }
+
+
+def _want(spark, d):
+    return {
+        int(r["bin"]): (int(r["n_docs"]), int(r["n_tokens"]),
+                        list(r["token_ids"]))
+        for r in materialize_packed_windows(
+            d, "doc_id", "token_ids", CAPACITY
+        ).collect()
+    }
+
+
+def test_streamed_windows_equal_one_shot(spark):
+    d = spark.createDataFrame(DOCS, "doc_id bigint, token_ids array<int>")
+    paths, _ = _write_shards(d, cuts=[2, 5])
+    store = _new_store()
+    _drain(spark, paths, store, tempfile.mkdtemp(prefix="win-cp-"))
+    assert _view(spark, store) == _want(spark, d)
+    # attribution rides along: spans tile every window exactly
+    for r in store.read_merged(spark).collect():
+        spans = sorted(
+            (int(s["off"]), int(s["len"])) for s in r["doc_spans"]
+        )
+        pos = 0
+        for off, ln in spans:
+            assert off == pos
+            pos += ln
+        assert pos == int(r["n_tokens"])
+
+
+def test_restart_continues_from_store_carry(spark):
+    """Drain shards 0-1, stop, then RESTART the same checkpoint after
+    shard 2 lands: the carry must come back from the store's partial
+    window (no driver state survives the restart), and the final view
+    still equals the one-shot windows."""
+    d = spark.createDataFrame(DOCS, "doc_id bigint, token_ids array<int>")
+    paths, src = _write_shards(d, cuts=[2, 5])
+    store = _new_store()
+    live = os.path.join(src, "live")
+    os.makedirs(live)
+    for p in paths[:2]:
+        os.symlink(p, os.path.join(live, os.path.basename(p)))
+    cp = tempfile.mkdtemp(prefix="win-cp-")
+
+    def _run():
+        stream = (
+            spark.readStream.schema("doc_id bigint, token_ids array<int>")
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(os.path.join(live, "shard-*"))
+        )
+        q = stream_windows(stream, store, cp, CAPACITY)
+        q.awaitTermination(300)
+
+    _run()
+    runs_before = sorted(store.live_runs())
+    assert len(runs_before) == 2
+    os.symlink(paths[2], os.path.join(live, os.path.basename(paths[2])))
+    _run()
+    assert len(store.live_runs()) > len(runs_before)
+    assert _view(spark, store) == _want(spark, d)
+
+
+def test_replay_is_idempotent(spark):
+    """Restarting the SAME checkpoint after a full drain appends nothing
+    (availableNow finds no new files; the HWM guard covers a forced
+    replay), and the view is unchanged."""
+    d = spark.createDataFrame(DOCS, "doc_id bigint, token_ids array<int>")
+    paths, _ = _write_shards(d, cuts=[4])
+    store = _new_store()
+    cp = tempfile.mkdtemp(prefix="win-cp-")
+    _drain(spark, paths, store, cp, txn_app_id="win-replay")
+    view1 = _view(spark, store)
+    runs1 = sorted(store.live_runs())
+    _drain(spark, paths, store, cp, txn_app_id="win-replay")
+    assert sorted(store.live_runs()) == runs1
+    assert _view(spark, store) == view1
+
+
+def test_out_of_order_batch_raises(spark):
+    """A batch whose ids fall at or below a carried document's must fail
+    loudly — silently re-packing emitted windows is data corruption."""
+    d = spark.createDataFrame(DOCS, "doc_id bigint, token_ids array<int>")
+    paths, src = _write_shards(d, cuts=[5])
+    store = _new_store()
+    # deliver shard 1 (ids 6-8) FIRST, then shard 0 (ids 0-5)
+    for p, name in [(paths[1], "a"), (paths[0], "b")]:
+        os.symlink(p, os.path.join(src, f"re-{name}"))
+    stream = (
+        spark.readStream.schema("doc_id bigint, token_ids array<int>")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(os.path.join(src, "re-*"))
+    )
+    now = time.time()
+    for k, name in enumerate(["re-a", "re-b"]):
+        tgt = os.path.join(src, name)
+        for root, _, files in os.walk(tgt, followlinks=True):
+            for f in files:
+                os.utime(os.path.join(root, f), (now + k, now + k))
+    q = stream_windows(
+        stream, store, tempfile.mkdtemp(prefix="win-cp-"), CAPACITY,
+    )
+    with pytest.raises(Exception, match="ascending id order"):
+        q.awaitTermination(300)
+        raise RuntimeError("stream should have failed")
+
+
+def test_store_key_contract(spark):
+    bad = RunStore(
+        tempfile.mkdtemp(prefix="win-bad-"),
+        TableMeta(("doc_id",), (), "writetime"),
+    )
+    with pytest.raises(ValueError, match="keyed \\('bin',\\)"):
+        stream_windows(None, bad, "/tmp/x", CAPACITY)
