@@ -10248,8 +10248,11 @@ def curriculum_stage_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_util_spark.operators.text import quality_score
 
     d = _t(spark, sf_dir, "documents")
-    q = quality_score(F.col("text"))
     key = F.concat(F.lit(f"{_CUR_SEED}:"), F.col("doc_id").cast("string"))
+    # STAGE the quality score (SCALING.md r14 staging note): the stage
+    # when-chain reads it four more times, and the score's token arrays
+    # are higher-order lambdas — unstaged, five re-tokenizations per row
+    q = F.col("quality")
     stage = (
         F.when(q >= 0.7, 0)
         .when(q >= 0.6, 1)
@@ -10257,9 +10260,9 @@ def curriculum_stage_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(3)
         .cast("int")
     )
-    staged = d.select(
+    staged = d.withColumn("quality", quality_score(F.col("text"))).select(
         "doc_id",
-        q.alias("quality"),
+        "quality",
         stage.alias("stage"),
         F.pmod(portable_hash32(key), F.lit(_CUR_SHARDS)).cast("int").alias("shard"),
         portable_hash32(key, offset=9).alias("__ord"),

@@ -32,6 +32,24 @@ def portable_token(col: Column) -> Column:
     )
 
 
+def let_bind(value: Column, body) -> Column:
+    """Let-binding for column expressions: evaluate ``value`` ONCE per row
+    and reference it k times inside ``body(var)`` — ``transform`` over a
+    single-element array is the expression language's only
+    variable-binding construct, and its lambda variable is a plain
+    attribute read at evaluation time.
+
+    This is the staging remedy (SCALING.md r14 span-staging note;
+    `plan_audit.repeated_subtrees` is the standing guard) for COLUMN-level
+    helpers, where ``withColumn`` is not available: a non-cheap tree
+    referenced k times in one expression — especially inside
+    higher-order-function lambdas, which are CodegenFallback and never
+    reached by subexpression elimination — is k evaluations per row
+    without it.  Values are unchanged: the wrapper is
+    ``element_at(transform(array(value), body), 1)``."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def portable_hash32(col: Column, offset: int = 1) -> Column:
     """32-bit portable string hash: 8 hex chars of md5 starting at ``offset``
     (1-based), as a non-negative bigint.  md5 renders identically in every

@@ -326,6 +326,30 @@ def chunk_documents(
     )
 
 
+# One no-split packing task materializes its whole shard as a pandas frame
+# (applyInPandas hands each group to ONE task); past this many rows that is
+# a silent single-task serialization + memory hazard, not a plan choice —
+# the fold RAISES with the sharding remedy instead (VERDICT r14 task 4, the
+# spooked-ladder treatment: degrade loudly, never silently).  Raised lazily
+# INSIDE the Arrow fold: zero extra jobs, fires only when the oversized
+# group actually materializes.  ~2M (id, n_tokens) rows ≈ tens of MB of
+# pandas and a sub-second serial fold — comfortably inside one executor;
+# the next order of magnitude is not.
+PACK_SINGLE_TASK_MAX_ROWS = 2_000_000
+
+
+def _guard_fold_size(pdf, shard_col, max_rows, op: str) -> None:
+    if max_rows is not None and len(pdf) > max_rows:
+        raise ValueError(
+            f"{op}: one packing shard holds {len(pdf)} documents "
+            f"(> max_single_task_rows={max_rows}) — the no-split fold runs "
+            "each shard in ONE Arrow task, so this shard would serialize "
+            "the job. Pass shard_col= to parallelize (bins are numbered "
+            "per shard), or raise max_single_task_rows explicitly if a "
+            "single task is intended."
+        )
+
+
 def pack_greedy(
     df: DataFrame,
     id_col: str,
@@ -333,6 +357,7 @@ def pack_greedy(
     capacity: int,
     order_col: str | None = None,
     shard_col: str | None = None,
+    max_single_task_rows: int | None = PACK_SINGLE_TASK_MAX_ROWS,
 ) -> DataFrame:
     """Greedy no-split packing: (id, n_tokens[, shard], bin) — a document
     never spans windows; the current window closes when the next document
@@ -341,7 +366,9 @@ def pack_greedy(
 
     The running remainder is inherently sequential per shard, so each shard
     folds inside one Arrow batch stream (``applyInPandas``); parallelism
-    comes from sharding, exactly as at production scale.
+    comes from sharding, exactly as at production scale.  A shard larger
+    than ``max_single_task_rows`` fails loudly inside the fold (see
+    :data:`PACK_SINGLE_TASK_MAX_ROWS`); pass ``None`` to disable.
     """
     if capacity <= 0:
         raise ValueError(f"capacity must be positive, got {capacity}")
@@ -363,6 +390,7 @@ def pack_greedy(
     def fold(pdf):
         import pandas as pd
 
+        _guard_fold_size(pdf, shard, max_single_task_rows, "pack_greedy")
         pdf = pdf.sort_values("__ord", kind="mergesort")
         bins, oversize = [], []
         cur_bin, cur_fill = 0, 0
@@ -613,8 +641,6 @@ def span_corruption(
         raise ValueError(f"mean_span must be >= 1, got {mean_span}")
     if min_tokens < 2:
         raise ValueError(f"min_tokens must be >= 2, got {min_tokens}")
-    from cassandra_util_spark.functions import portable_hash32
-
     elem = df.schema[ids_col].dataType.elementType
     ids = F.col(ids_col)
     n = F.size(ids_col)
@@ -626,28 +652,45 @@ def span_corruption(
     )
     seg = F.floor(n / k).cast("int")
 
-    def word(i, off):
-        return portable_hash32(
+    # per-span (start, len): length 1..2*mean_span-1 clipped to the
+    # segment, offset uniform over the room the length leaves.  Two
+    # let-bindings inside the span lambda (functions.let_bind — the
+    # staging discipline where withColumn can't reach): the md5 hex is
+    # drawn ONCE per span (offsets 9 and 17 are two words of one digest,
+    # but unbound each word re-hashed), and the length term is bound
+    # before the offset arithmetic re-reads it — values bit-identical,
+    # hash certified.
+    from cassandra_util_spark.functions import let_bind
+
+    def word(h, off):
+        return F.conv(F.substring(h, off, 8), 16, 10).cast("bigint")
+
+    def span(i):
+        base = i * seg
+        digest = F.md5(
             F.concat(
                 F.lit(f"{seed}:"),
                 F.col(id_col).cast("string"),
                 F.lit(":"),
                 i.cast("string"),
+            )
+        )
+        return let_bind(
+            digest,
+            lambda h: let_bind(
+                F.least(
+                    (F.lit(1) + F.pmod(word(h, 9), F.lit(2 * mean_span - 1))).cast(
+                        "int"
+                    ),
+                    seg,
+                ),
+                lambda ln: F.struct(
+                    (base + F.pmod(word(h, 17), (seg - ln + 1).cast("int")))
+                    .cast("int")
+                    .alias("start"),
+                    ln.alias("len"),
+                ),
             ),
-            offset=off,
-        )
-
-    # per-span (start, len): length 1..2*mean_span-1 clipped to the
-    # segment, offset uniform over the room the length leaves
-    def span(i):
-        base = i * seg
-        ln = F.least(
-            (F.lit(1) + F.pmod(word(i, 9), F.lit(2 * mean_span - 1))).cast("int"),
-            seg,
-        )
-        off = F.pmod(word(i, 17), (seg - ln + 1).cast("int"))
-        return F.struct(
-            (base + off).cast("int").alias("start"), ln.alias("len")
         )
 
     # STAGE the span table as a real column: every element_at below then
@@ -941,6 +984,7 @@ def pack_bestfit(
     token_col: str,
     capacity: int,
     shard_col: str | None = None,
+    max_single_task_rows: int | None = PACK_SINGLE_TASK_MAX_ROWS,
 ) -> DataFrame:
     """Best-fit-decreasing no-split packing: (id, n_tokens[, shard],
     bin, oversize) — documents sorted by token count DESCENDING (ties to
@@ -959,7 +1003,9 @@ def pack_bestfit(
     Arrow batch stream; parallelism comes from ``shard_col``, exactly
     as at production scale.  A SortedList keeps placement
     O(n log open-windows) per shard.  Oversize documents (> capacity)
-    get a window of their own, flagged."""
+    get a window of their own, flagged.  A shard larger than
+    ``max_single_task_rows`` fails loudly inside the fold (see
+    :data:`PACK_SINGLE_TASK_MAX_ROWS`); pass ``None`` to disable."""
     if capacity <= 0:
         raise ValueError(f"capacity must be positive, got {capacity}")
     shard = shard_col
@@ -979,6 +1025,7 @@ def pack_bestfit(
 
         import pandas as pd
 
+        _guard_fold_size(pdf, shard, max_single_task_rows, "pack_bestfit")
         pdf = pdf.sort_values(
             ["n_tokens", id_col], ascending=[False, True], kind="mergesort"
         )

@@ -88,9 +88,16 @@ def punct_ratio(col: Column) -> Column:
 
 
 def stopword_ratio(col: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
-    toks = tokens(F.lower(col))
-    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
-    return hits / F.greatest(F.size(toks), F.lit(1))
+    # let-bind the token array: hits and the denominator both read it (the
+    # split+filter would otherwise run twice per row — higher-order lambdas
+    # are CodegenFallback, so subexpression elimination never merges them)
+    from cassandra_util_spark.functions import let_bind
+
+    return let_bind(
+        tokens(F.lower(col)),
+        lambda toks: F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+        / F.greatest(F.size(toks), F.lit(1)),
+    )
 
 
 def quality_score(col: Column) -> Column:
@@ -112,17 +119,39 @@ def lang_marker_hits(col: Column, lang: str) -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(*markers)))
 
 
+def _marker_hits_of(toks: Column, lang: str) -> Column:
+    markers = LANG_MARKERS[lang]
+    return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+
 def lang_id(col: Column) -> Column:
     """Marker-stopword language ID: argmax of per-language marker hits with
-    fixed precedence en>de>fr>es; no hits ⇒ 'und' (undetermined)."""
-    en, de = lang_marker_hits(col, "en"), lang_marker_hits(col, "de")
-    fr, es = lang_marker_hits(col, "fr"), lang_marker_hits(col, "es")
-    return (
-        F.when(en + de + fr + es == 0, F.lit("und"))
-        .when((en >= de) & (en >= fr) & (en >= es), F.lit("en"))
-        .when((de >= fr) & (de >= es), F.lit("de"))
-        .when(fr >= es, F.lit("fr"))
-        .otherwise(F.lit("es"))
+    fixed precedence en>de>fr>es; no hits ⇒ 'und' (undetermined).
+
+    Two let-bindings keep the work linear: the token array is built ONCE
+    (not once per language — the split+filter is the expensive tree), and
+    the four hit counts are staged as one int array so the argmax
+    when-chain reads attributes instead of re-scanning the tokens (each
+    count appears 3-4 times across the branches)."""
+    from cassandra_util_spark.functions import let_bind
+
+    def argmax(h: Column) -> Column:
+        en, de = F.element_at(h, 1), F.element_at(h, 2)
+        fr, es = F.element_at(h, 3), F.element_at(h, 4)
+        return (
+            F.when(en + de + fr + es == 0, F.lit("und"))
+            .when((en >= de) & (en >= fr) & (en >= es), F.lit("en"))
+            .when((de >= fr) & (de >= es), F.lit("de"))
+            .when(fr >= es, F.lit("fr"))
+            .otherwise(F.lit("es"))
+        )
+
+    return let_bind(
+        tokens(F.lower(col)),
+        lambda toks: let_bind(
+            F.array(*[_marker_hits_of(toks, lg) for lg in ("en", "de", "fr", "es")]),
+            argmax,
+        ),
     )
 
 
@@ -675,7 +704,15 @@ def gopher_quality(
     line-based signals below already treat newlines structurally).
     """
     t = F.col(text_col)
-    toks = F.filter(F.split(t, r"\s+"), lambda x: x != "")
+    # STAGE the word and line arrays as real columns (the span-staging
+    # discipline, SCALING.md r14 note): four signals read the word array
+    # and two read the line array, and higher-order lambdas are
+    # CodegenFallback — unstaged, each reference re-splits the text
+    staged = df.withColumn(
+        "__toks", F.filter(F.split(t, r"\s+"), lambda x: x != "")
+    ).withColumn("__lines", F.filter(F.split(t, "\n"), lambda l: l != ""))
+    toks = F.col("__toks")
+    lines = F.col("__lines")
     n_words = F.size(toks)
     denom = F.greatest(n_words, F.lit(1))
     word_chars = F.aggregate(
@@ -683,7 +720,6 @@ def gopher_quality(
     )
     n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
     n_ellipsis = (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
-    lines = F.filter(F.split(t, "\n"), lambda l: l != "")
     n_lines = F.greatest(F.size(lines), F.lit(1))
     bullet_lines = F.size(
         F.filter(lines, lambda l: F.substring(F.ltrim(l), 1, 1).isin("•", "-", "*"))
@@ -704,7 +740,7 @@ def gopher_quality(
         )
     )
 
-    out = df.select(
+    out = staged.select(
         F.col(id_col),
         n_words.cast("bigint").alias("n_words"),
         F.round(word_chars / denom, 6).alias("mean_word_len"),

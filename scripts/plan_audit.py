@@ -15,6 +15,97 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+# Expression roots worth staging when referenced repeatedly: hashes,
+# regex/string surgery, and array/lambda constructions.  Cheap leaf reads
+# (attributes, literals, casts) are exactly what CollapseProject SHOULD
+# re-inline, so they are not candidates.
+_EXPENSIVE_ROOTS = frozenset(
+    {
+        "md5", "sha1", "sha2", "crc32", "xxhash64", "hash", "conv",
+        "regexp_replace", "regexp_extract", "regexp_extract_all", "split",
+        "transform", "aggregate", "filter", "exists", "forall", "zip_with",
+        "sequence", "array_sort", "sort_array", "flatten", "array_repeat",
+        "json_tuple", "from_json", "get_json_object",
+    }
+)
+
+
+def _balanced(line: str, start: int, cap: int = 4000) -> "str | None":
+    """``name(...)`` substring starting at ``start`` with balanced parens
+    (scan capped — plan lines can be megabytes; an unclosed/oversized
+    subtree returns None and is simply not a candidate)."""
+    i = line.index("(", start)
+    depth = 0
+    end = min(len(line), start + cap)
+    for j in range(i, end):
+        c = line[j]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return line[start : j + 1]
+    return None
+
+
+def repeated_subtrees(
+    plan: str, min_len: int = 80, min_count: int = 3
+) -> "list[tuple[str, int]]":
+    """Non-cheap expression subtrees repeated verbatim ≥ ``min_count``
+    times within ONE plan node line — the shape that cost
+    `span_corruption_pairs` 4.2× at x30 before staging (VERDICT r14
+    task 3 / SCALING.md r14 note): CollapseProject re-inlines a cheap
+    ALIAS into each use, so an expensive tree referenced k times inside
+    ``transform``/``filter`` lambdas or repeated projections is k
+    evaluations per row.  The fix is always the same — stage the tree as
+    a real column (``withColumn``) before the consuming projection;
+    Catalyst keeps multi-referenced NON-cheap expressions staged
+    (SPARK-36718).
+
+    Lambda context is REQUIRED to flag: the subtree must contain a
+    ``lambdafunction`` (it is/wraps a higher-order function) or reference
+    a lambda variable (it sits inside an enclosing lambda body).  Spark's
+    higher-order functions are CodegenFallback — subexpression
+    elimination never reaches them — so these repeats are real per-row
+    (or per-ELEMENT) re-evaluations.  A repeated PLAIN deterministic
+    tree (an md5 chain projected three times, a regexp in three
+    columns) is handled by whole-stage codegen's subexpression
+    elimination at runtime and is deliberately NOT flagged.
+
+    Returns maximal flagged subtrees as ``(subtree, count)``, most
+    repeated first.  Subtrees are compared after stripping expression
+    ids (``#12``) and JVM object addresses (``@1a2b``): each re-inlined
+    copy of a lambda body gets FRESH lambda-variable ids, so the copies
+    are id-renamings of one tree, never byte-identical.  Trees that
+    differ in real content (different literals, different columns by
+    NAME) still compare distinct — genuinely different work does not
+    flag."""
+    flags: dict[str, int] = {}
+    for line in plan.split("\n"):
+        if len(line) < min_len * min_count:
+            continue
+        counts: dict[str, int] = {}
+        for m in re.finditer(r"\b([a-z_][a-z0-9_]*)\(", line):
+            if m.group(1) not in _EXPENSIVE_ROOTS:
+                continue
+            sub = _balanced(line, m.start(1))
+            if (
+                sub is not None
+                and len(sub) >= min_len
+                and ("lambdafunction(" in sub or "lambda " in sub)
+            ):
+                key = re.sub(r"#\d+|@[0-9a-f]+", "", sub)
+                counts[key] = counts.get(key, 0) + 1
+        hits = [(s, c) for s, c in counts.items() if c >= min_count]
+        # keep only MAXIMAL subtrees: an inner md5 repeated inside a
+        # flagged outer transform is the same finding, not a second one
+        for s, c in hits:
+            if any(s != o and s in o for o, _ in hits):
+                continue
+            flags[s] = max(flags.get(s, 0), c)
+    return sorted(flags.items(), key=lambda kv: -kv[1])
+
+
 def merge_anchor(lines: list) -> int:
     """Index of the line after which missing table rows are inserted: the
     last data row, or the ``|---|`` separator when the table has none.
@@ -82,9 +173,13 @@ def main() -> None:
             content = f.read()
         rows = {}
         det = {}
+        flagged: dict[str, list] = {}
         for name in merge_only:
             df = QUERIES[name](spark, sf_dir)
             plan = df._jdf.queryExecution().executedPlan().toString()
+            reps = repeated_subtrees(plan)
+            if reps:
+                flagged[name] = reps
             shuffles = plan.count("Exchange hashpartitioning") + plan.count(
                 "Exchange rangepartitioning"
             ) + plan.count("Exchange SinglePartition")
@@ -125,6 +220,19 @@ def main() -> None:
             f.write(text.rstrip("\n") + "\n")
         print(f"merged {len(rows)} plan row(s) + {len(det)} detail block(s) into {out}")
         spark.stop()
+        if flagged:
+            for name, reps in flagged.items():
+                for sub, c in reps[:3]:
+                    print(
+                        f"REPEATED SUBTREE in {name}: ×{c}  {sub[:160]}",
+                        file=sys.stderr,
+                    )
+            raise SystemExit(
+                f"plan_audit: {len(flagged)} quer{'y' if len(flagged) == 1 else 'ies'} "
+                "re-evaluate a non-cheap expression subtree ≥3 times in one "
+                "node — stage it as a column (withColumn) before the "
+                "consuming projection (see SCALING.md r14 span-staging note)"
+            )
         return
 
     lines = [
@@ -144,9 +252,13 @@ def main() -> None:
         "|---|---|---|---|---|---|",
     ]
     details: list[str] = []
+    flagged: dict[str, list] = {}
     for name, fn in QUERIES.items():
         df = fn(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
+        reps = repeated_subtrees(plan)
+        if reps:
+            flagged[name] = reps
         shuffles = plan.count("Exchange hashpartitioning") + plan.count(
             "Exchange rangepartitioning"
         ) + plan.count("Exchange SinglePartition")
@@ -204,11 +316,37 @@ def main() -> None:
         f"bounded sketch tables.",
     ]
 
+    lines += [
+        "",
+        "## Repeated non-cheap subtrees",
+        "",
+        "An expensive expression tree repeated verbatim ≥3 times inside one",
+        "plan node is k evaluations per row (the pre-staging",
+        "`span_corruption_pairs` shape — 4.2× at x30; SCALING.md r14 note).",
+        "Fix: stage the tree as a real column before the consuming",
+        "projection.",
+        "",
+    ]
+    if flagged:
+        for name, reps in flagged.items():
+            lines.append(f"- **{name}**: " + "; ".join(
+                f"×{c} `{s[:120]}`" for s, c in reps[:3]
+            ))
+    else:
+        lines.append("- none flagged")
+
     lines += ["", "## Pushed-filter details", ""] + details
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {out}")
+    if flagged:
+        raise SystemExit(
+            f"plan_audit: {len(flagged)} quer{'y' if len(flagged) == 1 else 'ies'} "
+            "re-evaluate a non-cheap expression subtree ≥3 times in one node "
+            "— stage it as a column (withColumn) before the consuming "
+            "projection (see SCALING.md r14 span-staging note)"
+        )
 
 
 if __name__ == "__main__":

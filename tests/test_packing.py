@@ -789,3 +789,31 @@ def test_incremental_windows_bad_id_raises(spark):
     )
     out = materialize_windows_incremental([num], "doc_id", "ids", 4).collect()
     assert sum(r["n_tokens"] for r in out) == 5
+
+
+@pytest.mark.parametrize("packer_name", ["pack_greedy", "pack_bestfit"])
+def test_single_task_fold_guard(spark, packer_name):
+    """VERDICT r14 task 4: a no-split packing shard past
+    max_single_task_rows must fail LOUDLY inside the Arrow fold (the one
+    remaining single-task path), naming the sharding remedy; below the
+    threshold (and with an explicit None opt-out) behavior is unchanged."""
+    from cassandra_util_spark.operators import packing
+
+    packer = getattr(packing, packer_name)
+    rows = [(i, 3) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id int, n_tokens int")
+    with pytest.raises(Exception, match="max_single_task_rows"):
+        packer(df, "doc_id", "n_tokens", capacity=8,
+               max_single_task_rows=5).collect()
+    # below the threshold: identical to the unguarded fold
+    base = packer(df, "doc_id", "n_tokens", capacity=8,
+                  max_single_task_rows=None).collect()
+    kept = packer(df, "doc_id", "n_tokens", capacity=8,
+                  max_single_task_rows=10).collect()
+    key = lambda r: r["doc_id"]  # noqa: E731
+    assert sorted(kept, key=key) == sorted(base, key=key)
+    # sharding is the remedy: the same rows pass under a shard column
+    sharded = df.withColumn("sh", F.col("doc_id") % 2)
+    out = packer(sharded, "doc_id", "n_tokens", capacity=8, shard_col="sh",
+                 max_single_task_rows=5).collect()
+    assert len(out) == 10

@@ -74,3 +74,82 @@ def test_splice_detail_literal_backslashes():
 def test_splice_detail_appends_when_missing():
     out = plan_audit.splice_detail("intro\n", "q_new", "### q_new\n- `x`")
     assert out.endswith("### q_new\n- `x`\n")
+
+
+def test_repeated_subtree_pure_logic():
+    """Exact-duplicate ≥min_count expensive subtrees flag; distinct trees
+    and cheap attribute reads never do."""
+    tree = ("transform(sequence(0, 9), lambdafunction(conv(substring(md5("
+            "concat(seed, lambda x_1#5)), 1, 8), 16, 10), lambda x_1#5, false))")
+    line = "Project [" + ", ".join(f"element_at({tree}, {i})" for i in range(4)) + "]"
+    flags = plan_audit.repeated_subtrees(line, min_len=40, min_count=3)
+    assert flags and flags[0][1] == 4
+    # maximal subtree only: the inner md5 repeat is the same finding
+    assert all("transform(" in s for s, _ in flags)
+    distinct = "Project [" + ", ".join(
+        f"transform(seq, lambdafunction(md5(concat(seed{i}, lambda x_1#5)), lambda x_1#5, false))"
+        for i in range(4)
+    ) + "]"
+    assert plan_audit.repeated_subtrees(distinct, min_len=40, min_count=3) == []
+    # a repeated PLAIN deterministic tree is CSE territory, not a flag
+    plain = "Project [" + ", ".join(
+        "conv(substring(md5(concat(seed, id)), 1, 8), 16, 10)" for _ in range(4)
+    ) + "]"
+    assert plan_audit.repeated_subtrees(plain, min_len=40, min_count=3) == []
+    cheap = "Project [" + ", ".join("cast(doc_id as bigint)" for _ in range(9)) + "]"
+    assert plan_audit.repeated_subtrees(cheap, min_len=10, min_count=3) == []
+
+
+def test_repeated_subtree_regression_fixture(spark):
+    """The PRE-staging `span_corruption_pairs` shape (VERDICT r14 task 3):
+    a k-hash span table re-inlined at every element_at must flag; the
+    staged (withColumn) form — the committed fix — must not."""
+    from pyspark.sql import functions as F
+
+    from cassandra_util_spark.functions import portable_hash32
+
+    df = spark.createDataFrame(
+        [(1, list(range(40))), (2, list(range(25)))],
+        "doc_id int, ids array<int>",
+    )
+    k = F.lit(4)
+
+    def span(i):
+        w = portable_hash32(
+            F.concat(F.lit("s:"), F.col("doc_id").cast("string"),
+                     F.lit(":"), i.cast("string"))
+        )
+        return F.struct(
+            F.pmod(w, F.lit(10)).cast("int").alias("start"),
+            (F.lit(1) + F.pmod(w, F.lit(3))).cast("int").alias("len"),
+        )
+
+    table = F.transform(F.sequence(F.lit(0), k - 1), span)
+
+    def stitched(spans):
+        return F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), k - 1),
+                lambda i: F.slice(
+                    F.col("ids"),
+                    F.element_at(spans, i + 1)["start"] + 1,
+                    F.element_at(spans, i + 1)["len"],
+                ),
+            )
+        )
+
+    prefix = df.select("doc_id", stitched(table).alias("out"))
+    plan = prefix._jdf.queryExecution().executedPlan().toString()
+    assert plan_audit.repeated_subtrees(plan), (
+        "the unstaged span table must flag (it re-evaluates the hash "
+        "construction at every element_at)"
+    )
+
+    staged = df.withColumn("__spans", table)
+    fixed = staged.select(
+        "doc_id", stitched(F.col("__spans")).alias("out")
+    )
+    fplan = fixed._jdf.queryExecution().executedPlan().toString()
+    assert plan_audit.repeated_subtrees(fplan) == [], (
+        "the staged form is the committed fix and must pass"
+    )
