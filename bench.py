@@ -245,6 +245,8 @@ BENCH_QUERIES = [
     "windows_incremental_store",
     "windows_streaming_store",
     "sharded_training_windows",
+    "windows_epoch_shuffle",
+    "tokenizer_fertility_by_lang",
     "dataset_datasheet",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash

@@ -11042,3 +11042,151 @@ def windows_streaming_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.transform("token_ids", lambda x: x.cast("string"))
         ).alias("token_ids"),
     )
+
+
+_EPOCH_SEED = "ep0"
+_N_EPOCHS = 3
+_EPOCH_SHARDS = 4
+
+_WEPOCH_ORACLE = _bpe_sql(
+    _BPE_N,
+    _BPE_POST_CTES
+    + f"""
+    , win AS (
+      SELECT CAST(gpos // 1024 AS BIGINT) AS bin,
+             CAST(count(*) AS BIGINT) AS n_tokens
+      FROM post GROUP BY 1),
+    e AS (SELECT CAST(u.e AS INT) AS epoch FROM UNNEST(range({_N_EPOCHS})) u(e)),
+    dealt AS (
+      SELECT epoch, bin, n_tokens,
+        CAST({_h32_sql(f"'{_EPOCH_SEED}:' || CAST(epoch AS VARCHAR) || ':' || CAST(bin AS VARCHAR)")}
+             % {_EPOCH_SHARDS} AS INT) AS shard,
+        {_h32_sql(f"'{_EPOCH_SEED}:' || CAST(epoch AS VARCHAR) || ':' || CAST(bin AS VARCHAR)", offset=9)}
+             AS ord
+      FROM win, e)
+    SELECT epoch, bin, n_tokens, shard,
+           CAST(row_number() OVER (
+             PARTITION BY epoch, shard
+             ORDER BY ord ASC, bin ASC) AS BIGINT) AS pos
+    FROM dealt
+    """,
+)
+
+
+@query("windows_epoch_shuffle", oracle=_WEPOCH_ORACLE)
+def windows_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-epoch LOADER PLAN over the materialized training windows:
+    for each epoch, every window deals into a shard and gets a
+    reproducible within-(epoch, shard) position from an independent hash
+    word — the `corpus_shard_plan` epoch-shuffle discipline lifted from
+    documents to windows, composed with `curriculum_stage_schedule`'s
+    (group, shard) exchange shape.  Trainers need exactly this: a
+    different deterministic window order per epoch (no fixed-order
+    memorization, no RNG state to checkpoint) where membership and
+    position are pure functions of (seed, epoch, bin) — resuming epoch 7
+    at step k is a filter, not a replay.  Scale shape: window
+    materialization is the token-linear chain already certified; the
+    plan itself is |epochs|×|windows| rows — map-only expressions, one
+    broadcast of the |epochs| side, one (epoch, shard) hash exchange
+    with per-group sort, never a global sort."""
+    from pyspark.sql import Window
+
+    from cassandra_util_spark.functions import portable_hash32
+    from cassandra_util_spark.operators.bpe import (
+        bpe_encode_ids,
+        bpe_train,
+        bpe_vocab,
+    )
+    from cassandra_util_spark.operators.packing import (
+        materialize_packed_windows,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    merges, words = bpe_train(d, "text", num_merges=_BPE_N)
+    # pin the encoded streams (the r14 distributed_cumsum discipline)
+    enc = bpe_encode_ids(
+        d, "doc_id", "text", words, bpe_vocab(spark, words, merges)
+    ).localCheckpoint()
+    win = materialize_packed_windows(
+        enc, "doc_id", "token_ids", capacity=1024, distributed=True
+    )
+    epochs = spark.range(_N_EPOCHS).select(F.col("id").cast("int").alias("epoch"))
+    key = F.concat(
+        F.lit(f"{_EPOCH_SEED}:"),
+        F.col("epoch").cast("string"),
+        F.lit(":"),
+        F.col("bin").cast("string"),
+    )
+    dealt = win.select("bin", "n_tokens").crossJoin(F.broadcast(epochs)).select(
+        "epoch",
+        "bin",
+        "n_tokens",
+        F.pmod(portable_hash32(key), F.lit(_EPOCH_SHARDS)).cast("int").alias("shard"),
+        portable_hash32(key, offset=9).alias("__ord"),
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy(
+        F.col("__ord").asc(), F.col("bin").asc()
+    )
+    return dealt.withColumn(
+        "pos", F.row_number().over(w).cast("bigint")
+    ).drop("__ord")
+
+
+_FERTILITY_ORACLE = _bpe_sql(
+    _BPE_N,
+    _BPE_POST_CTES
+    + f"""
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length({_NORM_SQL})) AS BIGINT) AS n_chars,
+           CAST(sum(coalesce(t.n, 0)) AS BIGINT) AS n_tokens,
+           round(sum(length({_NORM_SQL}))
+                 / greatest(sum(coalesce(t.n, 0)), 1), 6) AS chars_per_token
+    FROM documents d LEFT JOIN dtok t USING (doc_id)
+    GROUP BY d.lang
+    """,
+)
+
+
+@query("tokenizer_fertility_by_lang", oracle=_FERTILITY_ORACLE)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY per language: normalized characters per BPE
+    token under the learned vocabulary — the compression audit a
+    multilingual trainer reads before fixing a tokenizer (a language
+    with low chars/token pays more sequence length per sentence; the
+    classic fertility/compression-ratio table of tokenizer papers,
+    computed from the TRUE encode, not the 4-chars/token rule of
+    thumb).  One encode pass (the certified token-linear chain), one
+    (doc)-keyed broadcast join of per-doc counts to language labels,
+    one partial-aggregated group-by — |languages| output rows; the
+    ratio divides two exact integer sums, so a 1000-executor
+    aggregation is order-independent and replays bit-identically in
+    SQL."""
+    from cassandra_util_spark.operators.bpe import (
+        bpe_encode_ids,
+        bpe_train,
+        bpe_vocab,
+    )
+    from cassandra_util_spark.operators.text import normalize_text
+
+    d = _t(spark, sf_dir, "documents")
+    merges, words = bpe_train(d, "text", num_merges=_BPE_N)
+    enc = bpe_encode_ids(
+        d, "doc_id", "text", words, bpe_vocab(spark, words, merges)
+    ).select("doc_id", "n_tokens")
+    base = d.select(
+        "doc_id", "lang", F.length(normalize_text(F.col("text"))).alias("__chars")
+    )
+    j = base.join(enc, "doc_id", "left").select(
+        "lang",
+        "__chars",
+        F.coalesce(F.col("n_tokens"), F.lit(0)).alias("__toks"),
+    )
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("__chars").cast("bigint").alias("n_chars"),
+        F.sum("__toks").cast("bigint").alias("n_tokens"),
+        F.round(
+            F.sum("__chars") / F.greatest(F.sum("__toks"), F.lit(1)), 6
+        ).alias("chars_per_token"),
+    )

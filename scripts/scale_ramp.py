@@ -143,6 +143,11 @@ PIPELINES = [
     # shuffle plus the fixed streaming session cost
     "windows_streaming_store",
     "sharded_training_windows",
+    # r15: epoch-shuffle plan (|epochs|x|windows| map-only rows + one
+    # (epoch, shard) exchange) and per-lang fertility (one encode pass +
+    # |langs| output rows) -- both ride the certified token-linear chain
+    "windows_epoch_shuffle",
+    "tokenizer_fertility_by_lang",
     "window_leak_audit",
     "dataset_datasheet",
 ]
