@@ -11155,25 +11155,24 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     multilingual trainer reads before fixing a tokenizer (a language
     with low chars/token pays more sequence length per sentence; the
     classic fertility/compression-ratio table of tokenizer papers,
-    computed from the TRUE encode, not the 4-chars/token rule of
-    thumb).  One encode pass (the certified token-linear chain), one
-    (doc)-keyed broadcast join of per-doc counts to language labels,
-    one partial-aggregated group-by — |languages| output rows; the
+    computed from the TRUE tokenization, not the 4-chars/token rule of
+    thumb).  Counting never builds a token stream: `bpe_token_profile`
+    joins each document's words to their final per-word SEGMENT COUNTS
+    (BPE is word-local, so the word table IS the tokenizer) — one
+    word-keyed join + one (doc) aggregation, no id assembly, no array
+    shuffle — then one (doc)-keyed join to language labels and a
+    partial-aggregated group-by gives |languages| output rows; the
     ratio divides two exact integer sums, so a 1000-executor
     aggregation is order-independent and replays bit-identically in
     SQL."""
-    from cassandra_util_spark.operators.bpe import (
-        bpe_encode_ids,
-        bpe_train,
-        bpe_vocab,
-    )
+    from cassandra_util_spark.operators.bpe import bpe_token_profile, bpe_train
     from cassandra_util_spark.operators.text import normalize_text
 
     d = _t(spark, sf_dir, "documents")
-    merges, words = bpe_train(d, "text", num_merges=_BPE_N)
-    enc = bpe_encode_ids(
-        d, "doc_id", "text", words, bpe_vocab(spark, words, merges)
-    ).select("doc_id", "n_tokens")
+    _, words = bpe_train(d, "text", num_merges=_BPE_N)
+    enc = bpe_token_profile(d, "doc_id", "text", words).select(
+        "doc_id", F.col("n_bpe_tokens").alias("n_tokens")
+    )
     base = d.select(
         "doc_id", "lang", F.length(normalize_text(F.col("text"))).alias("__chars")
     )
