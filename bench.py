@@ -247,6 +247,7 @@ BENCH_QUERIES = [
     "sharded_training_windows",
     "windows_epoch_shuffle",
     "tokenizer_fertility_by_lang",
+    "curriculum_packed_windows",
     "dataset_datasheet",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash

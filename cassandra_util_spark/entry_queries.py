@@ -11088,16 +11088,15 @@ def windows_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialization is the token-linear chain already certified; the
     plan itself is |epochs|×|windows| rows — map-only expressions, one
     broadcast of the |epochs| side, one (epoch, shard) hash exchange
-    with per-group sort, never a global sort."""
-    from pyspark.sql import Window
-
-    from cassandra_util_spark.functions import portable_hash32
+    with per-group sort, never a global sort (the library operator
+    `epoch_shuffle_plan`)."""
     from cassandra_util_spark.operators.bpe import (
         bpe_encode_ids,
         bpe_train,
         bpe_vocab,
     )
     from cassandra_util_spark.operators.packing import (
+        epoch_shuffle_plan,
         materialize_packed_windows,
     )
 
@@ -11110,26 +11109,9 @@ def windows_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     win = materialize_packed_windows(
         enc, "doc_id", "token_ids", capacity=1024, distributed=True
     )
-    epochs = spark.range(_N_EPOCHS).select(F.col("id").cast("int").alias("epoch"))
-    key = F.concat(
-        F.lit(f"{_EPOCH_SEED}:"),
-        F.col("epoch").cast("string"),
-        F.lit(":"),
-        F.col("bin").cast("string"),
+    return epoch_shuffle_plan(
+        win, epochs=_N_EPOCHS, num_shards=_EPOCH_SHARDS, seed=_EPOCH_SEED
     )
-    dealt = win.select("bin", "n_tokens").crossJoin(F.broadcast(epochs)).select(
-        "epoch",
-        "bin",
-        "n_tokens",
-        F.pmod(portable_hash32(key), F.lit(_EPOCH_SHARDS)).cast("int").alias("shard"),
-        portable_hash32(key, offset=9).alias("__ord"),
-    )
-    w = Window.partitionBy("epoch", "shard").orderBy(
-        F.col("__ord").asc(), F.col("bin").asc()
-    )
-    return dealt.withColumn(
-        "pos", F.row_number().over(w).cast("bigint")
-    ).drop("__ord")
 
 
 _FERTILITY_ORACLE = _bpe_sql(
@@ -11188,4 +11170,117 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum("__chars") / F.greatest(F.sum("__toks"), F.lit(1)), 6
         ).alias("chars_per_token"),
+    )
+
+
+# Windows over the CURRICULUM-ordered stream: the cum CTE orders by
+# (stage, doc_id) instead of doc_id — everything else is the certified
+# window arithmetic.  Stage boundaries are NOT window boundaries (the
+# stream is continuous; a window may straddle two stages), which is the
+# honest concat-and-chunk semantics — `curriculum_stage_schedule` is the
+# no-split per-document schedule when hard boundaries are wanted.
+_CURW_BASE = 10**12
+
+_CURW_ORACLE = _bpe_sql(
+    _BPE_N,
+    _BPE_VOCAB_CTES
+    + f"""
+    , {_BPE_SEGIDS_CTE},
+    {_BPE_DW_CTE},
+    stg AS (
+      SELECT doc_id,
+             CAST(CASE WHEN q >= 0.7 THEN 0
+                       WHEN q >= 0.6 THEN 1
+                       WHEN q >= 0.5 THEN 2
+                       ELSE 3 END AS BIGINT) * {_CURW_BASE} + doc_id AS ord
+      FROM (SELECT doc_id, {_CUR_QUALITY_SQL} AS q FROM documents)),
+    dstream AS (
+      SELECT d.doc_id, d.pos, s.ids
+      FROM dw d JOIN segids s USING (word)),
+    dtok AS (
+      SELECT doc_id, CAST(sum(len(ids)) AS BIGINT) AS n
+      FROM dstream GROUP BY doc_id),
+    cum AS (
+      SELECT t.doc_id,
+             coalesce(CAST(sum(t.n) OVER (ORDER BY o.ord
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS BIGINT), 0) AS cb
+      FROM dtok t JOIN stg o USING (doc_id)),
+    flat AS (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY doc_id ORDER BY pos, k) - 1 AS i,
+             tok
+      FROM (SELECT doc_id, pos, k, ids[k] AS tok
+            FROM dstream, UNNEST(range(1, len(ids) + 1)) u(k))),
+    post AS (
+      SELECT f.doc_id, c.cb + f.i AS gpos, f.tok
+      FROM flat f JOIN cum c USING (doc_id))
+    SELECT CAST(gpos // 1024 AS BIGINT) AS bin,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           string_agg(CAST(tok AS VARCHAR), ' ' ORDER BY gpos) AS token_ids
+    FROM post GROUP BY 1
+    """,
+)
+
+
+@query("curriculum_packed_windows", oracle=_CURW_ORACLE)
+def curriculum_packed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training windows over the CURRICULUM-ordered token stream: the
+    corpus encodes once, documents concatenate cleanest-first (the
+    `curriculum_stage_schedule` stage as the major sort key, doc id as
+    the tie-break — the easy→hard schedule curriculum training reads),
+    and the stream slices into the same 1024-token windows as
+    `packed_training_windows` — so early window ids ARE the easy
+    curriculum and a loader consumes bins in order without a separate
+    schedule table.  Composition of two certified pieces: the stage
+    expression (staged as a column — the r15 repeated-subtree guard's
+    own discipline) and the distributed window chain, with the order
+    column ``stage·10¹² + doc_id`` (doc ids stay far below 10¹² at
+    every ramp scale; the guard in the window chain enforces the
+    non-negative cast).  Scale shape identical to the one-shot windows:
+    one quality-scored scan, one (id)-keyed assembly, the two-phase
+    prefix sum, one slice-piece regroup — the stage join is
+    (id)-keyed against the already-pinned encode."""
+    from cassandra_util_spark.operators.bpe import (
+        bpe_encode_ids,
+        bpe_train,
+        bpe_vocab,
+    )
+    from cassandra_util_spark.operators.packing import (
+        materialize_packed_windows,
+    )
+    from cassandra_util_spark.operators.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    merges, words = bpe_train(d, "text", num_merges=_BPE_N)
+    # pin the encoded streams (the r14 distributed_cumsum discipline)
+    enc = bpe_encode_ids(
+        d, "doc_id", "text", words, bpe_vocab(spark, words, merges)
+    ).localCheckpoint()
+    q = F.col("__q")
+    stage = (
+        F.when(q >= 0.7, 0)
+        .when(q >= 0.6, 1)
+        .when(q >= 0.5, 2)
+        .otherwise(3)
+        .cast("bigint")
+    )
+    stg = d.withColumn("__q", quality_score(F.col("text"))).select(
+        "doc_id", stage.alias("__stage")
+    )
+    enc2 = enc.join(stg, "doc_id").withColumn(
+        "__ord", F.col("__stage") * F.lit(_CURW_BASE) + F.col("doc_id")
+    )
+    win = materialize_packed_windows(
+        enc2, "doc_id", "token_ids", capacity=1024,
+        order_col="__ord", distributed=True,
+    )
+    return win.select(
+        "bin",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        "n_tokens",
+        F.concat_ws(
+            " ", F.transform("token_ids", lambda x: x.cast("string"))
+        ).alias("token_ids"),
     )

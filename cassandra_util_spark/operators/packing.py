@@ -553,6 +553,58 @@ def fim_transform(
     )
 
 
+def epoch_shuffle_plan(
+    win: DataFrame,
+    epochs: int,
+    num_shards: int,
+    seed: str = "ep",
+    bin_col: str = "bin",
+) -> DataFrame:
+    """(epoch, <bin_col>, [n_tokens,] shard, pos) — the multi-epoch LOADER
+    PLAN over materialized windows: for each epoch, every window deals
+    into a shard and gets a reproducible within-(epoch, shard) position
+    from an independent hash word.  Trainers need exactly this shape: a
+    DIFFERENT deterministic window order per epoch (no fixed-order
+    memorization, no RNG state to checkpoint) where membership and
+    position are pure functions of (seed, epoch, bin) — resuming epoch e
+    at step k is a filter, not a replay, and engine swaps mount
+    identical orders.
+
+    Scale shape: |epochs|×|windows| map-only rows, one broadcast of the
+    |epochs| side, one (epoch, shard) hash exchange with per-group sort
+    — never a global sort (raise ``num_shards`` to raise sort
+    parallelism).  Certified end to end by `windows_epoch_shuffle`."""
+    from pyspark.sql import Window
+
+    from cassandra_util_spark.functions import portable_hash32
+
+    if epochs <= 0:
+        raise ValueError(f"epochs must be positive, got {epochs}")
+    if num_shards <= 0:
+        raise ValueError(f"num_shards must be positive, got {num_shards}")
+    spark = win.sparkSession
+    cols = [bin_col] + (["n_tokens"] if "n_tokens" in win.columns else [])
+    ep = spark.range(epochs).select(F.col("id").cast("int").alias("epoch"))
+    key = F.concat(
+        F.lit(f"{seed}:"),
+        F.col("epoch").cast("string"),
+        F.lit(":"),
+        F.col(bin_col).cast("string"),
+    )
+    dealt = win.select(*cols).crossJoin(F.broadcast(ep)).select(
+        "epoch",
+        *cols,
+        F.pmod(portable_hash32(key), F.lit(num_shards)).cast("int").alias("shard"),
+        portable_hash32(key, offset=9).alias("__ord"),
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy(
+        F.col("__ord").asc(), F.col(bin_col).asc()
+    )
+    return dealt.withColumn(
+        "pos", F.row_number().over(w).cast("bigint")
+    ).drop("__ord")
+
+
 def shard_manifest(
     win: DataFrame,
     num_shards: int = 4,

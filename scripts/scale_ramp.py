@@ -148,6 +148,10 @@ PIPELINES = [
     # |langs| output rows) -- both ride the certified token-linear chain
     "windows_epoch_shuffle",
     "tokenizer_fertility_by_lang",
+    # r15: curriculum-ordered windows -- the one-shot window chain with a
+    # different order column; expect the same token-linear shuffle plus
+    # the quality-scan join
+    "curriculum_packed_windows",
     "window_leak_audit",
     "dataset_datasheet",
 ]

@@ -817,3 +817,35 @@ def test_single_task_fold_guard(spark, packer_name):
     out = packer(sharded, "doc_id", "n_tokens", capacity=8, shard_col="sh",
                  max_single_task_rows=5).collect()
     assert len(out) == 10
+
+
+def test_epoch_shuffle_plan_properties(spark):
+    """epoch_shuffle_plan: within every (epoch, shard), positions are a
+    1..n permutation; the full plan is deterministic across re-runs;
+    and different epochs order the same windows DIFFERENTLY (the
+    no-fixed-order-memorization property)."""
+    from cassandra_util_spark.operators.packing import epoch_shuffle_plan
+
+    win = spark.createDataFrame(
+        [(b, 8) for b in range(40)], "bin bigint, n_tokens bigint"
+    )
+    plan = epoch_shuffle_plan(win, epochs=3, num_shards=4, seed="t")
+    rows = plan.collect()
+    assert len(rows) == 3 * 40
+    by_group: dict = {}
+    for r in rows:
+        by_group.setdefault((r["epoch"], r["shard"]), []).append(int(r["pos"]))
+    for g, ps in by_group.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), g
+    # determinism: a second run is row-identical
+    again = {(r["epoch"], r["bin"]): (r["shard"], r["pos"])
+             for r in epoch_shuffle_plan(
+                 win, epochs=3, num_shards=4, seed="t").collect()}
+    assert again == {(r["epoch"], r["bin"]): (r["shard"], r["pos"]) for r in rows}
+    # epochs diverge: the (shard, pos) assignment differs between epochs
+    e0 = {r["bin"]: (r["shard"], r["pos"]) for r in rows if r["epoch"] == 0}
+    e1 = {r["bin"]: (r["shard"], r["pos"]) for r in rows if r["epoch"] == 1}
+    assert e0 != e1
+
+    with pytest.raises(ValueError, match="epochs must be positive"):
+        epoch_shuffle_plan(win, epochs=0, num_shards=4)

@@ -153,3 +153,24 @@ def test_repeated_subtree_regression_fixture(spark):
     assert plan_audit.repeated_subtrees(fplan) == [], (
         "the staged form is the committed fix and must pass"
     )
+
+
+def test_let_bind_values_and_single_evaluation(spark):
+    """functions.let_bind: identical values to the unbound expression, and
+    the bound tree appears ONCE in the plan however many times the body
+    references it."""
+    from pyspark.sql import functions as F
+
+    from cassandra_util_spark.functions import let_bind
+
+    df = spark.createDataFrame([("a b c a",), ("",)], "text string")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    bound = let_bind(toks, lambda ts: F.size(ts) * 100 + F.size(ts))
+    unbound = F.size(toks) * 100 + F.size(toks)
+    rows = df.select(bound.alias("b"), unbound.alias("u")).collect()
+    assert all(r["b"] == r["u"] for r in rows)
+    plan = (
+        df.select(bound.alias("b"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("split(") == 1

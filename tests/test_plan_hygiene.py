@@ -194,33 +194,68 @@ def test_query_registry_prefix_stable():
     green).  A green CORRECTNESS_r14 makes cumulative driver
     certification 195/195.  The rotation is
     entry_queries._rotate_driver_window_r14; family coverage is preserved
+    (see that block's comment).
+
+    Round-15 intentional rotation (VERDICT r14, task 1): the full r14
+    window (all 50 green in CORRECTNESS_r14) turns over — in come the 11
+    round-14 additions (the trainer-facing window surface) plus the 39
+    least-recently-certified rows (all last certified r11), finishing
+    cumulative driver certification at 206/206.  The rotation is
+    entry_queries._rotate_driver_window_r15; family coverage is preserved
     (see that block's comment)."""
     from cassandra_util_spark.entry_queries import ORACLES, QUERIES
 
     first50 = [
-        "bpe_learned_merges_batched", "dedup_token_spans_cross_doc",
-        "token_spans_streaming_view", "dedup_token_spans_excised",
-        "token_spans_incremental_excision", "bpe_encode_corpus",
-        "bpe_vocab_ids", "bpe_encode_ids_corpus", "tokenized_packing_plan",
-        "packed_training_windows", "bpe_streaming_encode",
-        "bpe_roundtrip_text", "semantic_decontamination",
-        "retention_ttl", "ann_ivf_topk", "range_join_incidents",
-        "retention_rules_delete", "configurable_delete_json",
-        "token_range_filter", "q4_order_priority", "acctbal_percentiles",
-        "semantic_dedup_scaled", "twcs_streaming_view",
-        "dedup_streaming_lsh", "corpus_ingest_streaming",
-        "dedup_ngram_prefix", "ann_pq_adc_topk", "bpe_learned_merges",
-        "quality_classifier_scores", "advised_join_exec",
-        "counter_store_totals", "zorder_layout_key",
-        "runstore_skipindex_view", "twcs_retention_view",
-        "q7_volume_shipping", "corpus_clean_pipeline",
-        "gopher_quality_gate", "events_cohort_retention",
-        "hybrid_retrieval_rrf", "dsir_select", "cluster_aware_split",
-        "dedup_incremental", "events_incremental_rollup",
-        "join_plan_advisory", "unicode_nfc_fingerprints",
-        "bottomk_sample_docs", "bottomk_shard_merge",
-        "quantile_sketch_doclen", "bottomk_streaming_sample",
-        "quantile_sketch_by_lang",
+        "packed_window_attribution",
+        "packed_shard_manifest",
+        "curriculum_stage_schedule",
+        "fim_token_streams",
+        "manifest_incremental_totals",
+        "span_corruption_pairs",
+        "windowed_loss_masks",
+        "window_leak_audit",
+        "windows_incremental_store",
+        "sharded_training_windows",
+        "dataset_datasheet",
+        "weighted_sample_docs",
+        "adaptive_length_bounds_sketch",
+        "ann_ivfpq_filtered",
+        "sketch_hll_registers",
+        "sketch_hll_per_type",
+        "sketch_count_min_users",
+        "ivf_persisted_probe",
+        "runstore_compaction_view",
+        "runstore_zorder_2d",
+        "embedding_rp_project",
+        "ann_rp_rerank",
+        "q2_min_cost_supplier",
+        "dedup_edit_distance",
+        "corpus_gate_report",
+        "corpus_shard_plan",
+        "corpus_lang_profile",
+        "corpus_split_assignment",
+        "corpus_token_budget",
+        "corpus_zipf_audit",
+        "ann_ivfpq_topk",
+        "ivfpq_persisted_probe",
+        "ivfpq_streaming_index",
+        "dedup_jaccard_routed",
+        "jaccard_route_advisory",
+        "bpe_token_profile",
+        "ann_pq_rerank_topk",
+        "quality_classifier_eval",
+        "q8_market_share",
+        "q11_important_stock",
+        "q12_late_shipment_priority",
+        "q13_customer_distribution",
+        "q14_promo_revenue",
+        "q15_top_supplier",
+        "q16_parts_supplier_relation",
+        "q17_small_quantity_revenue",
+        "q18_large_orders",
+        "q19_disjunctive_revenue",
+        "q20_potential_promotion",
+        "q21_waiting_supplier",
     ]
     assert list(QUERIES)[:50] == first50
     # every registered query keeps a full-strength oracle

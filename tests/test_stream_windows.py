@@ -204,3 +204,25 @@ def test_store_key_contract(spark):
     )
     with pytest.raises(ValueError, match="keyed \\('bin',\\)"):
         stream_windows(None, bad, "/tmp/x", CAPACITY)
+
+
+def test_loader_bounded_read_prunes_runs(spark):
+    """The loader read path: a bin-bounded read of the window store skips
+    runs whose bin range excludes the bound (the per-run skip index) and
+    returns exactly the bounded windows — what lets a trainer mount one
+    shard of a 100 TB window store without touching the rest."""
+    d = spark.createDataFrame(DOCS, "doc_id bigint, token_ids array<int>")
+    paths, _ = _write_shards(d, cuts=[2, 5])
+    store = _new_store()
+    _drain(spark, paths, store, tempfile.mkdtemp(prefix="win-cp-"))
+    all_bins = _view(spark, store)
+    hi = max(all_bins)
+    lo = hi // 2
+    got = {
+        int(r["bin"])
+        for r in store.read_merged(spark, key_lower=lo, key_upper=hi)
+        .select("bin").collect()
+    }
+    assert got == {b for b in all_bins if lo <= b <= hi}
+    # pruning is real: a bound past every bin reads zero runs' rows
+    assert store.prune_runs(hi + 100, hi + 200) == []
