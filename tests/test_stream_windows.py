@@ -226,3 +226,60 @@ def test_loader_bounded_read_prunes_runs(spark):
     assert got == {b for b in all_bins if lo <= b <= hi}
     # pruning is real: a bound past every bin reads zero runs' rows
     assert store.prune_runs(hi + 100, hi + 200) == []
+
+
+def test_singleton_batches_equal_one_shot(spark):
+    """One document per micro-batch (9 batches, maximal carry churn —
+    every boundary partial is rebuilt 8 times): the merged view must
+    still equal the one-shot windows."""
+    d = spark.createDataFrame(DOCS, "doc_id bigint, token_ids array<int>")
+    paths, _ = _write_shards(d, cuts=list(range(8)))
+    assert len(paths) == 9
+    store = _new_store()
+    _drain(spark, paths, store, tempfile.mkdtemp(prefix="win-cp-"))
+    assert _view(spark, store) == _want(spark, d)
+
+
+def test_compaction_interleaves_with_carry(spark):
+    """maintain_every folds runs WHILE the stream ingests: the carry
+    read's writetime-stats exclusion and skip-index bound must survive
+    compacted (mixed-writetime) runs, and the final view still equals
+    the one-shot windows."""
+    d = spark.createDataFrame(DOCS, "doc_id bigint, token_ids array<int>")
+    paths, _ = _write_shards(d, cuts=[1, 3, 5, 6])
+    store = _new_store()
+    _drain(
+        spark, paths, store, tempfile.mkdtemp(prefix="win-cp-"),
+        maintain_every=2, min_threshold=2,
+    )
+    assert _view(spark, store) == _want(spark, d)
+    # compaction actually happened: fewer live runs than batches
+    assert len(store.live_runs()) < 5
+
+
+def test_masks_from_store_equal_one_shot(spark):
+    """The soft-removal production flow: windows live in the store,
+    a verdict table arrives later, and loss masks computed from the
+    store's read view (spans round-tripped through parquet) equal masks
+    computed from the one-shot in-memory windows."""
+    from cassandra_util_spark.operators.packing import loss_mask_windows
+
+    d = spark.createDataFrame(DOCS, "doc_id bigint, token_ids array<int>")
+    paths, _ = _write_shards(d, cuts=[2, 5])
+    store = _new_store()
+    _drain(spark, paths, store, tempfile.mkdtemp(prefix="win-cp-"))
+    keep = spark.createDataFrame(
+        [(i, i % 3 != 0) for i, _ in DOCS], "doc bigint, keep boolean"
+    )
+    got = {
+        r["bin"]: (r["n_tokens"], r["masked_tokens"], r["mask"])
+        for r in loss_mask_windows(store.read_merged(spark), keep).collect()
+    }
+    one_shot = materialize_packed_windows(
+        d, "doc_id", "token_ids", CAPACITY, with_spans=True
+    )
+    want = {
+        r["bin"]: (r["n_tokens"], r["masked_tokens"], r["mask"])
+        for r in loss_mask_windows(one_shot, keep).collect()
+    }
+    assert got == want
