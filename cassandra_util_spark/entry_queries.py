@@ -11269,9 +11269,12 @@ def curriculum_packed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     stg = d.withColumn("__q", quality_score(F.col("text"))).select(
         "doc_id", stage.alias("__stage")
     )
+    # pin the joined chain too: distributed_cumsum executes its input
+    # three times, and enc's pin does not cover the quality-score scan
+    # or the stage join layered on top (review r15)
     enc2 = enc.join(stg, "doc_id").withColumn(
         "__ord", F.col("__stage") * F.lit(_CURW_BASE) + F.col("doc_id")
-    )
+    ).localCheckpoint()
     win = materialize_packed_windows(
         enc2, "doc_id", "token_ids", capacity=1024,
         order_col="__ord", distributed=True,

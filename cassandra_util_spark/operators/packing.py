@@ -340,13 +340,17 @@ PACK_SINGLE_TASK_MAX_ROWS = 2_000_000
 
 def _guard_fold_size(pdf, shard_col, max_rows, op: str) -> None:
     if max_rows is not None and len(pdf) > max_rows:
+        remedy = (
+            "Pass shard_col= to parallelize (bins are numbered per shard)"
+            if shard_col is None
+            else f"Use a finer {shard_col!r} shard key"
+        )
         raise ValueError(
             f"{op}: one packing shard holds {len(pdf)} documents "
             f"(> max_single_task_rows={max_rows}) — the no-split fold runs "
-            "each shard in ONE Arrow task, so this shard would serialize "
-            "the job. Pass shard_col= to parallelize (bins are numbered "
-            "per shard), or raise max_single_task_rows explicitly if a "
-            "single task is intended."
+            f"each shard in ONE Arrow task, so this shard would serialize "
+            f"the job. {remedy}, or raise max_single_task_rows explicitly "
+            "if a single task is intended."
         )
 
 
@@ -881,6 +885,15 @@ def loss_mask_windows(
     )
 
 
+# Per-shard strategy cut for the carry-forward window protocol: below this
+# many documents the single-partition running-count window beats the
+# distributed two-phase prefix sum (which costs several extra jobs per
+# shard); above it the single task becomes the serialization/OOM hazard
+# the distributed form exists to remove (20k docs at ~1k tokens each is
+# ~80 MB of id arrays sorted in one task — the comfortable ceiling).
+WINDOWS_DISTRIBUTED_MIN_ROWS = 20_000
+
+
 def _windows_shard_step(
     spark,
     carry: list,
@@ -926,6 +939,14 @@ def _windows_shard_step(
             )
         )
     )
+    # pick the prefix-sum strategy from the shard's ACTUAL size: small
+    # shards keep the single-partition window (cheaper by ~2x at bench
+    # scale — the two-phase sum is several extra jobs per shard, and the
+    # count's extra pass re-reads cheap pinned/parquet lineage), while a
+    # production-sized shard is PINNED (bounding distributed_cumsum's
+    # three input executions to one computation) and routed through the
+    # distributed form instead of silently serializing in one task
+    # (review r15).
     inp = carry_df.unionByName(
         sh.select(
             F.col(id_col),
@@ -933,9 +954,12 @@ def _windows_shard_step(
             F.col(ids_col).alias("__ids"),
         )
     )
+    distributed = inp.count() > WINDOWS_DISTRIBUTED_MIN_ROWS
+    if distributed:
+        inp = inp.localCheckpoint()
     win = materialize_packed_windows(
         inp, id_col, "__ids", capacity, order_col="__ord",
-        with_spans=True,
+        with_spans=True, distributed=distributed,
     ).localCheckpoint()
     mb = win.agg(F.max("bin").alias("m")).first()["m"]
     partial = win.filter(F.col("n_tokens") < capacity).collect()
@@ -948,13 +972,22 @@ def _windows_shard_step(
                 "partial window not last — broken tiling: "
                 f"{[(r['bin'], r['n_tokens']) for r in partial]} max={mb}"
             )
-        toks = list(p["token_ids"])
-        new_carry = [
-            (s["doc"], int(s["off"]),
-             toks[int(s["off"]) : int(s["off"]) + int(s["len"])])
-            for s in p["doc_spans"]
-        ]
+        new_carry = carry_from_window_row(p)
     return win, new_carry, (int(mb) if mb is not None else None)
+
+
+def carry_from_window_row(row) -> list:
+    """``[(doc, off, piece)]`` carry tuples from a with-spans window row —
+    the ONE slicing of ``doc_spans`` into attributed token pieces, shared
+    by the batch (:func:`materialize_windows_incremental`) and streaming
+    (`streaming/corpus.py stream_windows`) carry protocols so the tuple
+    layout can never drift between them."""
+    toks = list(row["token_ids"])
+    return [
+        (s["doc"], int(s["off"]),
+         toks[int(s["off"]) : int(s["off"]) + int(s["len"])])
+        for s in row["doc_spans"]
+    ]
 
 
 def materialize_windows_incremental(

@@ -400,7 +400,10 @@ def stream_windows(
     (within one micro-batch there is no version order).
 
     ``store`` must key on ``('bin',)`` with writetime ``'writetime'``."""
-    from cassandra_util_spark.operators.packing import _windows_shard_step
+    from cassandra_util_spark.operators.packing import (
+        _windows_shard_step,
+        carry_from_window_row,
+    )
     from cassandra_util_spark.streaming.ingest import stream_to_runstore
 
     if capacity <= 0:
@@ -423,6 +426,7 @@ def stream_windows(
         )
         carry: list = []
         bin_base = 0
+        hi: "int | None" = None  # highest already-windowed doc id
         prior_runs = _prior_max_bin_runs(store, batch_id)
         if prior_runs is not None:
             (key_lower,) = prior_runs
@@ -438,20 +442,20 @@ def stream_windows(
             top = prior.orderBy(F.col("bin").desc()).limit(1).collect()
             if top:
                 p = top[0]
+                # the max-bin row's spans hold the globally LAST document
+                # whether the boundary tiled exactly or not — the guard
+                # below must fire in BOTH cases (review r15: a full
+                # boundary used to skip it, so an out-of-order batch one
+                # token after an exact tiling corrupted silently)
+                hi = max(int(s["doc"]) for s in p["doc_spans"])
                 if int(p["n_tokens"]) < capacity:
                     bin_base = int(p["bin"])
-                    toks = list(p["token_ids"])
-                    carry = [
-                        (s["doc"], int(s["off"]),
-                         toks[int(s["off"]) : int(s["off"]) + int(s["len"])])
-                        for s in p["doc_spans"]
-                    ]
+                    carry = carry_from_window_row(p)
                 else:
                     bin_base = int(p["bin"]) + 1
-        if carry:
-            # append-order guard: a batch id at or below a carried doc's
-            # would re-pack emitted history, not extend it
-            hi = max(int(d) for d, _, _ in carry)
+        if hi is not None:
+            # append-order guard: a batch id at or below an already-
+            # windowed doc's would re-pack emitted history, not extend it
             mn = batch_df.agg(
                 F.min(F.col(id_col).try_cast("bigint")).alias("m")
             ).first()["m"]

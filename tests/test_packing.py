@@ -849,3 +849,32 @@ def test_epoch_shuffle_plan_properties(spark):
 
     with pytest.raises(ValueError, match="epochs must be positive"):
         epoch_shuffle_plan(win, epochs=0, num_shards=4)
+
+
+def test_incremental_distributed_branch_equivalence(spark):
+    """Above WINDOWS_DISTRIBUTED_MIN_ROWS the per-shard step routes
+    through the pinned distributed prefix sum (review r15: no silent
+    single-task window at production shard sizes) — windows must be
+    bit-identical to the one-shot single-task form."""
+    from cassandra_util_spark.operators import packing
+
+    n = packing.WINDOWS_DISTRIBUTED_MIN_ROWS + 100
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.array(
+            (F.col("id") % 97).cast("int"), ((F.col("id") + 1) % 89).cast("int")
+        ).alias("ids"),
+    )
+    got = {
+        r["bin"]: (r["n_docs"], r["n_tokens"])
+        for r in packing.materialize_windows_incremental(
+            [df], "doc_id", "ids", 64
+        ).collect()
+    }
+    want = {
+        r["bin"]: (r["n_docs"], r["n_tokens"])
+        for r in packing.materialize_packed_windows(
+            df, "doc_id", "ids", 64
+        ).collect()
+    }
+    assert got == want

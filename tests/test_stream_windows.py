@@ -283,3 +283,39 @@ def test_masks_from_store_equal_one_shot(spark):
         for r in loss_mask_windows(one_shot, keep).collect()
     }
     assert got == want
+
+
+def test_out_of_order_after_exact_tiling_raises(spark):
+    """Review r15: when the boundary tiles to a FULL window the carry is
+    empty, but the append-order guard must STILL fire — the high-water
+    doc id comes from the max-bin row's spans, not from the carry."""
+    # batch 0: docs 10+11 = exactly one full window (8 tokens), no carry
+    full = spark.createDataFrame(
+        [(10, [1, 2, 3, 4, 5]), (11, [6, 7, 8])],
+        "doc_id bigint, token_ids array<int>",
+    )
+    # batch 1: doc 5 — below every windowed id
+    late = spark.createDataFrame(
+        [(5, [9, 9])], "doc_id bigint, token_ids array<int>"
+    )
+    src = tempfile.mkdtemp(prefix="win-oo-src-")
+    now = time.time()
+    for k, sh in enumerate([full, late]):
+        sub = os.path.join(src, f"shard-{k:02d}")
+        sh.coalesce(1).write.parquet(sub)
+        for root, _, files in os.walk(sub):
+            for f in files:
+                os.utime(os.path.join(root, f), (now + k, now + k))
+    store = _new_store()
+    stream = (
+        spark.readStream.schema("doc_id bigint, token_ids array<int>")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(os.path.join(src, "shard-*"))
+    )
+    q = stream_windows(
+        stream, store, tempfile.mkdtemp(prefix="win-oo-cp-"), CAPACITY,
+    )
+    with pytest.raises(Exception, match="ascending id order"):
+        q.awaitTermination(300)
+        raise RuntimeError("stream should have failed")
