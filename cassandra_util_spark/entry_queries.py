@@ -11287,3 +11287,86 @@ def curriculum_packed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.transform("token_ids", lambda x: x.cast("string"))
         ).alias("token_ids"),
     )
+
+
+@query(
+    "ann_recall_audit",
+    oracle="""
+    WITH corpus AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    seeds AS (
+      SELECT vec_id AS cell, v AS cv FROM corpus
+      ORDER BY (vec_id * 2654435761) % 4294967296, vec_id LIMIT 16),
+    assigned AS (
+      SELECT vec_id, v, cell FROM (
+        SELECT c.vec_id, c.v, s.cell,
+               row_number() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY round(CASE WHEN isnan(list_cosine_similarity(c.v, s.cv))
+                                     THEN 0 ELSE list_cosine_similarity(c.v, s.cv)
+                                END, 4) DESC, s.cell ASC) AS rn
+        FROM corpus c CROSS JOIN seeds s) WHERE rn = 1),
+    queries AS (SELECT vec_id AS query_id, v AS qv FROM corpus WHERE vec_id < 5),
+    probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT q.query_id, q.qv, s.cell,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY list_cosine_similarity(q.qv, s.cv) DESC, s.cell ASC) AS rn
+        FROM queries q CROSS JOIN seeds s) WHERE rn <= 4),
+    ivf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY p.query_id
+                 ORDER BY list_cosine_similarity(p.qv, a.v) DESC, a.vec_id ASC) AS rank
+        FROM probes p JOIN assigned a ON a.cell = p.cell
+        WHERE a.vec_id <> p.query_id)
+      WHERE rank <= 10),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY list_cosine_similarity(q.qv, c.v) DESC, c.vec_id ASC) AS rank
+        FROM queries q JOIN corpus c ON c.vec_id <> q.query_id)
+      WHERE rank <= 10)
+    SELECT e.query_id,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(i.neighbor_id) AS BIGINT) AS hits,
+           round(count(i.neighbor_id) / 10.0, 6) AS recall_at_10
+    FROM exact e LEFT JOIN ivf i USING (query_id, neighbor_id)
+    GROUP BY e.query_id
+    """,
+)
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED recall@10 of the IVF index against the exact scan, per
+    query — the audit an operator reads before trusting an approximate
+    index at 100 TB (the repo's own discipline: the r14 verdict rejected
+    an ANN route because a recall number was a replica artifact; this
+    query makes that measurement a standing, hash-certified fixture).
+    Both sides are the already-certified operators (`ann_cosine_topk`,
+    `ann_ivf_topk`: K=16 deterministic seeds, nprobe=4, refine_iters=0
+    so the oracle replays the assignment argmax exactly); the audit is
+    one (query, neighbor) left join and a 5-row aggregate.  Scale shape:
+    exact is the O(N·|queries|) side — at production scale the audit
+    runs on a sampled query set (|queries| fixed), which is exactly this
+    query's shape."""
+    from cassandra_util_spark.operators.similarity import cosine_topk, ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(e, q, "vec_id", "embedding", k=10).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = ivf_topk(
+        e, q, "vec_id", "embedding",
+        k=10, num_centroids=16, nprobe=4, refine_iters=0,
+    ).select("query_id", "neighbor_id", F.lit(1).alias("__hit"))
+    j = exact.join(ivf, ["query_id", "neighbor_id"], "left")
+    return j.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+        F.count("__hit").cast("bigint").alias("hits"),
+        F.round(F.count("__hit") / 10.0, 6).alias("recall_at_10"),
+    )

@@ -152,6 +152,10 @@ PIPELINES = [
     # different order column; expect the same token-linear shuffle plus
     # the quality-scan join
     "curriculum_packed_windows",
+    # r15: IVF recall audit -- exact side O(N x |queries|) with |queries|
+    # fixed (the sampled-query-set production shape); expect near-flat
+    # wall and tiny shuffle
+    "ann_recall_audit",
     "window_leak_audit",
     "dataset_datasheet",
 ]
