@@ -249,6 +249,7 @@ BENCH_QUERIES = [
     "tokenizer_fertility_by_lang",
     "curriculum_packed_windows",
     "ann_recall_audit",
+    "lsh_recall_audit",
     "dataset_datasheet",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash

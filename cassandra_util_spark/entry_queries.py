@@ -11370,3 +11370,97 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("__hit").cast("bigint").alias("hits"),
         F.round(F.count("__hit") / 10.0, 6).alias("recall_at_10"),
     )
+
+
+@query(
+    "lsh_recall_audit",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+    toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    sh AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        FROM toks WHERE len(w) >= 3)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    exact AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.5),
+    h AS (SELECT doc_id, {_p31('sh')} AS h FROM sh),
+    sig AS (
+      SELECT doc_id, p.j, min((p.a * h.h + p.b) % 2147483647) AS v
+      FROM h CROSS JOIN {_minhash_params_sql(64)}
+      GROUP BY doc_id, p.j),
+    bands AS (
+      SELECT doc_id, j // 4 AS band,
+             string_agg(CAST(v AS VARCHAR), ',' ORDER BY j) AS bucket
+      FROM sig GROUP BY doc_id, j // 4),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+    m AS (
+      SELECT c.id_a, c.id_b, count(*) FILTER (WHERE sa.v = sb.v) AS matches
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.id_a
+      JOIN sig sb ON sb.doc_id = c.id_b AND sb.j = sa.j
+      GROUP BY 1, 2),
+    lsh AS (
+      SELECT id_a, id_b FROM m WHERE round(matches / 64.0, 6) >= 0.5),
+    joined AS (
+      SELECT coalesce(e.id_a, l.id_a) AS id_a,
+             e.id_a IS NOT NULL AS in_exact,
+             l.id_a IS NOT NULL AS in_lsh
+      FROM exact e FULL OUTER JOIN lsh l
+        ON e.id_a = l.id_a AND e.id_b = l.id_b)
+    SELECT CAST(count(*) FILTER (WHERE in_exact) AS BIGINT) AS n_exact,
+           CAST(count(*) FILTER (WHERE in_lsh) AS BIGINT) AS n_lsh,
+           CAST(count(*) FILTER (WHERE in_exact AND in_lsh) AS BIGINT) AS hits,
+           round(count(*) FILTER (WHERE in_exact AND in_lsh)
+                 / greatest(count(*) FILTER (WHERE in_exact), 1), 6) AS recall,
+           round(count(*) FILTER (WHERE in_exact AND in_lsh)
+                 / greatest(count(*) FILTER (WHERE in_lsh), 1), 6) AS precision
+    FROM joined
+    """,
+)
+def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED recall AND precision of MinHash(64)+LSH(16 bands) against
+    the exact 3-gram Jaccard pairs at threshold 0.5 — the dedup twin of
+    `ann_recall_audit`: before trusting the probabilistic pipeline on a
+    100 TB crawl, an operator reads this one-row fixture (both sides the
+    already-certified operators, down to the md5-word hash family the
+    oracle replays).  At production scale the exact side runs on a
+    sampled partition while LSH runs on everything — the audit's shape
+    (one pair-set full outer join, one summary row) is unchanged."""
+    from cassandra_util_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    exact = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5).select(
+        "id_a", "id_b", F.lit(1).alias("__e")
+    )
+    lsh = minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, num_perm=64, bands=16, threshold=0.5
+    ).select("id_a", "id_b", F.lit(1).alias("__l"))
+    j = exact.join(lsh, ["id_a", "id_b"], "full_outer")
+    both = F.col("__e").isNotNull() & F.col("__l").isNotNull()
+    return j.agg(
+        F.count("__e").cast("bigint").alias("n_exact"),
+        F.count("__l").cast("bigint").alias("n_lsh"),
+        F.count(F.when(both, 1)).cast("bigint").alias("hits"),
+        F.round(
+            F.count(F.when(both, 1)) / F.greatest(F.count("__e"), F.lit(1)), 6
+        ).alias("recall"),
+        F.round(
+            F.count(F.when(both, 1)) / F.greatest(F.count("__l"), F.lit(1)), 6
+        ).alias("precision"),
+    )

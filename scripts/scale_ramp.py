@@ -156,6 +156,9 @@ PIPELINES = [
     # fixed (the sampled-query-set production shape); expect near-flat
     # wall and tiny shuffle
     "ann_recall_audit",
+    # r15: LSH recall/precision vs exact Jaccard -- both sides already
+    # ramped; the audit adds one pair-set join and a 1-row aggregate
+    "lsh_recall_audit",
     "window_leak_audit",
     "dataset_datasheet",
 ]
