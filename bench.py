@@ -250,6 +250,7 @@ BENCH_QUERIES = [
     "curriculum_packed_windows",
     "ann_recall_audit",
     "lsh_recall_audit",
+    "simhash_recall_audit",
     "dataset_datasheet",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash

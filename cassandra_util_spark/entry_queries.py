@@ -11464,3 +11464,95 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(both, 1)) / F.greatest(F.count("__l"), F.lit(1)), 6
         ).alias("precision"),
     )
+
+
+@query(
+    "simhash_recall_audit",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+    tk AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+    sh AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        FROM tk WHERE len(w) >= 3)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    exact AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.5),
+    toks AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS t FROM documents),
+    hh AS (
+      SELECT doc_id, {_p32('t', 1)} AS hi, {_p32('t', 9)} AS lo FROM toks),
+    bits AS (
+      SELECT doc_id, b.i AS i,
+             sum(CASE WHEN ((CASE WHEN b.i < 32 THEN lo >> b.i
+                                  ELSE hi >> (b.i - 32) END) & 1) = 1
+                      THEN 1 ELSE -1 END) AS s
+      FROM hh CROSS JOIN (SELECT unnest(range(0, 64)) AS i) b
+      GROUP BY doc_id, b.i),
+    chunks AS (
+      SELECT doc_id, i // 16 AS c,
+             sum(CASE WHEN s > 0 THEN (1::BIGINT << (i % 16)) ELSE 0 END) AS val
+      FROM bits GROUP BY doc_id, i // 16),
+    simpairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             sum(bit_count(xor(a.val, b.val))) AS hamming
+      FROM chunks a JOIN chunks b ON a.c = b.c AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    simh AS (SELECT id_a, id_b FROM simpairs WHERE hamming <= 3),
+    joined AS (
+      SELECT e.id_a IS NOT NULL AS in_exact, s.id_a IS NOT NULL AS in_sim
+      FROM exact e FULL OUTER JOIN simh s
+        ON e.id_a = s.id_a AND e.id_b = s.id_b)
+    SELECT CAST(count(*) FILTER (WHERE in_exact) AS BIGINT) AS n_exact,
+           CAST(count(*) FILTER (WHERE in_sim) AS BIGINT) AS n_simhash,
+           CAST(count(*) FILTER (WHERE in_exact AND in_sim) AS BIGINT) AS hits,
+           round(count(*) FILTER (WHERE in_exact AND in_sim)
+                 / greatest(count(*) FILTER (WHERE in_exact), 1), 6) AS recall,
+           round(count(*) FILTER (WHERE in_exact AND in_sim)
+                 / greatest(count(*) FILTER (WHERE in_sim), 1), 6) AS precision
+    FROM joined
+    """,
+)
+def simhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third member of the measured-fidelity audit family
+    (`ann_recall_audit`, `lsh_recall_audit`): SimHash64 pairs at
+    Hamming ≤ 3 measured against the exact 3-gram Jaccard pairs at
+    0.5 — CROSS-method by construction (SimHash approximates token-
+    frequency cosine, not set Jaccard), so this is the fixture that
+    tells an operator what hamming≤3 actually buys on THEIR corpus
+    before choosing between the two near-dup pipelines.  One-row
+    summary, both sides already-certified operators."""
+    from cassandra_util_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        simhash_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    exact = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5).select(
+        "id_a", "id_b", F.lit(1).alias("__e")
+    )
+    sim = simhash_pairs(d, "doc_id", "text", max_hamming=3).select(
+        "id_a", "id_b", F.lit(1).alias("__s")
+    )
+    j = exact.join(sim, ["id_a", "id_b"], "full_outer")
+    both = F.col("__e").isNotNull() & F.col("__s").isNotNull()
+    return j.agg(
+        F.count("__e").cast("bigint").alias("n_exact"),
+        F.count("__s").cast("bigint").alias("n_simhash"),
+        F.count(F.when(both, 1)).cast("bigint").alias("hits"),
+        F.round(
+            F.count(F.when(both, 1)) / F.greatest(F.count("__e"), F.lit(1)), 6
+        ).alias("recall"),
+        F.round(
+            F.count(F.when(both, 1)) / F.greatest(F.count("__s"), F.lit(1)), 6
+        ).alias("precision"),
+    )

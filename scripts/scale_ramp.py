@@ -159,6 +159,7 @@ PIPELINES = [
     # r15: LSH recall/precision vs exact Jaccard -- both sides already
     # ramped; the audit adds one pair-set join and a 1-row aggregate
     "lsh_recall_audit",
+    "simhash_recall_audit",
     "window_leak_audit",
     "dataset_datasheet",
 ]
