@@ -11556,3 +11556,114 @@ def simhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(both, 1)) / F.greatest(F.count("__s"), F.lit(1)), 6
         ).alias("precision"),
     )
+
+
+# --- Round-16 driver-window rotation -------------------------------------
+#
+# The driver certifies the FIRST 50 names in QUERIES each round.  The
+# r15 window (the 11 round-14 trainer rows plus 39 least-recently-
+# certified re-certs) came back 50/50 green in CORRECTNESS_r15, so the
+# whole prefix turns over.  Rotate in the 7 round-15 additions that
+# have never been driver-checked (all green in the committed 213/213
+# local value-hash oracle), then fill the remaining 43 slots with the
+# least-recently-certified queries: the six rows last certified in
+# r11 (q22_idle_balances, pii_redaction, pii_audit_report,
+# retention_rule_impact, pareto_document_selection,
+# stream_interval_join_view) and 37 rows last certified in r12 —
+# computed from CORRECTNESS_r01..r15; ties broken by certification
+# count then registration order.  Every rotate-in was re-verified
+# against its local oracle at sf0.01 immediately before this commit.
+# A green CORRECTNESS_r16 completes cumulative driver certification
+# at 213/213 — every registered query driver-checked at least once
+# and green in its latest appearance.
+#
+# Family coverage in the window is preserved: streaming (window
+# store, interval join), trainer windows (epoch shuffle, curriculum),
+# tokenizer (fertility), measured-fidelity audits (ANN/LSH/SimHash
+# recall), PII (redaction + audit), retention (rule impact), dedup
+# (clusters, spans, bloom, containment, soft-keep, fingerprint),
+# retrieval (BM25, passage, eval, hard negatives), sampling
+# (stratified, weighted-repeat), corpus text (commonness, bigram LM,
+# adaptive bounds, repetition), events (anomalies, cube, skew,
+# sliding window, z-order), embeddings (mean pool, prototypes),
+# TPC-H (q22) and ledger/rollup reconciliation.
+
+_WINDOW_ROTATE_IN_R16 = [
+    # never driver-checked (round-15 additions, all local-oracle green)
+    "windows_streaming_store",
+    "windows_epoch_shuffle",
+    "tokenizer_fertility_by_lang",
+    "curriculum_packed_windows",
+    "ann_recall_audit",
+    "lsh_recall_audit",
+    "simhash_recall_audit",
+    # least-recently-certified re-certs (last certified r11)
+    "q22_idle_balances",
+    "pii_redaction",
+    "pii_audit_report",
+    "retention_rule_impact",
+    "pareto_document_selection",
+    "stream_interval_join_view",
+    # last certified r12 (registration order)
+    "acctbal_histogram_percentiles",
+    "adaptive_length_bounds",
+    "bigram_lm_quality",
+    "bm25_batch_search",
+    "commonness_buckets",
+    "decontamination",
+    "dedup_cluster_sizes",
+    "dedup_clusters",
+    "dedup_fingerprint_longest",
+    "dedup_incremental_bloom",
+    "dedup_ngram_containment",
+    "dedup_soft_keep",
+    "dedup_span_removal",
+    "dedup_within_doc_spans",
+    "doc_chunks",
+    "doc_commonness",
+    "doc_length_histogram",
+    "doc_repetition_filter",
+    "doc_top_terms",
+    "embedding_mean_pool",
+    "embedding_prototypes",
+    "events_activity_anomalies",
+    "events_cube_profile",
+    "events_skew_report",
+    "events_sliding_window_sum",
+    "events_zorder_layout",
+    "hard_negatives",
+    "lang_confusion_matrix",
+    "mixture_temperature_plan",
+    "orders_ledger_reconciliation",
+    "orders_rollup_totals",
+    "passage_dup_share",
+    "passage_retrieval",
+    "retrieval_eval",
+    "stratified_sample_docs",
+    "stratified_topk_docs",
+    "weighted_repeat_docs",
+]
+
+
+def _rotate_driver_window_r16() -> None:
+    names = list(QUERIES)
+    rotate_out = names[:50]  # the full r15 window turns over (all green in r15)
+    missing = [n for n in _WINDOW_ROTATE_IN_R16 if n not in QUERIES]
+    if missing:
+        raise AssertionError(f"window rotation references unknown queries: {missing}")
+    already = [n for n in _WINDOW_ROTATE_IN_R16 if n in rotate_out]
+    if already:  # explicit raise — a bare assert vanishes under python -O
+        raise AssertionError(f"rotate-in already inside the kept prefix: {already}")
+    prefix = list(_WINDOW_ROTATE_IN_R16)
+    if len(prefix) != 50:
+        raise AssertionError(
+            f"window rotation must produce exactly 50 names, got {len(prefix)}"
+        )
+    order = prefix + [n for n in names if n not in set(prefix)]
+    for reg in (QUERIES, ORACLES):
+        snapshot = dict(reg)
+        reg.clear()
+        reg.update({n: snapshot[n] for n in order if n in snapshot})
+
+
+_rotate_driver_window_r16()

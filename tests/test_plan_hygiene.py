@@ -202,60 +202,69 @@ def test_query_registry_prefix_stable():
     least-recently-certified rows (all last certified r11), finishing
     cumulative driver certification at 206/206.  The rotation is
     entry_queries._rotate_driver_window_r15; family coverage is preserved
-    (see that block's comment)."""
+    (see that block's comment).
+
+    Round-16 intentional rotation (VERDICT r15, task 1): the full r15
+    window (all 50 green in CORRECTNESS_r15) turns over — in come the 7
+    round-15 additions (streaming window store, epoch shuffle,
+    fertility, curriculum windows, the ANN/LSH/SimHash recall audits)
+    plus 43 least-recently-certified rows (the r11 six, then 37 last
+    certified r12), finishing cumulative driver certification at
+    213/213.  The rotation is entry_queries._rotate_driver_window_r16;
+    family coverage is preserved (see that block's comment)."""
     from cassandra_util_spark.entry_queries import ORACLES, QUERIES
 
     first50 = [
-        "packed_window_attribution",
-        "packed_shard_manifest",
-        "curriculum_stage_schedule",
-        "fim_token_streams",
-        "manifest_incremental_totals",
-        "span_corruption_pairs",
-        "windowed_loss_masks",
-        "window_leak_audit",
-        "windows_incremental_store",
-        "sharded_training_windows",
-        "dataset_datasheet",
-        "weighted_sample_docs",
-        "adaptive_length_bounds_sketch",
-        "ann_ivfpq_filtered",
-        "sketch_hll_registers",
-        "sketch_hll_per_type",
-        "sketch_count_min_users",
-        "ivf_persisted_probe",
-        "runstore_compaction_view",
-        "runstore_zorder_2d",
-        "embedding_rp_project",
-        "ann_rp_rerank",
-        "q2_min_cost_supplier",
-        "dedup_edit_distance",
-        "corpus_gate_report",
-        "corpus_shard_plan",
-        "corpus_lang_profile",
-        "corpus_split_assignment",
-        "corpus_token_budget",
-        "corpus_zipf_audit",
-        "ann_ivfpq_topk",
-        "ivfpq_persisted_probe",
-        "ivfpq_streaming_index",
-        "dedup_jaccard_routed",
-        "jaccard_route_advisory",
-        "bpe_token_profile",
-        "ann_pq_rerank_topk",
-        "quality_classifier_eval",
-        "q8_market_share",
-        "q11_important_stock",
-        "q12_late_shipment_priority",
-        "q13_customer_distribution",
-        "q14_promo_revenue",
-        "q15_top_supplier",
-        "q16_parts_supplier_relation",
-        "q17_small_quantity_revenue",
-        "q18_large_orders",
-        "q19_disjunctive_revenue",
-        "q20_potential_promotion",
-        "q21_waiting_supplier",
+        "windows_streaming_store",
+        "windows_epoch_shuffle",
+        "tokenizer_fertility_by_lang",
+        "curriculum_packed_windows",
+        "ann_recall_audit",
+        "lsh_recall_audit",
+        "simhash_recall_audit",
+        "q22_idle_balances",
+        "pii_redaction",
+        "pii_audit_report",
+        "retention_rule_impact",
+        "pareto_document_selection",
+        "stream_interval_join_view",
+        "acctbal_histogram_percentiles",
+        "adaptive_length_bounds",
+        "bigram_lm_quality",
+        "bm25_batch_search",
+        "commonness_buckets",
+        "decontamination",
+        "dedup_cluster_sizes",
+        "dedup_clusters",
+        "dedup_fingerprint_longest",
+        "dedup_incremental_bloom",
+        "dedup_ngram_containment",
+        "dedup_soft_keep",
+        "dedup_span_removal",
+        "dedup_within_doc_spans",
+        "doc_chunks",
+        "doc_commonness",
+        "doc_length_histogram",
+        "doc_repetition_filter",
+        "doc_top_terms",
+        "embedding_mean_pool",
+        "embedding_prototypes",
+        "events_activity_anomalies",
+        "events_cube_profile",
+        "events_skew_report",
+        "events_sliding_window_sum",
+        "events_zorder_layout",
+        "hard_negatives",
+        "lang_confusion_matrix",
+        "mixture_temperature_plan",
+        "orders_ledger_reconciliation",
+        "orders_rollup_totals",
+        "passage_dup_share",
+        "passage_retrieval",
+        "retrieval_eval",
+        "stratified_sample_docs",
+        "stratified_topk_docs",
+        "weighted_repeat_docs",
     ]
     assert list(QUERIES)[:50] == first50
     # every registered query keeps a full-strength oracle
