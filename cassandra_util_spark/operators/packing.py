@@ -941,22 +941,23 @@ def _windows_shard_step(
     )
     # pick the prefix-sum strategy from the shard's ACTUAL size: small
     # shards keep the single-partition window (cheaper by ~2x at bench
-    # scale — the two-phase sum is several extra jobs per shard, and the
-    # count's extra pass re-reads cheap pinned/parquet lineage), while a
-    # production-sized shard is PINNED (bounding distributed_cumsum's
-    # three input executions to one computation) and routed through the
-    # distributed form instead of silently serializing in one task
-    # (review r15).
+    # scale — the two-phase sum is several extra jobs per shard), while a
+    # production-sized shard is routed through the distributed form
+    # instead of silently serializing in one task (review r15).  The
+    # shard is PINNED before the strategy probe so the caller's lineage
+    # — arbitrarily expensive through the public
+    # materialize_windows_incremental API — executes exactly once: the
+    # count and every downstream pass (distributed_cumsum executes its
+    # input three times) read the checkpoint, never the lineage
+    # (ADVICE r16).
     inp = carry_df.unionByName(
         sh.select(
             F.col(id_col),
             ord_guard.alias("__ord"),
             F.col(ids_col).alias("__ids"),
         )
-    )
+    ).localCheckpoint()
     distributed = inp.count() > WINDOWS_DISTRIBUTED_MIN_ROWS
-    if distributed:
-        inp = inp.localCheckpoint()
     win = materialize_packed_windows(
         inp, id_col, "__ids", capacity, order_col="__ord",
         with_spans=True, distributed=distributed,

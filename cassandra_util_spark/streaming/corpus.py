@@ -335,17 +335,22 @@ def _prior_max_bin_runs(store: RunStore, batch_id: int):
     for r in store.live_runs():
         st = stats.get(r)
         wt = ((st or {}).get("columns") or {}).get("writetime")
-        if (
-            wt is not None
-            and isinstance(wt.get("min"), int)
-            and wt["min"] > batch_id - 1
-        ):
+        wt_min_usable = wt is not None and isinstance(wt.get("min"), int)
+        if wt_min_usable and wt["min"] > batch_id - 1:
             continue  # this batch's own crashed-attempt run
         b = st if st is not None and st.get("column") == "bin" else None
         if b is not None and b.get("min") is None and b.get("max") is None:
             continue  # empty run (an empty micro-batch): no rows to read
         have_prior = True
-        if b is None or b.get("max") is None:
+        if not wt_min_usable or b is None or b.get("max") is None:
+            # Unusable writetime stats (absent, or stringified by a
+            # default=str json dump) mean the run COULD be this batch's
+            # own crashed attempt: folding its bin max into the prune
+            # bound while the writetime-bounded read then drops its rows
+            # would return no prior rows and silently re-base bins at 0.
+            # Treat the run as missing for key_lower — degrade to the
+            # unbounded read, which the writetime extra_bound keeps
+            # correct (ADVICE r16).
             missing = True
         elif hi is None or b["max"] > hi:
             hi = b["max"]

@@ -878,3 +878,27 @@ def test_incremental_distributed_branch_equivalence(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_incremental_shard_lineage_executes_once(spark):
+    """ADVICE r16: _windows_shard_step pins each shard BEFORE the
+    strategy probe, so caller lineage through the public
+    materialize_windows_incremental API executes exactly once per shard
+    — the size count and the (possibly three-pass distributed)
+    materialization all read the checkpoint, never the lineage."""
+    from cassandra_util_spark.operators.packing import (
+        materialize_windows_incremental,
+    )
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def bump(it):
+        for pdf in it:
+            acc.add(len(pdf))
+            yield pdf
+
+    df = spark.createDataFrame(_DOCS, "doc_id int, ids array<int>")
+    n = df.count()
+    shard = df.mapInPandas(bump, df.schema)
+    materialize_windows_incremental([shard], "doc_id", "ids", 4).collect()
+    assert acc.value == n

@@ -319,3 +319,62 @@ def test_out_of_order_after_exact_tiling_raises(spark):
     with pytest.raises(Exception, match="ascending id order"):
         q.awaitTermination(300)
         raise RuntimeError("stream should have failed")
+
+
+class _StatsOnlyStore:
+    """Duck-typed stand-in for the stats-only surface _prior_max_bin_runs
+    touches (run_stats + live_runs) — no filesystem, no Spark."""
+
+    def __init__(self, stats):
+        self._stats = stats
+
+    def run_stats(self):
+        return dict(self._stats)
+
+    def live_runs(self):
+        return list(self._stats)
+
+
+def test_unusable_writetime_stats_degrade_to_unbounded_read():
+    """ADVICE r16: a crashed-attempt run whose writetime stats were
+    stringified (json.dump(default=str)) escapes the wt-min exclusion;
+    folding its bin max into key_lower while the writetime-bounded read
+    drops its rows would return NO prior rows and silently re-base bins
+    at 0.  Unusable writetime stats must degrade the prune bound to the
+    unbounded read (the writetime extra_bound keeps it correct)."""
+    from cassandra_util_spark.streaming.corpus import _prior_max_bin_runs
+
+    real_prior = {
+        "column": "bin", "min": 0, "max": 0, "rows": 1,
+        "columns": {"writetime": {"min": 0, "max": 0}},
+    }
+    crashed_stringified = {
+        "column": "bin", "min": 1, "max": 5, "rows": 5,
+        "columns": {"writetime": {"min": "1", "max": "1"}},
+    }
+    # crashed run's bin max must NOT become the prune bound
+    got = _prior_max_bin_runs(
+        _StatsOnlyStore({"r0": real_prior, "r1": crashed_stringified}), 1
+    )
+    assert got == (None,)
+    # absent writetime stats: same degrade
+    no_wt = {"column": "bin", "min": 1, "max": 5, "rows": 5}
+    assert _prior_max_bin_runs(
+        _StatsOnlyStore({"r0": real_prior, "r1": no_wt}), 1
+    ) == (None,)
+    # usable stats keep the pruned read
+    prior2 = {
+        "column": "bin", "min": 1, "max": 3, "rows": 3,
+        "columns": {"writetime": {"min": 0, "max": 0}},
+    }
+    assert _prior_max_bin_runs(
+        _StatsOnlyStore({"r0": real_prior, "r2": prior2}), 1
+    ) == (3,)
+    # a genuine own-run (usable int writetime == batch_id) stays excluded
+    own = {
+        "column": "bin", "min": 1, "max": 9, "rows": 9,
+        "columns": {"writetime": {"min": 1, "max": 1}},
+    }
+    assert _prior_max_bin_runs(
+        _StatsOnlyStore({"r0": real_prior, "r3": own}), 1
+    ) == (0,)
