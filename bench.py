@@ -252,6 +252,7 @@ BENCH_QUERIES = [
     "lsh_recall_audit",
     "simhash_recall_audit",
     "dataset_datasheet",
+    "bpe_encode_oov_fallback",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash
     # swapped to xxhash64 — the production configuration at scale

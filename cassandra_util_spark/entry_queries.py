@@ -11667,3 +11667,102 @@ def _rotate_driver_window_r16() -> None:
 
 
 _rotate_driver_window_r16()
+
+
+# --- Round-16 additions (registered after the rotation: appended past the
+# driver window, so the certified first-50 prefix is untouched) ------------
+
+# Frequency-capped word table for the byte-fallback fixture: the corpus
+# has 31 distinct normalized words at EVERY SF (template-generated), so a
+# top-24 cap — the SentencePiece/GPT-2 vocab_size production shape —
+# plants 7 genuinely out-of-vocabulary words at every scale.
+_BPE_OOV_KEEP = 24
+
+_BPE_OOV_SELECT = (
+    _BPE_VOCAB_CTES
+    + f"""
+    , params AS (
+      SELECT (SELECT count(*) FROM basec)
+             + (SELECT coalesce(max(step), -1) + 1 FROM mrg) AS byte_base,
+             (SELECT id FROM vocab WHERE sym = '{END_SYM}') AS end_id),
+    kept AS (
+      SELECT * FROM w{_BPE_N} ORDER BY cnt DESC, word LIMIT {_BPE_OOV_KEEP}),
+    segids AS (
+      SELECT word, list(id ORDER BY j) AS ids
+      FROM (SELECT w.word, t.j, w.s[t.j] AS sym
+            FROM kept w, UNNEST(range(1, len(w.s) + 1)) t(j)) q
+      JOIN vocab v USING (sym)
+      GROUP BY word),
+    {_BPE_DW_CTE},
+    oovseg AS (
+      SELECT word,
+             list_concat(
+               list_transform(regexp_extract_all(word, '.'),
+                              c -> p.byte_base + ascii(c)),
+               [p.end_id]) AS ids
+      FROM (SELECT DISTINCT word FROM dw
+            WHERE word NOT IN (SELECT word FROM kept)) o
+      CROSS JOIN params p),
+    allseg AS (SELECT * FROM segids UNION ALL SELECT * FROM oovseg),
+    enc AS (
+      SELECT d.doc_id,
+             string_agg(array_to_string(s.ids, ' '), ' ' ORDER BY d.pos)
+               AS token_ids,
+             CAST(sum(len(s.ids)) AS BIGINT) AS n_tokens,
+             CAST(sum(len(list_filter(s.ids, t -> t >= p.byte_base)))
+               AS BIGINT) AS n_byte_tokens
+      FROM dw d JOIN allseg s USING (word) CROSS JOIN params p
+      GROUP BY d.doc_id)
+    SELECT doc.doc_id,
+           coalesce(e.token_ids, '') AS token_ids,
+           CAST(coalesce(e.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(e.n_byte_tokens, 0) AS BIGINT) AS n_byte_tokens
+    FROM documents doc LEFT JOIN enc e USING (doc_id)
+    """
+)
+
+
+@query("bpe_encode_oov_fallback", oracle=_bpe_sql(_BPE_N, _BPE_OOV_SELECT))
+def bpe_encode_oov_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FROZEN-vocabulary encode of data beyond the training corpus —
+    the actual production tokenizer shape (VERDICT r15 task 2): the word
+    table is capped to the top-{K} by frequency (the vocab_size cap every
+    production tokenizer ships with), and every word that falls outside
+    it encodes as its UTF-8 byte tokens from the vocabulary's reserved
+    256-id byte block (``bpe_vocab(byte_fallback=True)``, the
+    SentencePiece ``byte_fallback`` / GPT-2 byte-level convention)
+    instead of killing the job — the degradation-ladder philosophy
+    (`plans/rules.py` spooked ladder; reference
+    RuleBasedDeletionConvictor.java:238-251 degrades the compaction, it
+    does not abort it) applied to the one place the pipeline surface
+    still raised on production-shaped input.  Scale: the fallback adds
+    one vocabulary-sized anti-join and a map-only byte expansion — the
+    corpus-sized assembly is unchanged; the oracle replays the cap, the
+    reserved-id arithmetic, and the per-byte ids in SQL (normalized
+    words are ASCII, so DuckDB's per-char code points equal Spark's
+    UTF-8 bytes).  ``n_byte_tokens`` certifies the fallback actually
+    fired (7 planted OOV words at every SF)."""
+    from cassandra_util_spark.operators.bpe import (
+        bpe_encode_ids,
+        bpe_train,
+        bpe_vocab,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    merges, words = bpe_train(d, "text", num_merges=_BPE_N)
+    kept = words.orderBy(F.col("cnt").desc(), "word").limit(_BPE_OOV_KEEP)
+    vocab = bpe_vocab(spark, words, merges, byte_fallback=True)
+    byte_base = int(
+        vocab.filter(F.col("kind") == "byte").agg(F.min("id")).first()[0]
+    )
+    enc = bpe_encode_ids(d, "doc_id", "text", kept, vocab, oov="bytes")
+    return enc.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.transform("token_ids", lambda x: x.cast("string"))
+        ).alias("token_ids"),
+        "n_tokens",
+        F.size(
+            F.filter("token_ids", lambda t: t >= F.lit(byte_base))
+        ).cast("bigint").alias("n_byte_tokens"),
+    )

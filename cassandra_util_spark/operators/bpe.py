@@ -46,9 +46,56 @@ from typing import List, Tuple
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cassandra_util_spark.functions import let_bind
 from cassandra_util_spark.operators.text import _norm_tokens
 
 END = "</w>"
+
+
+def byte_fallback_syms(word: Column) -> Column:
+    """``['<0xNN>', ..., '</w>']`` — the UTF-8 byte-token segmentation of
+    an out-of-vocabulary word: one ``<0xNN>`` symbol per byte (uppercase
+    hex, the SentencePiece/GPT-2 byte-piece rendering) plus the word
+    terminal, so decode restores the boundary like any other word.  Pure
+    expression; the encoded binary is let-bound (lambda context is
+    CodegenFallback — an unstaged ``encode`` would re-encode the word
+    once per byte).  ``<`` cannot appear in a normalized word, so byte
+    symbols can never collide with base or merged symbols."""
+    return let_bind(
+        F.encode(word, "UTF-8"),
+        lambda enc: F.concat(
+            F.transform(
+                F.sequence(F.lit(1), F.octet_length(enc)),
+                lambda i: F.concat(
+                    F.lit("<0x"),
+                    F.hex(F.substring(enc, i, F.lit(1))),
+                    F.lit(">"),
+                ),
+            ),
+            F.array(F.lit(END)),
+        ),
+    )
+
+
+def byte_fallback_ids(word: Column, byte_base: int, end_id: int) -> Column:
+    """The token-ID form of :func:`byte_fallback_syms`: byte value ``v``
+    maps to ``byte_base + v`` (the vocabulary's contiguous reserved
+    block) plus the ``</w>`` id — computed INLINE as a map-only
+    expression, so the fallback costs zero extra scans or joins (it
+    evaluates only on the un-covered side of the segmentation join)."""
+    return let_bind(
+        F.encode(word, "UTF-8"),
+        lambda enc: F.concat(
+            F.transform(
+                F.sequence(F.lit(1), F.octet_length(enc)),
+                lambda i: F.conv(
+                    F.hex(F.substring(enc, i, F.lit(1))), 16, 10
+                ).cast("int")
+                + F.lit(byte_base),
+            ),
+            F.array(F.lit(end_id).cast("int")),
+        ),
+    )
 
 
 def word_frequency_table(df: DataFrame, text_col: str) -> DataFrame:
@@ -302,6 +349,7 @@ def bpe_encode(
     words: DataFrame | None = None,
     merges: List[Tuple[int, str, str, int]] | None = None,
     batch: int = 16,
+    oov: str = "raise",
 ) -> DataFrame:
     """(id, tokens, n_tokens) — the ORDERED BPE token stream per document,
     the actual tokenizer output a training pipeline feeds to packing
@@ -320,24 +368,42 @@ def bpe_encode(
     Documents with no tokens survive as an empty array.  At least one of
     ``words`` / ``merges`` is required; with both, the trained table
     serves in-vocabulary words and the replay covers only the rest.
-    With ``words`` ALONE, an out-of-vocabulary word RAISES at action
-    time (the `_assemble_streams` guard — it used to be silently
-    dropped, a data-loss footgun on any input beyond the training
-    corpus; VERDICT r13 task 2): inputs that may contain unseen words
-    need ``merges`` so the replay path can segment them."""
+    With ``words`` ALONE, the ``oov`` policy decides what an
+    out-of-vocabulary word does: ``"raise"`` (default) fails the job at
+    action time naming the word (the `_assemble_streams` guard — it
+    used to be silently dropped, a data-loss footgun on any input
+    beyond the training corpus; VERDICT r13 task 2); ``"bytes"``
+    degrades the word to its UTF-8 byte tokens (:func:`
+    byte_fallback_syms`) — the production shape for encoding NEW data
+    against a FROZEN vocabulary, where unseen words arrive with
+    probability ~1 at any real scale and a job kill is not a 100 TB
+    behavior (the engine's degradation-ladder philosophy; VERDICT r15
+    task 2).  With ``merges``, the replay already segments every word,
+    so ``oov="bytes"`` is ambiguous and rejected."""
+    if oov not in ("raise", "bytes"):
+        raise ValueError(f"oov must be 'raise' or 'bytes', got {oov!r}")
     if words is None and merges is None:
         raise ValueError("bpe_encode needs a trained word table or a merge list")
+    if oov == "bytes" and merges is not None:
+        raise ValueError(
+            "oov='bytes' with merges= is ambiguous — the merge replay "
+            "already segments unseen words; pass words alone for the "
+            "frozen-vocabulary byte-fallback shape"
+        )
     vocab = df.select(
         F.explode(_norm_tokens(F.col(text_col))).alias("word")
     ).distinct()
+    oov_expr = byte_fallback_syms if oov == "bytes" else None
     if words is not None:
         seg = vocab.join(words.select("word", "syms"), "word")
         if merges is not None:
-            oov = vocab.join(words.select("word"), "word", "left_anti")
-            seg = seg.unionByName(segment_words(oov, merges, batch=batch))
+            unseen = vocab.join(words.select("word"), "word", "left_anti")
+            seg = seg.unionByName(segment_words(unseen, merges, batch=batch))
     else:
         seg = segment_words(vocab, merges, batch=batch)
-    return _assemble_streams(df, id_col, text_col, seg, "string")
+    return _assemble_streams(
+        df, id_col, text_col, seg, "string", oov_expr=oov_expr
+    )
 
 
 def _assemble_streams(
@@ -346,6 +412,7 @@ def _assemble_streams(
     text_col: str,
     seg: DataFrame,
     elem_type: str,
+    oov_expr=None,
 ) -> DataFrame:
     """(id, tokens, n_tokens) — the ONE stream assembler behind both the
     symbol and id encoders: position-indexed word stream ⨝ per-word
@@ -364,26 +431,36 @@ def _assemble_streams(
     pre-pass: zero extra jobs, a null-check per row inside codegen, and
     callers with guaranteed coverage (the training corpus itself, the
     streaming encoder's semi-join + replay seg) pay nothing and can
-    never fire it."""
+    never fire it.
+
+    With ``oov_expr`` (a ``word Column -> syms Column`` factory, the
+    byte-fallback encoders' hook; VERDICT r15 task 2), the un-covered
+    side evaluates the fallback expression instead of raising — same
+    structural shape (map-only, inside the join projection, zero extra
+    scans or joins), with the degrade policy swapped in for the kill."""
     doc_words = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(_norm_tokens(F.col(text_col))).alias("pos", "word"),
     )
+    uncovered = (
+        oov_expr(F.col("word"))
+        if oov_expr is not None
+        else F.raise_error(
+            F.concat(
+                F.lit("bpe encode: out-of-vocabulary word '"),
+                F.col("word"),
+                F.lit(
+                    "' has no segmentation — pass merges= so the "
+                    "replay path can segment unseen words, "
+                    "segment_words() the input's vocabulary first, "
+                    "or degrade with oov='bytes'"
+                ),
+            )
+        )
+    )
     guarded = doc_words.join(seg, "word", "left").withColumn(
         "syms",
-        F.when(F.col("syms").isNotNull(), F.col("syms")).otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit("bpe encode: out-of-vocabulary word '"),
-                    F.col("word"),
-                    F.lit(
-                        "' has no segmentation — pass merges= so the "
-                        "replay path can segment unseen words, or "
-                        "segment_words() the input's vocabulary first"
-                    ),
-                )
-            )
-        ),
+        F.when(F.col("syms").isNotNull(), F.col("syms")).otherwise(uncovered),
     )
     assembled = (
         guarded
@@ -413,6 +490,7 @@ def bpe_vocab(
     spark: SparkSession,
     words: DataFrame,
     merges: List[Tuple[int, str, str, int]],
+    byte_fallback: bool = False,
 ) -> DataFrame:
     """(id, sym, kind) — the token-id vocabulary induced by training.
 
@@ -424,6 +502,16 @@ def bpe_vocab(
     in principle produce the same string (``a``+``bc`` vs ``ab``+``c``) —
     such a duplicate keeps its FIRST id (min), matching the
     first-writer-wins convention of tokenizer vocab files.
+
+    With ``byte_fallback``, 256 reserved byte tokens ``<0xNN>`` (kind
+    ``byte``, uppercase hex) take the ids directly above the learned
+    vocabulary, at ``B + last_step + 1 + NN`` — the SentencePiece
+    ``byte_fallback`` / GPT-2 byte-piece convention that lets a FROZEN
+    vocabulary encode any unseen word as its UTF-8 bytes instead of
+    killing the job (see :func:`bpe_encode_ids` ``oov="bytes"``).  The
+    block is reserved PAST the highest assigned id, so ids of existing
+    vocabularies are unchanged; ``<`` cannot appear in a normalized
+    word, so byte symbols never collide with base or merged symbols.
 
     B is a bounded collect: the base alphabet of normalized text is at
     most 37 symbols regardless of corpus size."""
@@ -447,6 +535,11 @@ def bpe_vocab(
     rows = [(i, s, "base") for i, s in enumerate(syms)] + [
         (i, s, "merge") for s, i in first_id.items()
     ]
+    if byte_fallback:
+        byte_base = b + (merges[-1][0] + 1 if merges else 0)
+        rows += [
+            (byte_base + v, f"<0x{v:02X}>", "byte") for v in range(256)
+        ]
     return spark.createDataFrame(rows, "id int, sym string, kind string")
 
 
@@ -457,6 +550,7 @@ def bpe_encode_ids(
     words: DataFrame,
     vocab: DataFrame,
     unk_id: int = -1,
+    oov: str = "raise",
 ) -> DataFrame:
     """(id, token_ids, n_tokens) — the per-document TOKEN-ID stream, the
     form a training pipeline actually materializes (``bpe_encode`` is the
@@ -472,10 +566,51 @@ def bpe_encode_ids(
     :func:`segment_words` over an unseen shard) maps to ``unk_id`` —
     the standard UNK convention; silently dropping it would desync the
     stream from the document (same contract as every tokenizer's
-    unk_token).  A WORD absent from ``words`` raises at action time
+    unk_token).  A WORD absent from ``words`` follows the ``oov``
+    policy: ``"raise"`` (default) fails at action time naming the word
     (the `_assemble_streams` guard; VERDICT r13 task 2) — segment the
     input's vocabulary first (:func:`segment_words`) if it may contain
-    out-of-vocabulary words."""
+    out-of-vocabulary words; ``"bytes"`` degrades the word to its UTF-8
+    byte-token ids (:func:`byte_fallback_ids`), evaluated INLINE on the
+    un-covered side of the segmentation join — zero extra scans or
+    joins; the only added cost is one bounded (≤257-row) vocab collect
+    fixing the reserved block.  Requires a vocabulary built with
+    ``bpe_vocab(..., byte_fallback=True)`` (checked loudly, including
+    block contiguity: a byte token falling to ``unk_id`` would silently
+    destroy the round-trip).  This is the frozen-vocabulary production
+    shape: new crawl data encodes without a job kill, and
+    :func:`bpe_decode` reassembles the byte runs (VERDICT r15 task 2)."""
+    if oov not in ("raise", "bytes"):
+        raise ValueError(f"oov must be 'raise' or 'bytes', got {oov!r}")
+    oov_expr = None
+    if oov == "bytes":
+        # one bounded collect (≤257 rows) fixes the reserved block and the
+        # terminal id; the fallback itself is a zero-scan inline expression
+        special = (
+            vocab.filter((F.col("kind") == "byte") | (F.col("sym") == END))
+            .select("sym", "id", "kind")
+            .collect()
+            if "kind" in vocab.columns
+            else []
+        )
+        byte_ids = sorted(r["id"] for r in special if r["kind"] == "byte")
+        if len(byte_ids) != 256 or byte_ids != list(
+            range(byte_ids[0], byte_ids[0] + 256)
+        ):
+            raise ValueError(
+                "oov='bytes' needs a byte-fallback vocabulary — build it "
+                "with bpe_vocab(..., byte_fallback=True) so the <0xNN> "
+                "symbols have a contiguous reserved 256-id block "
+                f"(found {len(byte_ids)} byte rows)"
+            )
+        end_ids = [r["id"] for r in special if r["sym"] == END]
+        if not end_ids:
+            raise ValueError(
+                f"oov='bytes' needs the word terminal {END!r} in the "
+                "vocabulary (every byte-fallback word ends with it)"
+            )
+        base, end = byte_ids[0], end_ids[0]
+        oov_expr = lambda w: byte_fallback_ids(w, base, end)  # noqa: E731
     seg_ids = (
         words.select("word", F.posexplode("syms").alias("j", "sym"))
         .join(F.broadcast(vocab.select("sym", "id")), "sym", "left")
@@ -490,8 +625,35 @@ def bpe_encode_ids(
         )
     )
     return _assemble_streams(
-        df, id_col, text_col, seg_ids, "int"
+        df, id_col, text_col, seg_ids, "int", oov_expr=oov_expr
     ).withColumnRenamed("tokens", "token_ids")
+
+
+def _reassemble_byte_runs(joined: Column) -> Column:
+    """Decode ``<0xNN>`` byte-fallback tokens inside a concatenated
+    symbol stream back to their UTF-8 text.  Adjacent byte tokens first
+    collapse into one run (a fixed-width lookbehind on the hex pair, so
+    the ``>`` closing ``</w>`` never matches) and each run unhexes and
+    UTF-8-decodes WHOLE — a multi-byte character split across byte
+    tokens reassembles correctly, which per-token decoding cannot do.
+    ``<`` only ever starts ``</w>`` or ``<0x`` in a symbol stream (no
+    other symbol can contain it), so splitting on ``<0x`` is exact; a
+    decoded run that itself CONTAINS ``<0x`` is inert (decoding happens
+    after all splitting).  Streams with no byte tokens pass through
+    untouched (the split yields one element).  Pure expressions."""
+    runs = F.regexp_replace(joined, "(?<=0x[0-9A-F]{2})><0x", "")
+    return F.concat_ws(
+        "",
+        F.transform(
+            F.split(runs, "<0x"),
+            lambda p, i: F.when(i == F.lit(0), p).otherwise(
+                F.concat(
+                    F.decode(F.unhex(F.substring_index(p, ">", 1)), "UTF-8"),
+                    F.substr(p, F.locate(">", p) + F.lit(1)),
+                )
+            ),
+        ),
+    )
 
 
 def bpe_decode(
@@ -514,7 +676,10 @@ def bpe_decode(
     vocab row (the encoder's ``unk_id``) renders as ``unk_sym`` — kept
     visibly distinct rather than dropped, mirroring the encode-side UNK
     contract.  Without ``vocab``, ``tokens_col`` holds symbol strings
-    and decoding is one map-side expression."""
+    and decoding is one map-side expression.  In both modes ``<0xNN>``
+    byte-fallback runs (the ``oov="bytes"`` encode of unseen words)
+    reassemble to their UTF-8 text (:func:`_reassemble_byte_runs`), so
+    the lossless round-trip holds for out-of-vocabulary words too."""
     if vocab is not None:
         exploded = df.select(
             F.col(id_col).alias("id"),
@@ -556,7 +721,11 @@ def bpe_decode(
         joined = F.col("joined")
     return base.select(
         F.col("id").alias(id_col),
-        F.trim(F.replace(joined, F.lit(END), F.lit(" "))).alias("text"),
+        F.trim(
+            F.replace(
+                _reassemble_byte_runs(joined), F.lit(END), F.lit(" ")
+            )
+        ).alias("text"),
     )
 
 

@@ -330,3 +330,139 @@ def test_segment_words_batch_validation(spark, trained):
     vocab = spark.createDataFrame([("x",)], "word string")
     with pytest.raises(ValueError, match="batch must be >= 1"):
         segment_words(vocab, merges, batch=0)
+
+
+def _py_byte_seg(word):
+    return [f"<0x{b:02X}>" for b in word.encode("utf-8")] + [END]
+
+
+def test_byte_fallback_encode_matches_python_reference(spark, trained):
+    """VERDICT r15 task 2: the frozen-vocabulary encode of unseen data
+    must DEGRADE to byte tokens, not kill the job — in-vocab words keep
+    their trained segmentation exactly, unseen words become their UTF-8
+    byte tokens plus the word terminal."""
+    merges, words = trained
+    new = spark.createDataFrame(
+        [(10, "lowest bananafana"), (11, "zzz 42")], "doc_id int, text string"
+    )
+    got = _collect_streams(
+        bpe_encode(new, "doc_id", "text", words=words, oov="bytes")
+    )
+    ref = _py_encode([(10, "lowest"), (11, "")], merges)
+    assert got[10] == ref[10] + _py_byte_seg("bananafana")
+    assert got[11] == _py_byte_seg("zzz") + _py_byte_seg("42")
+
+
+def test_byte_fallback_vocab_reserves_ids_past_the_learned_block(
+    spark, corpus_df, trained
+):
+    """bpe_vocab(byte_fallback=True) appends exactly 256 <0xNN> rows at
+    ids strictly above every assigned id, leaving the learned
+    vocabulary's ids byte-identical to the byte_fallback=False form."""
+    from cassandra_util_spark.operators.bpe import bpe_vocab
+
+    merges, words = trained
+    plain = bpe_vocab(spark, words, merges)
+    fb = bpe_vocab(spark, words, merges, byte_fallback=True)
+    learned = {(r["id"], r["sym"], r["kind"]) for r in plain.collect()}
+    fb_rows = {(r["id"], r["sym"], r["kind"]) for r in fb.collect()}
+    byte_rows = sorted(
+        (i, s) for (i, s, k) in fb_rows if k == "byte"
+    )
+    assert {(i, s, k) for (i, s, k) in fb_rows if k != "byte"} == learned
+    assert len(byte_rows) == 256
+    max_learned = max(i for (i, _, _) in learned)
+    assert byte_rows[0][0] > max_learned
+    # contiguous block, hex rendering matches the encoder's
+    assert [i for (i, _) in byte_rows] == list(
+        range(byte_rows[0][0], byte_rows[0][0] + 256)
+    )
+    assert byte_rows[0][1] == "<0x00>" and byte_rows[255][1] == "<0xFF>"
+    assert (byte_rows[0][0] + 0x61, "<0x61>") in byte_rows
+
+
+def test_byte_fallback_ids_roundtrip(spark, corpus_df, trained):
+    """The lossless round-trip contract extends to OOV words: encode_ids
+    with oov='bytes' over a corpus with planted unseen words, decode via
+    the byte-fallback vocab, equals normalize_text row-for-row — and the
+    fallback ids land in the reserved byte block."""
+    from cassandra_util_spark.operators.bpe import (
+        bpe_decode,
+        bpe_encode_ids,
+        bpe_vocab,
+    )
+    from cassandra_util_spark.operators.text import normalize_text
+
+    merges, words = trained
+    vocab = bpe_vocab(spark, words, merges, byte_fallback=True)
+    byte_base = min(
+        r["id"] for r in vocab.filter(F.col("kind") == "byte").collect()
+    )
+    new = spark.createDataFrame(
+        [(10, "low bananafana zzz"), (11, "Queue 99!"), (12, "")],
+        "doc_id int, text string",
+    )
+    ids = bpe_encode_ids(new, "doc_id", "text", words, vocab, oov="bytes")
+    rows = {r["doc_id"]: list(r["token_ids"]) for r in ids.collect()}
+    # planted OOV words produced ids inside the reserved block
+    assert any(t >= byte_base for t in rows[10])
+    assert rows[12] == []
+    # no unk ids anywhere: every symbol resolved (trained or byte)
+    assert all(t >= 0 for ts in rows.values() for t in ts)
+    dec = bpe_decode(ids, "doc_id", "token_ids", vocab=vocab)
+    got = {r["doc_id"]: r["text"] for r in dec.collect()}
+    want = {
+        r["doc_id"]: r["norm"]
+        for r in new.select(
+            "doc_id", normalize_text(F.col("text")).alias("norm")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_byte_fallback_decode_reassembles_multibyte_runs(spark):
+    """A multi-byte UTF-8 character split across byte tokens must decode
+    from the WHOLE run (per-token decoding would mangle it), runs end at
+    word terminals, and byte-free streams pass through untouched."""
+    from cassandra_util_spark.operators.bpe import bpe_decode
+
+    streams = [
+        # 'café</w>du</w>' with é as its two UTF-8 bytes
+        (0, ["c", "a", "f", "<0xC3>", "<0xA9>", END, "du" + END]),
+        (1, ["plain" + END, "text" + END]),
+        # decoded bytes containing '<0x' literally stay inert
+        (2, ["<0x3C>", "<0x30>", "<0x78>", "<0x34>", "<0x31>", "<0x3E>", END]),
+        (3, []),
+    ]
+    df = spark.createDataFrame(streams, "doc_id int, tokens array<string>")
+    got = {
+        r["doc_id"]: r["text"]
+        for r in bpe_decode(df, "doc_id", "tokens").collect()
+    }
+    assert got == {0: "café du", 1: "plain text", 2: "<0x41>", 3: ""}
+
+
+def test_byte_fallback_validation(spark, trained):
+    """oov='bytes' without a byte-fallback vocab is a loud config error
+    (a byte token silently falling to unk_id would destroy the
+    round-trip); oov='bytes' with merges= is rejected as ambiguous; an
+    unknown oov value is rejected in both twins."""
+    from cassandra_util_spark.operators.bpe import bpe_encode_ids, bpe_vocab
+
+    merges, words = trained
+    new = spark.createDataFrame([(10, "zzz")], "doc_id int, text string")
+    with pytest.raises(ValueError, match="byte-fallback vocabulary"):
+        bpe_encode_ids(
+            new, "doc_id", "text", words,
+            bpe_vocab(spark, words, merges), oov="bytes",
+        )
+    with pytest.raises(ValueError, match="ambiguous"):
+        bpe_encode(new, "doc_id", "text", words=words, merges=merges,
+                   oov="bytes")
+    with pytest.raises(ValueError, match="oov must be"):
+        bpe_encode(new, "doc_id", "text", words=words, oov="drop")
+    with pytest.raises(ValueError, match="oov must be"):
+        bpe_encode_ids(
+            new, "doc_id", "text", words,
+            bpe_vocab(spark, words, merges, byte_fallback=True), oov="drop",
+        )
