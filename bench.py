@@ -253,6 +253,7 @@ BENCH_QUERIES = [
     "simhash_recall_audit",
     "dataset_datasheet",
     "bpe_encode_oov_fallback",
+    "ivfpq_recall_audit",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash
     # swapped to xxhash64 — the production configuration at scale

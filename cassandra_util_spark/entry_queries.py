@@ -11766,3 +11766,71 @@ def bpe_encode_oov_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter("token_ids", lambda t: t >= F.lit(byte_base))
         ).cast("bigint").alias("n_byte_tokens"),
     )
+
+
+@query(
+    "ivfpq_recall_audit",
+    oracle=f"""
+    WITH approx AS ({_ivfpq_oracle_sql()}),
+    corpus AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    queries AS (SELECT vec_id AS query_id, v AS qv FROM corpus WHERE vec_id < 5),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round({_pq_l2sq_sql("q.qv[i]", "c.v[i]", 64)}, 4)
+                          ASC, c.vec_id ASC) AS rank
+        FROM queries q JOIN corpus c ON c.vec_id <> q.query_id)
+      WHERE rank <= 10)
+    SELECT e.query_id,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(a.neighbor_id) AS BIGINT) AS hits,
+           round(count(a.neighbor_id) / 10.0, 6) AS recall_at_10
+    FROM exact e
+    LEFT JOIN (SELECT query_id, neighbor_id FROM approx) a
+      USING (query_id, neighbor_id)
+    GROUP BY e.query_id
+    """,
+)
+def ivfpq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED recall@10 of the certified IVFADC configuration
+    (`ann_ivfpq_topk`: coarse_k=16, nprobe=4, m=8, num_codes=16,
+    rerank=64, seed centroids/codebooks) against the exact squared-L2
+    scan — the fourth member of the measured-fidelity audit family
+    (`ann_recall_audit` covers IVF/cosine, `lsh_recall_audit` and
+    `simhash_recall_audit` the near-dup pipelines; VERDICT r15 task 3).
+    This is the fixture that answers, from the registry and hash-
+    certified, what the 100 TB memory budget's 4× code compression plus
+    nprobe/K cell pruning actually costs in recall — previously the
+    number lived only in pytest (tests/test_ivfpq.py recall ladder,
+    measured 43/50 for the Lloyd-refined full-probe config; this audits
+    the SQL-replayable certified config).  Measured at sf0.01: mean
+    recall@10 = 0.32 (per-query 0.9/0.1/0.1/0.1/0.4) — the standing
+    record that the UNREFINED pruned config is a plumbing-certification
+    config, not a serving config: recall is bought with refine_iters /
+    nprobe / rerank (the pytest ladder), and the decontamination ANN
+    route stays rejected on exactly this kind of measurement (r14).
+    Both sides are certified
+    operators (`l2_topk` shares the family's exact-rerank semantics:
+    4dp-rounded L2, smaller-id ties); the audit adds one (query,
+    neighbor) left join and a 5-row aggregate.  Scale shape: exact is
+    the O(N·|queries|) side — at production scale the audit runs on a
+    sampled query set (|queries| fixed), which is exactly this query's
+    shape."""
+    from cassandra_util_spark.operators.similarity import ivfpq_topk, l2_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = l2_topk(e, q, k=10).select("query_id", "neighbor_id")
+    approx = ivfpq_topk(
+        e, q, k=10, coarse_k=16, nprobe=4, m=8, num_codes=16, rerank=64,
+    ).select("query_id", "neighbor_id", F.lit(1).alias("__hit"))
+    j = exact.join(approx, ["query_id", "neighbor_id"], "left")
+    return j.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+        F.count("__hit").cast("bigint").alias("hits"),
+        F.round(F.count("__hit") / 10.0, 6).alias("recall_at_10"),
+    )

@@ -1139,6 +1139,46 @@ def pq_topk(
     )
 
 
+def l2_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """(query_id, neighbor_id, d4, rank) — the EXACT squared-L2 top-k
+    scan, the ground truth the L2-metric approximate family (PQ/IVFADC)
+    is audited against (:func:`cosine_topk` is the cosine twin).  Same
+    ranking semantics as the family's exact re-rank stage: d4 =
+    round(l2sq, 4) — the 4dp round stabilizes float ties across engines
+    — ascending, ties to the smaller neighbor id, self excluded.
+
+    Scale shape: O(N·|queries|) with the query side broadcast — at
+    production scale this runs on a SAMPLED query set (|queries| fixed),
+    the recall-audit shape, never as the serving path (that is what the
+    index is for)."""
+    qd = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("qv"),
+    )
+    cd = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
+    )
+    d = (
+        cd.join(F.broadcast(qd), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("d4", F.round(_l2sq(F.col("qv"), F.col("cv")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d4").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        d.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "d4", "rank")
+    )
+
+
 def _exact_rerank(
     corpus: DataFrame,
     queries: DataFrame,

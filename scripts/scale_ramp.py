@@ -162,6 +162,10 @@ PIPELINES = [
     "simhash_recall_audit",
     "window_leak_audit",
     "dataset_datasheet",
+    # r16: IVFADC recall audit -- same sampled-query shape as
+    # ann_recall_audit (exact side O(N x |queries|), |queries| fixed);
+    # the approximate side reads codes, expect tiny shuffle
+    "ivfpq_recall_audit",
     # r16: frozen-vocab encode with byte fallback -- the twin's shape plus
     # one bounded vocab collect and a map-only inline byte expansion on
     # the un-covered join side; expect token-linear shuffle like the twin
