@@ -254,6 +254,7 @@ BENCH_QUERIES = [
     "dataset_datasheet",
     "bpe_encode_oov_fallback",
     "ivfpq_recall_audit",
+    "epoch_plan_from_store",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash
     # swapped to xxhash64 — the production configuration at scale

@@ -11834,3 +11834,86 @@ def ivfpq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("__hit").cast("bigint").alias("hits"),
         F.round(F.count("__hit") / 10.0, 6).alias("recall_at_10"),
     )
+
+
+@query("epoch_plan_from_store", oracle=None)
+def epoch_plan_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-epoch loader plan computed from the PERSISTED window
+    store instead of re-materializing windows in-plan — the production
+    loader shape (VERDICT r15 task 4): `windows_epoch_shuffle` certifies
+    the plan over an in-memory materialization, but a real trainer's
+    windows live in `windows_streaming_store`'s on-disk runs, and its
+    epoch order must come from READING them, the store-vs-rebuild
+    discipline of `heavy_hitters_from_store`.  Builds the store exactly
+    as `windows_streaming_store` does (3 ascending micro-batches through
+    the carry protocol), then `epoch_shuffle_plan` over the LWW-merged
+    view — no window re-materialization, and the plan needs only
+    (bin, n_tokens), so Catalyst prunes the token arrays out of the
+    store read entirely (the loader PLAN reads window METADATA, ~16
+    bytes/window, not the ~4 KB token payload — pinned by the
+    ReadSchema assert in tests/test_stream_windows.py).  Hash-certified
+    against `windows_epoch_shuffle`'s full one-shot SQL replay (shared
+    oracle): the persisted store and the in-memory twin must induce the
+    IDENTICAL (epoch, shard, pos) assignment."""
+    import os
+    import tempfile
+    import time
+
+    from cassandra_util_spark.core.table import TableMeta
+    from cassandra_util_spark.operators.bpe import (
+        bpe_encode_ids,
+        bpe_train,
+        bpe_vocab,
+    )
+    from cassandra_util_spark.operators.packing import epoch_shuffle_plan
+    from cassandra_util_spark.sources.runs import RunStore
+    from cassandra_util_spark.streaming.corpus import stream_windows
+
+    d = _t(spark, sf_dir, "documents")
+    merges, words = bpe_train(d, "text", num_merges=_BPE_N)
+    enc = bpe_encode_ids(
+        d, "doc_id", "text", words, bpe_vocab(spark, words, merges)
+    ).localCheckpoint()
+    mx = enc.agg(F.max("doc_id").alias("m")).first()["m"]
+    c1, c2 = mx // 3, (2 * mx) // 3
+    shards = [
+        enc.filter(F.col("doc_id") <= c1),
+        enc.filter((F.col("doc_id") > c1) & (F.col("doc_id") <= c2)),
+        enc.filter(F.col("doc_id") > c2),
+    ]
+    src = tempfile.mkdtemp(prefix="win-stream-src-")
+    now = time.time()
+    for k, sh in enumerate(shards):
+        sub = os.path.join(src, f"shard-{k:02d}")
+        sh.select("doc_id", "token_ids").coalesce(1).write.parquet(sub)
+        # ascending mtimes pin the file source's delivery order — the
+        # carry protocol's append-order precondition
+        for root, _, files in os.walk(sub):
+            for f in files:
+                os.utime(os.path.join(root, f), (now + k, now + k))
+    store = RunStore(
+        tempfile.mkdtemp(prefix="runstore-epochplan-"),
+        TableMeta(("bin",), (), "writetime"),
+    )
+    stream = (
+        spark.readStream.schema("doc_id bigint, token_ids array<int>")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(os.path.join(src, "shard-*"))
+    )
+    with _scoped_shuffle_partitions(spark, 8):
+        q = stream_windows(
+            stream, store, tempfile.mkdtemp(prefix="win-cp-"),
+            capacity=1024,
+        )
+        q.awaitTermination(300)
+    view = store.read_merged(spark).select("bin", "n_tokens")
+    return epoch_shuffle_plan(
+        view, epochs=_N_EPOCHS, num_shards=_EPOCH_SHARDS, seed=_EPOCH_SEED
+    )
+
+
+# the store-backed plan must hash-match the in-memory twin's full SQL
+# replay — one oracle, two execution paths (the store-vs-rebuild
+# discipline; same sharing shape as bpe_streaming_encode)
+ORACLES["epoch_plan_from_store"] = ORACLES["windows_epoch_shuffle"]

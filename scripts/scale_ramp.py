@@ -162,6 +162,11 @@ PIPELINES = [
     "simhash_recall_audit",
     "window_leak_audit",
     "dataset_datasheet",
+    # r16: loader plan over the PERSISTED window store -- the streaming
+    # store build (token-linear, fixed 3 micro-batches) plus a
+    # metadata-only plan read (token arrays pruned out of ReadSchema);
+    # the plan itself is |epochs|x|windows| rows
+    "epoch_plan_from_store",
     # r16: IVFADC recall audit -- same sampled-query shape as
     # ann_recall_audit (exact side O(N x |queries|), |queries| fixed);
     # the approximate side reads codes, expect tiny shuffle

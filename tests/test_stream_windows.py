@@ -378,3 +378,36 @@ def test_unusable_writetime_stats_degrade_to_unbounded_read():
     assert _prior_max_bin_runs(
         _StatsOnlyStore({"r0": real_prior, "r3": own}), 1
     ) == (0,)
+
+
+def test_epoch_plan_from_store_equals_in_memory_twin(spark):
+    """VERDICT r15 task 4 (store-backed loader plan): the epoch-shuffle
+    plan computed from the PERSISTED window store's merged view must
+    equal the plan over the in-memory one-shot windows row-for-row —
+    and, because the plan needs only (bin, n_tokens), the store read
+    must prune the token arrays out of its ReadSchema entirely (the
+    loader PLAN reads window metadata, not the token payload)."""
+    from cassandra_util_spark.operators.packing import epoch_shuffle_plan
+
+    d = spark.createDataFrame(DOCS, "doc_id bigint, token_ids array<int>")
+    paths, _ = _write_shards(d, cuts=[2, 5])
+    store = _new_store()
+    _drain(spark, paths, store, tempfile.mkdtemp(prefix="win-cp-"))
+    view = store.read_merged(spark).select("bin", "n_tokens")
+    from_store = epoch_shuffle_plan(view, epochs=2, num_shards=3, seed="eq")
+    one_shot = materialize_packed_windows(
+        d, "doc_id", "token_ids", capacity=CAPACITY
+    )
+    in_memory = epoch_shuffle_plan(one_shot, epochs=2, num_shards=3, seed="eq")
+    assert sorted(map(tuple, from_store.collect())) == sorted(
+        map(tuple, in_memory.collect())
+    )
+    # column pruning reaches the store scan: no token payload in ReadSchema
+    plan = from_store._sc._jvm.PythonSQLUtils.explainString(
+        from_store._jdf.queryExecution(), "formatted"
+    )
+    reads = [seg[:400] for seg in plan.split("ReadSchema: ")[1:]]
+    assert reads, "expected at least one scan node"
+    for seg in reads:
+        assert "token_ids" not in seg.split("\n", 1)[0]
+    assert "doc_spans" not in plan.split("ReadSchema: ", 1)[1].split("\n", 1)[0]
