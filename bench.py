@@ -255,6 +255,8 @@ BENCH_QUERIES = [
     "bpe_encode_oov_fallback",
     "ivfpq_recall_audit",
     "epoch_plan_from_store",
+    "curriculum_windows_from_store",
+    "tokenizer_persisted_encode",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash
     # swapped to xxhash64 — the production configuration at scale

@@ -11917,3 +11917,155 @@ def epoch_plan_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 # replay — one oracle, two execution paths (the store-vs-rebuild
 # discipline; same sharing shape as bpe_streaming_encode)
 ORACLES["epoch_plan_from_store"] = ORACLES["windows_epoch_shuffle"]
+
+
+@query("curriculum_windows_from_store", oracle=None)
+def curriculum_windows_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curriculum half of the store-backed loader surface
+    (`epoch_plan_from_store` is the epoch-shuffle half; VERDICT r15
+    task 4): `curriculum_packed_windows` materializes the easy→hard
+    window stream in-plan, but in production the curriculum corpus
+    lands as INGEST WAVES — each quality stage a micro-batch — and the
+    windows must persist as they land.  This streams the curriculum-
+    ordered corpus through `stream_windows` KEYED ON THE CURRICULUM
+    ORDER (``cur_ord = stage·10¹² + doc_id``, one micro-batch per stage,
+    ascending by construction): the carry protocol is keyed on any
+    monotone non-negative bigint, not just doc ids (the general
+    mechanism is pinned by
+    tests/test_stream_windows.py::test_stream_windows_on_a_monotone_order_key),
+    so stage k+1's boundary document straddles into stage k's partial
+    window exactly as the one-shot concat-and-chunk semantics demand.
+    Hash-certified against `curriculum_packed_windows`'s full SQL
+    replay (shared oracle): the persisted store's LWW view must equal
+    the in-memory curriculum windows bin-for-bin, token-for-token.
+    Scale shape: the certified streaming-store shape (per-batch cost ∝
+    batch, one clustered append + O(capacity) carry read per stage)
+    over the certified curriculum order."""
+    import os
+    import tempfile
+    import time
+
+    from cassandra_util_spark.core.table import TableMeta
+    from cassandra_util_spark.operators.bpe import (
+        bpe_encode_ids,
+        bpe_train,
+        bpe_vocab,
+    )
+    from cassandra_util_spark.operators.text import quality_score
+    from cassandra_util_spark.sources.runs import RunStore
+    from cassandra_util_spark.streaming.corpus import stream_windows
+
+    d = _t(spark, sf_dir, "documents")
+    merges, words = bpe_train(d, "text", num_merges=_BPE_N)
+    enc = bpe_encode_ids(
+        d, "doc_id", "text", words, bpe_vocab(spark, words, merges)
+    ).localCheckpoint()
+    q = F.col("__q")
+    stage = (
+        F.when(q >= 0.7, 0)
+        .when(q >= 0.6, 1)
+        .when(q >= 0.5, 2)
+        .otherwise(3)
+        .cast("bigint")
+    )
+    stg = d.withColumn("__q", quality_score(F.col("text"))).select(
+        "doc_id", stage.alias("__stage")
+    )
+    enc2 = enc.join(stg, "doc_id").select(
+        (F.col("__stage") * F.lit(_CURW_BASE) + F.col("doc_id")).alias("cur_ord"),
+        "token_ids",
+        "__stage",
+    ).localCheckpoint()
+    src = tempfile.mkdtemp(prefix="win-cur-src-")
+    now = time.time()
+    for k in range(4):  # one ingest wave per quality stage (may be empty)
+        sub = os.path.join(src, f"shard-{k:02d}")
+        enc2.filter(F.col("__stage") == k).select(
+            "cur_ord", "token_ids"
+        ).coalesce(1).write.parquet(sub)
+        # ascending mtimes pin the file source's delivery order — stage
+        # k+1's cur_ord values all exceed stage k's by construction
+        for root, _, files in os.walk(sub):
+            for f in files:
+                os.utime(os.path.join(root, f), (now + k, now + k))
+    store = RunStore(
+        tempfile.mkdtemp(prefix="runstore-curwin-"),
+        TableMeta(("bin",), (), "writetime"),
+    )
+    stream = (
+        spark.readStream.schema("cur_ord bigint, token_ids array<int>")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(os.path.join(src, "shard-*"))
+    )
+    with _scoped_shuffle_partitions(spark, 8):
+        sq = stream_windows(
+            stream, store, tempfile.mkdtemp(prefix="win-cur-cp-"),
+            capacity=1024, id_col="cur_ord",
+        )
+        sq.awaitTermination(300)
+    view = store.read_merged(spark)
+    return view.select(
+        "bin",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        "n_tokens",
+        F.concat_ws(
+            " ", F.transform("token_ids", lambda x: x.cast("string"))
+        ).alias("token_ids"),
+    )
+
+
+# the persisted curriculum windows must hash-match the in-memory twin's
+# full SQL replay — one oracle, two execution paths
+ORACLES["curriculum_windows_from_store"] = ORACLES["curriculum_packed_windows"]
+
+
+@query("tokenizer_persisted_encode", oracle=None)
+def tokenizer_persisted_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The train-once / encode-anywhere round trip: train, persist the
+    frozen tokenizer artifact (`sources/tokenizer.py` — merges + the
+    top-{K} frequency-capped word table + the byte-fallback vocabulary,
+    plain parquet plus a _META.json contract), read it back as a fresh
+    consumer would, and encode the full corpus with ``oov="bytes"`` —
+    hash-certified against `bpe_encode_oov_fallback`'s full SQL replay
+    (shared oracle), so the persisted artifact provably induces the
+    byte-identical token stream the in-memory tokenizer does (the
+    store-vs-rebuild discipline, applied to the tokenizer itself).  At
+    100 TB this is the actual production shape: `bpe_train` runs once;
+    every later crawl shard mounts the megabyte-sized artifact
+    (vocabulary-sized tables, broadcast whole) and pays only the encode."""
+    import tempfile
+
+    from cassandra_util_spark.operators.bpe import bpe_encode_ids, bpe_train
+    from cassandra_util_spark.sources.tokenizer import (
+        read_tokenizer,
+        write_tokenizer,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    merges, words = bpe_train(d, "text", num_merges=_BPE_N)
+    path = tempfile.mkdtemp(prefix="tokenizer-") + "/bpe"
+    write_tokenizer(
+        spark, path, words, merges,
+        byte_fallback=True, capped_words=_BPE_OOV_KEEP,
+    )
+    _, kept, vocab, _ = read_tokenizer(spark, path)
+    byte_base = int(
+        vocab.filter(F.col("kind") == "byte").agg(F.min("id")).first()[0]
+    )
+    enc = bpe_encode_ids(d, "doc_id", "text", kept, vocab, oov="bytes")
+    return enc.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.transform("token_ids", lambda x: x.cast("string"))
+        ).alias("token_ids"),
+        "n_tokens",
+        F.size(
+            F.filter("token_ids", lambda t: t >= F.lit(byte_base))
+        ).cast("bigint").alias("n_byte_tokens"),
+    )
+
+
+# the persisted tokenizer must induce the byte-identical stream the
+# in-memory tokenizer does — one oracle, two execution paths
+ORACLES["tokenizer_persisted_encode"] = ORACLES["bpe_encode_oov_fallback"]

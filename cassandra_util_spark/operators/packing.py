@@ -916,6 +916,11 @@ def _windows_shard_step(
     ``[(doc, off, piece)]`` spans of the partial window ([] if the shard
     tiled exactly), ``max_bin`` the shard's highest local bin (None when
     the shard produced no windows)."""
+    if id_col in ("__ord", "__ids") or ids_col in ("__ord", "__ids"):
+        raise ValueError(
+            "column names __ord/__ids are reserved by the carry protocol; "
+            f"rename id_col={id_col!r} / ids_col={ids_col!r}"
+        )
     carry_df = spark.createDataFrame(
         [(d, o - capacity, ids) for (d, o, ids) in carry],
         f"`{id_col}` {id_type}, __ord bigint, __ids array<{elem}>",

@@ -167,6 +167,15 @@ PIPELINES = [
     # metadata-only plan read (token arrays pruned out of ReadSchema);
     # the plan itself is |epochs|x|windows| rows
     "epoch_plan_from_store",
+    # r16: persisted-tokenizer encode -- the byte-fallback encode shape
+    # plus a bounded artifact write/read (vocabulary-sized tables);
+    # expect bpe_encode_oov_fallback's token-linear curve
+    "tokenizer_persisted_encode",
+    # r16: curriculum windows persisted as ingest waves -- the streaming
+    # store build keyed on the curriculum order (one micro-batch per
+    # stage); expect the streaming-store shape (token-linear shuffle,
+    # fixed per-batch constants)
+    "curriculum_windows_from_store",
     # r16: IVFADC recall audit -- same sampled-query shape as
     # ann_recall_audit (exact side O(N x |queries|), |queries| fixed);
     # the approximate side reads codes, expect tiny shuffle

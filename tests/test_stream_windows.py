@@ -411,3 +411,51 @@ def test_epoch_plan_from_store_equals_in_memory_twin(spark):
     for seg in reads:
         assert "token_ids" not in seg.split("\n", 1)[0]
     assert "doc_spans" not in plan.split("ReadSchema: ", 1)[1].split("\n", 1)[0]
+
+
+def test_stream_windows_on_a_monotone_order_key(spark):
+    """The carry protocol is keyed on ANY monotone non-negative bigint,
+    not just doc ids: streaming a curriculum-ordered corpus keyed on
+    ord = stage·100 + doc (one micro-batch per stage, ascending) must
+    reproduce the one-shot windows materialized with order_col=ord —
+    the mechanism behind curriculum_windows_from_store."""
+    stages = {0: 1, 1: 0, 2: 2, 3: 0, 5: 1, 6: 2, 7: 0, 8: 1}
+    rows = [
+        (d, stages.get(d, 2) * 100 + d, ids) for (d, ids) in DOCS if ids
+    ] + [(4, stages.get(4, 2) * 100 + 4, [])]
+    d = spark.createDataFrame(
+        rows, "doc_id bigint, ord bigint, token_ids array<int>"
+    )
+    want = {
+        r["bin"]: (r["n_docs"], r["n_tokens"], list(r["token_ids"]))
+        for r in materialize_packed_windows(
+            d.select(F.col("ord").alias("doc_id"), "token_ids"),
+            "doc_id", "token_ids", capacity=CAPACITY,
+        ).collect()
+    }
+    src = tempfile.mkdtemp(prefix="win-cur-src-")
+    now = time.time()
+    for k in range(3):
+        sub = os.path.join(src, f"shard-{k:02d}")
+        d.filter((F.col("ord") >= k * 100) & (F.col("ord") < (k + 1) * 100)) \
+            .select("ord", "token_ids").coalesce(1).write.parquet(sub)
+        for root, _, files in os.walk(sub):
+            for f in files:
+                os.utime(os.path.join(root, f), (now + k, now + k))
+    store = _new_store()
+    stream = (
+        spark.readStream.schema("ord bigint, token_ids array<int>")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(os.path.join(src, "shard-*"))
+    )
+    q = stream_windows(
+        stream, store, tempfile.mkdtemp(prefix="win-cur-cp-"), CAPACITY,
+        id_col="ord",
+    )
+    q.awaitTermination(300)
+    got = {
+        r["bin"]: (r["n_docs"], r["n_tokens"], list(r["token_ids"]))
+        for r in store.read_merged(spark).collect()
+    }
+    assert got == want
