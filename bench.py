@@ -257,6 +257,7 @@ BENCH_QUERIES = [
     "epoch_plan_from_store",
     "curriculum_windows_from_store",
     "tokenizer_persisted_encode",
+    "bpe_roundtrip_oov",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash
     # swapped to xxhash64 — the production configuration at scale

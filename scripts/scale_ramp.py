@@ -167,6 +167,9 @@ PIPELINES = [
     # metadata-only plan read (token arrays pruned out of ReadSchema);
     # the plan itself is |epochs|x|windows| rows
     "epoch_plan_from_store",
+    # r16: byte-fallback round trip -- encode + decode chains, both
+    # token-linear; expect ~2x the fallback encode's curve
+    "bpe_roundtrip_oov",
     # r16: persisted-tokenizer encode -- the byte-fallback encode shape
     # plus a bounded artifact write/read (vocabulary-sized tables);
     # expect bpe_encode_oov_fallback's token-linear curve
