@@ -10961,6 +10961,107 @@ _rotate_driver_window_r15()
 # --- window, so the certified 50-name prefix is untouched) ----------------
 
 
+def _drain_windows_store(spark, shard_frames, id_col, capacity, prefix):
+    """Drive ascending micro-batches of ``(id, token_ids)`` frames through
+    `stream_windows` into a fresh window RunStore and return it — the ONE
+    copy of the streaming-store scaffold shared by
+    `windows_streaming_store`, `epoch_plan_from_store`, and
+    `curriculum_windows_from_store` (review r16: the carry protocol's
+    append-order precondition lives entirely in the pinned ascending file
+    mtimes; three hand-maintained copies could silently drift).  A drain
+    that exceeds the timeout RAISES instead of returning — reading a
+    partially-populated store would surface much later as an opaque
+    value-hash mismatch (review r16)."""
+    import os
+    import tempfile
+    import time
+
+    from cassandra_util_spark.core.table import TableMeta
+    from cassandra_util_spark.sources.runs import RunStore
+    from cassandra_util_spark.streaming.corpus import stream_windows
+
+    dtypes = dict(shard_frames[0].dtypes)
+    src = tempfile.mkdtemp(prefix=f"{prefix}-src-")
+    now = time.time()
+    for k, sh in enumerate(shard_frames):
+        sub = os.path.join(src, f"shard-{k:02d}")
+        sh.select(id_col, "token_ids").coalesce(1).write.parquet(sub)
+        # ascending mtimes pin the file source's delivery order — the
+        # carry protocol's append-order precondition (shard k+1's ids
+        # all exceed shard k's)
+        for root, _, files in os.walk(sub):
+            for f in files:
+                os.utime(os.path.join(root, f), (now + k, now + k))
+    store = RunStore(
+        tempfile.mkdtemp(prefix=f"{prefix}-store-"),
+        TableMeta(("bin",), (), "writetime"),
+    )
+    stream = (
+        spark.readStream.schema(
+            f"{id_col} {dtypes[id_col]}, token_ids {dtypes['token_ids']}"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(os.path.join(src, "shard-*"))
+    )
+    with _scoped_shuffle_partitions(spark, 8):
+        q = stream_windows(
+            stream, store, tempfile.mkdtemp(prefix=f"{prefix}-cp-"),
+            capacity=capacity, id_col=id_col,
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                f"{prefix}: window-store drain did not finish within 300s "
+                "— refusing to read a partially-populated store"
+            )
+    return store
+
+
+def _corpus_window_store(spark, sf_dir: str):
+    """train → encode → three ascending doc-id micro-batches → persisted
+    1024-token window store: the shared fixture build of
+    `windows_streaming_store` and `epoch_plan_from_store`."""
+    from cassandra_util_spark.operators.bpe import (
+        bpe_encode_ids,
+        bpe_train,
+        bpe_vocab,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    merges, words = bpe_train(d, "text", num_merges=_BPE_N)
+    # pin the encoded streams once: the three shard writes must not
+    # re-run the train+encode chain (the bounded-materialization
+    # discipline)
+    enc = bpe_encode_ids(
+        d, "doc_id", "text", words, bpe_vocab(spark, words, merges)
+    ).localCheckpoint()
+    mx = enc.agg(F.max("doc_id").alias("m")).first()["m"]
+    c1, c2 = mx // 3, (2 * mx) // 3
+    shards = [
+        enc.filter(F.col("doc_id") <= c1),
+        enc.filter((F.col("doc_id") > c1) & (F.col("doc_id") <= c2)),
+        enc.filter(F.col("doc_id") > c2),
+    ]
+    return _drain_windows_store(
+        spark, shards, "doc_id", capacity=1024, prefix="win-stream"
+    )
+
+
+def _windows_store_view(spark, store) -> DataFrame:
+    """The store's LWW-merged window view rendered for the cross-engine
+    hash (token ids as the space-joined string)."""
+    view = store.read_merged(spark)
+    return view.select(
+        "bin",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        "n_tokens",
+        F.concat_ws(
+            " ", F.transform("token_ids", lambda x: x.cast("string"))
+        ).alias("token_ids"),
+    )
+
+
 @query("windows_streaming_store", oracle=_WINDOWS_ORACLE)
 def windows_streaming_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The materialized training windows built by a STRUCTURED STREAM,
@@ -10979,70 +11080,7 @@ def windows_streaming_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows are immutable, per-batch cost ∝ the batch, and the only
     cross-batch state is ≤ capacity tokens read back from the store's
     max-bin row."""
-    import os
-    import tempfile
-    import time
-
-    from cassandra_util_spark.operators.bpe import (
-        bpe_encode_ids,
-        bpe_train,
-        bpe_vocab,
-    )
-    from cassandra_util_spark.sources.runs import RunStore
-    from cassandra_util_spark.streaming.corpus import stream_windows
-
-    d = _t(spark, sf_dir, "documents")
-    merges, words = bpe_train(d, "text", num_merges=_BPE_N)
-    # pin the encoded streams once: the three shard writes must not
-    # re-run the train+encode chain (the bounded-materialization
-    # discipline)
-    enc = bpe_encode_ids(
-        d, "doc_id", "text", words, bpe_vocab(spark, words, merges)
-    ).localCheckpoint()
-    mx = enc.agg(F.max("doc_id").alias("m")).first()["m"]
-    c1, c2 = mx // 3, (2 * mx) // 3
-    shards = [
-        enc.filter(F.col("doc_id") <= c1),
-        enc.filter((F.col("doc_id") > c1) & (F.col("doc_id") <= c2)),
-        enc.filter(F.col("doc_id") > c2),
-    ]
-    src = tempfile.mkdtemp(prefix="win-stream-src-")
-    now = time.time()
-    for k, sh in enumerate(shards):
-        sub = os.path.join(src, f"shard-{k:02d}")
-        sh.select("doc_id", "token_ids").coalesce(1).write.parquet(sub)
-        # ascending mtimes pin the file source's delivery order — the
-        # carry protocol's append-order precondition (shard k+1's ids
-        # all exceed shard k's)
-        for root, _, files in os.walk(sub):
-            for f in files:
-                os.utime(os.path.join(root, f), (now + k, now + k))
-    store = RunStore(
-        tempfile.mkdtemp(prefix="runstore-windows-"),
-        TableMeta(("bin",), (), "writetime"),
-    )
-    stream = (
-        spark.readStream.schema("doc_id bigint, token_ids array<int>")
-        .option("maxFilesPerTrigger", 1)
-        .option("latestFirst", "false")
-        .parquet(os.path.join(src, "shard-*"))
-    )
-    with _scoped_shuffle_partitions(spark, 8):
-        q = stream_windows(
-            stream, store, tempfile.mkdtemp(prefix="win-cp-"),
-            capacity=1024,
-        )
-        q.awaitTermination(300)
-    view = store.read_merged(spark)
-    return view.select(
-        "bin",
-        F.col("n_docs").cast("bigint").alias("n_docs"),
-        "n_tokens",
-        F.concat_ws(
-            " ", F.transform("token_ids", lambda x: x.cast("string"))
-        ).alias("token_ids"),
-    )
-
+    return _windows_store_view(spark, _corpus_window_store(spark, sf_dir))
 
 _EPOCH_SEED = "ep0"
 _N_EPOCHS = 3
@@ -11181,6 +11219,33 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 # no-split per-document schedule when hard boundaries are wanted.
 _CURW_BASE = 10**12
 
+
+def _curriculum_ord(d):
+    """``(doc_id, __cur_ord)`` — the ONE copy of the curriculum order key:
+    the quality-stage ladder (0.7/0.6/0.5 boundaries, easy→hard) as the
+    major key at ``stage·10¹²``, doc id as the tie-break.  Shared by
+    `curriculum_packed_windows` and `curriculum_windows_from_store`
+    (review r16: the thresholds and the order arithmetic are the semantic
+    link to their shared oracle — two hand copies could silently diverge,
+    surfacing only as a certification hash mismatch much later).  The
+    stage expression is staged as a column (the r15 repeated-subtree
+    guard's own discipline)."""
+    from cassandra_util_spark.operators.text import quality_score
+
+    q = F.col("__q")
+    stage = (
+        F.when(q >= 0.7, 0)
+        .when(q >= 0.6, 1)
+        .when(q >= 0.5, 2)
+        .otherwise(3)
+        .cast("bigint")
+    )
+    return d.withColumn("__q", quality_score(F.col("text"))).select(
+        "doc_id",
+        (stage * F.lit(_CURW_BASE) + F.col("doc_id")).alias("__cur_ord"),
+    )
+
+
 _CURW_ORACLE = _bpe_sql(
     _BPE_N,
     _BPE_VOCAB_CTES
@@ -11250,7 +11315,6 @@ def curriculum_packed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_util_spark.operators.packing import (
         materialize_packed_windows,
     )
-    from cassandra_util_spark.operators.text import quality_score
 
     d = _t(spark, sf_dir, "documents")
     merges, words = bpe_train(d, "text", num_merges=_BPE_N)
@@ -11258,26 +11322,13 @@ def curriculum_packed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = bpe_encode_ids(
         d, "doc_id", "text", words, bpe_vocab(spark, words, merges)
     ).localCheckpoint()
-    q = F.col("__q")
-    stage = (
-        F.when(q >= 0.7, 0)
-        .when(q >= 0.6, 1)
-        .when(q >= 0.5, 2)
-        .otherwise(3)
-        .cast("bigint")
-    )
-    stg = d.withColumn("__q", quality_score(F.col("text"))).select(
-        "doc_id", stage.alias("__stage")
-    )
     # pin the joined chain too: distributed_cumsum executes its input
     # three times, and enc's pin does not cover the quality-score scan
-    # or the stage join layered on top (review r15)
-    enc2 = enc.join(stg, "doc_id").withColumn(
-        "__ord", F.col("__stage") * F.lit(_CURW_BASE) + F.col("doc_id")
-    ).localCheckpoint()
+    # or the order-key join layered on top (review r15)
+    enc2 = enc.join(_curriculum_ord(d), "doc_id").localCheckpoint()
     win = materialize_packed_windows(
         enc2, "doc_id", "token_ids", capacity=1024,
-        order_col="__ord", distributed=True,
+        order_col="__cur_ord", distributed=True,
     )
     return win.select(
         "bin",
@@ -11855,58 +11906,9 @@ def epoch_plan_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     against `windows_epoch_shuffle`'s full one-shot SQL replay (shared
     oracle): the persisted store and the in-memory twin must induce the
     IDENTICAL (epoch, shard, pos) assignment."""
-    import os
-    import tempfile
-    import time
-
-    from cassandra_util_spark.core.table import TableMeta
-    from cassandra_util_spark.operators.bpe import (
-        bpe_encode_ids,
-        bpe_train,
-        bpe_vocab,
-    )
     from cassandra_util_spark.operators.packing import epoch_shuffle_plan
-    from cassandra_util_spark.sources.runs import RunStore
-    from cassandra_util_spark.streaming.corpus import stream_windows
 
-    d = _t(spark, sf_dir, "documents")
-    merges, words = bpe_train(d, "text", num_merges=_BPE_N)
-    enc = bpe_encode_ids(
-        d, "doc_id", "text", words, bpe_vocab(spark, words, merges)
-    ).localCheckpoint()
-    mx = enc.agg(F.max("doc_id").alias("m")).first()["m"]
-    c1, c2 = mx // 3, (2 * mx) // 3
-    shards = [
-        enc.filter(F.col("doc_id") <= c1),
-        enc.filter((F.col("doc_id") > c1) & (F.col("doc_id") <= c2)),
-        enc.filter(F.col("doc_id") > c2),
-    ]
-    src = tempfile.mkdtemp(prefix="win-stream-src-")
-    now = time.time()
-    for k, sh in enumerate(shards):
-        sub = os.path.join(src, f"shard-{k:02d}")
-        sh.select("doc_id", "token_ids").coalesce(1).write.parquet(sub)
-        # ascending mtimes pin the file source's delivery order — the
-        # carry protocol's append-order precondition
-        for root, _, files in os.walk(sub):
-            for f in files:
-                os.utime(os.path.join(root, f), (now + k, now + k))
-    store = RunStore(
-        tempfile.mkdtemp(prefix="runstore-epochplan-"),
-        TableMeta(("bin",), (), "writetime"),
-    )
-    stream = (
-        spark.readStream.schema("doc_id bigint, token_ids array<int>")
-        .option("maxFilesPerTrigger", 1)
-        .option("latestFirst", "false")
-        .parquet(os.path.join(src, "shard-*"))
-    )
-    with _scoped_shuffle_partitions(spark, 8):
-        q = stream_windows(
-            stream, store, tempfile.mkdtemp(prefix="win-cp-"),
-            capacity=1024,
-        )
-        q.awaitTermination(300)
+    store = _corpus_window_store(spark, sf_dir)
     view = store.read_merged(spark).select("bin", "n_tokens")
     return epoch_shuffle_plan(
         view, epochs=_N_EPOCHS, num_shards=_EPOCH_SHARDS, seed=_EPOCH_SEED
@@ -11941,78 +11943,34 @@ def curriculum_windows_from_store(spark: SparkSession, sf_dir: str) -> DataFrame
     Scale shape: the certified streaming-store shape (per-batch cost ∝
     batch, one clustered append + O(capacity) carry read per stage)
     over the certified curriculum order."""
-    import os
-    import tempfile
-    import time
-
-    from cassandra_util_spark.core.table import TableMeta
     from cassandra_util_spark.operators.bpe import (
         bpe_encode_ids,
         bpe_train,
         bpe_vocab,
     )
-    from cassandra_util_spark.operators.text import quality_score
-    from cassandra_util_spark.sources.runs import RunStore
-    from cassandra_util_spark.streaming.corpus import stream_windows
 
     d = _t(spark, sf_dir, "documents")
     merges, words = bpe_train(d, "text", num_merges=_BPE_N)
     enc = bpe_encode_ids(
         d, "doc_id", "text", words, bpe_vocab(spark, words, merges)
     ).localCheckpoint()
-    q = F.col("__q")
-    stage = (
-        F.when(q >= 0.7, 0)
-        .when(q >= 0.6, 1)
-        .when(q >= 0.5, 2)
-        .otherwise(3)
-        .cast("bigint")
-    )
-    stg = d.withColumn("__q", quality_score(F.col("text"))).select(
-        "doc_id", stage.alias("__stage")
-    )
-    enc2 = enc.join(stg, "doc_id").select(
-        (F.col("__stage") * F.lit(_CURW_BASE) + F.col("doc_id")).alias("cur_ord"),
-        "token_ids",
-        "__stage",
+    enc2 = enc.join(_curriculum_ord(d), "doc_id").select(
+        F.col("__cur_ord").alias("cur_ord"), "token_ids"
     ).localCheckpoint()
-    src = tempfile.mkdtemp(prefix="win-cur-src-")
-    now = time.time()
-    for k in range(4):  # one ingest wave per quality stage (may be empty)
-        sub = os.path.join(src, f"shard-{k:02d}")
-        enc2.filter(F.col("__stage") == k).select(
-            "cur_ord", "token_ids"
-        ).coalesce(1).write.parquet(sub)
-        # ascending mtimes pin the file source's delivery order — stage
-        # k+1's cur_ord values all exceed stage k's by construction
-        for root, _, files in os.walk(sub):
-            for f in files:
-                os.utime(os.path.join(root, f), (now + k, now + k))
-    store = RunStore(
-        tempfile.mkdtemp(prefix="runstore-curwin-"),
-        TableMeta(("bin",), (), "writetime"),
-    )
-    stream = (
-        spark.readStream.schema("cur_ord bigint, token_ids array<int>")
-        .option("maxFilesPerTrigger", 1)
-        .option("latestFirst", "false")
-        .parquet(os.path.join(src, "shard-*"))
-    )
-    with _scoped_shuffle_partitions(spark, 8):
-        sq = stream_windows(
-            stream, store, tempfile.mkdtemp(prefix="win-cur-cp-"),
-            capacity=1024, id_col="cur_ord",
+    # one ingest wave per quality stage (stage k's keys live in
+    # [k·BASE, (k+1)·BASE) — ascending by construction; a wave may be
+    # empty, which the carry protocol treats as a no-op batch)
+    shards = [
+        enc2.filter(
+            (F.col("cur_ord") >= k * _CURW_BASE)
+            & (F.col("cur_ord") < (k + 1) * _CURW_BASE)
         )
-        sq.awaitTermination(300)
-    view = store.read_merged(spark)
-    return view.select(
-        "bin",
-        F.col("n_docs").cast("bigint").alias("n_docs"),
-        "n_tokens",
-        F.concat_ws(
-            " ", F.transform("token_ids", lambda x: x.cast("string"))
-        ).alias("token_ids"),
+        for k in range(4)
+    ]
+    store = _drain_windows_store(
+        spark, shards, "cur_ord", capacity=1024, prefix="win-cur"
     )
+    return _windows_store_view(spark, store)
 
 
 # the persisted curriculum windows must hash-match the in-memory twin's

@@ -916,10 +916,17 @@ def _windows_shard_step(
     ``[(doc, off, piece)]`` spans of the partial window ([] if the shard
     tiled exactly), ``max_bin`` the shard's highest local bin (None when
     the shard produced no windows)."""
-    if id_col in ("__ord", "__ids") or ids_col in ("__ord", "__ids"):
+    # __ord/__ids are the protocol's working columns; bin/n_docs/n_tokens/
+    # token_ids/doc_spans are its OUTPUT columns — an id column named like
+    # either class would collide inside the union or the materialization
+    # with an unactionable Catalyst error (review r16: window stores are
+    # keyed ('bin',), so id_col="bin" is a plausible mistake)
+    reserved = {"__ord", "__ids", "bin", "n_docs", "n_tokens",
+                "token_ids", "doc_spans"}
+    if id_col in reserved or ids_col in ("__ord", "__ids"):
         raise ValueError(
-            "column names __ord/__ids are reserved by the carry protocol; "
-            f"rename id_col={id_col!r} / ids_col={ids_col!r}"
+            f"column names {sorted(reserved)} are reserved by the carry "
+            f"protocol; rename id_col={id_col!r} / ids_col={ids_col!r}"
         )
     carry_df = spark.createDataFrame(
         [(d, o - capacity, ids) for (d, o, ids) in carry],

@@ -1139,6 +1139,24 @@ def pq_topk(
     )
 
 
+def _d4_rank_topk(pairs: DataFrame, k: int) -> DataFrame:
+    """(query_id, neighbor_id, d4, rank) — the ONE copy of the L2-metric
+    family's exact ranking semantics, shared by the ground-truth scan
+    (:func:`l2_topk`) and the shortlist re-rank (:func:`_exact_rerank`):
+    d4 = round(l2sq(qv, cv), 4) ascending, ties to the smaller neighbor
+    id, top-k per query.  The recall audits compare these two paths, so
+    their rounding and tie-break must be provably identical (review r16)."""
+    exact = pairs.withColumn("d4", F.round(_l2sq(F.col("qv"), F.col("cv")), 4))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d4").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "d4", "rank")
+    )
+
+
 def l2_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1165,17 +1183,8 @@ def l2_topk(
         F.col(id_col).alias("neighbor_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
     )
-    d = (
-        cd.join(F.broadcast(qd), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("d4", F.round(_l2sq(F.col("qv"), F.col("cv")), 4))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("d4").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        d.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "d4", "rank")
+    return _d4_rank_topk(
+        cd.join(F.broadcast(qd), F.col("neighbor_id") != F.col("query_id")), k
     )
 
 
@@ -1211,18 +1220,10 @@ def _exact_rerank(
         F.col(id_col).alias("neighbor_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
     )
-    exact = (
+    return _d4_rank_topk(
         cd.join(F.broadcast(short_ids), "neighbor_id")
-        .join(F.broadcast(qd), "query_id")
-        .withColumn("d4", F.round(_l2sq(F.col("qv"), F.col("cv")), 4))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("d4").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        exact.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "d4", "rank")
+        .join(F.broadcast(qd), "query_id"),
+        k,
     )
 
 

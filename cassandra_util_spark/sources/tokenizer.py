@@ -130,6 +130,12 @@ def read_tokenizer(
             f"unsupported tokenizer format {meta.get('format')!r} at "
             f"{path} (this build reads format {TOKENIZER_FORMAT})"
         )
+    if not isinstance(meta.get("num_merges"), int):
+        raise ValueError(
+            f"tokenizer artifact at {path} has a truncated _META.json "
+            "(no integer num_merges) — rewrite the artifact with "
+            "write_tokenizer"
+        )
     merge_rows = (
         spark.read.parquet(os.path.join(path, "merges"))
         .orderBy("step")

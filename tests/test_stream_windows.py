@@ -459,3 +459,22 @@ def test_stream_windows_on_a_monotone_order_key(spark):
         for r in store.read_merged(spark).collect()
     }
     assert got == want
+
+
+def test_reserved_column_names_rejected_loudly(spark):
+    """Review r16: an id column named like the protocol's working or
+    OUTPUT columns (window stores are keyed ('bin',), so id_col='bin' is
+    a plausible mistake) must be a named ValueError, not a deep Catalyst
+    error inside the union or the materialization."""
+    for bad in ("__ord", "__ids", "bin", "n_tokens", "token_ids"):
+        d = spark.createDataFrame(
+            [(0, [1, 2])], f"`{bad}` bigint, ids array<int>"
+        )
+        with pytest.raises(Exception, match="reserved by the carry"):
+            from cassandra_util_spark.operators.packing import (
+                _windows_shard_step,
+            )
+
+            _windows_shard_step(
+                spark, [], d, bad, "ids", 4, "bigint", "int"
+            )

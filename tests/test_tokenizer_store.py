@@ -101,6 +101,13 @@ def test_meta_contract_fails_loudly(spark, trained):
     json.dump({**meta, "num_merges": 999}, open(meta_path, "w"))
     with pytest.raises(ValueError, match="inconsistent"):
         read_tokenizer(spark, path)
+    # truncated meta: num_merges missing entirely (review r16 — must be
+    # the named ValueError, not a bare KeyError)
+    json.dump({k: v for k, v in meta.items() if k != "num_merges"},
+              open(meta_path, "w"))
+    with pytest.raises(ValueError, match="truncated _META.json"):
+        read_tokenizer(spark, path)
+    json.dump(meta, open(meta_path, "w"))
     # byte_fallback claimed but block missing
     path2 = tempfile.mkdtemp(prefix="tok-nb-") + "/bpe"
     write_tokenizer(spark, path2, words, merges, byte_fallback=False)
