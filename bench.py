@@ -258,6 +258,7 @@ BENCH_QUERIES = [
     "curriculum_windows_from_store",
     "tokenizer_persisted_encode",
     "bpe_roundtrip_oov",
+    "tokenizer_streaming_encode",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash
     # swapped to xxhash64 — the production configuration at scale

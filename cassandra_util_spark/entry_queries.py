@@ -12059,3 +12059,86 @@ def bpe_roundtrip_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = bpe_vocab(spark, words, merges, byte_fallback=True)
     ids = bpe_encode_ids(d, "doc_id", "text", kept, vocab, oov="bytes")
     return bpe_decode(ids, "doc_id", "token_ids", vocab=vocab)
+
+
+@query("tokenizer_streaming_encode", oracle=None)
+def tokenizer_streaming_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING half of the byte-fallback contract, against the
+    PERSISTED artifact — the end-state production tokenizer pipeline:
+    `bpe_train` ran once, `write_tokenizer` shipped the frozen artifact
+    (top-{K} capped word table + byte-fallback vocabulary), and new crawl
+    lands as a stream that `stream_encode(oov="bytes")` tokenizes
+    shard-by-shard into a persisted RunStore — every word outside the
+    shipped cap degrading to byte tokens inline, never killing the
+    ingest.  Hash-certified against `bpe_encode_oov_fallback`'s full SQL
+    replay (shared oracle): the streamed store's LWW view must equal the
+    one-batch frozen-vocab encode byte for byte, regardless of batch
+    boundaries (`bpe_streaming_encode` certifies the same convergence
+    for the uncapped raise-mode tokenizer).  Composes three certified
+    pieces: the artifact round trip (`tokenizer_persisted_encode`), the
+    inline byte fallback, and the idempotent streamed encode."""
+    import tempfile
+
+    from cassandra_util_spark.core.table import TableMeta
+    from cassandra_util_spark.operators.bpe import bpe_train
+    from cassandra_util_spark.sources.runs import RunStore
+    from cassandra_util_spark.sources.tokenizer import (
+        read_tokenizer,
+        write_tokenizer,
+    )
+    from cassandra_util_spark.streaming.corpus import stream_encode
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    merges, words = bpe_train(d, "text", num_merges=_BPE_N)
+    path = tempfile.mkdtemp(prefix="tokenizer-stream-") + "/bpe"
+    write_tokenizer(
+        spark, path, words, merges,
+        byte_fallback=True, capped_words=_BPE_OOV_KEEP,
+    )
+    _, kept, vocab, _ = read_tokenizer(spark, path)
+    byte_base = int(
+        vocab.filter(F.col("kind") == "byte").agg(F.min("id")).first()[0]
+    )
+    src = tempfile.mkdtemp(prefix="tok-stream-src-")
+    for k in range(3):
+        d.filter(F.col("doc_id") % 3 == k).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    store = RunStore(
+        tempfile.mkdtemp(prefix="runstore-tok-enc-"),
+        TableMeta(("doc_id",), (), "writetime"),
+    )
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    with _scoped_shuffle_partitions(spark, 8):
+        q = stream_encode(
+            stream, store, tempfile.mkdtemp(prefix="tok-enc-cp-"),
+            kept, vocab, oov="bytes",
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "tokenizer_streaming_encode: encode drain did not finish "
+                "within 300s — refusing to read a partial store"
+            )
+    view = store.read_merged(spark)
+    return view.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.transform("token_ids", lambda x: x.cast("string"))
+        ).alias("token_ids"),
+        "n_tokens",
+        F.size(
+            F.filter("token_ids", lambda t: t >= F.lit(byte_base))
+        ).cast("bigint").alias("n_byte_tokens"),
+    )
+
+
+# the streamed frozen-artifact encode must converge to the one-batch
+# byte-fallback encode — one oracle, three execution paths now
+# (in-memory, persisted-artifact, streamed-persisted-artifact)
+ORACLES["tokenizer_streaming_encode"] = ORACLES["bpe_encode_oov_fallback"]

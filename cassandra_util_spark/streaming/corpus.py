@@ -219,6 +219,7 @@ def stream_encode(
     text_col: str = "text",
     unk_id: int = -1,
     merge_batch: int = 16,
+    oov: str = "raise",
     maintain_every: Optional[int] = None,
     min_threshold: int = 4,
     available_now: bool = True,
@@ -244,7 +245,13 @@ def stream_encode(
     vocabulary-sized, map-only folds), then
     :func:`~cassandra_util_spark.operators.bpe.bpe_encode_ids` assembles
     the shard's streams; symbols outside the id vocab (unseen characters)
-    map to ``unk_id``, never dropped.  The transform is a pure function
+    map to ``unk_id``, never dropped.  ``oov="bytes"`` (requires a
+    byte-fallback vocabulary and no ``merges`` — the replay combo is
+    rejected as in :func:`~cassandra_util_spark.operators.bpe.bpe_encode`)
+    degrades words outside the frozen word table to their UTF-8 byte
+    tokens inline — the streaming half of the r16 byte-fallback contract:
+    new crawl encodes against the shipped artifact without a job kill.
+    The transform is a pure function
     of (batch contents, frozen model), so a replayed batch re-derives the
     same run and the idempotent named append no-ops — the
     ``stream_to_runstore`` replay guard.
@@ -262,8 +269,17 @@ def stream_encode(
             f"'writetime'; got keys={store.meta.partition_keys} "
             f"writetime={store.meta.writetime_col!r}"
         )
+    if oov == "bytes" and merges is not None:
+        raise ValueError(
+            "oov='bytes' with merges= is ambiguous — the merge replay "
+            "already segments unseen words; pass the frozen word table "
+            "alone for the byte-fallback shape"
+        )
     words = words.select("word", "syms").localCheckpoint()
-    vocab = vocab.select("sym", "id").localCheckpoint()
+    # keep `kind` when present: bpe_encode_ids' oov='bytes' validation
+    # reads the byte block from it
+    vcols = ["sym", "id"] + (["kind"] if "kind" in vocab.columns else [])
+    vocab = vocab.select(*vcols).localCheckpoint()
 
     def encode_batch(batch_df: DataFrame, batch_id: int) -> DataFrame:
         # Intra-batch dedup (the streaming/ann.py ADVICE-r8 contract):
@@ -294,13 +310,15 @@ def stream_encode(
         ).distinct()
         seg = words.join(batch_vocab, "word", "left_semi")
         if merges is not None:
-            oov = batch_vocab.join(words.select("word"), "word", "left_anti")
-            if not oov.isEmpty():
+            unseen = batch_vocab.join(
+                words.select("word"), "word", "left_anti"
+            )
+            if not unseen.isEmpty():
                 seg = seg.unionByName(
-                    segment_words(oov, merges, batch=merge_batch)
+                    segment_words(unseen, merges, batch=merge_batch)
                 )
         return bpe_encode_ids(
-            batch_df, id_col, text_col, seg, vocab, unk_id=unk_id
+            batch_df, id_col, text_col, seg, vocab, unk_id=unk_id, oov=oov
         ).withColumn("writetime", F.lit(batch_id).cast("long"))
 
     return stream_to_runstore(

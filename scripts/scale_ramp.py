@@ -167,6 +167,10 @@ PIPELINES = [
     # metadata-only plan read (token arrays pruned out of ReadSchema);
     # the plan itself is |epochs|x|windows| rows
     "epoch_plan_from_store",
+    # r16: streamed frozen-artifact encode -- bpe_streaming_encode's
+    # shape (3 fixed micro-batches + store appends) over the byte-
+    # fallback encode; expect that family's token-linear curve
+    "tokenizer_streaming_encode",
     # r16: byte-fallback round trip -- encode + decode chains, both
     # token-linear; expect ~2x the fallback encode's curve
     "bpe_roundtrip_oov",

@@ -161,3 +161,70 @@ def test_intra_batch_duplicate_delivery(spark, frozen):
     assert len(rows) == 1
     [want] = bpe_encode_ids(one, "doc_id", "text", words, vocab).collect()
     assert list(rows[0]["token_ids"]) == list(want["token_ids"])
+
+
+def test_streamed_byte_fallback_equals_batch_encode(spark, frozen):
+    """r16 byte fallback, streaming half: with the frozen word table
+    alone (no merges) and oov='bytes', OOV words in later shards —
+    including the unseen character 'z' — encode as reserved byte-token
+    ids instead of killing the ingest, and the streamed store equals the
+    one-batch byte-fallback encode regardless of batch boundaries."""
+    d, merges, words, _ = frozen
+    fb_vocab = bpe_vocab(spark, words, merges, byte_fallback=True)
+    src = tempfile.mkdtemp(prefix="enc-fb-src-")
+    for k in range(3):
+        d.filter(F.col("doc_id") % 3 == k).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    store = RunStore(
+        tempfile.mkdtemp(prefix="enc-fb-store-"),
+        TableMeta(("doc_id",), (), "writetime"),
+    )
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    q = stream_encode(
+        stream, store, tempfile.mkdtemp(prefix="enc-fb-cp-"),
+        words, fb_vocab, oov="bytes",
+    )
+    assert q.awaitTermination(300)
+    got = {
+        r["doc_id"]: (list(r["token_ids"]), r["n_tokens"])
+        for r in store.read_merged(spark)
+        .select("doc_id", "token_ids", "n_tokens")
+        .collect()
+    }
+    want = {
+        r["doc_id"]: (list(r["token_ids"]), r["n_tokens"])
+        for r in bpe_encode_ids(
+            d, "doc_id", "text", words, fb_vocab, oov="bytes"
+        ).collect()
+    }
+    assert got == want
+    # no UNKs anywhere: every OOV word went through the byte block
+    byte_base = min(
+        r["id"] for r in fb_vocab.filter(F.col("kind") == "byte").collect()
+    )
+    assert all(t >= 0 for ids, _ in got.values() for t in ids)
+    assert any(t >= byte_base for t in got[5][0])
+
+
+def test_stream_encode_rejects_bytes_with_merges(spark, frozen):
+    d, merges, words, _ = frozen
+    fb_vocab = bpe_vocab(spark, words, merges, byte_fallback=True)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .parquet(tempfile.mkdtemp(prefix="enc-rej-"))
+    )
+    store = RunStore(
+        tempfile.mkdtemp(prefix="enc-rej-store-"),
+        TableMeta(("doc_id",), (), "writetime"),
+    )
+    with pytest.raises(ValueError, match="ambiguous"):
+        stream_encode(
+            stream, store, tempfile.mkdtemp(prefix="enc-rej-cp-"),
+            words, fb_vocab, merges=merges, oov="bytes",
+        )
