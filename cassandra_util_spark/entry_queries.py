@@ -12142,3 +12142,95 @@ def tokenizer_streaming_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # byte-fallback encode — one oracle, three execution paths now
 # (in-memory, persisted-artifact, streamed-persisted-artifact)
 ORACLES["tokenizer_streaming_encode"] = ORACLES["bpe_encode_oov_fallback"]
+
+
+# --- Round-17 driver-window rotation (VERDICT r15 discipline, continued) ---
+# The full r16 window (all 50 green in CORRECTNESS_r16) turns over.  In come
+# the 7 round-16 additions — the byte-fallback encode trio sharing one oracle
+# (in-memory / persisted-artifact / streamed-artifact), the OOV round-trip,
+# the IVFPQ recall fixture, and the two store-backed loader twins — plus 43
+# least-recently-certified re-certs (10 last certified r12, then 33 last
+# certified r13, registration order within equal (round, count)).  Family
+# coverage in the window: dedup (exact/fingerprint/simhash/jaccard/winnowing/
+# spans/LSH/star), tokenizer+packing, ANN/PQ, retention/CDC/compaction,
+# sampling, retrieval, TPC-H (q1, q9), streaming (funnel, logcost), events.
+
+_WINDOW_ROTATE_IN_R17 = [
+    # never driver-checked (round-16 additions, all local-oracle green)
+    "bpe_encode_oov_fallback",
+    "ivfpq_recall_audit",
+    "epoch_plan_from_store",
+    "curriculum_windows_from_store",
+    "tokenizer_persisted_encode",
+    "bpe_roundtrip_oov",
+    "tokenizer_streaming_encode",
+    # least-recently-certified re-certs (last certified r12)
+    "dedup_ngram_jaccard_capped",
+    "dedup_fingerprint",
+    "events_json_props",
+    "media_frame_plan",
+    "odd_pk_filter",
+    "orders_profile",
+    "orders_status_rollup",
+    "paged_fetch",
+    "token_count_regex",
+    "writetime_projection",
+    "ann_cosine_topk",
+    "dedup_exact",
+    "dedup_simhash",
+    # last certified r13 (certification count, then registration order)
+    "weighted_sample_logcost",
+    "logcost_streaming_sample",
+    "weighted_sample_by_lang",
+    "corpus_budget_cut",
+    "padding_waste_report",
+    "mixture_budget_execution",
+    "dedup_token_spans",
+    "cdc_apply",
+    "tombstone_compaction",
+    "q9_product_type_profit",
+    "bucketed_colocated_join",
+    "embedding_quantize",
+    "dedup_clusters_star",
+    "training_corpus_assembly",
+    "sketch_heavy_hitters",
+    "runstore_leveled_view",
+    "dedup_incremental_lsh",
+    "bm25_search",
+    "sequence_packing",
+    "dedup_winnowing",
+    "events_funnel",
+    "contamination_report",
+    "lang_id",
+    "doc_fingerprint",
+    "retention_rules_antijoin",
+    "set_ops_except_intersect",
+    "retention_ttl_mixed_keys",
+    "events_user_gaps",
+    "semantic_dedup",
+    "q1_pricing_summary",
+]
+
+
+def _rotate_driver_window_r17() -> None:
+    names = list(QUERIES)
+    rotate_out = names[:50]  # the full r16 window turns over (all green in r16)
+    missing = [n for n in _WINDOW_ROTATE_IN_R17 if n not in QUERIES]
+    if missing:
+        raise AssertionError(f"window rotation references unknown queries: {missing}")
+    already = [n for n in _WINDOW_ROTATE_IN_R17 if n in rotate_out]
+    if already:  # explicit raise — a bare assert vanishes under python -O
+        raise AssertionError(f"rotate-in already inside the kept prefix: {already}")
+    prefix = list(_WINDOW_ROTATE_IN_R17)
+    if len(prefix) != 50:
+        raise AssertionError(
+            f"window rotation must produce exactly 50 names, got {len(prefix)}"
+        )
+    order = prefix + [n for n in names if n not in set(prefix)]
+    for reg in (QUERIES, ORACLES):
+        snapshot = dict(reg)
+        reg.clear()
+        reg.update({n: snapshot[n] for n in order if n in snapshot})
+
+
+_rotate_driver_window_r17()

@@ -211,60 +211,70 @@ def test_query_registry_prefix_stable():
     plus 43 least-recently-certified rows (the r11 six, then 37 last
     certified r12), finishing cumulative driver certification at
     213/213.  The rotation is entry_queries._rotate_driver_window_r16;
-    family coverage is preserved (see that block's comment)."""
+    family coverage is preserved (see that block's comment).
+
+    Round-17 intentional rotation (same discipline): the full r16 window
+    (all 50 green in CORRECTNESS_r16) turns over — in come the 7
+    round-16 additions (the byte-fallback encode trio sharing one
+    oracle, the OOV round-trip, the IVFPQ recall fixture, the two
+    store-backed loader twins) plus 43 least-recently-certified rows
+    (10 last certified r12, then 33 last certified r13), finishing
+    cumulative driver certification at 220/220.  The rotation is
+    entry_queries._rotate_driver_window_r17; family coverage is
+    preserved (see that block's comment)."""
     from cassandra_util_spark.entry_queries import ORACLES, QUERIES
 
     first50 = [
-        "windows_streaming_store",
-        "windows_epoch_shuffle",
-        "tokenizer_fertility_by_lang",
-        "curriculum_packed_windows",
-        "ann_recall_audit",
-        "lsh_recall_audit",
-        "simhash_recall_audit",
-        "q22_idle_balances",
-        "pii_redaction",
-        "pii_audit_report",
-        "retention_rule_impact",
-        "pareto_document_selection",
-        "stream_interval_join_view",
-        "acctbal_histogram_percentiles",
-        "adaptive_length_bounds",
-        "bigram_lm_quality",
-        "bm25_batch_search",
-        "commonness_buckets",
-        "decontamination",
-        "dedup_cluster_sizes",
-        "dedup_clusters",
-        "dedup_fingerprint_longest",
-        "dedup_incremental_bloom",
-        "dedup_ngram_containment",
-        "dedup_soft_keep",
-        "dedup_span_removal",
-        "dedup_within_doc_spans",
-        "doc_chunks",
-        "doc_commonness",
-        "doc_length_histogram",
-        "doc_repetition_filter",
-        "doc_top_terms",
-        "embedding_mean_pool",
-        "embedding_prototypes",
-        "events_activity_anomalies",
-        "events_cube_profile",
-        "events_skew_report",
-        "events_sliding_window_sum",
-        "events_zorder_layout",
-        "hard_negatives",
-        "lang_confusion_matrix",
-        "mixture_temperature_plan",
-        "orders_ledger_reconciliation",
-        "orders_rollup_totals",
-        "passage_dup_share",
-        "passage_retrieval",
-        "retrieval_eval",
-        "stratified_sample_docs",
-        "stratified_topk_docs",
-        "weighted_repeat_docs",
+        "bpe_encode_oov_fallback",
+        "ivfpq_recall_audit",
+        "epoch_plan_from_store",
+        "curriculum_windows_from_store",
+        "tokenizer_persisted_encode",
+        "bpe_roundtrip_oov",
+        "tokenizer_streaming_encode",
+        "dedup_ngram_jaccard_capped",
+        "dedup_fingerprint",
+        "events_json_props",
+        "media_frame_plan",
+        "odd_pk_filter",
+        "orders_profile",
+        "orders_status_rollup",
+        "paged_fetch",
+        "token_count_regex",
+        "writetime_projection",
+        "ann_cosine_topk",
+        "dedup_exact",
+        "dedup_simhash",
+        "weighted_sample_logcost",
+        "logcost_streaming_sample",
+        "weighted_sample_by_lang",
+        "corpus_budget_cut",
+        "padding_waste_report",
+        "mixture_budget_execution",
+        "dedup_token_spans",
+        "cdc_apply",
+        "tombstone_compaction",
+        "q9_product_type_profit",
+        "bucketed_colocated_join",
+        "embedding_quantize",
+        "dedup_clusters_star",
+        "training_corpus_assembly",
+        "sketch_heavy_hitters",
+        "runstore_leveled_view",
+        "dedup_incremental_lsh",
+        "bm25_search",
+        "sequence_packing",
+        "dedup_winnowing",
+        "events_funnel",
+        "contamination_report",
+        "lang_id",
+        "doc_fingerprint",
+        "retention_rules_antijoin",
+        "set_ops_except_intersect",
+        "retention_ttl_mixed_keys",
+        "events_user_gaps",
+        "semantic_dedup",
+        "q1_pricing_summary",
     ]
     assert list(QUERIES)[:50] == first50
     # every registered query keeps a full-strength oracle
