@@ -543,6 +543,42 @@ def bpe_vocab(
     return spark.createDataFrame(rows, "id int, sym string, kind string")
 
 
+def byte_block_bounds(vocab: DataFrame) -> Tuple[int, int]:
+    """``(byte_base, end_id)`` of a byte-fallback vocabulary — one
+    bounded collect (≤257 rows) fixing the reserved ``<0xNN>`` block and
+    the word terminal.  Raises with the remedy when the vocabulary was
+    not built with ``bpe_vocab(..., byte_fallback=True)`` (missing or
+    non-contiguous byte block, missing ``</w>``): a byte token falling
+    to ``unk_id`` would silently destroy the round-trip.  Shared by
+    :func:`bpe_encode_ids` and the streaming encoder's SETUP-time check
+    (`streaming/corpus.py`), so a misconfigured stream dies before it
+    starts rather than inside the first ``foreachBatch`` (ADVICE r16)."""
+    special = (
+        vocab.filter((F.col("kind") == "byte") | (F.col("sym") == END))
+        .select("sym", "id", "kind")
+        .collect()
+        if "kind" in vocab.columns
+        else []
+    )
+    byte_ids = sorted(r["id"] for r in special if r["kind"] == "byte")
+    if len(byte_ids) != 256 or byte_ids != list(
+        range(byte_ids[0], byte_ids[0] + 256)
+    ):
+        raise ValueError(
+            "oov='bytes' needs a byte-fallback vocabulary — build it "
+            "with bpe_vocab(..., byte_fallback=True) so the <0xNN> "
+            "symbols have a contiguous reserved 256-id block "
+            f"(found {len(byte_ids)} byte rows)"
+        )
+    end_ids = [r["id"] for r in special if r["sym"] == END]
+    if not end_ids:
+        raise ValueError(
+            f"oov='bytes' needs the word terminal {END!r} in the "
+            "vocabulary (every byte-fallback word ends with it)"
+        )
+    return byte_ids[0], end_ids[0]
+
+
 def bpe_encode_ids(
     df: DataFrame,
     id_col: str,
@@ -584,32 +620,7 @@ def bpe_encode_ids(
         raise ValueError(f"oov must be 'raise' or 'bytes', got {oov!r}")
     oov_expr = None
     if oov == "bytes":
-        # one bounded collect (≤257 rows) fixes the reserved block and the
-        # terminal id; the fallback itself is a zero-scan inline expression
-        special = (
-            vocab.filter((F.col("kind") == "byte") | (F.col("sym") == END))
-            .select("sym", "id", "kind")
-            .collect()
-            if "kind" in vocab.columns
-            else []
-        )
-        byte_ids = sorted(r["id"] for r in special if r["kind"] == "byte")
-        if len(byte_ids) != 256 or byte_ids != list(
-            range(byte_ids[0], byte_ids[0] + 256)
-        ):
-            raise ValueError(
-                "oov='bytes' needs a byte-fallback vocabulary — build it "
-                "with bpe_vocab(..., byte_fallback=True) so the <0xNN> "
-                "symbols have a contiguous reserved 256-id block "
-                f"(found {len(byte_ids)} byte rows)"
-            )
-        end_ids = [r["id"] for r in special if r["sym"] == END]
-        if not end_ids:
-            raise ValueError(
-                f"oov='bytes' needs the word terminal {END!r} in the "
-                "vocabulary (every byte-fallback word ends with it)"
-            )
-        base, end = byte_ids[0], end_ids[0]
+        base, end = byte_block_bounds(vocab)
         oov_expr = lambda w: byte_fallback_ids(w, base, end)  # noqa: E731
     seg_ids = (
         words.select("word", F.posexplode("syms").alias("j", "sym"))
@@ -640,16 +651,50 @@ def _reassemble_byte_runs(joined: Column) -> Column:
     other symbol can contain it), so splitting on ``<0x`` is exact; a
     decoded run that itself CONTAINS ``<0x`` is inert (decoding happens
     after all splitting).  Streams with no byte tokens pass through
-    untouched (the split yields one element).  Pure expressions."""
+    untouched (the split yields one element).  Pure expressions.
+
+    Whole-run assumption, GUARDED (ADVICE r16): reassembly is only
+    correct when byte runs arrive intact — i.e. over DOCUMENT streams,
+    the encoder's output unit.  A stream sliced at an arbitrary token
+    boundary (a capacity-boundary window payload from
+    ``materialize_packed_windows`` can cut an OOV word's run
+    mid-character) yields a run whose bytes are not valid UTF-8; that
+    now raises with the remedy (reassemble per-document via doc_spans
+    BEFORE decoding — `reassemble_doc_streams`) instead of silently
+    producing U+FFFD replacement characters."""
     runs = F.regexp_replace(joined, "(?<=0x[0-9A-F]{2})><0x", "")
     return F.concat_ws(
         "",
         F.transform(
             F.split(runs, "<0x"),
             lambda p, i: F.when(i == F.lit(0), p).otherwise(
-                F.concat(
-                    F.decode(F.unhex(F.substring_index(p, ">", 1)), "UTF-8"),
-                    F.substr(p, F.locate(">", p) + F.lit(1)),
+                let_bind(
+                    F.unhex(F.substring_index(p, ">", 1)),
+                    # invalid hex unhexes to NULL, is_valid_utf8(NULL) is
+                    # NULL, and the when falls through to the raise — the
+                    # guard covers torn hex pairs and torn characters alike
+                    lambda b: F.when(
+                        F.is_valid_utf8(b),
+                        F.concat(
+                            F.decode(b, "UTF-8"),
+                            F.substr(p, F.locate(">", p) + F.lit(1)),
+                        ),
+                    ).otherwise(
+                        F.raise_error(
+                            F.concat(
+                                F.lit(
+                                    "bpe_decode: byte-fallback run <0x"
+                                ),
+                                F.substring_index(p, ">", 1),
+                                F.lit(
+                                    "> is not whole UTF-8 — this stream "
+                                    "was sliced mid-run (window payload?); "
+                                    "reassemble per-document from "
+                                    "doc_spans before decoding"
+                                ),
+                            )
+                        )
+                    ),
                 )
             ),
         ),

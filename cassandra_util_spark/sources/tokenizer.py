@@ -47,6 +47,48 @@ from pyspark.sql import DataFrame, SparkSession
 TOKENIZER_FORMAT = 1
 
 
+def _is_scheme_path(path_str: str) -> bool:
+    """True for URI-scheme'd paths (``s3a://…``, ``hdfs://…``,
+    ``file://…``) — those route through the Hadoop FileSystem API so the
+    meta file lands on (and reads from) the SAME filesystem as the three
+    parquet tables.  Driver-local ``open()`` on such a path would
+    silently split the artifact: parquet halves remote, meta local —
+    unreadable exactly where the module claims portability (ADVICE r16).
+    Plain local paths keep direct ``open()``: byte-identical behavior,
+    no LocalFileSystem ``.crc`` sidecars, hand-inspectable artifact."""
+    return "://" in path_str
+
+
+def _hadoop_fs(spark: SparkSession, path_str: str):
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def _fs_write_text(spark: SparkSession, path_str: str, text: str) -> None:
+    fs, jpath = _hadoop_fs(spark, path_str)
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _fs_read_text(spark: SparkSession, path_str: str) -> Optional[str]:
+    """File contents as text, or ``None`` when the file does not exist
+    (the caller owns the not-an-artifact message)."""
+    fs, jpath = _hadoop_fs(spark, path_str)
+    if not fs.exists(jpath):
+        return None
+    stream = fs.open(jpath)
+    try:
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+
+
 def write_tokenizer(
     spark: SparkSession,
     path: str,
@@ -97,10 +139,25 @@ def write_tokenizer(
         "byte_fallback": byte_fallback,
         "capped_words": capped_words,
     }
+    # publish via tmp-then-rename on the filesystem `path` names: the
+    # Hadoop FileSystem API for scheme'd paths (atomic on HDFS;
+    # best-effort on object stores, where the parquet commits above
+    # carry the same caveat), plain os.replace locally
     tmp = os.path.join(path, "_META.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, os.path.join(path, "_META.json"))  # atomic publish
+    if _is_scheme_path(path):
+        _fs_write_text(spark, tmp, json.dumps(meta))
+        fs, dest = _hadoop_fs(spark, os.path.join(path, "_META.json"))
+        _, jtmp = _hadoop_fs(spark, tmp)
+        fs.delete(dest, False)  # rename never overwrites; a stale meta may
+        if not fs.rename(jtmp, dest):
+            raise IOError(
+                f"could not publish {path}/_META.json (rename failed) — "
+                "the artifact directory is incomplete; rewrite it"
+            )
+    else:
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(path, "_META.json"))  # atomic publish
 
 
 def read_tokenizer(
@@ -117,14 +174,20 @@ def read_tokenizer(
     from pyspark.sql import functions as F
 
     meta_path = os.path.join(path, "_META.json")
-    try:
-        with open(meta_path) as f:
-            meta = json.load(f)
-    except FileNotFoundError:
+    if _is_scheme_path(path):
+        meta_text = _fs_read_text(spark, meta_path)
+    else:
+        try:
+            with open(meta_path) as f:
+                meta_text = f.read()
+        except FileNotFoundError:
+            meta_text = None
+    if meta_text is None:
         raise ValueError(
             f"{path} is not a tokenizer artifact (no _META.json) — "
             "write it with sources.tokenizer.write_tokenizer"
-        ) from None
+        )
+    meta = json.loads(meta_text)
     if meta.get("format") != TOKENIZER_FORMAT:
         raise ValueError(
             f"unsupported tokenizer format {meta.get('format')!r} at "

@@ -258,7 +258,11 @@ def stream_encode(
 
     ``store`` must key on ``(id_col,)`` with writetime ``'writetime'``:
     LWW keeps the newest stream per document across re-deliveries."""
-    from cassandra_util_spark.operators.bpe import bpe_encode_ids, segment_words
+    from cassandra_util_spark.operators.bpe import (
+        bpe_encode_ids,
+        byte_block_bounds,
+        segment_words,
+    )
     from cassandra_util_spark.streaming.ingest import stream_to_runstore
 
     if store.meta.partition_keys != (id_col,) or (
@@ -269,6 +273,8 @@ def stream_encode(
             f"'writetime'; got keys={store.meta.partition_keys} "
             f"writetime={store.meta.writetime_col!r}"
         )
+    if oov not in ("raise", "bytes"):
+        raise ValueError(f"oov must be 'raise' or 'bytes', got {oov!r}")
     if oov == "bytes" and merges is not None:
         raise ValueError(
             "oov='bytes' with merges= is ambiguous — the merge replay "
@@ -280,6 +286,13 @@ def stream_encode(
     # reads the byte block from it
     vcols = ["sym", "id"] + (["kind"] if "kind" in vocab.columns else [])
     vocab = vocab.select(*vcols).localCheckpoint()
+    if oov == "bytes":
+        # fail-fast (ADVICE r16): run the byte-block/END contiguity
+        # check against the checkpointed vocab NOW, matching the merges
+        # check above — a vocab built without byte_fallback=True should
+        # refuse at setup, not start successfully and die later as a
+        # wrapped StreamingQueryException inside the first foreachBatch
+        byte_block_bounds(vocab)
 
     def encode_batch(batch_df: DataFrame, batch_id: int) -> DataFrame:
         # Intra-batch dedup (the streaming/ann.py ADVICE-r8 contract):

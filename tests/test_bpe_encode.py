@@ -466,3 +466,21 @@ def test_byte_fallback_validation(spark, trained):
             new, "doc_id", "text", words,
             bpe_vocab(spark, words, merges, byte_fallback=True), oov="drop",
         )
+
+
+def test_torn_byte_run_raises_instead_of_mojibake(spark):
+    """A byte run sliced mid-character — the shape a capacity-boundary
+    window payload produces when it cuts an OOV word's run — must raise
+    with the per-document reassembly remedy, not silently decode to
+    U+FFFD replacement characters (ADVICE r16).  Whole runs keep
+    decoding (the guard is value-neutral on valid streams — pinned by
+    test_byte_fallback_decode_reassembles_multibyte_runs)."""
+    from cassandra_util_spark.operators.bpe import bpe_decode
+
+    # 'café' with é = C3 A9, torn after the first byte
+    df = spark.createDataFrame(
+        [(0, ["c", "a", "f", "<0xC3>", END])],
+        "doc_id int, tokens array<string>",
+    )
+    with pytest.raises(Exception, match="not whole UTF-8"):
+        bpe_decode(df, "doc_id", "tokens").collect()

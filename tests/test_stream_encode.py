@@ -228,3 +228,30 @@ def test_stream_encode_rejects_bytes_with_merges(spark, frozen):
             stream, store, tempfile.mkdtemp(prefix="enc-rej-cp-"),
             words, fb_vocab, merges=merges, oov="bytes",
         )
+
+
+def test_stream_encode_fail_fast_validation(spark, frozen):
+    """A misconfigured stream must refuse at SETUP, not start
+    successfully and die later inside the first foreachBatch as a
+    wrapped StreamingQueryException (ADVICE r16): an unknown oov value
+    and a vocab built without byte_fallback=True under oov='bytes' both
+    raise before stream_to_runstore starts."""
+    d, merges, words, vocab = frozen  # vocab WITHOUT the byte block
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .parquet(tempfile.mkdtemp(prefix="enc-ff-"))
+    )
+    store = RunStore(
+        tempfile.mkdtemp(prefix="enc-ff-store-"),
+        TableMeta(("doc_id",), (), "writetime"),
+    )
+    with pytest.raises(ValueError, match="oov must be"):
+        stream_encode(
+            stream, store, tempfile.mkdtemp(prefix="enc-ff-cp-"),
+            words, vocab, oov="drop",
+        )
+    with pytest.raises(ValueError, match="byte-fallback vocabulary"):
+        stream_encode(
+            stream, store, tempfile.mkdtemp(prefix="enc-ff-cp2-"),
+            words, vocab, oov="bytes",
+        )

@@ -116,3 +116,21 @@ def test_meta_contract_fails_loudly(spark, trained):
               open(os.path.join(path2, "_META.json"), "w"))
     with pytest.raises(ValueError, match="256 byte rows"):
         read_tokenizer(spark, path2)
+
+
+def test_schemed_path_routes_meta_through_hadoop_fs(spark, trained):
+    """A URI-scheme'd artifact path (file:// standing in for s3a://,
+    hdfs://) routes _META.json through the Hadoop FileSystem API, so
+    the meta lands on the SAME filesystem as the parquet tables and
+    reads back from it — the r16 ADVICE portability contract.  Plain
+    local paths keep direct open() (pinned by the other tests: no .crc
+    sidecars, hand-editable meta)."""
+    merges, words = trained
+    local = tempfile.mkdtemp(prefix="tok-fs-") + "/bpe"
+    path = "file://" + local
+    write_tokenizer(spark, path, words, merges, byte_fallback=True)
+    assert os.path.exists(os.path.join(local, "_META.json"))
+    m2, w2, v2, meta = read_tokenizer(spark, path)
+    assert meta["byte_fallback"] is True
+    assert m2 == merges
+    assert v2.count() > 256  # byte block + learned vocab, same tables
