@@ -267,6 +267,65 @@ def materialize_packed_windows(
     return pieces.groupBy(*keys, "bin").agg(*aggs).select(*out)
 
 
+def reassemble_doc_streams(
+    windows: DataFrame,
+    doc_col: str = "doc_id",
+    ids_col: str = "token_ids",
+    spans_col: str = "doc_spans",
+) -> DataFrame:
+    """(doc_col, token_ids, n_tokens) — INVERT
+    :func:`materialize_packed_windows`: rebuild every document's
+    contiguous token-id stream from its slice pieces scattered across
+    capacity-sliced windows.  This is the loader/inspection inverse the
+    attribution map exists for — "trace any training token back to its
+    source document" at the granularity of the WHOLE document — and the
+    production-correct precursor to detokenizing window payloads:
+    a window slice can cut an OOV word's byte-fallback run
+    mid-character, so :func:`~cassandra_util_spark.operators.bpe.
+    bpe_decode` (whose torn-run guard raises on such a slice) must see
+    per-document streams, i.e. THIS operator's output, never raw window
+    payloads (ADVICE r16).
+
+    ``windows`` needs ``(bin, token_ids, doc_spans)`` — the
+    ``with_spans=True`` output shape, in-plan or read back from a
+    persisted window store.  Pieces carry no shard column: a document
+    lives in exactly one shard, and within it ``(bin, off)``
+    lexicographic order IS the document's token order, so sharded and
+    global windows reassemble identically.
+
+    Shape (the forward pass mirrored): explode ``doc_spans`` → slice
+    the window payload per span (one row per piece, ~4 bytes/token —
+    the same information-floor payload the packer shuffled in) → ONE
+    (doc)-keyed shuffle → ordered flatten.  No per-token rows anywhere.
+    Documents that packed to zero tokens carry no spans and do not
+    reappear — a consumer needing them joins back to its corpus (the
+    round-trip fixture does exactly that)."""
+    s = F.col("s")
+    pieces = windows.select(
+        "bin", F.explode(spans_col).alias("s"), ids_col
+    ).select(
+        s["doc"].alias(doc_col),
+        F.struct(
+            F.col("bin").alias("b"),
+            s["off"].alias("o"),
+            F.slice(
+                ids_col, (s["off"] + 1).cast("int"), s["len"].cast("int")
+            ).alias("p"),
+        ).alias("__piece"),
+    )
+    return (
+        pieces.groupBy(doc_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list("__piece")), lambda x: x["p"]
+                )
+            ).alias("token_ids")
+        )
+        .withColumn("n_tokens", F.size("token_ids").cast("bigint"))
+    )
+
+
 def chunk_structs(toks: Column, chunk_words: int, overlap: int = 0) -> Column:
     """Array of (chunk_id, chunk_text, n_words) structs over a token-array
     Column — the ONE source of the fixed-window chunk arithmetic, shared by

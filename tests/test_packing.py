@@ -902,3 +902,79 @@ def test_incremental_shard_lineage_executes_once(spark):
     shard = df.mapInPandas(bump, df.schema)
     materialize_windows_incremental([shard], "doc_id", "ids", 4).collect()
     assert acc.value == n
+
+
+# reassemble_doc_streams: the inverse of materialize_packed_windows
+
+
+@pytest.mark.parametrize("distributed", [False, True])
+def test_reassemble_inverts_materialize(spark, distributed):
+    from cassandra_util_spark.operators.packing import (
+        materialize_packed_windows,
+        reassemble_doc_streams,
+    )
+
+    rows = [(i, list(range(i * 100, i * 100 + [7, 0, 23, 150, 64][i % 5])))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id bigint, ids array<int>")
+    win = materialize_packed_windows(
+        df, "doc_id", "ids", capacity=64, with_spans=True,
+        distributed=distributed,
+    )
+    got = {r["doc_id"]: list(r["token_ids"])
+           for r in reassemble_doc_streams(win).collect()}
+    want = {i: ids for i, ids in rows if ids}  # empty docs carry no spans
+    assert got == want
+
+
+def test_reassemble_inverts_sharded_windows(spark):
+    from cassandra_util_spark.operators.packing import (
+        materialize_packed_windows,
+        reassemble_doc_streams,
+    )
+
+    rows = [(i, i % 3, list(range(i, i + 40 + i % 17))) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id bigint, shard int, ids array<int>")
+    win = materialize_packed_windows(
+        df, "doc_id", "ids", capacity=32, shard_col="shard", with_spans=True
+    )
+    got = {r["doc_id"]: list(r["token_ids"])
+           for r in reassemble_doc_streams(win).collect()}
+    assert got == {i: ids for i, _, ids in rows}
+
+
+def test_reassembled_streams_decode_where_window_payloads_cannot(spark):
+    """The full-circle contract (ADVICE r16): a multi-byte byte-fallback
+    run sliced at a window boundary makes the raw window payload
+    UNDECODABLE (the torn-run guard raises on the half-character), while
+    the reassembled per-document streams decode exactly.  The corpus
+    pipeline itself only produces ASCII byte runs (normalize_text strips
+    non-[a-z0-9]), so the multi-byte stream is hand-rolled — the shape
+    an external tokenizer's byte-level stream has."""
+    from cassandra_util_spark.operators.bpe import END, bpe_decode
+    from cassandra_util_spark.operators.packing import (
+        materialize_packed_windows,
+        reassemble_doc_streams,
+    )
+
+    rows = [
+        (0, ["<0xC3>", "<0xA9>", END]),          # é
+        (1, ["<0xC3>", "<0xBC>", END]),          # ü
+        (2, ["o", "k" + END]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, toks array<string>")
+    # capacity 2 slices doc 1's é mid-character into windows 1 and 2
+    win = materialize_packed_windows(
+        df, "doc_id", "toks", capacity=2, with_spans=True
+    )
+    payload_decode = bpe_decode(
+        win.select(F.col("bin").alias("doc_id"), "token_ids"),
+        "doc_id", "token_ids",
+    )
+    with pytest.raises(Exception, match="not whole UTF-8"):
+        payload_decode.collect()
+    restored = bpe_decode(
+        reassemble_doc_streams(win), "doc_id", "token_ids"
+    )
+    got = {r["doc_id"]: r["text"] for r in restored.collect()}
+    assert got == {0: "é", 1: "ü", 2: "ok"}
