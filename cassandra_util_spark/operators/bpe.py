@@ -716,48 +716,53 @@ def bpe_decode(
     lossless-round-trip contract, hash-certified by `bpe_roundtrip_text`
     and the property the whole id-stream representation rests on).
 
-    With ``vocab``, ``tokens_col`` holds token IDS and the map applies
-    via one broadcast join over the exploded stream; an id without a
-    vocab row (the encoder's ``unk_id``) renders as ``unk_sym`` — kept
-    visibly distinct rather than dropped, mirroring the encode-side UNK
+    With ``vocab``, ``tokens_col`` holds token IDS.  The vocabulary is
+    bounded by construction (≤ base+merges+256 rows — the same bound
+    ``read_tokenizer``'s merge collect relies on), so the id→symbol map
+    ships as ONE constant-folded literal map and decoding is MAP-ONLY:
+    no explode, no join, no second (id)-keyed shuffle (the r17 rewrite —
+    the previous explode → broadcast join → re-collect paid a
+    token-count-sized string shuffle for a lookup table that fits in a
+    literal; at 100 TB detokenization is a spot-check/inspection pass
+    and must stay embarrassingly parallel).  An id without a vocab row
+    (the encoder's ``unk_id``) renders as ``unk_sym`` — kept visibly
+    distinct rather than dropped, mirroring the encode-side UNK
     contract.  Without ``vocab``, ``tokens_col`` holds symbol strings
     and decoding is one map-side expression.  In both modes ``<0xNN>``
     byte-fallback runs (the ``oov="bytes"`` encode of unseen words)
     reassemble to their UTF-8 text (:func:`_reassemble_byte_runs`), so
     the lossless round-trip holds for out-of-vocabulary words too."""
     if vocab is not None:
-        exploded = df.select(
+        # bounded collect: vocabulary-sized by construction
+        pairs = vocab.select("id", "sym").collect()
+        if not pairs:
+            raise ValueError(
+                "bpe_decode: empty vocabulary — every stream would "
+                "render as unk_sym; pass vocab=None for symbol streams"
+            )
+        ids = [int(r["id"]) for r in pairs]
+        if len(set(ids)) != len(ids):
+            raise ValueError(
+                "bpe_decode: vocabulary carries duplicate ids — rebuild "
+                "it with bpe_vocab (first-writer-wins dedup)"
+            )
+        m = F.map_from_arrays(
+            F.array(*[F.lit(i) for i in ids]),
+            F.array(*[F.lit(r["sym"]) for r in pairs]),
+        )
+        base = df.select(
             F.col(id_col).alias("id"),
-            F.posexplode(tokens_col).alias("j", "tid"),
-        )
-        mapped = (
-            exploded.join(
-                F.broadcast(vocab.select(F.col("id").alias("tid"), "sym")),
-                "tid",
-                "left",
-            )
-            .groupBy("id")
-            .agg(
-                F.concat_ws(
-                    "",
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(
-                                F.struct(
-                                    "j",
-                                    F.coalesce(
-                                        "sym", F.lit(unk_sym)
-                                    ).alias("sym"),
-                                )
-                            )
-                        ),
-                        lambda s: s["sym"],
+            F.concat_ws(
+                "",
+                F.transform(
+                    tokens_col,
+                    lambda t: F.coalesce(
+                        F.element_at(m, t.cast("int")), F.lit(unk_sym)
                     ),
-                ).alias("joined")
-            )
+                ),
+            ).alias("joined"),
         )
-        base = df.select(F.col(id_col).alias("id")).join(mapped, "id", "left")
-        joined = F.coalesce("joined", F.lit(""))
+        joined = F.col("joined")
     else:
         base = df.select(
             F.col(id_col).alias("id"),
