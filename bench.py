@@ -259,6 +259,9 @@ BENCH_QUERIES = [
     "tokenizer_persisted_encode",
     "bpe_roundtrip_oov",
     "tokenizer_streaming_encode",
+    "windows_decode_roundtrip",
+    "windows_store_decode_roundtrip",
+    "tokenizer_coverage_by_lang",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash
     # swapped to xxhash64 — the production configuration at scale

@@ -11729,7 +11729,10 @@ _rotate_driver_window_r16()
 # plants 7 genuinely out-of-vocabulary words at every scale.
 _BPE_OOV_KEEP = 24
 
-_BPE_OOV_SELECT = (
+# CTE prefix shared with the r17 decode-round-trip oracle: everything
+# through `allseg` (capped word table + byte-fallback segmentation of the
+# corpus's OOV words), without the final per-document stream render.
+_BPE_OOV_CTES = (
     _BPE_VOCAB_CTES
     + f"""
     , params AS (
@@ -11754,8 +11757,13 @@ _BPE_OOV_SELECT = (
       FROM (SELECT DISTINCT word FROM dw
             WHERE word NOT IN (SELECT word FROM kept)) o
       CROSS JOIN params p),
-    allseg AS (SELECT * FROM segids UNION ALL SELECT * FROM oovseg),
-    enc AS (
+    allseg AS (SELECT * FROM segids UNION ALL SELECT * FROM oovseg)"""
+)
+
+_BPE_OOV_SELECT = (
+    _BPE_OOV_CTES
+    + f"""
+    , enc AS (
       SELECT d.doc_id,
              string_agg(array_to_string(s.ids, ' '), ' ' ORDER BY d.pos)
                AS token_ids,
@@ -12234,3 +12242,274 @@ def _rotate_driver_window_r17() -> None:
 
 
 _rotate_driver_window_r17()
+
+
+# --- Round-17 additions (registered after the rotation: appended past the
+# driver window, so the certified first-50 prefix is untouched) ------------
+
+# Decode-round-trip oracle: re-derives, in SQL, the per-document window
+# count and token count under the CAPPED byte-fallback vocabulary (the
+# window arithmetic over the OOV-degraded streams) plus the normalized
+# text the full inversion chain must restore.  The Spark side earns its
+# hash by actually running encode → pack → reassemble → decode; the
+# oracle recomputes the invariants from first principles.
+_WINDECODE_ORACLE = _bpe_sql(
+    _BPE_N,
+    _BPE_OOV_CTES
+    + f"""
+    , dtok AS (
+      SELECT d.doc_id, CAST(sum(len(s.ids)) AS BIGINT) AS n
+      FROM dw d JOIN allseg s USING (word)
+      GROUP BY d.doc_id),
+    cum AS (
+      SELECT doc_id, n,
+             coalesce(CAST(sum(n) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS BIGINT), 0) AS cb
+      FROM dtok),
+    wins AS (
+      SELECT doc_id, n AS n_tokens,
+             CAST((cb + n - 1) // 1024 - cb // 1024 + 1 AS BIGINT)
+               AS n_windows
+      FROM cum WHERE n > 0)
+    SELECT doc.doc_id,
+           CAST(coalesce(w.n_windows, 0) AS BIGINT) AS n_windows,
+           CAST(coalesce(w.n_tokens, 0) AS BIGINT) AS n_tokens,
+           array_to_string(
+             list_filter(string_split({_NORM_SQL}, ' '), x -> x <> ''),
+             ' ') AS restored
+    FROM documents doc LEFT JOIN wins w USING (doc_id)
+    """,
+)
+
+
+@query("windows_decode_roundtrip", oracle=_WINDECODE_ORACLE)
+def windows_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL-CIRCLE loader audit: frozen capped-vocab encode (OOV
+    words degraded to byte tokens) → 1024-token packed windows →
+    `reassemble_doc_streams` (the r17 inverse operator: slice pieces →
+    one (doc)-keyed shuffle) → `bpe_decode` → the exact normalized
+    source text, per document.  This certifies the production
+    contract the r16 torn-run guard enforces from the other side:
+    window payloads are NOT decodable in place (a capacity boundary can
+    cut a byte-fallback run mid-character — `bpe_decode` on a raw
+    payload now raises), so the inspection/detokenization path must
+    reassemble per document FIRST, and this fixture hash-proves that
+    composed path restores every document byte-for-byte while the
+    oracle recomputes the window/token counts and the normalized text
+    from first principles.  Scale shape: the inverse shuffles the same
+    ~4 bytes/token slice pieces the packer shuffled in — the
+    information floor, no per-token rows anywhere — and the decode is
+    one broadcast vocab join plus map-only string surgery."""
+    from cassandra_util_spark.operators.bpe import (
+        bpe_decode,
+        bpe_encode_ids,
+        bpe_train,
+        bpe_vocab,
+    )
+    from cassandra_util_spark.operators.packing import (
+        materialize_packed_windows,
+        reassemble_doc_streams,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    merges, words = bpe_train(d, "text", num_merges=_BPE_N)
+    kept = words.orderBy(F.col("cnt").desc(), "word").limit(_BPE_OOV_KEEP)
+    vocab = bpe_vocab(spark, words, merges, byte_fallback=True)
+    enc = bpe_encode_ids(
+        d, "doc_id", "text", kept, vocab, oov="bytes"
+    ).localCheckpoint()
+    win = materialize_packed_windows(
+        enc, "doc_id", "token_ids", capacity=1024, with_spans=True,
+        distributed=True,
+    ).localCheckpoint()
+    # one span struct per (window, doc) piece ⇒ span count = windows
+    # touched, span-length sum = the doc's token count — both read off
+    # the attribution map, so the reassembled stream feeds ONLY the
+    # decode (no second consumer, no checkpoint, one join fewer)
+    nwin = (
+        win.select(F.explode("doc_spans").alias("s"))
+        .groupBy(F.col("s")["doc"].alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+            F.sum(F.col("s")["len"]).cast("bigint").alias("n_tokens"),
+        )
+    )
+    dec = bpe_decode(
+        reassemble_doc_streams(win), "doc_id", "token_ids", vocab=vocab
+    ).select("doc_id", F.col("text").alias("restored"))
+    return (
+        d.select("doc_id")
+        .join(nwin, "doc_id", "left")
+        .join(dec, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).cast("bigint").alias("n_windows"),
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce("restored", F.lit("")).alias("restored"),
+        )
+    )
+
+
+@query("windows_store_decode_roundtrip", oracle=None)
+def windows_store_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The store-backed twin of `windows_decode_roundtrip` (the
+    store-vs-rebuild discipline of `epoch_plan_from_store`): the SAME
+    capped byte-fallback encode streams through `stream_windows` in
+    three ascending doc-id micro-batches into a persisted window store,
+    and the inversion chain — reassemble → decode — runs over the
+    store's LWW-MERGED READ (bin, token_ids, doc_spans) instead of the
+    in-plan windows.  Shared oracle: the restored text and per-document
+    window/token counts must hash-match the in-memory twin exactly,
+    certifying that the persisted attribution spans survive the store
+    round-trip (append → LWW merge → carry supersession) well enough to
+    drive the production detokenization path.  This is the fixture a
+    100 TB trainer actually needs: windows land as the crawl streams
+    in, and any doc is recoverable from the store alone."""
+    from cassandra_util_spark.operators.bpe import (
+        bpe_decode,
+        bpe_encode_ids,
+        bpe_train,
+        bpe_vocab,
+    )
+    from cassandra_util_spark.operators.packing import reassemble_doc_streams
+
+    d = _t(spark, sf_dir, "documents")
+    merges, words = bpe_train(d, "text", num_merges=_BPE_N)
+    kept = words.orderBy(F.col("cnt").desc(), "word").limit(_BPE_OOV_KEEP)
+    vocab = bpe_vocab(spark, words, merges, byte_fallback=True)
+    enc = bpe_encode_ids(
+        d, "doc_id", "text", kept, vocab, oov="bytes"
+    ).localCheckpoint()
+    mx = enc.agg(F.max("doc_id").alias("m")).first()["m"]
+    c1, c2 = mx // 3, (2 * mx) // 3
+    shards = [
+        enc.filter(F.col("doc_id") <= c1),
+        enc.filter((F.col("doc_id") > c1) & (F.col("doc_id") <= c2)),
+        enc.filter(F.col("doc_id") > c2),
+    ]
+    store = _drain_windows_store(
+        spark, shards, "doc_id", capacity=1024, prefix="win-dec"
+    )
+    win = store.read_merged(spark).select("bin", "token_ids", "doc_spans")
+    # one span struct per (window, doc) piece ⇒ span count = windows
+    # touched, span-length sum = the doc's token count — both read off
+    # the attribution map, so the reassembled stream feeds ONLY the
+    # decode (no second consumer, no checkpoint, one join fewer)
+    nwin = (
+        win.select(F.explode("doc_spans").alias("s"))
+        .groupBy(F.col("s")["doc"].alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+            F.sum(F.col("s")["len"]).cast("bigint").alias("n_tokens"),
+        )
+    )
+    dec = bpe_decode(
+        reassemble_doc_streams(win), "doc_id", "token_ids", vocab=vocab
+    ).select("doc_id", F.col("text").alias("restored"))
+    return (
+        d.select("doc_id")
+        .join(nwin, "doc_id", "left")
+        .join(dec, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).cast("bigint").alias("n_windows"),
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce("restored", F.lit("")).alias("restored"),
+        )
+    )
+
+
+# the store-read inversion must restore exactly what the in-plan
+# inversion restores — one oracle, two execution paths
+ORACLES["windows_store_decode_roundtrip"] = ORACLES["windows_decode_roundtrip"]
+
+
+@query(
+    "tokenizer_coverage_by_lang",
+    oracle=_bpe_sql(
+        _BPE_N,
+        f"""
+    , kept AS (
+      SELECT * FROM w{_BPE_N} ORDER BY cnt DESC, word LIMIT {_BPE_OOV_KEEP}),
+    dwl AS (
+      SELECT doc_id, lang,
+             unnest(list_filter(string_split({_NORM_SQL}, ' '),
+                                x -> x <> '')) AS word
+      FROM documents),
+    per AS (
+      SELECT d.lang,
+             k.word IS NOT NULL AS covered,
+             coalesce(len(k.s), len(d.word) + 1) AS toks,
+             CASE WHEN k.word IS NULL THEN len(d.word) + 1 ELSE 0 END AS btoks
+      FROM dwl d LEFT JOIN kept k ON k.word = d.word)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(count(*) FILTER (WHERE NOT covered) AS BIGINT) AS n_oov_words,
+           CAST(sum(toks) AS BIGINT) AS n_tokens,
+           CAST(sum(btoks) AS BIGINT) AS n_byte_tokens,
+           round(count(*) FILTER (WHERE NOT covered) / CAST(count(*) AS DOUBLE),
+                 6) AS oov_word_share,
+           round(sum(btoks) / CAST(sum(toks) AS DOUBLE), 6)
+             AS byte_token_share
+    FROM per GROUP BY lang
+    """,
+    ),
+)
+def tokenizer_coverage_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FROZEN-ARTIFACT coverage per language: what fraction of each
+    language's word instances the capped word table covers, and what
+    fraction of its token budget degrades to byte-fallback tokens —
+    the audit a pipeline reads before shipping a tokenizer for a new
+    corpus mix (`tokenizer_fertility_by_lang` answers "how well does it
+    compress"; this answers "how often does it degrade", the other half
+    of the frozen-vocabulary decision).  A language trending up in
+    byte_token_share is drifting out of the trained vocabulary — the
+    signal to retrain before sequence lengths silently inflate
+    (byte-fallback spends ~5× the tokens of a covered word).
+
+    Counting never builds token streams (the `bpe_token_profile`
+    discipline): per word instance, a covered word costs its segment
+    count and an OOV word costs ``len(word)+1`` byte tokens (normalized
+    words are ASCII, so chars = UTF-8 bytes — the same arithmetic the
+    certified OOV oracle replays).  Scale shape: one map-only explode,
+    one broadcast join against the CAPPED (vocab_size-bounded) word
+    table, and a partial-aggregated group-by emitting |languages| rows —
+    no token-id assembly, no array shuffle, the cheapest possible pass
+    over a 100 TB corpus."""
+    from cassandra_util_spark.operators.bpe import bpe_train
+    from cassandra_util_spark.operators.text import _norm_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    _, words = bpe_train(d, "text", num_merges=_BPE_N)
+    kept = words.orderBy(F.col("cnt").desc(), "word").limit(_BPE_OOV_KEEP)
+    kc = kept.select("word", F.size("syms").alias("__nseg"))
+    dw = d.select(
+        "lang", F.explode(_norm_tokens(F.col("text"))).alias("word")
+    )
+    j = dw.join(F.broadcast(kc), "word", "left").select(
+        "lang",
+        F.col("__nseg").isNotNull().alias("__covered"),
+        F.coalesce(
+            F.col("__nseg"), F.length("word") + F.lit(1)
+        ).alias("__toks"),
+        F.when(F.col("__nseg").isNotNull(), F.lit(0))
+        .otherwise(F.length("word") + F.lit(1))
+        .alias("__btoks"),
+    )
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum(F.when(~F.col("__covered"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_oov_words"),
+        F.sum("__toks").cast("bigint").alias("n_tokens"),
+        F.sum("__btoks").cast("bigint").alias("n_byte_tokens"),
+        F.round(
+            F.sum(F.when(~F.col("__covered"), 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("oov_word_share"),
+        F.round(
+            F.sum("__btoks") / F.sum("__toks").cast("double"), 6
+        ).alias("byte_token_share"),
+    )

@@ -191,6 +191,18 @@ PIPELINES = [
     # one bounded vocab collect and a map-only inline byte expansion on
     # the un-covered join side; expect token-linear shuffle like the twin
     "bpe_encode_oov_fallback",
+    # r17: the full-circle inversion -- OOV encode + windows + the inverse
+    # (doc)-keyed slice-piece shuffle + decode; every stage token-linear,
+    # so expect ~the windows curve plus one more token-linear exchange
+    "windows_decode_roundtrip",
+    # r17: frozen-artifact coverage audit -- one map-only explode, one
+    # broadcast join against the CAPPED word table, |languages| output
+    # rows; expect near-flat shuffle and wall ~linear in corpus bytes
+    "tokenizer_coverage_by_lang",
+    # r17: the same inversion over the PERSISTED store's merged read --
+    # the streaming-store build (fixed 3 micro-batches) plus the inverse
+    # shuffle; expect windows_streaming_store's curve + the inversion term
+    "windows_store_decode_roundtrip",
 ]
 
 
