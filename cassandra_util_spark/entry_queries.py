@@ -10876,6 +10876,33 @@ def dataset_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
 # budget, zipf audit), tokenizer (token profile), quality (classifier
 # eval), TPC-H (q2, q8, q11-q21).
 
+def _rotate_driver_window(rotate_in: list) -> None:
+    """Reorder QUERIES/ORACLES so ``rotate_in`` becomes the certified
+    first-50 driver-window prefix — the ONE copy of the rotation
+    mechanism (review r17: r15/r16/r17 each carried a verbatim clone
+    differing only in which list they read; a rotation-logic fix needed
+    N edits).  The per-round ``_WINDOW_ROTATE_IN_R*`` lists — the
+    auditable part — stay separate."""
+    names = list(QUERIES)
+    rotate_out = names[:50]  # the full prior window turns over
+    missing = [n for n in rotate_in if n not in QUERIES]
+    if missing:
+        raise AssertionError(f"window rotation references unknown queries: {missing}")
+    already = [n for n in rotate_in if n in rotate_out]
+    if already:  # explicit raise — a bare assert vanishes under python -O
+        raise AssertionError(f"rotate-in already inside the kept prefix: {already}")
+    prefix = list(rotate_in)
+    if len(prefix) != 50:
+        raise AssertionError(
+            f"window rotation must produce exactly 50 names, got {len(prefix)}"
+        )
+    order = prefix + [n for n in names if n not in set(prefix)]
+    for reg in (QUERIES, ORACLES):
+        snapshot = dict(reg)
+        reg.clear()
+        reg.update({n: snapshot[n] for n in order if n in snapshot})
+
+
 _WINDOW_ROTATE_IN_R15 = [
     # never driver-checked (round-14 additions, all local-oracle green)
     "packed_window_attribution",
@@ -10933,28 +10960,7 @@ _WINDOW_ROTATE_IN_R15 = [
 ]
 
 
-def _rotate_driver_window_r15() -> None:
-    names = list(QUERIES)
-    rotate_out = names[:50]  # the full r14 window turns over (all green in r14)
-    missing = [n for n in _WINDOW_ROTATE_IN_R15 if n not in QUERIES]
-    if missing:
-        raise AssertionError(f"window rotation references unknown queries: {missing}")
-    already = [n for n in _WINDOW_ROTATE_IN_R15 if n in rotate_out]
-    if already:  # explicit raise — a bare assert vanishes under python -O
-        raise AssertionError(f"rotate-in already inside the kept prefix: {already}")
-    prefix = list(_WINDOW_ROTATE_IN_R15)
-    if len(prefix) != 50:
-        raise AssertionError(
-            f"window rotation must produce exactly 50 names, got {len(prefix)}"
-        )
-    order = prefix + [n for n in names if n not in set(prefix)]
-    for reg in (QUERIES, ORACLES):
-        snapshot = dict(reg)
-        reg.clear()
-        reg.update({n: snapshot[n] for n in order if n in snapshot})
-
-
-_rotate_driver_window_r15()
+_rotate_driver_window(_WINDOW_ROTATE_IN_R15)  # the full r14 window turns over (all green in r14)
 
 
 # --- Round-15 additions (registered after the rotation: appended past the
@@ -11018,6 +11024,27 @@ def _drain_windows_store(spark, shard_frames, id_col, capacity, prefix):
     return store
 
 
+def _ascending_id_shards(enc, id_col: str = "doc_id", n: int = 3) -> list:
+    """Split an encoded frame into ``n`` ascending id-range shards — the
+    ONE copy of the micro-batch range split feeding
+    `_drain_windows_store` (review r17: `_corpus_window_store` and
+    `windows_store_decode_roundtrip` each hand-rolled it).  Ranges are
+    computed from the max id (one 1-row aggregate), so shard k+1's ids
+    all exceed shard k's — the carry protocol's append-order
+    precondition."""
+    mx = enc.agg(F.max(id_col).alias("m")).first()["m"]
+    cuts = [None] + [(k * mx) // n for k in range(1, n)] + [None]
+    shards = []
+    for lo, hi in zip(cuts, cuts[1:]):
+        c = F.lit(True)
+        if lo is not None:
+            c = c & (F.col(id_col) > lo)
+        if hi is not None:
+            c = c & (F.col(id_col) <= hi)
+        shards.append(enc.filter(c))
+    return shards
+
+
 def _corpus_window_store(spark, sf_dir: str):
     """train → encode → three ascending doc-id micro-batches → persisted
     1024-token window store: the shared fixture build of
@@ -11036,15 +11063,9 @@ def _corpus_window_store(spark, sf_dir: str):
     enc = bpe_encode_ids(
         d, "doc_id", "text", words, bpe_vocab(spark, words, merges)
     ).localCheckpoint()
-    mx = enc.agg(F.max("doc_id").alias("m")).first()["m"]
-    c1, c2 = mx // 3, (2 * mx) // 3
-    shards = [
-        enc.filter(F.col("doc_id") <= c1),
-        enc.filter((F.col("doc_id") > c1) & (F.col("doc_id") <= c2)),
-        enc.filter(F.col("doc_id") > c2),
-    ]
     return _drain_windows_store(
-        spark, shards, "doc_id", capacity=1024, prefix="win-stream"
+        spark, _ascending_id_shards(enc), "doc_id", capacity=1024,
+        prefix="win-stream",
     )
 
 
@@ -11696,28 +11717,7 @@ _WINDOW_ROTATE_IN_R16 = [
 ]
 
 
-def _rotate_driver_window_r16() -> None:
-    names = list(QUERIES)
-    rotate_out = names[:50]  # the full r15 window turns over (all green in r15)
-    missing = [n for n in _WINDOW_ROTATE_IN_R16 if n not in QUERIES]
-    if missing:
-        raise AssertionError(f"window rotation references unknown queries: {missing}")
-    already = [n for n in _WINDOW_ROTATE_IN_R16 if n in rotate_out]
-    if already:  # explicit raise — a bare assert vanishes under python -O
-        raise AssertionError(f"rotate-in already inside the kept prefix: {already}")
-    prefix = list(_WINDOW_ROTATE_IN_R16)
-    if len(prefix) != 50:
-        raise AssertionError(
-            f"window rotation must produce exactly 50 names, got {len(prefix)}"
-        )
-    order = prefix + [n for n in names if n not in set(prefix)]
-    for reg in (QUERIES, ORACLES):
-        snapshot = dict(reg)
-        reg.clear()
-        reg.update({n: snapshot[n] for n in order if n in snapshot})
-
-
-_rotate_driver_window_r16()
+_rotate_driver_window(_WINDOW_ROTATE_IN_R16)  # the full r15 window turns over (all green in r15)
 
 
 # --- Round-16 additions (registered after the rotation: appended past the
@@ -12157,7 +12157,7 @@ ORACLES["tokenizer_streaming_encode"] = ORACLES["bpe_encode_oov_fallback"]
 # the 7 round-16 additions — the byte-fallback encode trio sharing one oracle
 # (in-memory / persisted-artifact / streamed-artifact), the OOV round-trip,
 # the IVFPQ recall fixture, and the two store-backed loader twins — plus 43
-# least-recently-certified re-certs (10 last certified r12, then 33 last
+# least-recently-certified re-certs (13 last certified r12, then 30 last
 # certified r13, registration order within equal (round, count)).  Family
 # coverage in the window: dedup (exact/fingerprint/simhash/jaccard/winnowing/
 # spans/LSH/star), tokenizer+packing, ANN/PQ, retention/CDC/compaction,
@@ -12220,28 +12220,7 @@ _WINDOW_ROTATE_IN_R17 = [
 ]
 
 
-def _rotate_driver_window_r17() -> None:
-    names = list(QUERIES)
-    rotate_out = names[:50]  # the full r16 window turns over (all green in r16)
-    missing = [n for n in _WINDOW_ROTATE_IN_R17 if n not in QUERIES]
-    if missing:
-        raise AssertionError(f"window rotation references unknown queries: {missing}")
-    already = [n for n in _WINDOW_ROTATE_IN_R17 if n in rotate_out]
-    if already:  # explicit raise — a bare assert vanishes under python -O
-        raise AssertionError(f"rotate-in already inside the kept prefix: {already}")
-    prefix = list(_WINDOW_ROTATE_IN_R17)
-    if len(prefix) != 50:
-        raise AssertionError(
-            f"window rotation must produce exactly 50 names, got {len(prefix)}"
-        )
-    order = prefix + [n for n in names if n not in set(prefix)]
-    for reg in (QUERIES, ORACLES):
-        snapshot = dict(reg)
-        reg.clear()
-        reg.update({n: snapshot[n] for n in order if n in snapshot})
-
-
-_rotate_driver_window_r17()
+_rotate_driver_window(_WINDOW_ROTATE_IN_R17)  # the full r16 window turns over (all green in r16)
 
 
 # --- Round-17 additions (registered after the rotation: appended past the
@@ -12283,6 +12262,63 @@ _WINDECODE_ORACLE = _bpe_sql(
 )
 
 
+def _oov_frozen(spark, sf_dir: str):
+    """``(d, vocab, enc)`` — the shared capped byte-fallback fixture of
+    the two decode-round-trip queries (review r17: one copy): train on
+    the corpus, cap the word table to the top-{K} (the production
+    vocab_size shape `bpe_encode_oov_fallback` certifies), and encode
+    with ``oov="bytes"``.  The encoded streams are pinned once."""
+    from cassandra_util_spark.operators.bpe import (
+        bpe_encode_ids,
+        bpe_train,
+        bpe_vocab,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    merges, words = bpe_train(d, "text", num_merges=_BPE_N)
+    kept = words.orderBy(F.col("cnt").desc(), "word").limit(_BPE_OOV_KEEP)
+    vocab = bpe_vocab(spark, words, merges, byte_fallback=True)
+    enc = bpe_encode_ids(
+        d, "doc_id", "text", kept, vocab, oov="bytes"
+    ).localCheckpoint()
+    return d, vocab, enc
+
+
+def _decode_roundtrip_view(d, win, vocab) -> DataFrame:
+    """(doc_id, n_windows, n_tokens, restored) — the shared inversion
+    tail of the two decode-round-trip queries (review r17: one copy,
+    two callers).  One span struct per (window, doc) piece ⇒ span count
+    = windows touched, span-length sum = the doc's token count — both
+    read off the attribution map, so the reassembled stream feeds ONLY
+    the decode.  ``win`` must be pinned by the caller: it feeds two plan
+    branches (the span aggregate and reassemble → decode)."""
+    from cassandra_util_spark.operators.bpe import bpe_decode
+    from cassandra_util_spark.operators.packing import reassemble_doc_streams
+
+    nwin = (
+        win.select(F.explode("doc_spans").alias("s"))
+        .groupBy(F.col("s")["doc"].alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+            F.sum(F.col("s")["len"]).cast("bigint").alias("n_tokens"),
+        )
+    )
+    dec = bpe_decode(
+        reassemble_doc_streams(win), "doc_id", "token_ids", vocab=vocab
+    ).select("doc_id", F.col("text").alias("restored"))
+    return (
+        d.select("doc_id")
+        .join(nwin, "doc_id", "left")
+        .join(dec, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).cast("bigint").alias("n_windows"),
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce("restored", F.lit("")).alias("restored"),
+        )
+    )
+
+
 @query("windows_decode_roundtrip", oracle=_WINDECODE_ORACLE)
 def windows_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL-CIRCLE loader audit: frozen capped-vocab encode (OOV
@@ -12300,55 +12336,17 @@ def windows_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from first principles.  Scale shape: the inverse shuffles the same
     ~4 bytes/token slice pieces the packer shuffled in — the
     information floor, no per-token rows anywhere — and the decode is
-    one broadcast vocab join plus map-only string surgery."""
-    from cassandra_util_spark.operators.bpe import (
-        bpe_decode,
-        bpe_encode_ids,
-        bpe_train,
-        bpe_vocab,
-    )
+    map-only (the literal-map vocab path)."""
     from cassandra_util_spark.operators.packing import (
         materialize_packed_windows,
-        reassemble_doc_streams,
     )
 
-    d = _t(spark, sf_dir, "documents")
-    merges, words = bpe_train(d, "text", num_merges=_BPE_N)
-    kept = words.orderBy(F.col("cnt").desc(), "word").limit(_BPE_OOV_KEEP)
-    vocab = bpe_vocab(spark, words, merges, byte_fallback=True)
-    enc = bpe_encode_ids(
-        d, "doc_id", "text", kept, vocab, oov="bytes"
-    ).localCheckpoint()
+    d, vocab, enc = _oov_frozen(spark, sf_dir)
     win = materialize_packed_windows(
         enc, "doc_id", "token_ids", capacity=1024, with_spans=True,
         distributed=True,
     ).localCheckpoint()
-    # one span struct per (window, doc) piece ⇒ span count = windows
-    # touched, span-length sum = the doc's token count — both read off
-    # the attribution map, so the reassembled stream feeds ONLY the
-    # decode (no second consumer, no checkpoint, one join fewer)
-    nwin = (
-        win.select(F.explode("doc_spans").alias("s"))
-        .groupBy(F.col("s")["doc"].alias("doc_id"))
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
-            F.sum(F.col("s")["len"]).cast("bigint").alias("n_tokens"),
-        )
-    )
-    dec = bpe_decode(
-        reassemble_doc_streams(win), "doc_id", "token_ids", vocab=vocab
-    ).select("doc_id", F.col("text").alias("restored"))
-    return (
-        d.select("doc_id")
-        .join(nwin, "doc_id", "left")
-        .join(dec, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_windows", F.lit(0)).cast("bigint").alias("n_windows"),
-            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
-            F.coalesce("restored", F.lit("")).alias("restored"),
-        )
-    )
+    return _decode_roundtrip_view(d, win, vocab)
 
 
 @query("windows_store_decode_roundtrip", oracle=None)
@@ -12366,58 +12364,17 @@ def windows_store_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
     drive the production detokenization path.  This is the fixture a
     100 TB trainer actually needs: windows land as the crawl streams
     in, and any doc is recoverable from the store alone."""
-    from cassandra_util_spark.operators.bpe import (
-        bpe_decode,
-        bpe_encode_ids,
-        bpe_train,
-        bpe_vocab,
-    )
-    from cassandra_util_spark.operators.packing import reassemble_doc_streams
-
-    d = _t(spark, sf_dir, "documents")
-    merges, words = bpe_train(d, "text", num_merges=_BPE_N)
-    kept = words.orderBy(F.col("cnt").desc(), "word").limit(_BPE_OOV_KEEP)
-    vocab = bpe_vocab(spark, words, merges, byte_fallback=True)
-    enc = bpe_encode_ids(
-        d, "doc_id", "text", kept, vocab, oov="bytes"
-    ).localCheckpoint()
-    mx = enc.agg(F.max("doc_id").alias("m")).first()["m"]
-    c1, c2 = mx // 3, (2 * mx) // 3
-    shards = [
-        enc.filter(F.col("doc_id") <= c1),
-        enc.filter((F.col("doc_id") > c1) & (F.col("doc_id") <= c2)),
-        enc.filter(F.col("doc_id") > c2),
-    ]
+    d, vocab, enc = _oov_frozen(spark, sf_dir)
     store = _drain_windows_store(
-        spark, shards, "doc_id", capacity=1024, prefix="win-dec"
+        spark, _ascending_id_shards(enc), "doc_id", capacity=1024,
+        prefix="win-dec",
     )
-    win = store.read_merged(spark).select("bin", "token_ids", "doc_spans")
-    # one span struct per (window, doc) piece ⇒ span count = windows
-    # touched, span-length sum = the doc's token count — both read off
-    # the attribution map, so the reassembled stream feeds ONLY the
-    # decode (no second consumer, no checkpoint, one join fewer)
-    nwin = (
-        win.select(F.explode("doc_spans").alias("s"))
-        .groupBy(F.col("s")["doc"].alias("doc_id"))
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
-            F.sum(F.col("s")["len"]).cast("bigint").alias("n_tokens"),
-        )
-    )
-    dec = bpe_decode(
-        reassemble_doc_streams(win), "doc_id", "token_ids", vocab=vocab
-    ).select("doc_id", F.col("text").alias("restored"))
-    return (
-        d.select("doc_id")
-        .join(nwin, "doc_id", "left")
-        .join(dec, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_windows", F.lit(0)).cast("bigint").alias("n_windows"),
-            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
-            F.coalesce("restored", F.lit("")).alias("restored"),
-        )
-    )
+    # pinned: the merged read feeds two plan branches (review r17 — an
+    # unpinned read would scan + LWW-merge the store twice)
+    win = store.read_merged(spark).select(
+        "bin", "token_ids", "doc_spans"
+    ).localCheckpoint()
+    return _decode_roundtrip_view(d, win, vocab)
 
 
 # the store-read inversion must restore exactly what the in-plan

