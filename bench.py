@@ -262,6 +262,7 @@ BENCH_QUERIES = [
     "windows_decode_roundtrip",
     "windows_store_decode_roundtrip",
     "tokenizer_coverage_by_lang",
+    "windows_doc_lookup",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash
     # swapped to xxhash64 — the production configuration at scale

@@ -12470,3 +12470,97 @@ def tokenizer_coverage_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("__btoks") / F.sum("__toks").cast("double"), 6
         ).alias("byte_token_share"),
     )
+
+
+# Random-access lookup oracle: the SAME window/token arithmetic as
+# _WINDECODE_ORACLE, with the final projection restricted to the looked-up
+# doc-id range [2·max/5, 9·max/20] — inside the middle ingest batch, so
+# the engine side's key-bounded store read actually prunes runs.
+_WINLOOKUP_ORACLE = _bpe_sql(
+    _BPE_N,
+    _BPE_OOV_CTES
+    + f"""
+    , dtok AS (
+      SELECT d.doc_id, CAST(sum(len(s.ids)) AS BIGINT) AS n
+      FROM dw d JOIN allseg s USING (word)
+      GROUP BY d.doc_id),
+    cum AS (
+      SELECT doc_id, n,
+             coalesce(CAST(sum(n) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS BIGINT), 0) AS cb
+      FROM dtok),
+    wins AS (
+      SELECT doc_id, n AS n_tokens,
+             CAST((cb + n - 1) // 1024 - cb // 1024 + 1 AS BIGINT)
+               AS n_windows
+      FROM cum WHERE n > 0),
+    mxd AS (SELECT max(doc_id) AS m FROM documents)
+    SELECT doc.doc_id,
+           CAST(coalesce(w.n_windows, 0) AS BIGINT) AS n_windows,
+           CAST(coalesce(w.n_tokens, 0) AS BIGINT) AS n_tokens,
+           array_to_string(
+             list_filter(string_split({_NORM_SQL}, ' '), x -> x <> ''),
+             ' ') AS restored
+    FROM documents doc LEFT JOIN wins w USING (doc_id), mxd
+    WHERE doc.doc_id >= (2 * mxd.m) // 5 AND doc.doc_id <= (9 * mxd.m) // 20
+    """,
+)
+
+
+@query("windows_doc_lookup", oracle=_WINLOOKUP_ORACLE)
+def windows_doc_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANDOM ACCESS into the persisted window store: restore the
+    training context of a REQUESTED doc-id range without scanning the
+    store — the "trace these documents" production path
+    (`windows_store_decode_roundtrip` proves the full-store inversion;
+    this proves the engine can do it for a slice at slice cost).  The
+    spans-derived doc→bin index gives the wanted docs' window range
+    (one bounded aggregate); the store read is KEY-BOUNDED to those
+    bins, so `read_merged` skips non-overlapping runs entirely via
+    their stats and pushes the bin bounds into the surviving scans —
+    the literal-IN/range pruning pattern of `sources/ivf_index.py`
+    applied to the window store (on a 100 TB store with thousands of
+    runs, a lookup reads only the handful holding the requested bins;
+    the fixture's range sits inside the middle of three ingest batches,
+    so pruning is real even here).  Spans are filtered to the wanted
+    docs BEFORE reassembly — an out-of-range doc sharing a boundary
+    window would otherwise reassemble from partial pieces, and its torn
+    byte runs would (correctly) trip the decode guard.  The restored
+    text must equal the normalized source exactly; the oracle replays
+    the global window arithmetic and restricts to the same range."""
+    d, vocab, enc = _oov_frozen(spark, sf_dir)
+    store = _drain_windows_store(
+        spark, _ascending_id_shards(enc), "doc_id", capacity=1024,
+        prefix="win-look",
+    )
+    mx = int(d.agg(F.max("doc_id").alias("m")).first()["m"])
+    lo_d, hi_d = (2 * mx) // 5, (9 * mx) // 20
+    # the doc→bin index: derived from the store's attribution spans (at
+    # production scale this is the persisted index artifact; its build
+    # is one spans-only pass — token arrays pruned out of the read)
+    index = (
+        store.read_merged(spark)
+        .select(F.explode("doc_spans").alias("s"), "bin")
+        .filter(
+            (F.col("s")["doc"] >= lo_d) & (F.col("s")["doc"] <= hi_d)
+        )
+        .agg(F.min("bin").alias("lo"), F.max("bin").alias("hi"))
+        .first()
+    )
+    lo_b, hi_b = int(index["lo"]), int(index["hi"])
+    win = (
+        store.read_merged(spark, key_lower=lo_b, key_upper=hi_b)
+        .select(
+            "bin",
+            "token_ids",
+            F.filter(
+                "doc_spans",
+                lambda s: (s["doc"] >= F.lit(lo_d))
+                & (s["doc"] <= F.lit(hi_d)),
+            ).alias("doc_spans"),
+        )
+        .localCheckpoint()
+    )
+    wanted = d.filter((F.col("doc_id") >= lo_d) & (F.col("doc_id") <= hi_d))
+    return _decode_roundtrip_view(wanted, win, vocab)

@@ -199,6 +199,10 @@ PIPELINES = [
     # broadcast join against the CAPPED word table, |languages| output
     # rows; expect near-flat shuffle and wall ~linear in corpus bytes
     "tokenizer_coverage_by_lang",
+    # r17: random-access lookup -- store build (token-linear) + a
+    # key-BOUNDED read of only the runs holding the requested doc range;
+    # the lookup's own cost should stay ~flat as the corpus scales
+    "windows_doc_lookup",
     # r17: the same inversion over the PERSISTED store's merged read --
     # the streaming-store build (fixed 3 micro-batches) plus the inverse
     # shuffle; expect windows_streaming_store's curve + the inversion term

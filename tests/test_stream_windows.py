@@ -478,3 +478,50 @@ def test_reserved_column_names_rejected_loudly(spark):
             _windows_shard_step(
                 spark, [], d, bad, "ids", 4, "bigint", "int"
             )
+
+
+def test_doc_lookup_filters_spans_before_reassembly(spark):
+    """The random-access lookup shape (`windows_doc_lookup`): restore
+    ONE document from a bin-bounded store read.  The attribution spans
+    must be filtered to the wanted doc BEFORE reassembly — boundary
+    windows are shared with neighbors whose remaining pieces live
+    outside the bounded read, so an unfiltered reassembly would hand
+    back torn neighbor streams as if they were whole."""
+    from cassandra_util_spark.operators.packing import reassemble_doc_streams
+
+    d = spark.createDataFrame(DOCS, "doc_id bigint, token_ids array<int>")
+    paths, _ = _write_shards(d, cuts=[2, 5])
+    store = _new_store()
+    _drain(spark, paths, store, tempfile.mkdtemp(prefix="win-cp-"))
+    # doc 7 (13 tokens) spans multiple windows; find its bin range from
+    # the spans (the doc→bin index step)
+    spans = (
+        store.read_merged(spark)
+        .select("bin", F.explode("doc_spans").alias("s"))
+        .filter(F.col("s")["doc"] == 7)
+        .agg(F.min("bin").alias("lo"), F.max("bin").alias("hi"))
+        .first()
+    )
+    win = store.read_merged(
+        spark, key_lower=int(spans["lo"]), key_upper=int(spans["hi"])
+    ).select(
+        "bin",
+        "token_ids",
+        F.filter("doc_spans", lambda s: s["doc"] == 7).alias("doc_spans"),
+    )
+    got = reassemble_doc_streams(win).collect()
+    assert len(got) == 1 and list(got[0]["token_ids"]) == list(range(44, 57))
+    # the hazard the filter removes: unfiltered reassembly of the SAME
+    # bounded read hands back a neighbor's stream torn to its in-range
+    # pieces only
+    unfiltered = {
+        r["doc_id"]: list(r["token_ids"])
+        for r in reassemble_doc_streams(
+            store.read_merged(
+                spark, key_lower=int(spans["lo"]), key_upper=int(spans["hi"])
+            ).select("bin", "token_ids", "doc_spans")
+        ).collect()
+    }
+    full = {i: ids for i, ids in DOCS}
+    torn = {i for i, ids in unfiltered.items() if ids != full[i]}
+    assert torn, "expected at least one torn neighbor in the bounded read"
