@@ -263,6 +263,7 @@ BENCH_QUERIES = [
     "windows_store_decode_roundtrip",
     "tokenizer_coverage_by_lang",
     "windows_doc_lookup",
+    "tokenizer_coverage_drift",
     # bench-only fast-path variants (EXTRA_QUERIES below): same pipelines as
     # the oracle-verified portable-hash contract queries, with the leaf hash
     # swapped to xxhash64 — the production configuration at scale

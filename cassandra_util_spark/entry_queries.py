@@ -10967,6 +10967,28 @@ _rotate_driver_window(_WINDOW_ROTATE_IN_R15)  # the full r14 window turns over (
 # --- window, so the certified 50-name prefix is untouched) ----------------
 
 
+def _pinned_shard_src(shard_frames, cols, prefix: str) -> str:
+    """Write frames as ``shard-00``, ``shard-01``… parquet dirs with
+    ASCENDING pinned mtimes and return the parent dir — the ONE copy of
+    the file-source append-order pin (the carry protocol's and the
+    batch-labeled drift monitor's precondition: micro-batch k must
+    deliver shard k).  Shared by `_drain_windows_store` and
+    `tokenizer_coverage_drift`."""
+    import os
+    import tempfile
+    import time
+
+    src = tempfile.mkdtemp(prefix=f"{prefix}-src-")
+    now = time.time()
+    for k, sh in enumerate(shard_frames):
+        sub = os.path.join(src, f"shard-{k:02d}")
+        sh.select(*cols).coalesce(1).write.parquet(sub)
+        for root, _, files in os.walk(sub):
+            for f in files:
+                os.utime(os.path.join(root, f), (now + k, now + k))
+    return src
+
+
 def _drain_windows_store(spark, shard_frames, id_col, capacity, prefix):
     """Drive ascending micro-batches of ``(id, token_ids)`` frames through
     `stream_windows` into a fresh window RunStore and return it — the ONE
@@ -10980,24 +11002,13 @@ def _drain_windows_store(spark, shard_frames, id_col, capacity, prefix):
     value-hash mismatch (review r16)."""
     import os
     import tempfile
-    import time
 
     from cassandra_util_spark.core.table import TableMeta
     from cassandra_util_spark.sources.runs import RunStore
     from cassandra_util_spark.streaming.corpus import stream_windows
 
     dtypes = dict(shard_frames[0].dtypes)
-    src = tempfile.mkdtemp(prefix=f"{prefix}-src-")
-    now = time.time()
-    for k, sh in enumerate(shard_frames):
-        sub = os.path.join(src, f"shard-{k:02d}")
-        sh.select(id_col, "token_ids").coalesce(1).write.parquet(sub)
-        # ascending mtimes pin the file source's delivery order — the
-        # carry protocol's append-order precondition (shard k+1's ids
-        # all exceed shard k's)
-        for root, _, files in os.walk(sub):
-            for f in files:
-                os.utime(os.path.join(root, f), (now + k, now + k))
+    src = _pinned_shard_src(shard_frames, [id_col, "token_ids"], prefix)
     store = RunStore(
         tempfile.mkdtemp(prefix=f"{prefix}-store-"),
         TableMeta(("bin",), (), "writetime"),
@@ -12263,11 +12274,12 @@ _WINDECODE_ORACLE = _bpe_sql(
 
 
 def _oov_frozen(spark, sf_dir: str):
-    """``(d, vocab, enc)`` — the shared capped byte-fallback fixture of
-    the two decode-round-trip queries (review r17: one copy): train on
-    the corpus, cap the word table to the top-{K} (the production
-    vocab_size shape `bpe_encode_oov_fallback` certifies), and encode
-    with ``oov="bytes"``.  The encoded streams are pinned once."""
+    """``(d, kept, vocab, enc)`` — the shared capped byte-fallback
+    fixture of the decode-round-trip and coverage-drift queries (review
+    r17: one copy): train on the corpus, cap the word table to the
+    top-{K} (the production vocab_size shape `bpe_encode_oov_fallback`
+    certifies), and encode with ``oov="bytes"``.  The encoded streams
+    are pinned once."""
     from cassandra_util_spark.operators.bpe import (
         bpe_encode_ids,
         bpe_train,
@@ -12281,7 +12293,7 @@ def _oov_frozen(spark, sf_dir: str):
     enc = bpe_encode_ids(
         d, "doc_id", "text", kept, vocab, oov="bytes"
     ).localCheckpoint()
-    return d, vocab, enc
+    return d, kept, vocab, enc
 
 
 def _decode_roundtrip_view(d, win, vocab) -> DataFrame:
@@ -12341,7 +12353,7 @@ def windows_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         materialize_packed_windows,
     )
 
-    d, vocab, enc = _oov_frozen(spark, sf_dir)
+    d, _, vocab, enc = _oov_frozen(spark, sf_dir)
     win = materialize_packed_windows(
         enc, "doc_id", "token_ids", capacity=1024, with_spans=True,
         distributed=True,
@@ -12364,7 +12376,7 @@ def windows_store_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
     drive the production detokenization path.  This is the fixture a
     100 TB trainer actually needs: windows land as the crawl streams
     in, and any doc is recoverable from the store alone."""
-    d, vocab, enc = _oov_frozen(spark, sf_dir)
+    d, _, vocab, enc = _oov_frozen(spark, sf_dir)
     store = _drain_windows_store(
         spark, _ascending_id_shards(enc), "doc_id", capacity=1024,
         prefix="win-dec",
@@ -12529,7 +12541,7 @@ def windows_doc_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte runs would (correctly) trip the decode guard.  The restored
     text must equal the normalized source exactly; the oracle replays
     the global window arithmetic and restricts to the same range."""
-    d, vocab, enc = _oov_frozen(spark, sf_dir)
+    d, _, vocab, enc = _oov_frozen(spark, sf_dir)
     store = _drain_windows_store(
         spark, _ascending_id_shards(enc), "doc_id", capacity=1024,
         prefix="win-look",
@@ -12564,3 +12576,105 @@ def windows_doc_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wanted = d.filter((F.col("doc_id") >= lo_d) & (F.col("doc_id") <= hi_d))
     return _decode_roundtrip_view(wanted, win, vocab)
+
+
+@query(
+    "tokenizer_coverage_drift",
+    oracle=_bpe_sql(
+        _BPE_N,
+        _BPE_OOV_CTES
+        + """
+    , per AS (
+      SELECT d.doc_id, CAST(sum(len(s.ids)) AS BIGINT) AS n,
+             CAST(sum(len(list_filter(s.ids, t -> t >= p.byte_base)))
+               AS BIGINT) AS b
+      FROM dw d JOIN allseg s USING (word) CROSS JOIN params p
+      GROUP BY d.doc_id),
+    mxd AS (SELECT max(doc_id) AS m FROM documents),
+    labeled AS (
+      SELECT CASE WHEN doc.doc_id <= mxd.m // 3 THEN 0
+                  WHEN doc.doc_id <= (2 * mxd.m) // 3 THEN 1
+                  ELSE 2 END AS batch,
+             coalesce(per.n, 0) AS n, coalesce(per.b, 0) AS b
+      FROM documents doc LEFT JOIN per USING (doc_id), mxd)
+    SELECT CAST(batch AS BIGINT) AS batch,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           CAST(sum(b) AS BIGINT) AS n_byte_tokens,
+           round(sum(b) / CAST(greatest(sum(n), 1) AS DOUBLE), 6)
+             AS byte_token_share
+    FROM labeled GROUP BY batch
+    """,
+    ),
+)
+def tokenizer_coverage_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage drift PER INGEST BATCH, read off the persisted encode
+    store: each `stream_encode` micro-batch stamps its rows with its
+    batch id as the writetime, so the store itself carries the
+    time-axis the drift monitor needs — byte-token share per ingest
+    wave, no side channel, no re-encode (`tokenizer_coverage_by_lang`
+    is the one-shot per-language audit; this is its streaming
+    time-series twin, the dashboard a 100 TB ingest actually watches:
+    the r17 ramp showed exactly this share drifting 0.199 → 0.954 as a
+    corpus outgrew its frozen cap — SCALING.md).  The batch → doc-range
+    mapping is deterministic by the append-order pin (ascending file
+    mtimes, one file per trigger — `_pinned_shard_src`, the carry
+    protocol's own mechanism), which is what makes the store's
+    writetime column SQL-replayable.  Scale shape: one metadata-light
+    aggregate over the store (token arrays feed one map-side
+    size/filter pass; the group-by emits |batches| rows)."""
+    import os
+    import tempfile
+
+    from cassandra_util_spark.core.table import TableMeta
+    from cassandra_util_spark.operators.bpe import byte_block_bounds
+    from cassandra_util_spark.sources.runs import RunStore
+    from cassandra_util_spark.streaming.corpus import stream_encode
+
+    d, kept, vocab, _ = _oov_frozen(spark, sf_dir)
+    byte_base, _end = byte_block_bounds(vocab)
+    src = _pinned_shard_src(
+        _ascending_id_shards(d.select("doc_id", "text")),
+        ["doc_id", "text"],
+        "cov-drift",
+    )
+    store = RunStore(
+        tempfile.mkdtemp(prefix="cov-drift-store-"),
+        TableMeta(("doc_id",), (), "writetime"),
+    )
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(os.path.join(src, "shard-*"))
+    )
+    with _scoped_shuffle_partitions(spark, 8):
+        q = stream_encode(
+            stream, store, tempfile.mkdtemp(prefix="cov-drift-cp-"),
+            kept, vocab, oov="bytes",
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "tokenizer_coverage_drift: encode drain did not finish "
+                "within 300s — refusing to read a partial store"
+            )
+    view = store.read_merged(spark)
+    return view.groupBy(
+        F.col("writetime").cast("bigint").alias("batch")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum(
+            F.size(F.filter("token_ids", lambda t: t >= F.lit(byte_base)))
+        ).cast("bigint").alias("n_byte_tokens"),
+        F.round(
+            F.sum(
+                F.size(
+                    F.filter("token_ids", lambda t: t >= F.lit(byte_base))
+                )
+            )
+            / F.greatest(F.sum("n_tokens"), F.lit(1)).cast("double"),
+            6,
+        ).alias("byte_token_share"),
+    )

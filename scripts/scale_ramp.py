@@ -199,6 +199,10 @@ PIPELINES = [
     # broadcast join against the CAPPED word table, |languages| output
     # rows; expect near-flat shuffle and wall ~linear in corpus bytes
     "tokenizer_coverage_by_lang",
+    # r17: per-batch coverage drift off the persisted encode store --
+    # the streamed encode build (token-linear, 3 fixed micro-batches)
+    # plus one aggregate emitting |batches| rows
+    "tokenizer_coverage_drift",
     # r17: random-access lookup -- store build (token-linear) + a
     # key-BOUNDED read of only the runs holding the requested doc range;
     # the lookup's own cost should stay ~flat as the corpus scales

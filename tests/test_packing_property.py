@@ -111,3 +111,32 @@ def test_fim_always_lossless(spark, docs, rate, min_tokens):
         rebuilt = out[1:i_suf] + out[i_mid + 1 :] + out[i_suf + 1 : i_mid]
         assert rebuilt == original[r["doc_id"]]
         assert r["n_tokens"] == len(original[r["doc_id"]]) + 3
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(docs=docs_strategy, capacity=capacity_strategy,
+       distributed=st.booleans())
+def test_reassembly_inverts_windows_on_arbitrary_corpora(
+    spark, docs, capacity, distributed
+):
+    """reassemble_doc_streams ∘ materialize_packed_windows == identity on
+    the non-empty documents, for ANY corpus geometry and capacity —
+    including documents exactly filling a window, single-token corpora,
+    and docs longer than several windows (the r17 inverse operator's
+    defining property; the example tests pin known shapes)."""
+    from cassandra_util_spark.operators.packing import (
+        materialize_packed_windows,
+        reassemble_doc_streams,
+    )
+
+    df = spark.createDataFrame(docs, "doc_id bigint, ids array<int>")
+    win = materialize_packed_windows(
+        df, "doc_id", "ids", capacity=capacity, with_spans=True,
+        distributed=distributed,
+    )
+    got = {
+        r["doc_id"]: list(r["token_ids"])
+        for r in reassemble_doc_streams(win).collect()
+    }
+    assert got == {i: ids for i, ids in docs if ids}
