@@ -10989,6 +10989,46 @@ def _pinned_shard_src(shard_frames, cols, prefix: str) -> str:
     return src
 
 
+def _drain_encode_store(spark, src, kept, vocab, prefix, oov="bytes"):
+    """Drive a (doc_id, text) file-source stream through `stream_encode`
+    into a fresh (doc_id,)-keyed RunStore and return it — the ONE copy
+    of the encode-drain scaffold (review r17: `tokenizer_streaming_
+    encode` and `tokenizer_coverage_drift` each hand-rolled it; the
+    windows drain was deduplicated for the same reason in r16).  Raises
+    on drain timeout — a partial store surfaces later as an opaque
+    hash mismatch."""
+    import os
+    import tempfile
+
+    from cassandra_util_spark.core.table import TableMeta
+    from cassandra_util_spark.sources.runs import RunStore
+    from cassandra_util_spark.streaming.corpus import stream_encode
+
+    store = RunStore(
+        tempfile.mkdtemp(prefix=f"{prefix}-store-"),
+        TableMeta(("doc_id",), (), "writetime"),
+    )
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(os.path.join(src, "shard-*") if os.path.isdir(
+            os.path.join(src, "shard-00")) else src)
+    )
+    with _scoped_shuffle_partitions(spark, 8):
+        q = stream_encode(
+            stream, store, tempfile.mkdtemp(prefix=f"{prefix}-cp-"),
+            kept, vocab, oov=oov,
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                f"{prefix}: encode drain did not finish within 300s — "
+                "refusing to read a partial store"
+            )
+    return store
+
+
 def _drain_windows_store(spark, shard_frames, id_col, capacity, prefix):
     """Drive ascending micro-batches of ``(id, token_ids)`` frames through
     `stream_windows` into a fresh window RunStore and return it — the ONE
@@ -11035,15 +11075,18 @@ def _drain_windows_store(spark, shard_frames, id_col, capacity, prefix):
     return store
 
 
-def _ascending_id_shards(enc, id_col: str = "doc_id", n: int = 3) -> list:
+def _ascending_id_shards(enc, id_col: str = "doc_id", n: int = 3,
+                         mx=None) -> list:
     """Split an encoded frame into ``n`` ascending id-range shards — the
     ONE copy of the micro-batch range split feeding
     `_drain_windows_store` (review r17: `_corpus_window_store` and
     `windows_store_decode_roundtrip` each hand-rolled it).  Ranges are
     computed from the max id (one 1-row aggregate), so shard k+1's ids
     all exceed shard k's — the carry protocol's append-order
-    precondition."""
-    mx = enc.agg(F.max(id_col).alias("m")).first()["m"]
+    precondition.  Pass ``mx`` when the caller already aggregated the
+    max id (one job saved per run)."""
+    if mx is None:
+        mx = enc.agg(F.max(id_col).alias("m")).first()["m"]
     cuts = [None] + [(k * mx) // n for k in range(1, n)] + [None]
     shards = []
     for lo, hi in zip(cuts, cuts[1:]):
@@ -12098,14 +12141,11 @@ def tokenizer_streaming_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     inline byte fallback, and the idempotent streamed encode."""
     import tempfile
 
-    from cassandra_util_spark.core.table import TableMeta
     from cassandra_util_spark.operators.bpe import bpe_train
-    from cassandra_util_spark.sources.runs import RunStore
     from cassandra_util_spark.sources.tokenizer import (
         read_tokenizer,
         write_tokenizer,
     )
-    from cassandra_util_spark.streaming.corpus import stream_encode
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     merges, words = bpe_train(d, "text", num_merges=_BPE_N)
@@ -12123,27 +12163,7 @@ def tokenizer_streaming_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.col("doc_id") % 3 == k).coalesce(1).write.mode(
             "append"
         ).parquet(src)
-    store = RunStore(
-        tempfile.mkdtemp(prefix="runstore-tok-enc-"),
-        TableMeta(("doc_id",), (), "writetime"),
-    )
-    stream = (
-        spark.readStream.schema("doc_id bigint, text string")
-        .option("maxFilesPerTrigger", 1)
-        .option("latestFirst", "false")
-        .parquet(src)
-    )
-    with _scoped_shuffle_partitions(spark, 8):
-        q = stream_encode(
-            stream, store, tempfile.mkdtemp(prefix="tok-enc-cp-"),
-            kept, vocab, oov="bytes",
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError(
-                "tokenizer_streaming_encode: encode drain did not finish "
-                "within 300s — refusing to read a partial store"
-            )
+    store = _drain_encode_store(spark, src, kept, vocab, "tok-enc")
     view = store.read_merged(spark)
     return view.select(
         "doc_id",
@@ -12243,10 +12263,16 @@ _rotate_driver_window(_WINDOW_ROTATE_IN_R17)  # the full r16 window turns over (
 # text the full inversion chain must restore.  The Spark side earns its
 # hash by actually running encode → pack → reassemble → decode; the
 # oracle recomputes the invariants from first principles.
-_WINDECODE_ORACLE = _bpe_sql(
-    _BPE_N,
-    _BPE_OOV_CTES
-    + f"""
+def _windecode_sql(extra_cte: str = "", from_extra: str = "",
+                   where: str = "") -> str:
+    """The decode-round-trip oracle body — window/token arithmetic over
+    the capped byte-fallback streams plus the restored-text projection —
+    with hook points for the lookup variant's range restriction (review
+    r17: `_WINLOOKUP_ORACLE` previously duplicated this tail verbatim;
+    a window-arithmetic fix must land exactly once)."""
+    return (
+        _BPE_OOV_CTES
+        + f"""
     , dtok AS (
       SELECT d.doc_id, CAST(sum(len(s.ids)) AS BIGINT) AS n
       FROM dw d JOIN allseg s USING (word)
@@ -12261,35 +12287,44 @@ _WINDECODE_ORACLE = _bpe_sql(
       SELECT doc_id, n AS n_tokens,
              CAST((cb + n - 1) // 1024 - cb // 1024 + 1 AS BIGINT)
                AS n_windows
-      FROM cum WHERE n > 0)
+      FROM cum WHERE n > 0){extra_cte}
     SELECT doc.doc_id,
            CAST(coalesce(w.n_windows, 0) AS BIGINT) AS n_windows,
            CAST(coalesce(w.n_tokens, 0) AS BIGINT) AS n_tokens,
            array_to_string(
              list_filter(string_split({_NORM_SQL}, ' '), x -> x <> ''),
              ' ') AS restored
-    FROM documents doc LEFT JOIN wins w USING (doc_id)
-    """,
-)
-
-
-def _oov_frozen(spark, sf_dir: str):
-    """``(d, kept, vocab, enc)`` — the shared capped byte-fallback
-    fixture of the decode-round-trip and coverage-drift queries (review
-    r17: one copy): train on the corpus, cap the word table to the
-    top-{K} (the production vocab_size shape `bpe_encode_oov_fallback`
-    certifies), and encode with ``oov="bytes"``.  The encoded streams
-    are pinned once."""
-    from cassandra_util_spark.operators.bpe import (
-        bpe_encode_ids,
-        bpe_train,
-        bpe_vocab,
+    FROM documents doc LEFT JOIN wins w USING (doc_id){from_extra}
+    {where}"""
     )
+
+
+_WINDECODE_ORACLE = _bpe_sql(_BPE_N, _windecode_sql())
+
+
+def _oov_capped(spark, sf_dir: str):
+    """``(d, kept, vocab)`` — the capped byte-fallback MODEL fixture
+    (train + top-{K} cap + byte-fallback vocabulary), without any
+    encode.  Streaming consumers (`tokenizer_coverage_drift`) stop
+    here: they re-encode through `stream_encode` anyway, and
+    `_oov_frozen`'s eager batch encode would run the whole corpus
+    chain for nothing (review r17)."""
+    from cassandra_util_spark.operators.bpe import bpe_train, bpe_vocab
 
     d = _t(spark, sf_dir, "documents")
     merges, words = bpe_train(d, "text", num_merges=_BPE_N)
     kept = words.orderBy(F.col("cnt").desc(), "word").limit(_BPE_OOV_KEEP)
     vocab = bpe_vocab(spark, words, merges, byte_fallback=True)
+    return d, kept, vocab
+
+
+def _oov_frozen(spark, sf_dir: str):
+    """``(d, kept, vocab, enc)`` — `_oov_capped` plus the one-shot
+    ``oov="bytes"`` encode, pinned once: the fixture of the
+    decode-round-trip queries (review r17: one copy)."""
+    from cassandra_util_spark.operators.bpe import bpe_encode_ids
+
+    d, kept, vocab = _oov_capped(spark, sf_dir)
     enc = bpe_encode_ids(
         d, "doc_id", "text", kept, vocab, oov="bytes"
     ).localCheckpoint()
@@ -12485,38 +12520,20 @@ def tokenizer_coverage_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Random-access lookup oracle: the SAME window/token arithmetic as
-# _WINDECODE_ORACLE, with the final projection restricted to the looked-up
-# doc-id range [2·max/5, 9·max/20] — inside the middle ingest batch, so
-# the engine side's key-bounded store read actually prunes runs.
+# _WINDECODE_ORACLE (one builder — _windecode_sql), with the final
+# projection restricted to the looked-up doc-id range [2·max/5,
+# 9·max/20] — inside the middle ingest batch, so the engine side's
+# key-bounded store read actually prunes runs.
 _WINLOOKUP_ORACLE = _bpe_sql(
     _BPE_N,
-    _BPE_OOV_CTES
-    + f"""
-    , dtok AS (
-      SELECT d.doc_id, CAST(sum(len(s.ids)) AS BIGINT) AS n
-      FROM dw d JOIN allseg s USING (word)
-      GROUP BY d.doc_id),
-    cum AS (
-      SELECT doc_id, n,
-             coalesce(CAST(sum(n) OVER (ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-               AS BIGINT), 0) AS cb
-      FROM dtok),
-    wins AS (
-      SELECT doc_id, n AS n_tokens,
-             CAST((cb + n - 1) // 1024 - cb // 1024 + 1 AS BIGINT)
-               AS n_windows
-      FROM cum WHERE n > 0),
-    mxd AS (SELECT max(doc_id) AS m FROM documents)
-    SELECT doc.doc_id,
-           CAST(coalesce(w.n_windows, 0) AS BIGINT) AS n_windows,
-           CAST(coalesce(w.n_tokens, 0) AS BIGINT) AS n_tokens,
-           array_to_string(
-             list_filter(string_split({_NORM_SQL}, ' '), x -> x <> ''),
-             ' ') AS restored
-    FROM documents doc LEFT JOIN wins w USING (doc_id), mxd
-    WHERE doc.doc_id >= (2 * mxd.m) // 5 AND doc.doc_id <= (9 * mxd.m) // 20
-    """,
+    _windecode_sql(
+        extra_cte=""",
+    mxd AS (SELECT max(doc_id) AS m FROM documents)""",
+        from_extra=", mxd",
+        where="WHERE doc.doc_id >= (2 * mxd.m) // 5 "
+              "AND doc.doc_id <= (9 * mxd.m) // 20",
+    )
+    + "\n    ",
 )
 
 
@@ -12542,11 +12559,13 @@ def windows_doc_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     text must equal the normalized source exactly; the oracle replays
     the global window arithmetic and restricts to the same range."""
     d, _, vocab, enc = _oov_frozen(spark, sf_dir)
+    # one max(doc_id) aggregate serves both the shard split and the
+    # lookup range (review r17: the split helper used to recompute it)
+    mx = int(enc.agg(F.max("doc_id").alias("m")).first()["m"])
     store = _drain_windows_store(
-        spark, _ascending_id_shards(enc), "doc_id", capacity=1024,
+        spark, _ascending_id_shards(enc, mx=mx), "doc_id", capacity=1024,
         prefix="win-look",
     )
-    mx = int(d.agg(F.max("doc_id").alias("m")).first()["m"])
     lo_d, hi_d = (2 * mx) // 5, (9 * mx) // 20
     # the doc→bin index: derived from the store's attribution spans (at
     # production scale this is the persisted index artifact; its build
@@ -12560,20 +12579,29 @@ def windows_doc_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("bin").alias("lo"), F.max("bin").alias("hi"))
         .first()
     )
-    lo_b, hi_b = int(index["lo"]), int(index["hi"])
-    win = (
-        store.read_merged(spark, key_lower=lo_b, key_upper=hi_b)
-        .select(
-            "bin",
-            "token_ids",
-            F.filter(
-                "doc_spans",
-                lambda s: (s["doc"] >= F.lit(lo_d))
-                & (s["doc"] <= F.lit(hi_d)),
-            ).alias("doc_spans"),
+    if index["lo"] is None:
+        # every doc in the range packed to zero tokens: no spans, no
+        # bins to read — hand the view an empty window set so the
+        # wanted docs render (0, 0, '') exactly as the oracle does,
+        # instead of crashing on int(None) (review r17)
+        win = store.read_merged(spark).select(
+            "bin", "token_ids", "doc_spans"
+        ).limit(0)
+    else:
+        lo_b, hi_b = int(index["lo"]), int(index["hi"])
+        win = (
+            store.read_merged(spark, key_lower=lo_b, key_upper=hi_b)
+            .select(
+                "bin",
+                "token_ids",
+                F.filter(
+                    "doc_spans",
+                    lambda s: (s["doc"] >= F.lit(lo_d))
+                    & (s["doc"] <= F.lit(hi_d)),
+                ).alias("doc_spans"),
+            )
+            .localCheckpoint()
         )
-        .localCheckpoint()
-    )
     wanted = d.filter((F.col("doc_id") >= lo_d) & (F.col("doc_id") <= hi_d))
     return _decode_roundtrip_view(wanted, win, vocab)
 
@@ -12623,57 +12651,34 @@ def tokenizer_coverage_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     writetime column SQL-replayable.  Scale shape: one metadata-light
     aggregate over the store (token arrays feed one map-side
     size/filter pass; the group-by emits |batches| rows)."""
-    import os
-    import tempfile
-
-    from cassandra_util_spark.core.table import TableMeta
     from cassandra_util_spark.operators.bpe import byte_block_bounds
-    from cassandra_util_spark.sources.runs import RunStore
-    from cassandra_util_spark.streaming.corpus import stream_encode
 
-    d, kept, vocab, _ = _oov_frozen(spark, sf_dir)
+    d, kept, vocab = _oov_capped(spark, sf_dir)
     byte_base, _end = byte_block_bounds(vocab)
     src = _pinned_shard_src(
         _ascending_id_shards(d.select("doc_id", "text")),
         ["doc_id", "text"],
         "cov-drift",
     )
-    store = RunStore(
-        tempfile.mkdtemp(prefix="cov-drift-store-"),
-        TableMeta(("doc_id",), (), "writetime"),
+    store = _drain_encode_store(spark, src, kept, vocab, "cov-drift")
+    # the byte-token count is STAGED as a column before the aggregate:
+    # HOF lambdas are CodegenFallback and CSE never merges them, so an
+    # inlined second copy inside byte_token_share would filter every
+    # token array twice (review r17; the per-lang twin stages the same
+    # way)
+    staged = store.read_merged(spark).select(
+        F.col("writetime").cast("bigint").alias("batch"),
+        "n_tokens",
+        F.size(
+            F.filter("token_ids", lambda t: t >= F.lit(byte_base))
+        ).alias("__btoks"),
     )
-    stream = (
-        spark.readStream.schema("doc_id bigint, text string")
-        .option("maxFilesPerTrigger", 1)
-        .option("latestFirst", "false")
-        .parquet(os.path.join(src, "shard-*"))
-    )
-    with _scoped_shuffle_partitions(spark, 8):
-        q = stream_encode(
-            stream, store, tempfile.mkdtemp(prefix="cov-drift-cp-"),
-            kept, vocab, oov="bytes",
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError(
-                "tokenizer_coverage_drift: encode drain did not finish "
-                "within 300s — refusing to read a partial store"
-            )
-    view = store.read_merged(spark)
-    return view.groupBy(
-        F.col("writetime").cast("bigint").alias("batch")
-    ).agg(
+    return staged.groupBy("batch").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("n_tokens"),
-        F.sum(
-            F.size(F.filter("token_ids", lambda t: t >= F.lit(byte_base)))
-        ).cast("bigint").alias("n_byte_tokens"),
+        F.sum("__btoks").cast("bigint").alias("n_byte_tokens"),
         F.round(
-            F.sum(
-                F.size(
-                    F.filter("token_ids", lambda t: t >= F.lit(byte_base))
-                )
-            )
+            F.sum("__btoks")
             / F.greatest(F.sum("n_tokens"), F.lit(1)).cast("double"),
             6,
         ).alias("byte_token_share"),

@@ -525,3 +525,32 @@ def test_doc_lookup_filters_spans_before_reassembly(spark):
     full = {i: ids for i, ids in DOCS}
     torn = {i for i, ids in unfiltered.items() if ids != full[i]}
     assert torn, "expected at least one torn neighbor in the bounded read"
+
+
+def test_doc_lookup_empty_range_returns_zero_rows_not_crash(spark):
+    """An all-empty looked-up doc range has no spans and therefore no
+    bins to read: the lookup must render those docs as (0, 0, '') —
+    exactly what the oracle's LEFT JOIN does — instead of crashing on
+    the NULL min/max bin aggregate (review r17)."""
+    import os
+    import tempfile
+
+    from cassandra_util_spark.entry_queries import QUERIES
+
+    # mx=20 puts the lookup range [2·20//5, 9·20//20] = [8, 9]; docs 8
+    # and 9 normalize to zero tokens while the rest carry text
+    rows = [
+        (i, "" if i in (8, 9) else f"word{i} common text", "en", "s0",
+         10)
+        for i in range(21)
+    ]
+    sf = tempfile.mkdtemp(prefix="lookup-edge-")
+    spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint",
+    ).write.parquet(os.path.join(sf, "documents.parquet"))
+    out = QUERIES["windows_doc_lookup"](spark, sf).collect()
+    got = {r["doc_id"]: (r["n_windows"], r["n_tokens"], r["restored"])
+           for r in out}
+    assert got == {8: (0, 0, ""), 9: (0, 0, "")}
