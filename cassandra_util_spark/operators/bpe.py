@@ -757,9 +757,13 @@ def bpe_decode(
                 "it with bpe_vocab (first-writer-wins dedup)"
             )
         if len(pairs) <= DECODE_LITERAL_MAP_MAX:
+            # two single array literals, NOT 2·|vocab| F.lit calls: the
+            # py4j round-trips of per-id lits cost ~3.5 s of driver time
+            # per decode construction at a 300-row vocab (measured r17 —
+            # the construction-chatter twin of the plan-size concern the
+            # DECODE_LITERAL_MAP_MAX cap already documents)
             m = F.map_from_arrays(
-                F.array(*[F.lit(i) for i in ids]),
-                F.array(*[F.lit(r["sym"]) for r in pairs]),
+                F.lit(ids), F.lit([r["sym"] for r in pairs])
             )
             base = df.select(
                 F.col(id_col).alias("id"),

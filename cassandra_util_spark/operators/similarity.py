@@ -362,10 +362,15 @@ def _hyperplanes(dim: int, planes: int, seed: int = 42) -> list[list[float]]:
 
 
 def signlsh_bucket(vec: Column, dim: int, planes: int = 16, seed: int = 42) -> Column:
-    """Sign-LSH bucket id: one bit per hyperplane (sign of the projection)."""
+    """Sign-LSH bucket id: one bit per hyperplane (sign of the projection).
+
+    Each hyperplane ships as ONE array literal (``F.lit(list)``), not
+    dim separate ``F.lit`` calls — the py4j construction-chatter fix of
+    random_projection applied here (planes×dim lit round-trips cost
+    whole seconds of driver time per query construction)."""
     bits = []
     for i, plane in enumerate(_hyperplanes(dim, planes, seed)):
-        p = F.array(*[F.lit(float(v)) for v in plane])
+        p = F.lit([float(v) for v in plane])
         bits.append(
             F.when(dot(vec, p) >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
                 F.lit(0).cast("long")
@@ -810,24 +815,38 @@ def random_projection(
     array is LET-BOUND (the quantize_embedding pattern) so the O(dim)
     scaling subtree evaluates once, not once per output dimension.
 
+    The k×dim sign matrix ships as ONE nested-array literal and the k
+    output components as one transform-over-sequence: the first cut built
+    k separate 64-literal arrays via k·dim ``F.lit`` calls, and the py4j
+    round-trips alone cost ~5 s of DRIVER time per query construction at
+    any data size (measured r17 — the Python-side twin of the pq_encode
+    literal-fold pathology; same fix family as DECODE_LITERAL_MAP_MAX).
+
     Output: array<double> of length k, rounded to 6dp.
     """
     import math
 
     signs = rademacher_signs(dim, k, seed)
     scale = F.lit(1e9) * F.lit(math.sqrt(k))
+    signs_lit = F.lit([[int(s) for s in row] for row in signs])
 
     def project(r: Column) -> Column:
-        ys = []
-        for j in range(k):
-            s_j = F.array(*[F.lit(s).cast("bigint") for s in signs[j]])
-            acc = F.aggregate(
-                F.zip_with(r, s_j, lambda a, b: a * b),
-                F.lit(0).cast("bigint"),
-                lambda acc, x: acc + x,
-            )
-            ys.append(F.round(acc / scale, 6))
-        return F.array(*ys)
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda j: F.round(
+                F.aggregate(
+                    F.zip_with(
+                        r,
+                        F.element_at(signs_lit, j + F.lit(1)),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x,
+                )
+                / scale,
+                6,
+            ),
+        )
 
     r_expr = F.transform(
         vec, lambda x: F.round(x.cast("double") * 1e9).cast("bigint")
