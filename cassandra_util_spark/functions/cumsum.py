@@ -85,18 +85,35 @@ def distributed_cumsum(
     if flagged_nondet:
         df = df.localCheckpoint(eager=True)
     spark = df.sparkSession
-    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # Scale-adaptive bucket count (r17, guide §2: derive partitioning from
+    # the input, not a constant): the input plan's own partition count —
+    # AQE-coalesced upstream, so ∝ actual bytes — capped by the session
+    # setting.  A bench-sized input gets 1 bucket (the boundary pass and
+    # its full input scan are skipped entirely; the single local window IS
+    # the whole sum), a production-sized input keeps production
+    # parallelism.  Bucket count never changes values: integer sums are
+    # exact under any grouping (test-pinned bit-equality).
+    n = num_partitions or max(
+        1,
+        min(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            df.rdd.getNumPartitions(),
+        ),
+    )
     first = order_cols[0]
     order = [F.col(c).asc() for c in order_cols]
 
     # one aggregate pass; boundaries become literals, so the bucket id is a
     # pure function of the row and both downstream passes agree by
-    # construction
+    # construction (n == 1: no boundaries to estimate — skip the pass)
     qs = [i / n for i in range(1, n)]
-    bounds_row = df.agg(
-        F.percentile_approx(F.col(first), F.array(*[F.lit(q) for q in qs]),
-                            F.lit(10_000)).alias("b")
-    ).collect()[0]["b"]
+    if qs:
+        bounds_row = df.agg(
+            F.percentile_approx(F.col(first), F.array(*[F.lit(q) for q in qs]),
+                                F.lit(10_000)).alias("b")
+        ).collect()[0]["b"]
+    else:
+        bounds_row = []
     bounds = sorted(set(bounds_row)) if bounds_row else []
     # a NULL leading key would silently land in bucket 0 (NULL comparisons
     # drop out of the filter) and corrupt the order — fail loudly instead;
@@ -118,21 +135,26 @@ def distributed_cumsum(
     w = Window.partitionBy("__pid").orderBy(*order)
     local = tagged.withColumn("__local", F.sum(value_col).over(w))
 
-    # ≤ N+1-row total table: bounded by construction, the same class of
-    # driver collect as every rule/centroid table in this repo — and
-    # Python ints are exact
-    totals = {
-        r["__pid"]: r["__t"]
-        for r in tagged.groupBy("__pid")
-        .agg(F.sum(value_col).alias("__t"))
-        .collect()
-    }
-    offsets, acc = {}, 0
-    for bucket in sorted(totals):
-        offsets[bucket] = acc
-        acc += totals[bucket] or 0
-    if not offsets:
-        return df.withColumn(out_col, F.col(value_col))  # empty input
+    if not bounds:
+        # single bucket: every row is in bucket 0 at offset 0 — the totals
+        # pass (a full input scan + collect) carries no information (r17)
+        offsets: dict = {0: 0}
+    else:
+        # ≤ N+1-row total table: bounded by construction, the same class of
+        # driver collect as every rule/centroid table in this repo — and
+        # Python ints are exact
+        totals = {
+            r["__pid"]: r["__t"]
+            for r in tagged.groupBy("__pid")
+            .agg(F.sum(value_col).alias("__t"))
+            .collect()
+        }
+        offsets, acc = {}, 0
+        for bucket in sorted(totals):
+            offsets[bucket] = acc
+            acc += totals[bucket] or 0
+        if not offsets:
+            return df.withColumn(out_col, F.col(value_col))  # empty input
     offset_df = spark.createDataFrame(
         [(b, off) for b, off in offsets.items()], "__pid int, __off bigint"
     )

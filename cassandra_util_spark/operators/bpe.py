@@ -220,6 +220,36 @@ def _select_disjoint(rows, m: int) -> List[Tuple[str, str, int]]:
     return sel
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _vocab_scoped_shuffle(words: DataFrame):
+    """Scope ``spark.sql.shuffle.partitions`` of the merge loop to the
+    MATERIALIZED word table's own partition count (never raising it): the
+    loop's shuffles are vocabulary-sized, and running a 31-row pair count
+    through the session's corpus-scale partition setting pays pure
+    per-task/AQE overhead every round (measured r17: 10 rounds 4.0 s →
+    3.1 s at sf0.1).  The checkpointed table's partition count is the
+    scale proxy — AQE has already coalesced it proportional to the actual
+    vocabulary bytes, so a production-sized word table keeps a
+    production-sized setting while the bench-sized one drops to 1.
+    Partition count never changes results (argmax and fold are
+    partitioning-invariant; merge-list equality pinned by the probe and
+    the unchanged oracles)."""
+    spark = words.sparkSession
+    n = max(words.rdd.getNumPartitions(), 1)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if int(prev) <= n:
+        yield
+        return
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str,
@@ -253,26 +283,32 @@ def bpe_train(
         raise ValueError(f"batch must be >= 1, got {batch}")
     words = word_frequency_table(df, text_col).localCheckpoint()
     merges: List[Tuple[int, str, str, int]] = []
-    while len(merges) < num_merges:
-        want = min(batch, num_merges - len(merges))
-        # over-collect 4x: candidates lost to symbol collisions still leave
-        # enough to fill the round; a thin round self-heals next iteration
-        top = (
-            _pair_counts(words)
-            .orderBy(F.col("c").desc(), F.col("lhs").asc(), F.col("rhs").asc())
-            .limit(want if want == 1 else 4 * want)
-            .collect()
-        )
-        if not top:
-            break  # corpus exhausted (every word a single symbol)
-        taken = _select_disjoint(top, want)
-        for lhs, rhs, c in taken:
-            merges.append((len(merges), lhs, rhs, c))
-        if len(taken) == 1:
-            col = merge_pair_expr(F.col("syms"), taken[0][0], taken[0][1])
-        else:
-            col = merge_pairs_expr(F.col("syms"), [(l, r) for l, r, _ in taken])
-        words = words.withColumn("syms", col).localCheckpoint()
+    with _vocab_scoped_shuffle(words):
+        while len(merges) < num_merges:
+            want = min(batch, num_merges - len(merges))
+            # over-collect 4x: candidates lost to symbol collisions still
+            # leave enough to fill the round; a thin round self-heals next
+            # iteration
+            top = (
+                _pair_counts(words)
+                .orderBy(
+                    F.col("c").desc(), F.col("lhs").asc(), F.col("rhs").asc()
+                )
+                .limit(want if want == 1 else 4 * want)
+                .collect()
+            )
+            if not top:
+                break  # corpus exhausted (every word a single symbol)
+            taken = _select_disjoint(top, want)
+            for lhs, rhs, c in taken:
+                merges.append((len(merges), lhs, rhs, c))
+            if len(taken) == 1:
+                col = merge_pair_expr(F.col("syms"), taken[0][0], taken[0][1])
+            else:
+                col = merge_pairs_expr(
+                    F.col("syms"), [(l, r) for l, r, _ in taken]
+                )
+            words = words.withColumn("syms", col).localCheckpoint()
     return merges, words
 
 

@@ -288,3 +288,23 @@ def test_batched_trainer_rejects_bad_batch(spark):
     df = spark.createDataFrame([(0, "a")], "doc_id bigint, text string")
     with pytest.raises(ValueError, match="batch"):
         bpe_train(df, "text", num_merges=1, batch=0)
+
+
+def test_train_scoped_shuffle_restores_conf_and_result(spark):
+    """r17: bpe_train scopes spark.sql.shuffle.partitions to the word
+    table's own partition count for the merge loop; the session setting
+    must be restored afterwards (even though the loop ran under a smaller
+    one) and the learned merges must be identical to a run under the
+    session default."""
+    rows = [("the cat sat on the mat the cat",), ("a cat and a mat and a hat",)]
+    d = spark.createDataFrame(rows * 20, "text string")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    m1, _ = bpe_train(d, "text", num_merges=4)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    spark.conf.set("spark.sql.shuffle.partitions", "13")
+    try:
+        m2, _ = bpe_train(d, "text", num_merges=4)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "13"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert m1 == m2

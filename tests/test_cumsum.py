@@ -89,6 +89,33 @@ def test_empty_input(spark):
     assert token_budget_cut(df, ["doc_id"], "toks", budget=10).count() == 0
 
 
+def test_single_bucket_fast_path_bit_exact(spark):
+    """r17: a single-partition input derives n=1 — the boundary/totals
+    passes are skipped — and the result must still be bit-identical to
+    the single-task global window (and the empty input must keep its
+    schema through the same path)."""
+    df = _toy(spark, 1500).coalesce(1).localCheckpoint()
+    assert df.rdd.getNumPartitions() == 1
+    got = {
+        r["doc_id"]: r["cumsum"]
+        for r in distributed_cumsum(df, ["doc_id"], "toks").collect()
+    }
+    w = Window.orderBy(F.col("doc_id").asc())
+    want = {
+        r["doc_id"]: r["want"]
+        for r in df.withColumn("want", F.sum("toks").over(w)).collect()
+    }
+    assert got == want and len(got) == 1500
+    empty = (
+        spark.createDataFrame([], "doc_id long, toks long")
+        .coalesce(1)
+        .localCheckpoint()
+    )
+    out = distributed_cumsum(empty, ["doc_id"], "toks")
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "toks", "cumsum"]
+
+
 def test_pack_sequences_distributed_matches_global_window(spark):
     """pack_sequences(distributed=True): the two-phase prefix sum yields
     bit-identical bins/offsets to the single-task global window it
