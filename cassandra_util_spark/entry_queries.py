@@ -10973,16 +10973,43 @@ def _pinned_shard_src(shard_frames, cols, prefix: str) -> str:
     the file-source append-order pin (the carry protocol's and the
     batch-labeled drift monitor's precondition: micro-batch k must
     deliver shard k).  Shared by `_drain_windows_store` and
-    `tokenizer_coverage_drift`."""
+    `tokenizer_coverage_drift`.
+
+    All shards land in ONE tagged write (r17): the per-shard
+    ``coalesce(1).write`` loop paid one driver-blocking job per shard,
+    each re-reading the shared upstream.  ``repartition(n, __shard)``
+    keeps every shard's rows in exactly one task, so each partition dir
+    holds exactly one part file — the 1-file-per-trigger contract the
+    drain's ``maxFilesPerTrigger=1`` ordering rests on.  An EMPTY shard
+    writes no partition dir, but must still deliver its (empty)
+    micro-batch — batch ids feed the stores' writetime column — so
+    missing dirs are backfilled with a zero-row parquet write before the
+    mtime pinning."""
     import os
     import tempfile
     import time
 
     src = tempfile.mkdtemp(prefix=f"{prefix}-src-")
-    now = time.time()
+    spark = shard_frames[0].sparkSession
+    tagged = None
     for k, sh in enumerate(shard_frames):
+        t = sh.select(*cols).withColumn("__shard", F.lit(k))
+        tagged = t if tagged is None else tagged.unionByName(t)
+    staging = os.path.join(src, "_stage")
+    (
+        tagged.repartition(len(shard_frames), "__shard")
+        .write.partitionBy("__shard")
+        .parquet(staging)
+    )
+    schema = shard_frames[0].select(*cols).schema
+    now = time.time()
+    for k in range(len(shard_frames)):
         sub = os.path.join(src, f"shard-{k:02d}")
-        sh.select(*cols).coalesce(1).write.parquet(sub)
+        part = os.path.join(staging, f"__shard={k}")
+        if os.path.isdir(part):
+            os.rename(part, sub)
+        else:  # empty shard: no partition dir was written — backfill
+            spark.createDataFrame([], schema).coalesce(1).write.parquet(sub)
         for root, _, files in os.walk(sub):
             for f in files:
                 os.utime(os.path.join(root, f), (now + k, now + k))
@@ -11393,13 +11420,15 @@ def curriculum_packed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     merges, words = bpe_train(d, "text", num_merges=_BPE_N)
-    # pin the encoded streams (the r14 distributed_cumsum discipline)
     enc = bpe_encode_ids(
         d, "doc_id", "text", words, bpe_vocab(spark, words, merges)
-    ).localCheckpoint()
-    # pin the joined chain too: distributed_cumsum executes its input
-    # three times, and enc's pin does not cover the quality-score scan
-    # or the order-key join layered on top (review r15)
+    )
+    # ONE pin, after the order-key join: distributed_cumsum executes its
+    # input three times, so the full chain (encode + quality-score scan +
+    # join) is pinned here (review r15); pinning enc separately too was a
+    # wasted extra materialization round-trip of the token arrays — enc
+    # has no other consumer, so its chain runs exactly once inside this
+    # checkpoint either way (r17)
     enc2 = enc.join(_curriculum_ord(d), "doc_id").localCheckpoint()
     win = materialize_packed_windows(
         enc2, "doc_id", "token_ids", capacity=1024,
@@ -12015,7 +12044,10 @@ def curriculum_windows_from_store(spark: SparkSession, sf_dir: str) -> DataFrame
     merges, words = bpe_train(d, "text", num_merges=_BPE_N)
     enc = bpe_encode_ids(
         d, "doc_id", "text", words, bpe_vocab(spark, words, merges)
-    ).localCheckpoint()
+    )
+    # ONE pin after the order-key join (r17, same reasoning as
+    # curriculum_packed_windows: enc has no other consumer here, so a
+    # separate enc pin was a wasted extra materialization round-trip)
     enc2 = enc.join(_curriculum_ord(d), "doc_id").select(
         F.col("__cur_ord").alias("cur_ord"), "token_ids"
     ).localCheckpoint()

@@ -1033,8 +1033,21 @@ def _windows_shard_step(
         inp, id_col, "__ids", capacity, order_col="__ord",
         with_spans=True, distributed=distributed,
     ).localCheckpoint()
-    mb = win.agg(F.max("bin").alias("m")).first()["m"]
-    partial = win.filter(F.col("n_tokens") < capacity).collect()
+    # max bin + the partial-window row(s) in ONE aggregate job over the
+    # checkpointed windows (r17: this ran as two driver-blocking jobs per
+    # shard/trigger; collect_list skips the nulls the when() leaves for
+    # full windows, so only boundary rows — ≤ capacity tokens by the
+    # tiling invariant — ever reach the driver)
+    head = win.agg(
+        F.max("bin").alias("m"),
+        F.collect_list(
+            F.when(
+                F.col("n_tokens") < capacity,
+                F.struct("bin", "n_tokens", "token_ids", "doc_spans"),
+            )
+        ).alias("p"),
+    ).first()
+    mb, partial = head["m"], head["p"]
     new_carry: list = []
     if partial:  # by construction only the LAST local bin can be partial
         p = partial[0]
@@ -1081,9 +1094,9 @@ def materialize_windows_incremental(
     ``id_col`` ranges (append order) — the equivalence target is the
     one-shot materialization's ``id_col``-ordered stream, so a shard
     containing ids below a previous shard's would change history.  Each
-    shard pays one distributed materialization plus two bounded driver
-    actions (a max-bin aggregate and the ≤1-row partial-window
-    collect); the equivalence is hash-certified end to end by
+    shard pays one distributed materialization plus one bounded driver
+    action (the fused max-bin + partial-window aggregate — r17); the
+    equivalence is hash-certified end to end by
     `windows_incremental_store` against the one-shot oracle.
 
     Id precondition guard (ADVICE r14): carry pieces order ahead of the

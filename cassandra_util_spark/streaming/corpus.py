@@ -457,9 +457,13 @@ def stream_windows(
         spark = batch_df.sparkSession
         id_type = dict(batch_df.dtypes)[id_col]
         elem = batch_df.schema[ids_col].dataType.elementType.simpleString()
+        # pin the deduped batch ONCE: the append-order guard's min-id
+        # aggregate and the shard step's carry-union checkpoint both read
+        # it — unpinned, each re-ran the dedup shuffle over the batch
+        # source (r17; at scale that is two reads of every arriving shard)
         batch_df = batch_df.groupBy(id_col).agg(
             F.max(F.col(ids_col)).alias(ids_col)
-        )
+        ).localCheckpoint()
         carry: list = []
         bin_base = 0
         hi: "int | None" = None  # highest already-windowed doc id

@@ -554,3 +554,42 @@ def test_doc_lookup_empty_range_returns_zero_rows_not_crash(spark):
     got = {r["doc_id"]: (r["n_windows"], r["n_tokens"], r["restored"])
            for r in out}
     assert got == {8: (0, 0, ""), 9: (0, 0, "")}
+
+
+def test_pinned_shard_src_one_file_per_shard_and_empty_backfill(spark, tmp_path):
+    """r17: the tagged one-job shard write must keep the drain contract —
+    exactly one part file per shard dir, ascending pinned mtimes, and an
+    EMPTY shard still materializes a (zero-row) parquet dir so its
+    micro-batch (and hence every later batch id / writetime) survives."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cassandra_util_spark.entry_queries import _pinned_shard_src
+
+    d = spark.createDataFrame(
+        [(i, [i, i + 1]) for i in range(30)],
+        "doc_id bigint, token_ids array<bigint>",
+    )
+    shards = [
+        d.filter(F.col("doc_id") < 10),
+        d.filter(F.col("doc_id") < 0),  # EMPTY middle shard
+        d.filter(F.col("doc_id") >= 10),
+    ]
+    src = _pinned_shard_src(shards, ["doc_id", "token_ids"], "t17")
+    mtimes = []
+    total = 0
+    for k in range(3):
+        sub = os.path.join(src, f"shard-{k:02d}")
+        parts = glob.glob(os.path.join(sub, "*.parquet")) or [
+            p for p in glob.glob(os.path.join(sub, "part-*")) if not p.endswith(".crc")
+        ]
+        assert len(parts) == 1, (k, parts)
+        mtimes.append(os.path.getmtime(parts[0]))
+        rows = spark.read.schema("doc_id bigint, token_ids array<bigint>").parquet(sub)
+        total += rows.count()
+        if k == 1:
+            assert rows.count() == 0
+    assert mtimes == sorted(mtimes) and mtimes[0] < mtimes[1] < mtimes[2]
+    assert total == 30
