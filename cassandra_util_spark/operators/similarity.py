@@ -55,6 +55,21 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom != 0, dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
+def cosine_staged(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    """:func:`cosine` with the two norms supplied as PRE-STAGED columns —
+    bit-identical values (same expression DAG per scalar: denom =
+    norm(a)·norm(b) in the same operand order, same dot fold), but the
+    O(dim) norm folds evaluate once per ROW instead of once per PAIR.
+    The per-pair expression cosine runs three interpreted array folds
+    (dot + both norms — CodegenFallback HOFs, no CSE); in every
+    broadcast-join scoring shape (train × eval, corpus × queries,
+    bucket-pair verify) the norms depend on one side only, so two of the
+    three folds were pure per-pair waste (r17; the expression-path cousin
+    of the semantic_dedup BLAS lesson)."""
+    denom = norm_a * norm_b
+    return F.when(denom != 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -70,12 +85,21 @@ def cosine_topk(
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    ).withColumn("__qn", norm(F.col("q_vec")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    ).withColumn("__cn", norm(F.col("c_vec")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("score", cosine(F.col("q_vec"), F.col("c_vec")))
+        # norms staged per ROW before the pair join (r17): bit-identical
+        # to cosine(q_vec, c_vec), 3 interpreted folds per pair -> 1
+        .withColumn(
+            "score",
+            cosine_staged(
+                F.col("q_vec"), F.col("c_vec"), F.col("__qn"), F.col("__cn")
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
     return (
@@ -118,13 +142,20 @@ def semantic_decontamination(
     corpus yields an empty report."""
     q = eval_set.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("eval_id"), F.col(vec_col).alias("__qv")
-    )
+    ).withColumn("__qn", norm(F.col("__qv")))
     t = train.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("best_train_id"), F.col(vec_col).alias("__tv")
-    )
+    ).withColumn("__tn", norm(F.col("__tv")))
+    # norms staged per ROW (r17): bit-identical to cosine(__qv, __tv) —
+    # same denom operand order — with 3 interpreted folds per pair -> 1
     scored = t.crossJoin(F.broadcast(q)).withColumn(
         "best_cosine",
-        F.round(cosine(F.col("__qv"), F.col("__tv")), round_digits),
+        F.round(
+            cosine_staged(
+                F.col("__qv"), F.col("__tv"), F.col("__qn"), F.col("__tn")
+            ),
+            round_digits,
+        ),
     )
     w = Window.partitionBy("eval_id").orderBy(
         F.col("best_cosine").desc(), F.col("best_train_id").asc()
@@ -334,12 +365,20 @@ def ivf_topk(
         qcells.withColumn("__r", F.row_number().over(wq))
         .filter(F.col("__r") <= nprobe)
         .select("query_id", "q_vec", "cell")
+        .withColumn("__qn", norm(F.col("q_vec")))
     )
 
     scored = (
-        assigned.join(F.broadcast(probes), "cell")
+        assigned.withColumn("__cn", norm(F.col(vec_col)))
+        .join(F.broadcast(probes), "cell")
         .filter(F.col(id_col) != F.col("query_id"))
-        .withColumn("score", cosine(F.col("q_vec"), F.col(vec_col)))
+        # norms staged per row (r17): bit-identical, 3 folds per pair -> 1
+        .withColumn(
+            "score",
+            cosine_staged(
+                F.col("q_vec"), F.col(vec_col), F.col("__qn"), F.col("__cn")
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
     return (
@@ -407,7 +446,9 @@ def embedding_neardup_pairs(
     needed.  exact=True (oracle path): all-pairs verify — O(N²), small N
     only.  Output: (id_a, id_b, cos_sim rounded to 4dp).
     """
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).withColumn("__n", norm(F.col("vec")))
     if exact:
         a, b = base.alias("a"), base.alias("b")
         cand = a.join(b, F.col("a.id") < F.col("b.id"))
@@ -435,7 +476,13 @@ def embedding_neardup_pairs(
     scored = cand.select(
         F.col("a.id").alias("id_a"),
         F.col("b.id").alias("id_b"),
-        F.round(cosine(F.col("a.vec"), F.col("b.vec")), 4).alias("cos_sim"),
+        # norms staged per row (r17): bit-identical, 3 folds per pair -> 1
+        F.round(
+            cosine_staged(
+                F.col("a.vec"), F.col("b.vec"), F.col("a.__n"), F.col("b.__n")
+            ),
+            4,
+        ).alias("cos_sim"),
     )
     return scored.filter(F.col("cos_sim") >= threshold)
 
@@ -630,13 +677,19 @@ def hard_negatives(
         )
     base = df.select(
         F.col(id_col).alias("id"), F.col(label_col).alias("lbl"), F.col(vec_col).alias("vec")
-    )
+    ).withColumn("__n", norm(F.col("vec")))
     a, b = base.alias("a"), base.alias("b")
     cand = a.join(b, F.col("a.lbl") != F.col("b.lbl"))
     scored = cand.select(
         F.col("a.id").alias("anchor_id"),
         F.col("b.id").alias("negative_id"),
-        F.round(cosine(F.col("a.vec"), F.col("b.vec")), 4).alias("cos_sim"),
+        # norms staged per row (r17): bit-identical, 3 folds per pair -> 1
+        F.round(
+            cosine_staged(
+                F.col("a.vec"), F.col("b.vec"), F.col("a.__n"), F.col("b.__n")
+            ),
+            4,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("anchor_id").orderBy(
         F.col("cos_sim").desc(), F.col("negative_id").asc()

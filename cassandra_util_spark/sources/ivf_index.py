@@ -124,7 +124,7 @@ def probe_ivf_index(
     """
     from pyspark.sql import Window
 
-    from cassandra_util_spark.operators.similarity import cosine
+    from cassandra_util_spark.operators.similarity import cosine, cosine_staged, norm
 
     centroids = spark.read.parquet(os.path.join(path, "centroids"))
     cent = centroids.select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cent_vec"))
@@ -139,6 +139,7 @@ def probe_ivf_index(
         qcells.withColumn("__r", F.row_number().over(wq))
         .filter(F.col("__r") <= nprobe)
         .select("query_id", "q_vec", "cell")
+        .withColumn("__qn", norm(F.col("q_vec")))
     )
     # the probed-cell set is at most |queries| * nprobe values (bounded by
     # the K centroids) — reading those directories DIRECTLY keeps even the
@@ -150,9 +151,16 @@ def probe_ivf_index(
             candidates.select(F.col(id_col)).distinct(), id_col, "left_semi"
         )
     scored = (
-        indexed.join(F.broadcast(probes), "cell")
+        indexed.withColumn("__cn", norm(F.col(vec_col)))
+        .join(F.broadcast(probes), "cell")
         .filter(F.col(id_col) != F.col("query_id"))
-        .withColumn("score", cosine(F.col("q_vec"), F.col(vec_col)))
+        # norms staged per row (r17): bit-identical, 3 folds per pair -> 1
+        .withColumn(
+            "score",
+            cosine_staged(
+                F.col("q_vec"), F.col(vec_col), F.col("__qn"), F.col("__cn")
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col(id_col).asc()
