@@ -243,11 +243,21 @@ def _vocab_scoped_shuffle(words: DataFrame):
     if int(prev) <= n:
         yield
         return
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        if n == 1:
+            # a single-partition word table makes every loop shuffle a
+            # single-task exchange: AQE has nothing to coalesce or
+            # skew-split at width 1, and its per-query stage re-planning
+            # is measurable against the ~0.25 s round (r17 probe: 10
+            # rounds 3.1 s -> 2.7 s).  Production-sized word tables keep
+            # n > 1 and therefore keep AQE.
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
 
 
 def bpe_train(
@@ -308,7 +318,12 @@ def bpe_train(
                 col = merge_pairs_expr(
                     F.col("syms"), [(l, r) for l, r, _ in taken]
                 )
-            words = words.withColumn("syms", col).localCheckpoint()
+            # lazy checkpoint: the plan is truncated immediately (lineage
+            # stays flat in rounds) but materialization rides the NEXT
+            # round's pair-count collect — one job per round instead of a
+            # checkpoint job plus a collect job.  The final round's table
+            # materializes in the caller's first action, as before.
+            words = words.withColumn("syms", col).localCheckpoint(eager=False)
     return merges, words
 
 

@@ -299,12 +299,22 @@ def test_train_scoped_shuffle_restores_conf_and_result(spark):
     rows = [("the cat sat on the mat the cat",), ("a cat and a mat and a hat",)]
     d = spark.createDataFrame(rows * 20, "text string")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    m1, _ = bpe_train(d, "text", num_merges=4)
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    m1, w1 = bpe_train(d, "text", num_merges=4)
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    # the width-1 fast path disables AQE for the loop only; the session
+    # setting must come back (r17)
+    assert spark.conf.get("spark.sql.adaptive.enabled") == prev_aqe
     spark.conf.set("spark.sql.shuffle.partitions", "13")
     try:
-        m2, _ = bpe_train(d, "text", num_merges=4)
+        m2, w2 = bpe_train(d, "text", num_merges=4)
         assert spark.conf.get("spark.sql.shuffle.partitions") == "13"
+        assert spark.conf.get("spark.sql.adaptive.enabled") == prev_aqe
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert m1 == m2
+    # the final round's word table is a LAZY checkpoint (r17): it must
+    # still materialize identically for consumers
+    assert sorted(map(tuple, w1.select("word", "syms").collect())) == sorted(
+        map(tuple, w2.select("word", "syms").collect())
+    )
