@@ -1021,18 +1021,22 @@ def _windows_shard_step(
     # count and every downstream pass (distributed_cumsum executes its
     # input three times) read the checkpoint, never the lineage
     # (ADVICE r16).
+    # lazy checkpoints (r17): the plan is truncated at once, but the pin
+    # materializes inside the action that follows it — the strategy
+    # count() pins ``inp`` and the fused head aggregate below pins
+    # ``win`` — collapsing 4 driver-blocking jobs per shard/trigger to 2.
     inp = carry_df.unionByName(
         sh.select(
             F.col(id_col),
             ord_guard.alias("__ord"),
             F.col(ids_col).alias("__ids"),
         )
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     distributed = inp.count() > WINDOWS_DISTRIBUTED_MIN_ROWS
     win = materialize_packed_windows(
         inp, id_col, "__ids", capacity, order_col="__ord",
         with_spans=True, distributed=distributed,
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     # max bin + the partial-window row(s) in ONE aggregate job over the
     # checkpointed windows (r17: this ran as two driver-blocking jobs per
     # shard/trigger; collect_list skips the nulls the when() leaves for
