@@ -352,7 +352,9 @@ def ivf_topk(
     # materialize the refined centroids (a K-row table): both the
     # corpus assignment and the query probes consume them, and without a
     # materialization point each re-runs the whole Lloyd chain
-    centroids = kmeans_refine(corpus, seeds, id_col, vec_col, refine_iters).localCheckpoint()
+    # lazy pin (r17): ivf_assign's bounded centroid collect materializes
+    # it — one job instead of a pin job plus a cache read
+    centroids = kmeans_refine(corpus, seeds, id_col, vec_col, refine_iters).localCheckpoint(eager=False)
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
 
     cent = centroids.select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cent_vec"))
@@ -542,7 +544,7 @@ def semantic_dedup(
 
     seeds = ivf_seeds(corpus, id_col, vec_col, num_centroids)
     cents = (
-        kmeans_refine(corpus, seeds, id_col, vec_col, refine_iters).localCheckpoint()
+        kmeans_refine(corpus, seeds, id_col, vec_col, refine_iters).localCheckpoint(eager=False)
         if refine_iters
         else seeds
     )
@@ -616,7 +618,7 @@ def hard_negatives(
 
         seeds = ivf_seeds(df, id_col, vec_col, num_centroids)
         cents = (
-            kmeans_refine(df, seeds, id_col, vec_col, refine_iters).localCheckpoint()
+            kmeans_refine(df, seeds, id_col, vec_col, refine_iters).localCheckpoint(eager=False)
             if refine_iters
             else seeds
         )
@@ -1297,7 +1299,9 @@ def _exact_rerank(
     predicate reaches the parquet scan (PushedFilters), so only row groups
     whose id range intersects the shortlist decompress the vector column —
     probe bytes follow the shortlist, not the table."""
-    short_ids = short_ids.localCheckpoint()
+    # lazy pin (r17): the distinct-collect below materializes it; the
+    # broadcast re-reads the cache
+    short_ids = short_ids.localCheckpoint(eager=False)
     nbr = sorted(r["neighbor_id"] for r in short_ids.select("neighbor_id").distinct().collect())
     qd = queries.select(
         F.col(id_col).alias("query_id"),
@@ -1427,7 +1431,7 @@ def ivfpq_topk(
     # the codebook collect below is an action over res's lineage (seed sort,
     # Arrow assign pass, residual join); without a materialization point the
     # encode/scan would replay that whole chain a second time
-    res = res.localCheckpoint()
+    res = res.localCheckpoint(eager=False)  # the codebook collect materializes it (r17)
     cb = pq_codebooks(res, id_col, "__res", dim, m, num_codes)
     by_sub, code_ids = _collect_codebooks(cb, m, num_codes)
     sub = dim // m

@@ -90,7 +90,9 @@ def write_ivf_index(
     )
 
     seeds = ivf_seeds(corpus, id_col, vec_col, num_centroids)
-    centroids = kmeans_refine(corpus, seeds, id_col, vec_col, refine_iters).localCheckpoint()
+    # lazy pin (r17): the centroid write materializes it; ivf_assign's
+    # bounded collect re-reads the cache
+    centroids = kmeans_refine(corpus, seeds, id_col, vec_col, refine_iters).localCheckpoint(eager=False)
     centroids.write.parquet(os.path.join(path, "centroids"))
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
     (
@@ -201,7 +203,7 @@ def write_ivfpq_index(
 
     cents = ivf_seeds(corpus, id_col, vec_col, coarse_k)
     if refine_iters:
-        cents = kmeans_refine(corpus, cents, id_col, vec_col, refine_iters).localCheckpoint()
+        cents = kmeans_refine(corpus, cents, id_col, vec_col, refine_iters).localCheckpoint(eager=False)
     cents.write.parquet(os.path.join(path, "centroids"))
     assigned = ivf_assign(corpus, cents, id_col, vec_col)
     cent = cents.select(
@@ -222,7 +224,7 @@ def write_ivfpq_index(
     # the codebook fit, the codebook collect inside pq_encode, and the codes
     # write.  Without this checkpoint each consumer replays the full scan;
     # same pattern as ivfpq_topk's materialization point.
-    res = res.localCheckpoint()
+    res = res.localCheckpoint(eager=False)  # the codebook write materializes it (r17)
     cb = pq_codebooks(res, id_col, "__res", dim, m, num_codes)
     cb.write.parquet(os.path.join(path, "codebooks"))
     codes = pq_encode(res, cb, id_col, "__res", dim, m, num_codes, keep=("cell",))
