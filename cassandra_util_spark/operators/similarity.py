@@ -1413,7 +1413,7 @@ def ivfpq_topk(
     if refine_iters:
         cents = kmeans_refine(
             corpus, cents, id_col, vec_col, refine_iters
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     assigned = ivf_assign(corpus, cents, id_col, vec_col)
     cent = cents.select(
         F.col(id_col).alias("cell"),
