@@ -406,6 +406,7 @@ def test_streaming_weighted_sample_equals_batch(spark, docs, tmp_path):
     assert got == want and len(got) == 64
 
 
+@pytest.mark.slow
 def test_streaming_logcost_weighted_store_equals_batch(spark, docs, tmp_path):
     """weight_form='logcost' on the streaming store: realistic
     token-count-scale weights (n_chars·1811 ≈ 10^5-10^6, past the replica

@@ -244,6 +244,7 @@ def test_vocab_duplicate_merge_first_writer_wins(spark, corpus_df):
     assert v[0]["id"] == b  # step 0 won
 
 
+@pytest.mark.slow
 def test_encode_property_random_corpora(spark):
     """Hypothesis sweep: random tiny corpora — train a few merges, encode
     the corpus, and match the plain-Python sequential-replay reference

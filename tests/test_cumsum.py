@@ -173,6 +173,7 @@ def test_null_order_key_fails_loudly(spark):
         distributed_cumsum(df, ["doc_id"], "toks").collect()
 
 
+@pytest.mark.slow
 def test_cumsum_property_random_values(spark):
     """Hypothesis sweep: random (possibly negative) values and random key
     spacings match a plain Python prefix sum exactly — bucket-boundary
@@ -326,6 +327,7 @@ def test_apply_token_budgets_rejects_duplicate_plan_rows(spark):
         apply_token_budgets(df, budgets, "src", ["doc_id"], "toks")
 
 
+@pytest.mark.slow
 def test_apply_token_budgets_property_matches_python_reference(spark):
     """Hypothesis sweep: random groups, token lists, and budgets match a
     plain per-group Python prefix-sum cut exactly — the join/window

@@ -82,6 +82,7 @@ def test_certified_config_deterministic(emb):
         assert pairs == sorted(pairs)
 
 
+@pytest.mark.slow
 def test_recall_ladder_vs_brute_force(emb):
     """Full-probe IVFPQ (residual codes, rerank=128) must match the plain-PQ
     rerank recall bar from test_pq.py (>= 40/50; measured 43).  The pruned

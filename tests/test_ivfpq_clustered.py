@@ -64,6 +64,7 @@ def _exact_topk(emb, queries, k=K):
     )
 
 
+@pytest.mark.slow
 def test_recall_curve_on_clustered_corpus(clustered):
     q = clustered.filter(F.col("vec_id") < QUERIES)
     exact = _exact_topk(clustered, q)

@@ -26,6 +26,7 @@ import sys
 import textwrap
 
 from pyspark.sql import functions as F  # noqa: F401  (spark fixture import side)
+import pytest
 
 WRITER_SCRIPT = textwrap.dedent(
     """
@@ -52,6 +53,7 @@ WRITER_SCRIPT = textwrap.dedent(
 )
 
 
+@pytest.mark.slow
 def test_two_process_writers_survive_concurrent_compaction(spark, tmp_path):
     from cassandra_util_spark.operators.counters import CounterStore
 

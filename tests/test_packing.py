@@ -417,6 +417,7 @@ def test_materialize_packed_windows_eod(spark):
     assert stream[-1] == 99  # the final doc is closed too
 
 
+@pytest.mark.slow
 def test_materialize_packed_windows_property_random(spark):
     """Hypothesis sweep: random id streams (empty docs, odd capacities,
     both count paths) match the plain-Python reference window-for-window,
@@ -643,7 +644,10 @@ def test_loss_mask_windows_bitstrings(spark):
         assert inv[b] == got[b]["mask"].translate(str.maketrans("01", "10"))
 
 
-@pytest.mark.parametrize("capacity", [4, 7, 64])
+@pytest.mark.parametrize(
+    "capacity",
+    [4, 7, pytest.param(64, marks=pytest.mark.slow)],
+)
 def test_incremental_windows_equal_one_shot(spark, capacity):
     """materialize_windows_incremental over ascending doc-id shards must
     reproduce the one-shot windows exactly — bins, doc counts, contents —

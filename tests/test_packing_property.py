@@ -12,6 +12,7 @@ shard cuts landing on window boundaries)."""
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
+import pytest
 
 docs_strategy = st.lists(
     st.lists(st.integers(0, 9), max_size=12),
@@ -37,6 +38,7 @@ def _py_windows(docs, capacity):
           suppress_health_check=[HealthCheck.too_slow])
 @given(docs=docs_strategy, capacity=capacity_strategy,
        distributed=st.booleans())
+@pytest.mark.slow
 def test_windows_match_python_replay(spark, docs, capacity, distributed):
     from cassandra_util_spark.operators.packing import (
         materialize_packed_windows,
@@ -66,6 +68,7 @@ def test_windows_match_python_replay(spark, docs, capacity, distributed):
           suppress_health_check=[HealthCheck.too_slow])
 @given(docs=docs_strategy, capacity=capacity_strategy,
        cut=st.tuples(st.integers(0, 8), st.integers(0, 8)))
+@pytest.mark.slow
 def test_incremental_equals_one_shot_under_any_split(spark, docs, capacity, cut):
     from cassandra_util_spark.operators.packing import (
         materialize_windows_incremental,
@@ -91,6 +94,7 @@ def test_incremental_equals_one_shot_under_any_split(spark, docs, capacity, cut)
        .map(lambda arrs: [(i, a) for i, a in enumerate(arrs)]),
        rate=st.sampled_from([0.0, 0.5, 1.0]),
        min_tokens=st.integers(2, 20))
+@pytest.mark.slow
 def test_fim_always_lossless(spark, docs, rate, min_tokens):
     """Whatever the deal rate, span draw, or length mix: stripping the
     sentinels and splicing the middle back restores every stream."""
@@ -117,6 +121,7 @@ def test_fim_always_lossless(spark, docs, rate, min_tokens):
           suppress_health_check=[HealthCheck.too_slow])
 @given(docs=docs_strategy, capacity=capacity_strategy,
        distributed=st.booleans())
+@pytest.mark.slow
 def test_reassembly_inverts_windows_on_arbitrary_corpora(
     spark, docs, capacity, distributed
 ):

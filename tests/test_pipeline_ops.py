@@ -846,6 +846,7 @@ def test_dedup_against_bloom_matches_anti_join(spark, docs):
         assert got == want, f"bloom_bits={bits}"
 
 
+@pytest.mark.slow
 def test_bloom_tree_merge_identical(spark, docs):
     """The √P tree level is the documented 100 TB transfer bound — it must
     be byte-identical to the flat driver fold (OR is associative and

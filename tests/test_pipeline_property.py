@@ -8,6 +8,7 @@ import random
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
+import pytest
 
 sizes_strategy = st.lists(st.integers(1, 400), min_size=1, max_size=40)
 capacity_strategy = st.integers(10, 300)
@@ -77,6 +78,7 @@ def test_hash_sample_nesting_property(spark, fractions, n):
 
 @settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(seed=st.integers(0, 10_000), n_nodes=st.integers(2, 60), n_edges=st.integers(1, 80))
+@pytest.mark.slow
 def test_connected_components_matches_union_find(spark, seed, n_nodes, n_edges):
     from cassandra_util_spark.operators.cluster import connected_components
 
@@ -247,6 +249,7 @@ bm25_doc_strategy = st.lists(st.integers(0, 7), min_size=1, max_size=40)
     docs=st.lists(bm25_doc_strategy, min_size=1, max_size=8),
     query=st.sets(st.integers(0, 7), min_size=1, max_size=3),
 )
+@pytest.mark.slow
 def test_bm25_matches_reference_arithmetic(spark, docs, query):
     """The Catalyst BM25 agrees score-for-score (and rank-for-rank) with a
     direct Python evaluation of the documented formula — same op order,
@@ -292,6 +295,7 @@ def test_bm25_matches_reference_arithmetic(spark, docs, query):
                   min_size=2, max_size=8),
     n_target=st.integers(1, 3),
 )
+@pytest.mark.slow
 def test_dsir_matches_reference_arithmetic(spark, docs, n_target):
     """The Catalyst DSIR weighting agrees weight-for-weight with a direct
     Python evaluation of the documented likelihood-ratio estimator (same
@@ -355,6 +359,7 @@ event_strategy = st.lists(
 
 @settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(events=event_strategy)
+@pytest.mark.slow
 def test_funnel_matches_reference_fold(spark, events):
     from cassandra_util_spark.operators.analytics import funnel_counts
 
@@ -387,6 +392,7 @@ def test_funnel_matches_reference_fold(spark, events):
                     min_size=1, max_size=50),
     period=st.integers(1, 9),
 )
+@pytest.mark.slow
 def test_cohort_retention_matches_reference(spark, events, period):
     from cassandra_util_spark.operators.analytics import cohort_retention
 
@@ -415,6 +421,7 @@ def test_cohort_retention_matches_reference(spark, events, period):
     thr=st.sampled_from([1, 10, 1_000_000]),
     how=st.sampled_from(["inner", "left"]),
 )
+@pytest.mark.slow
 def test_advised_join_always_equals_plain_join(spark, left_keys, right_keys, thr, how):
     """Round-6 executor property: WHATEVER branch the sketch advisory picks
     for an arbitrary key distribution and threshold (broadcast either side,
@@ -459,6 +466,7 @@ def test_portable_token_matches_exact_arithmetic(spark, keys):
     docs=words_strategy,
     threshold=st.sampled_from([0.2, 0.34, 0.5, 0.75, 1.0]),
 )
+@pytest.mark.slow
 def test_jaccard_prefix_filter_lossless_on_arbitrary_corpora(spark, docs, threshold):
     """The AllPairs/PPJoin prefix theorem, exercised adversarially: on
     arbitrary low-entropy corpora (12-word vocabulary forces hot shingles

@@ -53,6 +53,7 @@ def _batch_reference(spark, d, merges, words, vocab):
     return bpe_encode_ids(d, "doc_id", "text", seg, vocab)
 
 
+@pytest.mark.slow
 def test_streamed_store_equals_batch_encode_with_oov(spark, frozen):
     d, merges, words, vocab = frozen
     src = tempfile.mkdtemp(prefix="enc-src-")

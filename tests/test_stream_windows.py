@@ -228,6 +228,7 @@ def test_loader_bounded_read_prunes_runs(spark):
     assert store.prune_runs(hi + 100, hi + 200) == []
 
 
+@pytest.mark.slow
 def test_singleton_batches_equal_one_shot(spark):
     """One document per micro-batch (9 batches, maximal carry churn —
     every boundary partial is rebuilt 8 times): the merged view must
@@ -240,6 +241,7 @@ def test_singleton_batches_equal_one_shot(spark):
     assert _view(spark, store) == _want(spark, d)
 
 
+@pytest.mark.slow
 def test_compaction_interleaves_with_carry(spark):
     """maintain_every folds runs WHILE the stream ingests: the carry
     read's writetime-stats exclusion and skip-index bound must survive
@@ -257,6 +259,7 @@ def test_compaction_interleaves_with_carry(spark):
     assert len(store.live_runs()) < 5
 
 
+@pytest.mark.slow
 def test_masks_from_store_equal_one_shot(spark):
     """The soft-removal production flow: windows live in the store,
     a verdict table arrives later, and loss masks computed from the
@@ -527,6 +530,7 @@ def test_doc_lookup_filters_spans_before_reassembly(spark):
     assert torn, "expected at least one torn neighbor in the bounded read"
 
 
+@pytest.mark.slow
 def test_doc_lookup_empty_range_returns_zero_rows_not_crash(spark):
     """An all-empty looked-up doc range has no spans and therefore no
     bins to read: the lookup must render those docs as (0, 0, '') —

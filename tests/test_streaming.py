@@ -802,6 +802,7 @@ def test_streaming_funnel_abandonment_timeout(spark, workdir):
     assert not [r for r in res if r.completed]
 
 
+@pytest.mark.slow
 def test_streaming_anomalies_planted_burst(spark, workdir):
     """A 20x burst after a stable baseline alerts online; the stable
     baseline itself never does.  State is moments-only (O(1) per key)."""
@@ -848,6 +849,7 @@ def test_streaming_anomalies_planted_burst(spark, workdir):
     assert base and all(not r.anomalous for r in base)
 
 
+@pytest.mark.slow
 def test_streaming_funnel_non_advancing_after_deadline(spark, workdir):
     """ADVICE r4 (high): a stage>=1 key that receives only NON-advancing
     events after the watermark passed its deadline used to re-arm the
@@ -897,6 +899,7 @@ def test_streaming_funnel_non_advancing_after_deadline(spark, workdir):
     assert not [r for r in res if r.completed]
 
 
+@pytest.mark.slow
 def test_streaming_anomalies_out_of_order_bucket_across_batches(spark, workdir):
     """ADVICE r4 (medium) + ADVICE r5 (low): an in-watermark event for a
     bucket OLDER than the open one used to overwrite the open bucket's

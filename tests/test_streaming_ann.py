@@ -116,6 +116,7 @@ def test_lww_on_redelivered_vector_id(spark, emb, model, tmp_path):
     assert merged[7] == merged[8]  # id 7 now carries id 8's codes
 
 
+@pytest.mark.slow
 def test_store_probe_matches_static_index(spark, emb, model, tmp_path):
     from cassandra_util_spark.sources.ivf_index import (
         probe_ivfpq_index,

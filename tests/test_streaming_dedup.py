@@ -160,6 +160,7 @@ def test_wrong_store_layout_raises(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 from cassandra_util_spark.streaming.corpus import stream_corpus_ingest
+import pytest
 
 
 def _corpus_stores(tmp_path):
@@ -223,6 +224,7 @@ def test_corpus_ingest_within_batch_neardups_both_admit(spark, tmp_path):
     assert got == {1, 2}  # 3 is a near-dup of both admitted docs
 
 
+@pytest.mark.slow
 def test_corpus_ingest_replay_is_idempotent(spark, tmp_path):
     """A fresh checkpoint replaying the same batch ids with the SAME txn
     identity skips every batch instead of re-admitting (the HWM guard on
@@ -282,6 +284,7 @@ def test_corpus_ingest_wrong_index_layout_raises(spark, tmp_path):
         assert "keyed on ('id',)" in str(e)
 
 
+@pytest.mark.slow
 def test_corpus_ingest_interleaved_maintenance(spark, tmp_path):
     """maintain_every compacts both stores without changing admissions:
     four batches with maintenance every second batch end at a bounded run
@@ -318,6 +321,7 @@ def test_corpus_ingest_interleaved_maintenance(spark, tmp_path):
     assert idx_rows == got
 
 
+@pytest.mark.slow
 def test_corpus_ingest_crash_replay_after_index_append(spark, tmp_path):
     """The worst crash window: batch N's corpus AND index runs are live but
     the HWM never advanced.  The replay recomputes the batch against an
