@@ -941,15 +941,19 @@ def minhash_signatures(
     else:
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
     sh = sh.select("id", h31.alias("h"))
-    aggs = [
-        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_MERSENNE_31))).alias(f"h{j}")
-        for j, (a, b) in enumerate(params)
-    ]
-    return (
-        sh.groupBy("id")
-        .agg(*aggs)
-        .select("id", F.array(*[F.col(f"h{j}") for j in range(num_perm)]).alias("sig"))
+    # The num_perm min-aggregates are ONE SQL string parsed in ONE py4j
+    # call: the per-permutation Column loop this replaces made ~7 py4j
+    # round-trips per permutation (~450 for the default 64) and its
+    # construction cost grew with driver-session age — measured 2.0-14s
+    # per call vs a flat ~0.5s for the parsed form (r18; the same
+    # boundary lesson as r17's F.lit-loop collapse).  The parsed plan is
+    # identical: same HashAggregate with map-side partial mins, values
+    # bit-equal (the {a}L/{b}L long literals widen exactly as the int
+    # lits did under the * and + promotions).
+    body = ",".join(
+        f"min(pmod({a}L * h + {b}L, {_MERSENNE_31}L))" for a, b in params
     )
+    return sh.groupBy("id").agg(F.expr(f"array({body})").alias("sig"))
 
 
 def _banded_ids(sig: DataFrame, num_perm: int, bands: int, hash_fn: str) -> DataFrame:
@@ -1346,22 +1350,23 @@ def simhash_signatures(
     # hash oracle and the Python-reference test pin that.
     word64 = F.shiftleft(F.col("hi"), 32).bitwiseOR(F.col("lo"))
     tok = tok.select("id", word64.alias("w"))
-    aggs = [
-        F.sum(F.shiftrightunsigned(F.col("w"), i).bitwiseAND(F.lit(1))).alias(f"s{i}")
+    # Both 64-wide expression sets are ONE parsed SQL string each instead
+    # of per-bit Column loops (~5-6 py4j calls per bit, ~700 total) — the
+    # same construction-cost collapse as minhash_signatures above (r18).
+    # The sums aggregate exactly as before (64 independent SUMs with
+    # map-side partials; the array constructor wraps their outputs), and
+    # the word assembly is the same 64-term OR of IF(2·S_i > n) picks —
+    # shiftleft(1L, 63) constant-folds to long.MIN_VALUE, the sign bit the
+    # loop spelled as -(1 << 63).
+    sums = ",".join(f"sum(shiftrightunsigned(w, {i}) & 1)" for i in range(64))
+    counters = tok.groupBy("id").agg(
+        F.expr(f"array({sums})").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    word = " | ".join(
+        f"IF(element_at(s, {i + 1}) * 2 > n, shiftleft(1L, {i}), 0L)"
         for i in range(64)
-    ]
-    aggs.append(F.count(F.lit(1)).alias("n"))
-    counters = tok.groupBy("id").agg(*aggs)
-    word = F.lit(0).cast("long")
-    for i in range(64):
-        # bit 63 is the sign bit: its set-value is long.MIN_VALUE
-        bit_val = (1 << i) if i < 63 else -(1 << 63)
-        word = word.bitwiseOR(
-            F.when(F.col(f"s{i}") * 2 > F.col("n"), F.lit(bit_val).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    return counters.select("id", word.alias("sim"))
+    )
+    return counters.select("id", F.expr(word).alias("sim"))
 
 
 def simhash_pairs(
