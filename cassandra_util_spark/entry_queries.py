@@ -17,6 +17,7 @@ Determinism rules used throughout:
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -7014,11 +7015,14 @@ def dedup_streaming_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference = d.filter(F.col("doc_id") < 300)
     incoming = _t(spark, sf_dir, "documents").filter(F.col("doc_id") >= 250)
 
-    src = tempfile.mkdtemp(prefix="lsh-stream-src-")
-    for lo, hi in ((0, 149), (150, 299)):
-        reference.filter(F.col("doc_id").between(lo, hi)).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
+    src = _pinned_shard_src(
+        [
+            reference.filter(F.col("doc_id").between(lo, hi))
+            for lo, hi in ((0, 149), (150, 299))
+        ],
+        ["doc_id", "text"],
+        "lsh-stream",
+    )
     store = RunStore(
         tempfile.mkdtemp(prefix="runstore-lsh-index-"),
         TableMeta(("id",), (), "writetime"),
@@ -7027,7 +7031,7 @@ def dedup_streaming_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema("doc_id bigint, text string")
         .option("maxFilesPerTrigger", 1)
         .option("latestFirst", "false")
-        .parquet(src)
+        .parquet(os.path.join(src, "shard-*"))
     )
     # NOT _scoped_shuffle_partitions-wrapped (r9): unlike the other
     # streaming drains, the LSH batch work is CPU-bound signature hashing
@@ -7153,9 +7157,11 @@ def corpus_ingest_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_util_spark.streaming.corpus import stream_corpus_ingest
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    src = tempfile.mkdtemp(prefix="corpus-ingest-src-")
-    for k in range(3):
-        d.filter(F.col("doc_id") % 3 == k).coalesce(1).write.mode("append").parquet(src)
+    src = _pinned_shard_src(
+        [d.filter(F.col("doc_id") % 3 == k) for k in range(3)],
+        ["doc_id", "text"],
+        "corpus-ingest",
+    )
     corpus_store = RunStore(
         tempfile.mkdtemp(prefix="runstore-corpus-"),
         TableMeta(("doc_id",), (), "writetime"),
@@ -7168,7 +7174,7 @@ def corpus_ingest_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema("doc_id bigint, text string")
         .option("maxFilesPerTrigger", 1)
         .option("latestFirst", "false")
-        .parquet(src)
+        .parquet(os.path.join(src, "shard-*"))
     )
     # State-partition sizing, the stream_interval_join_view lever (r9): the
     # admission chain's per-batch joins/windows inherit the session's
@@ -7795,16 +7801,18 @@ def ivfpq_streaming_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cb = pq_codebooks(res, "vec_id", "__res", 64, 8, 16).localCheckpoint()
 
-    src = tempfile.mkdtemp(prefix="ivfpq-stream-src-")
-    for k in range(3):
-        e.filter(F.col("vec_id") % 3 == k).coalesce(1).write.mode("append").parquet(src)
+    src = _pinned_shard_src(
+        [e.filter(F.col("vec_id") % 3 == k) for k in range(3)],
+        list(e.columns),
+        "ivfpq-stream",
+    )
     store = RunStore(
         tempfile.mkdtemp(prefix="runstore-ivfpq-"),
         TableMeta(("vec_id",), (), "writetime"),
     )
     stream = spark.readStream.schema(e.schema).option("maxFilesPerTrigger", 1).option(
         "latestFirst", "false"
-    ).parquet(src)
+    ).parquet(os.path.join(src, "shard-*"))
     with _scoped_shuffle_partitions(spark, 8):
         q = stream_ivfpq_index(
             stream, store, tempfile.mkdtemp(prefix="ivfpq-stream-cp-"), cents, cb
@@ -8309,12 +8317,16 @@ def bottomk_streaming_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_util_spark.streaming.sketches import stream_bottomk_to_store
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    src = tempfile.mkdtemp(prefix="bk-stream-src-")
-    for i in range(3):
-        d.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode("append").parquet(src)
+    src = _pinned_shard_src(
+        [d.filter(F.col("doc_id") % 3 == i) for i in range(3)],
+        ["doc_id", "n_chars"],
+        "bk-stream",
+    )
     store = SnapshotStore(tempfile.mkdtemp(prefix="bk-store-"))
     stream = (
-        spark.readStream.schema(d.schema).option("maxFilesPerTrigger", 1).parquet(src)
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "shard-*"))
     )
     with _scoped_shuffle_partitions(spark, 8):
         q = stream_bottomk_to_store(
@@ -8841,12 +8853,16 @@ def logcost_streaming_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars").cast("bigint") * F.lit(1811)).alias("wt"),
         "n_chars",
     )
-    src = tempfile.mkdtemp(prefix="lc-stream-src-")
-    for i in range(3):
-        d.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode("append").parquet(src)
+    src = _pinned_shard_src(
+        [d.filter(F.col("doc_id") % 3 == i) for i in range(3)],
+        ["doc_id", "wt", "n_chars"],
+        "lc-stream",
+    )
     store = SnapshotStore(tempfile.mkdtemp(prefix="lc-store-"))
     stream = (
-        spark.readStream.schema(d.schema).option("maxFilesPerTrigger", 1).parquet(src)
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "shard-*"))
     )
     with _scoped_shuffle_partitions(spark, 8):
         q = stream_bottomk_to_store(
@@ -9322,15 +9338,17 @@ def token_spans_streaming_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_util_spark.streaming.dedup import stream_token_span_index
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    src = tempfile.mkdtemp(prefix="spanstream-src-")
-    for k in range(3):
-        d.filter(F.col("doc_id") % 3 == k).coalesce(1).write.mode("append").parquet(src)
+    src = _pinned_shard_src(
+        [d.filter(F.col("doc_id") % 3 == k) for k in range(3)],
+        ["doc_id", "text"],
+        "spanstream",
+    )
     cs = CounterStore(tempfile.mkdtemp(prefix="spanstore-"), ["g"], ["c"])
     stream = (
         spark.readStream.schema("doc_id bigint, text string")
         .option("maxFilesPerTrigger", 1)
         .option("latestFirst", "false")
-        .parquet(src)
+        .parquet(os.path.join(src, "shard-*"))
     )
     with _scoped_shuffle_partitions(spark, 8):
         q = stream_token_span_index(
@@ -9468,15 +9486,18 @@ def token_spans_incremental_excision(spark: SparkSession, sf_dir: str) -> DataFr
     from cassandra_util_spark.streaming.dedup import stream_token_span_index
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    src = tempfile.mkdtemp(prefix="increx-src-")
-    for k in range(2):  # HISTORY: batches 0 and 1
-        d.filter(F.col("doc_id") % 3 == k).coalesce(1).write.mode("append").parquet(src)
+    src = _pinned_shard_src(
+        # HISTORY: batches 0 and 1
+        [d.filter(F.col("doc_id") % 3 == k) for k in range(2)],
+        ["doc_id", "text"],
+        "increx",
+    )
     cs = CounterStore(tempfile.mkdtemp(prefix="increx-store-"), ["g"], ["c"])
     stream = (
         spark.readStream.schema("doc_id bigint, text string")
         .option("maxFilesPerTrigger", 1)
         .option("latestFirst", "false")
-        .parquet(src)
+        .parquet(os.path.join(src, "shard-*"))
     )
     with _scoped_shuffle_partitions(spark, 8):
         q = stream_token_span_index(
@@ -9815,11 +9836,11 @@ def bpe_streaming_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     merges, words = bpe_train(d, "text", num_merges=_BPE_N)
     vocab = bpe_vocab(spark, words, merges)
-    src = tempfile.mkdtemp(prefix="bpe-stream-src-")
-    for k in range(3):
-        d.filter(F.col("doc_id") % 3 == k).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
+    src = _pinned_shard_src(
+        [d.filter(F.col("doc_id") % 3 == k) for k in range(3)],
+        ["doc_id", "text"],
+        "bpe-stream",
+    )
     store = RunStore(
         tempfile.mkdtemp(prefix="runstore-bpe-enc-"),
         TableMeta(("doc_id",), (), "writetime"),
@@ -9828,7 +9849,7 @@ def bpe_streaming_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema("doc_id bigint, text string")
         .option("maxFilesPerTrigger", 1)
         .option("latestFirst", "false")
-        .parquet(src)
+        .parquet(os.path.join(src, "shard-*"))
     )
     with _scoped_shuffle_partitions(spark, 8):
         q = stream_encode(
@@ -12190,11 +12211,11 @@ def tokenizer_streaming_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte_base = int(
         vocab.filter(F.col("kind") == "byte").agg(F.min("id")).first()[0]
     )
-    src = tempfile.mkdtemp(prefix="tok-stream-src-")
-    for k in range(3):
-        d.filter(F.col("doc_id") % 3 == k).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
+    src = _pinned_shard_src(
+        [d.filter(F.col("doc_id") % 3 == k) for k in range(3)],
+        ["doc_id", "text"],
+        "tok-stream",
+    )
     store = _drain_encode_store(spark, src, kept, vocab, "tok-enc")
     view = store.read_merged(spark)
     return view.select(

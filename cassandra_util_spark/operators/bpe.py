@@ -644,6 +644,7 @@ def bpe_encode_ids(
     vocab: DataFrame,
     unk_id: int = -1,
     oov: str = "raise",
+    byte_bounds: Tuple[int, int] | None = None,
 ) -> DataFrame:
     """(id, token_ids, n_tokens) — the per-document TOKEN-ID stream, the
     form a training pipeline actually materializes (``bpe_encode`` is the
@@ -677,7 +678,12 @@ def bpe_encode_ids(
         raise ValueError(f"oov must be 'raise' or 'bytes', got {oov!r}")
     oov_expr = None
     if oov == "bytes":
-        base, end = byte_block_bounds(vocab)
+        # byte_bounds: a caller that already validated the vocabulary
+        # (the streaming encoder does it once at setup) passes the
+        # (byte_base, end_id) pair through instead of re-collecting the
+        # byte block on every call — one driver-blocking job per
+        # micro-batch on the streaming path (r18)
+        base, end = byte_bounds if byte_bounds else byte_block_bounds(vocab)
         oov_expr = lambda w: byte_fallback_ids(w, base, end)  # noqa: E731
     seg_ids = (
         words.select("word", F.posexplode("syms").alias("j", "sym"))

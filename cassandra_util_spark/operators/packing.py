@@ -962,7 +962,8 @@ def _windows_shard_step(
     capacity: int,
     id_type: str,
     elem: str,
-) -> "tuple[DataFrame, list, int | None]":
+    with_min_id: bool = False,
+) -> "tuple[DataFrame, list, int | None, int | None]":
     """ONE shard of the carry-forward window protocol, shared by the batch
     form (:func:`materialize_windows_incremental`) and the streaming store
     (`streaming/corpus.py stream_windows`): union the carry pieces (ordered
@@ -970,11 +971,16 @@ def _windows_shard_step(
     (id cast guarded non-negative — see the caller's docstring), materialize
     with spans, and rebuild the carry from the boundary partial window.
 
-    Returns ``(win, new_carry, max_bin)`` — ``win`` localCheckpointed with
-    LOCAL bins (caller shifts by its own bin base), ``new_carry`` the
-    ``[(doc, off, piece)]`` spans of the partial window ([] if the shard
-    tiled exactly), ``max_bin`` the shard's highest local bin (None when
-    the shard produced no windows)."""
+    Returns ``(win, new_carry, max_bin, min_id)`` — ``win``
+    localCheckpointed with LOCAL bins (caller shifts by its own bin
+    base), ``new_carry`` the ``[(doc, off, piece)]`` spans of the partial
+    window ([] if the shard tiled exactly), ``max_bin`` the shard's
+    highest local bin (None when the shard produced no windows), and
+    ``min_id`` the shard's lowest document id (None unless
+    ``with_min_id``, or when the shard is empty).  ``with_min_id`` folds
+    the min-id aggregate into the strategy-count job that materializes
+    the input pin — the streaming caller's append-order guard used to be
+    its own driver-blocking job per trigger (r18)."""
     # __ord/__ids are the protocol's working columns; bin/n_docs/n_tokens/
     # token_ids/doc_spans are its OUTPUT columns — an id column named like
     # either class would collide inside the union or the materialization
@@ -1032,7 +1038,19 @@ def _windows_shard_step(
             F.col(ids_col).alias("__ids"),
         )
     ).localCheckpoint(eager=False)
-    distributed = inp.count() > WINDOWS_DISTRIBUTED_MIN_ROWS
+    if with_min_id:
+        # one job returns the strategy count AND the batch's min id (the
+        # streaming append-order guard's input): batch rows sit at
+        # __ord == id ≥ 0, carry pieces at negative __ord, so the
+        # conditional min sees exactly the shard's documents
+        st = inp.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.when(F.col("__ord") >= 0, F.col("__ord"))).alias("m"),
+        ).first()
+        n_rows, min_id = st["n"], (int(st["m"]) if st["m"] is not None else None)
+    else:
+        n_rows, min_id = inp.count(), None
+    distributed = n_rows > WINDOWS_DISTRIBUTED_MIN_ROWS
     win = materialize_packed_windows(
         inp, id_col, "__ids", capacity, order_col="__ord",
         with_spans=True, distributed=distributed,
@@ -1062,7 +1080,7 @@ def _windows_shard_step(
                 f"{[(r['bin'], r['n_tokens']) for r in partial]} max={mb}"
             )
         new_carry = carry_from_window_row(p)
-    return win, new_carry, (int(mb) if mb is not None else None)
+    return win, new_carry, (int(mb) if mb is not None else None), min_id
 
 
 def carry_from_window_row(row) -> list:
@@ -1122,7 +1140,7 @@ def materialize_windows_incremental(
     bin_base = 0
     outs = []
     for sh in shards:
-        win, carry, mb = _windows_shard_step(
+        win, carry, mb, _ = _windows_shard_step(
             spark, carry, sh, id_col, ids_col, capacity, id_type, elem
         )
         outs.append(

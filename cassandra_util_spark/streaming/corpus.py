@@ -50,6 +50,7 @@ disciplines into the corpus-building workload the engine targets.
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Optional
 
 from pyspark.sql import DataFrame
@@ -140,15 +141,30 @@ def stream_corpus_ingest(
         )
         kept = exact_dedup(kept, id_col, [text_col])
         idx = None
-        if index_store.live_runs():
-            # both historical probes (digest anti-join, banded sig probe)
-            # consume the merged index; persist so the LWW merge over the
-            # index runs computes once per batch, not once per probe
-            idx = index_store.read_merged(spark).persist()
+        idx_runs = index_store.live_runs()
+        if idx_runs:
+            # the index is read as a RAW union of its live runs, not
+            # through read_merged: ids are unique across the stream (the
+            # module contract above — same-id re-crawls are
+            # stream_lsh_index's LWW problem, not admission's), so the
+            # general view's LWW window is a pure concatenation that
+            # still paid a full index shuffle EVERY batch (r18).  The
+            # raw read also lets each probe column-prune its own scan —
+            # the digest anti-join reads one column, the sig probe two —
+            # where the old persist() materialized every column once to
+            # amortize the merge that no longer exists
+            idx = spark.read.parquet(
+                *(os.path.join(index_store.root, r) for r in idx_runs)
+            )
             kept = (
                 kept.withColumn("__digest", _digest_for(kept, [text_col]))
                 .join(
-                    idx.select(F.col("digest").alias("__digest")).distinct(),
+                    # no distinct: digests are unique per admitted doc
+                    # (exact dedup gates admission), and a left_anti join
+                    # is insensitive to right-side duplicates anyway —
+                    # the distinct was one more full index shuffle per
+                    # batch (r18)
+                    idx.select(F.col("digest").alias("__digest")),
                     "__digest",
                     "left_anti",
                 )
@@ -169,10 +185,6 @@ def stream_corpus_ingest(
         # lineage above reads the index store's CURRENT manifest, which the
         # second append is about to advance
         kept = kept.localCheckpoint()
-        if idx is not None:
-            # the eager checkpoint just materialized every idx consumer
-            # (sig_new rides along via its lazy checkpoint) — release the blocks
-            idx.unpersist()
         corpus_store.append_run(
             kept.withColumn("writetime", F.lit(batch_id).cast("long")),
             name=run_name_for_batch(batch_id),
@@ -286,13 +298,16 @@ def stream_encode(
     # reads the byte block from it
     vcols = ["sym", "id"] + (["kind"] if "kind" in vocab.columns else [])
     vocab = vocab.select(*vcols).localCheckpoint()
+    byte_bounds = None
     if oov == "bytes":
         # fail-fast (ADVICE r16): run the byte-block/END contiguity
         # check against the checkpointed vocab NOW, matching the merges
         # check above — a vocab built without byte_fallback=True should
         # refuse at setup, not start successfully and die later as a
-        # wrapped StreamingQueryException inside the first foreachBatch
-        byte_block_bounds(vocab)
+        # wrapped StreamingQueryException inside the first foreachBatch.
+        # The bounds feed every batch's encode (the vocab is frozen), so
+        # the per-trigger re-collect of the byte block is gone (r18)
+        byte_bounds = byte_block_bounds(vocab)
 
     def encode_batch(batch_df: DataFrame, batch_id: int) -> DataFrame:
         # Intra-batch dedup (the streaming/ann.py ADVICE-r8 contract):
@@ -331,7 +346,8 @@ def stream_encode(
                     segment_words(unseen, merges, batch=merge_batch)
                 )
         return bpe_encode_ids(
-            batch_df, id_col, text_col, seg, vocab, unk_id=unk_id, oov=oov
+            batch_df, id_col, text_col, seg, vocab, unk_id=unk_id, oov=oov,
+            byte_bounds=byte_bounds,
         ).withColumn("writetime", F.lit(batch_id).cast("long"))
 
     return stream_to_runstore(
@@ -388,6 +404,49 @@ def _prior_max_bin_runs(store: RunStore, batch_id: int):
     if not have_prior:
         return None
     return (None if missing else hi,)
+
+
+def _boundary_row(store: RunStore, spark, key_lower, batch_id: int):
+    """The store's max-bin row as of the previous batch (the carry
+    boundary), or None when the prior view is empty.
+
+    When the per-run skip index pinned the max bin (``key_lower`` not
+    None — every prior run had usable stats, so ``key_lower`` IS the
+    global max), the row is read DIRECTLY: scan only the run(s) that may
+    hold that bin, filter to it, and pick the newest writetime
+    driver-side — one collect with no exchange, replacing the LWW window
+    merge + TakeOrdered of the general read (r18).  The driver-side max
+    is the merge's winner because the protocol yields one row per
+    (bin, writetime): each batch appends one run under its batch id as
+    the constant writetime, replays no-op, and compaction folds to
+    per-bin LWW winners keeping original writetimes.  Degraded stats
+    (``key_lower`` None) or an unexpectedly empty direct read fall back
+    to the bounded LWW read — pruning stays an optimization, never a
+    correctness bet."""
+    if key_lower is not None:
+        runs = store.prune_runs(key_lower, None)
+        wt_keep = set(store.prune_runs(None, batch_id - 1, column="writetime"))
+        runs = [r for r in runs if r in wt_keep]
+        if runs:
+            rows = (
+                spark.read.parquet(
+                    *(os.path.join(store.root, r) for r in runs)
+                )
+                .filter(
+                    (F.col("bin") >= key_lower)
+                    & (F.col("writetime") <= batch_id - 1)
+                )
+                .collect()
+            )
+            if rows:
+                return max(rows, key=lambda r: r["writetime"])
+    prior = store.read_merged(
+        spark,
+        key_lower=key_lower,
+        extra_bounds={"writetime": (None, batch_id - 1)},
+    )
+    top = prior.orderBy(F.col("bin").desc()).limit(1).collect()
+    return top[0] if top else None
 
 
 def stream_windows(
@@ -457,31 +516,25 @@ def stream_windows(
         spark = batch_df.sparkSession
         id_type = dict(batch_df.dtypes)[id_col]
         elem = batch_df.schema[ids_col].dataType.elementType.simpleString()
-        # pin the deduped batch ONCE: the append-order guard's min-id
-        # aggregate and the shard step's carry-union checkpoint both read
-        # it — unpinned, each re-ran the dedup shuffle over the batch
-        # source (r17; at scale that is two reads of every arriving shard)
+        # intra-batch dedup, NOT pinned here: the shard step's input
+        # checkpoint materializes it exactly once (r18 — the r17 eager
+        # batch pin double-cached the same rows as the shard step's own
+        # pin and leaked checkpoint blocks for the stream's lifetime;
+        # ADVICE r17), and the append-order guard's min-id now rides the
+        # shard step's strategy-count job instead of running its own
         batch_df = batch_df.groupBy(id_col).agg(
             F.max(F.col(ids_col)).alias(ids_col)
-        ).localCheckpoint()
+        )
         carry: list = []
         bin_base = 0
         hi: "int | None" = None  # highest already-windowed doc id
         prior_runs = _prior_max_bin_runs(store, batch_id)
         if prior_runs is not None:
-            (key_lower,) = prior_runs
-            # the key bound prunes the read to the run(s) holding the max
-            # bin (driver-side stats, no scan): per-batch carry cost is
-            # O(capacity), NOT an LWW merge of the whole store — the
-            # difference between O(batch) and O(history) per trigger
-            prior = store.read_merged(
-                spark,
-                key_lower=key_lower,
-                extra_bounds={"writetime": (None, batch_id - 1)},
-            )
-            top = prior.orderBy(F.col("bin").desc()).limit(1).collect()
-            if top:
-                p = top[0]
+            # the stats-pinned boundary read: one bounded collect, no
+            # exchange on the fast path — per-batch carry cost is
+            # O(capacity), NOT an LWW merge of the whole store
+            p = _boundary_row(store, spark, prior_runs[0], batch_id)
+            if p is not None:
                 # the max-bin row's spans hold the globally LAST document
                 # whether the boundary tiled exactly or not — the guard
                 # below must fire in BOTH cases (review r15: a full
@@ -493,23 +546,24 @@ def stream_windows(
                     carry = carry_from_window_row(p)
                 else:
                     bin_base = int(p["bin"]) + 1
-        if hi is not None:
-            # append-order guard: a batch id at or below an already-
-            # windowed doc's would re-pack emitted history, not extend it
-            mn = batch_df.agg(
-                F.min(F.col(id_col).try_cast("bigint")).alias("m")
-            ).first()["m"]
-            if mn is not None and int(mn) <= hi:
-                raise ValueError(
-                    f"stream_windows: batch {batch_id} carries id {mn} ≤ "
-                    f"already-windowed id {hi} — batches must arrive in "
-                    "ascending id order (the carry-forward precondition); "
-                    "re-deliveries of windowed documents cannot be "
-                    "re-packed without rewriting emitted windows"
-                )
-        win, _, _ = _windows_shard_step(
-            spark, carry, batch_df, id_col, ids_col, capacity, id_type, elem
+        win, _, _, mn = _windows_shard_step(
+            spark, carry, batch_df, id_col, ids_col, capacity, id_type, elem,
+            with_min_id=True,
         )
+        if hi is not None and mn is not None and mn <= hi:
+            # append-order guard: a batch id at or below an already-
+            # windowed doc's would re-pack emitted history, not extend
+            # it.  Checked AFTER the shard step computes (its fused
+            # aggregate supplies the min id) but BEFORE anything is
+            # appended — a violating batch still fails loudly with
+            # nothing published, it just wastes its own windowing work
+            raise ValueError(
+                f"stream_windows: batch {batch_id} carries id {mn} ≤ "
+                f"already-windowed id {hi} — batches must arrive in "
+                "ascending id order (the carry-forward precondition); "
+                "re-deliveries of windowed documents cannot be "
+                "re-packed without rewriting emitted windows"
+            )
         return win.select(
             (F.col("bin") + F.lit(bin_base)).cast("bigint").alias("bin"),
             F.col("n_docs").cast("bigint").alias("n_docs"),

@@ -102,7 +102,10 @@ elif which == "windows":
         _windows_shard_step,
         carry_from_window_row,
     )
-    from cassandra_util_spark.streaming.corpus import _prior_max_bin_runs
+    from cassandra_util_spark.streaming.corpus import (
+        _boundary_row,
+        _prior_max_bin_runs,
+    )
     from cassandra_util_spark.streaming.ingest import (
         _advance_batch_hwm,
         run_name_for_batch,
@@ -117,38 +120,29 @@ elif which == "windows":
     def window_batch_instrumented(batch_df, batch_id):
         id_type = dict(batch_df.dtypes)[id_col]
         elem = batch_df.schema[ids_col].dataType.elementType.simpleString()
-        with step("1-dedup-pin"):
+        with step("1-dedup"):
             batch_df = batch_df.groupBy(id_col).agg(
                 F.max(F.col(ids_col)).alias(ids_col)
-            ).localCheckpoint()
+            )
         carry, bin_base, hi = [], 0, None
         with step("2-carry-read"):
             prior_runs = _prior_max_bin_runs(store, batch_id)
             if prior_runs is not None:
-                (key_lower,) = prior_runs
-                prior = store.read_merged(
-                    spark, key_lower=key_lower,
-                    extra_bounds={"writetime": (None, batch_id - 1)},
-                )
-                top = prior.orderBy(F.col("bin").desc()).limit(1).collect()
-                if top:
-                    p = top[0]
+                p = _boundary_row(store, spark, prior_runs[0], batch_id)
+                if p is not None:
                     hi = max(int(s["doc"]) for s in p["doc_spans"])
                     if int(p["n_tokens"]) < capacity:
                         bin_base = int(p["bin"])
                         carry = carry_from_window_row(p)
                     else:
                         bin_base = int(p["bin"]) + 1
-        with step("3-order-guard"):
-            if hi is not None:
-                mn = batch_df.agg(
-                    F.min(F.col(id_col).try_cast("bigint")).alias("m")
-                ).first()["m"]
-                assert mn is not None and int(mn) > hi
         with step("4-shard-step"):
-            win, _, _ = _windows_shard_step(
-                spark, carry, batch_df, id_col, ids_col, capacity, id_type, elem
+            win, _, _, mn = _windows_shard_step(
+                spark, carry, batch_df, id_col, ids_col, capacity, id_type,
+                elem, with_min_id=True,
             )
+            if hi is not None and mn is not None:
+                assert mn > hi
             out = win.select(
                 (F.col("bin") + F.lit(bin_base)).cast("bigint").alias("bin"),
                 F.col("n_docs").cast("bigint").alias("n_docs"),
@@ -217,14 +211,17 @@ elif which == "ingest":
             )
             kept = exact_dedup(kept, id_col, [text_col])
         idx = None
-        if index_store.live_runs():
+        idx_runs = index_store.live_runs()
+        if idx_runs:
             with step("2-idx-read"):
-                idx = index_store.read_merged(spark).persist()
+                idx = spark.read.parquet(
+                    *(os.path.join(index_store.root, r) for r in idx_runs)
+                )
             with step("3-digest-anti"):
                 kept = (
                     kept.withColumn("__digest", _digest_for(kept, [text_col]))
                     .join(
-                        idx.select(F.col("digest").alias("__digest")).distinct(),
+                        idx.select(F.col("digest").alias("__digest")),
                         "__digest", "left_anti",
                     )
                     .drop("__digest")
@@ -242,8 +239,6 @@ elif which == "ingest":
             sig_new = minhash_signatures(kept, id_col, text_col, n, num_perm, hash_fn)
         with step("4-kept-pin"):
             kept = kept.localCheckpoint()
-            if idx is not None:
-                idx.unpersist()
         with step("5-corpus-append"):
             corpus_store.append_run(
                 kept.withColumn("writetime", F.lit(batch_id).cast("long")),
