@@ -11010,8 +11010,23 @@ def _pinned_shard_src(shard_frames, cols, prefix: str) -> str:
     import tempfile
     import time
 
-    src = tempfile.mkdtemp(prefix=f"{prefix}-src-")
+    if not shard_frames:
+        # shard_frames[0] supplies the session and the backfill schema —
+        # an empty list would IndexError two lines down with no hint
+        # (ADVICE r17); no shards is a caller bug, not an empty source
+        raise ValueError("_pinned_shard_src: need at least one shard frame")
     spark = shard_frames[0].sparkSession
+    mrpf = spark.conf.get("spark.sql.files.maxRecordsPerFile", "0")
+    if mrpf not in ("0", None):
+        # the 1-file-per-shard-dir contract (batch k = shard k under
+        # maxFilesPerTrigger=1) silently breaks if the writer splits a
+        # shard across part files (ADVICE r17)
+        raise RuntimeError(
+            "_pinned_shard_src: spark.sql.files.maxRecordsPerFile="
+            f"{mrpf} would split shards across part files and break the "
+            "one-file-per-trigger batch ordering; unset it"
+        )
+    src = tempfile.mkdtemp(prefix=f"{prefix}-src-")
     tagged = None
     for k, sh in enumerate(shard_frames):
         t = sh.select(*cols).withColumn("__shard", F.lit(k))

@@ -39,7 +39,11 @@ independently, so a nondeterministic source — ``rand()``-based sampling,
 a non-deterministic UDF, ``shuffle()`` — can make the passes disagree
 and silently corrupt the running sum.  ``localCheckpoint()`` (or
 persist) such an input first; the assembly pipeline call site does
-exactly that.
+exactly that.  Inputs whose plan carries an Exchange are pinned here
+automatically (r18): the scale-adaptive partition probe would otherwise
+execute those shuffle stages as a hidden extra pass (ADVICE r17), and
+re-running a shuffle-bearing chain three times costs more at every
+scale than reading one materialization.
 
 Exactness: integer values sum exactly under any grouping, so the result
 is bit-identical to the single-task global window (test-pinned).  For
@@ -93,13 +97,30 @@ def distributed_cumsum(
     # the whole sum), a production-sized input keeps production
     # parallelism.  Bucket count never changes values: integer sums are
     # exact under any grouping (test-pinned bit-equality).
-    n = num_partitions or max(
-        1,
-        min(
-            int(spark.conf.get("spark.sql.shuffle.partitions")),
-            df.rdd.getNumPartitions(),
-        ),
-    )
+    if num_partitions is None:
+        try:
+            shuffles_in_plan = "Exchange" in (
+                df._jdf.queryExecution().sparkPlan().toString()
+            )
+        except Exception:  # internal-API surface — assume the worst
+            shuffles_in_plan = True
+        if shuffles_in_plan:
+            # the partition probe below finalizes the adaptive plan, which
+            # EXECUTES any upstream shuffle stages — a hidden fourth pass
+            # of the input (ADVICE r17).  Pin such inputs instead: the
+            # probe is then free and the three documented passes read one
+            # materialization rather than re-executing the shuffle chain
+            # three times — strictly less I/O at any scale.
+            df = df.localCheckpoint(eager=True)
+        n = max(
+            1,
+            min(
+                int(spark.conf.get("spark.sql.shuffle.partitions")),
+                df.rdd.getNumPartitions(),
+            ),
+        )
+    else:
+        n = num_partitions
     first = order_cols[0]
     order = [F.col(c).asc() for c in order_cols]
 

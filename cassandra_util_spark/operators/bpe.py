@@ -236,7 +236,17 @@ def _vocab_scoped_shuffle(words: DataFrame):
     production-sized setting while the bench-sized one drops to 1.
     Partition count never changes results (argmax and fold are
     partitioning-invariant; merge-list equality pinned by the probe and
-    the unchanged oracles)."""
+    the unchanged oracles).
+
+    CONCURRENCY CAVEAT (ADVICE r17): the scoped values are SESSION
+    conf mutations — exception-safe via the finally, but any query
+    running concurrently on the same SparkSession (an active stream,
+    another driver thread) would observe the narrowed width and
+    disabled AQE for the scope's duration.  ``bpe_train`` therefore
+    requires a single-threaded session while it runs; a multi-tenant
+    deployment should train on a cloned session
+    (``spark.newSession()``), which shares the SparkContext but not
+    the conf."""
     spark = words.sparkSession
     n = max(words.rdd.getNumPartitions(), 1)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -286,7 +296,13 @@ def bpe_train(
     from the next round).  ``batch=1`` is the exact certified path
     (bpe_learned_merges oracle).  Measured on a 15k-word vocabulary at
     sf0.1: 2.0 merges/s sequential -> 22.7 merges/s at batch=16
-    (SCALING.md), turning a ~3 h 30k-merge vocabulary into ~22 min."""
+    (SCALING.md), turning a ~3 h 30k-merge vocabulary into ~22 min.
+
+    Requires a SINGLE-THREADED SparkSession for the training call: the
+    merge loop scopes session-level shuffle/AQE confs to the vocabulary
+    size (see ``_vocab_scoped_shuffle``) and a concurrent query on the
+    same session would observe them; multi-tenant callers should train
+    on ``spark.newSession()``."""
     if num_merges < 1:
         raise ValueError(f"num_merges must be >= 1, got {num_merges}")
     if batch < 1:

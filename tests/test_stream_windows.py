@@ -597,3 +597,107 @@ def test_pinned_shard_src_one_file_per_shard_and_empty_backfill(spark, tmp_path)
             assert rows.count() == 0
     assert mtimes == sorted(mtimes) and mtimes[0] < mtimes[1] < mtimes[2]
     assert total == 30
+
+
+def test_pinned_shard_src_guards(spark):
+    """r18 ADVICE: an empty shard list must raise a named error (it used
+    to IndexError on shard_frames[0]), and a session with
+    spark.sql.files.maxRecordsPerFile set must refuse — a split shard
+    would break the one-file-per-trigger batch ordering."""
+    from cassandra_util_spark.entry_queries import _pinned_shard_src
+
+    with pytest.raises(ValueError, match="at least one shard frame"):
+        _pinned_shard_src([], ["doc_id"], "t18")
+    d = spark.createDataFrame([(1, [1])], "doc_id bigint, token_ids array<bigint>")
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "1")
+    try:
+        with pytest.raises(RuntimeError, match="maxRecordsPerFile"):
+            _pinned_shard_src([d], ["doc_id", "token_ids"], "t18")
+    finally:
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", "0")
+
+
+def test_shard_step_min_id_rides_strategy_count(spark):
+    """r18: with_min_id folds the streaming append-order guard's min-id
+    into the strategy-count job.  The returned min must be the SHARD's
+    lowest id (carry pieces sit at negative __ord and are excluded), and
+    None for an empty shard."""
+    from cassandra_util_spark.operators.packing import _windows_shard_step
+
+    sh = spark.createDataFrame(
+        [(7, [1, 2, 3]), (9, [4, 5])], "doc_id bigint, token_ids array<bigint>"
+    )
+    carry = [(3, 0, [8, 8])]  # doc 3's boundary piece — must not win the min
+    win, new_carry, mb, mn = _windows_shard_step(
+        spark, carry, sh, "doc_id", "token_ids", 4, "bigint", "bigint",
+        with_min_id=True,
+    )
+    assert mn == 7
+    empty = sh.filter(F.col("doc_id") < 0)
+    _, _, _, mn2 = _windows_shard_step(
+        spark, [], empty, "doc_id", "token_ids", 4, "bigint", "bigint",
+        with_min_id=True,
+    )
+    assert mn2 is None
+    # default path keeps the 4-tuple shape with min_id=None
+    _, _, _, mn3 = _windows_shard_step(
+        spark, [], sh, "doc_id", "token_ids", 4, "bigint", "bigint"
+    )
+    assert mn3 is None
+
+
+def test_boundary_row_fast_path_matches_merged_read(spark, tmp_path):
+    """r18: the stats-pinned direct boundary read must return the same
+    row as the general LWW-merged read — including when a later batch
+    SUPERSEDES the max bin's partial window (same bin, newer writetime),
+    and when the writetime bound excludes this batch's own run."""
+    from cassandra_util_spark.core.table import TableMeta
+    from cassandra_util_spark.sources.runs import RunStore
+    from cassandra_util_spark.streaming.corpus import (
+        _boundary_row,
+        _prior_max_bin_runs,
+    )
+
+    store = RunStore(str(tmp_path / "bstore"), TableMeta(("bin",), (), "writetime"))
+    schema = (
+        "bin bigint, n_docs bigint, n_tokens bigint, "
+        "token_ids array<bigint>, "
+        "doc_spans array<struct<doc:bigint,off:bigint,len:bigint>>, "
+        "writetime long"
+    )
+    # batch 0: full bin 0 + partial bin 1
+    store.append_run(
+        spark.createDataFrame(
+            [
+                (0, 1, 4, [1, 2, 3, 4], [(10, 0, 4)], 0),
+                (1, 1, 2, [5, 6], [(11, 0, 2)], 0),
+            ],
+            schema,
+        ),
+        name="b0000000000",
+    )
+    # batch 1: bin 1 superseded (fuller), new partial bin 2
+    store.append_run(
+        spark.createDataFrame(
+            [
+                (1, 2, 4, [5, 6, 7, 8], [(11, 0, 2), (12, 2, 2)], 1),
+                (2, 1, 1, [9], [(12, 0, 1)], 1),
+            ],
+            schema,
+        ),
+        name="b0000000001",
+    )
+
+    def merged_top(batch_id):
+        prior = store.read_merged(
+            spark, extra_bounds={"writetime": (None, batch_id - 1)}
+        )
+        top = prior.orderBy(F.col("bin").desc()).limit(1).collect()
+        return top[0] if top else None
+
+    for batch_id in (1, 2):
+        key_lower = _prior_max_bin_runs(store, batch_id)[0]
+        assert key_lower is not None  # stats usable — the fast path runs
+        fast = _boundary_row(store, spark, key_lower, batch_id)
+        slow = merged_top(batch_id)
+        assert fast.asDict() == slow.asDict(), (batch_id, fast, slow)
