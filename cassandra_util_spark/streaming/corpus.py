@@ -183,8 +183,13 @@ def stream_corpus_ingest(
             sig_new = minhash_signatures(kept, id_col, text_col, n, num_perm, hash_fn)
         # freeze the survivors once: two store appends consume them, and the
         # lineage above reads the index store's CURRENT manifest, which the
-        # second append is about to advance
-        kept = kept.localCheckpoint()
+        # second append is about to advance.  LAZY (r18): the corpus append
+        # — the first consumer, a full write — materializes the pin inside
+        # its own job, so the admission lineage still runs exactly once but
+        # the eager pin's separate pass over the survivors (one extra
+        # driver-blocking job + one extra read of the pinned blocks per
+        # trigger) is gone; the index append reads the pinned blocks.
+        kept = kept.localCheckpoint(eager=False)
         corpus_store.append_run(
             kept.withColumn("writetime", F.lit(batch_id).cast("long")),
             name=run_name_for_batch(batch_id),
