@@ -11633,14 +11633,23 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_util_spark.operators.dedup import (
         minhash_lsh_pairs,
         ngram_jaccard_pairs,
+        shingle_rows,
     )
 
     d = _t(spark, sf_dir, "documents")
-    exact = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5).select(
-        "id_a", "id_b", F.lit(1).alias("__e")
-    )
+    # ONE corpus scan + shingle pass, pinned, feeds BOTH sides: the exact
+    # and LSH pipelines project the shingle stream differently ((id, sh)
+    # distinct vs (id, h31)), so Catalyst never shares the scan between
+    # them — without the pin the normalize+shingle explode ran twice per
+    # audit (r18; eager so both plan branches read the pinned blocks
+    # instead of racing to materialize a lazy checkpoint)
+    sh = shingle_rows(d, "doc_id", "text", 3).localCheckpoint()
+    exact = ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.5, shingles=sh
+    ).select("id_a", "id_b", F.lit(1).alias("__e"))
     lsh = minhash_lsh_pairs(
-        d, "doc_id", "text", n=3, num_perm=64, bands=16, threshold=0.5
+        d, "doc_id", "text", n=3, num_perm=64, bands=16, threshold=0.5,
+        shingles=sh,
     ).select("id_a", "id_b", F.lit(1).alias("__l"))
     j = exact.join(lsh, ["id_a", "id_b"], "full_outer")
     both = F.col("__e").isNotNull() & F.col("__l").isNotNull()

@@ -124,12 +124,29 @@ def word_shingles(col: Column, n: int = 3) -> Column:
 # n-gram Jaccard near-dup (exact similarity on shingle sets)
 # ---------------------------------------------------------------------------
 
+def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """``(id, sh)`` exploded word-n-gram rows — the ONE construction of the
+    shingle stream every shingle-set operator consumes (``word_shingles``
+    is array_distinct per document, so rows are already unique per (id,
+    sh)).  Exposed so a caller running BOTH an exact and an approximate
+    shingle pipeline over the same corpus (the recall audits) can compute
+    this once, pin it, and hand it to each side via their ``shingles=``
+    parameter — one corpus scan + shingle pass instead of one per side
+    (the two sides project differently, so Catalyst never reuses the scan
+    across them)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("sh"),
+    )
+
+
 def _ngram_pair_counts(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n: int,
     max_doc_freq: int | None,
+    shingles: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared candidate machinery for the shingle-set similarity metrics:
     returns (inter, sizes) — per-pair common-shingle counts for every pair
@@ -141,9 +158,8 @@ def _ngram_pair_counts(
     # localCheckpoint (1.3x slower) re-runs or re-reads the scan+explode per
     # consumer.  Keep the distinct.
     sh = (
-        df.select(F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), n)).alias("sh"))
-        .distinct()
-    )
+        shingle_rows(df, id_col, text_col, n) if shingles is None else shingles
+    ).distinct()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     if max_doc_freq is not None:
@@ -198,15 +214,21 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """All pairs (a < b) with Jaccard(shingles_a, shingles_b) >= threshold.
 
     Candidates come from a self-join on shared shingles; ``max_doc_freq``
     drops stop-shingles (present in more than N docs) before the join — the
     knob that keeps candidate generation near-linear on web-scale corpora.
+    ``shingles`` (optional) substitutes a precomputed/pinned
+    :func:`shingle_rows` frame for the internal scan — same rows, shared
+    corpus pass when another pipeline consumes the identical stream.
     Output: (id_a, id_b, jaccard rounded to 6dp).
     """
-    inter, sizes = _ngram_pair_counts(df, id_col, text_col, n, max_doc_freq)
+    inter, sizes = _ngram_pair_counts(
+        df, id_col, text_col, n, max_doc_freq, shingles
+    )
     jac = _with_sizes(inter, sizes).withColumn(
         "jaccard",
         F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6),
@@ -904,6 +926,7 @@ def minhash_signatures(
     n: int = 3,
     num_perm: int = 64,
     hash_fn: str = "portable",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sig: array<bigint>) MinHash signatures.
 
@@ -919,9 +942,12 @@ def minhash_signatures(
     verifiable) or "xxhash64" (fastest JVM hash; same pipeline, engine-
     specific values).  Only the leaf hash differs — banding, candidate
     generation, and verification are identical code in both modes.
+    ``shingles``: optional precomputed :func:`shingle_rows` frame replacing
+    the internal scan (the recall audits share one pinned shingle pass
+    between their exact and approximate sides).
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), n)).alias("sh")
+    sh = (
+        shingle_rows(df, id_col, text_col, n) if shingles is None else shingles
     )
     # permutations via universal hashing of ONE base hash in the Mersenne
     # field p = 2^31-1: h_j = (a_j * h31 + b_j) mod p with a_j,b_j < p and
@@ -997,6 +1023,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     hash_fn: str = "portable",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash-LSH.
 
@@ -1015,9 +1042,9 @@ def minhash_lsh_pairs(
     # sides of the candidate verify join) and recomputing the explode+64-agg
     # DAG per consumer costs more than the signature table's storage.  At
     # warehouse scale this step is a persisted signature table on disk.
-    sig = minhash_signatures(df, id_col, text_col, n, num_perm, hash_fn).localCheckpoint(
-        eager=False
-    )
+    sig = minhash_signatures(
+        df, id_col, text_col, n, num_perm, hash_fn, shingles
+    ).localCheckpoint(eager=False)
     banded = _banded_ids(sig, num_perm, bands, hash_fn)
 
     a, b = banded.alias("a"), banded.alias("b")

@@ -60,6 +60,43 @@ def test_minhash_recall_vs_exact(spark, docs):
     assert recall >= 0.9, f"minhash recall {recall} over {len(exact)} true pairs"
 
 
+def test_shared_shingle_rows_identical(spark, docs):
+    """The audit-path ``shingles=`` injection (one pinned shingle pass
+    shared by the exact and LSH sides — r18) must be row-identical to the
+    default internal scan on BOTH consumers."""
+    from cassandra_util_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        shingle_rows,
+    )
+
+    sh = shingle_rows(docs, "doc_id", "text", 3).localCheckpoint()
+    base_exact = sorted(
+        map(tuple, ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.6).collect())
+    )
+    base_lsh = sorted(
+        map(tuple, minhash_lsh_pairs(docs, "doc_id", "text", 3, 64, 16, 0.5).collect())
+    )
+    shared_exact = sorted(
+        map(
+            tuple,
+            ngram_jaccard_pairs(
+                docs, "doc_id", "text", 3, 0.6, shingles=sh
+            ).collect(),
+        )
+    )
+    shared_lsh = sorted(
+        map(
+            tuple,
+            minhash_lsh_pairs(
+                docs, "doc_id", "text", 3, 64, 16, 0.5, shingles=sh
+            ).collect(),
+        )
+    )
+    assert shared_exact == base_exact
+    assert shared_lsh == base_lsh
+
+
 def test_simhash_finds_planted_dups(spark, docs):
     from cassandra_util_spark.operators.dedup import simhash_pairs
 
