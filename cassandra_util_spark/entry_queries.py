@@ -10412,10 +10412,14 @@ def manifest_incremental_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "doc_id", "text", words, bpe_vocab(spark, words, merges)
     )
     # pin the windows once: three batch filters must not re-run the
-    # train+encode chain (the bounded-materialization discipline)
+    # train+encode chain (the bounded-materialization discipline).
+    # LAZY (r18): the first append's write is a single sequential
+    # full-scan consumer — it materializes the pin inside its own job;
+    # the later batch filters read the pinned blocks, so the eager
+    # pin's separate pass over the window chain is gone
     win = materialize_packed_windows(
         enc, "doc_id", "token_ids", capacity=1024, distributed=True
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     cs = CounterStore(
         tempfile.mkdtemp(prefix="manifest-inc-"),
         ["shard"],
@@ -10704,10 +10708,13 @@ def windows_incremental_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges, words = bpe_train(d, "text", num_merges=_BPE_N)
     # pin the encoded streams once: the three shard filters must not
     # re-run the train+encode chain (the bounded-materialization
-    # discipline)
+    # discipline).  LAZY (r18): the max-id aggregate right below scans
+    # every partition and materializes the pin inside its own job —
+    # one fewer full execution of the train+encode chain; the shard
+    # steps then read the pinned blocks
     enc = bpe_encode_ids(
         d, "doc_id", "text", words, bpe_vocab(spark, words, merges)
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     mx = enc.agg(F.max("doc_id").alias("m")).first()["m"]
     c1, c2 = mx // 3, (2 * mx) // 3
     shards = [
@@ -11176,10 +11183,14 @@ def _corpus_window_store(spark, sf_dir: str):
     merges, words = bpe_train(d, "text", num_merges=_BPE_N)
     # pin the encoded streams once: the three shard writes must not
     # re-run the train+encode chain (the bounded-materialization
-    # discipline)
+    # discipline).  LAZY (r18): `_ascending_id_shards`'s max-id
+    # aggregate is the first consumer and scans every partition — it
+    # materializes the pin in its own job, and the one tagged shard
+    # write then reads the pinned blocks (its three union branches see
+    # an already-materialized checkpoint, so no duplicate compute)
     enc = bpe_encode_ids(
         d, "doc_id", "text", words, bpe_vocab(spark, words, merges)
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     return _drain_windows_store(
         spark, _ascending_id_shards(enc), "doc_id", capacity=1024,
         prefix="win-stream",
